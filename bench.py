@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each timing covers the full pipeline: SPARQL parse -> compile ->
+Catalyst optimize -> execute -> collect (or count for large results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from pidb_rdf_spark.session import get_spark
+
+    spark = get_spark("pidb-rdf-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footer caches once (not timed per query)
+    g_warm = qs["bgp_three_hop"](spark, SF_DIR)
+    g_warm.count()
+
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

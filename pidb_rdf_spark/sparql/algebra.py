@@ -1,0 +1,138 @@
+"""SPARQL algebra — the compiler's IR.
+
+Plays the role of Jena's Op tree in the reference
+(``SparqlToGremlinCompiler.java:91`` compiles Jena Algebra; the
+visitor at :235-317 walks Op nodes). Ours is a small dataclass tree
+covering the reference's query surface (SURVEY.md §2.3-2.8) plus the
+standard aggregates the reference lacks (SUM/AVG/MIN, HAVING).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---- terms -------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class IRI:
+    value: str  # full IRI, or prefixed form kept as "prefix:local"
+
+
+@dataclass(frozen=True)
+class Literal:
+    value: object  # python str / int / float / bool
+    lang: str | None = None
+    datatype: str | None = None
+
+
+Term = Var | IRI | Literal
+
+
+# ---- expressions (FILTER / SELECT expressions) -------------------------
+
+
+@dataclass(frozen=True)
+class Comparison:
+    op: str  # = != < <= > >=
+    lhs: "Expr"
+    rhs: "Expr"
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # && ||
+    operands: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    operand: "Expr"
+
+
+@dataclass(frozen=True)
+class Arith:
+    op: str  # + - * /
+    lhs: "Expr"
+    rhs: "Expr"
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    name: str  # REGEX, BOUND, STR, LANG, DATATYPE, ...
+    args: tuple
+
+
+@dataclass(frozen=True)
+class ExistsExpr:
+    group: "GroupGraphPattern"
+    negated: bool = False
+
+
+Expr = Comparison | BoolOp | Not | Arith | FuncCall | ExistsExpr | Var | IRI | Literal
+
+
+# ---- patterns ----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: Term
+    p: Term  # IRI or Var (var predicates supported via p-element route)
+    o: Term
+
+
+@dataclass
+class Filter:
+    expr: Expr
+
+
+@dataclass
+class OptionalPattern:
+    group: "GroupGraphPattern"
+
+
+@dataclass
+class UnionPattern:
+    branches: list  # list[GroupGraphPattern]
+
+
+@dataclass
+class GroupGraphPattern:
+    elements: list = field(default_factory=list)
+    # TriplePattern | Filter | OptionalPattern | UnionPattern | GroupGraphPattern
+
+
+# ---- query -------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AggExpr:
+    func: str  # COUNT SUM AVG MIN MAX
+    arg: Expr | None  # None => COUNT(*)
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class SelectItem:
+    expr: Expr | AggExpr
+    alias: str  # output column name (var name without '?')
+
+
+@dataclass
+class Query:
+    select: list  # list[SelectItem]; empty => SELECT *
+    where: GroupGraphPattern
+    distinct: bool = False
+    group_by: list = field(default_factory=list)  # list[str] var names
+    having: Expr | None = None
+    order_by: list = field(default_factory=list)  # list[(Expr, bool asc)]
+    limit: int | None = None
+    offset: int | None = None
+    prefixes: dict = field(default_factory=dict)

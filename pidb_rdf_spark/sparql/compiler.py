@@ -1,0 +1,675 @@
+"""SPARQL algebra -> DataFrame plan compiler.
+
+Reference counterpart: ``sparql/SparqlToGremlinCompiler.java`` +
+``sparql/TraversalBuilder.java`` + ``sparql/WhereTraversalBuilder.java``
+(SPARQL algebra -> Gremlin match()/coalesce() traversals, solved by
+backtracking unification). Here every triple pattern becomes a small
+DataFrame (a filtered scan of ``nodes`` or ``edges`` with columns
+named after the pattern's variables) and pattern conjunction becomes
+a natural join on shared variable columns — the set-oriented
+equivalent of match() unification (SURVEY.md §2.4 J1). Catalyst picks
+the physical join strategy; we contribute the one thing it cannot
+infer: a selectivity-based ordering of the patterns, mirroring the
+reference's access-path ranking (``NoMultiNoMetaNeo4jTrait.java:
+150-188``: id lookup > index seek > label scan > full scan).
+
+Differences from the reference, by design (SURVEY.md §7 quirks list):
+
+- OPTIONAL fills unmatched vars with SQL NULL, not the ``"N/A"``
+  sentinel (``SparqlToGremlinCompiler.java:122``); pass
+  ``optional_fill="N/A"`` for bug-compatible output.
+- multi-key GROUP BY / ORDER BY keep declared key order (the
+  reference keeps only the last GROUP BY var, :158-161, and loses
+  ORDER BY key order in a HashMap, :211-226).
+- UNION compiles each branch properly (the reference splits the
+  pattern list in half blindly, :296-315).
+- EXISTS / NOT EXISTS accept arbitrary groups, not single triples
+  (``WhereTraversalBuilder.java:99,111``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pidb_rdf_spark.graph import PropertyGraph
+from pidb_rdf_spark.sparql import algebra as A
+from pidb_rdf_spark.sparql.parser import parse_sparql
+
+EDGE_NS = "edge://"
+VALUE_NS = "value://"
+PROP_NS = "prop://"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_NUMERIC_TYPES = (
+    T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.ShortType,
+    T.ByteType, T.DecimalType,
+)
+
+
+def _local_name(iri: str) -> str:
+    """Substring after the last / # : — same contract as the reference
+    scalar fn getIRILocalName (``semantics/RDFImport.java:188-191``)."""
+    for sep in ("#", "/", ":"):
+        if sep in iri:
+            iri = iri.rsplit(sep, 1)[1] if iri.rsplit(sep, 1)[1] else iri
+    # simple right-scan: find last of any separator
+    idx = max(iri.rfind("/"), iri.rfind("#"), iri.rfind(":"))
+    return iri[idx + 1:] if idx >= 0 else iri
+
+
+class _BGPState:
+    """Bindings under construction: one DataFrame whose columns are the
+    bound variable names (node vars hold node ids), plus kind tracking."""
+
+    def __init__(self, compiler: "SparqlCompiler"):
+        self.c = compiler
+        self.df: DataFrame | None = None
+        self.kinds: dict[str, str] = {}  # var -> 'node' | 'value'
+        self.order: list[str] = []
+
+    def note(self, var: str, kind: str) -> None:
+        if var not in self.kinds:
+            self.kinds[var] = kind
+            self.order.append(var)
+        elif kind == "node":
+            self.kinds[var] = "node"
+
+    def merge(self, frame: DataFrame) -> None:
+        if self.df is None:
+            self.df = frame
+            return
+        shared = [col for col in frame.columns if col in self.df.columns]
+        if shared:
+            self.df = self.df.join(frame, on=shared, how="inner")
+        else:
+            self.df = self.df.crossJoin(frame)
+
+
+class SparqlCompiler:
+    def __init__(self, graph: PropertyGraph, optional_fill: str | None = None):
+        self.g = graph
+        self.optional_fill = optional_fill  # None => SQL NULL (default)
+        self._ns_map: dict[str, str] | None = None
+        self._var_counter = 0
+        self._active_agg_map: dict = {}
+        self._optional_vars: set[str] = set()
+
+    # ------------------------------------------------------------------
+    def compile(self, query: str | A.Query) -> DataFrame:
+        q = parse_sparql(query) if isinstance(query, str) else query
+        state = _BGPState(self)
+        self._compile_group(state, q.where)
+        df = state.df
+        if df is None:
+            df = self.g.spark.range(1).select(F.lit(1).alias("__unit"))
+
+        select_items = list(q.select)
+        if not select_items:  # SELECT *
+            select_items = [A.SelectItem(A.Var(v), v) for v in state.order if not v.startswith("__")]
+
+        has_agg = any(isinstance(it.expr, A.AggExpr) for it in select_items)
+
+        # vars whose *output form* is needed (node vars -> uri string)
+        needed: set[str] = set(q.group_by)
+        for it in select_items:
+            needed |= self._expr_vars(it.expr)
+        for expr, _asc in q.order_by:
+            needed |= self._expr_vars(expr)
+        df = self._materialize_uris(state, df, needed)
+        if self.optional_fill is not None:
+            # reference fills unmatched OPTIONAL vars with literal
+            # "N/A" (SparqlToGremlinCompiler.java:122) — opt-in only
+            for v in self._optional_vars:
+                if v in df.columns:
+                    df = df.withColumn(
+                        v,
+                        F.coalesce(F.col(v).cast("string"), F.lit(self.optional_fill)),
+                    )
+
+        if has_agg or q.group_by:
+            df = self._compile_aggregation(q, state, df, select_items)
+        else:
+            exprs = []
+            for it in select_items:
+                if isinstance(it.expr, A.Var) and it.expr.name == it.alias:
+                    exprs.append(F.col(it.alias))
+                else:
+                    exprs.append(self._expr_col(it.expr, df).alias(it.alias))
+            df = df.select(*exprs) if exprs else df
+
+        if q.distinct:
+            df = df.dropDuplicates()
+        if q.order_by:
+            agg_map = {
+                a: n for a, n in self._active_agg_map.items() if n in df.columns
+            }
+            sort_cols = []
+            for expr, asc in q.order_by:
+                col = self._expr_col(expr, df, agg_map or None)
+                sort_cols.append(col.asc() if asc else col.desc())
+            df = df.orderBy(*sort_cols)
+            drop = [c for c in df.columns if c.startswith("__agg")]
+            if drop:
+                df = df.drop(*drop)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _collect_aggs(self, expr, found: dict) -> None:
+        """Find AggExpr subnodes (aggregates may be nested in arbitrary
+        expressions, e.g. ROUND(SUM(?x), 2))."""
+        if isinstance(expr, A.AggExpr):
+            found.setdefault(expr, f"__agg{len(found)}")
+        elif isinstance(expr, (A.Comparison, A.Arith)):
+            self._collect_aggs(expr.lhs, found)
+            self._collect_aggs(expr.rhs, found)
+        elif isinstance(expr, A.BoolOp):
+            for op in expr.operands:
+                self._collect_aggs(op, found)
+        elif isinstance(expr, A.Not):
+            self._collect_aggs(expr.operand, found)
+        elif isinstance(expr, A.FuncCall):
+            for a in expr.args:
+                self._collect_aggs(a, found)
+
+    def _compile_aggregation(self, q, state, df: DataFrame, select_items) -> DataFrame:
+        """GROUP BY + aggregates (reference surface: COUNT / COUNT
+        DISTINCT / MAX / bare group, ``SparqlToGremlinCompiler.java:
+        168-186``; SUM/AVG/MIN/HAVING are standard extensions).
+        Spark's hash aggregate gives partial (map-side) aggregation
+        for free — the scale path the single-process reference lacks."""
+        agg_map: dict = {}
+        for it in select_items:
+            self._collect_aggs(it.expr, agg_map)
+        if q.having is not None:
+            self._collect_aggs(q.having, agg_map)
+        for expr, _asc in q.order_by:
+            self._collect_aggs(expr, agg_map)
+        self._active_agg_map = agg_map
+
+        group_cols = [F.col(v) for v in q.group_by]
+        aggs = [self._agg_col(a, df).alias(name) for a, name in agg_map.items()]
+        if not aggs:
+            # bare GROUP BY with no aggregator: reference collects
+            # rows per key (group() step, SparqlToGremlinCompiler
+            # .java:184-186) -> collect_list of the remaining vars
+            other = [v for v in state.order if v not in q.group_by and not v.startswith("__")]
+            aggs = [F.collect_list(F.struct(*[F.col(v) for v in other])).alias("group")]
+            df = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+            return df
+        df = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        if q.having is not None:
+            df = df.filter(self._expr_col(q.having, df, agg_map))
+        out = []
+        for it in select_items:
+            if isinstance(it.expr, A.Var) and it.expr.name == it.alias:
+                out.append(F.col(it.alias))
+            else:
+                out.append(self._expr_col(it.expr, df, agg_map).alias(it.alias))
+        # keep ORDER-BY-only aggregate columns (dropped after sort)
+        select_aliases = {it.alias for it in select_items}
+        order_aggs: dict = {}
+        for expr, _asc in q.order_by:
+            self._collect_aggs(expr, order_aggs)
+        for a, _name in order_aggs.items():
+            name = agg_map[a]
+            if name not in select_aliases:
+                out.append(F.col(name))
+        return df.select(*out)
+
+    # ---- group compilation -------------------------------------------
+
+    def _compile_group(self, state: _BGPState, group: A.GroupGraphPattern) -> None:
+        triples = [e for e in group.elements if isinstance(e, A.TriplePattern)]
+        unions = [e for e in group.elements if isinstance(e, A.UnionPattern)]
+        subgroups = [e for e in group.elements if isinstance(e, A.GroupGraphPattern)]
+        optionals = [e for e in group.elements if isinstance(e, A.OptionalPattern)]
+        filters = [e for e in group.elements if isinstance(e, A.Filter)]
+
+        for pat in self._order_patterns(triples, state):
+            state.merge(self._pattern_frame(state, pat))
+
+        for sub in subgroups:
+            sub_state = _BGPState(self)
+            self._compile_group(sub_state, sub)
+            state.kinds.update({k: v for k, v in sub_state.kinds.items() if k not in state.kinds})
+            for v in sub_state.order:
+                if v not in state.order:
+                    state.order.append(v)
+            if sub_state.df is not None:
+                state.merge(sub_state.df)
+
+        for uni in unions:
+            branch_dfs = []
+            for br in uni.branches:
+                br_state = _BGPState(self)
+                self._compile_group(br_state, br)
+                state.kinds.update({k: v for k, v in br_state.kinds.items() if k not in state.kinds})
+                for v in br_state.order:
+                    if v not in state.order:
+                        state.order.append(v)
+                if br_state.df is not None:
+                    branch_dfs.append(br_state.df)
+            if branch_dfs:
+                udf_ = branch_dfs[0]
+                for b in branch_dfs[1:]:
+                    udf_ = udf_.unionByName(b, allowMissingColumns=True)
+                state.merge(udf_)
+
+        for opt in optionals:
+            self._apply_optional(state, opt)
+
+        for flt in filters:
+            self._apply_filter(state, flt.expr)
+
+    # ---- pattern ordering (the BGP selectivity heuristic) -------------
+
+    def _pattern_score(self, pat: A.TriplePattern) -> int:
+        """Lower = more selective. Mirrors the reference's access-path
+        ranking: id lookup > indexed-prop seek > label scan > full scan
+        (``NoMultiNoMetaNeo4jTrait.java:150-188``)."""
+        pred = pat.p.value if isinstance(pat.p, A.IRI) else None
+        const_obj = not isinstance(pat.o, A.Var)
+        if pred and pred.startswith(VALUE_NS):
+            name = pred[len(VALUE_NS):]
+            if name == "id" and const_obj:
+                return 0
+            if const_obj:
+                return 1 if name != "label" else 2
+            return 5
+        if pred == RDF_TYPE and const_obj:
+            return 2
+        if pred and pred.startswith(PROP_NS):
+            return 6
+        # edge pattern
+        if const_obj or not isinstance(pat.s, A.Var):
+            return 3
+        return 4
+
+    def _order_patterns(self, triples: list, state: _BGPState) -> list:
+        remaining = sorted(triples, key=self._pattern_score)
+        ordered: list[A.TriplePattern] = []
+        bound: set[str] = set(state.kinds)
+
+        def pat_vars(p):
+            return {t.name for t in (p.s, p.p, p.o) if isinstance(t, A.Var)}
+
+        while remaining:
+            pick = None
+            if bound:
+                for cand in remaining:
+                    if pat_vars(cand) & bound:
+                        pick = cand
+                        break
+            if pick is None:
+                pick = remaining[0]
+            remaining.remove(pick)
+            ordered.append(pick)
+            bound |= pat_vars(pick)
+        return ordered
+
+    # ---- one triple pattern -> DataFrame fragment ---------------------
+
+    def _fresh(self) -> str:
+        self._var_counter += 1
+        return f"__anon{self._var_counter}"
+
+    def _subject_var(self, state: _BGPState, term) -> tuple[str, DataFrame | None]:
+        """Return (var_name, restriction) — concrete IRIs become an
+        anonymous var restricted to the node with that uri (lazy: a
+        join against the uri point-filter, which Catalyst pushes down)."""
+        if isinstance(term, A.Var):
+            state.note(term.name, "node")
+            return term.name, None
+        uri = term.value if isinstance(term, A.IRI) else str(term.value)
+        var = self._fresh()
+        restrict = self.g.nodes.filter(F.col("uri") == uri).select(F.col("id").alias(var))
+        return var, restrict
+
+    def _pattern_frame(self, state: _BGPState, pat: A.TriplePattern) -> DataFrame:
+        nodes, edges = self.g.nodes, self.g.edges
+        # --- variable predicate: generic (s, p, o) over edges ---------
+        if isinstance(pat.p, A.Var):
+            s_var, s_restrict = self._subject_var(state, pat.s)
+            state.note(pat.p.name, "value")
+            frame = edges.select(
+                F.col("src").alias(s_var),
+                F.col("predicate").alias(pat.p.name),
+                F.col("dst").alias(pat.o.name if isinstance(pat.o, A.Var) else self._fresh()),
+            )
+            if isinstance(pat.o, A.Var):
+                state.note(pat.o.name, "node")
+            if s_restrict is not None:
+                frame = frame.join(s_restrict, on=s_var, how="inner")
+            return frame
+
+        pred = pat.p.value
+
+        # --- value-property patterns (v:) ------------------------------
+        if pred.startswith(VALUE_NS):
+            name = pred[len(VALUE_NS):]
+            return self._value_pattern(state, pat, name)
+        # --- property-element patterns (p:) ----------------------------
+        if pred.startswith(PROP_NS):
+            name = pred[len(PROP_NS):]
+            s_var, s_restrict = self._subject_var(state, pat.s)
+            assert isinstance(pat.o, A.Var), "p: pattern needs a var object"
+            state.note(pat.o.name, "value")
+            propcol = self.g.node_prop(name)
+            frame = nodes.select(
+                F.col("id").alias(s_var),
+                F.struct(
+                    F.lit(name).alias("key"), propcol.cast("string").alias("value")
+                ).alias(pat.o.name),
+            ).filter(F.col(pat.o.name).getField("value").isNotNull())
+            if s_restrict is not None:
+                frame = frame.join(s_restrict, on=s_var, how="inner")
+            return frame
+        # --- rdf:type == label membership ------------------------------
+        if pred == RDF_TYPE:
+            return self._value_pattern(state, pat, "label", type_iri_object=True)
+
+        # --- edge pattern ----------------------------------------------
+        pred_name = self._predicate_name(pred)
+        s_var, s_restrict = self._subject_var(state, pat.s)
+        frame = edges.filter(F.col("predicate") == pred_name)
+        if isinstance(pat.o, A.Var):
+            state.note(pat.o.name, "node")
+            frame = frame.select(F.col("src").alias(s_var), F.col("dst").alias(pat.o.name))
+        else:
+            o_var, o_restrict = self._subject_var(state, pat.o)
+            frame = frame.select(F.col("src").alias(s_var), F.col("dst").alias(o_var))
+            if o_restrict is not None:
+                frame = frame.join(o_restrict, on=o_var, how="inner")
+        if s_restrict is not None:
+            frame = frame.join(s_restrict, on=s_var, how="inner")
+        return frame
+
+    def _value_pattern(
+        self, state: _BGPState, pat: A.TriplePattern, name: str,
+        type_iri_object: bool = False,
+    ) -> DataFrame:
+        """``?s v:prop ?x`` / ``?s v:prop <const>`` and the pseudo
+        properties id/label (reference ``TraversalBuilder.java:54-87``,
+        meta-pseudo-properties :63-79)."""
+        nodes = self.g.nodes
+        s_var, s_restrict = self._subject_var(state, pat.s)
+
+        if name == "id":
+            key_col: Column = F.col("id")
+            dtype = T.LongType()
+        elif name in ("label", "labels"):
+            key_col = None  # handled below (array semantics)
+            dtype = T.StringType()
+        else:
+            key_col = self.g.node_prop(name)
+            dtype = self._node_prop_dtype(name)
+
+        if isinstance(pat.o, A.Var):
+            state.note(pat.o.name, "value")
+            if name in ("label", "labels"):
+                frame = nodes.select(
+                    F.col("id").alias(s_var),
+                    F.explode(F.col("labels")).alias(pat.o.name),
+                )
+            else:
+                frame = nodes.select(
+                    F.col("id").alias(s_var), key_col.alias(pat.o.name)
+                ).filter(F.col(pat.o.name).isNotNull())
+        else:
+            value = self._term_value(pat.o, type_iri_object)
+            if name in ("label", "labels"):
+                frame = nodes.filter(
+                    F.array_contains(F.col("labels"), str(value))
+                ).select(F.col("id").alias(s_var))
+            else:
+                cmp_col = key_col
+                if isinstance(value, (int, float)) and isinstance(dtype, T.StringType):
+                    cmp_col = cmp_col.cast("double")
+                frame = nodes.filter(cmp_col == F.lit(value)).select(
+                    F.col("id").alias(s_var)
+                )
+        if s_restrict is not None:
+            frame = frame.join(s_restrict, on=s_var, how="inner")
+        return frame
+
+    def _term_value(self, term, type_iri_object: bool = False):
+        if isinstance(term, A.Literal):
+            return term.value
+        if isinstance(term, A.IRI):
+            iri = term.value
+            if type_iri_object or iri.startswith(VALUE_NS):
+                # rdf:type <...Customer> -> label "Customer"
+                return _local_name(iri)
+            return iri
+        raise TypeError(f"unexpected term {term}")
+
+    # ---- OPTIONAL / FILTER --------------------------------------------
+
+    def _apply_optional(self, state: _BGPState, opt: A.OptionalPattern) -> None:
+        """Left join on shared vars (reference compiles OPTIONAL to
+        coalesce(match(...), constant('N/A')) —
+        ``SparqlToGremlinCompiler.java:121-126, 271-282``)."""
+        sub = _BGPState(self)
+        self._compile_group(sub, opt.group)
+        if sub.df is None:
+            return
+        new_vars = [v for v in sub.order if v not in state.kinds]
+        state.kinds.update({k: v for k, v in sub.kinds.items() if k not in state.kinds})
+        for v in sub.order:
+            if v not in state.order:
+                state.order.append(v)
+        if state.df is None:
+            state.df = sub.df
+            return
+        shared = [c for c in sub.df.columns if c in state.df.columns]
+        if shared:
+            state.df = state.df.join(sub.df, on=shared, how="left")
+        else:
+            state.df = state.df.crossJoin(sub.df)
+        # bug-compatible "N/A" fill (if configured) happens at output
+        # shaping — node vars must stay joinable ids until then
+        self._optional_vars.update(new_vars)
+
+    def _apply_filter(self, state: _BGPState, expr) -> None:
+        if state.df is None:
+            return
+        if isinstance(expr, A.ExistsExpr):
+            sub = _BGPState(self)
+            self._compile_group(sub, expr.group)
+            if sub.df is None:
+                return
+            shared = [c for c in sub.df.columns if c in state.df.columns]
+            how = "leftanti" if expr.negated else "leftsemi"
+            state.df = state.df.join(sub.df, on=shared or None, how=how)
+            return
+        state.df = state.df.filter(self._expr_col(expr, state.df))
+
+    # ---- expressions ---------------------------------------------------
+
+    def _expr_vars(self, expr) -> set[str]:
+        if isinstance(expr, A.Var):
+            return {expr.name}
+        if isinstance(expr, A.AggExpr):
+            return self._expr_vars(expr.arg) if expr.arg is not None else set()
+        if isinstance(expr, A.Comparison | A.Arith):
+            return self._expr_vars(expr.lhs) | self._expr_vars(expr.rhs)
+        if isinstance(expr, A.BoolOp):
+            out: set[str] = set()
+            for op in expr.operands:
+                out |= self._expr_vars(op)
+            return out
+        if isinstance(expr, A.Not):
+            return self._expr_vars(expr.operand)
+        if isinstance(expr, A.FuncCall):
+            out = set()
+            for a in expr.args:
+                out |= self._expr_vars(a)
+            return out
+        return set()
+
+    def _expr_col(self, expr, df: DataFrame, agg_map: dict | None = None) -> Column:
+        if agg_map and isinstance(expr, A.AggExpr):
+            return F.col(agg_map[expr])
+        if isinstance(expr, A.Var):
+            return F.col(expr.name)
+        if isinstance(expr, A.Literal):
+            return F.lit(expr.value)
+        if isinstance(expr, A.IRI):
+            return F.lit(expr.value)
+        if isinstance(expr, A.Comparison):
+            lhs = self._expr_col(expr.lhs, df, agg_map)
+            rhs = self._expr_col(expr.rhs, df, agg_map)
+            lhs, rhs = self._align_types(expr.lhs, expr.rhs, lhs, rhs, df)
+            return {
+                "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+            }[expr.op]
+        if isinstance(expr, A.BoolOp):
+            cols = [self._expr_col(o, df, agg_map) for o in expr.operands]
+            out = cols[0]
+            for col in cols[1:]:
+                out = (out & col) if expr.op == "&&" else (out | col)
+            return out
+        if isinstance(expr, A.Not):
+            return ~self._expr_col(expr.operand, df, agg_map)
+        if isinstance(expr, A.Arith):
+            lhs = self._expr_col(expr.lhs, df, agg_map)
+            rhs = self._expr_col(expr.rhs, df, agg_map)
+            return {
+                "+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs, "/": lhs / rhs,
+            }[expr.op]
+        if isinstance(expr, A.FuncCall):
+            return self._func_col(expr, df, agg_map)
+        if isinstance(expr, A.ExistsExpr):
+            raise NotImplementedError(
+                "EXISTS must be a top-level FILTER constraint (it compiles "
+                "to a semi/anti join, not a boolean column)"
+            )
+        raise TypeError(f"cannot compile expression {expr!r}")
+
+    def _func_col(self, call: A.FuncCall, df: DataFrame, agg_map: dict | None = None) -> Column:
+        args = [self._expr_col(a, df, agg_map) for a in call.args]
+        name = call.name
+        if name == "ROUND":
+            scale = call.args[1].value if len(call.args) > 1 else 0
+            return F.round(args[0], int(scale))
+        if name == "REGEX":
+            flags = None
+            if len(call.args) >= 3 and isinstance(call.args[2], A.Literal):
+                flags = call.args[2].value
+            pattern = call.args[1].value if isinstance(call.args[1], A.Literal) else None
+            if pattern is not None and flags and "i" in flags:
+                pattern = f"(?i){pattern}"
+            return args[0].rlike(pattern) if pattern is not None else args[0].rlike(args[1])
+        if name == "BOUND":
+            return args[0].isNotNull()
+        if name == "STR":
+            return args[0].cast("string")
+        if name == "STRLEN":
+            return F.length(args[0])
+        if name == "UCASE":
+            return F.upper(args[0])
+        if name == "LCASE":
+            return F.lower(args[0])
+        if name == "ABS":
+            return F.abs(args[0])
+        if name == "CONTAINS":
+            return args[0].contains(args[1])
+        if name == "STRSTARTS":
+            return args[0].startswith(args[1])
+        if name == "STRENDS":
+            return args[0].endswith(args[1])
+        if name == "IN":
+            return args[0].isin(*[a for a in args[1:]])
+        raise NotImplementedError(f"builtin {name}")
+
+    def _align_types(self, le, re_, lc: Column, rc: Column, df: DataFrame):
+        """String column vs numeric literal -> cast column to double
+        (props-map fallback stores strings; the reference sidesteps
+        this by storing only 4 type families, SURVEY.md §1.3)."""
+        def dtype_of(e):
+            if isinstance(e, A.Var) and e.name in df.columns:
+                return df.schema[e.name].dataType
+            return None
+
+        if isinstance(re_, A.Literal) and isinstance(re_.value, (int, float)):
+            if isinstance(dtype_of(le), T.StringType):
+                return lc.cast("double"), rc
+        if isinstance(le, A.Literal) and isinstance(le.value, (int, float)):
+            if isinstance(dtype_of(re_), T.StringType):
+                return lc, rc.cast("double")
+        return lc, rc
+
+    def _agg_col(self, agg: A.AggExpr, df: DataFrame) -> Column:
+        if agg.func == "COUNT":
+            if agg.arg is None:
+                return F.count(F.lit(1))
+            col = self._expr_col(agg.arg, df)
+            return F.countDistinct(col) if agg.distinct else F.count(col)
+        col = self._expr_col(agg.arg, df)
+        if agg.distinct and agg.func == "SUM":
+            return F.sum_distinct(col)
+        return {
+            "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max,
+        }[agg.func](col)
+
+    # ---- output shaping ------------------------------------------------
+
+    def _materialize_uris(self, state: _BGPState, df: DataFrame, needed: set[str]) -> DataFrame:
+        """Node vars are carried as ids; projected/grouped/sorted node
+        vars are resolved to their uri (SPARQL bindings are RDF terms,
+        and uri is our IRI). One hash join per distinct node var —
+        only for vars that actually reach the output."""
+        node_vars = [
+            v for v in needed
+            if state.kinds.get(v) == "node" and v in df.columns
+        ]
+        for v in node_vars:
+            lookup = self.g.nodes.select(
+                F.col("id").alias(f"__id_{v}"), F.col("uri").alias(v)
+            )
+            df = df.withColumnRenamed(v, f"__id_{v}").join(
+                lookup, on=f"__id_{v}", how="left"
+            ).drop(f"__id_{v}")
+        return df
+
+    def _node_prop_dtype(self, name: str):
+        if name in self.g.nodes.columns:
+            return self.g.nodes.schema[name].dataType
+        return T.StringType()
+
+    def _predicate_name(self, iri: str) -> str:
+        """Edge-predicate name for an IRI: e:NAME passes through; full
+        IRIs are shortened prefix__local when a namespaces table exists
+        (mirrors F3, ``DirectStatementLoader.java:189-211``), else kept
+        verbatim."""
+        if iri.startswith(EDGE_NS):
+            return iri[len(EDGE_NS):]
+        ns_map = self._namespace_map()
+        if ns_map:
+            idx = max(iri.rfind("/"), iri.rfind("#"), iri.rfind(":"))
+            ns, local = iri[: idx + 1], iri[idx + 1:]
+            if ns in ns_map:
+                return f"{ns_map[ns]}__{local}"
+        return iri
+
+    def _namespace_map(self) -> dict[str, str]:
+        if self._ns_map is None:
+            if self.g.namespaces is None:
+                self._ns_map = {}
+            else:
+                self._ns_map = {
+                    r["namespace"]: r["prefix"] for r in self.g.namespaces.collect()
+                }
+        return self._ns_map
+
+
+def sparql(graph: PropertyGraph, query: str, **kwargs) -> DataFrame:
+    """One-call entry: SPARQL text -> result DataFrame (reference
+    ``g.sparql(q)``, ``SparqlTraversalSource.java:190-197``)."""
+    return SparqlCompiler(graph, **kwargs).compile(query)

@@ -1,0 +1,408 @@
+"""Recursive-descent parser for the SPARQL subset this engine executes.
+
+Coverage = the reference's compiled surface (SURVEY.md §2.3-2.8:
+BGP, FILTER with comparisons/&&/||/EXISTS/NOT EXISTS, OPTIONAL,
+UNION, DISTINCT, GROUP BY, COUNT/COUNT DISTINCT/MAX, ORDER BY,
+LIMIT/OFFSET — reference ``SparqlToGremlinCompiler.java`` +
+``WhereTraversalBuilder.java``) extended with the standard pieces the
+reference omits: SUM/AVG/MIN, HAVING, expression projections,
+arithmetic, REGEX/BOUND/STR builtins, predicate-object lists
+(``;`` ``,``) and the ``a`` keyword.
+
+The fixed ``e:``/``v:``/``p:`` prefix convention is pre-declared, as
+in the reference (``sparql/Prefixes.java:58-60`` prepends the same
+header to every query).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pidb_rdf_spark.sparql import algebra as A
+
+# e: edge label, v: node property value, p: property element —
+# reference routing at sparql/Prefixes.java:30-56.
+BUILTIN_PREFIXES = {
+    "e": "edge://",
+    "v": "value://",
+    "p": "prop://",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z_][A-Za-z0-9_\-.]*|[A-Za-z_][A-Za-z0-9_\-]*:)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.*=<>!+\-/@])
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "PREFIX", "BASE", "SELECT", "DISTINCT", "REDUCED", "WHERE", "FILTER",
+    "OPTIONAL", "UNION", "EXISTS", "NOT", "GROUP", "ORDER", "BY", "ASC",
+    "DESC", "LIMIT", "OFFSET", "AS", "HAVING", "COUNT", "SUM", "AVG",
+    "MIN", "MAX", "TRUE", "FALSE", "A", "IN",
+}
+
+AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+BUILTIN_FUNCS = {"REGEX", "BOUND", "STR", "LANG", "DATATYPE", "ABS", "ROUND", "CONTAINS", "STRSTARTS", "STRENDS", "UCASE", "LCASE", "STRLEN"}
+
+
+class Token:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind
+        self.text = text
+
+    def __repr__(self):
+        return f"{self.kind}({self.text})"
+
+
+def tokenize(text: str) -> list[Token]:
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = TOKEN_RE.match(text, pos)
+        if not m:
+            raise SyntaxError(f"SPARQL lex error at {text[pos:pos + 30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        tok = m.group()
+        if kind == "NAME" and tok.upper() in KEYWORDS:
+            tokens.append(Token("KW", tok.upper()))
+        else:
+            tokens.append(Token(kind, tok))
+    tokens.append(Token("EOF", ""))
+    return tokens
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes = dict(BUILTIN_PREFIXES)
+
+    # -- plumbing --------------------------------------------------------
+
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Token | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Token:
+        t = self.accept(kind, text)
+        if t is None:
+            raise SyntaxError(f"expected {text or kind}, got {self.peek()!r}")
+        return t
+
+    # -- terms -----------------------------------------------------------
+
+    def resolve_pname(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        ns = self.prefixes.get(prefix)
+        if ns is None:
+            raise SyntaxError(f"unknown prefix {prefix!r}")
+        return ns + local
+
+    def parse_term(self) -> A.Var | A.IRI | A.Literal:
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return A.Var(t.text[1:])
+        if t.kind == "IRIREF":
+            self.next()
+            return A.IRI(t.text[1:-1])
+        if t.kind == "PNAME":
+            self.next()
+            return A.IRI(self.resolve_pname(t.text))
+        if t.kind == "STRING":
+            self.next()
+            raw = t.text[1:-1]
+            value = raw.encode().decode("unicode_escape")
+            lang = dtype = None
+            if self.accept("OP", "@"):
+                lang = self.expect("NAME").text
+            elif self.accept("OP", "^^"):
+                d = self.next()
+                dtype = d.text[1:-1] if d.kind == "IRIREF" else self.resolve_pname(d.text)
+            return A.Literal(value, lang=lang, datatype=dtype)
+        if t.kind == "NUMBER":
+            self.next()
+            txt = t.text
+            if "." in txt or "e" in txt or "E" in txt:
+                return A.Literal(float(txt))
+            return A.Literal(int(txt))
+        if t.kind == "KW" and t.text in ("TRUE", "FALSE"):
+            self.next()
+            return A.Literal(t.text == "TRUE")
+        if t.kind == "KW" and t.text == "A":
+            self.next()
+            return A.IRI(BUILTIN_PREFIXES["rdf"] + "type")
+        raise SyntaxError(f"unexpected token {t!r} in term position")
+
+    # -- query -----------------------------------------------------------
+
+    def parse_query(self) -> A.Query:
+        while self.accept("KW", "PREFIX"):
+            pn = self.expect("PNAME").text
+            iri = self.expect("IRIREF").text[1:-1]
+            self.prefixes[pn.rstrip(":")] = iri
+        self.expect("KW", "SELECT")
+        distinct = bool(self.accept("KW", "DISTINCT"))
+        self.accept("KW", "REDUCED")
+        select: list[A.SelectItem] = []
+        if self.accept("OP", "*"):
+            pass
+        else:
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    select.append(A.SelectItem(A.Var(t.text[1:]), t.text[1:]))
+                elif t.kind == "OP" and t.text == "(":
+                    self.next()
+                    expr = self.parse_select_expr()
+                    self.expect("KW", "AS")
+                    alias = self.expect("VAR").text[1:]
+                    self.expect("OP", ")")
+                    select.append(A.SelectItem(expr, alias))
+                elif t.kind == "KW" and t.text in AGG_FUNCS:
+                    # bare aggregate without AS: auto-name (reference
+                    # allows e.g. COUNT(?x) in projection)
+                    expr = self.parse_select_expr()
+                    alias = f"{expr.func.lower()}" if isinstance(expr, A.AggExpr) else "expr"
+                    select.append(A.SelectItem(expr, alias))
+                else:
+                    break
+        self.accept("KW", "WHERE")
+        where = self.parse_group()
+
+        group_by: list[str] = []
+        having = None
+        order_by: list[tuple] = []
+        limit = offset = None
+        while True:
+            if self.accept("KW", "GROUP"):
+                self.expect("KW", "BY")
+                while self.peek().kind == "VAR":
+                    group_by.append(self.next().text[1:])
+            elif self.accept("KW", "HAVING"):
+                self.expect("OP", "(")
+                having = self.parse_expr()
+                self.expect("OP", ")")
+            elif self.accept("KW", "ORDER"):
+                self.expect("KW", "BY")
+                while True:
+                    t = self.peek()
+                    if t.kind == "KW" and t.text in ("ASC", "DESC"):
+                        self.next()
+                        asc = t.text == "ASC"
+                        self.expect("OP", "(")
+                        order_by.append((self.parse_expr(), asc))
+                        self.expect("OP", ")")
+                    elif t.kind == "VAR":
+                        self.next()
+                        order_by.append((A.Var(t.text[1:]), True))
+                    else:
+                        break
+            elif self.accept("KW", "LIMIT"):
+                limit = int(self.expect("NUMBER").text)
+            elif self.accept("KW", "OFFSET"):
+                offset = int(self.expect("NUMBER").text)
+            else:
+                break
+        self.expect("EOF")
+        return A.Query(
+            select=select, where=where, distinct=distinct, group_by=group_by,
+            having=having, order_by=order_by, limit=limit, offset=offset,
+            prefixes=dict(self.prefixes),
+        )
+
+    def parse_select_expr(self):
+        t = self.peek()
+        if t.kind == "KW" and t.text in AGG_FUNCS:
+            self.next()
+            self.expect("OP", "(")
+            distinct = bool(self.accept("KW", "DISTINCT"))
+            if t.text == "COUNT" and self.accept("OP", "*"):
+                arg = None
+            else:
+                arg = self.parse_expr()
+            self.expect("OP", ")")
+            return A.AggExpr(t.text, arg, distinct)
+        return self.parse_expr()
+
+    # -- group graph pattern --------------------------------------------
+
+    def parse_group(self) -> A.GroupGraphPattern:
+        self.expect("OP", "{")
+        group = A.GroupGraphPattern()
+        while not self.accept("OP", "}"):
+            t = self.peek()
+            if t.kind == "KW" and t.text == "FILTER":
+                self.next()
+                group.elements.append(A.Filter(self.parse_filter_constraint()))
+            elif t.kind == "KW" and t.text == "OPTIONAL":
+                self.next()
+                group.elements.append(A.OptionalPattern(self.parse_group()))
+            elif t.kind == "OP" and t.text == "{":
+                first = self.parse_group()
+                branches = [first]
+                while self.accept("KW", "UNION"):
+                    branches.append(self.parse_group())
+                if len(branches) > 1:
+                    group.elements.append(A.UnionPattern(branches))
+                else:
+                    group.elements.append(first)
+            else:
+                self.parse_triples_block(group)
+        return group
+
+    def parse_filter_constraint(self):
+        t = self.peek()
+        if t.kind == "KW" and t.text == "EXISTS":
+            self.next()
+            return A.ExistsExpr(self.parse_group(), negated=False)
+        if t.kind == "KW" and t.text == "NOT":
+            self.next()
+            self.expect("KW", "EXISTS")
+            return A.ExistsExpr(self.parse_group(), negated=True)
+        self.expect("OP", "(")
+        expr = self.parse_expr()
+        self.expect("OP", ")")
+        return expr
+
+    def parse_triples_block(self, group: A.GroupGraphPattern) -> None:
+        subj = self.parse_term()
+        while True:
+            pred = self.parse_term()
+            while True:
+                obj = self.parse_term()
+                group.elements.append(A.TriplePattern(subj, pred, obj))
+                if not self.accept("OP", ","):
+                    break
+            if not self.accept("OP", ";"):
+                break
+            # allow trailing ';' before '.' or '}'
+            if self.peek().kind == "OP" and self.peek().text in (".", "}"):
+                break
+        self.accept("OP", ".")
+
+    # -- expressions -----------------------------------------------------
+
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        operands = [self.parse_and()]
+        while self.accept("OP", "||"):
+            operands.append(self.parse_and())
+        return operands[0] if len(operands) == 1 else A.BoolOp("||", tuple(operands))
+
+    def parse_and(self):
+        operands = [self.parse_not()]
+        while self.accept("OP", "&&"):
+            operands.append(self.parse_not())
+        return operands[0] if len(operands) == 1 else A.BoolOp("&&", tuple(operands))
+
+    def parse_not(self):
+        if self.accept("OP", "!"):
+            return A.Not(self.parse_not())
+        return self.parse_relational()
+
+    def parse_relational(self):
+        lhs = self.parse_additive()
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            rhs = self.parse_additive()
+            return A.Comparison(t.text, lhs, rhs)
+        if t.kind == "KW" and t.text == "IN":
+            self.next()
+            self.expect("OP", "(")
+            items = [self.parse_additive()]
+            while self.accept("OP", ","):
+                items.append(self.parse_additive())
+            self.expect("OP", ")")
+            return A.FuncCall("IN", (lhs, *items))
+        return lhs
+
+    def parse_additive(self):
+        lhs = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("+", "-"):
+                self.next()
+                lhs = A.Arith(t.text, lhs, self.parse_multiplicative())
+            else:
+                return lhs
+
+    def parse_multiplicative(self):
+        lhs = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("*", "/"):
+                self.next()
+                lhs = A.Arith(t.text, lhs, self.parse_unary())
+            else:
+                return lhs
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind == "KW" and t.text == "NOT":
+            self.next()
+            self.expect("KW", "EXISTS")
+            return A.ExistsExpr(self.parse_group(), negated=True)
+        if t.kind == "KW" and t.text == "EXISTS":
+            self.next()
+            return A.ExistsExpr(self.parse_group(), negated=False)
+        if t.kind == "KW" and t.text in AGG_FUNCS:
+            self.next()
+            self.expect("OP", "(")
+            distinct = bool(self.accept("KW", "DISTINCT"))
+            if t.text == "COUNT" and self.accept("OP", "*"):
+                arg = None
+            else:
+                arg = self.parse_expr()
+            self.expect("OP", ")")
+            return A.AggExpr(t.text, arg, distinct)
+        if t.kind == "NAME" and t.text.upper() in BUILTIN_FUNCS:
+            name = self.next().text.upper()
+            self.expect("OP", "(")
+            args = []
+            if not self.accept("OP", ")"):
+                args.append(self.parse_expr())
+                while self.accept("OP", ","):
+                    args.append(self.parse_expr())
+                self.expect("OP", ")")
+            return A.FuncCall(name, tuple(args))
+        return self.parse_term()
+
+
+def parse_sparql(text: str) -> A.Query:
+    return Parser(text).parse_query()

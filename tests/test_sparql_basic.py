@@ -1,0 +1,178 @@
+"""End-to-end SPARQL tests on the graphified sf0.001 testdata,
+cross-checked against DuckDB on the raw relational tables."""
+
+import duckdb
+import pytest
+
+from pidb_rdf_spark.sparql import parse_sparql, sparql
+from tests.conftest import SF_DIR
+
+
+def oracle(sql: str):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_parse_smoke():
+    q = parse_sparql(
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT DISTINCT ?name (COUNT(?o) AS ?n) WHERE {
+          ?c v:label "Customer" .
+          ?c v:c_name ?name .
+          ?o e:PLACED_BY ?c .
+          OPTIONAL { ?o v:o_orderstatus ?st }
+          FILTER(?name != "x" && 1 < 2)
+        } GROUP BY ?name ORDER BY DESC(?n) ?name LIMIT 5 OFFSET 1
+        """
+    )
+    assert q.distinct and q.limit == 5 and q.offset == 1
+    assert q.group_by == ["name"] and len(q.order_by) == 2
+
+
+def test_value_filter_order_limit(graph):
+    # M1 flagship slice: label scan + edge join + value + FILTER + ORDER + LIMIT
+    df = sparql(
+        graph,
+        """
+        SELECT ?name ?total WHERE {
+          ?c v:label "Customer" .
+          ?c v:c_name ?name .
+          ?o e:PLACED_BY ?c .
+          ?o v:o_totalprice ?total .
+          FILTER(?total > 100000)
+        } ORDER BY DESC(?total) ?name LIMIT 10
+        """,
+    )
+    got = [(r["name"], r["total"]) for r in df.collect()]
+    want = oracle(
+        """
+        SELECT c_name AS name, o_totalprice AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 100000
+        ORDER BY total DESC, name LIMIT 10
+        """
+    )
+    assert got == [tuple(r) for r in want]
+
+
+def test_bgp_three_hop(graph):
+    df = sparql(
+        graph,
+        """
+        SELECT ?cust ?nation ?region WHERE {
+          ?c v:label "Customer" .
+          ?c v:c_name ?cust .
+          ?c e:IN_NATION ?n .
+          ?n v:n_name ?nation .
+          ?n e:IN_REGION ?r .
+          ?r v:r_name ?region .
+        }
+        """,
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r)
+        for r in oracle(
+            """
+            SELECT c_name, n_name, r_name FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            """
+        )
+    )
+    assert got == want
+
+
+def test_group_count(graph):
+    df = sparql(
+        graph,
+        """
+        SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+          ?c v:label "Customer" . ?c v:c_mktsegment ?seg .
+        } GROUP BY ?seg ORDER BY ?seg
+        """,
+    )
+    got = [(r["seg"], r["n"]) for r in df.collect()]
+    want = [
+        tuple(r)
+        for r in oracle(
+            "SELECT c_mktsegment, COUNT(*) FROM customer GROUP BY 1 ORDER BY 1"
+        )
+    ]
+    assert got == want
+
+
+def test_optional_null(graph):
+    # supplier with no orders relationship -> OPTIONAL binds NULL
+    df = sparql(
+        graph,
+        """
+        SELECT ?s ?o WHERE {
+          ?s v:label "Supplier" .
+          OPTIONAL { ?o e:PLACED_BY ?s }
+        }
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 10  # sf0.001 suppliers
+    assert all(r["o"] is None for r in rows)
+
+
+def test_union(graph):
+    df = sparql(
+        graph,
+        """
+        SELECT ?name WHERE {
+          { ?x v:label "Region" . ?x v:r_name ?name }
+          UNION
+          { ?x v:label "Nation" . ?x v:n_name ?name }
+        }
+        """,
+    )
+    got = sorted(r["name"] for r in df.collect())
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT r_name FROM region UNION ALL SELECT n_name FROM nation"
+        )
+    )
+    assert got == want
+
+
+def test_exists_not_exists(graph):
+    df = sparql(
+        graph,
+        """
+        SELECT ?name WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?name .
+          FILTER NOT EXISTS { ?o e:PLACED_BY ?c }
+        }
+        """,
+    )
+    got = sorted(r["name"] for r in df.collect())
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        )
+    )
+    assert got == want
+
+
+def test_distinct_and_count_distinct(graph):
+    df = sparql(
+        graph,
+        """
+        SELECT (COUNT(DISTINCT ?seg) AS ?n) WHERE {
+          ?c v:label "Customer" . ?c v:c_mktsegment ?seg .
+        }
+        """,
+    )
+    assert df.collect()[0]["n"] == oracle(
+        "SELECT COUNT(DISTINCT c_mktsegment) FROM customer"
+    )[0][0]
