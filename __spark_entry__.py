@@ -183,6 +183,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
     )
 
+    # -- Gremlin-role DSL (SURVEY §3.2): hops + predicate + group ------
+    def dsl_two_hop_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.dsl import P, traversal
+
+        return (
+            traversal(_graph(spark, sf_dir))
+            .V()
+            .has_label("Customer")
+            .has("c_acctbal", P.gt(5000))
+            .out("IN_NATION")
+            .group_count("n_name")
+            .withColumnsRenamed({"key": "nation", "count": "n"})
+        )
+
+    q["dsl_two_hop_group"] = dsl_two_hop_group
+
+    # -- S11: SQL pass-through (Cypher's role, SURVEY §3.3) ------------
+    def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+        g = _graph(spark, sf_dir)
+        g.register_views()
+        return g.sql(
+            """
+            SELECT n.n_name AS nation, COUNT(*) AS n_suppliers
+            FROM edges e
+            JOIN nodes s ON e.src = s.id
+            JOIN nodes n ON e.dst = n.id
+            WHERE e.predicate = 'IN_NATION'
+              AND array_contains(s.labels, 'Supplier')
+            GROUP BY n.n_name ORDER BY nation
+            """
+        )
+
+    q["sql_passthrough"] = sql_passthrough
+
+    # -- R1-R4: transitive closure + inferred reasoners (SURVEY §2.10) -
+    def closure_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.inference import transitive_closure
+
+        g = _graph(spark, sf_dir)
+        containment = g.edges.filter(
+            F.col("predicate").isin("IN_NATION", "IN_REGION")
+        )
+        src_uri = g.nodes.select(F.col("id").alias("src"), F.col("uri").alias("child"))
+        dst_uri = g.nodes.select(F.col("id").alias("dst"), F.col("uri").alias("parent"))
+        pairs = containment.join(src_uri, on="src").join(dst_uri, on="dst").select(
+            "child", "parent"
+        )
+        return transitive_closure(pairs).select(
+            F.col("child").alias("descendant"), F.col("parent").alias("ancestor")
+        )
+
+    q["closure_reachability"] = closure_reachability
+
+    def nodes_with_label_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.inference import get_nodes_with_label
+
+        g = _graph(spark, sf_dir)
+        hierarchy = spark.createDataFrame(
+            [
+                ("Customer", "Actor", "SLO"),
+                ("Supplier", "Actor", "SLO"),
+                ("Nation", "Place", "SLO"),
+                ("Region", "Place", "SLO"),
+            ],
+            ["child", "parent", "kind"],
+        )
+        return get_nodes_with_label(g, hierarchy, "Actor").select("uri").withColumnRenamed(
+            "uri", "node_uri"
+        )
+
+    q["nodes_with_label_inferred"] = nodes_with_label_inferred
+
+    def rels_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.inference import get_rels
+
+        g = _graph(spark, sf_dir)
+        hierarchy = spark.createDataFrame(
+            [("IN_NATION", "LOCATED", "SRO"), ("IN_REGION", "LOCATED", "SRO")],
+            ["child", "parent", "kind"],
+        )
+        edges = get_rels(g, hierarchy, "LOCATED")
+        src_uri = g.nodes.select(F.col("id").alias("src"), F.col("uri").alias("src_uri"))
+        dst_uri = g.nodes.select(F.col("id").alias("dst"), F.col("uri").alias("dst_uri"))
+        return edges.join(src_uri, on="src").join(dst_uri, on="dst").select(
+            "src_uri", "predicate", "dst_uri"
+        )
+
+    q["rels_inferred"] = rels_inferred
+
+    # -- O3: per-group limit via window (SURVEY §2.7) -------------------
+    def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.operators import topk_per_group
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        joined = orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        return topk_per_group(
+            joined, ["c_mktsegment"], "o_totalprice", 3, tie_break=["o_orderkey"]
+        ).select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("total"),
+        )
+
+    q["topk_orders_per_segment"] = topk_orders_per_segment
+
     return q
 
 
@@ -241,5 +350,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_projection": """
             SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY 1
+        """,
+        "dsl_two_hop_group": """
+            SELECT n_name AS nation, COUNT(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 5000 GROUP BY 1
+        """,
+        "sql_passthrough": """
+            SELECT n_name AS nation, COUNT(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "closure_reachability": """
+            WITH RECURSIVE base(child, parent) AS (
+                SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+                       'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                       'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+                UNION ALL
+                SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+            ), clo(descendant, ancestor) AS (
+                SELECT child, parent FROM base
+                UNION
+                SELECT b.child, c.ancestor FROM base b
+                JOIN clo c ON b.parent = c.descendant
+            )
+            SELECT descendant, ancestor FROM clo
+        """,
+        "nodes_with_label_inferred": """
+            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS node_uri FROM customer
+            UNION ALL
+            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier
+        """,
+        "rels_inferred": """
+            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src_uri,
+                   'IN_NATION' AS predicate,
+                   'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS dst_uri FROM customer
+            UNION ALL
+            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), 'IN_NATION',
+                   'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+            UNION ALL
+            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 'IN_REGION',
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        """,
+        "topk_orders_per_segment": """
+            SELECT seg, okey, total FROM (
+                SELECT c_mktsegment AS seg, o_orderkey AS okey,
+                       o_totalprice AS total,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) t WHERE rn <= 3
         """,
     }

@@ -1,0 +1,290 @@
+"""Fluent graph-traversal DSL — the Gremlin-role query surface.
+
+Reference: the full TinkerPop ``GraphTraversal`` API over the Neo4j
+adapter (``neo4j/structure/Neo4jGraph.java:61``; step execution
+``neo4j/process/traversal/step/sideEffect/Neo4jGraphStep.java`` and
+``Neo4jVertex.java:106-155``). The reference executes pull-based step
+iterators; here every step appends to one lazy DataFrame plan, so a
+whole traversal is a single Catalyst-optimized job — filters land in
+the parquet scan, traversal hops are hash joins, and nothing iterates
+row-at-a-time on the driver.
+
+Traversal state: a DataFrame with an anonymous frontier column
+(``__cur`` — node or edge id depending on position), plus one column
+per ``as_()``-labeled step. Every ``has*`` step is a filter/semi-join
+that Catalyst pushes toward the scan (the reference's
+``Neo4jGraphStepStrategy`` has-folding, done for free).
+
+Example::
+
+    g.V().has_label("Customer").has("c_mktsegment", "BUILDING") \
+        .out("IN_NATION").values("n_name").to_df()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.graph import PropertyGraph
+
+CUR = "__cur"
+
+
+class Traversal:
+    def __init__(self, graph: PropertyGraph, df: DataFrame, on_edges: bool = False):
+        self.g = graph
+        self.df = df
+        self.on_edges = on_edges  # frontier holds edge ids (E()/outE/inE)
+
+    # ---- internal helpers ---------------------------------------------
+
+    def _with(self, df: DataFrame, on_edges: bool | None = None) -> "Traversal":
+        return Traversal(self.g, df, self.on_edges if on_edges is None else on_edges)
+
+    def _frontier_nodes(self) -> DataFrame:
+        """Join the current node frontier back to the nodes table."""
+        return self.df.join(
+            self.g.nodes.withColumnRenamed("id", CUR), on=CUR, how="inner"
+        )
+
+    def _semi(self, filtered: DataFrame) -> "Traversal":
+        """Keep frontier rows whose node passes a nodes-side filter."""
+        keep = filtered.select(F.col("id").alias(CUR))
+        return self._with(self.df.join(keep, on=CUR, how="leftsemi"))
+
+    # ---- starts (S1-S4) ------------------------------------------------
+
+    # (constructed via Graph.traversal() below)
+
+    # ---- filters (P13-P15, S5/S6) --------------------------------------
+
+    def has_label(self, *labels: str) -> "Traversal":
+        n = self.g.nodes
+        cond = F.array_contains("labels", labels[0])
+        for lab in labels[1:]:
+            cond = cond | F.array_contains("labels", lab)
+        return self._semi(n.filter(cond))
+
+    def has(self, key: str, value=None) -> "Traversal":
+        """has(key) = property exists; has(key, value) = equality;
+        has(key, callable) = predicate on the Column (P.gt etc.)."""
+        if self.on_edges:
+            e = self.g.edges
+            col = F.col(key) if key in e.columns else F.col("props").getItem(key)
+            if value is None:
+                keep = e.filter(col.isNotNull())
+            elif callable(value):
+                keep = e.filter(value(col))
+            else:
+                keep = e.filter(col == F.lit(value))
+            return self._with(
+                self.df.join(keep.select(F.col("id").alias(CUR)), on=CUR, how="leftsemi")
+            )
+        col = self.g.node_prop(key)
+        if value is None:
+            return self._semi(self.g.nodes.filter(col.isNotNull()))
+        if callable(value):
+            return self._semi(self.g.nodes.filter(value(col)))
+        return self._semi(self.g.nodes.filter(col == F.lit(value)))
+
+    def has_id(self, *ids) -> "Traversal":
+        return self._with(self.df.filter(F.col(CUR).isin([int(i) for i in ids])))
+
+    def where(self, cond: Column) -> "Traversal":
+        return self._with(self.df.filter(cond))
+
+    # ---- traversal hops (J6-J8) ----------------------------------------
+
+    def _hop(self, direction: str, labels: tuple, to_edges: bool) -> "Traversal":
+        e = self.g.edges
+        if labels:
+            e = e.filter(F.col("predicate").isin(list(labels)))
+        out_pairs = e.select(
+            F.col("src").alias(CUR),
+            (F.col("id") if to_edges else F.col("dst")).alias("__next"),
+        )
+        in_pairs = e.select(
+            F.col("dst").alias(CUR),
+            (F.col("id") if to_edges else F.col("src")).alias("__next"),
+        )
+        if direction == "out":
+            pairs = out_pairs
+        elif direction == "in":
+            pairs = in_pairs
+        else:  # both = concat(OUT, IN), reference Neo4jVertex.java:117-120
+            pairs = out_pairs.unionAll(in_pairs)
+        df = (
+            self.df.join(pairs, on=CUR, how="inner")
+            .drop(CUR)
+            .withColumnRenamed("__next", CUR)
+        )
+        return self._with(df, on_edges=to_edges)
+
+    def out(self, *labels: str) -> "Traversal":
+        return self._hop("out", labels, to_edges=False)
+
+    def in_(self, *labels: str) -> "Traversal":
+        return self._hop("in", labels, to_edges=False)
+
+    def both(self, *labels: str) -> "Traversal":
+        return self._hop("both", labels, to_edges=False)
+
+    def out_e(self, *labels: str) -> "Traversal":
+        return self._hop("out", labels, to_edges=True)
+
+    def in_e(self, *labels: str) -> "Traversal":
+        return self._hop("in", labels, to_edges=True)
+
+    def both_e(self, *labels: str) -> "Traversal":
+        return self._hop("both", labels, to_edges=True)
+
+    def _edge_end(self, end: str) -> "Traversal":
+        e = self.g.edges.select(F.col("id").alias(CUR), F.col(end).alias("__next"))
+        df = self.df.join(e, on=CUR, how="inner").drop(CUR).withColumnRenamed("__next", CUR)
+        return self._with(df, on_edges=False)
+
+    def out_v(self) -> "Traversal":
+        """Edge -> source vertex (reference Neo4jEdge.java:42-62)."""
+        return self._edge_end("src")
+
+    def in_v(self) -> "Traversal":
+        return self._edge_end("dst")
+
+    def repeat_out(self, times: int, *labels: str) -> "Traversal":
+        """Fixed-depth expansion (unrolled joins — each hop is one
+        shuffle; for unbounded closure use pidb_rdf_spark.inference)."""
+        t = self
+        for _ in range(times):
+            t = t.out(*labels)
+        return t
+
+    # ---- step labels / projection --------------------------------------
+
+    def as_(self, name: str) -> "Traversal":
+        return self._with(self.df.withColumn(name, F.col(CUR)))
+
+    def select(self, *names: str) -> DataFrame:
+        """Project as_()-labeled node ids to uris."""
+        df = self.df
+        for n in names:
+            lookup = self.g.nodes.select(
+                F.col("id").alias(f"__sid_{n}"), F.col("uri").alias(f"__uri_{n}")
+            )
+            df = df.withColumnRenamed(n, f"__sid_{n}").join(lookup, on=f"__sid_{n}")
+        return df.select(*[F.col(f"__uri_{n}").alias(n) for n in names])
+
+    def values(self, *keys: str) -> DataFrame:
+        """Project properties of the current frontier (reference
+        PropertiesStep / values())."""
+        if self.on_edges:
+            e = self.g.edges.withColumnRenamed("id", CUR)
+            cols = [
+                (F.col(k) if k in e.columns else F.col("props").getItem(k)).alias(k)
+                for k in keys
+            ]
+            return self.df.join(e, on=CUR, how="inner").select(*cols)
+        frontier = self._frontier_nodes()
+        cols = [self.g.node_prop(k).alias(k) for k in keys]
+        return frontier.select(*cols)
+
+    def uri(self) -> DataFrame:
+        return self._frontier_nodes().select("uri")
+
+    def id_(self) -> DataFrame:
+        return self.df.select(F.col(CUR).alias("id"))
+
+    def label(self) -> DataFrame:
+        """One row per (element, label) — multi-label explode
+        (reference joins labels with '::', Neo4jVertex.java:100-103;
+        SURVEY §1.5 says use native arrays instead)."""
+        if self.on_edges:
+            e = self.g.edges.withColumnRenamed("id", CUR)
+            return self.df.join(e, on=CUR).select(F.col("predicate").alias("label"))
+        return self._frontier_nodes().select(F.explode("labels").alias("label"))
+
+    # ---- terminal aggregates (A1-A6 analogs) ---------------------------
+
+    def count(self) -> DataFrame:
+        return self.df.agg(F.count("*").alias("count"))
+
+    def dedup(self) -> "Traversal":
+        return self._with(self.df.dropDuplicates([CUR]))
+
+    def group_count(self, key: str | None = None) -> DataFrame:
+        """groupCount() by property value (or by current element id)."""
+        if key is None:
+            return self.df.groupBy(F.col(CUR).alias("key")).agg(
+                F.count("*").alias("count")
+            )
+        frontier = self._frontier_nodes()
+        return frontier.groupBy(self.g.node_prop(key).alias("key")).agg(
+            F.count("*").alias("count")
+        )
+
+    def order_by(self, key: str, asc: bool = True) -> "Traversal":
+        frontier = self._frontier_nodes()
+        col = self.g.node_prop(key)
+        return self._with(
+            frontier.orderBy(col.asc() if asc else col.desc()).select(
+                CUR, *[c for c in self.df.columns if c != CUR]
+            )
+        )
+
+    def limit(self, n: int) -> "Traversal":
+        return self._with(self.df.limit(n))
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+
+class GraphTraversalSource:
+    """``g = graph.traversal(); g.V()...`` — mirrors
+    ``Neo4jGraph.traversal()`` + ``GraphTraversalSource``."""
+
+    def __init__(self, graph: PropertyGraph):
+        self.g = graph
+
+    def V(self, *ids) -> Traversal:
+        df = self.g.vertices(*ids).select(F.col("id").alias(CUR))
+        return Traversal(self.g, df, on_edges=False)
+
+    def E(self, *ids) -> Traversal:
+        df = self.g.relationships(*ids).select(F.col("id").alias(CUR))
+        return Traversal(self.g, df, on_edges=True)
+
+
+def traversal(graph: PropertyGraph) -> GraphTraversalSource:
+    return GraphTraversalSource(graph)
+
+
+class P:
+    """Predicate helpers for has(key, P.gt(x)) — TinkerPop's P."""
+
+    @staticmethod
+    def gt(v):
+        return lambda c: c > F.lit(v)
+
+    @staticmethod
+    def gte(v):
+        return lambda c: c >= F.lit(v)
+
+    @staticmethod
+    def lt(v):
+        return lambda c: c < F.lit(v)
+
+    @staticmethod
+    def lte(v):
+        return lambda c: c <= F.lit(v)
+
+    @staticmethod
+    def neq(v):
+        return lambda c: c != F.lit(v)
+
+    @staticmethod
+    def within(*vs):
+        return lambda c: c.isin(list(vs))
+
+    @staticmethod
+    def between(lo, hi):
+        return lambda c: (c >= F.lit(lo)) & (c < F.lit(hi))

@@ -1,0 +1,180 @@
+"""Ontology inference: transitive closure + micro-reasoners.
+
+Reference: ``semantics/inference/MicroReasoners.java`` — the
+reference's most distinctive compute. It answers label/category/
+relationship queries *through* an ontology hierarchy by expanding
+``SCO*/SLO*/SRO*`` variable-length paths in Cypher and UNION-ing a
+generated per-subclass query (:20-22 closure Cypher, :38-44 codegen
+loop). That per-result query generation does not scale; here the
+closure is one semi-naive iterative DataFrame fixpoint (the one
+computation Catalyst cannot express in a single plan — SURVEY.md §4
+"custom Spark work" #3), and every reasoner is then a plain join
+against the closure.
+
+Scale notes: each iteration localCheckpoints to cut lineage (25
+iterations of joins would otherwise build an exponential plan);
+semi-naive evaluation joins only the *frontier* (paths discovered
+last round) against the base edges, not the whole closure; hierarchy
+closures are small (ontologies, not data) so the final join against
+data tables broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.graph import PropertyGraph
+
+# hierarchy kinds, reference LiteOntologyImporter.java:136-147,185-195
+SCO = "SCO"  # subclass-of
+SPO = "SPO"  # subproperty-of
+SRO = "SRO"  # subrelationship-of
+SLO = "SLO"  # sublabel-of
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iter: int = 30,
+    include_self: bool = False,
+) -> DataFrame:
+    """All (descendant, ancestor) pairs reachable via 1..n child->parent
+    steps — semi-naive fixpoint (frontier-only re-join per round).
+
+    Equivalent semantics to Cypher ``(a)<-[:KIND*]-(d)`` in the
+    reference's closure queries (``MicroReasoners.java:20-22``).
+    """
+    base = edges.select(F.col(child).alias("child"), F.col(parent).alias("parent")).dropDuplicates()
+    base = base.localCheckpoint(eager=True)
+    closure = base
+    frontier = base
+    up = base.select(
+        F.col("child").alias("__mid"), F.col("parent").alias("__anc")
+    )
+    for _ in range(max_iter):
+        new = (
+            frontier.join(up, on=frontier["parent"] == up["__mid"], how="inner")
+            .select(F.col("child"), F.col("__anc").alias("parent"))
+            .dropDuplicates()
+            .join(closure, on=["child", "parent"], how="leftanti")
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    if include_self:
+        nodes = (
+            closure.select(F.col("child").alias("n"))
+            .unionAll(closure.select(F.col("parent").alias("n")))
+            .dropDuplicates()
+        )
+        closure = closure.unionAll(
+            nodes.select(F.col("n").alias("child"), F.col("n").alias("parent"))
+        )
+    return closure
+
+
+def sub_closure(hierarchy: DataFrame, name: str, kind: str | None = None,
+                include_self: bool = True) -> DataFrame:
+    """Names in the closure *below* ``name`` (itself included by
+    default): the ``<-[:X*]-`` expansions of MicroReasoners."""
+    h = hierarchy
+    if kind is not None and "kind" in h.columns:
+        h = h.filter(F.col("kind") == kind)
+    clo = transitive_closure(h)
+    subs = clo.filter(F.col("parent") == name).select(F.col("child").alias("name"))
+    if include_self:
+        subs = subs.unionAll(
+            subs.sparkSession.createDataFrame([(name,)], ["name"])
+        ).dropDuplicates()
+    return subs
+
+
+def get_nodes_with_label(
+    graph: PropertyGraph, hierarchy: DataFrame, label: str, kind: str = SLO
+) -> DataFrame:
+    """All nodes whose label is ``label`` or any transitive sub-label
+    (reference ``getNodesWithLabel``, ``MicroReasoners.java:29-50`` —
+    which runs one generated MATCH per subclass and UNIONs them; here
+    it is one explode + one broadcast join)."""
+    subs = sub_closure(hierarchy, label, kind)
+    exploded = graph.nodes.select(
+        "*", F.explode(F.col("labels")).alias("__lab")
+    )
+    return (
+        exploded.join(
+            F.broadcast(subs.withColumnRenamed("name", "__lab")), on="__lab"
+        )
+        .drop("__lab")
+        .dropDuplicates(["id"])
+    )
+
+
+def get_nodes_linked_to(
+    graph: PropertyGraph, hierarchy: DataFrame, category_uri: str,
+    rel: str = "IN_CAT", kind: str = SCO,
+) -> DataFrame:
+    """Nodes with a ``rel`` edge to the category node or any of its
+    SCO* descendants (reference ``getNodesLinkedTo``,
+    ``MicroReasoners.java:52-74``). Category nodes are identified by
+    uri; the descendant set is a broadcast join."""
+    cats = sub_closure(hierarchy, category_uri, kind)
+    cat_nodes = graph.nodes.join(
+        F.broadcast(cats.withColumnRenamed("name", "uri")), on="uri"
+    ).select(F.col("id").alias("dst"))
+    linked = (
+        graph.edges.filter(F.col("predicate") == rel)
+        .join(F.broadcast(cat_nodes), on="dst")
+        .select(F.col("src").alias("id"))
+        .dropDuplicates()
+    )
+    return graph.nodes.join(linked, on="id")
+
+
+def get_rels(
+    graph: PropertyGraph, hierarchy: DataFrame, rel_type: str,
+    direction: str = "out", node_ids: DataFrame | None = None, kind: str = SRO,
+) -> DataFrame:
+    """Edges whose type is ``rel_type`` or any SRO* sub-type
+    (reference ``getRels``, ``MicroReasoners.java:76-96``), optionally
+    restricted to edges touching ``node_ids`` in ``direction``."""
+    subs = sub_closure(hierarchy, rel_type, kind)
+    edges = graph.edges.join(
+        F.broadcast(subs.withColumnRenamed("name", "predicate")), on="predicate"
+    )
+    if node_ids is not None:
+        key = {"out": "src", "in": "dst"}.get(direction)
+        if key is None:  # both
+            cols = edges.columns
+            edges = edges.join(
+                node_ids.select(F.col("id").alias("src")), on="src", how="leftsemi"
+            ).select(*cols).unionAll(
+                edges.join(
+                    node_ids.select(F.col("id").alias("dst")), on="dst", how="leftsemi"
+                ).select(*cols)
+            ).dropDuplicates(["id"])
+        else:
+            edges = edges.join(
+                node_ids.select(F.col("id").alias(key)), on=key, how="leftsemi"
+            )
+    return edges
+
+
+def has_label_inferred(
+    graph: PropertyGraph, hierarchy: DataFrame, label: str, kind: str = SLO
+) -> DataFrame:
+    """Per-node boolean: does the node carry ``label`` or any
+    sub-label (reference scalar UDF ``hasLabel``,
+    ``MicroReasoners.java:99-119``) — returned as a column for all
+    nodes (set-oriented; a scalar point-check is a filter on top)."""
+    subs = [r["name"] for r in sub_closure(hierarchy, label, kind).collect()]
+    return graph.nodes.select(
+        "id",
+        "uri",
+        F.arrays_overlap(
+            F.col("labels"), F.array(*[F.lit(s) for s in subs])
+        ).alias("has_label"),
+    )

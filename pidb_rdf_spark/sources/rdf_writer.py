@@ -1,0 +1,223 @@
+"""RDF export: PropertyGraph -> triples -> N-Triples text (SURVEY.md
+§2.1 S12/S13).
+
+Reference: ``semantics/extension/RDFEndpoint.java`` — serializes
+query-result nodes/relationships back to RDF over HTTP, expanding
+``prefix__local`` names to full IRIs (:317-337), typing literals from
+their stored Java type (:566-586), unrolling array property values
+one triple each (:180-188, 426-434). Here the same rules produce a
+``triples`` DataFrame; serialization to N-Triples is one JVM-side
+string expression per row and writes at full cluster width via
+``df.write.text`` (each partition streams independently — the scale
+analog of the reference's streamed HTTP response body).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.functions.iri import XSD, build_uri, subject_term
+from pidb_rdf_spark.graph import NODE_CORE, PropertyGraph
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ns_dict(graph: PropertyGraph) -> dict[str, str]:
+    if graph.namespaces is None:
+        return {}
+    return {
+        r["namespace"]: r["prefix"]
+        for r in graph.namespaces.collect()
+        if r["namespace"]
+    }
+
+
+def graph_to_triples(
+    graph: PropertyGraph, default_ns: str = "urn:default#"
+) -> DataFrame:
+    """Reconstruct the triples view of a PropertyGraph (inverse of the
+    import mapping, used by all export surfaces).
+
+    Emits: literal triples from the ``props`` map (typed via the
+    ``__prop_types`` sidecar map when the graph came from RDF import)
+    and from typed hot columns; ``rdf:type`` triples from labels
+    (``Resource`` excluded — it is the importer's marker label); and
+    resource triples from edges."""
+    ns = _ns_dict(graph)
+    n = graph.nodes
+    has_types = "__prop_types" in n.columns
+
+    # --- props-map literals -------------------------------------------
+    entries = n.select(
+        F.col("uri").alias("subject"),
+        F.explode(F.col("props")).alias("key", "value"),
+        *([F.col("__prop_types")] if has_types else []),
+    )
+    family = (
+        F.coalesce(F.col("__prop_types").getItem(F.col("key")), F.lit("string"))
+        if has_types
+        else F.lit("string")
+    )
+    lit_triples = entries.select(
+        F.col("subject"),
+        build_uri(F.col("key"), ns, default_ns).alias("predicate"),
+        F.col("value").alias("object"),
+        F.lit(True).alias("is_literal"),
+        F.when(family == "long", XSD + "long")
+        .when(family == "double", XSD + "double")
+        .when(family == "boolean", XSD + "boolean")
+        .alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+    # --- typed hot columns (graphified tables) ------------------------
+    hot = [c for c in n.columns if c not in NODE_CORE and c != "__prop_types"]
+    hot_frames = []
+    for c in hot:
+        dt = dict(n.dtypes)[c]
+        datatype = (
+            XSD + "long" if dt in ("bigint", "int", "smallint", "tinyint")
+            else XSD + "double" if dt in ("double", "float")
+            else XSD + "boolean" if dt == "boolean"
+            else None
+        )
+        hot_frames.append(
+            n.filter(F.col(c).isNotNull()).select(
+                F.col("uri").alias("subject"),
+                build_uri(F.lit(c), ns, default_ns).alias("predicate"),
+                F.col(c).cast("string").alias("object"),
+                F.lit(True).alias("is_literal"),
+                F.lit(datatype).cast("string").alias("datatype"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+
+    # --- labels -> rdf:type -------------------------------------------
+    label_triples = (
+        n.select(F.col("uri").alias("subject"), F.explode("labels").alias("label"))
+        .filter(F.col("label") != "Resource")
+        .select(
+            "subject",
+            F.lit(RDF_TYPE).alias("predicate"),
+            build_uri(F.col("label"), ns, default_ns).alias("object"),
+            F.lit(False).alias("is_literal"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+    # --- edges --------------------------------------------------------
+    src_uri = n.select(F.col("id").alias("src"), F.col("uri").alias("subject"))
+    dst_uri = n.select(F.col("id").alias("dst"), F.col("uri").alias("object"))
+    edge_triples = (
+        graph.edges.join(src_uri, on="src")
+        .join(dst_uri, on="dst")
+        .select(
+            "subject",
+            build_uri(F.col("predicate"), ns, default_ns).alias("predicate"),
+            "object",
+            F.lit(False).alias("is_literal"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+    out = lit_triples
+    for fr in hot_frames:
+        out = out.unionByName(fr)
+    return out.unionByName(label_triples).unionByName(edge_triples)
+
+
+def triples_to_ntriples_lines(triples: DataFrame) -> DataFrame:
+    """triples rows -> one N-Triples line per row (column ``value``)."""
+    esc = F.regexp_replace(F.col("object"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", "\\\\n")
+    obj = (
+        F.when(
+            ~F.col("is_literal"),
+            subject_term(F.col("object")),
+        )
+        .when(
+            F.col("lang").isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.col("lang")),
+        )
+        .when(
+            F.col("datatype").isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"^^<'), F.col("datatype"), F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+    return triples.select(
+        F.concat(
+            subject_term(F.col("subject")),
+            F.lit(" <"),
+            F.col("predicate"),
+            F.lit("> "),
+            obj,
+            F.lit(" ."),
+        ).alias("value")
+    )
+
+
+def export_ntriples(graph: PropertyGraph, path: str, **kwargs) -> None:
+    """Write the whole graph as N-Triples text files (S12's cypher->RDF
+    sink generalized to the full graph; partitioned parallel write)."""
+    triples_to_ntriples_lines(graph_to_triples(graph, **kwargs)).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def describe(
+    graph: PropertyGraph, uri: str | None = None, node_id: int | None = None,
+    exclude_context: bool = False,
+) -> DataFrame:
+    """One node's triples + (optionally) its 1-hop context (reference
+    describe endpoints, ``RDFEndpoint.java:206-291``: node plus
+    ``OPTIONAL MATCH (x)-[r]-(val:Resource)``)."""
+    n = graph.nodes
+    target = n.filter(F.col("uri") == uri) if uri is not None else n.filter(
+        F.col("id") == node_id
+    )
+    target_ids = target.select("id")
+    sub = PropertyGraph(
+        spark=graph.spark,
+        nodes=target,
+        edges=graph.edges.limit(0),
+        namespaces=graph.namespaces,
+    )
+    own = graph_to_triples(sub)
+    if exclude_context:
+        return own
+    # NB: a leftsemi join moves its key column first — re-select the
+    # original column order before the positional union
+    cols = graph.edges.columns
+    touching = (
+        graph.edges.join(
+            target_ids.withColumnRenamed("id", "src"), on="src", how="leftsemi"
+        )
+        .select(*cols)
+        .unionAll(
+            graph.edges.join(
+                target_ids.withColumnRenamed("id", "dst"), on="dst", how="leftsemi"
+            ).select(*cols)
+        )
+        .dropDuplicates(["id"])
+    )
+    ns = _ns_dict(graph)
+    src_uri = n.select(F.col("id").alias("src"), F.col("uri").alias("subject"))
+    dst_uri = n.select(F.col("id").alias("dst"), F.col("uri").alias("object"))
+    ctx = (
+        touching.join(src_uri, on="src")
+        .join(dst_uri, on="dst")
+        .select(
+            "subject",
+            build_uri(F.col("predicate"), ns).alias("predicate"),
+            "object",
+            F.lit(False).alias("is_literal"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    return own.unionByName(ctx)

@@ -1,0 +1,140 @@
+"""Graph DSL (Gremlin-role) traversal tests vs DuckDB oracle."""
+
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.dsl import P, traversal
+from tests.test_sparql_basic import oracle
+
+
+def test_v_haslabel_has_values(graph):
+    got = sorted(
+        r["c_name"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .has("c_mktsegment", "BUILDING")
+        .values("c_name")
+        .collect()
+    )
+    want = sorted(
+        r[0] for r in oracle("SELECT c_name FROM customer WHERE c_mktsegment='BUILDING'")
+    )
+    assert got == want
+
+
+def test_out_hop(graph):
+    got = sorted(
+        r["n_name"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .out("IN_NATION")
+        .values("n_name")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT n_name FROM customer JOIN nation ON c_nationkey=n_nationkey"
+        )
+    )
+    assert got == want
+
+
+def test_in_hop_count(graph):
+    n = (
+        traversal(graph)
+        .V()
+        .has_label("Nation")
+        .in_("IN_NATION")
+        .count()
+        .collect()[0]["count"]
+    )
+    want = oracle(
+        "SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)"
+    )[0][0]
+    assert n == want
+
+
+def test_predicate_and_two_hop(graph):
+    got = sorted(
+        r["r_name"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .has("c_acctbal", P.gt(5000))
+        .out("IN_NATION")
+        .out("IN_REGION")
+        .dedup()
+        .values("r_name")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in oracle(
+            """SELECT DISTINCT r_name FROM customer
+               JOIN nation ON c_nationkey=n_nationkey
+               JOIN region ON n_regionkey=r_regionkey
+               WHERE c_acctbal > 5000"""
+        )
+    )
+    assert got == want
+
+
+def test_group_count(graph):
+    rows = (
+        traversal(graph)
+        .V()
+        .has_label("Customer")
+        .group_count("c_mktsegment")
+        .collect()
+    )
+    got = sorted((r["key"], r["count"]) for r in rows)
+    want = sorted(
+        tuple(r) for r in oracle("SELECT c_mktsegment, COUNT(*) FROM customer GROUP BY 1")
+    )
+    assert got == want
+
+
+def test_edges_and_endpoints(graph):
+    n = (
+        traversal(graph)
+        .V()
+        .has_label("Orders")
+        .out_e("PLACED_BY")
+        .in_v()
+        .dedup()
+        .count()
+        .collect()[0]["count"]
+    )
+    want = oracle("SELECT COUNT(DISTINCT o_custkey) FROM orders")[0][0]
+    assert n == want
+
+
+def test_edge_start_and_label(graph):
+    rows = traversal(graph).E().has("predicate", "IN_REGION").label().collect()
+    assert {r["label"] for r in rows} == {"IN_REGION"}
+    assert len(rows) == 25  # one per nation
+
+
+def test_sql_passthrough(graph):
+    graph.register_views()
+    df = graph.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS cnt
+        FROM edges e
+        JOIN nodes c ON e.src = c.id
+        JOIN nodes n ON e.dst = n.id
+        WHERE e.predicate = 'IN_NATION' AND array_contains(c.labels, 'Customer')
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    )
+    got = [(r[0], r[1]) for r in df.collect()]
+    want = [
+        tuple(r)
+        for r in oracle(
+            """SELECT n_name, COUNT(*) FROM customer JOIN nation
+               ON c_nationkey=n_nationkey GROUP BY 1 ORDER BY 1"""
+        )
+    ]
+    assert got == want
