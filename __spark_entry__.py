@@ -292,11 +292,423 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_orders_per_segment"] = topk_orders_per_segment
 
+    # ==================================================================
+    # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
+    # ==================================================================
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _events(spark, sf_dir):
+        from pidb_rdf_spark.sources.tables import read_events
+
+        return read_events(spark, sf_dir)
+
+    # -- exact dedup ----------------------------------------------------
+    def exact_dedup_docs(spark, sf_dir):
+        from pidb_rdf_spark.operators import exact_dedup
+
+        return exact_dedup(_docs(spark, sf_dir))
+
+    q["exact_dedup_docs"] = exact_dedup_docs
+
+    # -- exact n-gram Jaccard near-dup (the quadratic baseline) --------
+    def ngram_jaccard_dedup(spark, sf_dir):
+        from pidb_rdf_spark.operators import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(spark, sf_dir), k=8, threshold=0.6)
+
+    q["ngram_jaccard_dedup"] = ngram_jaccard_dedup
+
+    # -- MinHash + LSH near-dup (the linear-time scale path) -----------
+    def minhash_dedup(spark, sf_dir):
+        from pidb_rdf_spark.operators import minhash_lsh_dedup
+
+        return minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.8)
+
+    q["minhash_lsh_dedup"] = minhash_dedup
+
+    # -- SimHash near-dup ----------------------------------------------
+    def simhash_dedup(spark, sf_dir):
+        from pidb_rdf_spark.operators import simhash_pairs
+
+        return simhash_pairs(_docs(spark, sf_dir), bits=60, max_hamming=3).withColumn(
+            "hamming", F.col("hamming").cast("long")
+        )
+
+    q["simhash_dedup"] = simhash_dedup
+
+    # -- embedding-cosine near-dup -------------------------------------
+    def embedding_near_dup(spark, sf_dir):
+        from pidb_rdf_spark.operators import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
+    # -- brute-force cosine top-k ANN baseline -------------------------
+    def cosine_topk_q(spark, sf_dir):
+        from pidb_rdf_spark.operators import cosine_topk
+
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk(emb, queries_df, k=10).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
+    q["cosine_topk"] = cosine_topk_q
+
+    # -- IVF ANN, exact-probe configuration (validates the plumbing) ---
+    def ivf_topk_exact(spark, sf_dir):
+        from pidb_rdf_spark.operators import ivf_search, kmeans_centroids
+
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = kmeans_centroids(emb, n_clusters=8, iters=2)
+        # nprobe == n_clusters ⇒ exact: the oracle is plain brute force
+        return ivf_search(emb, queries_df, cents, k=5, nprobe=8).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
+    q["ivf_topk_exact"] = ivf_topk_exact
+
+    # -- text analysis --------------------------------------------------
+    def lang_id(spark, sf_dir):
+        from pidb_rdf_spark.operators import language_id
+
+        return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+    q["lang_id"] = lang_id
+
+    def text_quality(spark, sf_dir):
+        from pidb_rdf_spark.operators import quality_score
+
+        return quality_score(_docs(spark, sf_dir)).select(
+            "doc_id", "n_chars_q", "n_tokens", "n_punct", "n_stopwords", "quality"
+        )
+
+    q["text_quality"] = text_quality
+
+    def token_counts(spark, sf_dir):
+        from pidb_rdf_spark.operators import token_count
+
+        return token_count(_docs(spark, sf_dir)).select(
+            "doc_id", "ws_tokens", "bpe_tokens"
+        )
+
+    q["token_counts"] = token_counts
+
+    def doc_fingerprint(spark, sf_dir):
+        from pidb_rdf_spark.operators import fingerprint
+
+        return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # -- multimodal plumbing (stubbed decode, real Arrow path) ---------
+    def media_features(spark, sf_dir):
+        from pidb_rdf_spark.operators import attach_media, decode_media
+
+        media = attach_media(_docs(spark, sf_dir))
+        feats = decode_media(media, stub=True)
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            "first_byte",
+            F.col("byte_hist")[0].alias("h0"),
+            F.col("byte_hist")[7].alias("h7"),
+        )
+
+    q["media_features"] = media_features
+
+    def frame_sample(spark, sf_dir):
+        from pidb_rdf_spark.operators import attach_media, sample_frames
+
+        media = attach_media(_docs(spark, sf_dir))
+        return sample_frames(media, every_n_bytes=64, max_frames=8).select(
+            "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+        )
+
+    q["frame_sample"] = frame_sample
+
+    # -- event-stream operators (batch-equivalent logic; the same
+    #    functions run under Structured Streaming, see tests) ----------
+    def windowed_events(spark, sf_dir):
+        from pidb_rdf_spark.streaming import windowed_event_counts
+
+        out = windowed_event_counts(_events(spark, sf_dir), window="1 hour")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+
+    q["windowed_event_counts"] = windowed_events
+
+    def sessionize_events(spark, sf_dir):
+        from pidb_rdf_spark.streaming import sessionize
+
+        out = sessionize(_events(spark, sf_dir), gap="30 minutes")
+        return out.select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+
+    q["sessionize_events"] = sessionize_events
+
+    def asof_join_events(spark, sf_dir):
+        from pidb_rdf_spark.streaming import asof_join
+
+        ev = _events(spark, sf_dir)
+        clicks = ev.filter(F.col("event_type") == "click")
+        errors = ev.filter(F.col("event_type") == "error")
+        out = asof_join(clicks, errors, on="user_id")
+        return out.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts_s"),
+        )
+
+    q["asof_join_events"] = asof_join_events
+
     return q
 
 
-def oracle_sql() -> dict[str, str]:
+# ---------------------------------------------------------------------------
+# oracle SQL builders (shared fragments, programmatically generated parts)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(str_split(lower(text), ' '), x -> x <> '')"
+_SHINGLES8 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(length(text) - 7, 1)),"
+    " i -> substr(text, i, 8)))"
+)
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+        WITH sets AS (SELECT doc_id, {_SHINGLES8} AS sh FROM documents),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sets),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter,
+                   any_value(x.n) AS na, any_value(y.n) AS nb
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM inter
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {threshold}
+    """
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    votes = ",\n               ".join(
+        f"SUM(CAST(((h >> {i}) & 1) * 2 - 1 AS BIGINT)) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    nhex = (bits + 3) // 4
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        feats AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(0, greatest(len(t) - 2, 0)),
+                i -> concat_ws('_', t[i + 1], t[i + 2]))) AS f
+            FROM toks
+        ),
+        hv AS (
+            SELECT doc_id, CAST('0x' || substr(md5(feat), 1, {nhex}) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(f) AS feat FROM feats)
+        ),
+        votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sig} AS s FROM votes)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+    """
+
+
+def _brute_topk_sql(query_pred: str, k: int) -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE {query_pred}
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        ),
+        r AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                   ) AS rn
+            FROM s
+        )
+        SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id
+        FROM r WHERE rn <= {k}
+    """
+
+
+def _scale_extension_oracles() -> dict[str, str]:
+    from pidb_rdf_spark.operators.text import BPE_SPLIT_REGEX, STOPWORDS
+
+    en = _sql_list(STOPWORDS["en"])
+    de = _sql_list(STOPWORDS["de"])
+    fr = _sql_list(STOPWORDS["fr"])
+    tfmt = "%Y-%m-%d %H:%M:%S"
     return {
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_dedup": _jaccard_pairs_sql(0.6),
+        "minhash_lsh_dedup": _jaccard_pairs_sql(0.8),
+        "simhash_dedup": _simhash_sql(60, 3),
+        "embedding_near_dup": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])
+            ) >= 0.45
+        """,
+        "cosine_topk": _brute_topk_sql("vec_id < 10", 10),
+        "ivf_topk_exact": _brute_topk_sql("vec_id % 100 = 0", 5),
+        "lang_id": f"""
+            WITH toks AS (
+                SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents
+            ),
+            sc AS (
+                SELECT doc_id,
+                       len(list_intersect(t, {en})) AS s_en,
+                       len(list_intersect(t, {de})) AS s_de,
+                       len(list_intersect(t, {fr})) AS s_fr
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_fr THEN 'en'
+                        ELSE 'fr' END AS lang_pred
+            FROM sc
+        """,
+        "text_quality": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars_q,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                            AS BIGINT) AS n_punct,
+                       CAST(len(list_intersect(list_distinct({_TOKS}), {en}))
+                            AS BIGINT) AS n_stopwords
+                FROM documents
+            )
+            SELECT doc_id, n_chars_q, n_tokens, n_punct, n_stopwords,
+                   n_stopwords / 10.0
+                   + CASE WHEN n_chars_q / greatest(n_tokens, 1) >= 3
+                           AND n_chars_q / greatest(n_tokens, 1) <= 12
+                          THEN 0.5 ELSE 0.0 END
+                   - n_punct / greatest(n_chars_q, 1) AS quality
+            FROM m
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '{BPE_SPLIT_REGEX}'))
+                        AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(str_split(text, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                       (a, x) -> (a * 31 + x) % 2147483647
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+                   CAST(len(list_filter(
+                       list_transform(str_split(text, ''), c -> ascii(c)),
+                       x -> x % 16 = 0)) AS BIGINT) AS h0,
+                   CAST(len(list_filter(
+                       list_transform(str_split(text, ''), c -> ascii(c)),
+                       x -> x % 16 = 7)) AS BIGINT) AS h7
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0,
+                       CAST(least(floor((length(text) - 1) / 64) + 1, 8)
+                            AS BIGINT) - 1)) AS frame_idx
+            FROM documents
+        """,
+        "windowed_event_counts": f"""
+            SELECT strftime(date_trunc('hour', ts), '{tfmt}') AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": f"""
+            WITH b AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS seq
+                FROM b
+            )
+            SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+                   strftime(MIN(ts), '{tfmt}') AS session_start,
+                   strftime(MAX(ts), '{tfmt}') AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
+        "asof_join_events": f"""
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '{tfmt}') AS ts_s,
+                   strftime(r.ts, '{tfmt}') AS matched_ts_s
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    base = {
         "label_scan_prop_seek": """
             SELECT c_name AS name FROM customer
             WHERE c_mktsegment = 'BUILDING'
@@ -407,3 +819,5 @@ def oracle_sql() -> dict[str, str]:
             ) t WHERE rn <= 3
         """,
     }
+    base.update(_scale_extension_oracles())
+    return base

@@ -1,3 +1,35 @@
+from pidb_rdf_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pidb_rdf_spark.operators.multimodal import attach_media, decode_media, sample_frames
+from pidb_rdf_spark.operators.similarity import cosine_topk, ivf_search, kmeans_centroids
+from pidb_rdf_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
 from pidb_rdf_spark.operators.window import topk_per_group
 
-__all__ = ["topk_per_group"]
+__all__ = [
+    "topk_per_group",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "cosine_topk",
+    "ivf_search",
+    "kmeans_centroids",
+    "attach_media",
+    "decode_media",
+    "sample_frames",
+    "fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count",
+]

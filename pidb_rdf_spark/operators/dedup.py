@@ -1,0 +1,419 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, exact
+n-gram Jaccard, and embedding-cosine near-dup.
+
+The reference engine's only dedup is edge dedup-on-insert
+(``semantics/DirectStatementLoader.java:281-305``) and Gremlin
+``dedup()`` (SURVEY.md §2.5 A6). Document-level near-dup detection is
+the scale extension a 100 TB training-data pipeline needs.
+
+Scale design:
+- **exact_dedup**: one hash-aggregate shuffle on the content key.
+- **MinHash+LSH**: the linear-time path. Signatures are computed
+  with one shuffle (groupBy doc); banding turns the quadratic
+  all-pairs problem into equi-joins on (band, band_hash) buckets —
+  only same-bucket docs are compared. Candidates are then verified
+  with the exact Jaccard join, so the output equals the exact
+  all-pairs answer with probability ~1 at the configured
+  (bands, rows) operating point (b=32, r=4 ⇒ P[detect s≥0.8] >
+  1-5e-8) while never materializing O(n²) pairs.
+- **SimHash**: zero-shuffle signature (per-row fold over token
+  hashes), Hamming-≤k pairs found by pigeonhole banding: split the
+  signature into k+1 chunks; any pair within distance k must agree
+  on ≥1 chunk, so candidates come from equi-joins on chunk values —
+  exact recall, no n² scan.
+- **embedding near-dup**: cosine threshold pairs with optional
+  random-hyperplane bucketing (see similarity.py) for the n² cut.
+
+Determinism: token/shingle hashing uses md5 (first 8 hex chars →
+32-bit int) — reproducible in any engine, so every operator here is
+verifiable against a SQL oracle. xxhash64 would be ~2× faster for
+the MinHash base hash; md5 keeps the whole pipeline cross-checkable
+and is still JVM-side vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.operators.text import tokens
+
+MERSENNE31 = 2147483647  # 2^31 - 1 (prime), universal-hash modulus
+
+
+def _md5_hash(col: Column, bits: int = 32) -> Column:
+    """First ``bits`` (≤60) bits of md5 as a non-negative long — the
+    cross-engine-reproducible base hash (any engine with md5 + hex
+    parse recomputes it; 60-bit cap keeps the value inside a signed
+    64-bit integer everywhere)."""
+    if bits > 60:
+        raise ValueError("md5 hash slice must fit a signed long: bits <= 60")
+    nhex = (bits + 3) // 4
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, nhex), 16, 10).cast("long")
+    if nhex * 4 > bits:
+        h = F.shiftright(h, nhex * 4 - bits)
+    return h
+
+
+def _md5_32(col: Column) -> Column:
+    return _md5_hash(col, 32)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", content_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per identical
+    content, report group size. One hash-aggregate shuffle; at scale,
+    group on ``md5(content)`` instead of raw content to shrink
+    shuffle rows to 16 bytes + id."""
+    content_cols = content_cols or ["text"]
+    return (
+        df.groupBy(*content_cols)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard (the verification / oracle baseline)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Distinct character k-gram shingles, one row per (id, shingle).
+
+    The shingle array is built JVM-side (transform over a sequence —
+    no Python, no explode until the set is deduped)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {k}))"
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold, computed by
+    joining the shingle table to itself on the shingle value — cost
+    is Σ |posting list|², not n² docs. This is the exact baseline /
+    verifier; at 100 TB run :func:`minhash_lsh_dedup` instead and
+    let this path verify its candidates only."""
+    sh = char_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), on="a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), on="b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def verify_pairs_jaccard(
+    candidates: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a, b) pairs against
+    the shingle table — joins touch only candidate docs' shingles."""
+    sizes = shingles.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
+    sa = shingles.select(F.col("id").alias("a"), "shingle")
+    sb = shingles.select(F.col("id").alias("b"), "shingle")
+    # restrict shingle lists to candidate docs (semi-joins), then count
+    # matching shingles per candidate pair
+    cand_a = candidates.select("a").distinct()
+    cand_b = candidates.select("b").distinct()
+    sa = sa.join(cand_a, on="a", how="leftsemi")
+    sb = sb.join(cand_b, on="b", how="leftsemi")
+    inter = (
+        candidates.join(sa, on="a")
+        .join(sb, on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), on="a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), on="b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 128
+) -> DataFrame:
+    """MinHash signatures via universal hashing: one base hash per
+    shingle, then ``num_perm`` affine permutations
+    ``(a_j·h + b_j) mod p`` reduced with per-group MIN — a single
+    shuffle keyed on doc id, map-side partial aggregation does most
+    of the work. Returns (id, sig: array<long>[num_perm])."""
+    h = (_md5_32(F.col("shingle")) % MERSENNE31).alias("h")
+    base = shingles.select("id", h)
+    # deterministic permutation constants derived from md5 of the index
+    coeffs = [
+        (
+            int.from_bytes(__import__("hashlib").md5(f"a{j}".encode()).digest()[:4], "big")
+            % (MERSENNE31 - 1)
+            + 1,
+            int.from_bytes(__import__("hashlib").md5(f"b{j}".encode()).digest()[:4], "big")
+            % MERSENNE31,
+        )
+        for j in range(num_perm)
+    ]
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MERSENNE31).alias(f"m{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    sig = base.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: hash each band of the signature; docs sharing any
+    (band, band_hash) bucket become candidate pairs. Equi-join on the
+    bucket key — no n² comparison ever happens."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    l = banded.select(F.col("id").alias("a"), "band", "bhash")
+    r = banded.select(F.col("id").alias("b"), "band", "bhash")
+    return (
+        l.join(r, on=["band", "bhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by MinHash+LSH candidate generation + exact
+    Jaccard verification. Output: (a, b, jaccard) with jaccard ≥
+    threshold — equal to the exact all-pairs answer w.p. ~1 at the
+    default operating point, at linear (not quadratic) cost."""
+    sh = char_shingles(df, id_col, text_col, k)
+    sigs = minhash_signatures(sh, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return verify_pairs_jaccard(cands, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """Per-document SimHash over distinct word *bigrams*: each
+    feature's md5 hash votes ±1 per bit position; the sign of each
+    bit's vote total forms the signature. Bigrams (not unigrams)
+    keep the feature space discriminative on small-vocabulary
+    corpora.
+
+    Physical shape: explode features → one shuffle keyed on doc id
+    with ``bits`` SUM aggregates. Map-side partial aggregation
+    compresses each doc to ``bits`` longs before the shuffle, so the
+    network cost is O(docs × bits), independent of doc length — the
+    same shape that makes MinHash signatures scale. (A per-row
+    ``bits``-fold zero-shuffle variant exists but explodes codegen:
+    60 aggregate expressions each re-hashing every feature.)"""
+    toks = tokens(F.col(text_col))
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+            # F.get is 0-based and NULL-safe out of bounds (single-token
+            # doc → feature is the lone token; ANSI element_at would throw)
+            lambda i: F.concat_ws("_", F.get(toks, i), F.get(toks, i + 1)),
+        )
+    )
+    feats = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("feat")
+    ).select("id", _md5_hash(F.col("feat"), bits).alias("h"))
+    votes = feats.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"v{i}"
+            )
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = (
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming, found by
+    pigeonhole banding: split the signature into ``max_hamming + 1``
+    chunks; any pair within the distance budget must share ≥1 chunk
+    value, so candidates come from equi-joins on (chunk_idx, chunk
+    value) — **exact recall**, linear candidate generation."""
+    sig = simhash(df, id_col, text_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for ci in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        "id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cval").alias("cval")
+    )
+    l = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "cval")
+    r = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "cval")
+    cands = (
+        l.join(r, on=["chunk", "cval"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucketed: bool = False,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity ≥ threshold.
+
+    ``bucketed=False``: exact self-join (the verification baseline —
+    quadratic, for modest n or post-LSH candidates).
+    ``bucketed=True``: random-hyperplane LSH restricts the join to
+    same-signature buckets (approximate recall, linear cost) — the
+    100 TB path; see similarity.py for the plane construction.
+    """
+    from pidb_rdf_spark.operators.similarity import with_hyperplane_bucket, with_norm
+
+    v = with_norm(df, id_col, vec_col)
+    if bucketed:
+        v = with_hyperplane_bucket(v, vec_col, n_planes)
+        join_on = [F.col("l.bucket") == F.col("r.bucket")]
+    else:
+        join_on = []
+    l = v.alias("l")
+    r = v.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for extra in join_on:
+        cond = cond & extra
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        l.join(r, cond)
+        .withColumn("cosine", dot / (F.col("l.norm") * F.col("r.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+        )
+    )

@@ -1,0 +1,268 @@
+"""Similarity search over an embedding column (array<float>).
+
+Scale extension (no counterpart in the reference engine — its
+nearest concept is index-backed equality seek,
+``neo4j/Neo4jGraphAPIImpl.java:89-91``).
+
+Three tiers, one column contract (id: long, vec: array<float>):
+
+- **brute-force cosine top-k** — the exact baseline. Query set is
+  broadcast (it is small by construction); the corpus streams
+  through one scan; per-partition partial top-k then a final merge.
+- **IVF (inverted-file) search** — k-means-partitioned corpus; a
+  query probes only ``nprobe`` nearest centroids. With
+  ``nprobe == n_clusters`` it degrades to exact brute force (how the
+  correctness oracle validates the plumbing); with small nprobe it
+  reads ~nprobe/n_clusters of the corpus — the 100 TB path, where
+  cluster id becomes a partition/bucket column and probing =
+  partition pruning.
+- **random-hyperplane LSH bucketing** — sign-bit signature restricts
+  candidate pairs to same-bucket vectors (used by
+  dedup.embedding_near_dup_pairs).
+
+All dot products are JVM-side array folds (zip_with + aggregate in
+double precision) — no Python in the hot path; a Pandas-UDF BLAS
+variant is a drop-in swap where numpy throughput wins at very high
+dimensions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic,
+    bit-reproducible summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Output: (query_id, rank, neighbor_id) — rank 1..k, ties broken
+    by neighbor id (total order ⇒ deterministic, oracle-comparable).
+    The query side is broadcast; ranking is a window partitioned by
+    query — the shuffle moves only (query, candidate) score rows.
+    """
+    c = with_norm(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"), F.col("norm").alias("_nnorm")
+    )
+    q = with_norm(queries, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"), F.col("norm").alias("_qnorm")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_nid") != F.col("_qid"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qvec"), F.col("_nvec")) / (F.col("_qnorm") * F.col("_nnorm")),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("rank"),
+            F.col("_nid").alias("neighbor_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes: components
+    derived from md5(plane, coord) mapped to [-1, 1]. No RNG state —
+    reproducible across sessions and engines."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            hv = int.from_bytes(
+                hashlib.md5(f"plane{p}:{i}".encode()).digest()[:8], "big"
+            )
+            row.append((hv / float(1 << 63)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def with_hyperplane_bucket(
+    df: DataFrame, vec_col: str, n_planes: int = 8
+) -> DataFrame:
+    """Sign-bit signature over ``n_planes`` fixed hyperplanes →
+    integer ``bucket`` column. Narrow projection, zero shuffle; at
+    scale write the table bucketed/partitioned by this column."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", bucket)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) index
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means. Init = vectors of the
+    ``n_clusters`` lowest ids (fixed, seedless). Each iteration is
+    one assign (broadcast centroids) + one mean-aggregate shuffle;
+    centroids themselves live on the driver (n_clusters × dim floats
+    — trivially small even at 100 TB corpus scale)."""
+    init = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, id_col, vec_col)
+        sums = assigned.groupBy("cluster").agg(
+            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("n"),
+        )
+        rows = {r["cluster"]: r for r in sums.collect()}
+        centroids = [
+            [rows[c][f"s{i}"] / rows[c]["n"] for i in range(dim)]
+            if c in rows
+            else centroids[c]
+            for c in range(n_clusters)
+        ]
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a per-row fold over the
+    broadcast centroid literals — no shuffle, no Python. Squared
+    L2 distance; ties go to the lower cluster index."""
+    best = None
+    for ci, cent in enumerate(centroids):
+        diff = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in cent]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cand = F.struct(diff.alias("d"), F.lit(ci).alias("c"))
+        best = cand if best is None else F.when(cand["d"] < best["d"], cand).otherwise(best)
+    return df.withColumn("cluster", best["c"])
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k: corpus rows carry their cluster id; each query
+    probes its ``nprobe`` nearest centroids and ranks only vectors
+    in those clusters. At scale the corpus is written partitioned by
+    ``cluster`` so the probe is partition pruning, and the
+    (query × probed-cluster) join is a broadcast.
+
+    ``nprobe >= len(centroids)`` ⇒ exact (== cosine_topk).
+    """
+    n_clusters = len(centroids)
+    nprobe = min(nprobe, n_clusters)
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+
+    # query → nprobe nearest centroids, as an exploded (query, cluster) map
+    qprobe = assign_clusters(
+        queries, centroids, query_id_col, vec_col
+    ).drop("cluster")
+    dists = []
+    for ci, cent in enumerate(centroids):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in cent]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    probes = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+    qprobe = qprobe.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda s: s["c"]))
+    )
+
+    c = with_norm(assigned, id_col, vec_col).select(
+        "cluster",
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nvec"),
+        F.col("norm").alias("_nnorm"),
+    )
+    q = with_norm(qprobe, query_id_col, vec_col).select(
+        "cluster",
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("norm").alias("_qnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("_nid") != F.col("_qid"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qvec"), F.col("_nvec")) / (F.col("_qnorm") * F.col("_nnorm")),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("rank"),
+            F.col("_nid").alias("neighbor_id"),
+        )
+    )

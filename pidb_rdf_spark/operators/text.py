@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+The reference engine has no text surface beyond IRI munging
+(``semantics/RDFImport.java:188-196``); these operators are the
+scale extensions a 100 TB document pipeline needs: language ID,
+quality scoring, token counting, and document fingerprinting.
+
+Design rules for scale:
+- everything is built-in ``pyspark.sql.functions`` (JVM-side,
+  whole-stage codegen, no Python in the hot path);
+- no shuffles at all — every operator here is a narrow projection,
+  so it runs at scan speed and composes with any downstream
+  dedup/filter stage;
+- deterministic: same input → same output bit-for-bit, so results
+  are verifiable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed stopword inventories for the n-gram-free heuristic
+# language identifier. Deliberately tiny and frozen: the operator's
+# contract is deterministic scoring, not linguistic completeness —
+# swap in fastText/CLD3 via the same column contract when available.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+# Mirrors the common GPT-2-style pre-split (without the merge table).
+BPE_SPLIT_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+FNV_MOD = 2147483647  # 2^31 - 1, keeps the rolling hash in 32 bits
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties dropped."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count.
+
+    Narrow projection — runs inside the scan stage at any scale.
+    """
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(tokens(c)).cast("long"),
+            "bpe_tokens": F.size(
+                F.regexp_extract_all(F.lower(c), F.lit(BPE_SPLIT_REGEX), 0)
+            ).cast("long"),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count *distinct* stopwords of each
+    language present in the token set; highest count wins, ties and
+    zero-evidence rows fall back to ``und`` (by descending count,
+    then language code — a total, deterministic order).
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    # left fold keeps the alphabetically-first language on score ties
+    # (strict > comparison, languages visited in sorted order)
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality metrics + composite score.
+
+    Integer sub-metrics (counts) make the derived double score
+    bit-reproducible across engines. All narrow, all codegen'd.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("long")
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop)).cast("long")
+    out = df.withColumns(
+        {
+            "n_chars_q": n_chars,
+            "n_tokens": n_tokens,
+            "n_punct": n_punct,
+            "n_stopwords": n_stop,
+        }
+    )
+    # composite: word-length sanity + low punctuation + stopword
+    # evidence. No rounding: the inputs are integers, so the derived
+    # double is bit-identical on any engine computing the same
+    # formula (round() implementations differ across engines and
+    # would INTRODUCE divergence, not remove it).
+    mean_tok_len = F.col("n_chars_q") / F.greatest(F.col("n_tokens"), F.lit(1))
+    return out.withColumn(
+        "quality",
+        (F.col("n_stopwords") / F.lit(10.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.5).otherwise(0.0)
+        - (F.col("n_punct") / F.greatest(F.col("n_chars_q"), F.lit(1))),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash (base 31, mod 2^31-1) over the
+    document's characters — the classic content fingerprint for
+    incremental exact dedup and shard-stable sampling.
+
+    Left fold over the char array, all JVM-side (``F.aggregate``),
+    zero shuffle. At 100 TB this is scan-bound.
+    """
+    chars = F.split(F.col(text_col), "")
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FNV_MOD,
+    )
+    return df.withColumn("fingerprint", fp)

@@ -1,0 +1,13 @@
+from pidb_rdf_spark.streaming.events import (
+    asof_join,
+    sessionize,
+    windowed_event_counts,
+)
+from pidb_rdf_spark.streaming.rdf_stream import stream_import_triples
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "windowed_event_counts",
+    "stream_import_triples",
+]

@@ -1,0 +1,169 @@
+"""Event-stream operators: windowed aggregation, sessionization,
+as-of join.
+
+The reference has no streaming surface at all (SURVEY.md §2.11 —
+its only incremental behavior is the importer's periodic commit,
+``DirectStatementLoader.java:175-181``). These are the scale
+extensions an event/telemetry pipeline needs, written so the SAME
+transformation runs in batch and in Structured Streaming:
+``windowed_event_counts`` takes either a batch DataFrame or a
+``readStream`` DataFrame; only the sink call differs.
+
+Scale notes:
+- windowed agg: one shuffle on (window, event_type); with a
+  watermark, state eviction is bounded — late rows beyond the
+  watermark are dropped, exactly Spark's documented semantics.
+- sessionize: one shuffle on user_id; per-user timeline fits the
+  window-function model (lag + cumulative session counter). For
+  unbounded streams the stateful equivalent is
+  ``applyInPandasWithState`` keyed on user_id with a session-gap
+  timeout.
+- asof_join: union-and-carry-forward formulation — ONE shuffle on
+  the partition key, no range-explosion, no per-row Python. This is
+  the plan that survives 100 TB: both sides shuffle once by key,
+  the carry-forward is a running window aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts + exact value sums per key.
+
+    Works on batch and streaming inputs alike. Value sums are kept in
+    integer cents (``round(value*100)``) — exact, order-independent,
+    and reproducible, unlike floating-point accumulation whose result
+    depends on partitioning.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap``. Output: one
+    row per session (user, session_start, session_end, n_events).
+
+    Classic lag + running-sum-of-breaks formulation: one shuffle on
+    the user key, two window passes over already-sorted runs. The
+    streaming twin is ``groupBy(session_window(ts, gap), user)`` /
+    ``applyInPandasWithState`` — same output contract.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    by_user = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    with_break = events.withColumn(
+        "_new_session",
+        (
+            F.col(ts_col)
+            > F.lag(F.col(ts_col)).over(by_user) + gap_expr
+        )
+        .cast("long")
+        # first event of a user: lag is NULL → comparison NULL → treat
+        # as session start
+        ,
+    ).withColumn("_new_session", F.coalesce(F.col("_new_session"), F.lit(1)))
+    with_sid = with_break.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(user_col, "session_seq", "session_start", "session_end", "n_events")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts <= left_ts`` (direction='backward') within the same
+    ``on`` key — SQL ASOF JOIN semantics (unmatched → NULLs).
+
+    Implementation: tag both sides, union, single shuffle on the key,
+    carry the latest right row forward with a running ``last(...,
+    ignorenulls)`` window — O(n log n) within each key partition and
+    exactly one shuffle, vs. the naive range-join explosion.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only direction='backward' is implemented")
+    right_value_cols = right_value_cols or []
+
+    r_payload = F.struct(
+        F.col(right_ts).alias("matched_ts"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        r_payload.alias("_rv"),
+    )
+    # left rows carry their whole payload through the union — no
+    # row-id re-join (generated ids are partition-layout-dependent and
+    # would make the plan nondeterministic)
+    left_cols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_lv"),
+    )
+    r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
+    # right rows sort before left rows at equal ts (side 0 < 1) so an
+    # exactly-simultaneous right row matches, like ASOF's >=
+    w = Window.partitionBy("_k").orderBy(
+        F.col("_t").asc(), F.col("_side").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    merged = (
+        l.unionByName(r)
+        .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out = merged.select(
+        *[F.col(f"_lv.{c}").alias(c) for c in left_cols],
+        F.col("_match.matched_ts").alias("matched_ts"),
+        *[F.col(f"_match.{c}").alias(f"matched_{c}") for c in right_value_cols],
+    )
+    return out

@@ -1,0 +1,276 @@
+"""Tests for the scale-extension operators (dedup, similarity, text,
+multimodal) — micro-fixtures with hand-computable answers, plus
+property-style checks against numpy on the driver testdata."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    from pidb_rdf_spark.operators import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], ["doc_id", "text"]
+    )
+    rows = {r["keep_id"]: r["group_size"] for r in exact_dedup(df).collect()}
+    assert rows == {1: 3, 2: 1}
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    from pidb_rdf_spark.operators import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzzz"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    rows = ngram_jaccard_pairs(df, k=4, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["a"], rows[0]["b"]) == (1, 2)
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    """LSH candidates + verification must reproduce the exact
+    all-pairs answer at the default operating point."""
+    from pidb_rdf_spark.operators import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    exact = {
+        (r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r["a"], r["b"]) for r in minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    assert approx == exact
+    assert len(exact) > 0  # fixture contains planted near-dups
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    from pidb_rdf_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = simhash_pairs(df, max_hamming=3).collect()
+    assert {(r["a"], r["b"], r["hamming"]) for r in rows} == {(1, 2, 0)}
+
+
+def test_simhash_banding_is_exact_recall(docs):
+    """Pigeonhole banding must find every pair that a (trusted)
+    driver-side all-pairs hamming scan finds."""
+    from pidb_rdf_spark.operators.dedup import simhash, simhash_pairs
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                expected.add((a, b))
+    got = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == expected
+
+
+def test_embedding_near_dup_vs_numpy(emb):
+    import numpy as np
+
+    from pidb_rdf_spark.operators import embedding_near_dup_pairs
+
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if C[i, j] >= 0.45:
+                expected.add((ids[i], ids[j]))
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_vs_numpy(emb):
+    import numpy as np
+
+    from pidb_rdf_spark.operators import cosine_topk
+
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, pairs in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = Mn @ Mn[qi]
+        sims[qi] = -math.inf
+        order = sorted(
+            range(len(ids)), key=lambda i: (-sims[i], ids[i])
+        )[:5]
+        expected = [(rk + 1, int(ids[i])) for rk, i in enumerate(order)]
+        assert sorted(pairs) == expected, f"query {qid}"
+
+
+def test_ivf_exact_probe_equals_brute_force(emb):
+    from pidb_rdf_spark.operators import cosine_topk, ivf_search, kmeans_centroids
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_clusters=4, iters=2)
+    brute = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {tuple(r) for r in ivf_search(emb, q, cents, k=5, nprobe=4).collect()}
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall(emb):
+    """nprobe=1 must return k results per query with decent recall
+    against brute force (sanity bound, not a tight guarantee)."""
+    from pidb_rdf_spark.operators import cosine_topk, ivf_search, kmeans_centroids
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_clusters=4, iters=2)
+    brute = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {tuple(r) for r in ivf_search(emb, q, cents, k=5, nprobe=1).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"nprobe=1 recall suspiciously low: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_language_id(spark):
+    from pidb_rdf_spark.operators import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der Hund ist nicht mit der Katze"),
+            (3, "le chat est dans la maison pour dormir"),
+            (4, "xyzzy plugh abracadabra"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_count(spark):
+    from pidb_rdf_spark.operators import token_count
+
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], ["doc_id", "text"])
+    r = token_count(df).first()
+    assert r["ws_tokens"] == 4
+    # hello / , / world / ! / 42 / times
+    assert r["bpe_tokens"] == 6
+
+
+def test_fingerprint_deterministic_and_distinct(spark):
+    from pidb_rdf_spark.operators import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    # abc: ((0*31+97)*31+98)*31+99 = 96354
+    assert rows[1] == 96354
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_quality_score_components(spark):
+    from pidb_rdf_spark.operators import quality_score
+
+    df = spark.createDataFrame([(1, "the cat!!")], ["doc_id", "text"])
+    r = quality_score(df).first()
+    assert r["n_chars_q"] == 9
+    assert r["n_tokens"] == 2
+    assert r["n_punct"] == 2
+    assert r["n_stopwords"] == 1  # 'the'
+    # 1/10 + 0.5 (mean token len 4.5 in [3,12]) - 2/9
+    assert abs(r["quality"] - (0.1 + 0.5 - 2 / 9)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_decode_media_stub(spark):
+    from pidb_rdf_spark.operators import attach_media, decode_media
+
+    df = spark.createDataFrame([(7, "abcd")], ["doc_id", "text"])
+    media = attach_media(df)
+    feat = decode_media(media, stub=True).first()
+    assert feat["media_id"] == 7
+    assert feat["n_bytes"] == 4
+    assert feat["first_byte"] == ord("a")
+    hist = feat["byte_hist"]
+    assert len(hist) == 16 and sum(hist) == 4
+    # a=97→1, b=98→2, c=99→3, d=100→4 (mod 16)
+    assert hist[1] == 1 and hist[2] == 1 and hist[3] == 1 and hist[4] == 1
+
+
+def test_decode_media_real_path_is_gated(spark):
+    from pidb_rdf_spark.operators import attach_media, decode_media
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_media(df))
+
+
+def test_sample_frames(spark):
+    from pidb_rdf_spark.operators import attach_media, sample_frames
+
+    df = spark.createDataFrame([(1, "x" * 130)], ["doc_id", "text"])
+    rows = sample_frames(attach_media(df), every_n_bytes=64, max_frames=8).collect()
+    # 130 bytes → 3 frames (64, 64, 2)
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    frames = {r["frame_idx"]: bytes(r["frame"]) for r in rows}
+    assert len(frames[0]) == 64 and len(frames[1]) == 64 and len(frames[2]) == 2

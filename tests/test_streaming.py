@@ -1,0 +1,158 @@
+"""Tests for event-stream operators and the Structured Streaming
+import path. The core invariant: the SAME transformation produces
+the SAME result in batch mode and under the streaming engine
+(availableNow micro-batching)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from pidb_rdf_spark.sources.tables import read_events
+
+    return read_events(spark, SF_DIR).cache()
+
+
+def test_windowed_counts_batch(spark, events):
+    from pidb_rdf_spark.streaming import windowed_event_counts
+
+    out = windowed_event_counts(events, window="1 hour")
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+    # tumbling windows: every start is on the hour
+    bad = out.filter(
+        (F.minute("window_start") != 0) | (F.second("window_start") != 0)
+    ).count()
+    assert bad == 0
+
+
+def test_windowed_counts_stream_equals_batch(spark, events, tmp_path):
+    """Run the identical aggregation through Structured Streaming
+    (file source, availableNow trigger, watermark) and compare with
+    the batch answer."""
+    from pidb_rdf_spark.streaming import windowed_event_counts
+
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in windowed_event_counts(events, window="1 hour").collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_gap_semantics(spark):
+    from pidb_rdf_spark.streaming import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # same session (10 min gap)
+        (1, "2024-01-01 01:00:00"),  # new session (50 min gap)
+        (2, "2024-01-01 00:00:00"),  # separate user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = sessionize(df, gap="30 minutes")
+    sess = {
+        (r["user_id"], r["session_seq"]): r["n_events"] for r in out.collect()
+    }
+    assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_asof_join_semantics(spark):
+    from pidb_rdf_spark.streaming import asof_join
+
+    clicks = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:10:00"),
+            (101, 1, "2024-01-01 00:20:00"),
+            (102, 2, "2024-01-01 00:05:00"),  # no prior error
+            (103, 1, "2024-01-01 00:15:00"),  # equal-ts error matches
+        ],
+        ["event_id", "user_id", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    errors = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:08:00", 1.5),
+            (1, "2024-01-01 00:15:00", 2.5),
+            (2, "2024-01-01 00:30:00", 9.9),
+        ],
+        ["user_id", "ts_s", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    out = asof_join(clicks, errors, on="user_id", right_value_cols=["value"])
+    got = {
+        r["event_id"]: (
+            str(r["matched_ts"]) if r["matched_ts"] else None,
+            r["matched_value"],
+        )
+        for r in out.collect()
+    }
+    assert got[100] == ("2024-01-01 00:08:00", 1.5)
+    assert got[101] == ("2024-01-01 00:15:00", 2.5)
+    assert got[102] == (None, None)
+    assert got[103] == ("2024-01-01 00:15:00", 2.5)  # >= semantics
+    assert len(got) == 4  # left join keeps every click
+
+
+def test_stream_import_triples(spark, tmp_path):
+    """Micro-batched RDF import: triples dropped as files are merged
+    into the nodes/edges tables with upsert/dedup semantics."""
+    from pidb_rdf_spark.sources.rdf_reader import TRIPLES_SCHEMA
+    from pidb_rdf_spark.streaming import stream_import_triples
+    from pidb_rdf_spark.streaming.rdf_stream import read_triples_stream
+
+    src = str(tmp_path / "triples_in")
+    nodes_path = str(tmp_path / "nodes")
+    edges_path = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = spark.createDataFrame(
+        [
+            ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", False, None, None),
+            ("http://ex.org/a", "http://ex.org/name", "Alice", True, None, None),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    t1.write.mode("append").parquet(src)
+
+    q = stream_import_triples(
+        spark,
+        read_triples_stream(spark, src),
+        nodes_path,
+        edges_path,
+        ckpt,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    nodes = spark.read.parquet(nodes_path)
+    edges = spark.read.parquet(edges_path)
+    assert nodes.count() == 2  # a and b
+    assert edges.count() == 1
+    a = nodes.filter(F.col("uri") == "http://ex.org/a").first()
+    assert a["props"]["ns0__name"] == "Alice"
