@@ -63,8 +63,12 @@ def build_uri(col: Column, namespaces: dict[str, str], default_ns: str = "urn:de
     pairs = []
     for ns, pfx in namespaces.items():
         pairs.extend([F.lit(pfx), F.lit(ns)])
-    inv_map = F.create_map(*pairs) if pairs else F.create_map()
-    expanded = F.concat(inv_map.getItem(prefix), local)
+    if pairs:
+        expanded = F.concat(F.create_map(*pairs).getItem(prefix), local)
+    else:
+        # no registered namespaces: nothing can expand (an argless
+        # create_map() is VOID-typed and cannot be indexed by string)
+        expanded = F.lit(None).cast("string")
     return (
         F.when((prefix != "") & expanded.isNotNull(), expanded)
         .when(col.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://.*|^urn:.*|^_:.*"), col)

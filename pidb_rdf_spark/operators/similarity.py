@@ -174,23 +174,33 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a per-row fold over the
-    broadcast centroid literals — no shuffle, no Python. Squared
-    L2 distance; ties go to the lower cluster index."""
-    best = None
-    for ci, cent in enumerate(centroids):
-        diff = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(v) for v in cent]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    """Nearest-centroid assignment: vectorized Arrow-batched Pandas
+    UDF over the (tiny, closure-captured) centroid matrix — no
+    shuffle. Squared L2; ties go to the lower cluster index
+    (``argmin`` returns the first minimum). A pure-expression
+    when-chain fold works too but its codegen grows with
+    clusters × dim and dominates wall time on wide centroids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+
+    def nearest(v):
+        M = np.array(list(v), dtype=np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
+        d2 = (
+            (M * M).sum(1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
         )
-        cand = F.struct(diff.alias("d"), F.lit(ci).alias("c"))
-        best = cand if best is None else F.when(cand["d"] < best["d"], cand).otherwise(best)
-    return df.withColumn("cluster", best["c"])
+        return pd.Series(d2.argmin(1))
+
+    # real (non-stringified) annotations — `from __future__ import
+    # annotations` would otherwise break pandas_udf type inference
+    nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    nearest_udf = pandas_udf(nearest, "int")
+    return df.withColumn("cluster", nearest_udf(F.col(vec_col)))
 
 
 def ivf_search(
@@ -216,25 +226,25 @@ def ivf_search(
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
 
     # query → nprobe nearest centroids, as an exploded (query, cluster) map
-    qprobe = assign_clusters(
-        queries, centroids, query_id_col, vec_col
-    ).drop("cluster")
-    dists = []
-    for ci, cent in enumerate(centroids):
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(v) for v in cent]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+
+    def probe_list(v):
+        M = np.array(list(v), dtype=np.float64)
+        d2 = (
+            (M * M).sum(1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
         )
-        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-    probes = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
-    qprobe = qprobe.withColumn(
-        "cluster", F.explode(F.transform(probes, lambda s: s["c"]))
-    )
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order))
+
+    probe_list.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(probe_list, "array<int>")
+    qprobe = queries.withColumn("cluster", F.explode(probe_udf(F.col(vec_col))))
 
     c = with_norm(assigned, id_col, vec_col).select(
         "cluster",

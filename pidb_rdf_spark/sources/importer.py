@@ -218,3 +218,33 @@ def merge_triples(graph: PropertyGraph, new_triples: DataFrame, **kwargs) -> Pro
         spark=graph.spark, nodes=nodes, edges=edges,
         namespaces=incoming.namespaces, variables=graph.variables,
     )
+
+
+def preview_rdf(
+    spark: SparkSession,
+    triples: DataFrame,
+    limit: int = 100,
+    **import_kwargs,
+) -> tuple[list, list]:
+    """S8: dry-run import — parse and map to virtual nodes/relationships
+    without writing anything (reference ``previewRDF`` /
+    ``previewRDFSnippet``, ``RDFImport.java:86-120,157-186``; virtual
+    elements ``semantics/result/VirtualNode.java:17``,
+    ``VirtualRelationship.java:20``).
+
+    Returns (nodes, relationships) as collected rows capped at
+    ``limit`` each — the preview is for eyeballing a sample, so the
+    driver-side collect is bounded by construction."""
+    g = import_triples(spark, triples, **import_kwargs)
+    nodes = g.nodes.drop("__prop_types").limit(limit).collect()
+    uri_by_id = {r["id"]: r["uri"] for r in nodes}
+    edges = g.edges.limit(limit).collect()
+    rels = [
+        {
+            "src": uri_by_id.get(r["src"], r["src"]),
+            "predicate": r["predicate"],
+            "dst": uri_by_id.get(r["dst"], r["dst"]),
+        }
+        for r in edges
+    ]
+    return [r.asDict() for r in nodes], rels

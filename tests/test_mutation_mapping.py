@@ -1,0 +1,198 @@
+"""Tests for graph mutation (M1-M9), mapping admin (S14) and RDF
+preview (S8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def small_graph(spark):
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.mutation import add_edges, add_vertices
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [], "id long, uri string, labels array<string>, props map<string,string>"
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    g = add_vertices(
+        g,
+        [
+            {"uri": "urn:a", "labels": ["Person"], "props": {"name": "Alice"}},
+            {"uri": "urn:b", "labels": ["Person"], "props": {"name": "Bob"}},
+            {"uri": "urn:c", "labels": ["City"], "props": {"name": "Paris"}},
+        ],
+    )
+    g = add_edges(
+        g,
+        [
+            {"src_uri": "urn:a", "predicate": "KNOWS", "dst_uri": "urn:b"},
+            {"src_uri": "urn:a", "predicate": "LIVES_IN", "dst_uri": "urn:c"},
+        ],
+    )
+    return g
+
+
+def test_add_vertices_edges(small_graph):
+    assert small_graph.nodes.count() == 3
+    assert small_graph.edges.count() == 2
+
+
+def test_add_edge_dedup_on_insert(small_graph):
+    from pidb_rdf_spark.mutation import add_edges
+
+    g2 = add_edges(
+        small_graph,
+        [
+            {"src_uri": "urn:a", "predicate": "KNOWS", "dst_uri": "urn:b"},  # dup
+            {"src_uri": "urn:b", "predicate": "KNOWS", "dst_uri": "urn:a"},  # new
+        ],
+    )
+    assert g2.edges.count() == 3  # dup skipped (M10)
+
+
+def test_set_and_remove_vertex_property(small_graph):
+    from pidb_rdf_spark.mutation import remove_vertex_property, set_vertex_property
+
+    g2 = set_vertex_property(
+        small_graph, F.col("uri") == "urn:a", "age", 33
+    )
+    a = g2.nodes.filter(F.col("uri") == "urn:a").first()
+    assert a["props"]["age"] == "33"
+    b = g2.nodes.filter(F.col("uri") == "urn:b").first()
+    assert "age" not in b["props"]
+
+    g3 = remove_vertex_property(g2, F.col("uri") == "urn:a", "age")
+    a3 = g3.nodes.filter(F.col("uri") == "urn:a").first()
+    assert "age" not in a3["props"]
+
+
+def test_remove_vertex_cascades_edges(small_graph):
+    from pidb_rdf_spark.mutation import remove_vertices
+
+    b_id = small_graph.nodes.filter(F.col("uri") == "urn:b").first()["id"]
+    g2 = remove_vertices(small_graph, [b_id])
+    assert g2.nodes.count() == 2
+    # KNOWS a->b cascades away, LIVES_IN a->c survives
+    preds = [r["predicate"] for r in g2.edges.collect()]
+    assert preds == ["LIVES_IN"]
+
+
+def test_add_remove_label(small_graph):
+    from pidb_rdf_spark.mutation import add_label, remove_label
+
+    g2 = add_label(small_graph, F.col("uri") == "urn:a", "Admin")
+    a = g2.nodes.filter(F.col("uri") == "urn:a").first()
+    assert set(a["labels"]) == {"Person", "Admin"}
+    # duplicate add is a no-op (set semantics)
+    g3 = add_label(g2, F.col("uri") == "urn:a", "Admin")
+    assert len(g3.nodes.filter(F.col("uri") == "urn:a").first()["labels"]) == 2
+    g4 = remove_label(g3, F.col("uri") == "urn:a", "Admin")
+    assert g4.nodes.filter(F.col("uri") == "urn:a").first()["labels"] == ["Person"]
+
+
+def test_set_edge_property(small_graph):
+    from pidb_rdf_spark.mutation import set_edge_property
+
+    g2 = set_edge_property(
+        small_graph, F.col("predicate") == "KNOWS", "since", 2020
+    )
+    e = g2.edges.filter(F.col("predicate") == "KNOWS").first()
+    assert e["props"]["since"] == "2020"
+
+
+def test_save_load_roundtrip(small_graph, tmp_path):
+    from pidb_rdf_spark.mutation import load_graph, save_graph, set_variable
+
+    set_variable(small_graph, "engine.version", "1")
+    save_graph(small_graph, str(tmp_path / "g"))
+    g2 = load_graph(small_graph.spark, str(tmp_path / "g"))
+    assert g2.nodes.count() == 3
+    assert g2.edges.count() == 2
+    assert g2.variables == {"engine.version": "1"}
+
+
+# ---------------------------------------------------------------------------
+# mapping admin (S14)
+# ---------------------------------------------------------------------------
+
+
+def test_mapping_crud(spark):
+    from pidb_rdf_spark.mapping import (
+        add_common_schemas,
+        add_mapping_to_schema,
+        add_schema,
+        drop_mapping,
+        drop_schema,
+        empty_mappings,
+        list_mappings,
+        list_schemas,
+    )
+
+    m = add_schema(empty_mappings(spark), "http://example.org/voc#", "ex")
+    m = add_common_schemas(m)
+    assert list_schemas(m).count() == 8  # ex + 7 common
+
+    m = add_mapping_to_schema(m, "ex", "KNOWS", "knows")
+    m = add_mapping_to_schema(m, "sch", "name", "name")
+    rows = {r["graph_name"]: r["external_iri"] for r in list_mappings(m).collect()}
+    assert rows == {
+        "KNOWS": "http://example.org/voc#knows",
+        "name": "http://schema.org/name",
+    }
+
+    with pytest.raises(ValueError):
+        add_mapping_to_schema(m, "nope", "x", "y")
+
+    m = drop_mapping(m, "name")
+    assert list_mappings(m).count() == 1
+    m = drop_schema(m, "ex")  # cascades the KNOWS mapping
+    assert list_mappings(m).count() == 0
+
+
+def test_apply_mappings_on_export(spark):
+    from pidb_rdf_spark.mapping import (
+        add_mapping_to_schema,
+        add_schema,
+        apply_mappings,
+        empty_mappings,
+    )
+
+    m = add_schema(empty_mappings(spark), "http://example.org/voc#", "ex")
+    m = add_mapping_to_schema(m, "ex", "KNOWS", "knows")
+    triples = spark.createDataFrame(
+        [("urn:a", "KNOWS", "urn:b"), ("urn:a", "LIKES", "urn:c")],
+        "subject string, predicate string, object string",
+    )
+    out = {r["predicate"] for r in apply_mappings(triples, m).collect()}
+    assert out == {"http://example.org/voc#knows", "LIKES"}
+    only = apply_mappings(triples, m, mapped_only=True).collect()
+    assert len(only) == 1 and only[0]["predicate"].endswith("#knows")
+
+
+# ---------------------------------------------------------------------------
+# preview (S8)
+# ---------------------------------------------------------------------------
+
+
+def test_preview_rdf(spark):
+    from pidb_rdf_spark.sources.importer import preview_rdf
+    from pidb_rdf_spark.sources.rdf_reader import TRIPLES_SCHEMA
+
+    triples = spark.createDataFrame(
+        [
+            ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", False, None, None),
+            ("http://ex.org/a", "http://ex.org/name", "Alice", True, None, None),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    nodes, rels = preview_rdf(spark, triples)
+    assert {n["uri"] for n in nodes} == {"http://ex.org/a", "http://ex.org/b"}
+    assert rels == [
+        {"src": "http://ex.org/a", "predicate": "ns0__knows", "dst": "http://ex.org/b"}
+    ]
