@@ -292,6 +292,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_orders_per_segment"] = topk_orders_per_segment
 
+    # -- standard SPARQL extensions beyond the reference surface:
+    #    BIND / VALUES / MINUS ------------------------------------------
+    q["sparql_bind"] = _sparql_query(
+        """
+        SELECT ?cust ?tax WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?cust .
+          ?o e:PLACED_BY ?c . ?o v:o_totalprice ?total .
+          BIND(?total * 0.1 AS ?tax)
+          FILTER(?tax > 15000)
+        } ORDER BY DESC(?tax) ?cust LIMIT 25
+        """
+    )
+    q["sparql_values"] = _sparql_query(
+        """
+        SELECT ?name ?seg WHERE {
+          VALUES ?seg { "BUILDING" "MACHINERY" }
+          ?c v:label "Customer" . ?c v:c_mktsegment ?seg . ?c v:c_name ?name .
+        } ORDER BY ?name
+        """
+    )
+    q["sparql_minus"] = _sparql_query(
+        """
+        SELECT ?name WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?name .
+          MINUS { ?c v:c_mktsegment "BUILDING" }
+        } ORDER BY ?name
+        """
+    )
+
     # ==================================================================
     # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
     # ==================================================================
@@ -819,5 +848,26 @@ def oracle_sql() -> dict[str, str]:
             ) t WHERE rn <= 3
         """,
     }
+    base.update(
+        {
+            "sparql_bind": """
+                SELECT cust, tax FROM (
+                    SELECT c_name AS cust, o_totalprice * 0.1 AS tax
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                ) t WHERE tax > 15000
+                ORDER BY tax DESC, cust LIMIT 25
+            """,
+            "sparql_values": """
+                SELECT c_name AS name, c_mktsegment AS seg FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+                ORDER BY name
+            """,
+            "sparql_minus": """
+                SELECT c_name AS name FROM customer
+                WHERE c_mktsegment <> 'BUILDING'
+                ORDER BY name
+            """,
+        }
+    )
     base.update(_scale_extension_oracles())
     return base

@@ -104,9 +104,36 @@ class UnionPattern:
 
 
 @dataclass
+class BindPattern:
+    """BIND(expr AS ?var) — standard SPARQL, absent from the
+    reference's compiled surface; compiles to ``withColumn``."""
+
+    expr: "Expr"
+    var: str
+
+
+@dataclass
+class ValuesPattern:
+    """VALUES inline data — compiles to a literal DataFrame joined
+    into the bindings."""
+
+    variables: list  # list[str]
+    rows: list  # list[tuple]; None entries = UNDEF
+
+
+@dataclass
+class MinusPattern:
+    """MINUS — anti-join on shared vars; no shared vars ⇒ no-op
+    (the W3C semantics where MINUS differs from NOT EXISTS)."""
+
+    group: "GroupGraphPattern"
+
+
+@dataclass
 class GroupGraphPattern:
     elements: list = field(default_factory=list)
-    # TriplePattern | Filter | OptionalPattern | UnionPattern | GroupGraphPattern
+    # TriplePattern | Filter | OptionalPattern | UnionPattern |
+    # GroupGraphPattern | BindPattern | ValuesPattern | MinusPattern
 
 
 # ---- query -------------------------------------------------------------

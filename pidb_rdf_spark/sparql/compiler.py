@@ -229,6 +229,19 @@ class SparqlCompiler:
         subgroups = [e for e in group.elements if isinstance(e, A.GroupGraphPattern)]
         optionals = [e for e in group.elements if isinstance(e, A.OptionalPattern)]
         filters = [e for e in group.elements if isinstance(e, A.Filter)]
+        values = [e for e in group.elements if isinstance(e, A.ValuesPattern)]
+        binds = [e for e in group.elements if isinstance(e, A.BindPattern)]
+        minuses = [e for e in group.elements if isinstance(e, A.MinusPattern)]
+
+        # VALUES first: inline data is maximally selective and joins
+        # into every subsequent pattern (Catalyst broadcasts it)
+        for val in values:
+            for v in val.variables:
+                state.note(v, "value")
+            frame = self.g.spark.createDataFrame(
+                [tuple(r) for r in val.rows], val.variables
+            )
+            state.merge(frame)
 
         for pat in self._order_patterns(triples, state):
             state.merge(self._pattern_frame(state, pat))
@@ -262,6 +275,20 @@ class SparqlCompiler:
 
         for opt in optionals:
             self._apply_optional(state, opt)
+
+        # BIND after the graph patterns its expression reads from
+        for bind in binds:
+            state.note(bind.var, "value")
+            if state.df is None:
+                state.df = self.g.spark.range(1).select(
+                    F.lit(1).alias("__unit")
+                )
+            state.df = state.df.withColumn(
+                bind.var, self._expr_col(bind.expr, state.df)
+            )
+
+        for minus in minuses:
+            self._apply_minus(state, minus)
 
         for flt in filters:
             self._apply_filter(state, flt.expr)
@@ -474,6 +501,22 @@ class SparqlCompiler:
         # bug-compatible "N/A" fill (if configured) happens at output
         # shaping — node vars must stay joinable ids until then
         self._optional_vars.update(new_vars)
+
+    def _apply_minus(self, state: _BGPState, minus: A.MinusPattern) -> None:
+        """MINUS: anti-join on shared vars. W3C semantics: with NO
+        shared variables, MINUS removes nothing (unlike NOT EXISTS,
+        which would wipe the bindings when the right side is
+        non-empty)."""
+        if state.df is None:
+            return
+        sub = _BGPState(self)
+        self._compile_group(sub, minus.group)
+        if sub.df is None:
+            return
+        shared = [c for c in sub.df.columns if c in state.df.columns]
+        if not shared:
+            return
+        state.df = state.df.join(sub.df.select(*shared), on=shared, how="leftanti")
 
     def _apply_filter(self, state: _BGPState, expr) -> None:
         if state.df is None:

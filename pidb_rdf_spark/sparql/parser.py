@@ -50,7 +50,8 @@ KEYWORDS = {
     "PREFIX", "BASE", "SELECT", "DISTINCT", "REDUCED", "WHERE", "FILTER",
     "OPTIONAL", "UNION", "EXISTS", "NOT", "GROUP", "ORDER", "BY", "ASC",
     "DESC", "LIMIT", "OFFSET", "AS", "HAVING", "COUNT", "SUM", "AVG",
-    "MIN", "MAX", "TRUE", "FALSE", "A", "IN",
+    "MIN", "MAX", "TRUE", "FALSE", "A", "IN", "BIND", "VALUES", "MINUS",
+    "UNDEF",
 }
 
 AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -265,6 +266,20 @@ class Parser:
             elif t.kind == "KW" and t.text == "OPTIONAL":
                 self.next()
                 group.elements.append(A.OptionalPattern(self.parse_group()))
+            elif t.kind == "KW" and t.text == "MINUS":
+                self.next()
+                group.elements.append(A.MinusPattern(self.parse_group()))
+            elif t.kind == "KW" and t.text == "BIND":
+                self.next()
+                self.expect("OP", "(")
+                expr = self.parse_expr()
+                self.expect("KW", "AS")
+                var = self.expect("VAR").text[1:]
+                self.expect("OP", ")")
+                group.elements.append(A.BindPattern(expr, var))
+            elif t.kind == "KW" and t.text == "VALUES":
+                self.next()
+                group.elements.append(self.parse_values())
             elif t.kind == "OP" and t.text == "{":
                 first = self.parse_group()
                 branches = [first]
@@ -277,6 +292,40 @@ class Parser:
             else:
                 self.parse_triples_block(group)
         return group
+
+    def parse_values(self) -> "A.ValuesPattern":
+        """``VALUES ?v { a b }`` (single var, bare values) or
+        ``VALUES (?v1 ?v2) { (a b) (UNDEF c) }`` (row form)."""
+
+        def one_value():
+            if self.accept("KW", "UNDEF"):
+                return None
+            term = self.parse_term()
+            return term.value if isinstance(term, (A.Literal, A.IRI)) else term
+
+        if self.peek().kind == "VAR":
+            var = self.next().text[1:]
+            self.expect("OP", "{")
+            rows = []
+            while not self.accept("OP", "}"):
+                rows.append((one_value(),))
+            return A.ValuesPattern([var], rows)
+        self.expect("OP", "(")
+        variables = []
+        while self.peek().kind == "VAR":
+            variables.append(self.next().text[1:])
+        self.expect("OP", ")")
+        self.expect("OP", "{")
+        rows = []
+        while not self.accept("OP", "}"):
+            self.expect("OP", "(")
+            row = []
+            while not self.accept("OP", ")"):
+                row.append(one_value())
+            if len(row) != len(variables):
+                raise SyntaxError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        return A.ValuesPattern(variables, rows)
 
     def parse_filter_constraint(self):
         t = self.peek()

@@ -176,3 +176,76 @@ def test_distinct_and_count_distinct(graph):
     assert df.collect()[0]["n"] == oracle(
         "SELECT COUNT(DISTINCT c_mktsegment) FROM customer"
     )[0][0]
+
+
+# ---- standard extensions: BIND / VALUES / MINUS --------------------------
+
+
+def test_bind(graph):
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?r ?double WHERE {
+          ?x v:label "Region" . ?x v:r_regionkey ?r .
+          BIND(?r * 2 AS ?double)
+        } ORDER BY ?r
+        """,
+    ).collect()
+    assert [(r["r"], r["double"]) for r in rows] == [(i, i * 2) for i in range(5)]
+
+
+def test_values_single_and_row_form(graph):
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?name WHERE {
+          VALUES ?name { "AMERICA" "ASIA" }
+          ?x v:label "Region" . ?x v:r_name ?name .
+        } ORDER BY ?name
+        """,
+    ).collect()
+    assert [r["name"] for r in rows] == ["AMERICA", "ASIA"]
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?name ?k WHERE {
+          VALUES (?name ?k) { ("AMERICA" 1) ("ASIA" 2) }
+          ?x v:label "Region" . ?x v:r_name ?name .
+        } ORDER BY ?name
+        """,
+    ).collect()
+    assert [(r["name"], r["k"]) for r in rows] == [("AMERICA", 1), ("ASIA", 2)]
+
+
+def test_minus_shared_and_disjoint(graph):
+    from pidb_rdf_spark.sparql import sparql
+
+    n_all = sparql(
+        graph, 'SELECT ?n WHERE { ?x v:label "Region" . ?x v:r_name ?n }'
+    ).count()
+    n_minus = sparql(
+        graph,
+        """
+        SELECT ?n WHERE {
+          ?x v:label "Region" . ?x v:r_name ?n .
+          MINUS { ?x v:r_name "ASIA" }
+        }
+        """,
+    ).count()
+    assert (n_all, n_minus) == (5, 4)
+    # W3C: MINUS with no shared variables removes nothing
+    n_disjoint = sparql(
+        graph,
+        """
+        SELECT ?n WHERE {
+          ?x v:label "Region" . ?x v:r_name ?n .
+          MINUS { ?y v:label "Nation" }
+        }
+        """,
+    ).count()
+    assert n_disjoint == 5
