@@ -122,15 +122,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
     )
 
-    # -- A4 + A1..A5 extensions: full aggregate set over a join ---------
+    # -- A4 + A1..A5 extensions: full aggregate set over a join.
+    #    SUM/AVG run on integer cents (ROUND(x*100) pre-aggregation):
+    #    float SUM results depend on partition/summation order, so a
+    #    doubles SUM can differ from any single-threaded oracle in the
+    #    last bits; integer sums are exact and order-free. ------------
     q["agg_full"] = _sparql_query(
         """
-        SELECT ?status (COUNT(?o) AS ?n) (ROUND(SUM(?total), 2) AS ?sum_total)
-               (ROUND(AVG(?total), 2) AS ?avg_total) (MIN(?total) AS ?min_total)
+        SELECT ?status (COUNT(?o) AS ?n)
+               (SUM(?cents) AS ?sum_cents)
+               (SUM(?cents) / COUNT(?o) AS ?avg_cents)
+               (MIN(?total) AS ?min_total)
                (MAX(?total) AS ?max_total)
         WHERE {
           ?o v:label "Orders" . ?o v:o_orderstatus ?status .
           ?o v:o_totalprice ?total .
+          BIND(ROUND(?total * 100) AS ?cents)
         } GROUP BY ?status ORDER BY ?status
         """
     )
@@ -763,8 +770,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_full": """
             SELECT o_orderstatus AS status, COUNT(*) AS n,
-                   ROUND(SUM(o_totalprice), 2) AS sum_total,
-                   ROUND(AVG(o_totalprice), 2) AS avg_total,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) AS sum_cents,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) AS avg_cents,
                    MIN(o_totalprice) AS min_total,
                    MAX(o_totalprice) AS max_total
             FROM orders GROUP BY 1 ORDER BY 1

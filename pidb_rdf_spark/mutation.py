@@ -263,14 +263,23 @@ def remove_variable(graph: PropertyGraph, key: str) -> None:
     graph.variables.pop(key, None)
 
 
-def save_graph(graph: PropertyGraph, path: str) -> None:
+def save_graph(
+    graph: PropertyGraph, path: str, partition_edges_by: str | None = None
+) -> None:
     """Persist nodes/edges (+ variables sidecar) with write-then-swap:
     new tables land in ``<path>/.staging`` and are promoted with one
     rename-level publish — the batch replacement for the reference's
-    transactions (SURVEY.md §3)."""
+    transactions (SURVEY.md §3).
+
+    ``partition_edges_by="predicate"`` is the at-scale layout: every
+    predicate-filtered traversal becomes a partition-pruned scan, the
+    analog of the reference's edge-type index (SCALE.md)."""
     staging = os.path.join(path, ".staging")
     graph.nodes.write.mode("overwrite").parquet(os.path.join(staging, "nodes"))
-    graph.edges.write.mode("overwrite").parquet(os.path.join(staging, "edges"))
+    edge_writer = graph.edges.write.mode("overwrite")
+    if partition_edges_by:
+        edge_writer = edge_writer.partitionBy(partition_edges_by)
+    edge_writer.parquet(os.path.join(staging, "edges"))
     if graph.namespaces is not None:
         graph.namespaces.write.mode("overwrite").parquet(
             os.path.join(staging, "namespaces")

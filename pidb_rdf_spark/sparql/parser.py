@@ -240,17 +240,8 @@ class Parser:
         )
 
     def parse_select_expr(self):
-        t = self.peek()
-        if t.kind == "KW" and t.text in AGG_FUNCS:
-            self.next()
-            self.expect("OP", "(")
-            distinct = bool(self.accept("KW", "DISTINCT"))
-            if t.text == "COUNT" and self.accept("OP", "*"):
-                arg = None
-            else:
-                arg = self.parse_expr()
-            self.expect("OP", ")")
-            return A.AggExpr(t.text, arg, distinct)
+        # aggregates are ordinary unary expressions (parse_unary), so a
+        # projection like SUM(?x) / COUNT(?y) parses as one expression
         return self.parse_expr()
 
     # -- group graph pattern --------------------------------------------

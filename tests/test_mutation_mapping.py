@@ -196,3 +196,17 @@ def test_preview_rdf(spark):
     assert rels == [
         {"src": "http://ex.org/a", "predicate": "ns0__knows", "dst": "http://ex.org/b"}
     ]
+
+
+def test_save_partitioned_by_predicate(small_graph, tmp_path):
+    import os
+
+    from pidb_rdf_spark.mutation import load_graph, save_graph
+
+    save_graph(small_graph, str(tmp_path / "g"), partition_edges_by="predicate")
+    parts = {
+        d for d in os.listdir(tmp_path / "g" / "edges") if d.startswith("predicate=")
+    }
+    assert parts == {"predicate=KNOWS", "predicate=LIVES_IN"}
+    g2 = load_graph(small_graph.spark, str(tmp_path / "g"))
+    assert g2.edges.count() == 2

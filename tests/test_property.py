@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): transitive closure vs a pure-
+Python oracle on random graphs, and RDF import→export→parse
+round-trips on random triple sets (SURVEY.md §5.4-5.5).
+
+Example counts are small — every example runs Spark jobs — but the
+generators cover the structural edge cases (cycles, self-loops,
+diamonds, unicode-ish literals, datatype round-trips)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_closure(pairs):
+    """Naive reachability oracle (handles cycles)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for c, p in pairs:
+        adj[c].add(p)
+    out = set()
+    for start in {c for c, _ in pairs}:
+        seen, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            for p in adj[n]:
+                if p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        out |= {(start, p) for p in seen}
+    return out
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(pairs=edges_strategy)
+def test_closure_matches_python_oracle(spark, pairs):
+    from pidb_rdf_spark.inference import transitive_closure
+
+    df = spark.createDataFrame(
+        [(str(c), str(p)) for c, p in pairs], ["child", "parent"]
+    )
+    got = {
+        (r["child"], r["parent"]) for r in transitive_closure(df).collect()
+    }
+    expected = {(str(c), str(p)) for c, p in _py_closure(pairs)}
+    assert got == expected
+
+
+literal_strategy = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N"), max_codepoint=0x2FF
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(-(2**31), 2**31),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _to_triple(i, subj_n, pred_n, value):
+    subj = f"http://ex.org/s{subj_n}"
+    pred = f"http://ex.org/p{pred_n}"
+    if isinstance(value, bool):
+        return (subj, pred, str(value).lower(), True, XSD + "boolean", None)
+    if isinstance(value, int):
+        return (subj, pred, str(value), True, XSD + "long", None)
+    if isinstance(value, float):
+        return (subj, pred, repr(value), True, XSD + "double", None)
+    return (subj, pred, value, True, None, None)
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3), literal_strategy),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: (t[0], t[1]),  # one value per (subj, pred)
+    )
+)
+def test_rdf_literal_roundtrip(spark, data):
+    """import → export → re-parse: literal triples survive with their
+    value and 3-family datatype (reference import/export pair S7/S12;
+    shorten/expand inverse F3/F4)."""
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_reader import (
+        TRIPLES_SCHEMA,
+        parse_ntriples_lines,
+    )
+    from pidb_rdf_spark.sources.rdf_writer import (
+        graph_to_triples,
+        triples_to_ntriples_lines,
+    )
+
+    triples = spark.createDataFrame(
+        [_to_triple(i, s, p, v) for i, (s, p, v) in enumerate(data)],
+        TRIPLES_SCHEMA,
+    )
+    g = import_triples(spark, triples)
+    lines = triples_to_ntriples_lines(graph_to_triples(g))
+    reparsed = parse_ntriples_lines(lines.withColumnRenamed("line", "value"))
+
+    def norm(rows):
+        out = set()
+        for r in rows:
+            val = r["object"]
+            dt = r["datatype"]
+            if dt == XSD + "long":
+                val = str(int(val))
+            elif dt == XSD + "double":
+                val = repr(float(val))
+            elif dt == XSD + "boolean":
+                val = val.lower()
+            out.add((r["subject"], r["predicate"], val, dt))
+        return out
+
+    orig = norm(triples.collect())
+    back = norm(reparsed.filter("is_literal").collect())
+    assert back == orig
