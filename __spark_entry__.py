@@ -415,6 +415,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk_exact"] = ivf_topk_exact
 
+    # -- approximate scale paths (no SQL oracle by design: outputs are
+    #    approximation-dependent; the exact twins above are the
+    #    oracle-checked baselines, these demonstrate the 100 TB path) --
+    def ivf_topk_probe2(spark, sf_dir):
+        from pidb_rdf_spark.operators import ivf_search, kmeans_centroids
+
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = kmeans_centroids(emb, n_clusters=8, iters=2)
+        return ivf_search(emb, queries_df, cents, k=5, nprobe=2).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
+    q["ivf_topk_probe2"] = ivf_topk_probe2
+
+    def embedding_near_dup_lsh(spark, sf_dir):
+        from pidb_rdf_spark.operators import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.45, bucketed=True, n_planes=4
+        )
+
+    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
+
     # -- text analysis --------------------------------------------------
     def lang_id(spark, sf_dir):
         from pidb_rdf_spark.operators import language_id

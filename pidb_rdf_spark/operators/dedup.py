@@ -422,7 +422,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     bucketed: bool = False,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity ≥ threshold.
 
@@ -433,34 +434,48 @@ def embedding_near_dup_pairs(
     24s; the matmul is sub-second). Bounded by the corpus matrix
     fitting in a broadcast (~1 GB ≈ 4M×64 floats); beyond that use
     ``bucketed=True``.
-    ``bucketed=True``: random-hyperplane LSH restricts a DataFrame
-    self-join to same-signature buckets (approximate recall, linear
-    cost) — the 100 TB path; see similarity.py for the planes.
+    ``bucketed=True``: OR-amplified random-hyperplane LSH
+    (``n_tables`` independent ``n_planes``-bit signatures) restricts
+    a DataFrame self-join to same-(table, bucket) pairs; exact cosine
+    verification keeps precision at 1, so only recall is approximate
+    — the 100 TB path; see similarity.py for the construction.
     """
-    from pidb_rdf_spark.operators.similarity import with_hyperplane_bucket, with_norm
+    from pidb_rdf_spark.operators.similarity import (
+        with_hyperplane_buckets,
+        with_norm,
+    )
 
     if bucketed:
-        v = with_hyperplane_bucket(with_norm(df, id_col, vec_col), vec_col, n_planes)
+        v = with_hyperplane_buckets(
+            with_norm(df, id_col, vec_col), vec_col, n_planes, n_tables
+        )
         l = v.alias("l")
         r = v.alias("r")
-        cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) & (
-            F.col("l.bucket") == F.col("r.bucket")
+        cands = (
+            l.join(
+                r,
+                (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                & (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bucket") == F.col("r.bucket")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"),
+                F.col(f"l.{vec_col}").alias("__va"),
+                F.col(f"r.{vec_col}").alias("__vb"),
+                (F.col("l.norm") * F.col("r.norm")).alias("__nn"),
+            )
+            .dropDuplicates(["a", "b"])
         )
         dot = F.aggregate(
-            F.zip_with(
-                F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y
-            ),
+            F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         return (
-            l.join(r, cond)
-            .withColumn("cosine", dot / (F.col("l.norm") * F.col("r.norm")))
+            cands.withColumn("cosine", dot / F.col("__nn"))
             .filter(F.col("cosine") >= threshold)
-            .select(
-                F.col(f"l.{id_col}").alias("a"),
-                F.col(f"r.{id_col}").alias("b"),
-            )
+            .select("a", "b")
         )
 
     import numpy as np

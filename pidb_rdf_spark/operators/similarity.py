@@ -127,6 +127,38 @@ def with_hyperplane_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def with_hyperplane_buckets(
+    df: DataFrame, vec_col: str, n_planes: int = 4, n_tables: int = 8
+) -> DataFrame:
+    """OR-amplified LSH: ``n_tables`` independent ``n_planes``-bit
+    signatures, exploded to one (table, bucket) row per table. A pair
+    is a candidate if it collides in ANY table — recall
+    1-(1-p^k)^L vs a single table's p^k — and an exact verification
+    step downstream keeps precision at 1. Vectorized Pandas UDF (one
+    matmul against all L·k planes per Arrow batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(df.select(vec_col).first()[0])
+    P = np.array(_hyperplanes(dim, n_planes * n_tables), dtype=np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def buckets(v):
+        M = np.array(list(v), dtype=np.float64)
+        bits = (M @ P.T > 0).astype(np.int64)  # (n, L*k)
+        per_table = bits.reshape(len(M), n_tables, n_planes) @ weights  # (n, L)
+        return pd.Series(list(per_table))
+
+    buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    buckets_udf = pandas_udf(buckets, "array<long>")
+    return (
+        df.withColumn("__bkts", buckets_udf(F.col(vec_col)))
+        .select("*", F.posexplode("__bkts").alias("table", "bucket"))
+        .drop("__bkts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted file) index
 # ---------------------------------------------------------------------------

@@ -221,3 +221,77 @@ def describe(
         )
     )
     return own.unionByName(ctx)
+
+
+def triples_to_turtle_lines(
+    triples: DataFrame, namespaces: dict[str, str] | None = None
+) -> DataFrame:
+    """triples rows -> Turtle lines (column ``value``), with a
+    ``@prefix`` header and prefixed names where a namespace matches
+    (reference S12 serializes Turtle via RDF4J Rio; here each
+    partition emits its own lines — subject grouping/`;` compaction is
+    deliberately not used so the write stays embarrassingly parallel).
+    """
+    namespaces = namespaces or {}
+
+    def term(col):
+        out = None
+        # longest-namespace-first so nested namespaces prefix correctly;
+        # only local names with no [/#:] may be prefixed (Turtle PN rules)
+        for ns, pfx in sorted(namespaces.items(), key=lambda kv: -len(kv[0])):
+            local = col.substr(F.lit(len(ns) + 1), F.length(col))
+            cond = col.startswith(ns) & ~local.rlike(r"[/#:]")
+            pname = F.concat(F.lit(pfx), F.lit(":"), local)
+            out = F.when(cond, pname) if out is None else out.when(cond, pname)
+        fallback = subject_term(col)
+        return out.otherwise(fallback) if out is not None else fallback
+
+    esc = F.regexp_replace(F.col("object"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", "\\\\n")
+    obj = (
+        F.when(~F.col("is_literal"), term(F.col("object")))
+        .when(
+            F.col("lang").isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.col("lang")),
+        )
+        .when(
+            F.col("datatype").isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"^^'), term(F.col("datatype"))),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+    body = triples.select(
+        F.concat(
+            term(F.col("subject")),
+            F.lit(" "),
+            F.when(F.col("predicate") == RDF_TYPE, F.lit("a")).otherwise(
+                term(F.col("predicate"))
+            ),
+            F.lit(" "),
+            obj,
+            F.lit(" ."),
+        ).alias("value")
+    )
+    # Turtle prefix declarations are per-document state, and the
+    # parallel writer emits one file per partition — so EVERY
+    # partition gets the header (a header-only file for an empty
+    # partition is valid Turtle).
+    header = [f"@prefix {p}: <{ns}> ." for ns, p in sorted(namespaces.items())]
+
+    def with_header(rows):
+        from itertools import chain
+
+        return chain(header, (r["value"] for r in rows))
+
+    spark = triples.sparkSession
+    rdd = body.rdd.mapPartitions(with_header).map(lambda v: (v,))
+    return spark.createDataFrame(rdd, "value string")
+
+
+def export_turtle(graph: PropertyGraph, path: str, **kwargs) -> None:
+    """Write the whole graph as Turtle (S12, second serialization).
+    The header lands in its own (tiny) partition; body partitions
+    write in parallel."""
+    t = graph_to_triples(graph, **kwargs)
+    triples_to_turtle_lines(t, _ns_dict(graph)).write.mode("overwrite").text(path)

@@ -274,3 +274,23 @@ def test_sample_frames(spark):
     assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2]
     frames = {r["frame_idx"]: bytes(r["frame"]) for r in rows}
     assert len(frames[0]) == 64 and len(frames[1]) == 64 and len(frames[2]) == 2
+
+
+def test_embedding_lsh_bucketed_recall(emb):
+    """OR-amplified hyperplane LSH: decent recall vs the exact
+    baseline, perfect precision (candidates are exact-verified)."""
+    from pidb_rdf_spark.operators import embedding_near_dup_pairs
+
+    exact = {
+        tuple(r)
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        tuple(r)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, bucketed=True, n_planes=4, n_tables=16
+        ).collect()
+    }
+    assert lsh <= exact  # precision 1 (exact verification)
+    # E[recall] ≈ 1-(1-p^4)^16 ≈ 0.95 for pairs at the 0.45 threshold
+    assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))

@@ -191,3 +191,36 @@ def test_lite_onto_import(spark):
         "http://example.org/name",
         "http://example.org/hasOwner",
     }
+
+
+def test_turtle_export_roundtrip(spark, tmp_path):
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_reader import TRIPLES_SCHEMA, read_turtle
+    from pidb_rdf_spark.sources.rdf_writer import export_turtle, graph_to_triples
+
+    triples = spark.createDataFrame(
+        [
+            ("http://ex.org/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "http://ex.org/Person", False, None, None),
+            ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", False, None, None),
+            ("http://ex.org/a", "http://ex.org/name", "Alice \"A\"", True, None, None),
+            ("http://ex.org/a", "http://ex.org/age", "33", True,
+             "http://www.w3.org/2001/XMLSchema#long", None),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    g = import_triples(spark, triples)
+    out = str(tmp_path / "turtle")
+    export_turtle(g, out)
+    back = read_turtle(spark, out)
+
+    def key(rows):
+        return {
+            (r["subject"], r["predicate"], r["object"], bool(r["is_literal"]))
+            for r in rows
+        }
+
+    exported = key(graph_to_triples(g).collect())
+    reparsed = key(back.collect())
+    assert reparsed == exported
+    assert len(exported) == 4
