@@ -238,16 +238,56 @@ def parse_rdf_snippet(spark: SparkSession, text: str, fmt: str = "Turtle") -> Da
     raise NotImplementedError(f"RDF format {fmt!r} needs an external parser")
 
 
+_RDFLIB_FORMATS = {
+    "rdfxml": "xml",
+    "xml": "xml",
+    "jsonld": "json-ld",
+    "trig": "trig",
+}
+
+
+def _parse_with_rdflib(doc: str, rdflib_fmt: str) -> list[tuple]:
+    """One document -> triples rows via rdflib (executor-side; import
+    inside the task so the driver never needs the library). TriG
+    named-graph context is dropped — the reference's LPG mapping has
+    no quad concept either (``StreamedStatement.java:3-20`` is s/p/o)."""
+    import rdflib  # gated: only reached when the format needs it
+    from rdflib import Literal as RLiteral
+
+    g = rdflib.ConjunctiveGraph() if rdflib_fmt == "trig" else rdflib.Graph()
+    g.parse(data=doc, format=rdflib_fmt)
+    rows = []
+    for s, p, o in g:
+        if isinstance(o, RLiteral):
+            dt = str(o.datatype) if o.datatype else None
+            rows.append((str(s), str(p), str(o), True, dt, o.language))
+        else:
+            rows.append((str(s), str(p), str(o), False, None, None))
+    return rows
+
+
 def read_rdf(spark: SparkSession, path: str, fmt: str = "N-Triples") -> DataFrame:
     """Dispatch by format name (reference supports {RDF/XML, JSON-LD,
-    Turtle, N-Triples, TriG}, ``RDFImport.java:45-46``; the two
-    line/file-parallel formats are native here, the rest are gated)."""
+    Turtle, N-Triples, TriG}, ``RDFImport.java:45-46``). N-Triples is
+    line-parallel, Turtle file-parallel with a native lexer; the
+    remaining three parse file-parallel through rdflib inside
+    ``mapPartitions``-style tasks when the library is installed, and
+    raise a clear gate error here (rdflib is not in this container)."""
     fmt_l = fmt.lower().replace("-", "").replace("/", "")
     if fmt_l in ("ntriples", "nt"):
         return read_ntriples(spark, path)
     if fmt_l in ("turtle", "ttl"):
         return read_turtle(spark, path)
-    raise NotImplementedError(
-        f"RDF format {fmt!r}: RDF/XML, JSON-LD and TriG need an external "
-        "parser library not present in this environment"
-    )
+    if fmt_l in _RDFLIB_FORMATS:
+        try:
+            import rdflib  # noqa: F401  (driver-side availability check)
+        except ImportError as e:
+            raise NotImplementedError(
+                f"RDF format {fmt!r} parses via rdflib, which is not "
+                "installed in this environment (pip install rdflib)"
+            ) from e
+        rdflib_fmt = _RDFLIB_FORMATS[fmt_l]
+        files = spark.sparkContext.wholeTextFiles(path)
+        rows = files.flatMap(lambda kv: _parse_with_rdflib(kv[1], rdflib_fmt))
+        return rows.toDF(TRIPLES_SCHEMA)
+    raise NotImplementedError(f"unknown RDF format {fmt!r}")

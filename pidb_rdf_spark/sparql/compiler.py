@@ -429,12 +429,32 @@ class SparqlCompiler:
         if name == "id":
             key_col: Column = F.col("id")
             dtype = T.LongType()
-        elif name in ("label", "labels"):
-            key_col = None  # handled below (array semantics)
+        elif name in ("label", "labels", "key", "value"):
+            key_col = None  # handled below (array/map explode semantics)
             dtype = T.StringType()
         else:
             key_col = self.g.node_prop(name)
             dtype = self._node_prop_dtype(name)
+
+        # v:key / v:value meta-pseudo-properties: the subject's property
+        # KEYS / VALUES (reference hasKey/hasValue routing,
+        # ``TraversalBuilder.java:63-79``) — explode of the props map
+        if name in ("key", "value"):
+            part = F.map_keys(F.col("props")) if name == "key" else F.map_values(
+                F.col("props")
+            )
+            if isinstance(pat.o, A.Var):
+                state.note(pat.o.name, "value")
+                frame = nodes.select(
+                    F.col("id").alias(s_var), F.explode(part).alias(pat.o.name)
+                )
+            else:
+                frame = nodes.filter(
+                    F.array_contains(part, str(self._term_value(pat.o)))
+                ).select(F.col("id").alias(s_var))
+            if s_restrict is not None:
+                frame = frame.join(s_restrict, on=s_var, how="inner")
+            return frame
 
         if isinstance(pat.o, A.Var):
             state.note(pat.o.name, "value")

@@ -224,3 +224,30 @@ def test_turtle_export_roundtrip(spark, tmp_path):
     reparsed = key(back.collect())
     assert reparsed == exported
     assert len(exported) == 4
+
+
+def test_rdfxml_gated_without_rdflib(spark):
+    import importlib.util
+
+    import pytest as _pytest
+
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+
+    if importlib.util.find_spec("rdflib") is None:
+        with _pytest.raises(NotImplementedError, match="rdflib"):
+            read_rdf(spark, "/tmp/nonexistent.rdf", fmt="RDF/XML")
+    else:  # environment has rdflib: the gated path must parse
+        import tempfile, os
+
+        doc = (
+            '<?xml version="1.0"?>\n'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:ex="http://ex.org/">'
+            '<rdf:Description rdf:about="http://ex.org/a">'
+            "<ex:name>Alice</ex:name></rdf:Description></rdf:RDF>"
+        )
+        d = tempfile.mkdtemp()
+        with open(os.path.join(d, "doc.rdf"), "w") as f:
+            f.write(doc)
+        rows = read_rdf(spark, d, fmt="RDF/XML").collect()
+        assert rows[0]["object"] == "Alice"

@@ -249,3 +249,19 @@ def test_minus_shared_and_disjoint(graph):
         """,
     ).count()
     assert n_disjoint == 5
+
+
+def test_meta_pseudo_key_value(graph):
+    """P7: v:key / v:value bind the subject's property keys / values
+    (reference hasKey/hasValue, TraversalBuilder.java:63-79)."""
+    from pidb_rdf_spark.sparql import sparql
+
+    keys = sparql(
+        graph,
+        'SELECT DISTINCT ?k WHERE { ?x v:label "Region" . ?x v:key ?k } ORDER BY ?k',
+    ).collect()
+    assert [r["k"] for r in keys] == ["r_name", "r_regionkey"]
+    n = sparql(
+        graph, 'SELECT ?x WHERE { ?x v:label "Region" . ?x v:value "ASIA" }'
+    ).count()
+    assert n == 1
