@@ -138,3 +138,25 @@ def test_sql_passthrough(graph):
         )
     ]
     assert got == want
+
+
+def test_point_lookups_by_id(graph):
+    """S2/S4: vertex and edge point lookups."""
+    from pidb_rdf_spark.dsl import traversal
+
+    v = graph.nodes.first()
+    got = traversal(graph).V(v["id"]).uri().collect()
+    assert len(got) == 1 and got[0][0] == v["uri"]
+    e = graph.edges.first()
+    got_e = traversal(graph).E(e["id"]).label().collect()
+    assert len(got_e) == 1 and got_e[0][0] == e["predicate"]
+
+
+def test_degrees(graph):
+    """J10: materialized degree table; every order has exactly one
+    PLACED_BY out-edge at sf0.001."""
+    from pyspark.sql import functions as F
+
+    deg = graph.degrees(direction="out", predicate="PLACED_BY")
+    rows = deg.agg(F.min("degree"), F.max("degree"), F.count("*")).first()
+    assert rows[0] == 1 and rows[1] == 1 and rows[2] == 1500

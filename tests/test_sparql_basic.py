@@ -265,3 +265,42 @@ def test_meta_pseudo_key_value(graph):
         graph, 'SELECT ?x WHERE { ?x v:label "Region" . ?x v:value "ASIA" }'
     ).count()
     assert n == 1
+
+
+def test_property_element_pattern(graph):
+    """P6: p: binds the property element (key + value struct)."""
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        'SELECT ?pe WHERE { ?x v:label "Region" . ?x p:r_name ?pe } LIMIT 2',
+    ).collect()
+    assert all(r["pe"]["key"] == "r_name" for r in rows)
+    assert all(isinstance(r["pe"]["value"], str) for r in rows)
+
+
+def test_bare_group_by_collects(graph):
+    """A5: GROUP BY with no aggregator collects rows per key
+    (reference group() step)."""
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?seg WHERE {
+          ?c v:label "Customer" . ?c v:c_mktsegment ?seg . ?c v:c_name ?n .
+        } GROUP BY ?seg
+        """,
+    ).collect()
+    assert len(rows) == 5
+    assert all(len(r["group"]) > 0 for r in rows)
+
+
+def test_offset(graph):
+    """O2: OFFSET slices after ORDER BY."""
+    from pidb_rdf_spark.sparql import sparql
+
+    q = 'SELECT ?n WHERE { ?x v:label "Nation" . ?x v:n_name ?n } ORDER BY ?n'
+    all_names = [r["n"] for r in sparql(graph, q).collect()]
+    sliced = [r["n"] for r in sparql(graph, q + " LIMIT 5 OFFSET 3").collect()]
+    assert sliced == all_names[3:8]
