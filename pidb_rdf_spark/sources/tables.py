@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a proper TIMESTAMP column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp → string formatting is session-tz-dependent; pin UTC so
+    # results match the (naive-timestamp) oracle under ANY host session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn(
