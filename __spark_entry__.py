@@ -299,6 +299,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_orders_per_segment"] = topk_orders_per_segment
 
+    # -- volume queries over lineitem (the largest table): TPC-H-Q1-like
+    #    pricing summary + 3-hop join at full row count ----------------
+    q["lineitem_pricing_summary"] = _sparql_query(
+        """
+        SELECT ?rf ?ls (COUNT(?l) AS ?n)
+               (SUM(?qty_cents) AS ?sum_qty_cents)
+               (SUM(?price_cents) AS ?sum_price_cents)
+        WHERE {
+          ?l v:label "Lineitem" .
+          ?l v:l_returnflag ?rf . ?l v:l_linestatus ?ls .
+          ?l v:l_quantity ?qty . ?l v:l_extendedprice ?price .
+          ?l v:l_shipdate ?sd .
+          FILTER(?sd <= "2001-06-30 00:00:00")
+          BIND(ROUND(?qty * 100) AS ?qty_cents)
+          BIND(ROUND(?price * 100) AS ?price_cents)
+        } GROUP BY ?rf ?ls ORDER BY ?rf ?ls
+        """
+    )
+    q["lineitem_three_hop_volume"] = _sparql_query(
+        """
+        SELECT ?nation (COUNT(?l) AS ?n_items) WHERE {
+          ?l v:label "Lineitem" . ?l v:l_returnflag "R" .
+          ?l e:PART_OF ?o . ?o e:PLACED_BY ?c .
+          ?c e:IN_NATION ?nt . ?nt v:n_name ?nation .
+        } GROUP BY ?nation ORDER BY ?nation
+        """
+    )
+
     # -- standard SPARQL extensions beyond the reference surface:
     #    BIND / VALUES / MINUS ------------------------------------------
     q["sparql_bind"] = _sparql_query(
@@ -885,6 +913,25 @@ def oracle_sql() -> dict[str, str]:
     }
     base.update(
         {
+            "lineitem_pricing_summary": """
+                SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+                       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS DOUBLE) AS sum_qty_cents,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS DOUBLE) AS sum_price_cents
+                FROM lineitem
+                WHERE CAST(l_shipdate AS VARCHAR) <= '2001-06-30 00:00:00'
+                GROUP BY 1, 2 ORDER BY 1, 2
+            """,
+            "lineitem_three_hop_volume": """
+                SELECT n_name AS nation, COUNT(*) AS n_items
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                GROUP BY 1 ORDER BY 1
+            """,
             "sparql_bind": """
                 SELECT cust, tax FROM (
                     SELECT c_name AS cust, o_totalprice * 0.1 AS tax

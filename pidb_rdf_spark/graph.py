@@ -51,7 +51,9 @@ ID_BANDS = {
     "supplier": 4_000_000,
     "part": 5_000_000,
     "orders": 10_000_000,
-    "lineitem": 100_000_000,
+    # lineitem ids are full-range xxhash64 values (see graphify) — the
+    # band must be 0 or adding it could overflow a near-2^63 hash
+    "lineitem": 0,
 }
 
 NODE_CORE = ["id", "uri", "labels", "props"]
@@ -245,11 +247,23 @@ def graphify(
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
         ),
     ]
-    li_pk = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (the generator assigns linenumbers randomly), so lineitem node
+    # ids come from the physical row identity instead: xxhash64 of
+    # (file path, row index in file) — deterministic across runs and
+    # plan subtrees, computed executor-side with no coordination, and
+    # valid at any scale. The band-less hash cannot collide with the
+    # small banded ids of the other tables except with ~1e-7 chance.
+    li = t["lineitem"].select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__row"),
+    )
+    li_pk = F.xxhash64(F.col("__file"), F.col("__row"))
     if with_lineitem_nodes:
         frames.append(
             _nodeframe(
-                t["lineitem"].withColumn("l_shipdate", F.col("l_shipdate").cast("string")),
+                li.withColumn("l_shipdate", F.col("l_shipdate").cast("string")),
                 "lineitem", li_pk, "Lineitem",
                 ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"],
@@ -290,11 +304,14 @@ def graphify(
              ID_BANDS["supplier"], F.col("s_suppkey"), ID_BANDS["nation"], F.col("s_nationkey")),
         edge(t["orders"], "PLACED_BY", F.lit(4 * B) + F.col("o_orderkey"),
              ID_BANDS["orders"], F.col("o_orderkey"), ID_BANDS["customer"], F.col("o_custkey")),
-        edge(t["lineitem"], "PART_OF", F.lit(5 * B) + li_pk,
+        # hash-based edge ids for lineitem edges: adding a numeric band
+        # to a full-range hash would overflow; hashing in the predicate
+        # name keeps them unique across the three edge types
+        edge(li, "PART_OF", F.xxhash64(F.lit("PART_OF"), F.col("__file"), F.col("__row")),
              ID_BANDS["lineitem"], li_pk, ID_BANDS["orders"], F.col("l_orderkey")),
-        edge(t["lineitem"], "OF_PART", F.lit(6 * B) + li_pk,
+        edge(li, "OF_PART", F.xxhash64(F.lit("OF_PART"), F.col("__file"), F.col("__row")),
              ID_BANDS["lineitem"], li_pk, ID_BANDS["part"], F.col("l_partkey")),
-        edge(t["lineitem"], "FROM_SUPPLIER", F.lit(7 * B) + li_pk,
+        edge(li, "FROM_SUPPLIER", F.xxhash64(F.lit("FROM_SUPPLIER"), F.col("__file"), F.col("__row")),
              ID_BANDS["lineitem"], li_pk, ID_BANDS["supplier"], F.col("l_suppkey")),
     ]
     edges = edges_frames[0]
