@@ -160,3 +160,13 @@ def test_degrees(graph):
     deg = graph.degrees(direction="out", predicate="PLACED_BY")
     rows = deg.agg(F.min("degree"), F.max("degree"), F.count("*")).first()
     assert rows[0] == 1 and rows[1] == 1 and rows[2] == 1500
+
+
+def test_graphify_node_ids_unique(graph):
+    """Node ids must be globally unique — (l_orderkey, l_linenumber)
+    is NOT unique in the synthetic lineitem data, which is why
+    lineitem ids derive from physical row identity."""
+    n = graph.nodes.count()
+    assert graph.nodes.select("id").distinct().count() == n
+    e = graph.edges.count()
+    assert graph.edges.select("id").distinct().count() == e
