@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: the scale properties documented in
+SCALE.md, asserted against actual executed plans so they cannot
+silently regress."""
+
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.plans import plan_summary
+
+
+def test_bgp_join_plan_uses_broadcasts_and_pushdown(spark):
+    """On dimension-sized data every BGP join should be a broadcast
+    hash join with filters pushed into the parquet scan and pruned
+    read schemas. (Fresh, uncached graph: the shared fixture caches
+    tables, which replaces parquet scans — and their pushdown — with
+    InMemoryTableScan.)"""
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sparql import sparql
+
+    df = sparql(
+        graphify(spark, "/root/testdata/sf0.001"),
+        """
+        SELECT ?cust ?total WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?cust .
+          ?o e:PLACED_BY ?c . ?o v:o_totalprice ?total .
+          FILTER(?total > 100000)
+        } ORDER BY DESC(?total) ?cust LIMIT 10
+        """,
+    )
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 2
+    assert s["sort_merge_joins"] == 0
+    assert s["pushed_filter_scans"] >= 1
+    assert s["python_evals"] == 0  # pure JVM pipeline
+    # column pruning: no scan should read anywhere near the full
+    # ~25-column node schema for this 2-column projection
+    assert s["scan_widths"] and max(s["scan_widths"]) <= 6
+
+
+def test_text_ops_are_scan_only(spark):
+    """Text metrics must not shuffle or leave the JVM."""
+    from pidb_rdf_spark.operators import quality_score, token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for out in (token_count(docs), quality_score(docs)):
+        s = plan_summary(out)
+        assert s["exchanges"] == 0
+        assert s["python_evals"] == 0
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join's contract: exactly one shuffle (on the key)."""
+    from pidb_rdf_spark.sources.tables import read_events
+    from pidb_rdf_spark.streaming import asof_join
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    s = plan_summary(asof_join(clicks, errors, on="user_id"))
+    assert s["exchanges"] == 1
