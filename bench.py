@@ -46,6 +46,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
 
+    # import throughput (BASELINE.md §4): run the full set-oriented RDF
+    # import path over the graph's own exported triples
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples
+
+    triples = graph_to_triples(graphify(spark, SF_DIR)).cache()
+    n_triples = triples.count()
+    t0 = time.perf_counter()
+    g2 = import_triples(spark, triples)
+    _ = g2.nodes.count() + g2.edges.count()
+    import_sec = time.perf_counter() - t0
+    triples.unpersist()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -55,6 +69,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "extras": {
+                    "import_triples": n_triples,
+                    "import_sec": round(import_sec, 2),
+                    "import_triples_per_sec": int(n_triples / import_sec),
+                },
             }
         )
     )
