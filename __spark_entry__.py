@@ -262,6 +262,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nodes_with_label_inferred"] = nodes_with_label_inferred
 
+    def nodes_linked_to_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.inference import get_nodes_linked_to
+
+        g = _graph(spark, sf_dir)
+        # nation uris are SCO-children of their region uri: "linked to
+        # region 1" must resolve through the hierarchy to its nations
+        nations = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        hierarchy = nations.select(
+            F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string")).alias("child"),
+            F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string")).alias("parent"),
+            F.lit("SCO").alias("kind"),
+        )
+        out = get_nodes_linked_to(g, hierarchy, "urn:region:1", rel="IN_NATION")
+        return out.select(F.col("uri").alias("node_uri"))
+
+    q["nodes_linked_to_inferred"] = nodes_linked_to_inferred
+
     def rels_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pidb_rdf_spark.inference import get_rels
 
@@ -887,6 +904,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS node_uri FROM customer
             UNION ALL
             SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier
+        """,
+        "nodes_linked_to_inferred": """
+            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS node_uri
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 1
+            UNION ALL
+            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR)
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 1
         """,
         "rels_inferred": """
             SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src_uri,
