@@ -268,6 +268,29 @@ class SparqlCompiler:
                 if br_state.df is not None:
                     branch_dfs.append(br_state.df)
             if branch_dfs:
+                # SPARQL bindings are heterogeneous RDF terms: when two
+                # branches bind the same var with different Spark types,
+                # reconcile to string (ANSI union coercion would throw
+                # casting e.g. 'AFRICA' to BIGINT)
+                conflicted: set[str] = set()
+                seen_types: dict[str, object] = {}
+                for b in branch_dfs:
+                    for f in b.schema.fields:
+                        prior = seen_types.setdefault(f.name, f.dataType)
+                        if prior != f.dataType:
+                            conflicted.add(f.name)
+                if conflicted:
+                    branch_dfs = [
+                        b.select(
+                            *[
+                                F.col(c).cast("string").alias(c)
+                                if c in conflicted
+                                else F.col(c)
+                                for c in b.columns
+                            ]
+                        )
+                        for b in branch_dfs
+                    ]
                 udf_ = branch_dfs[0]
                 for b in branch_dfs[1:]:
                     udf_ = udf_.unionByName(b, allowMissingColumns=True)

@@ -304,3 +304,71 @@ def test_offset(graph):
     all_names = [r["n"] for r in sparql(graph, q).collect()]
     sliced = [r["n"] for r in sparql(graph, q + " LIMIT 5 OFFSET 3").collect()]
     assert sliced == all_names[3:8]
+
+
+def test_nested_optional(graph):
+    """OPTIONAL inside OPTIONAL: inner misses leave NULLs without
+    dropping outer matches."""
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?sname ?nname ?rname WHERE {
+          ?s v:label "Supplier" . ?s v:s_name ?sname .
+          OPTIONAL {
+            ?s e:IN_NATION ?n . ?n v:n_name ?nname .
+            OPTIONAL { ?n e:IN_REGION ?r . ?r v:r_name ?rname }
+          }
+        } ORDER BY ?sname
+        """,
+    ).collect()
+    assert len(rows) == 10  # all suppliers kept
+    assert all(r["nname"] is not None and r["rname"] is not None for r in rows)
+
+
+def test_filter_bound_on_optional_var(graph):
+    """FILTER(BOUND(?x)) / !BOUND(?x) evaluate after OPTIONAL."""
+    from pidb_rdf_spark.sparql import sparql
+
+    n_bound = sparql(
+        graph,
+        """
+        SELECT ?name WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?name .
+          OPTIONAL { ?o e:PLACED_BY ?c . ?o v:o_totalprice ?t }
+          FILTER(BOUND(?t))
+        }
+        """,
+    ).count()
+    n_unbound = sparql(
+        graph,
+        """
+        SELECT ?name WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?name .
+          OPTIONAL { ?o e:PLACED_BY ?c . ?o v:o_totalprice ?t }
+          FILTER(!BOUND(?t))
+        }
+        """,
+    ).count()
+    # sf0.001: every customer has orders -> no unbound rows
+    assert n_unbound == 0
+    assert n_bound == 1500  # one row per order (bag semantics)
+
+
+def test_union_inside_optional(graph):
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?name ?other WHERE {
+          ?x v:label "Region" . ?x v:r_name ?name .
+          OPTIONAL {
+            { ?x v:r_regionkey ?other } UNION { ?x v:r_name ?other }
+          }
+        }
+        """,
+    ).collect()
+    # 5 regions x (key binding + name binding) = 10 rows
+    assert len(rows) == 10
