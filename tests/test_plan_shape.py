@@ -37,8 +37,11 @@ def test_filter_pushdown_and_column_pruning(spark):
     (checked on a table no fixture caches)."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    out = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    # part.parquet: no fixture caches a standalone scan of it (the
+    # graphify cache registers only the union-root plan, which a bare
+    # file scan does not subtree-match)
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    out = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey", "p_name")
     s = plan_summary(out)
     assert s["pushed_filter_scans"] >= 1
     # 3 columns read (filter col + 2 projected), not the full schema
