@@ -372,3 +372,31 @@ def test_union_inside_optional(graph):
     ).collect()
     # 5 regions x (key binding + name binding) = 10 rows
     assert len(rows) == 10
+
+
+def test_filter_inside_optional(graph):
+    """A FILTER inside an OPTIONAL group restricts the right side
+    BEFORE the left join (reference filter-in-OPTIONAL handling,
+    SparqlToGremlinCompiler.java:274-281): non-matching left rows
+    survive with NULLs instead of being dropped."""
+    from pidb_rdf_spark.sparql import sparql
+
+    rows = sparql(
+        graph,
+        """
+        SELECT ?name ?t WHERE {
+          ?c v:label "Customer" . ?c v:c_name ?name .
+          OPTIONAL {
+            ?o e:PLACED_BY ?c . ?o v:o_totalprice ?t .
+            FILTER(?t > 400000)
+          }
+        }
+        """,
+    ).collect()
+    # every customer appears; only high-value orders bind ?t
+    names = {r["name"] for r in rows}
+    assert len(names) == 150
+    bound = [r for r in rows if r["t"] is not None]
+    assert all(r["t"] > 400000 for r in bound)
+    unbound = [r for r in rows if r["t"] is None]
+    assert len(unbound) > 0  # customers with no qualifying order kept
