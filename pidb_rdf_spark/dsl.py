@@ -188,6 +188,21 @@ class Traversal:
         cols = [self.g.node_prop(k).alias(k) for k in keys]
         return frontier.select(*cols)
 
+    def value_map(self, *keys: str) -> DataFrame:
+        """One row per element with its property map (TinkerPop
+        ``valueMap()``): the full schemaless ``props`` map, optionally
+        restricted to ``keys``. Includes ``id`` for joinability."""
+        if self.on_edges:
+            e = self.g.edges.withColumnRenamed("id", CUR)
+            src = self.df.join(e, on=CUR, how="inner")
+        else:
+            src = self._frontier_nodes()
+        props = F.col("props")
+        if keys:
+            key_arr = F.array(*[F.lit(k) for k in keys])
+            props = F.map_filter(props, lambda k, _: F.array_contains(key_arr, k))
+        return src.select(F.col(CUR).alias("id"), props.alias("value_map"))
+
     def uri(self) -> DataFrame:
         return self._frontier_nodes().select("uri")
 

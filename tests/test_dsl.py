@@ -170,3 +170,18 @@ def test_graphify_node_ids_unique(graph):
     assert graph.nodes.select("id").distinct().count() == n
     e = graph.edges.count()
     assert graph.edges.select("id").distinct().count() == e
+
+
+def test_value_map(graph):
+    """TinkerPop valueMap(): full or key-restricted property map."""
+    rows = (
+        traversal(graph)
+        .V()
+        .has_label("Region")
+        .value_map("r_name")
+        .collect()
+    )
+    assert len(rows) == 5
+    assert all(set(r["value_map"].keys()) == {"r_name"} for r in rows)
+    full = traversal(graph).V().has_label("Region").value_map().collect()
+    assert all(set(r["value_map"].keys()) == {"r_regionkey", "r_name"} for r in full)
