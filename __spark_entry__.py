@@ -373,6 +373,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
     )
 
+    # -- SPARQL 1.1 property paths (the query surface over the
+    #    reference's closure compute, MicroReasoners.java:20-22) --------
+    q["path_seq_region"] = _sparql_query(
+        """
+        SELECT ?cust ?region WHERE {
+          ?c v:c_name ?cust . ?c e:IN_NATION/e:IN_REGION ?r .
+          ?r v:r_name ?region .
+        } ORDER BY ?cust
+        """
+    )
+    q["path_inverse_alt_members"] = _sparql_query(
+        """
+        SELECT ?nation ?member WHERE {
+          ?n v:n_name ?nation . ?n ^e:IN_NATION ?member .
+        } ORDER BY ?nation ?member
+        """
+    )
+    q["path_plus_reachability"] = _sparql_query(
+        """
+        SELECT ?x ?anc WHERE { ?x (e:IN_NATION|e:IN_REGION)+ ?anc }
+        """
+    )
+    q["path_optional_hop"] = _sparql_query(
+        """
+        SELECT ?n ?x WHERE { ?n v:label "Nation" . ?n e:IN_REGION? ?x }
+        """
+    )
+
     # ==================================================================
     # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
     # ==================================================================
@@ -974,6 +1002,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_name AS name FROM customer
                 WHERE c_mktsegment <> 'BUILDING'
                 ORDER BY name
+            """,
+            "path_seq_region": """
+                SELECT c_name AS cust, r_name AS region FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                ORDER BY cust
+            """,
+            "path_inverse_alt_members": """
+                SELECT n_name AS nation, member FROM (
+                  SELECT n_name, 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS member
+                  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  UNION ALL
+                  SELECT n_name, 'urn:supplier:' || CAST(s_suppkey AS VARCHAR)
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                )
+                ORDER BY nation, member
+            """,
+            "path_plus_reachability": """
+                WITH RECURSIVE base(child, parent) AS (
+                    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+                           'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+                    UNION ALL
+                    SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                           'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+                    UNION ALL
+                    SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                           'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+                ), clo(child, parent) AS (
+                    SELECT child, parent FROM base
+                    UNION
+                    SELECT b.child, c.parent FROM base b JOIN clo c ON b.parent = c.child
+                )
+                SELECT child AS x, parent AS anc FROM clo
+            """,
+            "path_optional_hop": """
+                SELECT u AS n, u AS x
+                FROM (SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS u FROM nation)
+                UNION ALL
+                SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR) AS x
+                FROM nation
             """,
         }
     )

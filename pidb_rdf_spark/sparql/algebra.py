@@ -35,6 +35,53 @@ class Literal:
 Term = Var | IRI | Literal
 
 
+# ---- property paths (SPARQL 1.1 §9) ------------------------------------
+# The reference exposes transitive traversal only through its Cypher
+# variable-length-path inference procs (MicroReasoners.java:20-22);
+# property paths are the standard SPARQL surface for the same compute.
+
+
+@dataclass(frozen=True)
+class PathInverse:
+    """``^p`` — traverse p from object to subject."""
+
+    path: object
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    """``p1/p2/…`` — concatenation through anonymous midpoints."""
+
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """``p1|p2|…`` — union of the alternatives (bag semantics)."""
+
+    alternatives: tuple
+
+
+@dataclass(frozen=True)
+class PathMod:
+    """``p+`` / ``p*`` / ``p?`` — arbitrary-length (set semantics per
+    W3C: distinct node pairs) / optionally-zero-length paths."""
+
+    path: object
+    mod: str  # '+', '*', '?'
+
+
+@dataclass(frozen=True)
+class PathNeg:
+    """``!iri`` / ``!(iri1|iri2)`` — any forward edge whose predicate
+    is none of the listed IRIs."""
+
+    iris: tuple  # tuple[IRI, ...]
+
+
+Path = PathInverse | PathSeq | PathAlt | PathMod | PathNeg
+
+
 # ---- expressions (FILTER / SELECT expressions) -------------------------
 
 
@@ -84,7 +131,7 @@ Expr = Comparison | BoolOp | Not | Arith | FuncCall | ExistsExpr | Var | IRI | L
 @dataclass(frozen=True)
 class TriplePattern:
     s: Term
-    p: Term  # IRI or Var (var predicates supported via p-element route)
+    p: object  # IRI | Var | Path (var predicates via p-element route)
     o: Term
 
 

@@ -224,6 +224,20 @@ class SparqlCompiler:
     # ---- group compilation -------------------------------------------
 
     def _compile_group(self, state: _BGPState, group: A.GroupGraphPattern) -> None:
+        # property-path triples rewrite into plain triples / unions
+        # first (sequence -> anonymous midpoints, alternative -> UNION,
+        # inverse -> swapped endpoints); only +/*/?/! survive to
+        # _pattern_frame as path predicates
+        elements: list = []
+        for e in group.elements:
+            if isinstance(e, A.TriplePattern) and isinstance(
+                e.p, (A.PathInverse, A.PathSeq, A.PathAlt)
+            ):
+                elements.extend(self._expand_path(e.s, e.p, e.o))
+            else:
+                elements.append(e)
+        group = A.GroupGraphPattern(elements)
+
         triples = [e for e in group.elements if isinstance(e, A.TriplePattern)]
         unions = [e for e in group.elements if isinstance(e, A.UnionPattern)]
         subgroups = [e for e in group.elements if isinstance(e, A.GroupGraphPattern)]
@@ -322,6 +336,10 @@ class SparqlCompiler:
         """Lower = more selective. Mirrors the reference's access-path
         ranking: id lookup > indexed-prop seek > label scan > full scan
         (``NoMultiNoMetaNeo4jTrait.java:150-188``)."""
+        if isinstance(pat.p, A.PathMod):
+            return 7  # closure materialization: bind its endpoints last
+        if isinstance(pat.p, A.PathNeg):
+            return 4  # near-full edge scan
         pred = pat.p.value if isinstance(pat.p, A.IRI) else None
         const_obj = not isinstance(pat.o, A.Var)
         if pred and pred.startswith(VALUE_NS):
@@ -382,6 +400,11 @@ class SparqlCompiler:
 
     def _pattern_frame(self, state: _BGPState, pat: A.TriplePattern) -> DataFrame:
         nodes, edges = self.g.nodes, self.g.edges
+        # --- property-path predicates (+ * ? !) ------------------------
+        if isinstance(pat.p, A.PathMod):
+            return self._path_mod_frame(state, pat)
+        if isinstance(pat.p, A.PathNeg):
+            return self._path_neg_frame(state, pat)
         # --- variable predicate: generic (s, p, o) over edges ---------
         if isinstance(pat.p, A.Var):
             s_var, s_restrict = self._subject_var(state, pat.s)
@@ -517,6 +540,136 @@ class SparqlCompiler:
                 return _local_name(iri)
             return iri
         raise TypeError(f"unexpected term {term}")
+
+    # ---- property paths (SPARQL 1.1 §9) --------------------------------
+    #
+    # The reference's only transitive surface is its Cypher
+    # variable-length-path inference procs (MicroReasoners.java:20-22);
+    # property paths are the standard SPARQL front door to the same
+    # semi-naive closure (inference.transitive_closure). Scale note: a
+    # +/* over a data-sized relation materializes its closure per
+    # query — at warehouse scale, pre-materialize the closure table and
+    # query it directly (same tradeoff as the reference, which re-runs
+    # its closure Cypher per call).
+
+    def _expand_path(self, s, path, o) -> list:
+        """Rewrite inverse/sequence/alternative paths into plain algebra
+        (swapped endpoints / anonymous midpoints / UNION). +, *, ?, !
+        stay as path predicates for _pattern_frame."""
+        if isinstance(path, A.PathInverse):
+            return self._expand_path(o, path.path, s)
+        if isinstance(path, A.PathSeq):
+            elems: list = []
+            cur = s
+            for i, part in enumerate(path.parts):
+                nxt = o if i == len(path.parts) - 1 else A.Var(self._fresh())
+                elems.extend(self._expand_path(cur, part, nxt))
+                cur = nxt
+            return elems
+        if isinstance(path, A.PathAlt):
+            return [
+                A.UnionPattern(
+                    [
+                        A.GroupGraphPattern(self._expand_path(s, p, o))
+                        for p in path.alternatives
+                    ]
+                )
+            ]
+        return [A.TriplePattern(s, path, o)]
+
+    def _path_pairs(self, path) -> DataFrame:
+        """Evaluate a path expression to its (``__src``, ``__dst``)
+        node-id pairs — the building block +/*/? closures recurse over."""
+        edges = self.g.edges
+        if isinstance(path, A.IRI):
+            pred = path.value
+            if pred == RDF_TYPE or pred.startswith(VALUE_NS) or pred.startswith(PROP_NS):
+                raise NotImplementedError(
+                    "property-path repetition recurses over edge predicates; "
+                    f"{pred!r} is a value/type property, not a node-to-node step"
+                )
+            return edges.filter(
+                F.col("predicate") == self._predicate_name(pred)
+            ).select(F.col("src").alias("__src"), F.col("dst").alias("__dst"))
+        if isinstance(path, A.PathInverse):
+            p = self._path_pairs(path.path)
+            return p.select(
+                F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+            )
+        if isinstance(path, A.PathAlt):
+            out = self._path_pairs(path.alternatives[0])
+            for alt in path.alternatives[1:]:
+                out = out.unionAll(self._path_pairs(alt))
+            return out
+        if isinstance(path, A.PathSeq):
+            out = self._path_pairs(path.parts[0])
+            for part in path.parts[1:]:
+                nxt = self._path_pairs(part)
+                out = (
+                    out.alias("l")
+                    .join(nxt.alias("r"), F.col("l.__dst") == F.col("r.__src"))
+                    .select(
+                        F.col("l.__src").alias("__src"),
+                        F.col("r.__dst").alias("__dst"),
+                    )
+                )
+            return out
+        if isinstance(path, A.PathMod):
+            return self._mod_pairs(path)
+        if isinstance(path, A.PathNeg):
+            names = [self._predicate_name(i.value) for i in path.iris]
+            return edges.filter(~F.col("predicate").isin(names)).select(
+                F.col("src").alias("__src"), F.col("dst").alias("__dst")
+            )
+        raise TypeError(f"unexpected path {path!r}")
+
+    def _mod_pairs(self, mod: A.PathMod) -> DataFrame:
+        """+ / * / ? over a pairs set. W3C semantics: repetition yields
+        DISTINCT node pairs; zero-length relates every node to itself
+        (our term universe = the nodes table; literal endpoints are out
+        of scope for repetition, as checked in _path_pairs)."""
+        from pidb_rdf_spark.inference import transitive_closure
+
+        pairs = self._path_pairs(mod.path)
+        if mod.mod in ("+", "*"):
+            clo = transitive_closure(
+                pairs.select(
+                    F.col("__src").alias("child"), F.col("__dst").alias("parent")
+                )
+            )
+            pairs = clo.select(
+                F.col("child").alias("__src"), F.col("parent").alias("__dst")
+            )
+        else:
+            pairs = pairs.dropDuplicates()
+        if mod.mod in ("*", "?"):
+            ident = self.g.nodes.select(
+                F.col("id").alias("__src"), F.col("id").alias("__dst")
+            )
+            pairs = pairs.unionAll(ident).dropDuplicates()
+        return pairs
+
+    def _path_endpoints_frame(self, state: _BGPState, pat, pairs: DataFrame) -> DataFrame:
+        s_var, s_restrict = self._subject_var(state, pat.s)
+        if isinstance(pat.o, A.Var):
+            state.note(pat.o.name, "node")
+            o_var, o_restrict = pat.o.name, None
+        else:
+            o_var, o_restrict = self._subject_var(state, pat.o)
+        frame = pairs.select(
+            F.col("__src").alias(s_var), F.col("__dst").alias(o_var)
+        )
+        if s_restrict is not None:
+            frame = frame.join(s_restrict, on=s_var, how="inner")
+        if o_restrict is not None:
+            frame = frame.join(o_restrict, on=o_var, how="inner")
+        return frame
+
+    def _path_mod_frame(self, state: _BGPState, pat: A.TriplePattern) -> DataFrame:
+        return self._path_endpoints_frame(state, pat, self._mod_pairs(pat.p))
+
+    def _path_neg_frame(self, state: _BGPState, pat: A.TriplePattern) -> DataFrame:
+        return self._path_endpoints_frame(state, pat, self._path_pairs(pat.p))
 
     # ---- OPTIONAL / FILTER --------------------------------------------
 

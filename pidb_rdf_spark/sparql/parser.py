@@ -7,7 +7,8 @@ LIMIT/OFFSET — reference ``SparqlToGremlinCompiler.java`` +
 ``WhereTraversalBuilder.java``) extended with the standard pieces the
 reference omits: SUM/AVG/MIN, HAVING, expression projections,
 arithmetic, REGEX/BOUND/STR builtins, predicate-object lists
-(``;`` ``,``) and the ``a`` keyword.
+(``;`` ``,``), the ``a`` keyword, and SPARQL 1.1 property paths
+(``^`` ``/`` ``|`` ``+`` ``*`` ``?`` ``!``).
 
 The fixed ``e:``/``v:``/``p:`` prefix convention is pre-declared, as
 in the reference (``sparql/Prefixes.java:58-60`` prepends the same
@@ -41,7 +42,7 @@ TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z_][A-Za-z0-9_\-.]*|[A-Za-z_][A-Za-z0-9_\-]*:)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.*=<>!+\-/@])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.*=<>!+\-/@|^?])
     """,
     re.VERBOSE,
 )
@@ -335,7 +336,7 @@ class Parser:
     def parse_triples_block(self, group: A.GroupGraphPattern) -> None:
         subj = self.parse_term()
         while True:
-            pred = self.parse_term()
+            pred = self.parse_predicate()
             while True:
                 obj = self.parse_term()
                 group.elements.append(A.TriplePattern(subj, pred, obj))
@@ -347,6 +348,76 @@ class Parser:
             if self.peek().kind == "OP" and self.peek().text in (".", "}"):
                 break
         self.accept("OP", ".")
+
+    # -- property paths (SPARQL 1.1 §9 grammar, predicate position) ------
+    #
+    # Path        := PathSeq ('|' PathSeq)*
+    # PathSeq     := PathEltOrInv ('/' PathEltOrInv)*
+    # PathEltOrInv:= '^' PathElt | PathElt
+    # PathElt     := PathPrimary ('+' | '*' | '?')?
+    # PathPrimary := '(' Path ')' | '!' NegSet | iri | 'a'
+
+    def parse_predicate(self):
+        if self.peek().kind == "VAR":
+            return A.Var(self.next().text[1:])
+        return self.parse_path()
+
+    def parse_path(self):
+        parts = [self.parse_path_seq()]
+        while self.accept("OP", "|"):
+            parts.append(self.parse_path_seq())
+        return parts[0] if len(parts) == 1 else A.PathAlt(tuple(parts))
+
+    def parse_path_seq(self):
+        parts = [self.parse_path_elt_or_inverse()]
+        while self.accept("OP", "/"):
+            parts.append(self.parse_path_elt_or_inverse())
+        return parts[0] if len(parts) == 1 else A.PathSeq(tuple(parts))
+
+    def parse_path_elt_or_inverse(self):
+        if self.accept("OP", "^"):
+            return A.PathInverse(self.parse_path_elt())
+        return self.parse_path_elt()
+
+    def parse_path_elt(self):
+        prim = self.parse_path_primary()
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("+", "*", "?"):
+            self.next()
+            return A.PathMod(prim, t.text)
+        return prim
+
+    def parse_path_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            p = self.parse_path()
+            self.expect("OP", ")")
+            return p
+        if t.kind == "OP" and t.text == "!":
+            self.next()
+            if self.accept("OP", "("):
+                iris = [self.parse_path_iri()]
+                while self.accept("OP", "|"):
+                    iris.append(self.parse_path_iri())
+                self.expect("OP", ")")
+            else:
+                iris = [self.parse_path_iri()]
+            return A.PathNeg(tuple(iris))
+        return self.parse_path_iri()
+
+    def parse_path_iri(self) -> A.IRI:
+        t = self.peek()
+        if t.kind == "IRIREF":
+            self.next()
+            return A.IRI(t.text[1:-1])
+        if t.kind == "PNAME":
+            self.next()
+            return A.IRI(self.resolve_pname(t.text))
+        if t.kind == "KW" and t.text == "A":
+            self.next()
+            return A.IRI(BUILTIN_PREFIXES["rdf"] + "type")
+        raise SyntaxError(f"expected IRI in property path, got {t!r}")
 
     # -- expressions -----------------------------------------------------
 
