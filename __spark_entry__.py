@@ -401,6 +401,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
     )
 
+    # -- SPARQL 1.1 subselect + GROUP_CONCAT (standard extensions) ------
+    q["subselect_nation_order_counts"] = _sparql_query(
+        """
+        SELECT ?nation ?n WHERE {
+          ?nat v:n_name ?nation .
+          { SELECT ?nat (COUNT(?o) AS ?n) WHERE {
+              ?c e:IN_NATION ?nat . ?o e:PLACED_BY ?c .
+            } GROUP BY ?nat }
+        } ORDER BY DESC(?n) ?nation
+        """
+    )
+    q["group_concat_nations"] = _sparql_query(
+        """
+        SELECT ?region (GROUP_CONCAT(DISTINCT ?nation; SEPARATOR=", ") AS ?nations)
+        WHERE {
+          ?n e:IN_REGION ?r . ?r v:r_name ?region . ?n v:n_name ?nation .
+        } GROUP BY ?region ORDER BY ?region
+        """
+    )
+
     # ==================================================================
     # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
     # ==================================================================
@@ -1043,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n,
                        'urn:region:' || CAST(n_regionkey AS VARCHAR) AS x
                 FROM nation
+            """,
+            "subselect_nation_order_counts": """
+                SELECT n_name AS nation, COUNT(*) AS n
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name ORDER BY n DESC, nation
+            """,
+            "group_concat_nations": """
+                SELECT r_name AS region,
+                       string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name ORDER BY region
             """,
         }
     )

@@ -177,10 +177,20 @@ class MinusPattern:
 
 
 @dataclass
+class SubSelect:
+    """``{ SELECT … WHERE {…} … }`` nested inside a group (SPARQL 1.1
+    subqueries) — compiled independently, then natural-joined into the
+    enclosing bindings on its projected variables."""
+
+    query: object  # Query
+
+
+@dataclass
 class GroupGraphPattern:
     elements: list = field(default_factory=list)
     # TriplePattern | Filter | OptionalPattern | UnionPattern |
-    # GroupGraphPattern | BindPattern | ValuesPattern | MinusPattern
+    # GroupGraphPattern | BindPattern | ValuesPattern | MinusPattern |
+    # SubSelect
 
 
 # ---- query -------------------------------------------------------------
@@ -188,9 +198,10 @@ class GroupGraphPattern:
 
 @dataclass(frozen=True)
 class AggExpr:
-    func: str  # COUNT SUM AVG MIN MAX
+    func: str  # COUNT SUM AVG MIN MAX GROUP_CONCAT SAMPLE
     arg: Expr | None  # None => COUNT(*)
     distinct: bool = False
+    sep: str = " "  # GROUP_CONCAT separator (W3C default single space)
 
 
 @dataclass(frozen=True)

@@ -99,6 +99,16 @@ class SparqlCompiler:
     # ------------------------------------------------------------------
     def compile(self, query: str | A.Query) -> DataFrame:
         q = parse_sparql(query) if isinstance(query, str) else query
+        df, _kinds = self._compile_query(q, materialize=True)
+        return df
+
+    def _compile_query(
+        self, q: A.Query, materialize: bool
+    ) -> tuple[DataFrame, dict]:
+        """Compile one SELECT query. ``materialize=False`` (subselects)
+        keeps node variables as join-ready ids and reports each output
+        column's kind so the enclosing scope can keep joining on them;
+        the top level resolves node vars to uris for output."""
         state = _BGPState(self)
         self._compile_group(state, q.where)
         df = state.df
@@ -117,8 +127,9 @@ class SparqlCompiler:
             needed |= self._expr_vars(it.expr)
         for expr, _asc in q.order_by:
             needed |= self._expr_vars(expr)
-        df = self._materialize_uris(state, df, needed)
-        if self.optional_fill is not None:
+        if materialize:
+            df = self._materialize_uris(state, df, needed)
+        if materialize and self.optional_fill is not None:
             # reference fills unmatched OPTIONAL vars with literal
             # "N/A" (SparqlToGremlinCompiler.java:122) — opt-in only
             for v in self._optional_vars:
@@ -157,7 +168,15 @@ class SparqlCompiler:
             df = df.offset(q.offset)
         if q.limit is not None:
             df = df.limit(q.limit)
-        return df
+        kinds = {
+            it.alias: (
+                state.kinds.get(it.expr.name, "value")
+                if isinstance(it.expr, A.Var)
+                else "value"
+            )
+            for it in select_items
+        }
+        return df, kinds
 
     def _collect_aggs(self, expr, found: dict) -> None:
         """Find AggExpr subnodes (aggregates may be nested in arbitrary
@@ -246,6 +265,7 @@ class SparqlCompiler:
         values = [e for e in group.elements if isinstance(e, A.ValuesPattern)]
         binds = [e for e in group.elements if isinstance(e, A.BindPattern)]
         minuses = [e for e in group.elements if isinstance(e, A.MinusPattern)]
+        subselects = [e for e in group.elements if isinstance(e, A.SubSelect)]
 
         # VALUES first: inline data is maximally selective and joins
         # into every subsequent pattern (Catalyst broadcasts it)
@@ -259,6 +279,15 @@ class SparqlCompiler:
 
         for pat in self._order_patterns(triples, state):
             state.merge(self._pattern_frame(state, pat))
+
+        # subselects compile independently (their GROUP BY / LIMIT apply
+        # inside), then natural-join into the enclosing bindings on the
+        # projected vars — node vars stay ids so the join keys line up
+        for ss in subselects:
+            sub_df, sub_kinds = self._compile_query(ss.query, materialize=False)
+            for v, k in sub_kinds.items():
+                state.note(v, k)
+            state.merge(sub_df)
 
         for sub in subgroups:
             sub_state = _BGPState(self)
@@ -825,6 +854,36 @@ class SparqlCompiler:
             return args[0].endswith(args[1])
         if name == "IN":
             return args[0].isin(*[a for a in args[1:]])
+        if name == "COALESCE":
+            return F.coalesce(*args)
+        if name == "IF":
+            return F.when(args[0], args[1]).otherwise(args[2])
+        if name == "CONCAT":
+            return F.concat(*[a.cast("string") for a in args])
+        if name == "SUBSTR":
+            # SPARQL SUBSTR is 1-based like Spark's substring
+            start = args[1].cast("int")
+            if len(args) > 2:
+                return F.substring(args[0], start, args[2].cast("int"))
+            return F.substring(args[0], start, F.lit(2**31 - 1))
+        if name in ("STRBEFORE", "STRAFTER"):
+            # W3C: empty string when the separator does not occur
+            s, sep = args[0].cast("string"), args[1].cast("string")
+            pos = F.instr(s, sep)
+            if name == "STRBEFORE":
+                hit = F.substring(s, F.lit(1), pos - F.lit(1))
+            else:
+                hit = F.substring(s, pos + F.length(sep), F.lit(2**31 - 1))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if name == "REPLACE":
+            return F.regexp_replace(args[0], args[1], args[2])
+        if name == "CEIL":
+            return F.ceil(args[0])
+        if name == "FLOOR":
+            return F.floor(args[0])
+        if name in ("YEAR", "MONTH", "DAY"):
+            ts = args[0].cast("timestamp")
+            return {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[name](ts)
         raise NotImplementedError(f"builtin {name}")
 
     def _align_types(self, le, re_, lc: Column, rc: Column, df: DataFrame):
@@ -853,6 +912,13 @@ class SparqlCompiler:
         col = self._expr_col(agg.arg, df)
         if agg.distinct and agg.func == "SUM":
             return F.sum_distinct(col)
+        if agg.func == "GROUP_CONCAT":
+            # W3C leaves concatenation order undefined; we sort for
+            # deterministic (oracle-comparable) output
+            items = F.collect_set(col) if agg.distinct else F.collect_list(col)
+            return F.array_join(F.sort_array(items), agg.sep)
+        if agg.func == "SAMPLE":
+            return F.first(col, ignorenulls=True)
         return {
             "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max,
         }[agg.func](col)

@@ -56,7 +56,13 @@ KEYWORDS = {
 }
 
 AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
-BUILTIN_FUNCS = {"REGEX", "BOUND", "STR", "LANG", "DATATYPE", "ABS", "ROUND", "CONTAINS", "STRSTARTS", "STRENDS", "UCASE", "LCASE", "STRLEN"}
+NAME_AGG_FUNCS = {"GROUP_CONCAT", "SAMPLE"}  # lex as NAME (not keywords)
+BUILTIN_FUNCS = {
+    "REGEX", "BOUND", "STR", "LANG", "DATATYPE", "ABS", "ROUND", "CONTAINS",
+    "STRSTARTS", "STRENDS", "UCASE", "LCASE", "STRLEN", "COALESCE", "IF",
+    "CONCAT", "SUBSTR", "STRBEFORE", "STRAFTER", "REPLACE", "CEIL", "FLOOR",
+    "YEAR", "MONTH", "DAY",
+}
 
 
 class Token:
@@ -169,6 +175,13 @@ class Parser:
             pn = self.expect("PNAME").text
             iri = self.expect("IRIREF").text[1:-1]
             self.prefixes[pn.rstrip(":")] = iri
+        q = self.parse_select_core()
+        self.expect("EOF")
+        return q
+
+    def parse_select_core(self) -> A.Query:
+        """``SELECT … WHERE {…}`` + solution modifiers — shared between
+        the top-level query and SPARQL 1.1 subselects."""
         self.expect("KW", "SELECT")
         distinct = bool(self.accept("KW", "DISTINCT"))
         self.accept("KW", "REDUCED")
@@ -233,7 +246,6 @@ class Parser:
                 offset = int(self.expect("NUMBER").text)
             else:
                 break
-        self.expect("EOF")
         return A.Query(
             select=select, where=where, distinct=distinct, group_by=group_by,
             having=having, order_by=order_by, limit=limit, offset=offset,
@@ -272,6 +284,13 @@ class Parser:
             elif t.kind == "KW" and t.text == "VALUES":
                 self.next()
                 group.elements.append(self.parse_values())
+            elif (
+                t.kind == "OP" and t.text == "{"
+                and self.peek(1).kind == "KW" and self.peek(1).text == "SELECT"
+            ):
+                self.next()
+                group.elements.append(A.SubSelect(self.parse_select_core()))
+                self.expect("OP", "}")
             elif t.kind == "OP" and t.text == "{":
                 first = self.parse_group()
                 branches = [first]
@@ -502,6 +521,21 @@ class Parser:
                 arg = self.parse_expr()
             self.expect("OP", ")")
             return A.AggExpr(t.text, arg, distinct)
+        if t.kind == "NAME" and t.text.upper() in NAME_AGG_FUNCS:
+            name = self.next().text.upper()
+            self.expect("OP", "(")
+            distinct = bool(self.accept("KW", "DISTINCT"))
+            arg = self.parse_expr()
+            sep = " "
+            if self.accept("OP", ";"):
+                kw = self.expect("NAME")
+                if kw.text.upper() != "SEPARATOR":
+                    raise SyntaxError(f"expected SEPARATOR, got {kw.text!r}")
+                self.expect("OP", "=")
+                s = self.expect("STRING")
+                sep = s.text[1:-1].encode().decode("unicode_escape")
+            self.expect("OP", ")")
+            return A.AggExpr(name, arg, distinct, sep=sep)
         if t.kind == "NAME" and t.text.upper() in BUILTIN_FUNCS:
             name = self.next().text.upper()
             self.expect("OP", "(")

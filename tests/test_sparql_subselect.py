@@ -1,0 +1,143 @@
+"""SPARQL 1.1 subselects, GROUP_CONCAT/SAMPLE aggregates, and the
+extended scalar builtins, cross-checked against DuckDB."""
+
+import duckdb
+import pytest
+
+from pidb_rdf_spark.sparql import parse_sparql, sparql
+from pidb_rdf_spark.sparql import algebra as A
+from tests.conftest import SF_DIR
+
+
+def oracle(sql: str):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_parse_subselect():
+    q = parse_sparql(
+        "SELECT ?x WHERE { ?x v:n_name ?nm . "
+        "{ SELECT ?x (COUNT(?c) AS ?n) WHERE { ?c e:IN_NATION ?x } GROUP BY ?x } }"
+    )
+    subs = [e for e in q.where.elements if isinstance(e, A.SubSelect)]
+    assert len(subs) == 1
+    assert subs[0].query.group_by == ["x"]
+
+
+def test_subselect_joins_on_node_ids(graph):
+    # inner aggregation over node ids; outer joins names on the same ids
+    rows = sparql(
+        graph,
+        """
+        SELECT ?nation ?n WHERE {
+          ?nat v:n_name ?nation .
+          { SELECT ?nat (COUNT(?o) AS ?n) WHERE {
+              ?c e:IN_NATION ?nat . ?o e:PLACED_BY ?c .
+            } GROUP BY ?nat }
+        } ORDER BY DESC(?n) ?nation
+        """,
+    ).collect()
+    exp = oracle(
+        """
+        SELECT n_name, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name
+        """
+    )
+    assert [(r.nation, r.n) for r in rows] == exp
+
+
+def test_subselect_limit_applies_inside(graph):
+    # LIMIT inside the subselect restricts the inner solutions only
+    rows = sparql(
+        graph,
+        """
+        SELECT ?nation WHERE {
+          ?nat v:n_name ?nation .
+          { SELECT ?nat WHERE { ?nat v:label "Nation" } ORDER BY ?nat LIMIT 3 }
+        } ORDER BY ?nation
+        """,
+    ).collect()
+    assert len(rows) == 3
+
+
+def test_group_concat(graph):
+    rows = sparql(
+        graph,
+        """
+        SELECT ?region (GROUP_CONCAT(DISTINCT ?nation; SEPARATOR=", ") AS ?nations)
+        WHERE {
+          ?n e:IN_REGION ?r . ?r v:r_name ?region . ?n v:n_name ?nation .
+        } GROUP BY ?region ORDER BY ?region
+        """,
+    ).collect()
+    exp = oracle(
+        """
+        SELECT r_name, string_agg(DISTINCT n_name, ', ' ORDER BY n_name)
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )
+    assert [(r.region, r.nations) for r in rows] == exp
+
+
+def test_sample_single_valued_group(graph):
+    # SAMPLE picks an arbitrary value; pin it on single-value groups
+    rows = sparql(
+        graph,
+        """
+        SELECT ?nation (SAMPLE(?region) AS ?r) WHERE {
+          ?n v:n_name ?nation . ?n e:IN_REGION/v:r_name ?region .
+        } GROUP BY ?nation ORDER BY ?nation
+        """,
+    ).collect()
+    exp = oracle(
+        """
+        SELECT n_name, r_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey ORDER BY n_name
+        """
+    )
+    assert [(r.nation, r.r) for r in rows] == exp
+
+
+@pytest.mark.parametrize(
+    "expr,sql",
+    [
+        ('STRBEFORE(?x, "_")', "CASE WHEN instr(n_name, '_') > 0 THEN "
+                               "substr(n_name, 1, instr(n_name, '_') - 1) ELSE '' END"),
+        ('STRAFTER(?x, "_")', "CASE WHEN instr(n_name, '_') > 0 THEN "
+                              "substr(n_name, instr(n_name, '_') + 1) ELSE '' END"),
+        ('CONCAT(?x, "!")', "n_name || '!'"),
+        ('SUBSTR(?x, 2, 3)', "substr(n_name, 2, 3)"),
+        ('REPLACE(?x, "[0-9]+", "#")', "regexp_replace(n_name, '[0-9]+', '#', 'g')"),
+        ('IF(STRLEN(?x) > 8, "long", "short")',
+         "CASE WHEN length(n_name) > 8 THEN 'long' ELSE 'short' END"),
+        ('COALESCE(?x, "none")', "coalesce(n_name, 'none')"),
+    ],
+)
+def test_scalar_builtins(graph, expr, sql):
+    rows = sparql(
+        graph,
+        f"SELECT ?x ({expr} AS ?out) WHERE {{ ?n v:n_name ?x }} ORDER BY ?x",
+    ).collect()
+    exp = oracle(f"SELECT n_name, {sql} FROM nation ORDER BY n_name")
+    assert [(r.x, r.out) for r in rows] == exp
+
+
+def test_ceil_floor_year(graph):
+    rows = sparql(
+        graph,
+        "SELECT ?t (CEIL(?t / 1000) AS ?c) (FLOOR(?t / 1000) AS ?f) "
+        "WHERE { ?o v:o_totalprice ?t } ORDER BY ?t LIMIT 20",
+    ).collect()
+    exp = oracle(
+        "SELECT o_totalprice, CAST(ceil(o_totalprice / 1000) AS BIGINT), "
+        "CAST(floor(o_totalprice / 1000) AS BIGINT) "
+        "FROM orders ORDER BY o_totalprice LIMIT 20"
+    )
+    assert [(round(r.t, 2), r.c, r.f) for r in rows] == [
+        (round(t, 2), c, f) for t, c, f in exp
+    ]
