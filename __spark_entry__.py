@@ -421,6 +421,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
     )
 
+    # -- SPARQL 1.1 query forms: ASK / CONSTRUCT ------------------------
+    q["ask_exists"] = _sparql_query(
+        """
+        ASK { ?c v:c_mktsegment "BUILDING" . ?o e:PLACED_BY ?c .
+              ?o v:o_totalprice ?t . FILTER(?t > 100000) }
+        """
+    )
+    q["construct_derived_edges"] = _sparql_query(
+        """
+        CONSTRUCT { ?c e:IN_REGION ?r } WHERE {
+          ?c v:label "Customer" . ?c e:IN_NATION/e:IN_REGION ?r .
+        }
+        """
+    )
+
     # ==================================================================
     # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
     # ==================================================================
@@ -1075,6 +1090,19 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
                 FROM nation JOIN region ON n_regionkey = r_regionkey
                 GROUP BY r_name ORDER BY region
+            """,
+            "ask_exists": """
+                SELECT COUNT(*) > 0 AS ask
+                FROM customer JOIN orders ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000
+            """,
+            "construct_derived_edges": """
+                SELECT DISTINCT
+                       'urn:customer:' || CAST(c_custkey AS VARCHAR) AS subject,
+                       'IN_REGION' AS predicate,
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR) AS object,
+                       FALSE AS is_literal
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
             """,
         }
     )

@@ -47,13 +47,19 @@ def graph_to_triples(
     ns = _ns_dict(graph)
     n = graph.nodes
     has_types = "__prop_types" in n.columns
+    hot = [c for c in n.columns if c not in NODE_CORE and c != "__prop_types"]
 
     # --- props-map literals -------------------------------------------
+    # keys that also exist as typed hot columns are emitted from the
+    # hot branch only — an RDF graph is a SET of triples, and graphify
+    # mirrors every hot column into the props map
     entries = n.select(
         F.col("uri").alias("subject"),
         F.explode(F.col("props")).alias("key", "value"),
         *([F.col("__prop_types")] if has_types else []),
     )
+    if hot:
+        entries = entries.filter(~F.col("key").isin(hot))
     family = (
         F.coalesce(F.col("__prop_types").getItem(F.col("key")), F.lit("string"))
         if has_types
@@ -72,7 +78,6 @@ def graph_to_triples(
     )
 
     # --- typed hot columns (graphified tables) ------------------------
-    hot = [c for c in n.columns if c not in NODE_CORE and c != "__prop_types"]
     hot_frames = []
     for c in hot:
         dt = dict(n.dtypes)[c]
@@ -180,6 +185,16 @@ def describe(
     target = n.filter(F.col("uri") == uri) if uri is not None else n.filter(
         F.col("id") == node_id
     )
+    return describe_nodes(graph, target, exclude_context=exclude_context)
+
+
+def describe_nodes(
+    graph: PropertyGraph, target: DataFrame, exclude_context: bool = False
+) -> DataFrame:
+    """DESCRIBE for a whole set of target nodes (same shape as
+    ``describe`` but set-oriented — the SPARQL DESCRIBE query form and
+    the REST endpoint both land here)."""
+    n = graph.nodes
     target_ids = target.select("id")
     sub = PropertyGraph(
         spark=graph.spark,

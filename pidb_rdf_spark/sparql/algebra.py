@@ -221,3 +221,7 @@ class Query:
     limit: int | None = None
     offset: int | None = None
     prefixes: dict = field(default_factory=dict)
+    # query form (SPARQL 1.1 §16): select | ask | construct | describe
+    form: str = "select"
+    template: list = field(default_factory=list)  # CONSTRUCT triples
+    describe_terms: list = field(default_factory=list)  # IRI | Var

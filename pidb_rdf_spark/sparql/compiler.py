@@ -99,8 +99,114 @@ class SparqlCompiler:
     # ------------------------------------------------------------------
     def compile(self, query: str | A.Query) -> DataFrame:
         q = parse_sparql(query) if isinstance(query, str) else query
+        if q.form == "ask":
+            return self._compile_ask(q)
+        if q.form == "construct":
+            return self._compile_construct(q)
+        if q.form == "describe":
+            return self._compile_describe(q)
         df, _kinds = self._compile_query(q, materialize=True)
         return df
+
+    # ---- non-SELECT query forms (SPARQL 1.1 §16) ----------------------
+
+    def _compile_ask(self, q: A.Query) -> DataFrame:
+        """ASK -> one row, one boolean column ``ask`` (existence of any
+        solution; the aggregate keeps the plan lazy and the probe cheap
+        via the inner LIMIT 1)."""
+        state = _BGPState(self)
+        self._compile_group(state, q.where)
+        if state.df is None:  # empty pattern: matched by the empty solution
+            return self.g.spark.range(1).select(F.lit(True).alias("ask"))
+        return (
+            state.df.select(F.lit(1).alias("__x"))
+            .limit(1)
+            .agg((F.count("__x") > 0).alias("ask"))
+        )
+
+    def _compile_construct(self, q: A.Query) -> DataFrame:
+        """CONSTRUCT -> triples DataFrame (subject, predicate, object,
+        is_literal): one projection of the solution set per template
+        triple, unioned and deduplicated (a graph is a set of triples)."""
+        state = _BGPState(self)
+        self._compile_group(state, q.where)
+        df = state.df
+        if df is None:
+            df = self.g.spark.range(1).select(F.lit(1).alias("__unit"))
+        if q.order_by:
+            df = df.orderBy(*[
+                self._expr_col(e, df).asc() if asc else self._expr_col(e, df).desc()
+                for e, asc in q.order_by
+            ])
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        needed = set()
+        for pat in q.template:
+            needed |= {t.name for t in (pat.s, pat.p, pat.o) if isinstance(t, A.Var)}
+        df = self._materialize_uris(state, df, needed)
+
+        def term_col(term, subject_pos: bool) -> tuple[Column, Column]:
+            """-> (value column, is_literal column)"""
+            if isinstance(term, A.Var):
+                is_lit = state.kinds.get(term.name) == "value"
+                return F.col(term.name).cast("string"), F.lit(is_lit)
+            if isinstance(term, A.IRI):
+                iri = term.value
+                if iri.startswith(EDGE_NS) or iri.startswith(VALUE_NS):
+                    iri = self._predicate_name(iri) if iri.startswith(EDGE_NS) else iri[len(VALUE_NS):]
+                return F.lit(iri), F.lit(False)
+            return F.lit(str(term.value)), F.lit(True)
+
+        frames = []
+        for pat in q.template:
+            s_col, _ = term_col(pat.s, True)
+            p_col, _ = term_col(pat.p, False)
+            o_col, o_lit = term_col(pat.o, False)
+            frames.append(
+                df.select(
+                    s_col.alias("subject"),
+                    p_col.alias("predicate"),
+                    o_col.alias("object"),
+                    o_lit.alias("is_literal"),
+                ).filter(
+                    F.col("subject").isNotNull()
+                    & F.col("predicate").isNotNull()
+                    & F.col("object").isNotNull()
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        return out.dropDuplicates()
+
+    def _compile_describe(self, q: A.Query) -> DataFrame:
+        """DESCRIBE -> each target node's triples + 1-hop context (same
+        sink as the reference's describe endpoints, RDFEndpoint.java:
+        206-291). Targets = listed IRIs plus every binding of listed
+        variables from WHERE."""
+        from pidb_rdf_spark.sources.rdf_writer import describe_nodes
+
+        iris = [t.value for t in q.describe_terms if isinstance(t, A.IRI)]
+        vars_ = [t.name for t in q.describe_terms if isinstance(t, A.Var)]
+        target = self.g.nodes.filter(F.col("uri").isin(iris)) if iris else None
+        if vars_:
+            state = _BGPState(self)
+            self._compile_group(state, q.where)
+            if state.df is not None:
+                df = self._materialize_uris(state, state.df, set(vars_))
+                uris = df.select(
+                    F.explode(F.array(*[F.col(v) for v in vars_])).alias("uri")
+                ).dropDuplicates()
+                var_target = self.g.nodes.join(uris, on="uri", how="leftsemi")
+                target = (
+                    var_target if target is None
+                    else target.unionByName(var_target).dropDuplicates(["id"])
+                )
+        if target is None:
+            target = self.g.nodes.limit(0)
+        return describe_nodes(self.g, target)
 
     def _compile_query(
         self, q: A.Query, materialize: bool

@@ -52,7 +52,7 @@ KEYWORDS = {
     "OPTIONAL", "UNION", "EXISTS", "NOT", "GROUP", "ORDER", "BY", "ASC",
     "DESC", "LIMIT", "OFFSET", "AS", "HAVING", "COUNT", "SUM", "AVG",
     "MIN", "MAX", "TRUE", "FALSE", "A", "IN", "BIND", "VALUES", "MINUS",
-    "UNDEF",
+    "UNDEF", "ASK", "CONSTRUCT", "DESCRIBE",
 }
 
 AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -175,9 +175,74 @@ class Parser:
             pn = self.expect("PNAME").text
             iri = self.expect("IRIREF").text[1:-1]
             self.prefixes[pn.rstrip(":")] = iri
-        q = self.parse_select_core()
+        t = self.peek()
+        if t.kind == "KW" and t.text == "ASK":
+            q = self.parse_ask()
+        elif t.kind == "KW" and t.text == "CONSTRUCT":
+            q = self.parse_construct()
+        elif t.kind == "KW" and t.text == "DESCRIBE":
+            q = self.parse_describe()
+        else:
+            q = self.parse_select_core()
         self.expect("EOF")
         return q
+
+    def parse_ask(self) -> A.Query:
+        self.expect("KW", "ASK")
+        self.accept("KW", "WHERE")
+        where = self.parse_group()
+        return A.Query(select=[], where=where, form="ask",
+                       prefixes=dict(self.prefixes))
+
+    def parse_construct(self) -> A.Query:
+        self.expect("KW", "CONSTRUCT")
+        tmpl_group = self.parse_group()
+        template = [
+            e for e in tmpl_group.elements if isinstance(e, A.TriplePattern)
+        ]
+        if len(template) != len(tmpl_group.elements):
+            raise SyntaxError("CONSTRUCT template must contain only triples")
+        self.accept("KW", "WHERE")
+        where = self.parse_group()
+        limit = offset = None
+        order_by: list[tuple] = []
+        while True:
+            if self.accept("KW", "LIMIT"):
+                limit = int(self.expect("NUMBER").text)
+            elif self.accept("KW", "OFFSET"):
+                offset = int(self.expect("NUMBER").text)
+            elif self.accept("KW", "ORDER"):
+                self.expect("KW", "BY")
+                while self.peek().kind == "VAR":
+                    order_by.append((A.Var(self.next().text[1:]), True))
+            else:
+                break
+        return A.Query(select=[], where=where, form="construct",
+                       template=template, limit=limit, offset=offset,
+                       order_by=order_by, prefixes=dict(self.prefixes))
+
+    def parse_describe(self) -> A.Query:
+        self.expect("KW", "DESCRIBE")
+        terms: list = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                terms.append(A.Var(self.next().text[1:]))
+            elif t.kind == "IRIREF":
+                terms.append(A.IRI(self.next().text[1:-1]))
+            elif t.kind == "PNAME":
+                terms.append(A.IRI(self.resolve_pname(self.next().text)))
+            else:
+                break
+        if not terms:
+            raise SyntaxError("DESCRIBE needs at least one IRI or variable")
+        where = A.GroupGraphPattern()
+        if self.accept("KW", "WHERE") or (
+            self.peek().kind == "OP" and self.peek().text == "{"
+        ):
+            where = self.parse_group()
+        return A.Query(select=[], where=where, form="describe",
+                       describe_terms=terms, prefixes=dict(self.prefixes))
 
     def parse_select_core(self) -> A.Query:
         """``SELECT … WHERE {…}`` + solution modifiers — shared between
