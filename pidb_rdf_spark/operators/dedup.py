@@ -352,13 +352,17 @@ def simhash(
     keep the feature space discriminative on small-vocabulary
     corpora.
 
-    Physical shape: explode features → one shuffle keyed on doc id
-    with ``bits`` SUM aggregates. Map-side partial aggregation
-    compresses each doc to ``bits`` longs before the shuffle, so the
-    network cost is O(docs × bits), independent of doc length — the
-    same shape that makes MinHash signatures scale. (A per-row
-    ``bits``-fold zero-shuffle variant exists but explodes codegen:
-    60 aggregate expressions each re-hashing every feature.)"""
+    Physical shape: explode features → md5 JVM-side → one
+    collect_list shuffle keyed on doc id → one Arrow-batched pandas
+    UDF that computes all ``bits`` vote totals as a single numpy
+    broadcast per batch. An earlier variant ran ``bits`` separate SUM
+    aggregates instead; the generated aggregate class alone took
+    ~10 s of janino compilation before the first row moved — the
+    vectorized form is output-identical and starts immediately."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     toks = tokens(F.col(text_col))
     bigrams = F.array_distinct(
         F.transform(
@@ -371,22 +375,22 @@ def simhash(
     feats = df.select(
         F.col(id_col).alias("id"), F.explode(bigrams).alias("feat")
     ).select("id", _md5_hash(F.col("feat"), bits).alias("h"))
-    votes = feats.groupBy("id").agg(
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                f"v{i}"
-            )
-            for i in range(bits)
-        ]
-    )
-    sig = None
-    for i in range(bits):
-        term = (
-            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        sig = term if sig is None else sig + term
-    return votes.select("id", sig.alias("simhash"))
+    hashes = feats.groupBy("id").agg(F.collect_list("h").alias("hs"))
+
+    shifts = list(range(bits))
+
+    def _sig(hs):
+        sh = np.array(shifts, dtype=np.int64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            H = np.asarray(h, dtype=np.int64)
+            votes = (((H[:, None] >> sh) & 1) * 2 - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.int64) << sh).sum())
+        return pd.Series(out)
+
+    _sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(_sig, "long")
+    return hashes.select("id", sig_udf(F.col("hs")).alias("simhash"))
 
 
 def simhash_pairs(
@@ -475,34 +479,59 @@ def embedding_near_dup_pairs(
     )
 
     if bucketed:
-        v = with_hyperplane_buckets(
-            with_norm(df, id_col, vec_col), vec_col, n_planes, n_tables
-        )
-        l = v.alias("l")
-        r = v.alias("r")
-        cands = (
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        normed = with_norm(df, id_col, vec_col)
+        v = with_hyperplane_buckets(normed, vec_col, n_planes, n_tables)
+        # candidate generation carries ONLY ids through the join +
+        # dedup shuffles (a pair that collides in several tables would
+        # otherwise drag its vectors through the exchange L times)
+        sig = v.select(id_col, "table", "bucket")
+        l = sig.alias("l")
+        r = sig.alias("r")
+        pair_ids = (
             l.join(
                 r,
-                (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-                & (F.col("l.table") == F.col("r.table"))
-                & (F.col("l.bucket") == F.col("r.bucket")),
+                (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
             )
             .select(
-                F.col(f"l.{id_col}").alias("a"),
-                F.col(f"r.{id_col}").alias("b"),
-                F.col(f"l.{vec_col}").alias("__va"),
-                F.col(f"r.{vec_col}").alias("__vb"),
-                (F.col("l.norm") * F.col("r.norm")).alias("__nn"),
+                F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
             )
-            .dropDuplicates(["a", "b"])
+            .dropDuplicates()
         )
-        dot = F.aggregate(
-            F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # vectors rejoin once per surviving pair; cosine is one
+        # Arrow-batched einsum, not a per-element codegen fold
+        va = normed.select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("__va"),
+            F.col("norm").alias("__na"),
         )
+        vb = normed.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("norm").alias("__nb"),
+        )
+        cands = pair_ids.join(va, on="a").join(vb, on="b")
+
+        def _dot_batch(x, y):
+            X = np.array(list(x), dtype=np.float64)
+            Y = np.array(list(y), dtype=np.float64)
+            return pd.Series(np.einsum("ij,ij->i", X, Y))
+
+        _dot_batch.__annotations__ = {
+            "x": pd.Series, "y": pd.Series, "return": pd.Series,
+        }
+        dot_udf = pandas_udf(_dot_batch, "double")
         return (
-            cands.withColumn("cosine", dot / F.col("__nn"))
+            cands.withColumn(
+                "cosine",
+                dot_udf(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+            )
             .filter(F.col("cosine") >= threshold)
             .select("a", "b")
         )
