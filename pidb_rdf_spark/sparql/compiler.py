@@ -383,7 +383,14 @@ class SparqlCompiler:
             )
             state.merge(frame)
 
-        for pat in self._order_patterns(triples, state):
+        # fuse all v:-property patterns sharing a subject into ONE scan
+        # of nodes (filters + multi-column projection) — compiling them
+        # separately would self-join the nodes table once per property
+        # (6 properties = 5 needless shuffles on a Q1-shaped query)
+        value_groups, rest = self._split_value_groups(triples)
+        for pats in value_groups:
+            state.merge(self._fused_value_frame(state, pats))
+        for pat in self._order_patterns(rest, state):
             state.merge(self._pattern_frame(state, pat))
 
         # subselects compile independently (their GROUP BY / LIMIT apply
@@ -464,6 +471,114 @@ class SparqlCompiler:
 
         for flt in filters:
             self._apply_filter(state, flt.expr)
+
+    # ---- value-pattern fusion ------------------------------------------
+
+    def _split_value_groups(self, triples: list) -> tuple[list, list]:
+        """Partition a BGP into fusable per-subject groups of v:/rdf:type
+        patterns (≥2 per subject) and the rest. Per group at most one
+        label-exploding pattern and no repeated object var (those fall
+        back to the join path, which handles them via column equality)."""
+        by_subject: dict = {}
+        rest: list = []
+        order: list = []
+        for pat in triples:
+            pred = pat.p.value if isinstance(pat.p, A.IRI) else None
+            name = None
+            if pred == RDF_TYPE:
+                name = "label"
+            elif pred and pred.startswith(VALUE_NS):
+                name = pred[len(VALUE_NS):]
+            s_key = (
+                ("var", pat.s.name) if isinstance(pat.s, A.Var)
+                else ("const", str(getattr(pat.s, "value", pat.s)))
+            )
+            if name is None or name in ("key", "value"):
+                rest.append(pat)
+                continue
+            if isinstance(pat.o, A.Var) and isinstance(pat.s, A.Var) and pat.o.name == pat.s.name:
+                rest.append(pat)
+                continue
+            if s_key not in by_subject:
+                by_subject[s_key] = {"pats": [], "vars": set(), "explodes": 0}
+                order.append(s_key)
+            g = by_subject[s_key]
+            explode = name in ("label", "labels") and isinstance(pat.o, A.Var)
+            var_clash = isinstance(pat.o, A.Var) and pat.o.name in g["vars"]
+            if (explode and g["explodes"]) or var_clash:
+                rest.append(pat)
+                continue
+            g["pats"].append(pat)
+            g["explodes"] += int(explode)
+            if isinstance(pat.o, A.Var):
+                g["vars"].add(pat.o.name)
+        groups = []
+        for key in order:
+            pats = by_subject[key]["pats"]
+            if len(pats) >= 2:
+                groups.append(pats)
+            else:
+                rest.extend(pats)
+        return groups, rest
+
+    def _fused_value_frame(self, state: _BGPState, pats: list) -> DataFrame:
+        """One nodes scan answering every v:-pattern of one subject:
+        constant objects become filters (pushed to parquet), variable
+        objects become projected columns. Output-identical to joining
+        the per-pattern frames on the subject id."""
+        nodes = self.g.nodes
+        s = pats[0].s
+        if isinstance(s, A.Var):
+            state.note(s.name, "node")
+            s_var = s.name
+            df = nodes
+        else:
+            uri = s.value if isinstance(s, A.IRI) else str(s.value)
+            s_var = self._fresh()
+            df = nodes.filter(F.col("uri") == uri)
+        proj: dict[str, Column] = {}
+        explode_var = None
+        for pat in pats:
+            pred = pat.p.value
+            type_iri = pred == RDF_TYPE
+            name = "label" if type_iri else pred[len(VALUE_NS):]
+            if name in ("label", "labels"):
+                if isinstance(pat.o, A.Var):
+                    state.note(pat.o.name, "value")
+                    explode_var = pat.o.name
+                else:
+                    df = df.filter(
+                        F.array_contains(
+                            F.col("labels"),
+                            str(self._term_value(pat.o, type_iri)),
+                        )
+                    )
+            elif name == "id":
+                if isinstance(pat.o, A.Var):
+                    state.note(pat.o.name, "value")
+                    proj[pat.o.name] = F.col("id")
+                else:
+                    df = df.filter(F.col("id") == F.lit(self._term_value(pat.o)))
+            else:
+                key_col = self.g.node_prop(name)
+                dtype = self._node_prop_dtype(name)
+                if isinstance(pat.o, A.Var):
+                    state.note(pat.o.name, "value")
+                    proj[pat.o.name] = key_col
+                else:
+                    value = self._term_value(pat.o)
+                    cmp_col = key_col
+                    if isinstance(value, (int, float)) and isinstance(dtype, T.StringType):
+                        cmp_col = cmp_col.cast("double")
+                    df = df.filter(cmp_col == F.lit(value))
+        cols = [F.col("id").alias(s_var)]
+        cols += [c.alias(v) for v, c in proj.items()]
+        if explode_var is not None:
+            cols.append(F.explode(F.col("labels")).alias(explode_var))
+        df = df.select(*cols)
+        for v in proj:
+            df = df.filter(F.col(v).isNotNull())
+        return df
 
     # ---- pattern ordering (the BGP selectivity heuristic) -------------
 
