@@ -436,6 +436,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
     )
 
+    # -- iterative graph analytics (the GraphX-style compute of
+    #    SURVEY §7's design stance; loops Catalyst cannot express) ------
+    def connected_components_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.analytics import connected_components
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+        comp = connected_components(cont)
+        uri = g.nodes.select("id", "uri")
+        return (
+            comp.join(uri.withColumnsRenamed({"id": "node", "uri": "node_uri"}), on="node")
+            .join(
+                uri.withColumnsRenamed({"id": "component", "uri": "component_uri"}),
+                on="component",
+            )
+            .select("node_uri", "component_uri")
+        )
+
+    q["connected_components_regions"] = connected_components_regions
+
+    def bfs_hops_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.analytics import shortest_hops
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+        rev = cont.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sources = g.nodes.filter(F.col("uri") == "urn:region:1").select("id")
+        hops = shortest_hops(rev, sources)
+        return (
+            hops.join(
+                g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+                on="node",
+            ).select("node_uri", "hops")
+        )
+
+    q["bfs_hops_containment"] = bfs_hops_containment
+
+    def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pidb_rdf_spark.analytics import near_dup_clusters
+        from pidb_rdf_spark.operators import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_lsh_dedup(docs, threshold=0.8)
+        return near_dup_clusters(pairs, docs.select("doc_id"))
+
+    q["near_dup_doc_clusters"] = near_dup_doc_clusters
+
+    def pagerank_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # rows-only check: float fixpoint values are not hash-stable
+        # across engines; correctness vs a dense reference is pinned in
+        # tests/test_analytics.py
+        from pidb_rdf_spark.analytics import pagerank
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+        return pagerank(cont, n_iter=10)
+
+    q["pagerank_containment"] = pagerank_containment
+
     # ==================================================================
     # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
     # ==================================================================
@@ -1090,6 +1149,54 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
                 FROM nation JOIN region ON n_regionkey = r_regionkey
                 GROUP BY r_name ORDER BY region
+            """,
+            "connected_components_regions": """
+                SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS node_uri,
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR) AS component_uri
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR)
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+                UNION ALL
+                SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR),
+                       'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region
+            """,
+            "bfs_hops_containment": """
+                SELECT 'urn:region:1' AS node_uri, CAST(0 AS BIGINT) AS hops
+                UNION ALL
+                SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 1
+                FROM nation WHERE n_regionkey = 1
+                UNION ALL
+                SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), 2
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_regionkey = 1
+                UNION ALL
+                SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), 2
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_regionkey = 1
+            """,
+            "near_dup_doc_clusters": f"""
+                WITH RECURSIVE pr AS (
+                    SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp
+                ),
+                sym(u, v) AS (
+                    SELECT a, b FROM pr UNION SELECT b, a FROM pr
+                ),
+                reach(u, v) AS (
+                    SELECT u, v FROM sym
+                    UNION
+                    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+                    WHERE s.v <> r.u
+                )
+                SELECT u AS id, LEAST(u, MIN(v)) AS cluster
+                FROM reach GROUP BY u
+                UNION ALL
+                SELECT doc_id, doc_id FROM documents
+                WHERE doc_id NOT IN (SELECT u FROM sym)
             """,
             "ask_exists": """
                 SELECT COUNT(*) > 0 AS ask

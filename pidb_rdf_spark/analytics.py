@@ -1,0 +1,189 @@
+"""Iterative graph analytics: connected components, BFS hop counts,
+PageRank, and near-dup clustering built on them.
+
+The reference's only iterative compute is its ontology closure
+(``semantics/inference/MicroReasoners.java:20-22``, mirrored here by
+``inference.transitive_closure``); these operators extend the same
+driver-side semi-naive loop — the one computation Catalyst cannot
+express in a single plan (SURVEY.md §4) — to the whole-graph
+analytics a 100 TB pipeline needs (duplicate clustering, reachability
+tiers, link-based quality scores).
+
+Scale shape shared by every loop below:
+- each iteration is one equi-join + one aggregation (both shuffle on
+  the node id — a cluster co-partitions them after the first stage);
+- ``localCheckpoint(eager=True)`` per round truncates lineage so the
+  plan does not grow with iteration count;
+- convergence tests run on the frontier / delta only, never the full
+  state;
+- min-label propagation converges in O(diameter) rounds; for
+  pathological diameters the known fix is pointer-doubling
+  (large-star/small-star), deliberately not implemented until a
+  workload needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge view: both directions, self-loops dropped."""
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) over the undirected graph of ``pairs``;
+    component = the minimum node id reachable from the node (a
+    canonical, deterministic representative). Min-label propagation
+    to fixpoint."""
+    edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .select(F.col("node"), F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # each node's new label: min(own, min over neighbors' labels)
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), on="dst", how="inner"
+            )
+            .select(F.col("src").alias("node"), F.col("component"))
+        )
+        new = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.join(labels.withColumnRenamed("component", "old"), on="node")
+            .filter(F.col("component") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new
+        if converged:
+            break
+    return labels
+
+
+def shortest_hops(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, hops) = unweighted BFS distance from the nearest source
+    node. ``sources`` is a one-column DataFrame of node ids. Frontier
+    expansion: each round joins ONLY the newly-settled frontier
+    against the edges (semi-naive), so total work is O(edges reached),
+    not O(edges × diameter)."""
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if directed
+        else _sym(pairs, src, dst)
+    ).localCheckpoint(eager=True)
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).cast("long").alias("hops")
+    ).dropDuplicates(["node"]).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, max_iter + 1):
+        reached = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").select("src"),
+                on="src",
+                how="leftsemi",
+            )
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(dist.select("node"), on="node", how="leftanti")
+            .select("node", F.lit(hop).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            break
+        dist = dist.unionAll(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return dist
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous power iterations with
+    uniform teleport and dangling-mass redistribution; Σrank = 1 every
+    round. Fixed iteration count (not an epsilon test) keeps the
+    result deterministic and the loop bounded."""
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .join(out_deg, on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_rank"))
+        )
+        dangling = (
+            ranks.join(
+                out_deg.withColumnRenamed("src", "node"), on="node", how="leftanti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        ).first()[0]
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """(id, cluster) from near-duplicate pairs: connected components
+    over the pair graph, so transitively-linked duplicates land in one
+    cluster with the minimum member id as its deterministic canonical.
+    With ``all_ids`` (one id column), unpaired ids come back as
+    singleton clusters — the standard keep-one-per-cluster dedup
+    output is then ``filter(id == cluster)``."""
+    comp = connected_components(pairs, src=a, dst=b).withColumnRenamed(
+        "node", "id"
+    ).withColumnRenamed("component", "cluster")
+    if all_ids is None:
+        return comp
+    ids = all_ids.select(F.col(all_ids.columns[0]).alias("id")).dropDuplicates()
+    singles = ids.join(comp.select("id"), on="id", how="leftanti").select(
+        "id", F.col("id").alias("cluster")
+    )
+    return comp.unionAll(singles)

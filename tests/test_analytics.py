@@ -1,0 +1,108 @@
+"""Iterative graph analytics vs independent Python references
+(union-find, BFS, dense power iteration) and the graphified testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.analytics import (
+    connected_components,
+    near_dup_clusters,
+    pagerank,
+    shortest_hops,
+)
+
+EDGES = [
+    (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21),
+    (5, 1), (12, 10),  # cycle + extra link into component A / B
+]
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    pairs = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = dict(map(tuple, connected_components(pairs).collect()))
+    assert got == _union_find(EDGES)
+
+
+def test_components_deterministic_canonical_is_min(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (9, 7)], ["src", "dst"])
+    got = dict(map(tuple, connected_components(pairs).collect()))
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_shortest_hops_directed_and_undirected(spark):
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    s = spark.createDataFrame([(1,)], ["id"])
+    directed = dict(map(tuple, shortest_hops(e, s).collect()))
+    assert directed == {1: 0, 2: 1, 3: 2, 4: 3}
+    undirected = dict(map(tuple, shortest_hops(e, s, directed=False).collect()))
+    assert undirected == {1: 0, 2: 1, 5: 1, 3: 2, 4: 3}
+
+
+def test_shortest_hops_multi_source_takes_nearest(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (9, 3)], ["src", "dst"])
+    s = spark.createDataFrame([(1,), (9,)], ["id"])
+    got = dict(map(tuple, shortest_hops(e, s).collect()))
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1}
+
+
+def test_pagerank_vs_dense_reference(spark):
+    import numpy as np
+
+    e = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    nodes = sorted({x for p in e for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    M = np.zeros((n, n))
+    for a, b in e:
+        M[idx[b], idx[a]] += 1
+    out = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for j in range(n):
+            if out[j]:
+                contrib += d * (M[:, j] / out[j]) * r[j]
+            else:
+                dangling += r[j]
+        r = (1 - d) / n + d * dangling / n + contrib
+    got = dict(map(tuple, pagerank(spark.createDataFrame(e, ["src", "dst"])).collect()))
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_components_on_containment_edges(graph):
+    """Each region's containment tree is one component whose canonical
+    is the region node (region ids occupy the lowest id band)."""
+    cont = graph.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+    comp = connected_components(cont)
+    by_comp = comp.groupBy("component").count().collect()
+    assert len(by_comp) == 5  # one per region
+    regions = {r.id for r in graph.find_nodes("Region").select("id").collect()}
+    assert {r.component for r in by_comp} == regions
+
+
+def test_near_dup_clusters_transitivity(spark):
+    # a~b and b~c (a!~c directly) must share a cluster
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["doc_id"])
+    got = dict(map(tuple, near_dup_clusters(pairs, ids).collect()))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
