@@ -712,6 +712,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join_events"] = asof_join_events
 
+    def stream_dedup_events(spark, sf_dir):
+        # batch mode of the stream/batch-identical dedup operator
+        # (streaming path = dropDuplicatesWithinWatermark, verified
+        # stream-equals-batch in tests/test_streaming.py)
+        from pidb_rdf_spark.streaming import dedup_stream
+
+        ev = _events(spark, sf_dir)
+        doubled = ev.unionAll(ev)  # simulated at-least-once redelivery
+        return dedup_stream(doubled, ["event_id"]).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+
+    q["stream_dedup_events"] = stream_dedup_events
+
     return q
 
 
@@ -932,6 +949,11 @@ def _scale_extension_oracles() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "stream_dedup_events": f"""
+            SELECT event_id, user_id, event_type,
+                   strftime(ts, '{tfmt}') AS ts_s
+            FROM events
         """,
     }
 

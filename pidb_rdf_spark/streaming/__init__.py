@@ -1,5 +1,6 @@
 from pidb_rdf_spark.streaming.events import (
     asof_join,
+    dedup_stream,
     sessionize,
     windowed_event_counts,
 )
@@ -7,6 +8,7 @@ from pidb_rdf_spark.streaming.rdf_stream import stream_import_triples
 
 __all__ = [
     "asof_join",
+    "dedup_stream",
     "sessionize",
     "windowed_event_counts",
     "stream_import_triples",

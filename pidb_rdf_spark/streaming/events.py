@@ -167,3 +167,29 @@ def asof_join(
         *[F.col(f"_match.{c}").alias(f"matched_{c}") for c in right_value_cols],
     )
     return out
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-one-row-per-key dedup that runs in batch and streaming
+    with the same call.
+
+    Batch: plain ``dropDuplicates`` (one hash shuffle on the key).
+    Streaming: ``withWatermark`` + ``dropDuplicatesWithinWatermark``,
+    which keeps per-key state only for the watermark horizon — the
+    unbounded-state trap of plain streaming ``dropDuplicates`` is the
+    reason this helper exists. Duplicates arriving within the horizon
+    are suppressed; a key re-appearing later is emitted again (that is
+    the documented engine semantics, and the right contract for
+    at-least-once ingestion pipelines where re-deliveries cluster
+    near the original event).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)

@@ -156,3 +156,34 @@ def test_stream_import_triples(spark, tmp_path):
     assert edges.count() == 1
     a = nodes.filter(F.col("uri") == "http://ex.org/a").first()
     assert a["props"]["ns0__name"] == "Alice"
+
+
+def test_dedup_stream_batch_mode(spark, events):
+    from pidb_rdf_spark.streaming import dedup_stream
+
+    doubled = events.unionAll(events)
+    out = dedup_stream(doubled, ["event_id"])
+    assert out.count() == events.count()
+
+
+def test_dedup_stream_equals_batch(spark, events, tmp_path):
+    """Doubled input through the streaming engine (watermarked
+    dropDuplicatesWithinWatermark) must match batch dropDuplicates."""
+    from pidb_rdf_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dup_src")
+    events.limit(500).unionAll(events.limit(500)).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()}
+    expected = {r["event_id"] for r in events.limit(500).collect()}
+    assert got == expected
