@@ -641,6 +641,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = doc_fingerprint
 
+    def repetition_signals_docs(spark, sf_dir):
+        from pidb_rdf_spark.operators import repetition_signals
+
+        return repetition_signals(_docs(spark, sf_dir)).select(
+            "doc_id", "n_lines", "n_distinct_lines", "dup_line_frac",
+            "top_bigram_count", "top_bigram_frac", "dup_token_frac",
+        )
+
+    q["repetition_signals_docs"] = repetition_signals_docs
+
     # -- multimodal plumbing (stubbed decode, real Arrow path) ---------
     def media_features(spark, sf_dir):
         from pidb_rdf_spark.operators import attach_media, decode_media
@@ -954,6 +964,39 @@ def _scale_extension_oracles() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    strftime(ts, '{tfmt}') AS ts_s
             FROM events
+        """,
+        "repetition_signals_docs": f"""
+            WITH base AS (
+                SELECT doc_id, text, {_TOKS} AS t,
+                       list_filter(str_split(text, chr(10)), x -> len(x) > 0) AS ls
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, t, ls,
+                       CASE WHEN len(t) = 0 THEN ['']
+                            WHEN len(t) = 1 THEN t
+                            ELSE list_transform(range(1, len(t)),
+                                                i -> t[i] || '_' || t[i+1])
+                       END AS bgs
+                FROM base
+            ),
+            top AS (
+                SELECT doc_id, MAX(c) AS top_cnt FROM (
+                    SELECT doc_id, b, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+                    GROUP BY doc_id, b
+                ) GROUP BY doc_id
+            )
+            SELECT bg.doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines,
+                   1.0 - len(list_distinct(ls)) / CAST(greatest(len(ls), 1) AS DOUBLE)
+                       AS dup_line_frac,
+                   CAST(top_cnt AS BIGINT) AS top_bigram_count,
+                   top_cnt / CAST(greatest(len(bgs), 1) AS DOUBLE) AS top_bigram_frac,
+                   1.0 - len(list_distinct(t)) / CAST(greatest(len(t), 1) AS DOUBLE)
+                       AS dup_token_frac
+            FROM bg JOIN top ON bg.doc_id = top.doc_id
         """,
     }
 

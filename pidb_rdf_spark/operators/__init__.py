@@ -11,6 +11,7 @@ from pidb_rdf_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    repetition_signals,
     token_count,
 )
 from pidb_rdf_spark.operators.window import topk_per_group
@@ -31,5 +32,6 @@ __all__ = [
     "fingerprint",
     "language_id",
     "quality_score",
+    "repetition_signals",
     "token_count",
 ]

@@ -140,3 +140,68 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: (acc * 31 + x) % FNV_MOD,
     )
     return df.withColumn("fingerprint", fp)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition metrics — the standard filters for
+    boilerplate and degenerate (looping) generations in web-scale
+    training corpora:
+
+    - ``n_lines`` / ``n_distinct_lines``: duplicate-line evidence
+      (navigation chrome, repeated footers);
+    - ``dup_line_frac``: 1 - distinct/total lines;
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram over all bigram slots (loop detection);
+    - ``dup_token_frac``: 1 - distinct/total tokens.
+
+    Same scale rules as the rest of the module: narrow built-in
+    projections only, zero shuffle, integer sub-metrics so every
+    derived fraction is bit-reproducible against a SQL oracle.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws("_", F.get(toks, i), F.get(toks, i + 1)),
+    )
+    # most-frequent-bigram count via a per-row fold: sort the bigram
+    # array, then the longest run of equal neighbors is the max count
+    sorted_bg = F.sort_array(bigrams)
+    run = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_lines = F.size(lines).cast("long")
+    n_dlines = F.size(F.array_distinct(lines)).cast("long")
+    n_toks = F.size(toks).cast("long")
+    n_dtoks = F.size(F.array_distinct(toks)).cast("long")
+    n_bigrams = F.size(bigrams).cast("long")
+    return df.withColumns(
+        {
+            "n_lines": n_lines,
+            "n_distinct_lines": n_dlines,
+            "dup_line_frac": F.lit(1.0)
+            - n_dlines / F.greatest(n_lines, F.lit(1)).cast("double"),
+            "top_bigram_count": run,
+            "top_bigram_frac": run / F.greatest(n_bigrams, F.lit(1)).cast("double"),
+            "dup_token_frac": F.lit(1.0)
+            - n_dtoks / F.greatest(n_toks, F.lit(1)).cast("double"),
+        }
+    )

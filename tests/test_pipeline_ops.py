@@ -294,3 +294,24 @@ def test_embedding_lsh_bucketed_recall(emb):
     assert lsh <= exact  # precision 1 (exact verification)
     # E[recall] ≈ 1-(1-p^4)^16 ≈ 0.95 for pairs at the 0.45 threshold
     assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
+
+
+def test_repetition_signals(spark):
+    from pidb_rdf_spark.operators import repetition_signals
+
+    rows = [
+        (1, "a b a b a b a b"),
+        (2, "one two three four five"),
+        (3, "x y\nx y\nz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1: bigrams a_b x4, b_a x3 over 7 slots
+    assert got[1]["top_bigram_count"] == 4
+    assert got[1]["top_bigram_frac"] == pytest.approx(4 / 7)
+    assert got[1]["dup_token_frac"] == pytest.approx(1 - 2 / 8)
+    # doc 2: clean text, everything distinct
+    assert got[2]["top_bigram_count"] == 1 and got[2]["dup_line_frac"] == 0.0
+    # doc 3: "x y" line duplicated -> 1 - 2/3
+    assert got[3]["n_lines"] == 3 and got[3]["n_distinct_lines"] == 2
+    assert got[3]["dup_line_frac"] == pytest.approx(1 / 3)
