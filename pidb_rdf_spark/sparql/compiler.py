@@ -251,7 +251,12 @@ class SparqlCompiler:
             exprs = []
             for it in select_items:
                 if isinstance(it.expr, A.Var) and it.expr.name == it.alias:
-                    exprs.append(F.col(it.alias))
+                    # W3C: projecting a variable no pattern binds is
+                    # legal — it is simply unbound in every solution
+                    if it.alias in df.columns:
+                        exprs.append(F.col(it.alias))
+                    else:
+                        exprs.append(F.lit(None).cast("string").alias(it.alias))
                 else:
                     exprs.append(self._expr_col(it.expr, df).alias(it.alias))
             df = df.select(*exprs) if exprs else df

@@ -210,3 +210,25 @@ def test_save_partitioned_by_predicate(small_graph, tmp_path):
     assert parts == {"predicate=KNOWS", "predicate=LIVES_IN"}
     g2 = load_graph(small_graph.spark, str(tmp_path / "g"))
     assert g2.edges.count() == 2
+
+
+def test_save_partitioned_edges_prunes_scan(spark, tmp_path):
+    """partition_edges_by='predicate' is the at-scale layout: a
+    predicate-filtered traversal must become a partition-pruned scan
+    (the analog of the reference's edge-type index)."""
+    from pyspark.sql import functions as F
+
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.mutation import load_graph, save_graph
+
+    g = graphify(spark, "/root/testdata/sf0.001", with_lineitem_nodes=False)
+    save_graph(g, str(tmp_path / "pg"), partition_edges_by="predicate")
+    g2 = load_graph(spark, str(tmp_path / "pg"))
+    out = g2.edges.filter(F.col("predicate") == "IN_NATION")
+    assert out.count() == g.edges.filter(F.col("predicate") == "IN_NATION").count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the predicate filter lands in PartitionFilters, not a post-scan filter
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "predicate" in pf.group(1)

@@ -400,3 +400,13 @@ def test_filter_inside_optional(graph):
     assert all(r["t"] > 400000 for r in bound)
     unbound = [r for r in rows if r["t"] is None]
     assert len(unbound) > 0  # customers with no qualifying order kept
+
+
+def test_projecting_unbound_var_yields_null(graph):
+    # W3C: projecting a variable no pattern binds is legal — the
+    # binding is simply absent (NULL), not an analysis error
+    from pyspark.sql import functions as F
+
+    df = sparql(graph, "SELECT ?name ?never WHERE { ?c v:c_name ?name } LIMIT 5")
+    assert df.columns == ["name", "never"]
+    assert df.filter(F.col("never").isNotNull()).count() == 0
