@@ -129,7 +129,10 @@ def ngram_jaccard_pairs(
     length-ratio prune (min/max ≥ t, implied by J ≥ t) further cuts
     candidates before verification."""
     t = float(threshold)
-    sh = char_shingles(df, id_col, text_col, k)
+    # materialize the shingle table once: four consumers read it
+    # (frequency ranks, doc sizes, the prefix join, verification) and
+    # would otherwise each re-run the 10M-substring explode
+    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
     ranked = (
@@ -190,7 +193,7 @@ def verify_pairs_jaccard(
     sets = shingles.groupBy("id").agg(
         F.collect_list(F.xxhash64("shingle")).alias("arr"),
         F.count("*").cast("long").alias("n_sh"),
-    )
+    ).localCheckpoint(eager=True)  # read twice (a-side and b-side joins)
     return (
         candidates.join(
             sets.select(
