@@ -651,6 +651,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_signals_docs"] = repetition_signals_docs
 
+    def media_header_probe(spark, sf_dir):
+        # end-to-end check of the REAL header prober: synthesize
+        # PNG/WAV/raw blobs deterministically from doc_id, parse them
+        # back; the oracle recomputes the expected metadata from
+        # doc_id without touching bytes
+        import struct
+
+        import pandas as pd
+
+        from pidb_rdf_spark.operators import probe_media_headers
+
+        docs = _docs(spark, sf_dir).select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                out = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    if did % 3 == 0:
+                        w, h = 100 + did % 500, 50 + did % 300
+                        blob = (
+                            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+                        )
+                    elif did % 3 == 1:
+                        ch, sr = 1 + did % 2, 8000 + (did % 5) * 1000
+                        blob = (
+                            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                            + b"fmt " + struct.pack("<I", 16)
+                            + struct.pack("<HH", 1, ch)
+                            + struct.pack("<I", sr) + b"\x00" * 8
+                        )
+                    else:
+                        blob = b"opaque payload %d" % did
+                    out.append((did, blob))
+                yield pd.DataFrame({"media_id": [o[0] for o in out],
+                                    "content": [o[1] for o in out]})
+
+        media = docs.mapInPandas(synth, "media_id long, content binary")
+        return probe_media_headers(media).select(
+            "media_id",
+            "format",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+        )
+
+    q["media_header_probe"] = media_header_probe
+
     # -- multimodal plumbing (stubbed decode, real Arrow path) ---------
     def media_features(spark, sf_dir):
         from pidb_rdf_spark.operators import attach_media, decode_media
@@ -964,6 +1014,21 @@ def _scale_extension_oracles() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    strftime(ts, '{tfmt}') AS ts_s
             FROM events
+        """,
+        "media_header_probe": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        ELSE 'unknown' END AS format,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(100 + doc_id % 500 AS BIGINT) END AS width,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(50 + doc_id % 300 AS BIGINT) END AS height,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(8000 + (doc_id % 5) * 1000 AS BIGINT)
+                        END AS sample_rate
+            FROM documents
         """,
         "repetition_signals_docs": f"""
             WITH base AS (

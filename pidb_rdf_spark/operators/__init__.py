@@ -5,7 +5,12 @@ from pidb_rdf_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from pidb_rdf_spark.operators.multimodal import attach_media, decode_media, sample_frames
+from pidb_rdf_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    probe_media_headers,
+    sample_frames,
+)
 from pidb_rdf_spark.operators.similarity import cosine_topk, ivf_search, kmeans_centroids
 from pidb_rdf_spark.operators.text import (
     fingerprint,
@@ -28,6 +33,7 @@ __all__ = [
     "kmeans_centroids",
     "attach_media",
     "decode_media",
+    "probe_media_headers",
     "sample_frames",
     "fingerprint",
     "language_id",

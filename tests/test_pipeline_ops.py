@@ -315,3 +315,33 @@ def test_repetition_signals(spark):
     # doc 3: "x y" line duplicated -> 1 - 2/3
     assert got[3]["n_lines"] == 3 and got[3]["n_distinct_lines"] == 2
     assert got[3]["dup_line_frac"] == pytest.approx(1 / 3)
+
+
+def test_probe_media_headers(spark):
+    """Real container-header parsing on hand-crafted minimal files."""
+    import struct
+
+    from pidb_rdf_spark.operators import probe_media_headers
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 3)
+    # JPEG: SOI, APP0 stub, SOF0 (height=99, width=77, 3 channels)
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+            + struct.pack(">HH", 99, 77) + b"\x03")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + struct.pack("<HH", 1, 2)
+           + struct.pack("<I", 44100) + b"\x00" * 8)
+    rows = [(1, png), (2, jpeg), (3, gif), (4, wav), (5, b"plain text")]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    got = {r["media_id"]: r for r in probe_media_headers(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"], got[2]["channels"]) == (
+        "jpeg", 77, 99, 3,
+    )
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("gif", 320, 200)
+    assert (got[4]["format"], got[4]["channels"], got[4]["sample_rate"]) == (
+        "wav", 2, 44100,
+    )
+    assert got[5]["format"] == "unknown" and got[5]["width"] is None
