@@ -109,13 +109,90 @@ class PropertyGraph:
 
     # ---- property access ----------------------------------------------
 
+    def prop_type_families(self) -> dict:
+        """{prop key -> 'long'|'double'|'boolean'|'string'} for
+        props-map properties, from the ``__prop_types`` sidecar the RDF
+        importer writes (F5 typing). Collected once per graph (the
+        distinct key set is ontology-sized, not data-sized) and cached;
+        a key observed with conflicting families degrades to string."""
+        cached = self.__dict__.get("_prop_families")
+        if cached is None:
+            cached = {}
+            if "__prop_types" in self.nodes.columns:
+                rows = (
+                    self.nodes.select(
+                        F.explode(F.col("__prop_types")).alias("key", "family")
+                    )
+                    .groupBy("key")
+                    .agg(F.collect_set("family").alias("fams"))
+                    .collect()
+                )
+                cached = {
+                    r["key"]: (r["fams"][0] if len(r["fams"]) == 1 else "string")
+                    for r in rows
+                }
+            self.__dict__["_prop_families"] = cached
+        return cached
+
+    def node_prop_keys(self) -> set:
+        """All property names: typed hot columns + props-map keys
+        (collected once, cached)."""
+        cached = self.__dict__.get("_prop_keys")
+        if cached is None:
+            hot = {c for c in self.nodes.columns if c not in ("id", "uri", "labels", "props", "__prop_types")}
+            if "__prop_types" in self.nodes.columns:
+                map_keys = set(self.prop_type_families())
+            else:
+                map_keys = {
+                    r["k"]
+                    for r in self.nodes.select(
+                        F.explode(F.map_keys(F.col("props"))).alias("k")
+                    ).dropDuplicates().collect()
+                }
+            cached = hot | map_keys
+            self.__dict__["_prop_keys"] = cached
+        return cached
+
+    def edge_predicate_names(self) -> set:
+        """Distinct edge predicates (collected once, cached) — the
+        analog of the reference's relationship-type inventory."""
+        cached = self.__dict__.get("_edge_preds")
+        if cached is None:
+            cached = {
+                r["predicate"]
+                for r in self.edges.select("predicate").dropDuplicates().collect()
+            }
+            self.__dict__["_edge_preds"] = cached
+        return cached
+
     def node_prop(self, name: str) -> Column:
         """Property column: typed hot column if present, else the
         schemaless ``props`` map (reference property reads,
-        ``Neo4jEntityImpl.java:45-58``)."""
+        ``Neo4jEntityImpl.java:45-58``), cast to its imported XSD
+        family (F5) so numeric/boolean literals stay typed through
+        projection and comparison."""
         if name in self.nodes.columns:
             return F.col(name)
-        return F.col("props").getItem(name)
+        base = F.col("props").getItem(name)
+        family = self.prop_type_families().get(name)
+        if family == "long":
+            return base.cast("long")
+        if family == "double":
+            return base.cast("double")
+        if family == "boolean":
+            return base.cast("boolean")
+        return base
+
+    def node_prop_dtype(self, name: str):
+        from pyspark.sql import types as T
+
+        if name in self.nodes.columns:
+            return self.nodes.schema[name].dataType
+        return {
+            "long": T.LongType(),
+            "double": T.DoubleType(),
+            "boolean": T.BooleanType(),
+        }.get(self.prop_type_families().get(name), T.StringType())
 
     def has_node_prop(self, name: str) -> bool:
         return name in self.nodes.columns or "props" in self.nodes.columns

@@ -289,6 +289,38 @@ class SparqlCompiler:
         }
         return df, kinds
 
+    def _substitute_vars(self, expr, mapping: dict):
+        """Replace Var nodes whose name is in ``mapping`` with the
+        mapped expression (used for SELECT-alias references in
+        HAVING/ORDER BY)."""
+        if isinstance(expr, A.Var):
+            return mapping.get(expr.name, expr)
+        if isinstance(expr, A.Comparison):
+            return A.Comparison(
+                expr.op,
+                self._substitute_vars(expr.lhs, mapping),
+                self._substitute_vars(expr.rhs, mapping),
+            )
+        if isinstance(expr, A.Arith):
+            return A.Arith(
+                expr.op,
+                self._substitute_vars(expr.lhs, mapping),
+                self._substitute_vars(expr.rhs, mapping),
+            )
+        if isinstance(expr, A.BoolOp):
+            return A.BoolOp(
+                expr.op,
+                tuple(self._substitute_vars(o, mapping) for o in expr.operands),
+            )
+        if isinstance(expr, A.Not):
+            return A.Not(self._substitute_vars(expr.operand, mapping))
+        if isinstance(expr, A.FuncCall):
+            return A.FuncCall(
+                expr.name,
+                tuple(self._substitute_vars(a, mapping) for a in expr.args),
+            )
+        return expr
+
     def _collect_aggs(self, expr, found: dict) -> None:
         """Find AggExpr subnodes (aggregates may be nested in arbitrary
         expressions, e.g. ROUND(SUM(?x), 2))."""
@@ -315,8 +347,19 @@ class SparqlCompiler:
         agg_map: dict = {}
         for it in select_items:
             self._collect_aggs(it.expr, agg_map)
-        if q.having is not None:
-            self._collect_aggs(q.having, agg_map)
+        having = q.having
+        if having is not None:
+            # HAVING(?k > 1) where ?k aliases an aggregate: substitute
+            # the aggregate expression for the alias (Jena-compatible
+            # convenience on top of the spec's HAVING(COUNT(...) > 1))
+            alias_map = {
+                it.alias: it.expr
+                for it in select_items
+                if isinstance(it.expr, A.AggExpr)
+            }
+            if alias_map:
+                having = self._substitute_vars(having, alias_map)
+            self._collect_aggs(having, agg_map)
         for expr, _asc in q.order_by:
             self._collect_aggs(expr, agg_map)
         self._active_agg_map = agg_map
@@ -332,8 +375,8 @@ class SparqlCompiler:
             df = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
             return df
         df = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
-        if q.having is not None:
-            df = df.filter(self._expr_col(q.having, df, agg_map))
+        if having is not None:
+            df = df.filter(self._expr_col(having, df, agg_map))
         out = []
         for it in select_items:
             if isinstance(it.expr, A.Var) and it.expr.name == it.alias:
@@ -701,8 +744,20 @@ class SparqlCompiler:
         if pred == RDF_TYPE:
             return self._value_pattern(state, pat, "label", type_iri_object=True)
 
-        # --- edge pattern ----------------------------------------------
+        # --- full-IRI predicate routing --------------------------------
+        # the v:/e: prefixes make property-vs-edge explicit; a full IRI
+        # (standard SPARQL) is routed by the graph's own inventories:
+        # datatype properties live in the props map / hot columns,
+        # object properties in the edge table (both collected once per
+        # graph and cached)
         pred_name = self._predicate_name(pred)
+        if (
+            pred_name in self.g.node_prop_keys()
+            and pred_name not in self.g.edge_predicate_names()
+        ):
+            return self._value_pattern(state, pat, pred_name)
+
+        # --- edge pattern ----------------------------------------------
         s_var, s_restrict = self._subject_var(state, pat.s)
         frame = edges.filter(F.col("predicate") == pred_name)
         if isinstance(pat.o, A.Var):
@@ -1170,9 +1225,7 @@ class SparqlCompiler:
         return df
 
     def _node_prop_dtype(self, name: str):
-        if name in self.g.nodes.columns:
-            return self.g.nodes.schema[name].dataType
-        return T.StringType()
+        return self.g.node_prop_dtype(name)
 
     def _predicate_name(self, iri: str) -> str:
         """Edge-predicate name for an IRI: e:NAME passes through; full

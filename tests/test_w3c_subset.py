@@ -1,0 +1,201 @@
+"""W3C SPARQL 1.1 semantics micro-suite (SURVEY §5.3): spec-shaped
+queries over an *imported RDF* graph (not the graphified TPC-H data),
+with hand-computed expected solutions. Exercises the full
+import -> property-graph -> SPARQL pipeline end-to-end, including bag
+semantics, OPTIONAL/BOUND, MINUS-vs-NOT-EXISTS divergence, property
+paths, and subselects."""
+
+import pytest
+
+from pidb_rdf_spark.sparql import sparql
+
+EX = "http://example.org/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+NT = "\n".join(
+    [
+        f'<{EX}alice> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{FOAF}Person> .',
+        f'<{EX}alice> <{FOAF}name> "Alice" .',
+        f'<{EX}alice> <{FOAF}age> "30"^^<{XSD_INT}> .',
+        f'<{EX}alice> <{FOAF}knows> <{EX}bob> .',
+        f'<{EX}alice> <{FOAF}knows> <{EX}carol> .',
+        f'<{EX}bob> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{FOAF}Person> .',
+        f'<{EX}bob> <{FOAF}name> "Bob" .',
+        f'<{EX}bob> <{FOAF}age> "25"^^<{XSD_INT}> .',
+        f'<{EX}bob> <{FOAF}knows> <{EX}carol> .',
+        f'<{EX}carol> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{FOAF}Person> .',
+        f'<{EX}carol> <{FOAF}name> "Carol" .',
+        f'<{EX}carol> <{FOAF}age> "35"^^<{XSD_INT}> .',
+        f'<{EX}dave> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{FOAF}Person> .',
+        f'<{EX}dave> <{FOAF}name> "Dave" .',
+        f'<{EX}dave> <{FOAF}knows> <{EX}alice> .',
+        f'<{EX}eve> <{FOAF}name> "Eve" .',
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def fg(spark):
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_reader import parse_rdf_snippet
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t, namespaces={FOAF: "foaf"})
+    g.nodes = g.nodes.cache()
+    g.edges = g.edges.cache()
+    return g
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_bgp_label_scan(fg):
+    df = sparql(fg, 'SELECT ?n WHERE { ?p v:label "foaf__Person" . ?p v:foaf__name ?n }')
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",), ("Dave",)]
+
+
+def test_join_bag_semantics(fg):
+    # ?x knows ?y: duplicate "Carol" (known by alice AND bob) must
+    # survive — SPARQL solutions are bags, DISTINCT only when asked
+    df = sparql(fg, "SELECT ?n WHERE { ?x e:foaf__knows ?y . ?y v:foaf__name ?n }")
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",), ("Carol",)]
+    df = sparql(
+        fg, "SELECT DISTINCT ?n WHERE { ?x e:foaf__knows ?y . ?y v:foaf__name ?n }"
+    )
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
+
+
+def test_filter_numeric_on_imported_literal(fg):
+    # xsd:integer literals stored via the 4-family typing (F5)
+    df = sparql(
+        fg, "SELECT ?n WHERE { ?p v:foaf__name ?n . ?p v:foaf__age ?a . FILTER(?a > 28) }"
+    )
+    assert rows(df, "n") == [("Alice",), ("Carol",)]
+
+
+def test_optional_fills_null(fg):
+    df = sparql(
+        fg,
+        "SELECT ?n ?a WHERE { ?p v:foaf__name ?n . OPTIONAL { ?p v:foaf__age ?a } }",
+    )
+    got = dict(rows(df, "n", "a"))
+    assert got == {"Alice": 30, "Bob": 25, "Carol": 35, "Dave": None, "Eve": None}
+
+
+def test_optional_bound_negation(fg):
+    df = sparql(
+        fg,
+        "SELECT ?n WHERE { ?p v:foaf__name ?n . "
+        "OPTIONAL { ?p v:foaf__age ?a } FILTER(!BOUND(?a)) }",
+    )
+    assert rows(df, "n") == [("Dave",), ("Eve",)]
+
+
+def test_union_concrete_objects(fg):
+    df = sparql(
+        fg,
+        f"SELECT ?n WHERE {{ ?x v:foaf__name ?n . "
+        f"{{ ?x e:foaf__knows <{EX}bob> }} UNION {{ ?x e:foaf__knows <{EX}carol> }} }}",
+    )
+    # alice knows bob; alice and bob know carol — bag of 3
+    assert rows(df, "n") == [("Alice",), ("Alice",), ("Bob",)]
+
+
+def test_not_exists(fg):
+    df = sparql(
+        fg,
+        'SELECT ?n WHERE { ?p v:label "foaf__Person" . ?p v:foaf__name ?n . '
+        "FILTER NOT EXISTS { ?p e:foaf__knows ?y } }",
+    )
+    assert rows(df, "n") == [("Carol",)]
+
+
+def test_minus_no_shared_vars_removes_nothing(fg):
+    # W3C: MINUS with disjoint variables removes nothing (the classic
+    # divergence from NOT EXISTS, which would empty the result here)
+    df = sparql(
+        fg,
+        "SELECT ?n WHERE { ?p v:foaf__name ?n . MINUS { ?q v:foaf__age ?a } }",
+    )
+    assert len(rows(df, "n")) == 5
+    df2 = sparql(
+        fg,
+        "SELECT ?n WHERE { ?p v:foaf__name ?n . "
+        "FILTER NOT EXISTS { ?q v:foaf__age ?a } }",
+    )
+    assert len(rows(df2, "n")) == 0
+
+
+def test_order_limit_offset(fg):
+    df = sparql(
+        fg,
+        "SELECT ?n WHERE { ?p v:foaf__age ?a . ?p v:foaf__name ?n } "
+        "ORDER BY DESC(?a) LIMIT 2 OFFSET 1",
+    )
+    assert [r["n"] for r in df.collect()] == ["Alice", "Bob"]
+
+
+def test_group_count_having(fg):
+    df = sparql(
+        fg,
+        "SELECT ?n (COUNT(?y) AS ?k) WHERE { ?x e:foaf__knows ?y . ?x v:foaf__name ?n } "
+        "GROUP BY ?n HAVING(?k > 1)",
+    )
+    assert rows(df, "n", "k") == [("Alice", 2)]
+
+
+def test_bind_and_values(fg):
+    df = sparql(
+        fg,
+        'SELECT ?n ?next WHERE { VALUES ?n { "Alice" "Bob" } '
+        "?p v:foaf__name ?n . ?p v:foaf__age ?a . BIND(?a + 1 AS ?next) }",
+    )
+    assert rows(df, "n", "next") == [("Alice", 31), ("Bob", 26)]
+
+
+def test_property_path_plus(fg):
+    df = sparql(fg, f"SELECT ?x WHERE {{ <{EX}dave> e:foaf__knows+ ?x }}")
+    assert rows(df, "x") == [
+        (f"{EX}alice",), (f"{EX}bob",), (f"{EX}carol",),
+    ]
+
+
+def test_property_path_alt_over_values(fg):
+    df = sparql(
+        fg,
+        f"SELECT ?v WHERE {{ <{EX}bob> (v:foaf__name|v:foaf__age) ?v }}",
+    )
+    assert sorted(str(r["v"]) for r in df.collect()) == ["25", "Bob"]
+
+
+def test_full_iri_predicate_shortening(fg):
+    # a full IRI predicate resolves through the namespaces table (F3)
+    df = sparql(fg, f"SELECT ?n WHERE {{ ?x <{FOAF}knows> ?y . ?y <{FOAF}name> ?n }}")
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",), ("Carol",)]
+
+
+def test_subselect_bag_join(fg):
+    # inner solutions are a bag (alice twice); outer join preserves it
+    df = sparql(
+        fg,
+        "SELECT ?n WHERE { { SELECT ?x WHERE { ?x e:foaf__knows ?y } } "
+        "?x v:foaf__name ?n }",
+    )
+    assert rows(df, "n") == [("Alice",), ("Alice",), ("Bob",), ("Dave",)]
+
+
+def test_ask_forms(fg):
+    assert sparql(fg, f'ASK {{ <{EX}alice> e:foaf__knows <{EX}bob> }}').collect()[0].ask
+    assert not sparql(fg, f'ASK {{ <{EX}bob> e:foaf__knows <{EX}alice> }}').collect()[0].ask
+
+
+def test_construct_inverse_edge(fg):
+    df = sparql(
+        fg,
+        "CONSTRUCT { ?y e:known_by ?x } WHERE { ?x e:foaf__knows ?y }",
+    )
+    got = rows(df, "subject", "object")
+    assert (f"{EX}bob", f"{EX}alice") in got
+    assert len(got) == 4
