@@ -701,6 +701,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_header_probe"] = media_header_probe
 
+    def tfidf_top_terms_docs(spark, sf_dir):
+        from pidb_rdf_spark.operators import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+    q["tfidf_top_terms_docs"] = tfidf_top_terms_docs
+
+    def bm25_search_docs(spark, sf_dir):
+        from pidb_rdf_spark.operators import bm25_search
+
+        return bm25_search(_docs(spark, sf_dir), "merge window batch", top_n=20)
+
+    q["bm25_search_docs"] = bm25_search_docs
+
     # -- multimodal plumbing (stubbed decode, real Arrow path) ---------
     def media_features(spark, sf_dir):
         from pidb_rdf_spark.operators import attach_media, decode_media
@@ -1014,6 +1028,53 @@ def _scale_extension_oracles() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    strftime(ts, '{tfmt}') AS ts_s
             FROM events
+        """,
+        "tfidf_top_terms_docs": f"""
+            WITH tc AS (
+                SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+                GROUP BY doc_id, t
+            ),
+            dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY term),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+            sc AS (
+                SELECT doc_id, term, tf, df,
+                       tf * ln((SELECT c FROM n) / df) AS tfidf
+                FROM tc JOIN dfq USING (term)
+            )
+            SELECT doc_id, term, tf, df, tfidf, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term
+                ) AS BIGINT) AS rank FROM sc
+            ) WHERE rank <= 3
+        """,
+        "bm25_search_docs": f"""
+            WITH tc AS (
+                SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+                GROUP BY doc_id, t
+            ),
+            dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tc GROUP BY id),
+            avgdl AS (SELECT AVG(dl) AS a FROM dl),
+            dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY term),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+            q(term) AS (VALUES ('batch'), ('merge'), ('window')),
+            scored AS (
+                SELECT tc.id,
+                       SUM(
+                           ln(1.0 + ((SELECT c FROM n) - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2)
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT a FROM avgdl)))
+                       ) AS score
+                FROM tc JOIN q USING (term) JOIN dfq USING (term)
+                JOIN dl ON tc.id = dl.id
+                GROUP BY tc.id
+            )
+            SELECT id AS doc_id, score, rank FROM (
+                SELECT *, CAST(row_number() OVER (ORDER BY score DESC, id)
+                               AS BIGINT) AS rank
+                FROM scored
+            ) WHERE rank <= 20
         """,
         "media_header_probe": """
             SELECT doc_id AS media_id,

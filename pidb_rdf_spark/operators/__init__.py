@@ -11,6 +11,7 @@ from pidb_rdf_spark.operators.multimodal import (
     probe_media_headers,
     sample_frames,
 )
+from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
 from pidb_rdf_spark.operators.similarity import cosine_topk, ivf_search, kmeans_centroids
 from pidb_rdf_spark.operators.text import (
     fingerprint,
@@ -29,6 +30,8 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "cosine_topk",
+    "bm25_search",
+    "tfidf_top_terms",
     "ivf_search",
     "kmeans_centroids",
     "attach_media",

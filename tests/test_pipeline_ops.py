@@ -345,3 +345,40 @@ def test_probe_media_headers(spark):
         "wav", 2, 44100,
     )
     assert got[5]["format"] == "unknown" and got[5]["width"] is None
+
+
+def test_tfidf_top_terms(spark):
+    from pidb_rdf_spark.operators import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_id"], r["rank"]): r for r in tfidf_top_terms(df, k=2).collect()}
+    import math
+
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[(1, 1)]["term"] == "apple"
+    assert got[(1, 1)]["tfidf"] == pytest.approx(2 * math.log(3.0))
+    assert got[(1, 2)]["term"] == "banana"
+    # doc 3: cherry tf=3 df=2 beats date tf=1 df=1
+    assert got[(3, 1)]["term"] == "cherry"
+    assert got[(3, 1)]["tfidf"] == pytest.approx(3 * math.log(1.5))
+
+
+def test_bm25_search(spark):
+    from pidb_rdf_spark.operators import bm25_search
+
+    rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark and nothing else"),
+        (3, "completely unrelated text here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_search(df, "spark cluster", top_n=3).collect()
+    # doc 1 matches both query terms; doc 2 only one (saturated tf);
+    # doc 3 matches none and must be absent
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score"] > got[1]["score"] > 0
