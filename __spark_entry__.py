@@ -715,6 +715,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search_docs"] = bm25_search_docs
 
+    def stratified_sample_docs(spark, sf_dir):
+        from pidb_rdf_spark.operators import stratified_hash_sample
+
+        return stratified_hash_sample(
+            _docs(spark, sf_dir), "doc_id", "lang",
+            {"en": 0.5, "de": 0.2}, default=1.0,
+        ).select("doc_id", "lang")
+
+    q["stratified_sample_docs"] = stratified_sample_docs
+
+    def pack_docs_stream(spark, sf_dir):
+        from pidb_rdf_spark.operators import pack_token_stream
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("n_chars").alias("n_tokens")
+        )
+        return pack_token_stream(docs, budget=4096, n_shards=4)
+
+    q["pack_docs_stream"] = pack_docs_stream
+
     # -- multimodal plumbing (stubbed decode, real Arrow path) ---------
     def media_features(spark, sf_dir):
         from pidb_rdf_spark.operators import attach_media, decode_media
@@ -1028,6 +1048,34 @@ def _scale_extension_oracles() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    strftime(ts, '{tfmt}') AS ts_s
             FROM events
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT)
+                  < CASE lang
+                        WHEN 'en' THEN {int(0.5 * (1 << 32))}
+                        WHEN 'de' THEN {int(0.2 * (1 << 32))}
+                        ELSE {1 << 32} END
+        """,
+        "pack_docs_stream": """
+            WITH base AS (
+                SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+                       CAST(n_chars AS BIGINT) AS n
+                FROM documents
+            ),
+            offs AS (
+                SELECT doc_id, shard,
+                       SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS end_offset,
+                       n
+                FROM base
+            )
+            SELECT doc_id, shard,
+                   end_offset - n AS start_offset, end_offset,
+                   CAST(floor((end_offset - n) / 4096.0) AS BIGINT) AS chunk_start,
+                   CAST(floor((end_offset - 1) / 4096.0) AS BIGINT) AS chunk_end
+            FROM offs
         """,
         "tfidf_top_terms_docs": f"""
             WITH tc AS (

@@ -1,3 +1,8 @@
+from pidb_rdf_spark.operators.curation import (
+    hash_sample,
+    pack_token_stream,
+    stratified_hash_sample,
+)
 from pidb_rdf_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -23,6 +28,9 @@ from pidb_rdf_spark.operators.text import (
 from pidb_rdf_spark.operators.window import topk_per_group
 
 __all__ = [
+    "hash_sample",
+    "stratified_hash_sample",
+    "pack_token_stream",
     "topk_per_group",
     "exact_dedup",
     "minhash_lsh_dedup",

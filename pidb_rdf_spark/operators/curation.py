@@ -1,0 +1,103 @@
+"""Corpus curation operators: deterministic sampling and sequence
+packing for training-data assembly.
+
+No counterpart in the reference engine; these are the last-mile ops
+between a cleaned corpus and a training run.
+
+Determinism policy: no RNG state anywhere. Sampling decisions hash
+document CONTENT KEYS (md5, the engine's cross-checkable hash family
+— see dedup.py), so a sample is reproducible across runs, engines,
+partitionings, and corpus growth (adding documents never flips the
+decision for an existing one). That also makes every operator here
+verifiable against a SQL oracle — an RNG-based `df.sample` is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32  # md5-derived bucket space
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 2^32) from md5(salt || key)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by content-key hash
+    — stable under reruns, repartitioning, and corpus growth. Narrow
+    filter, zero shuffle; the predicate reaches the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = int(fraction * _BUCKETS)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < F.lit(thr))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum sampling rates (the standard language/domain
+    rebalancing step): ``fractions`` maps stratum value -> keep rate;
+    unlisted strata keep ``default``. Same hash-stable, zero-shuffle
+    decision as ``hash_sample``."""
+    thr: Column = F.lit(int(default * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * _BUCKETS))
+        ).otherwise(thr)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < thr)
+
+
+def pack_token_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining): docs
+    are laid out contiguously in deterministic ``id`` order and the
+    stream is cut into ``budget``-token chunks; a doc may span chunks.
+    Returns per-doc placement:
+
+    (id, shard, start_offset, end_offset, chunk_start, chunk_end).
+
+    ``n_shards > 1`` partitions the stream by ``id % n_shards`` so the
+    running offsets — the one inherently sequential step — parallelize
+    per shard; everything else stays a narrow projection. At 100 TB,
+    shard count ≈ executor count and each shard's window is one local
+    sort, no global ordering bottleneck."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (F.col(id_col) % n_shards).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    out = (
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            F.col(token_count_col).cast("long").alias("__n"),
+        )
+        .withColumn("end_offset", F.sum("__n").over(w))
+        .withColumn("start_offset", F.col("end_offset") - F.col("__n"))
+    )
+    return out.select(
+        id_col,
+        "shard",
+        "start_offset",
+        "end_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("chunk_start"),
+        F.floor((F.col("end_offset") - 1) / budget).cast("long").alias("chunk_end"),
+    )

@@ -382,3 +382,47 @@ def test_bm25_search(spark):
     # doc 3 matches none and must be absent
     assert [r["doc_id"] for r in got] == [1, 2]
     assert got[0]["score"] > got[1]["score"] > 0
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from pidb_rdf_spark.operators import hash_sample
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    assert a == b  # rerun-stable
+    assert 0.25 < len(a) / 10000 < 0.35  # ~fraction
+    # growth-stable: sampling a superset never flips earlier decisions
+    big = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    c = {r["doc_id"] for r in hash_sample(big, "doc_id", 0.3).collect()}
+    assert a == {x for x in c if x < 10000}
+
+
+def test_stratified_hash_sample(spark):
+    from pidb_rdf_spark.operators import stratified_hash_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_hash_sample(df, "doc_id", "lang", {"de": 0.1}, default=1.0)
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["en"] == 5000  # default 1.0 keeps everything
+    assert 300 < by["de"] < 700  # ~10% of 5000
+
+
+def test_pack_token_stream(spark):
+    from pidb_rdf_spark.operators import pack_token_stream
+
+    rows = [(1, 100), (2, 50), (3, 80), (4, 200), (5, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r["doc_id"]: r for r in pack_token_stream(df, budget=128).collect()}
+    # contiguous layout in id order: offsets 0,100,150,230,430
+    assert [got[i]["start_offset"] for i in (1, 2, 3, 4, 5)] == [0, 100, 150, 230, 430]
+    assert got[1]["chunk_start"] == 0 and got[1]["chunk_end"] == 0
+    assert got[2]["chunk_start"] == 0 and got[2]["chunk_end"] == 1  # spans 100..149
+    assert got[4]["chunk_start"] == 1 and got[4]["chunk_end"] == 3  # 230..429
+    # shards pack independently
+    sharded = pack_token_stream(df, budget=128, n_shards=2).collect()
+    assert {r["shard"] for r in sharded} == {0, 1}
