@@ -310,3 +310,128 @@ def export_turtle(graph: PropertyGraph, path: str, **kwargs) -> None:
     write in parallel."""
     t = graph_to_triples(graph, **kwargs)
     triples_to_turtle_lines(t, _ns_dict(graph)).write.mode("overwrite").text(path)
+
+
+def triples_to_jsonld_lines(triples: DataFrame) -> DataFrame:
+    """Flat JSON-LD, one node object per subject per line (the
+    serialization shape of the reference's JSON-LD endpoint output,
+    ``RDFEndpoint.java:589-604`` format negotiation). Literal objects
+    become ``@value`` (+ ``@type``/``@language``), resource objects
+    ``@id`` references, rdf:type triples the ``@type`` list. Keys and
+    values are sorted, so output is deterministic.
+
+    Serialization runs per subject group in ``applyInPandas`` — the
+    export path is IO-bound, and Python's json handles escaping
+    correctly (hand-built JSON string concat would not)."""
+    import json
+
+    import pandas as pd
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def to_obj(pdf: pd.DataFrame) -> pd.DataFrame:
+        node: dict = {"@id": pdf["subject"].iloc[0]}
+        types = sorted(
+            o for p, o in zip(pdf["predicate"], pdf["object"]) if p == rdf_type
+        )
+        if types:
+            node["@type"] = types
+        by_pred: dict = {}
+        for _, r in pdf.iterrows():
+            if r["predicate"] == rdf_type:
+                continue
+            if r["is_literal"]:
+                val: dict = {"@value": r["object"]}
+                if r["datatype"]:
+                    val["@type"] = r["datatype"]
+                if r["lang"]:
+                    val["@language"] = r["lang"]
+            else:
+                val = {"@id": r["object"]}
+            by_pred.setdefault(r["predicate"], []).append(val)
+        for p in sorted(by_pred):
+            node[p] = sorted(by_pred[p], key=lambda v: json.dumps(v, sort_keys=True))
+        return pd.DataFrame({"value": [json.dumps(node, sort_keys=True)]})
+
+    return triples.groupBy("subject").applyInPandas(to_obj, "value string")
+
+
+def export_jsonld(graph: PropertyGraph, path: str, **kwargs) -> None:
+    """Write the whole graph as line-delimited flat JSON-LD (S12)."""
+    t = graph_to_triples(graph, **kwargs)
+    triples_to_jsonld_lines(t).write.mode("overwrite").text(path)
+
+
+def triples_to_rdfxml_lines(triples: DataFrame) -> DataFrame:
+    """RDF/XML: one ``rdf:Description`` element per subject per line,
+    wrapped by header/footer rows (S12). Predicates must be XML
+    QNames, so shortened ``prefix__local`` names are emitted in a
+    synthetic ``ex:`` namespace and full-IRI predicates are split at
+    the last ``/ # :``. Deterministic: subjects one per line, children
+    sorted."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    import pandas as pd
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def qname(p: str) -> tuple[str, str]:
+        if "://" in p or p.startswith("urn:"):
+            idx = max(p.rfind("/"), p.rfind("#"), p.rfind(":"))
+            return (p[: idx + 1], p[idx + 1:])
+        return ("urn:pidb:vocab#", p)
+
+    def to_xml(pdf: pd.DataFrame) -> pd.DataFrame:
+        subj = pdf["subject"].iloc[0]
+        parts = [f"<rdf:Description rdf:about={quoteattr(subj)}>"]
+        rows = sorted(
+            pdf.itertuples(index=False),
+            key=lambda r: (r.predicate, str(r.object)),
+        )
+        for r in rows:
+            ns, local = qname(r.predicate)
+            if r.predicate == rdf_type:
+                parts.append(f"<rdf:type rdf:resource={quoteattr(str(r.object))}/>")
+            elif r.is_literal:
+                attrs = ""
+                if r.datatype:
+                    attrs = f" rdf:datatype={quoteattr(r.datatype)}"
+                elif r.lang:
+                    attrs = f" xml:lang={quoteattr(r.lang)}"
+                parts.append(
+                    f"<p:{local} xmlns:p={quoteattr(ns)}{attrs}>"
+                    f"{escape(str(r.object))}</p:{local}>"
+                )
+            else:
+                parts.append(
+                    f"<p:{local} xmlns:p={quoteattr(ns)} "
+                    f"rdf:resource={quoteattr(str(r.object))}/>"
+                )
+        parts.append("</rdf:Description>")
+        return pd.DataFrame({"value": ["".join(parts)]})
+
+    spark = triples.sparkSession
+    body = triples.groupBy("subject").applyInPandas(to_xml, "value string").select(
+        F.lit(1).alias("__ord"), F.col("value")
+    )
+    header = spark.createDataFrame(
+        [(0, '<?xml version="1.0"?>'),
+         (0, '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">')],
+        "__ord int, value string",
+    )
+    footer = spark.createDataFrame([(2, "</rdf:RDF>")], "__ord int, value string")
+    # explicit sort key: XML needs header-body-footer order, which a
+    # bare union does not guarantee across partitions
+    return (
+        header.unionAll(body).unionAll(footer)
+        .orderBy("__ord", "value")
+        .select("value")
+    )
+
+
+def export_rdfxml(graph: PropertyGraph, path: str, **kwargs) -> None:
+    """Write the whole graph as RDF/XML (S12). The document-order sort
+    makes this a single-file serialization — use JSON-LD / N-Triples
+    for partition-parallel export at scale."""
+    t = graph_to_triples(graph, **kwargs)
+    triples_to_rdfxml_lines(t).coalesce(1).write.mode("overwrite").text(path)

@@ -251,3 +251,47 @@ def test_rdfxml_gated_without_rdflib(spark):
             f.write(doc)
         rows = read_rdf(spark, d, fmt="RDF/XML").collect()
         assert rows[0]["object"] == "Alice"
+
+
+def test_jsonld_export(spark):
+    import json
+
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples, triples_to_jsonld_lines
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    lines = [r["value"] for r in triples_to_jsonld_lines(graph_to_triples(g)).collect()]
+    objs = {o["@id"]: o for o in map(json.loads, lines)}
+    alice = objs["http://example.org/alice"]
+    assert any(ty.endswith("Person") for ty in alice["@type"])
+    # typed literal preserved with datatype
+    age_key = [k for k in alice if k.endswith("age")][0]
+    assert alice[age_key][0]["@value"] == "30"
+    assert alice[age_key][0]["@type"].endswith("long")
+    # resource object is an @id reference
+    knows_key = [k for k in alice if k.endswith("knows")][0]
+    assert alice[knows_key][0]["@id"] == "http://example.org/bob"
+    # deterministic: rerun produces identical lines
+    again = [r["value"] for r in triples_to_jsonld_lines(graph_to_triples(g)).collect()]
+    assert sorted(lines) == sorted(again)
+
+
+def test_rdfxml_export(spark):
+    import xml.etree.ElementTree as ET
+
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples, triples_to_rdfxml_lines
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    lines = [r["value"] for r in triples_to_rdfxml_lines(graph_to_triples(g)).collect()]
+    doc = ET.fromstring("\n".join(lines[1:]))  # skip <?xml?> decl
+    RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+    descs = {
+        d.attrib[f"{RDF}about"]: d for d in doc.findall(f"{RDF}Description")
+    }
+    alice = descs["http://example.org/alice"]
+    types = [c.attrib[f"{RDF}resource"] for c in alice.findall(f"{RDF}type")]
+    assert any(ty.endswith("Person") for ty in types)
+    ages = [c for c in alice if c.tag.endswith("age")]
+    assert ages and ages[0].text == "30"
+    assert ages[0].attrib[f"{RDF}datatype"].endswith("long")
