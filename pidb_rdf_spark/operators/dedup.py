@@ -132,7 +132,7 @@ def ngram_jaccard_pairs(
     # materialize the shingle table once: four consumers read it
     # (frequency ranks, doc sizes, the prefix join, verification) and
     # would otherwise each re-run the 10M-substring explode
-    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=True)
+    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
     ranked = (
@@ -193,7 +193,7 @@ def verify_pairs_jaccard(
     sets = shingles.groupBy("id").agg(
         F.collect_list(F.xxhash64("shingle")).alias("arr"),
         F.count("*").cast("long").alias("n_sh"),
-    ).localCheckpoint(eager=True)  # read twice (a-side and b-side joins)
+    ).localCheckpoint(eager=False)  # read twice (a-side and b-side joins)
     return (
         candidates.join(
             sets.select(

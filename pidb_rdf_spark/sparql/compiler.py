@@ -1135,6 +1135,24 @@ class SparqlCompiler:
             return args[0].endswith(args[1])
         if name == "IN":
             return args[0].isin(*[a for a in args[1:]])
+        if name == "DATATYPE":
+            # literal datatype from the bound column's Spark type (the
+            # import path collapses XSD literals to 4 families, F5)
+            xsd = "http://www.w3.org/2001/XMLSchema#"
+            if isinstance(call.args[0], A.Var) and call.args[0].name in df.columns:
+                dt = df.schema[call.args[0].name].dataType
+                if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                    return F.lit(xsd + "long")
+                if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+                    return F.lit(xsd + "double")
+                if isinstance(dt, T.BooleanType):
+                    return F.lit(xsd + "boolean")
+            return F.lit(xsd + "string")
+        if name == "LANG":
+            # language tags are dropped at import unless they match the
+            # languageFilter (DirectStatementLoader.java:224-231), so a
+            # bound literal's tag is always the empty string here
+            return F.lit("")
         if name == "COALESCE":
             return F.coalesce(*args)
         if name == "IF":
