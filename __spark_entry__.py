@@ -495,6 +495,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_containment"] = pagerank_containment
 
+    def triangle_count_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # cohesion of the near-dup graph: planted dup families of size
+        # >= 3 are all-pairs-similar, so they close into triangles
+        from pidb_rdf_spark.analytics import triangle_count
+        from pidb_rdf_spark.operators import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_lsh_dedup(docs, threshold=0.8)
+        return triangle_count(pairs, src="a", dst="b")
+
+    q["triangle_count_dups"] = triangle_count_dups
+
     # ==================================================================
     # Scale-extension operators (training-data pipeline, SURVEY.md §7 M7)
     # ==================================================================
@@ -1417,6 +1429,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), 2
                 FROM supplier JOIN nation ON s_nationkey = n_nationkey
                 WHERE n_regionkey = 1
+            """,
+            "triangle_count_dups": f"""
+                WITH e AS (
+                    SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                    FROM ({_jaccard_pairs_sql(0.8)}) jp
+                ),
+                tri AS (
+                    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                    FROM e e1
+                    JOIN e e2 ON e1.v = e2.u
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+                )
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+                FROM (
+                    SELECT unnest([x, y, z]) AS node FROM tri
+                ) GROUP BY node
             """,
             "near_dup_doc_clusters": f"""
                 WITH RECURSIVE pr AS (

@@ -187,3 +187,43 @@ def near_dup_clusters(
         "id", F.col("id").alias("cluster")
     )
     return comp.unionAll(singles)
+
+
+def triangle_count(
+    pairs: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, triangles): how many triangles each node participates in,
+    over the undirected simple graph of ``pairs``. The standard
+    cohesion signal — on a near-dup pair graph, high counts flag
+    template/boilerplate families whose members all match each other.
+
+    Plan: canonical orientation (u < v) makes each triangle countable
+    exactly once as u < v < w; two equi-joins build and close wedges
+    (no driver loop — this one IS a single Catalyst plan). Skew note:
+    wedge counts are Σdeg², so at scale the hot keys are high-degree
+    nodes — AQE skew-split handles moderate skew; beyond that the known
+    fix is degree-ordered orientation (each edge charged to its
+    lower-degree endpoint), not needed at current sizes."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("z")), on=["x", "z"], how="leftsemi"
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )

@@ -106,3 +106,17 @@ def test_near_dup_clusters_transitivity(spark):
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["doc_id"])
     got = dict(map(tuple, near_dup_clusters(pairs, ids).collect()))
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_triangle_count(spark):
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; node 5
+    # hangs off one edge and is in none
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    from pidb_rdf_spark.analytics import triangle_count
+
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(map(tuple, triangle_count(pairs).collect()))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # duplicate + reversed edges must not inflate counts
+    noisy = spark.createDataFrame(edges + [(2, 1), (3, 1)], ["src", "dst"])
+    assert dict(map(tuple, triangle_count(noisy).collect())) == got
