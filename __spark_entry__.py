@@ -314,6 +314,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("o_totalprice").alias("total"),
         )
 
+    def running_window_orders(spark, sf_dir):
+        # §2.6 analytic windows (absent in the reference): cumulative
+        # and trailing-3 aggregates per customer in order-date order
+        from pidb_rdf_spark.operators.window import running_agg_per_group
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        out = running_agg_per_group(
+            o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "cents", window_rows=3
+        )
+        return out.select(
+            "o_custkey", "o_orderkey",
+            F.col("running_sum").cast("long").alias("running_sum_cents"),
+            "running_n",
+            "moving_avg",
+        )
+
+    q["running_window_orders"] = running_window_orders
+
+    def quantiles_order_prices(spark, sf_dir):
+        from pidb_rdf_spark.operators.window import exact_quantiles_per_group
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return exact_quantiles_per_group(
+            o, ["o_orderpriority"], "o_totalprice", [0.5, 0.9]
+        ).withColumnRenamed("o_orderpriority", "priority").orderBy("priority")
+
+    q["quantiles_order_prices"] = quantiles_order_prices
+
     q["topk_orders_per_segment"] = topk_orders_per_segment
 
     # -- volume queries over lineitem (the largest table): TPC-H-Q1-like
@@ -1297,6 +1328,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 'IN_REGION',
                    'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        """,
+        "running_window_orders": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(cents) OVER w_cum AS BIGINT) AS running_sum_cents,
+                   CAST(COUNT(*) OVER w_cum AS BIGINT) AS running_n,
+                   AVG(cents) OVER w_mov AS moving_avg
+            FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            WINDOW w_cum AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING),
+                   w_mov AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "quantiles_order_prices": """
+            SELECT o_orderpriority AS priority,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "topk_orders_per_segment": """
             SELECT seg, okey, total FROM (

@@ -37,3 +37,48 @@ def topk_per_group(
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + k))
         .drop("__rn")
     )
+
+
+def running_agg_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int | None = None,
+) -> DataFrame:
+    """Running / moving aggregates per group, ordered by
+    ``order_cols``: cumulative sum and count plus a trailing-
+    ``window_rows`` moving average (unbounded when None). One shuffle
+    on the group key; the frame is evaluated in a single pass per
+    partition. The analytic-window family the reference lacks
+    entirely (SURVEY.md §2.6)."""
+    ordering = [F.col(c).asc() for c in order_cols]
+    base = Window.partitionBy(*group_cols).orderBy(*ordering)
+    cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if window_rows is None:
+        mov = cum
+    else:
+        mov = base.rowsBetween(-(window_rows - 1), Window.currentRow)
+    return (
+        df.withColumn("running_sum", F.sum(F.col(value_col)).over(cum))
+        .withColumn("running_n", F.count(F.lit(1)).over(cum).cast("long"))
+        .withColumn("moving_avg", F.avg(F.col(value_col)).over(mov))
+    )
+
+
+def exact_quantiles_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles per group
+    (``F.percentile``, the SQL PERCENTILE_CONT semantics — not the
+    sketch-based percentile_approx). Exactness makes the result
+    oracle-comparable; the documented scale path for heavy groups is
+    ``percentile_approx`` with the same call shape."""
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(q)).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
