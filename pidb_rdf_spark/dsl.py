@@ -119,6 +119,8 @@ class Traversal:
             .drop(CUR)
             .withColumnRenamed("__next", CUR)
         )
+        if "__path" in df.columns:
+            df = df.withColumn("__path", F.array_append(F.col("__path"), F.col(CUR)))
         return self._with(df, on_edges=to_edges)
 
     def out(self, *labels: str) -> "Traversal":
@@ -160,6 +162,36 @@ class Traversal:
         return t
 
     # ---- step labels / projection --------------------------------------
+
+    def with_path(self) -> "Traversal":
+        """Start recording the traversal history (TinkerPop ``path()``
+        step, SURVEY §3.2): every subsequent hop appends the new
+        frontier element's id to a per-row ``__path`` array. Column-
+        array bookkeeping, no extra joins or shuffles."""
+        return self._with(self.df.withColumn("__path", F.array(F.col(CUR))))
+
+    def path(self, by: str = "id") -> DataFrame:
+        """The recorded paths, one array per surviving traverser —
+        ids (default) or resolved to uris (one explode + hash join,
+        reassembled position-sorted)."""
+        if "__path" not in self.df.columns:
+            raise ValueError("path(): call with_path() before traversing")
+        out = self.df.select(F.col("__path").alias("path"))
+        if by == "id":
+            return out
+        if by != "uri":
+            raise ValueError("by must be 'id' or 'uri'")
+        keyed = out.withColumn("__pid", F.monotonically_increasing_id())
+        ex = keyed.select("__pid", F.posexplode("path").alias("pos", "nid"))
+        uri = self.g.nodes.select(F.col("id").alias("nid"), "uri")
+        return (
+            ex.join(uri, on="nid", how="left")
+            .groupBy("__pid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "uri"))).alias("__s")
+            )
+            .select(F.transform("__s", lambda x: x["uri"]).alias("path"))
+        )
 
     def as_(self, name: str) -> "Traversal":
         return self._with(self.df.withColumn(name, F.col(CUR)))

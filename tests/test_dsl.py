@@ -185,3 +185,35 @@ def test_value_map(graph):
     assert all(set(r["value_map"].keys()) == {"r_name"} for r in rows)
     full = traversal(graph).V().has_label("Region").value_map().collect()
     assert all(set(r["value_map"].keys()) == {"r_regionkey", "r_name"} for r in full)
+
+
+def test_path_tracking(graph):
+    from pidb_rdf_spark.dsl import traversal
+
+    g = traversal(graph)
+    paths = (
+        g.V()
+        .has("uri", "urn:customer:3")
+        .with_path()
+        .out("IN_NATION")
+        .out("IN_REGION")
+        .path(by="uri")
+        .collect()
+    )
+    assert len(paths) == 1
+    p = paths[0]["path"]
+    assert len(p) == 3
+    assert p[0] == "urn:customer:3"
+    assert p[1].startswith("urn:nation:") and p[2].startswith("urn:region:")
+
+
+def test_path_tracking_branches(graph):
+    from pidb_rdf_spark.dsl import traversal
+
+    # both() from a nation: one path per incident edge direction
+    g = traversal(graph)
+    paths = (
+        g.V().has("uri", "urn:nation:1").with_path().both("IN_REGION").path().collect()
+    )
+    assert all(len(r["path"]) == 2 for r in paths)
+    assert len(paths) == 1  # nations have exactly one region, no inbound IN_REGION
