@@ -107,10 +107,12 @@ def literal_to_rdf(value: Column, dtype_name: str) -> Column:
         return F.concat(F.lit('"'), value.cast("string"), F.lit(f'"^^<{XSD}double>'))
     if dtype_name == "boolean":
         return F.concat(F.lit('"'), value.cast("string"), F.lit(f'"^^<{XSD}boolean>'))
-    # string: escape backslash + quote + newlines per N-Triples
+    # string: escape backslash + quote + control chars per N-Triples
     escaped = F.regexp_replace(value.cast("string"), r"\\", r"\\\\")
     escaped = F.regexp_replace(escaped, '"', '\\\\"')
     escaped = F.regexp_replace(escaped, "\n", "\\\\n")
+    escaped = F.regexp_replace(escaped, "\r", "\\\\r")
+    escaped = F.regexp_replace(escaped, "\t", "\\\\t")
     return F.concat(F.lit('"'), escaped, F.lit('"'))
 
 

@@ -70,7 +70,12 @@ def add_edges(
     "dst_uri": ..., "props": {...}}``, skipping any (src, predicate,
     dst) that already exists — the reference's dedup-on-insert
     (``DirectStatementLoader.java:281-305``) as one left-anti join
-    (its lower-degree-side probe trick is moot under hash join)."""
+    (its lower-degree-side probe trick is moot under hash join).
+
+    Endpoint ids are resolved by joining against ``nodes.uri`` (so the
+    edge attaches correctly even on graphs whose ids are NOT
+    ``xxhash64(uri)``, e.g. graphify's banded ids), falling back to
+    ``xxhash64(uri)`` only for endpoints not yet in the graph."""
     spark = graph.spark
     data = [
         (
@@ -81,14 +86,25 @@ def add_edges(
         )
         for r in rows
     ]
-    new = spark.createDataFrame(
+    raw = spark.createDataFrame(
         data, "src_uri string, predicate string, dst_uri string, props map<string,string>"
-    ).select(
-        F.xxhash64(F.concat_ws("", "src_uri", "predicate", "dst_uri")).alias("id"),
-        F.xxhash64("src_uri").alias("src"),
-        F.xxhash64("dst_uri").alias("dst"),
-        "predicate",
-        "props",
+    )
+    src_map = graph.nodes.select(
+        F.col("uri").alias("src_uri"), F.col("id").alias("__src_id")
+    )
+    dst_map = graph.nodes.select(
+        F.col("uri").alias("dst_uri"), F.col("id").alias("__dst_id")
+    )
+    new = (
+        raw.join(src_map, on="src_uri", how="left")
+        .join(dst_map, on="dst_uri", how="left")
+        .select(
+            F.xxhash64(F.concat_ws("", "src_uri", "predicate", "dst_uri")).alias("id"),
+            F.coalesce("__src_id", F.xxhash64("src_uri")).alias("src"),
+            F.coalesce("__dst_id", F.xxhash64("dst_uri")).alias("dst"),
+            "predicate",
+            "props",
+        )
     )
     if dedup:
         new = new.join(

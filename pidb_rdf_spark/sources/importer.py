@@ -75,8 +75,16 @@ def discover_namespaces(
         .collect()
     )
     fresh = sorted(r["ns"] for r in seen if r["ns"] not in ns_map)
-    for i, ns in enumerate(fresh):
-        ns_map[ns] = f"ns{i}"
+    # continue the nsN counter past prefixes already assigned (an
+    # incremental merge seeds `known` with the existing registry —
+    # reusing ns0.. would silently remap IRIs on export)
+    used = set(ns_map.values())
+    counter = 0
+    for ns in fresh:
+        while f"ns{counter}" in used:
+            counter += 1
+        ns_map[ns] = f"ns{counter}"
+        used.add(f"ns{counter}")
     return ns_map
 
 
@@ -202,7 +210,19 @@ def merge_triples(graph: PropertyGraph, new_triples: DataFrame, **kwargs) -> Pro
     """Incremental import into an existing graph: node upsert by uri
     (M11) + edge dedup-on-insert (M10), the set-oriented version of
     the reference's get-or-create cache + exists-check
-    (``DirectStatementLoader.java:246-262, 281-305``)."""
+    (``DirectStatementLoader.java:246-262, 281-305``).
+
+    Namespace discovery is seeded with the existing graph's registry
+    so shortened ``nsN__local`` keys already embedded in the stored
+    nodes/edges keep meaning the same IRIs (fresh namespaces continue
+    the counter past existing assignments)."""
+    user_ns = kwargs.pop("namespaces", None) or {}
+    existing_ns = {
+        r["namespace"]: r["prefix"]
+        for r in graph.namespaces.collect()
+        if r["namespace"]
+    }
+    kwargs["namespaces"] = {**DEFAULT_NAMESPACES, **existing_ns, **user_ns}
     incoming = import_triples(graph.spark, new_triples, **kwargs)
     new_nodes = incoming.nodes.join(
         graph.nodes.select("uri"), on="uri", how="leftanti"

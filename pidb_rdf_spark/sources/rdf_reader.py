@@ -54,13 +54,44 @@ _NT_LITERAL = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$
 
 
 def _unescape(col):
-    """N-Triples string unescape: \\" \\\\ \\n \\t \\r."""
-    out = F.regexp_replace(col, r'\\"', '"')
+    """N-Triples string unescape: \\" \\\\ \\n \\t \\r.
+
+    ``\\\\`` must be consumed FIRST (via a sentinel) so the backslash
+    of an escaped backslash can't pair with a following ``n``/``t``/
+    ``r`` — otherwise the valid literal ``C:\\\\new`` (meaning
+    ``C:\\new``) would decode as ``C:\\`` + newline + ``ew``."""
+    sentinel = "\x00"
+    out = F.regexp_replace(col, r"\\\\", sentinel)
+    out = F.regexp_replace(out, r'\\"', '"')
     out = F.regexp_replace(out, r"\\n", "\n")
     out = F.regexp_replace(out, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
-    out = F.regexp_replace(out, r"\\\\", r"\\")
+    out = F.regexp_replace(out, sentinel, r"\\")
     return out
+
+
+_PY_ESCAPE_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+_PY_ESCAPE_MAP = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def unescape_string(s: str) -> str:
+    """Driver/executor-side Turtle/SPARQL string unescape.
+
+    Translates only the defined escape sequences (``\\\\ \\" \\' \\n
+    \\t \\r \\b \\f \\uXXXX \\UXXXXXXXX``) — unlike
+    ``encode().decode('unicode_escape')``, which reinterprets UTF-8
+    bytes as Latin-1 and mangles non-ASCII text like ``"Müller"``."""
+
+    def _sub(m: re.Match) -> str:
+        esc = m.group(1)
+        if esc[0] in "uU":
+            return chr(int(esc[1:], 16))
+        return _PY_ESCAPE_MAP.get(esc, esc)
+
+    return _PY_ESCAPE_RE.sub(_sub, s)
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
@@ -163,7 +194,7 @@ def parse_turtle_text(text: str) -> list[tuple]:
                 r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(<[^>]*>|[\w.-]*:[\w.-]+))?',
                 tok,
             )
-            lex = m2.group(1).encode().decode("unicode_escape")
+            lex = unescape_string(m2.group(1))
             lang = m2.group(2)
             dt_tok = m2.group(3)
             dt = None

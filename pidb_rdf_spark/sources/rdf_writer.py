@@ -139,6 +139,8 @@ def triples_to_ntriples_lines(triples: DataFrame) -> DataFrame:
     esc = F.regexp_replace(F.col("object"), r"\\", r"\\\\")
     esc = F.regexp_replace(esc, '"', '\\\\"')
     esc = F.regexp_replace(esc, "\n", "\\\\n")
+    esc = F.regexp_replace(esc, "\r", "\\\\r")
+    esc = F.regexp_replace(esc, "\t", "\\\\t")
     obj = (
         F.when(
             ~F.col("is_literal"),
@@ -264,6 +266,8 @@ def triples_to_turtle_lines(
     esc = F.regexp_replace(F.col("object"), r"\\", r"\\\\")
     esc = F.regexp_replace(esc, '"', '\\\\"')
     esc = F.regexp_replace(esc, "\n", "\\\\n")
+    esc = F.regexp_replace(esc, "\r", "\\\\r")
+    esc = F.regexp_replace(esc, "\t", "\\\\t")
     obj = (
         F.when(~F.col("is_literal"), term(F.col("object")))
         .when(

@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 
 from pidb_rdf_spark.sparql import algebra as A
+from pidb_rdf_spark.sources.rdf_reader import unescape_string
 
 # e: edge label, v: node property value, p: property element —
 # reference routing at sparql/Prefixes.java:30-56.
@@ -146,7 +147,7 @@ class Parser:
         if t.kind == "STRING":
             self.next()
             raw = t.text[1:-1]
-            value = raw.encode().decode("unicode_escape")
+            value = unescape_string(raw)
             lang = dtype = None
             if self.accept("OP", "@"):
                 lang = self.expect("NAME").text
@@ -598,7 +599,7 @@ class Parser:
                     raise SyntaxError(f"expected SEPARATOR, got {kw.text!r}")
                 self.expect("OP", "=")
                 s = self.expect("STRING")
-                sep = s.text[1:-1].encode().decode("unicode_escape")
+                sep = unescape_string(s.text[1:-1])
             self.expect("OP", ")")
             return A.AggExpr(name, arg, distinct, sep=sep)
         if t.kind == "NAME" and t.text.upper() in BUILTIN_FUNCS:

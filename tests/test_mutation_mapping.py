@@ -232,3 +232,27 @@ def test_save_partitioned_edges_prunes_scan(spark, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "predicate" in pf.group(1)
+
+
+def test_add_edges_resolves_existing_node_ids(spark):
+    """ADVICE r1: add_edges must attach to existing nodes by uri join
+    even when node ids are not xxhash64(uri) (e.g. graphify ids)."""
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.mutation import add_edges
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(42, "urn:x", ["T"], {}), (43, "urn:y", ["T"], {})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [], "id long, src long, dst long, predicate string, props map<string,string>"
+        ),
+    )
+    g2 = add_edges(g, [{"src_uri": "urn:x", "predicate": "REL", "dst_uri": "urn:y"}])
+    e = g2.edges.collect()[0]
+    assert (e["src"], e["dst"]) == (42, 43)
+    # dedup against the resolved ids works on re-insert
+    g3 = add_edges(g2, [{"src_uri": "urn:x", "predicate": "REL", "dst_uri": "urn:y"}])
+    assert g3.edges.count() == 1

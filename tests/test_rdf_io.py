@@ -295,3 +295,64 @@ def test_rdfxml_export(spark):
     ages = [c for c in alice if c.tag.endswith("age")]
     assert ages and ages[0].text == "30"
     assert ages[0].attrib[f"{RDF}datatype"].endswith("long")
+
+
+def test_escape_fidelity_roundtrip(spark):
+    """ADVICE r1: backslash-before-n literals, \\r/\\t escaping, and
+    non-ASCII must survive write->parse->write unchanged."""
+    from pidb_rdf_spark.sources.rdf_reader import unescape_string
+
+    # pure-python unescape: \\ consumed first, unicode intact
+    assert unescape_string(r"C:\\new") == "C:\\new"
+    assert unescape_string(r"a\nb") == "a\nb"
+    assert unescape_string(r"M\u00fcller") == "Müller"
+    assert unescape_string("Müller") == "Müller"
+
+    nt = (
+        '<urn:x> <urn:p> "C:\\\\new" .\n'
+        '<urn:x> <urn:q> "tab\\there\\r\\nnext" .\n'
+        '<urn:x> <urn:r> "M\u00fcller" .'
+    )
+    t = parse_rdf_snippet(spark, nt, "N-Triples")
+    vals = {r["predicate"]: r["object"] for r in t.collect()}
+    assert vals["urn:p"] == "C:\\new"
+    assert vals["urn:q"] == "tab\there\r\nnext"
+    assert vals["urn:r"] == "Müller"
+
+    # serialize back out and reparse: every line must stay one line
+    lines = [r["value"] for r in triples_to_ntriples_lines(t).collect()]
+    assert all("\n" not in ln and "\r" not in ln for ln in lines)
+    t2 = parse_rdf_snippet(spark, "\n".join(lines), "N-Triples")
+    vals2 = {r["predicate"]: r["object"] for r in t2.collect()}
+    assert vals2 == vals
+
+
+def test_turtle_nonascii_literal():
+    rows = parse_turtle_text(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:m ex:name "M\u00fcller" ; ex:path "C:\\\\new" .'
+    )
+    by_pred = {p.rsplit("/", 1)[-1]: o for _, p, o, *_ in rows}
+    assert by_pred["name"] == "Müller"
+    assert by_pred["path"] == "C:\\new"
+
+
+def test_merge_preserves_namespace_registry(spark):
+    """ADVICE r1: incremental merge must keep existing nsN prefixes
+    pointing at the same namespaces and continue the counter."""
+    t1 = parse_rdf_snippet(
+        spark, '<urn:a> <http://first.example/one#p> "1" .', "N-Triples"
+    )
+    g = import_triples(spark, t1)
+    ns1 = {r["namespace"]: r["prefix"] for r in g.namespaces.collect()}
+    assert ns1["http://first.example/one#"] == "ns0"
+    t2 = parse_rdf_snippet(
+        spark,
+        '<urn:b> <http://second.example/two#q> "2" .\n'
+        '<urn:c> <http://first.example/one#p> "3" .',
+        "N-Triples",
+    )
+    g2 = merge_triples(g, t2)
+    ns2 = {r["namespace"]: r["prefix"] for r in g2.namespaces.collect()}
+    assert ns2["http://first.example/one#"] == "ns0"  # unchanged
+    assert ns2["http://second.example/two#"] == "ns1"  # continued, not remapped
