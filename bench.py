@@ -25,6 +25,23 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# Exact-but-super-linear oracle baselines vs their designated
+# linear-shuffle scale paths (SCALE.md "Known scale limits"): the
+# baseline entries exist to verify the scale paths' recall, and their
+# wall-clock should be weighted accordingly, not read as the engine's
+# throughput on that operator family.
+QUERY_TIERS = {
+    "ngram_jaccard_dedup": "baseline",   # exact all-pairs Jaccard
+    "cosine_topk": "baseline",           # brute-force ANN
+    "embedding_near_dup": "baseline",    # brute-force cosine pairs
+    "ivf_topk_exact": "baseline",        # IVF with exhaustive probe
+    "minhash_lsh_dedup": "scale-path",
+    "simhash_dedup": "scale-path",
+    "embedding_near_dup_lsh": "scale-path",
+    "ivf_topk_probe2": "scale-path",
+}
+
+
 def main() -> None:
     import __spark_entry__ as E
     from pidb_rdf_spark.session import get_spark
@@ -68,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tiers": QUERY_TIERS,
                 "sf": _sf_from_dir(SF_DIR),
                 "extras": {
                     "import_triples": n_triples,

@@ -2,15 +2,24 @@ from pidb_rdf_spark.sources.rdf_reader import (
     TRIPLES_SCHEMA,
     read_rdf,
     read_ntriples,
+    read_nquads,
     parse_rdf_snippet,
 )
-from pidb_rdf_spark.sources.rdf_writer import export_ntriples, graph_to_triples
+from pidb_rdf_spark.sources.rdf_writer import (
+    export_nquads,
+    export_ntriples,
+    export_trig,
+    graph_to_triples,
+)
 
 __all__ = [
     "TRIPLES_SCHEMA",
+    "export_nquads",
     "export_ntriples",
+    "export_trig",
     "graph_to_triples",
     "parse_rdf_snippet",
+    "read_nquads",
     "read_ntriples",
     "read_rdf",
 ]

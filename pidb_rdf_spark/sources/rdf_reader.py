@@ -100,6 +100,55 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     return parse_ntriples_lines(lines)
 
 
+# N-Quads: explicit object-term alternation (literal | IRI | bnode)
+# so a literal containing "<...>" text can never be mistaken for the
+# optional trailing graph term.
+_NQ_OBJ = (
+    r'("(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?|<[^>]*>|_:\S+)'
+)
+_NQ_LINE = (
+    r"^\s*(<[^>]*>|_:\S+)\s+"  # 1 subject
+    r"<([^>]*)>\s+"  # 2 predicate
+    + _NQ_OBJ  # 3 object
+    + r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"  # 4 optional graph (dropped)
+)
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """N-Quads file(s) -> triples DataFrame (line-parallel like
+    N-Triples). The graph term is dropped on import — the LPG mapping
+    is s/p/o, same policy as the TriG reader."""
+    lines = spark.read.text(path)
+    stmt = lines.filter(
+        ~F.col("value").rlike(r"^\s*(#.*)?$")
+    ).select(
+        F.regexp_extract("value", _NQ_LINE, 1).alias("s_raw"),
+        F.regexp_extract("value", _NQ_LINE, 2).alias("predicate"),
+        F.regexp_extract("value", _NQ_LINE, 3).alias("o_raw"),
+    ).filter(F.col("predicate") != "")
+
+    s = F.when(
+        F.col("s_raw").startswith("<"),
+        F.expr("substring(s_raw, 2, length(s_raw) - 2)"),
+    ).otherwise(F.col("s_raw"))
+    is_literal = F.col("o_raw").startswith('"')
+    lex = F.regexp_extract("o_raw", _NT_LITERAL, 1)
+    lang = F.regexp_extract("o_raw", _NT_LITERAL, 2)
+    dtype = F.regexp_extract("o_raw", _NT_LITERAL, 3)
+    obj_iri = F.when(
+        F.col("o_raw").startswith("<"),
+        F.expr("substring(o_raw, 2, length(o_raw) - 2)"),
+    ).otherwise(F.col("o_raw"))
+    return stmt.select(
+        s.alias("subject"),
+        F.col("predicate"),
+        F.when(is_literal, _unescape(lex)).otherwise(obj_iri).alias("object"),
+        is_literal.alias("is_literal"),
+        F.when(is_literal & (dtype != ""), dtype).alias("datatype"),
+        F.when(is_literal & (lang != ""), lang).alias("lang"),
+    )
+
+
 def parse_ntriples_lines(lines: DataFrame) -> DataFrame:
     """Parse a DataFrame of N-Triples lines (column ``value``)."""
     stmt = lines.filter(
@@ -150,7 +199,8 @@ _TTL_TOKEN = re.compile(
     | (?P<kw_a>\ba\b)
     | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<bool>\btrue\b|\bfalse\b)
-    | (?P<punct>[;,.\[\]()])
+    | (?P<kw_graph>\bGRAPH\b)
+    | (?P<punct>[;,.\[\](){}])
     | (?P<ws>\s+)
     """,
     re.VERBOSE,
@@ -160,17 +210,25 @@ _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def parse_turtle_text(text: str) -> list[tuple]:
-    """Parse one Turtle document -> list of triples-row tuples.
-    Runs inside an executor task (one file per task)."""
-    prefixes: dict[str, str] = {}
-    rows: list[tuple] = []
+def _tokenize_turtle(text: str) -> list[tuple[str, str]]:
     toks: list[tuple[str, str]] = []
     for m in _TTL_TOKEN.finditer(text):
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
         toks.append((kind, m.group()))
+    return toks
+
+
+def parse_turtle_text(text: str) -> list[tuple]:
+    """Parse one Turtle document -> list of triples-row tuples.
+    Runs inside an executor task (one file per task)."""
+    return _parse_turtle_tokens(_tokenize_turtle(text))
+
+
+def _parse_turtle_tokens(toks: list[tuple[str, str]]) -> list[tuple]:
+    prefixes: dict[str, str] = {}
+    rows: list[tuple] = []
     i = 0
 
     def resolve(kind: str, tok: str):
@@ -269,56 +327,328 @@ def parse_rdf_snippet(spark: SparkSession, text: str, fmt: str = "Turtle") -> Da
     raise NotImplementedError(f"RDF format {fmt!r} needs an external parser")
 
 
-_RDFLIB_FORMATS = {
-    "rdfxml": "xml",
-    "xml": "xml",
-    "jsonld": "json-ld",
-    "trig": "trig",
-}
+# ---------------------------------------------------------------------------
+# TriG: Turtle + named-graph blocks. Graph context is dropped on
+# import — the reference's LPG mapping has no quad concept either
+# (``StreamedStatement.java:3-20`` is s/p/o).
+# ---------------------------------------------------------------------------
 
 
-def _parse_with_rdflib(doc: str, rdflib_fmt: str) -> list[tuple]:
-    """One document -> triples rows via rdflib (executor-side; import
-    inside the task so the driver never needs the library). TriG
-    named-graph context is dropped — the reference's LPG mapping has
-    no quad concept either (``StreamedStatement.java:3-20`` is s/p/o)."""
-    import rdflib  # gated: only reached when the format needs it
-    from rdflib import Literal as RLiteral
+def parse_trig_text(text: str) -> list[tuple]:
+    """Parse one TriG document -> triples rows (graph labels dropped).
 
-    g = rdflib.ConjunctiveGraph() if rdflib_fmt == "trig" else rdflib.Graph()
-    g.parse(data=doc, format=rdflib_fmt)
-    rows = []
-    for s, p, o in g:
-        if isinstance(o, RLiteral):
-            dt = str(o.datatype) if o.datatype else None
-            rows.append((str(s), str(p), str(o), True, dt, o.language))
+    Token-rewrite over the Turtle lexer: a graph block ``[GRAPH]
+    <label>? { ... }`` is unwrapped to its inner statements (the
+    optional final ``.`` before ``}`` is restored), after which the
+    stream is plain Turtle."""
+    toks = _tokenize_turtle(text)
+    out: list[tuple[str, str]] = []
+    i = 0
+    depth = 0  # nesting of graph braces (TriG allows only one level)
+    while i < len(toks):
+        kind, tok = toks[i]
+        if kind == "kw_graph":
+            i += 1  # GRAPH keyword — the label + '{' follow
+            continue
+        if tok == "{" and kind == "punct":
+            # drop an immediately preceding graph label (iri/pname/bnode)
+            if out and out[-1][0] in ("iriref", "pname", "bnode"):
+                # ...but only when it is a bare label: a label token
+                # directly after '.' / '}' / start (not an object)
+                prev = out[-2][1] if len(out) >= 2 else "."
+                if prev in (".", "}", "{") or len(out) == 1:
+                    out.pop()
+            depth += 1
+            i += 1
+            continue
+        if tok == "}" and kind == "punct" and depth > 0:
+            if out and out[-1][1] != "." and out[-1][0] != "prefix_decl":
+                out.append(("punct", "."))  # final '.' is optional in TriG
+            depth -= 1
+            i += 1
+            continue
+        out.append((kind, tok))
+        i += 1
+    return _parse_turtle_tokens(out)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML subset (reference parses via RDF4J Rio; here: stdlib
+# ElementTree, executor-side one document per task).
+# ---------------------------------------------------------------------------
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+
+def parse_rdfxml_text(text: str) -> list[tuple]:
+    """Parse one RDF/XML document -> triples rows.
+
+    Covers the serialization surface real documents (and our own
+    exporter) use: ``rdf:Description`` and typed node elements,
+    ``rdf:about``/``rdf:ID``/``rdf:nodeID``, property elements with
+    ``rdf:resource``/``rdf:nodeID``/``rdf:datatype``/``xml:lang``/
+    ``rdf:parseType="Resource"``, nested node elements, property
+    attributes, and inherited ``xml:lang``."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    rows: list[tuple] = []
+    counter = [0]
+
+    def fresh_bnode() -> str:
+        counter[0] += 1
+        return f"_:rx{counter[0]}"
+
+    def expand(tag: str) -> str:
+        # ElementTree tags are {namespace}local
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def node_subject(el, inherited_lang) -> str:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        node_id = el.get(f"{{{_RDF_NS}}}nodeID")
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if about is not None:
+            subj = about
+        elif node_id is not None:
+            subj = f"_:{node_id}"
+        elif rid is not None:
+            subj = f"#{rid}"
         else:
-            rows.append((str(s), str(p), str(o), False, None, None))
+            subj = fresh_bnode()
+        tag = expand(el.tag)
+        if tag != _RDF_NS + "Description":
+            rows.append((subj, _RDF_TYPE, tag, False, None, None))
+        # property attributes (anything not rdf:* / xml:*)
+        for k, v in el.attrib.items():
+            ke = expand(k)
+            if ke.startswith(_RDF_NS) or k == _XML_LANG:
+                continue
+            rows.append((subj, ke, v, True, None, None))
+        lang = el.get(_XML_LANG, inherited_lang)
+        for prop in el:
+            parse_property(subj, prop, lang)
+        return subj
+
+    def parse_property(subj: str, prop, inherited_lang) -> None:
+        pred = expand(prop.tag)
+        lang = prop.get(_XML_LANG, inherited_lang)
+        resource = prop.get(f"{{{_RDF_NS}}}resource")
+        node_id = prop.get(f"{{{_RDF_NS}}}nodeID")
+        dtype = prop.get(f"{{{_RDF_NS}}}datatype")
+        parse_type = prop.get(f"{{{_RDF_NS}}}parseType")
+        if resource is not None:
+            rows.append((subj, pred, resource, False, None, None))
+            return
+        if node_id is not None:
+            rows.append((subj, pred, f"_:{node_id}", False, None, None))
+            return
+        if parse_type == "Resource":
+            b = fresh_bnode()
+            rows.append((subj, pred, b, False, None, None))
+            for inner in prop:
+                parse_property(b, inner, lang)
+            return
+        children = list(prop)
+        if children:  # nested node element
+            obj = node_subject(children[0], lang)
+            rows.append((subj, pred, obj, False, None, None))
+            return
+        text_val = prop.text or ""
+        rows.append(
+            (subj, pred, text_val, True, dtype, lang if dtype is None else None)
+        )
+
+    if expand(root.tag) == _RDF_NS + "RDF":
+        top = list(root)
+    else:  # document whose root IS the single node element
+        top = [root]
+    doc_lang = root.get(_XML_LANG)
+    for el in top:
+        node_subject(el, doc_lang)
     return rows
 
 
-def read_rdf(spark: SparkSession, path: str, fmt: str = "N-Triples") -> DataFrame:
+# ---------------------------------------------------------------------------
+# JSON-LD (flattened / expanded / NDJSON forms — the shapes the
+# reference's endpoint emits and our exporter writes).
+# ---------------------------------------------------------------------------
+
+
+def parse_jsonld_text(text: str) -> list[tuple]:
+    """Parse one JSON-LD document -> triples rows.
+
+    Accepts a single object, an array of node objects, a ``@graph``
+    document, or line-delimited node objects (our export format).
+    ``@context`` supports prefix/term string mappings and ``@vocab``;
+    value objects (``@value``/``@type``/``@language``), ``@id``
+    references, nested node objects, and plain JSON scalars (typed to
+    xsd long/double/boolean) are mapped per the JSON-LD data model."""
+    import json
+
+    text = text.strip()
+    if not text:
+        return []
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # line-delimited node objects
+        doc = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+
+    rows: list[tuple] = []
+    counter = [0]
+
+    def fresh_bnode() -> str:
+        counter[0] += 1
+        return f"_:jx{counter[0]}"
+
+    def expand(term: str, ctx: dict) -> str:
+        if term.startswith("@") or "://" in term or term.startswith("urn:"):
+            return term
+        if ":" in term:
+            pfx, _, local = term.partition(":")
+            base = ctx.get(pfx)
+            if isinstance(base, str):
+                return base + local
+            return term
+        mapped = ctx.get(term)
+        if isinstance(mapped, str):
+            return mapped
+        vocab = ctx.get("@vocab")
+        if isinstance(vocab, str):
+            return vocab + term
+        return term
+
+    def value_rows(subj: str, pred: str, v, ctx: dict) -> None:
+        if isinstance(v, list):
+            for item in v:
+                value_rows(subj, pred, item, ctx)
+            return
+        if isinstance(v, dict):
+            if "@value" in v:
+                dt = v.get("@type")
+                rows.append(
+                    (
+                        subj,
+                        pred,
+                        str(v["@value"]),
+                        True,
+                        expand(dt, ctx) if dt else None,
+                        v.get("@language"),
+                    )
+                )
+            elif "@id" in v and len([k for k in v if not k.startswith("@")]) == 0:
+                rows.append((subj, pred, v["@id"], False, None, None))
+            else:  # nested node object
+                obj = node_rows(v, ctx)
+                rows.append((subj, pred, obj, False, None, None))
+            return
+        if isinstance(v, bool):
+            rows.append((subj, pred, str(v).lower(), True, _XSD + "boolean", None))
+        elif isinstance(v, int):
+            rows.append((subj, pred, str(v), True, _XSD + "long", None))
+        elif isinstance(v, float):
+            rows.append((subj, pred, repr(v), True, _XSD + "double", None))
+        else:
+            rows.append((subj, pred, str(v), True, None, None))
+
+    def node_rows(node: dict, ctx: dict) -> str:
+        local_ctx = dict(ctx)
+        c = node.get("@context")
+        if isinstance(c, dict):
+            local_ctx.update(
+                {k: v for k, v in c.items() if isinstance(v, str)}
+            )
+        subj = node.get("@id") or fresh_bnode()
+        types = node.get("@type", [])
+        if isinstance(types, str):
+            types = [types]
+        for t in types:
+            rows.append((subj, _RDF_TYPE, expand(t, local_ctx), False, None, None))
+        for k, v in node.items():
+            if k.startswith("@"):
+                continue
+            value_rows(subj, expand(k, local_ctx), v, local_ctx)
+        return subj
+
+    def walk(d) -> None:
+        if isinstance(d, list):
+            for item in d:
+                walk(item)
+            return
+        if not isinstance(d, dict):
+            return
+        if "@graph" in d:
+            ctx = {}
+            c = d.get("@context")
+            if isinstance(c, dict):
+                ctx = {k: v for k, v in c.items() if isinstance(v, str)}
+            for n in d["@graph"]:
+                if isinstance(n, dict):
+                    node_rows(n, ctx)
+            return
+        node_rows(d, {})
+
+    walk(doc)
+    return rows
+
+
+_NATIVE_DOC_PARSERS = {
+    "rdfxml": parse_rdfxml_text,
+    "xml": parse_rdfxml_text,
+    "jsonld": parse_jsonld_text,
+    "trig": parse_trig_text,
+}
+
+
+def read_rdf(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "N-Triples",
+    header_params: dict[str, str] | None = None,
+) -> DataFrame:
     """Dispatch by format name (reference supports {RDF/XML, JSON-LD,
     Turtle, N-Triples, TriG}, ``RDFImport.java:45-46``). N-Triples is
-    line-parallel, Turtle file-parallel with a native lexer; the
-    remaining three parse file-parallel through rdflib inside
-    ``mapPartitions``-style tasks when the library is installed, and
-    raise a clear gate error here (rdflib is not in this container)."""
+    line-parallel; Turtle/TriG/RDF-XML/JSON-LD parse file-parallel
+    with native stdlib parsers — one task per file, scaling by file
+    count, which is how multi-TB corpora of these formats ship.
+
+    ``path`` may be an ``http(s)://`` URL (reference
+    ``RDFImport.java:45-84`` importRDF-from-URL); ``header_params``
+    carries request headers (e.g. Authorization), fetched driver-side
+    to a temp file before the distributed parse."""
+    if re.match(r"^https?://", path):
+        path = _fetch_url(path, header_params)
     fmt_l = fmt.lower().replace("-", "").replace("/", "")
     if fmt_l in ("ntriples", "nt"):
         return read_ntriples(spark, path)
+    if fmt_l in ("nquads", "nq"):
+        return read_nquads(spark, path)
     if fmt_l in ("turtle", "ttl"):
         return read_turtle(spark, path)
-    if fmt_l in _RDFLIB_FORMATS:
-        try:
-            import rdflib  # noqa: F401  (driver-side availability check)
-        except ImportError as e:
-            raise NotImplementedError(
-                f"RDF format {fmt!r} parses via rdflib, which is not "
-                "installed in this environment (pip install rdflib)"
-            ) from e
-        rdflib_fmt = _RDFLIB_FORMATS[fmt_l]
+    if fmt_l in _NATIVE_DOC_PARSERS:
+        parser = _NATIVE_DOC_PARSERS[fmt_l]
         files = spark.sparkContext.wholeTextFiles(path)
-        rows = files.flatMap(lambda kv: _parse_with_rdflib(kv[1], rdflib_fmt))
+        rows = files.flatMap(lambda kv: parser(kv[1]))
         return rows.toDF(TRIPLES_SCHEMA)
     raise NotImplementedError(f"unknown RDF format {fmt!r}")
+
+
+def _fetch_url(url: str, header_params: dict[str, str] | None = None) -> str:
+    """Fetch a remote RDF document to a local temp file (driver-side;
+    the parse itself is distributed). Bounded: one document."""
+    import tempfile
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=header_params or {})
+    with urllib.request.urlopen(req) as resp:
+        data = resp.read()
+    fd, tmp = tempfile.mkstemp(suffix=".rdf")
+    import os
+
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    return tmp

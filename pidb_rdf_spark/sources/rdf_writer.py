@@ -316,6 +316,76 @@ def export_turtle(graph: PropertyGraph, path: str, **kwargs) -> None:
     triples_to_turtle_lines(t, _ns_dict(graph)).write.mode("overwrite").text(path)
 
 
+def triples_to_nquads_lines(
+    triples: DataFrame, graph_iri: str | None = None
+) -> DataFrame:
+    """triples rows -> N-Quads lines: the N-Triples statement with an
+    optional graph term (reference RDF endpoint format negotiation,
+    ``RDFEndpoint.java:589-604``). The LPG model has one graph, so
+    every statement carries the same ``graph_iri`` (or none — then
+    the output is also valid N-Triples)."""
+    nt = triples_to_ntriples_lines(triples)
+    if graph_iri is None:
+        return nt
+    # splice the graph term before the closing ' .'
+    return nt.select(
+        F.concat(
+            F.expr("substring(value, 1, length(value) - 2)"),
+            F.lit(f" <{graph_iri}> ."),
+        ).alias("value")
+    )
+
+
+def export_nquads(
+    graph: PropertyGraph, path: str, graph_iri: str | None = None, **kwargs
+) -> None:
+    """Write the whole graph as N-Quads (line-parallel like
+    export_ntriples)."""
+    triples_to_nquads_lines(
+        graph_to_triples(graph, **kwargs), graph_iri
+    ).write.mode("overwrite").text(path)
+
+
+def triples_to_trig_lines(
+    triples: DataFrame,
+    namespaces: dict[str, str] | None = None,
+    graph_iri: str | None = None,
+) -> DataFrame:
+    """triples rows -> TriG lines. Statements are Turtle lines wrapped
+    in a named-graph block; each partition emits its own ``<g> { … }``
+    block (TriG permits a graph label in multiple blocks — their
+    contents union), so the write stays embarrassingly parallel: no
+    global sort, no single-writer funnel."""
+    namespaces = namespaces or {}
+    body = triples_to_turtle_lines(triples, None)  # statements, no header
+    header = [f"@prefix {p}: <{ns}> ." for ns, p in sorted(namespaces.items())]
+    open_block = f"<{graph_iri}> {{" if graph_iri else "{"
+
+    def with_block(rows):
+        stmts = [r["value"] for r in rows]
+        out = list(header)
+        if stmts:
+            out.append(open_block)
+            out.extend(stmts)
+            out.append("}")
+        return out
+
+    spark = triples.sparkSession
+    rdd = body.rdd.mapPartitions(with_block).map(lambda v: (v,))
+    return spark.createDataFrame(rdd, "value string")
+
+
+def export_trig(
+    graph: PropertyGraph, path: str, graph_iri: str | None = None, **kwargs
+) -> None:
+    """Write the whole graph as TriG (named-graph-aware, S12 +
+    ``RDFEndpoint.java:589-604`` format set)."""
+    t = graph_to_triples(graph, **kwargs)
+    triples_to_trig_lines(t, _ns_dict(graph), graph_iri).write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def triples_to_jsonld_lines(triples: DataFrame) -> DataFrame:
     """Flat JSON-LD, one node object per subject per line (the
     serialization shape of the reference's JSON-LD endpoint output,

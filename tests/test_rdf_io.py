@@ -226,31 +226,197 @@ def test_turtle_export_roundtrip(spark, tmp_path):
     assert len(exported) == 4
 
 
-def test_rdfxml_gated_without_rdflib(spark):
-    import importlib.util
-
-    import pytest as _pytest
-
+def test_rdfxml_native_read(spark, tmp_path):
     from pidb_rdf_spark.sources.rdf_reader import read_rdf
 
-    if importlib.util.find_spec("rdflib") is None:
-        with _pytest.raises(NotImplementedError, match="rdflib"):
-            read_rdf(spark, "/tmp/nonexistent.rdf", fmt="RDF/XML")
-    else:  # environment has rdflib: the gated path must parse
-        import tempfile, os
+    doc = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex.org/">'
+        '<rdf:Description rdf:about="http://ex.org/a">'
+        "<ex:name>Alice</ex:name>"
+        '<ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#long">30</ex:age>'
+        '<ex:knows rdf:resource="http://ex.org/b"/>'
+        '<ex:label xml:lang="de">Hallo</ex:label>'
+        "</rdf:Description>"
+        '<ex:Person rdf:about="http://ex.org/b"><ex:name>Bob</ex:name></ex:Person>'
+        "</rdf:RDF>"
+    )
+    (tmp_path / "doc.rdf").write_text(doc)
+    rows = read_rdf(spark, str(tmp_path), fmt="RDF/XML").collect()
+    got = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+    assert ("http://ex.org/a", "http://ex.org/name", "Alice") in got
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b") in got
+    assert (
+        "http://ex.org/b",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://ex.org/Person",
+    ) in got
+    by = {(r["predicate"]): r for r in rows}
+    assert by["http://ex.org/age"]["datatype"].endswith("long")
+    assert by["http://ex.org/label"]["lang"] == "de"
 
-        doc = (
-            '<?xml version="1.0"?>\n'
-            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
-            ' xmlns:ex="http://ex.org/">'
-            '<rdf:Description rdf:about="http://ex.org/a">'
-            "<ex:name>Alice</ex:name></rdf:Description></rdf:RDF>"
-        )
-        d = tempfile.mkdtemp()
-        with open(os.path.join(d, "doc.rdf"), "w") as f:
-            f.write(doc)
-        rows = read_rdf(spark, d, fmt="RDF/XML").collect()
-        assert rows[0]["object"] == "Alice"
+
+def test_rdfxml_parse_nested_and_parsetype():
+    from pidb_rdf_spark.sources.rdf_reader import parse_rdfxml_text
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex.org/">'
+        '<rdf:Description rdf:about="http://ex.org/a">'
+        '<ex:address rdf:parseType="Resource">'
+        "<ex:city>Paris</ex:city></ex:address>"
+        '<ex:friend><rdf:Description rdf:about="http://ex.org/c">'
+        "<ex:name>Carol</ex:name></rdf:Description></ex:friend>"
+        "</rdf:Description></rdf:RDF>"
+    )
+    rows = parse_rdfxml_text(doc)
+    by_pred = {p: (s, o, lit) for s, p, o, lit, _, _ in rows}
+    # parseType=Resource introduces a bnode that carries the city
+    addr_b = by_pred["http://ex.org/address"][1]
+    assert addr_b.startswith("_:")
+    assert ("_:" + addr_b[2:], "http://ex.org/city", "Paris", True) in {
+        (s, p, o, lit) for s, p, o, lit, _, _ in rows
+    }
+    assert by_pred["http://ex.org/friend"][1] == "http://ex.org/c"
+    assert by_pred["http://ex.org/name"] == ("http://ex.org/c", "Carol", True)
+
+
+def test_jsonld_native_read(spark, tmp_path):
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+
+    doc = """
+    {"@context": {"ex": "http://ex.org/", "name": "http://ex.org/name"},
+     "@graph": [
+       {"@id": "http://ex.org/a", "@type": "ex:Person",
+        "name": "Alice",
+        "ex:age": {"@value": "30", "@type": "http://www.w3.org/2001/XMLSchema#long"},
+        "ex:knows": {"@id": "http://ex.org/b"},
+        "ex:motto": {"@value": "Hallo", "@language": "de"},
+        "ex:score": 3.5, "ex:active": true},
+       {"@id": "http://ex.org/b", "name": "Bob"}
+     ]}
+    """
+    (tmp_path / "doc.jsonld").write_text(doc)
+    rows = read_rdf(spark, str(tmp_path), fmt="JSON-LD").collect()
+    got = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+    assert ("http://ex.org/a", "http://ex.org/name", "Alice") in got
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b") in got
+    assert (
+        "http://ex.org/a",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://ex.org/Person",
+    ) in got
+    by = {r["predicate"]: r for r in rows if r["subject"].endswith("/a")}
+    assert by["http://ex.org/age"]["datatype"].endswith("long")
+    assert by["http://ex.org/motto"]["lang"] == "de"
+    assert by["http://ex.org/score"]["datatype"].endswith("double")
+    assert by["http://ex.org/active"]["object"] == "true"
+
+
+def test_jsonld_export_import_roundtrip(spark):
+    """export (flat NDJSON) -> native import -> identical statements."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_jsonld_text
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples, triples_to_jsonld_lines
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    exported = graph_to_triples(g)
+    lines = "\n".join(
+        r["value"] for r in triples_to_jsonld_lines(exported).collect()
+    )
+    reparsed = parse_jsonld_text(lines)
+    want = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in exported.collect()
+    }
+    got = {(s, p, o, lit) for s, p, o, lit, _, _ in reparsed}
+    assert got == want
+
+
+def test_rdfxml_export_import_roundtrip(spark):
+    from pidb_rdf_spark.sources.rdf_reader import parse_rdfxml_text
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples, triples_to_rdfxml_lines
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    exported = graph_to_triples(g)
+    doc = "\n".join(
+        r["value"] for r in triples_to_rdfxml_lines(exported).collect() if not r["value"].startswith("<?xml")
+    )
+    reparsed = parse_rdfxml_text(doc)
+    want = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in exported.collect()
+    }
+    got = {(s, p, o, lit) for s, p, o, lit, _, _ in reparsed}
+    assert got == want
+
+
+def test_trig_native_read(spark, tmp_path):
+    from pidb_rdf_spark.sources.rdf_reader import parse_trig_text, read_rdf
+
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:g1 {
+      ex:a ex:name "Alice" ;
+           ex:knows ex:b .
+    }
+    GRAPH ex:g2 {
+      ex:b ex:name "Bob"@en
+    }
+    { ex:c ex:name "DefaultGraph" . }
+    ex:d ex:name "TopLevel" .
+    """
+    rows = parse_trig_text(doc)
+    got = {(s, p, o) for s, p, o, *_ in rows}
+    assert ("http://ex.org/a", "http://ex.org/name", "Alice") in got
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b") in got
+    assert ("http://ex.org/b", "http://ex.org/name", "Bob") in got
+    assert ("http://ex.org/c", "http://ex.org/name", "DefaultGraph") in got
+    assert ("http://ex.org/d", "http://ex.org/name", "TopLevel") in got
+    # graph labels must NOT appear as subjects
+    assert not any(s.endswith(("g1", "g2")) for s, _, _ in got)
+    (tmp_path / "doc.trig").write_text(doc)
+    assert read_rdf(spark, str(tmp_path), fmt="TriG").count() == len(rows)
+
+
+def test_read_rdf_from_url(spark, tmp_path):
+    """URL import with headerParams (RDFImport.java:45-84): serve a
+    fixture over local HTTP and read it through read_rdf."""
+    import http.server
+    import threading
+
+    (tmp_path / "doc.nt").write_text(
+        '<urn:u> <urn:p> "via-http" .\n'
+    )
+    seen_headers = {}
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def do_GET(self):
+            seen_headers.update(self.headers)
+            body = (tmp_path / "doc.nt").read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from pidb_rdf_spark.sources.rdf_reader import read_rdf
+
+        url = f"http://127.0.0.1:{srv.server_port}/doc.nt"
+        rows = read_rdf(
+            spark, url, fmt="N-Triples", header_params={"X-Api-Key": "k123"}
+        ).collect()
+        assert rows[0]["object"] == "via-http"
+        assert seen_headers.get("X-Api-Key") == "k123"
+    finally:
+        srv.shutdown()
 
 
 def test_jsonld_export(spark):
@@ -356,3 +522,58 @@ def test_merge_preserves_namespace_registry(spark):
     ns2 = {r["namespace"]: r["prefix"] for r in g2.namespaces.collect()}
     assert ns2["http://first.example/one#"] == "ns0"  # unchanged
     assert ns2["http://second.example/two#"] == "ns1"  # continued, not remapped
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    """export N-Quads (with graph term) -> read_nquads -> identical
+    statements, graph term dropped."""
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples, triples_to_nquads_lines
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    exported = graph_to_triples(g)
+    lines = triples_to_nquads_lines(exported, graph_iri="http://ex.org/g")
+    out = tmp_path / "q"
+    lines.write.mode("overwrite").text(str(out))
+    reparsed = read_rdf(spark, str(out), fmt="N-Quads")
+    want = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in exported.collect()
+    }
+    got = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in reparsed.collect()
+    }
+    assert got == want
+    # every line carries the graph term
+    raw = [r["value"] for r in spark.read.text(str(out)).collect()]
+    assert all(ln.endswith("<http://ex.org/g> .") for ln in raw)
+    # a literal containing <...> text must not lose it to the graph slot
+    tricky = '<urn:s> <urn:p> "see <http://not-a-graph>" <http://ex.org/g> .'
+    df = spark.createDataFrame([(tricky,)], ["value"])
+    (tmp_path / "t").mkdir()
+    df.write.mode("overwrite").text(str(tmp_path / "t" / "x"))
+    row = read_rdf(spark, str(tmp_path / "t" / "x"), fmt="N-Quads").collect()[0]
+    assert row["object"] == "see <http://not-a-graph>"
+
+
+def test_trig_export_roundtrip(spark, tmp_path):
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+    from pidb_rdf_spark.sources.rdf_writer import export_trig
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    out = tmp_path / "trig"
+    export_trig(g, str(out), graph_iri="http://ex.org/g")
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples
+
+    want = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in graph_to_triples(g).collect()
+    }
+    got = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in read_rdf(spark, str(out), fmt="TriG").collect()
+    }
+    assert got == want
