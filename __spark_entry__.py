@@ -1154,13 +1154,13 @@ def _scale_extension_oracles() -> dict[str, str]:
             ),
             offs AS (
                 SELECT doc_id, shard,
-                       SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS end_offset,
+                       CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset,
                        n
                 FROM base
             )
             SELECT doc_id, shard,
-                   end_offset - n AS start_offset, end_offset,
+                   CAST(end_offset - n AS BIGINT) AS start_offset, end_offset,
                    CAST(floor((end_offset - n) / 4096.0) AS BIGINT) AS chunk_start,
                    CAST(floor((end_offset - 1) / 4096.0) AS BIGINT) AS chunk_end
             FROM offs
