@@ -564,14 +564,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_doc_clusters"] = near_dup_doc_clusters
 
     def pagerank_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # rows-only check: float fixpoint values are not hash-stable
-        # across engines; correctness vs a dense reference is pinned in
-        # tests/test_analytics.py
+        # hash-stable projection: raw rank doubles differ between
+        # engines at ~1e-15 (summation order), so emit a coarse
+        # integer bucket floor(rank*1e6) instead — at sf0.01 the
+        # nearest rank sits 5e-9 rank-units from a bucket boundary,
+        # six orders above the drift. The oracle replays all 10 power
+        # iterations in unrolled DuckDB SQL (_pagerank_sql).
         from pidb_rdf_spark.analytics import pagerank
 
         g = _graph(spark, sf_dir)
         cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
-        return pagerank(cont, n_iter=10)
+        ranks = pagerank(cont, n_iter=10)
+        return (
+            ranks.join(
+                g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+                on="node",
+            )
+            .select(
+                "node_uri",
+                F.floor(F.col("rank") * 1e6).cast("long").alias("rank_bucket"),
+            )
+        )
 
     q["pagerank_containment"] = pagerank_containment
 
@@ -670,9 +683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk_exact"] = ivf_topk_exact
 
-    # -- approximate scale paths (no SQL oracle by design: outputs are
-    #    approximation-dependent; the exact twins above are the
-    #    oracle-checked baselines, these demonstrate the 100 TB path) --
+    # -- approximate scale paths. Approximate ≠ unverifiable: both are
+    #    deterministic, so probe-2 gets a full replay oracle (k-means +
+    #    probing unrolled in DuckDB SQL, _ivf_probe_sql) and the LSH
+    #    path is tuned to recall=1 so the exact all-pairs SQL applies --
     def ivf_topk_probe2(spark, sf_dir):
         from pidb_rdf_spark.operators import ivf_search, kmeans_centroids
 
@@ -688,10 +702,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_topk_probe2"] = ivf_topk_probe2
 
     def embedding_near_dup_lsh(spark, sf_dir):
+        # (n_planes=4, n_tables=32) gives recall=1 on this corpus at
+        # sf0.01 AND sf0.1 (verified by driver-side simulation), so the
+        # exact all-pairs cosine SQL is a valid oracle — precision is
+        # already 1 by the exact-verify step. NOTE the corpus is
+        # adversarial to LSH: max pairwise cosine ≈0.51/0.60, so every
+        # pair above the 0.45 threshold sits in the random-noise band
+        # (per-plane collision prob ≈0.65 ⇒ L must approach 2^k for
+        # full recall). On a real near-dup corpus (cosine ≥0.8) the
+        # same code prunes aggressively with k=8..16.
         from pidb_rdf_spark.operators import embedding_near_dup_pairs
 
         return embedding_near_dup_pairs(
-            _emb(spark, sf_dir), threshold=0.45, bucketed=True, n_planes=4
+            _emb(spark, sf_dir),
+            threshold=0.45,
+            bucketed=True,
+            n_planes=4,
+            n_tables=32,
         )
 
     q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
@@ -999,6 +1026,132 @@ def _brute_topk_sql(query_pred: str, k: int) -> str:
     """
 
 
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """All ``n_iter`` synchronous power iterations unrolled in DuckDB
+    SQL, mirroring ``analytics.pagerank`` step-for-step (uniform
+    teleport, dangling-mass redistribution, same float association:
+    ``(1.0-d)/n + d*dm/n`` then ``base + d*contrib``). The final
+    SELECT emits the fp-noise-immune ``floor(rank*1e6)`` bucket that
+    the Spark entry also emits."""
+    d = repr(damping)
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src,
+         'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+         'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+         'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "params AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN params)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank / deg.deg) AS in_rank
+  FROM e JOIN {p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         ((1.0 - {d}) / n + {d} * dm / n)
+           + {d} * COALESCE(in_rank, 0.0) AS rank
+  FROM nodes CROSS JOIN params CROSS JOIN d{i}
+  LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT node AS node_uri,
+       CAST(floor(rank * 1e6) AS BIGINT) AS rank_bucket
+FROM r{n_iter}
+"""
+
+
+def _ivf_probe_sql(
+    query_pred: str,
+    k: int,
+    n_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> str:
+    """The ENTIRE deterministic IVF pipeline unrolled in DuckDB SQL:
+    Lloyd's k-means (init = lowest-id vectors, ``iters`` update
+    steps), nearest-centroid assignment, per-query ``nprobe`` probe
+    list, and cosine top-k over probed clusters only — mirroring
+    ``operators.similarity.kmeans_centroids``/``ivf_search``
+    step-for-step (same argmin tie-break: distance then cluster id).
+    Verified row-identical to a numpy re-implementation at sf0.01."""
+    assign_tpl = """
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c.e), c.cl) AS rn
+    FROM v CROSS JOIN {cent} c) WHERE rn = 1
+"""
+    update_tpl = """
+  SELECT cl, list(m ORDER BY dim) AS e FROM (
+    SELECT a.cl, u.dim, AVG(u.val) AS m
+    FROM {assign} a JOIN v USING (vec_id),
+         LATERAL (SELECT generate_subscripts(v.e, 1) AS dim,
+                         unnest(v.e) AS val) u
+    GROUP BY a.cl, u.dim) GROUP BY cl
+"""
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, e
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_clusters})
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS ({assign_tpl.format(cent=f'c{i - 1}')})")
+        ctes.append(f"c{i} AS ({update_tpl.format(assign=f'a{i}')})")
+    final_c = f"c{iters}"
+    ctes += [
+        f"assigned AS ({assign_tpl.format(cent=final_c)})",
+        f"q AS (SELECT vec_id AS query_id, e FROM v WHERE {query_pred})",
+        f"""probes AS (
+  SELECT query_id, cl FROM (
+    SELECT q.query_id, c.cl,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.e, c.e), c.cl) AS rn
+    FROM q CROSS JOIN {final_c} c) WHERE rn <= {nprobe}
+)""",
+        """cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cl = p.cl
+  WHERE a.vec_id <> p.query_id
+)""",
+    ]
+    return f"""
+WITH {",".join(ctes)}
+SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id FROM (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY list_cosine_similarity(qv.e, nv.e) DESC,
+                                     c.vec_id) AS rn
+  FROM cand c
+  JOIN q qv ON qv.query_id = c.query_id
+  JOIN v nv ON nv.vec_id = c.vec_id)
+WHERE rn <= {k}
+"""
+
+
 def _scale_extension_oracles() -> dict[str, str]:
     from pidb_rdf_spark.operators.text import BPE_SPLIT_REGEX, STOPWORDS
 
@@ -1023,6 +1176,22 @@ def _scale_extension_oracles() -> dict[str, str]:
         """,
         "cosine_topk": _brute_topk_sql("vec_id < 10", 10),
         "ivf_topk_exact": _brute_topk_sql("vec_id % 100 = 0", 5),
+        # probe-2 is approximate vs brute force, but the pipeline is
+        # fully deterministic — so the oracle replays k-means +
+        # probing + ranking itself, unrolled in SQL
+        "ivf_topk_probe2": _ivf_probe_sql(
+            "vec_id % 100 = 0", 5, n_clusters=8, iters=2, nprobe=2
+        ),
+        # recall=1 at this (n_planes, n_tables) on this corpus and
+        # precision=1 by exact verify ⇒ the exact all-pairs SQL is a
+        # valid oracle (same construction as minhash_lsh_dedup's)
+        "embedding_near_dup_lsh": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])
+            ) >= 0.45
+        """,
         "lang_id": f"""
             WITH toks AS (
                 SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents
@@ -1515,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR),
                        'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region
             """,
+            "pagerank_containment": _pagerank_sql(10, 0.85),
             "bfs_hops_containment": """
                 SELECT 'urn:region:1' AS node_uri, CAST(0 AS BIGINT) AS hops
                 UNION ALL
