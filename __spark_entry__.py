@@ -50,25 +50,28 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
     return _PAIRS_CACHE[key]
 
 
-# Entries already proven green in CORRECTNESS_r01 (unchanged code)
-# deferred past the driver's 50-entry check window so the entries it
-# has not yet checked rotate in (VERDICT r1 "Next round" #1). Every
-# name here keeps its pytest + r01 driver evidence; the driver gate
-# re-proves the rest this round.
+# Rotation of the driver's 50-entry check window (VERDICT r1 #1,
+# r2 #6): entries proven green LAST round whose full code path is
+# untouched THIS round get deferred past the window so everything
+# else re-proves. r03 rotation: the 13 SPARQL-form entries deferred
+# in r02 come back in (the r02 parser unescape change touched their
+# path — ADVICE r2); deferred instead are 13 r02-green pipeline
+# entries (text / media / ranking / streaming families) whose
+# operators this round's diff does not touch.
 _DEFER_TO_TAIL = [
-    "count_distinct",
-    "union_names",
-    "not_exists_anti",
-    "exists_semi",
-    "distinct_projection",
-    "sparql_values",
-    "sparql_minus",
-    "path_seq_region",
-    "path_inverse_alt_members",
-    "path_optional_hop",
-    "group_concat_nations",
-    "ask_exists",
-    "quantiles_order_prices",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "repetition_signals_docs",
+    "media_header_probe",
+    "media_features",
+    "frame_sample",
+    "tfidf_top_terms_docs",
+    "bm25_search_docs",
+    "windowed_event_counts",
+    "sessionize_events",
+    "stream_dedup_events",
 ]
 
 
@@ -631,7 +634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- MinHash + LSH near-dup (the linear-time scale path) -----------
     def minhash_dedup(spark, sf_dir):
-        return _minhash_pairs(spark, sf_dir, threshold=0.8)
+        # deliberately NOT via _minhash_pairs: this is the scale-path
+        # headline entry, so its bench timing must measure the full
+        # MinHash pipeline, never a checkpoint read (ADVICE r2). The
+        # composite entries (clusters, triangles) still share the
+        # _minhash_pairs cache — they time their own operator.
+        from pidb_rdf_spark.operators import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_dedup(docs, threshold=0.8)
 
     q["minhash_lsh_dedup"] = minhash_dedup
 

@@ -118,7 +118,11 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     """N-Quads file(s) -> triples DataFrame (line-parallel like
     N-Triples). The graph term is dropped on import — the LPG mapping
     is s/p/o, same policy as the TriG reader."""
-    lines = spark.read.text(path)
+    return parse_nquads_lines(spark.read.text(path))
+
+
+def parse_nquads_lines(lines: DataFrame) -> DataFrame:
+    """Parse a DataFrame of N-Quads lines (column ``value``)."""
     stmt = lines.filter(
         ~F.col("value").rlike(r"^\s*(#.*)?$")
     ).select(
@@ -199,7 +203,7 @@ _TTL_TOKEN = re.compile(
     | (?P<kw_a>\ba\b)
     | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<bool>\btrue\b|\bfalse\b)
-    | (?P<kw_graph>\bGRAPH\b)
+    | (?P<kw_graph>(?i:\bGRAPH\b))
     | (?P<punct>[;,.\[\](){}])
     | (?P<ws>\s+)
     """,
@@ -317,14 +321,22 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
 
 def parse_rdf_snippet(spark: SparkSession, text: str, fmt: str = "Turtle") -> DataFrame:
     """Inline RDF fragment -> triples (reference ``previewRDFSnippet``,
-    ``semantics/RDFImport.java:157-186``)."""
-    fmt_l = fmt.lower().replace("-", "")
+    ``semantics/RDFImport.java:157-186``). Accepts every format the
+    file reader does: Turtle, N-Triples, N-Quads, RDF/XML, JSON-LD,
+    TriG — same five as the reference plus N-Quads."""
+    fmt_l = fmt.lower().replace("-", "").replace("/", "")
     if fmt_l in ("turtle", "ttl"):
         return spark.createDataFrame(parse_turtle_text(text), TRIPLES_SCHEMA)
-    if fmt_l in ("ntriples", "nt"):
+    if fmt_l in ("ntriples", "nt", "nquads", "nq"):
         lines = spark.createDataFrame([(ln,) for ln in text.splitlines()], ["value"])
+        if fmt_l in ("nquads", "nq"):
+            return parse_nquads_lines(lines)
         return parse_ntriples_lines(lines)
-    raise NotImplementedError(f"RDF format {fmt!r} needs an external parser")
+    if fmt_l in _NATIVE_DOC_PARSERS:
+        return spark.createDataFrame(
+            _NATIVE_DOC_PARSERS[fmt_l](text), TRIPLES_SCHEMA
+        )
+    raise NotImplementedError(f"unknown RDF format {fmt!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -351,8 +363,18 @@ def parse_trig_text(text: str) -> list[tuple]:
             i += 1  # GRAPH keyword — the label + '{' follow
             continue
         if tok == "{" and kind == "punct":
-            # drop an immediately preceding graph label (iri/pname/bnode)
-            if out and out[-1][0] in ("iriref", "pname", "bnode"):
+            # drop an immediately preceding graph label (iri/pname/
+            # bnode, or the anonymous '[]' / '[ ]' label form)
+            if (
+                len(out) >= 2
+                and out[-1][1] == "]"
+                and out[-2][1] == "["
+            ):
+                prev = out[-3][1] if len(out) >= 3 else "."
+                if prev in (".", "}", "{") or len(out) == 2:
+                    out.pop()
+                    out.pop()
+            elif out and out[-1][0] in ("iriref", "pname", "bnode"):
                 # ...but only when it is a bare label: a label token
                 # directly after '.' / '}' / start (not an object)
                 prev = out[-2][1] if len(out) >= 2 else "."
@@ -522,6 +544,20 @@ def parse_jsonld_text(text: str) -> list[tuple]:
             return vocab + term
         return term
 
+    def expand_id(term: str, ctx: dict) -> str:
+        # @id values expand compact IRIs against @context prefixes
+        # but — unlike predicates/types — never against @vocab
+        # (JSON-LD resolves bare node ids against @base, which we
+        # leave untouched)
+        if term.startswith("_:") or "://" in term or term.startswith("urn:"):
+            return term
+        if ":" in term:
+            pfx, _, local = term.partition(":")
+            base = ctx.get(pfx)
+            if isinstance(base, str):
+                return base + local
+        return term
+
     def value_rows(subj: str, pred: str, v, ctx: dict) -> None:
         if isinstance(v, list):
             for item in v:
@@ -541,7 +577,7 @@ def parse_jsonld_text(text: str) -> list[tuple]:
                     )
                 )
             elif "@id" in v and len([k for k in v if not k.startswith("@")]) == 0:
-                rows.append((subj, pred, v["@id"], False, None, None))
+                rows.append((subj, pred, expand_id(v["@id"], ctx), False, None, None))
             else:  # nested node object
                 obj = node_rows(v, ctx)
                 rows.append((subj, pred, obj, False, None, None))
@@ -562,7 +598,8 @@ def parse_jsonld_text(text: str) -> list[tuple]:
             local_ctx.update(
                 {k: v for k, v in c.items() if isinstance(v, str)}
             )
-        subj = node.get("@id") or fresh_bnode()
+        raw_id = node.get("@id")
+        subj = expand_id(raw_id, local_ctx) if raw_id else fresh_bnode()
         types = node.get("@type", [])
         if isinstance(types, str):
             types = [types]
@@ -639,16 +676,26 @@ def read_rdf(
 
 def _fetch_url(url: str, header_params: dict[str, str] | None = None) -> str:
     """Fetch a remote RDF document to a local temp file (driver-side;
-    the parse itself is distributed). Bounded: one document."""
+    the parse itself is distributed). Bounded: one document.
+
+    Cluster caveat: the temp file lives on the DRIVER's filesystem, so
+    url import only works where executors share it (local mode, or a
+    shared mount). On a real cluster, point ``SPARK_RDF_FETCH_DIR`` at
+    DFS-backed storage (s3a://... is not supported by mkstemp — mount
+    or fuse path) or download to DFS out-of-band and import the path.
+    The temp file is removed at interpreter exit (the read is lazy, so
+    it cannot be deleted before the job that scans it has run)."""
+    import atexit
+    import os
     import tempfile
     import urllib.request
 
     req = urllib.request.Request(url, headers=header_params or {})
     with urllib.request.urlopen(req) as resp:
         data = resp.read()
-    fd, tmp = tempfile.mkstemp(suffix=".rdf")
-    import os
-
+    fetch_dir = os.environ.get("SPARK_RDF_FETCH_DIR")
+    fd, tmp = tempfile.mkstemp(suffix=".rdf", dir=fetch_dir)
     with os.fdopen(fd, "wb") as f:
         f.write(data)
+    atexit.register(lambda: os.path.exists(tmp) and os.remove(tmp))
     return tmp

@@ -577,3 +577,99 @@ def test_trig_export_roundtrip(spark, tmp_path):
         for r in read_rdf(spark, str(out), fmt="TriG").collect()
     }
     assert got == want
+
+
+def test_parse_snippet_all_formats(spark):
+    """S8 parity: previewRDFSnippet accepts all five reference formats
+    (``RDFImport.java:157-186``) — Turtle and N-Triples are covered
+    above; this pins RDF/XML, JSON-LD, TriG (+ N-Quads extra)."""
+    want = ("http://example.org/alice", "http://example.org/name", "Alice")
+
+    rdfxml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <rdf:Description rdf:about="http://example.org/alice">
+    <ex:name>Alice</ex:name>
+  </rdf:Description>
+</rdf:RDF>"""
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in parse_rdf_snippet(spark, rdfxml, "RDF/XML").collect()
+    }
+    assert want in rows
+
+    jsonld = """{"@context": {"ex": "http://example.org/"},
+  "@id": "ex:alice", "ex:name": "Alice"}"""
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in parse_rdf_snippet(spark, jsonld, "JSON-LD").collect()
+    }
+    assert want in rows
+
+    trig = """@prefix ex: <http://example.org/> .
+ex:g { ex:alice ex:name "Alice" . }"""
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in parse_rdf_snippet(spark, trig, "TriG").collect()
+    }
+    assert want in rows
+
+    nq = '<http://example.org/alice> <http://example.org/name> "Alice" <http://example.org/g> .'
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in parse_rdf_snippet(spark, nq, "N-Quads").collect()
+    }
+    assert want in rows
+
+    with pytest.raises(NotImplementedError):
+        parse_rdf_snippet(spark, "x", "HDT")
+
+
+def test_trig_lowercase_graph_and_anon_label():
+    """TriG keywords are case-insensitive and '[]' is a legal
+    (anonymous) graph label — both forms must unwrap to the inner
+    statements."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_trig_text
+
+    doc = """@prefix ex: <http://example.org/> .
+graph ex:g1 { ex:a ex:p ex:b . }
+Graph <http://example.org/g2> { ex:c ex:p ex:d }
+[] { ex:e ex:p ex:f . }
+[ ] { ex:g ex:p ex:h }
+"""
+    rows = parse_trig_text(doc)
+    subs = {r[0] for r in rows}
+    assert subs == {
+        "http://example.org/a",
+        "http://example.org/c",
+        "http://example.org/e",
+        "http://example.org/g",
+    }
+    # a bnode USED AS SUBJECT inside a graph must not be eaten as label
+    doc2 = """@prefix ex: <http://example.org/> .
+ex:g { _:b1 ex:p ex:x . }
+"""
+    rows2 = parse_trig_text(doc2)
+    assert rows2 == [("_:b1", "http://example.org/p", "http://example.org/x", False, None, None)]
+
+
+def test_jsonld_compact_id_expansion():
+    """@id values in compact-IRI form expand against @context — both
+    node subjects and object references (ADVICE r2)."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_jsonld_text
+
+    doc = """{"@context": {"ex": "http://example.org/"},
+  "@graph": [
+    {"@id": "ex:alice", "ex:knows": {"@id": "ex:bob"}},
+    {"@id": "http://example.org/bob", "ex:name": "Bob"}
+  ]}"""
+    rows = parse_jsonld_text(doc)
+    triples = {(r[0], r[1], r[2]) for r in rows}
+    assert (
+        "http://example.org/alice",
+        "http://example.org/knows",
+        "http://example.org/bob",
+    ) in triples
+    # the expanded subject joins with the full-IRI subject of bob
+    subs = {r[0] for r in rows}
+    assert subs == {"http://example.org/alice", "http://example.org/bob"}
