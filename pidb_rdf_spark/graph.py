@@ -21,10 +21,43 @@ the same way.
 
 from __future__ import annotations
 
+import os
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Driver-side schema inventories (property keys, edge predicates,
+# namespaces) are vocabulary-sized on any sane corpus, but a
+# pathological schemaless corpus can mint unbounded keys. Every such
+# collect is capped at the top-K keys by frequency; access to
+# overflow keys still works through the ``props`` map (they just lose
+# their typed-family cast and drop out of SELECT-*-style expansions).
+MAX_SCHEMA_KEYS = int(os.environ.get("SPARK_GRAFT_MAX_SCHEMA_KEYS", "10000"))
+
+
+def _capped_key_collect(df: DataFrame, what: str, cap: int | None = None) -> list:
+    """Collect grouped key rows capped at top-``cap`` by frequency
+    (ties broken by key for determinism). ``df`` must carry an ``n``
+    count column and the key as its first column. Warns on overflow."""
+    cap = MAX_SCHEMA_KEYS if cap is None else cap
+    key_col = df.columns[0]
+    rows = (
+        df.orderBy(F.col("n").desc(), F.col(key_col).asc())
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        warnings.warn(
+            f"{what}: more than {cap} distinct keys; keeping the {cap} "
+            f"most frequent (overflow keys remain readable via the "
+            f"props map). Raise SPARK_GRAFT_MAX_SCHEMA_KEYS to widen.",
+            stacklevel=3,
+        )
+        rows = rows[:cap]
+    return rows
+
 
 TABLES = [
     "region",
@@ -119,13 +152,16 @@ class PropertyGraph:
         if cached is None:
             cached = {}
             if "__prop_types" in self.nodes.columns:
-                rows = (
+                rows = _capped_key_collect(
                     self.nodes.select(
                         F.explode(F.col("__prop_types")).alias("key", "family")
                     )
                     .groupBy("key")
-                    .agg(F.collect_set("family").alias("fams"))
-                    .collect()
+                    .agg(
+                        F.collect_set("family").alias("fams"),
+                        F.count("*").alias("n"),
+                    ),
+                    "prop_type_families",
                 )
                 cached = {
                     r["key"]: (r["fams"][0] if len(r["fams"]) == 1 else "string")
@@ -145,9 +181,14 @@ class PropertyGraph:
             else:
                 map_keys = {
                     r["k"]
-                    for r in self.nodes.select(
-                        F.explode(F.map_keys(F.col("props"))).alias("k")
-                    ).dropDuplicates().collect()
+                    for r in _capped_key_collect(
+                        self.nodes.select(
+                            F.explode(F.map_keys(F.col("props"))).alias("k")
+                        )
+                        .groupBy("k")
+                        .agg(F.count("*").alias("n")),
+                        "node_prop_keys",
+                    )
                 }
             cached = hot | map_keys
             self.__dict__["_prop_keys"] = cached
@@ -160,7 +201,10 @@ class PropertyGraph:
         if cached is None:
             cached = {
                 r["predicate"]
-                for r in self.edges.select("predicate").dropDuplicates().collect()
+                for r in _capped_key_collect(
+                    self.edges.groupBy("predicate").agg(F.count("*").alias("n")),
+                    "edge_predicate_names",
+                )
             }
             self.__dict__["_edge_preds"] = cached
         return cached

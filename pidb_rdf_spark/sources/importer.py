@@ -59,9 +59,14 @@ def discover_namespaces(
     """Known prefixes + generated ``nsN`` for every namespace seen in
     predicates and type objects (auto-registration,
     ``DirectStatementLoader.java:205-211``). Namespace list is
-    vocabulary-sized -> collect is safe at any data scale."""
+    vocabulary-sized on any sane corpus; a pathological corpus minting
+    a namespace per IRI is capped at the top-K by frequency (overflow
+    IRIs simply stay unshortened — lossless, they just don't get a
+    prefix)."""
+    from pidb_rdf_spark.graph import _capped_key_collect
+
     ns_map = dict(known if known is not None else DEFAULT_NAMESPACES)
-    seen = (
+    seen = _capped_key_collect(
         triples.select(iri_namespace(F.col("predicate")).alias("ns"))
         .unionAll(
             triples.filter(
@@ -71,8 +76,9 @@ def discover_namespaces(
             ).select(iri_namespace(F.col("object")).alias("ns"))
         )
         .filter(F.col("ns") != "")
-        .distinct()
-        .collect()
+        .groupBy("ns")
+        .agg(F.count("*").alias("n")),
+        "discover_namespaces",
     )
     fresh = sorted(r["ns"] for r in seen if r["ns"] not in ns_map)
     # continue the nsN counter past prefixes already assigned (an
