@@ -39,14 +39,29 @@ def transitive_closure(
     parent: str = "parent",
     max_iter: int = 30,
     include_self: bool = False,
+    small_cap: int | None = None,
 ) -> DataFrame:
     """All (descendant, ancestor) pairs reachable via 1..n child->parent
     steps — semi-naive fixpoint (frontier-only re-join per round).
 
     Equivalent semantics to Cypher ``(a)<-[:KIND*]-(d)`` in the
     reference's closure queries (``MicroReasoners.java:20-22``).
+
+    ``small_cap``: if set and the (deduplicated) edge set has at most
+    that many rows, the closure is computed driver-side in one collect
+    instead of ~2 Spark jobs per fixpoint round. Ontology hierarchies
+    are vocabulary-sized by construction (same bound as
+    ``graph.MAX_SCHEMA_KEYS``), so ``sub_closure`` passes a cap;
+    data-sized closures (reachability over rows) keep ``None`` and run
+    the distributed fixpoint.
     """
     base = edges.select(F.col(child).alias("child"), F.col(parent).alias("parent")).dropDuplicates()
+    if small_cap is not None:
+        probe = base.limit(small_cap + 1).collect()
+        if len(probe) <= small_cap:
+            return _closure_driver_side(
+                edges.sparkSession, base.schema, probe, include_self
+            )
     base = base.localCheckpoint(eager=True)
     closure = base
     frontier = base
@@ -77,14 +92,44 @@ def transitive_closure(
     return closure
 
 
+def _closure_driver_side(spark, schema, rows, include_self: bool) -> DataFrame:
+    """Full transitive closure of a driver-resident pair set (bounded
+    by the caller's cap). One collect in, one ``createDataFrame`` out —
+    no per-round Spark jobs."""
+    pairs = {(r["child"], r["parent"]) for r in rows}
+    parents_of: dict = {}
+    for c, p in pairs:
+        parents_of.setdefault(c, set()).add(p)
+    closure = set(pairs)
+    frontier = pairs
+    while frontier:
+        new = set()
+        for c, p in frontier:
+            for anc in parents_of.get(p, ()):
+                cand = (c, anc)
+                if cand not in closure:
+                    new.add(cand)
+        closure |= new
+        frontier = new
+    if include_self:
+        nodes = {c for c, _ in closure} | {p for _, p in closure}
+        closure |= {(n, n) for n in nodes}
+    # deterministic row order (None/mixed-type safe key); row order is
+    # semantically irrelevant but keeps downstream plans reproducible
+    ordered = sorted(closure, key=lambda t: tuple((v is None, str(v)) for v in t))
+    return spark.createDataFrame(ordered, schema=schema)
+
+
 def sub_closure(hierarchy: DataFrame, name: str, kind: str | None = None,
                 include_self: bool = True) -> DataFrame:
     """Names in the closure *below* ``name`` (itself included by
     default): the ``<-[:X*]-`` expansions of MicroReasoners."""
+    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
+
     h = hierarchy
     if kind is not None and "kind" in h.columns:
         h = h.filter(F.col("kind") == kind)
-    clo = transitive_closure(h)
+    clo = transitive_closure(h, small_cap=MAX_SCHEMA_KEYS)
     subs = clo.filter(F.col("parent") == name).select(F.col("child").alias("name"))
     if include_self:
         subs = subs.unionAll(

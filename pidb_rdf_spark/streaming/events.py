@@ -46,6 +46,10 @@ def windowed_event_counts(
     depends on partitioning.
     """
     if watermark is not None:
+        # Parquet fixtures carry TIMESTAMP_NTZ; event-time watermarks
+        # require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # The session timezone is UTC, so the cast is value-preserving.
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
@@ -189,7 +193,11 @@ def dedup_stream(
     near the original event).
     """
     if events.isStreaming:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            key_cols
+        # TIMESTAMP_NTZ source columns cannot carry a watermark; cast
+        # (UTC session timezone → value-preserving, see above).
+        return (
+            events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols)
         )
     return events.dropDuplicates(key_cols)
