@@ -148,17 +148,22 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_rank"))
         )
-        dangling = (
-            ranks.join(
-                out_deg.withColumnRenamed("src", "node"), on="node", how="leftanti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        ).first()[0]
-        base = (1.0 - damping) / n + damping * dangling / n
+        # dangling mass as a broadcast 1-row aggregate folded into the
+        # same job (a per-round .first() here doubled the job count and
+        # round-tripped the driver 10x per pagerank call)
+        dangling = ranks.join(
+            out_deg.withColumnRenamed("src", "node"), on="node", how="leftanti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         ranks = (
             nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )

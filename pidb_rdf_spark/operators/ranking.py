@@ -81,7 +81,9 @@ def bm25_search(
     n_docs = df.count()
     tc = _term_counts(df, id_col, text_col)
     doclen = tc.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
-    avgdl = doclen.agg(F.avg("dl")).first()[0]
+    # avgdl folded in as a broadcast 1-row aggregate: no separate
+    # driver job to learn a scalar the plan can carry itself
+    avgdl = doclen.agg(F.avg("dl").alias("_avgdl"))
     docfreq = tc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     idf = F.log(
@@ -89,12 +91,13 @@ def bm25_search(
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+        F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
     )
     scored = (
         tc.join(F.broadcast(qdf), on="term")
         .join(F.broadcast(docfreq.join(qdf, on="term")), on="term")
         .join(doclen, on="id")
+        .crossJoin(F.broadcast(avgdl))
         .withColumn("contrib", idf * tf_part)
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))

@@ -111,12 +111,15 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def with_hyperplane_bucket(
-    df: DataFrame, vec_col: str, n_planes: int = 8
+    df: DataFrame, vec_col: str, n_planes: int = 8, dim: int | None = None
 ) -> DataFrame:
     """Sign-bit signature over ``n_planes`` fixed hyperplanes →
     integer ``bucket`` column. Narrow projection, zero shuffle; at
-    scale write the table bucketed/partitioned by this column."""
-    dim = len(df.select(vec_col).first()[0])
+    scale write the table bucketed/partitioned by this column.
+
+    Pass ``dim`` when known — deriving it costs a 1-row probe job."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
@@ -135,17 +138,27 @@ def with_hyperplane_buckets(
     is a candidate if it collides in ANY table — recall
     1-(1-p^k)^L vs a single table's p^k — and an exact verification
     step downstream keeps precision at 1. Vectorized Pandas UDF (one
-    matmul against all L·k planes per Arrow batch)."""
+    matmul against all L·k planes per Arrow batch).
+
+    The plane matrix is derived from the batch's own vector length
+    inside the UDF (deterministic seed → identical planes on every
+    executor), so no driver-side probe job is needed."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(df.select(vec_col).first()[0])
-    P = np.array(_hyperplanes(dim, n_planes * n_tables), dtype=np.float64)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
+    plane_cache: dict = {}
 
     def buckets(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         M = np.array(list(v), dtype=np.float64)
+        dim = M.shape[1]
+        P = plane_cache.get(dim)
+        if P is None:
+            P = np.array(_hyperplanes(dim, n_planes * n_tables), dtype=np.float64)
+            plane_cache[dim] = P
         bits = (M @ P.T > 0).astype(np.int64)  # (n, L*k)
         per_table = bits.reshape(len(M), n_tables, n_planes) @ weights  # (n, L)
         return pd.Series(list(per_table))

@@ -63,10 +63,10 @@ def discover_namespaces(
     a namespace per IRI is capped at the top-K by frequency (overflow
     IRIs simply stay unshortened — lossless, they just don't get a
     prefix)."""
-    from pidb_rdf_spark.graph import _capped_key_collect
+    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS, _capped_key_collect
 
     ns_map = dict(known if known is not None else DEFAULT_NAMESPACES)
-    seen = _capped_key_collect(
+    ns_col = (
         triples.select(iri_namespace(F.col("predicate")).alias("ns"))
         .unionAll(
             triples.filter(
@@ -76,10 +76,18 @@ def discover_namespaces(
             ).select(iri_namespace(F.col("object")).alias("ns"))
         )
         .filter(F.col("ns") != "")
-        .groupBy("ns")
-        .agg(F.count("*").alias("n")),
-        "discover_namespaces",
     )
+    # fast path: one distinct aggregate, no count/orderBy. Only when
+    # the vocabulary overflows the cap (pathological corpus) do we pay
+    # a second, frequency-ordered pass to keep the most-used prefixes.
+    distinct_ns = ns_col.dropDuplicates().limit(MAX_SCHEMA_KEYS + 1).collect()
+    if len(distinct_ns) <= MAX_SCHEMA_KEYS:
+        seen = distinct_ns
+    else:
+        seen = _capped_key_collect(
+            ns_col.groupBy("ns").agg(F.count("*").alias("n")),
+            "discover_namespaces",
+        )
     fresh = sorted(r["ns"] for r in seen if r["ns"] not in ns_map)
     # continue the nsN counter past prefixes already assigned (an
     # incremental merge seeds `known` with the existing registry —
