@@ -19,9 +19,12 @@ Two parse paths:
   count, which is how multi-TB Turtle corpora ship anyway.
 
 The reference reads {RDF/XML, JSON-LD, TriG} through RDF4J Rio
-(``pidb-rdf-import/pom.xml``); those parsers are not in this image —
-``read_rdf(fmt=...)`` raises NotImplementedError for them (gated, not
-silently wrong).
+(``pidb-rdf-import/pom.xml``); this module carries native parsers for
+all of them — N-Triples/N-Quads (line-parallel), Turtle, TriG,
+RDF/XML, and flat JSON-LD — dispatched by ``read_rdf(fmt=...)`` /
+``parse_rdf_snippet``. The stateful formats parse per-file (one task
+per file), the line formats at full cluster width. Unknown format
+names raise ValueError.
 """
 
 from __future__ import annotations

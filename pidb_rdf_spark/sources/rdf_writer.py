@@ -509,3 +509,67 @@ def export_rdfxml(graph: PropertyGraph, path: str, **kwargs) -> None:
     for partition-parallel export at scale."""
     t = graph_to_triples(graph, **kwargs)
     triples_to_rdfxml_lines(t).coalesce(1).write.mode("overwrite").text(path)
+
+
+# --- content negotiation (S12) ---------------------------------------
+# The reference endpoint picks its serializer from the request's MIME
+# type over RDF4J's registry (``RDFEndpoint.java:589-604`` getFormat;
+# the offered set is ``availableParsers``, :46-47: RDF/XML, JSON-LD,
+# Turtle, N-Triples, TriG), defaulting to Turtle when the Accept header
+# is unrecognized. Same contract here, plus N-Quads (this repo reads
+# and writes quads; the reference only reads them via RDF4J).
+MIME_FORMATS: dict[str, str] = {
+    "application/rdf+xml": "RDF/XML",
+    "application/xml": "RDF/XML",
+    "application/ld+json": "JSON-LD",
+    "application/json": "JSON-LD",
+    "text/turtle": "Turtle",
+    "application/x-turtle": "Turtle",
+    "application/n-triples": "N-Triples",
+    "text/plain": "N-Triples",
+    "application/trig": "TriG",
+    "application/x-trig": "TriG",
+    "application/n-quads": "N-Quads",
+    "text/x-nquads": "N-Quads",
+}
+
+EXPORTERS = {
+    "RDF/XML": export_rdfxml,
+    "JSON-LD": export_jsonld,
+    "Turtle": export_turtle,
+    "N-Triples": export_ntriples,
+    "TriG": export_trig,
+    "N-Quads": export_nquads,
+}
+
+
+def negotiate_format(mimetype: str | None) -> str:
+    """MIME type (optionally with parameters, e.g. ``;charset=``) →
+    canonical format name; unrecognized/missing → ``Turtle``, exactly
+    the reference's fallback (``RDFEndpoint.java:599-602``)."""
+    if mimetype:
+        base = mimetype.split(";", 1)[0].strip().lower()
+        fmt = MIME_FORMATS.get(base)
+        if fmt is not None:
+            return fmt
+    return "Turtle"
+
+
+def export_graph(
+    graph: PropertyGraph,
+    path: str,
+    mimetype: str | None = None,
+    format: str | None = None,
+    **kwargs,
+) -> str:
+    """Serialize the whole graph in the negotiated format (S12 content
+    negotiation over all six serializations). Pass either an explicit
+    ``format`` name (a key of ``EXPORTERS``) or a ``mimetype`` to
+    negotiate; returns the format actually used."""
+    fmt = format if format is not None else negotiate_format(mimetype)
+    if fmt not in EXPORTERS:
+        raise ValueError(
+            f"unknown RDF format {fmt!r}; available: {sorted(EXPORTERS)}"
+        )
+    EXPORTERS[fmt](graph, path, **kwargs)
+    return fmt

@@ -673,3 +673,58 @@ def test_jsonld_compact_id_expansion():
     # the expanded subject joins with the full-IRI subject of bob
     subs = {r[0] for r in rows}
     assert subs == {"http://example.org/alice", "http://example.org/bob"}
+
+
+def test_format_negotiation_map():
+    """MIME → format negotiation mirrors the reference endpoint's
+    getFormat (RDFEndpoint.java:589-604): RDF4J MIME registry over the
+    availableParsers set, Turtle fallback for unknown/missing."""
+    from pidb_rdf_spark.sources.rdf_writer import (
+        EXPORTERS,
+        MIME_FORMATS,
+        negotiate_format,
+    )
+
+    assert negotiate_format("application/rdf+xml") == "RDF/XML"
+    assert negotiate_format("application/ld+json") == "JSON-LD"
+    assert negotiate_format("text/turtle") == "Turtle"
+    assert negotiate_format("application/n-triples") == "N-Triples"
+    assert negotiate_format("application/trig") == "TriG"
+    assert negotiate_format("application/n-quads") == "N-Quads"
+    # parameters stripped, case-insensitive, fallback = Turtle
+    assert negotiate_format("text/turtle; charset=utf-8") == "Turtle"
+    assert negotiate_format("Application/TriG") == "TriG"
+    assert negotiate_format("application/unknown") == "Turtle"
+    assert negotiate_format(None) == "Turtle"
+    # every negotiable format has a writer
+    assert set(MIME_FORMATS.values()) <= set(EXPORTERS)
+
+
+def test_export_graph_negotiated_roundtrips(spark, tmp_path):
+    """export_graph drives every parseable serialization through the
+    negotiation path and the repo's own readers re-parse each to the
+    same statement set (S12 full-surface roundtrip)."""
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+    from pidb_rdf_spark.sources.rdf_writer import export_graph, graph_to_triples
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    want = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"])
+        for r in graph_to_triples(g).collect()
+    }
+    cases = [
+        ("application/n-triples", "N-Triples"),
+        ("text/turtle", "Turtle"),
+        ("application/trig", "TriG"),
+        ("application/n-quads", "N-Quads"),
+    ]
+    for i, (mime, fmt) in enumerate(cases):
+        out = tmp_path / f"neg{i}"
+        used = export_graph(g, str(out), mimetype=mime)
+        assert used == fmt
+        got = {
+            (r["subject"], r["predicate"], r["object"], r["is_literal"])
+            for r in read_rdf(spark, str(out), fmt=fmt).collect()
+        }
+        assert got == want, fmt
