@@ -259,6 +259,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsl_two_hop_group"] = dsl_two_hop_group
 
+    def gremlin_repeat_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """repeat(out).until(hasLabel) with per-traverser exit depths:
+        suppliers reach a Region in 2 hops, nations in 1 (TinkerPop
+        loop steps, reference ``Neo4jGraph.java:61`` full-surface
+        GraphTraversal)."""
+        from pidb_rdf_spark.dsl import traversal
+
+        t = (
+            traversal(_graph(spark, sf_dir))
+            .V()
+            .has_label("Supplier", "Nation")
+            .as_("start")
+            .repeat(
+                lambda x: x.out("IN_NATION", "IN_REGION"),
+                until=lambda x: x.has_label("Region"),
+            )
+            .as_("dest")
+        )
+        out = t.select("start", "dest")
+        return out.select(
+            F.col("start").alias("start_uri"), F.col("dest").alias("dest_uri")
+        )
+
+    q["gremlin_repeat_until"] = gremlin_repeat_until
+
     # -- S11: SQL pass-through (Cypher's role, SURVEY §3.3) ------------
     def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = _graph(spark, sf_dir)
@@ -1510,6 +1535,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS nation, COUNT(*) AS n_suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "gremlin_repeat_until": """
+            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS start_uri,
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR) AS dest_uri
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR)
+            FROM nation
         """,
         "closure_reachability": """
             WITH RECURSIVE base(child, parent) AS (

@@ -161,6 +161,129 @@ class Traversal:
             t = t.out(*labels)
         return t
 
+    # ---- loop / branch steps (TinkerPop repeat/until/emit, coalesce,
+    # union — reference exposes these via the full GraphTraversal API,
+    # ``Neo4jGraph.java:61``) -------------------------------------------
+
+    def repeat(
+        self,
+        body,
+        times: int | None = None,
+        until=None,
+        emit: bool = False,
+        max_iter: int = 30,
+    ) -> "Traversal":
+        """TinkerPop ``repeat(body)`` with ``times(n)`` /
+        ``until(pred)`` / ``emit()`` modulators.
+
+        - ``body``: a step function ``Traversal -> Traversal`` (e.g.
+          ``lambda t: t.out("KNOWS")``). It must be schema-stable (hops
+          and filters; no ``as_`` inside the loop).
+        - ``times=n``: fixed-depth unroll — n chained hash joins in ONE
+          Catalyst plan, no driver iteration.
+        - ``until=pred``: do-while fixpoint (``repeat(X).until(P)``
+          order: body first, then test). ``pred`` is a step function
+          whose result is the *stopping* subset of the frontier (e.g.
+          ``lambda t: t.has_label("Region")``); it must decide per
+          frontier element (has/has_label/where on the current node),
+          since survivors are subtracted by frontier id. Each round
+          localCheckpoints — same loop discipline as
+          ``inference.transitive_closure``. Traversers still looping
+          after ``max_iter`` rounds are dropped (bounded, unlike
+          Gremlin's unbounded loop).
+        - ``emit=True``: output every post-body traverser position
+          (``repeat(X).emit()`` placement), not just the final/stopped
+          ones.
+        """
+        if times is None and until is None:
+            raise ValueError("repeat() needs times=... or until=...")
+        if until is None:
+            frames = []
+            cur = self
+            for _ in range(times):
+                cur = body(cur)
+                if emit:
+                    frames.append(cur.df)
+            if not emit:
+                return cur
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return self._with(out, on_edges=cur.on_edges)
+
+        done: list[DataFrame] = []
+        cur = self
+        on_edges = self.on_edges
+        for i in range(max_iter):
+            cur = body(cur)
+            on_edges = cur.on_edges
+            stepped = cur.df.localCheckpoint(eager=True)
+            cur = Traversal(self.g, stepped, on_edges)
+            if times is not None and i + 1 >= times:
+                done.append(stepped)
+                break
+            stopped = until(cur).df
+            done.append(stepped if emit else stopped)
+            rest = cur.df.join(
+                stopped.select(CUR).dropDuplicates(), on=CUR, how="leftanti"
+            ).localCheckpoint(eager=True)
+            if rest.isEmpty():
+                break
+            cur = Traversal(self.g, rest, on_edges)
+        out = done[0]
+        for fr in done[1:]:
+            out = out.unionByName(fr)
+        return self._with(out, on_edges=on_edges)
+
+    def coalesce_(self, *branches) -> "Traversal":
+        """TinkerPop ``coalesce(b1, b2, ...)``: per traverser, the
+        results of the FIRST branch that produces any — evaluated
+        set-oriented, not row-at-a-time: every branch runs once over
+        the whole frontier, a min-window picks the winning branch per
+        traverser. Traverser identity is pinned by materializing a
+        row id before branching (checkpointed, so all branches see the
+        same ids)."""
+        if not branches:
+            raise ValueError("coalesce_() needs at least one branch")
+        src = self.df.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        outs = []
+        on_edges = self.on_edges
+        for rank, branch in enumerate(branches):
+            b = branch(Traversal(self.g, src, self.on_edges))
+            on_edges = b.on_edges
+            outs.append(b.df.withColumn("__rank", F.lit(rank)))
+        allb = outs[0]
+        for fr in outs[1:]:
+            allb = allb.unionByName(fr)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__tid")
+        return self._with(
+            allb.withColumn("__min", F.min("__rank").over(w))
+            .filter(F.col("__rank") == F.col("__min"))
+            .drop("__rank", "__min", "__tid"),
+            on_edges=on_edges,
+        )
+
+    def union_(self, *branches) -> "Traversal":
+        """TinkerPop ``union(b1, b2, ...)``: every branch over the
+        same frontier, outputs concatenated (bag semantics)."""
+        if not branches:
+            raise ValueError("union_() needs at least one branch")
+        outs = [branch(self) for branch in branches]
+        df = outs[0].df
+        for t in outs[1:]:
+            df = df.unionByName(t.df)
+        return self._with(df, on_edges=outs[-1].on_edges)
+
+    def optional_(self, branch) -> "Traversal":
+        """TinkerPop ``optional(b)``: the branch result where it
+        produces one, the incoming traverser where it doesn't —
+        ``coalesce(b, identity)``."""
+        return self.coalesce_(branch, lambda t: t)
+
     # ---- step labels / projection --------------------------------------
 
     def with_path(self) -> "Traversal":

@@ -217,3 +217,109 @@ def test_path_tracking_branches(graph):
     )
     assert all(len(r["path"]) == 2 for r in paths)
     assert len(paths) == 1  # nations have exactly one region, no inbound IN_REGION
+
+
+def test_repeat_times_unrolled(graph):
+    """repeat(out()).times(2) ≡ two chained out() hops."""
+    t = traversal(graph).V().has_label("Customer")
+    got = sorted(
+        r["r_name"]
+        for r in t.repeat(lambda x: x.out("IN_NATION", "IN_REGION"), times=2)
+        .values("r_name")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT r_name FROM customer "
+            "JOIN nation ON c_nationkey=n_nationkey "
+            "JOIN region ON n_regionkey=r_regionkey"
+        )
+    )
+    assert got == want
+
+
+def test_repeat_until_mixed_depths(graph):
+    """Traversers exit the loop at different depths: nations reach a
+    Region in 1 hop, customers in 2."""
+    t = traversal(graph).V().has_label("Customer", "Nation")
+    out = t.repeat(
+        lambda x: x.out("IN_NATION", "IN_REGION"),
+        until=lambda x: x.has_label("Region"),
+    ).uri()
+    got = sorted(r["uri"] for r in out.collect())
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) "
+            "FROM customer JOIN nation ON c_nationkey=n_nationkey "
+            "UNION ALL "
+            "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation"
+        )
+    )
+    assert got == want
+
+
+def test_repeat_emit(graph):
+    """emit() outputs every post-body position: nations (hop 1) and
+    regions (hop 2) for a customer start."""
+    t = traversal(graph).V().has_label("Customer")
+    out = t.repeat(
+        lambda x: x.out("IN_NATION", "IN_REGION"),
+        until=lambda x: x.has_label("Region"),
+        emit=True,
+    ).uri()
+    got = sorted(r["uri"] for r in out.collect())
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) "
+            "FROM customer JOIN nation ON c_nationkey=n_nationkey"
+        )
+    )
+    assert got == want
+
+
+def test_coalesce_first_nonempty_branch(graph):
+    """Nations take branch 1 (out IN_REGION); regions have no such
+    edge and fall through to the identity branch."""
+    t = traversal(graph).V().has_label("Nation", "Region")
+    out = t.coalesce_(
+        lambda x: x.out("IN_REGION"), lambda x: x
+    ).uri()
+    got = sorted(r["uri"] for r in out.collect())
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region"
+        )
+    )
+    assert got == want
+
+
+def test_optional_is_coalesce_with_identity(graph):
+    t = traversal(graph).V().has_label("Region")
+    got = sorted(
+        r["uri"] for r in t.optional_(lambda x: x.out("NO_SUCH_EDGE")).uri().collect()
+    )
+    want = sorted(
+        r[0] for r in oracle("SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region")
+    )
+    assert got == want
+
+
+def test_union_branches_bag(graph):
+    t = traversal(graph).V().has_label("Nation")
+    out = t.union_(
+        lambda x: x.out("IN_REGION"), lambda x: x.in_("IN_NATION")
+    ).count()
+    n = out.collect()[0]["count"]
+    want = oracle(
+        "SELECT (SELECT COUNT(*) FROM nation) "
+        "+ (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)"
+    )[0][0]
+    assert n == want
