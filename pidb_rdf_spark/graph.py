@@ -91,6 +91,10 @@ ID_BANDS = {
 
 NODE_CORE = ["id", "uri", "labels", "props"]
 
+# sidecar columns that ride on the nodes table but are not user
+# properties: typed-family map from RDF import, meta-properties store
+SIDECAR_COLS = {"__prop_types", "__meta"}
+
 
 @dataclass
 class PropertyGraph:
@@ -175,7 +179,11 @@ class PropertyGraph:
         (collected once, cached)."""
         cached = self.__dict__.get("_prop_keys")
         if cached is None:
-            hot = {c for c in self.nodes.columns if c not in ("id", "uri", "labels", "props", "__prop_types")}
+            hot = {
+                c
+                for c in self.nodes.columns
+                if c not in NODE_CORE and c not in SIDECAR_COLS
+            }
             if "__prop_types" in self.nodes.columns:
                 map_keys = set(self.prop_type_families())
             else:

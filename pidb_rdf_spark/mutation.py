@@ -265,6 +265,138 @@ def remove_label(graph: PropertyGraph, where, label: str) -> PropertyGraph:
 
 
 # ---------------------------------------------------------------------------
+# M4: meta-properties (properties OF vertex properties)
+# ---------------------------------------------------------------------------
+
+# One sidecar array column on nodes; each element is one vertex-property
+# instance that carries meta-properties. The reference materializes
+# these as hidden VERTEX_PROPERTY nodes linked by hidden edges
+# (``MultiMetaNeo4jTrait.java:126-170`` setVertexProperty token dance,
+# :207-246 setProperty/getProperty on the property node); a struct
+# array is the columnar equivalent — no extra table, no join to read,
+# prunable by Parquet when untouched.
+META_COL = "__meta"
+META_SCHEMA = "array<struct<key:string,value:string,meta:map<string,string>>>"
+
+
+def _with_meta_col(nodes: DataFrame) -> DataFrame:
+    if META_COL in nodes.columns:
+        return nodes
+    return nodes.withColumn(META_COL, F.lit(None).cast(META_SCHEMA))
+
+
+def set_meta_property(
+    graph: PropertyGraph, where, key: str, value, meta: dict
+) -> PropertyGraph:
+    """M4: attach meta-properties to the ``(key, value)`` instance of
+    every vertex matching ``where``. Existing meta keys for that
+    instance are overwritten, others kept (reference
+    ``MultiMetaNeo4jTrait.setProperty``, :207-224)."""
+    value = str(value)
+    meta = {k: str(v) for k, v in meta.items()}
+    new_map = F.create_map(
+        *[F.lit(x) for kv in sorted(meta.items()) for x in kv]
+    ).cast("map<string,string>")
+    nodes = _with_meta_col(graph.nodes)
+    arr = F.coalesce(F.col(META_COL), F.array().cast(META_SCHEMA))
+    is_target = lambda e: (e["key"] == key) & (e["value"] == value)  # noqa: E731
+    exists = F.exists(arr, is_target)
+    merged = F.transform(
+        arr,
+        lambda e: F.when(
+            is_target(e),
+            F.struct(
+                e["key"].alias("key"),
+                e["value"].alias("value"),
+                F.map_concat(
+                    F.map_filter(
+                        e["meta"], lambda k, _: ~k.isin(*meta.keys())
+                    ),
+                    new_map,
+                ).alias("meta"),
+            ),
+        ).otherwise(e),
+    )
+    appended = F.array_append(
+        arr,
+        F.struct(
+            F.lit(key).alias("key"),
+            F.lit(value).alias("value"),
+            new_map.alias("meta"),
+        ),
+    )
+    nodes = nodes.withColumn(
+        META_COL,
+        F.when(where & exists, merged)
+        .when(where, appended)
+        .otherwise(F.col(META_COL)),
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def get_meta_properties(
+    graph: PropertyGraph, key: str | None = None
+) -> DataFrame:
+    """M4 (read): one row per (vertex, property instance, meta key):
+    ``id, uri, prop_key, prop_value, meta_key, meta_value`` (reference
+    ``getProperty``/``getProperties`` on Neo4jVertexProperty,
+    ``MultiMetaNeo4jTrait.java:226-246``)."""
+    n = _with_meta_col(graph.nodes)
+    ex = n.select("id", "uri", F.explode(META_COL).alias("e"))
+    if key is not None:
+        ex = ex.filter(F.col("e.key") == key)
+    return ex.select(
+        "id",
+        "uri",
+        F.col("e.key").alias("prop_key"),
+        F.col("e.value").alias("prop_value"),
+        F.explode(F.col("e.meta")).alias("meta_key", "meta_value"),
+    )
+
+
+def remove_meta_property(
+    graph: PropertyGraph, where, key: str, value, meta_key: str | None = None
+) -> PropertyGraph:
+    """M4 (remove): drop one meta key (or with ``meta_key=None`` the
+    whole instance entry) from matching vertices; entries whose meta
+    map empties out are dropped (reference ``removeVertexProperty``
+    deletes the property node, ``MultiMetaNeo4jTrait.java:189-205``)."""
+    value = str(value)
+    nodes = _with_meta_col(graph.nodes)
+    arr = F.coalesce(F.col(META_COL), F.array().cast(META_SCHEMA))
+    is_target = lambda e: (e["key"] == key) & (e["value"] == value)  # noqa: E731
+    if meta_key is None:
+        cleaned = F.filter(arr, lambda e: ~is_target(e))
+    else:
+        cleaned = F.filter(
+            F.transform(
+                arr,
+                lambda e: F.when(
+                    is_target(e),
+                    F.struct(
+                        e["key"].alias("key"),
+                        e["value"].alias("value"),
+                        F.map_filter(
+                            e["meta"], lambda k, _: k != meta_key
+                        ).alias("meta"),
+                    ),
+                ).otherwise(e),
+            ),
+            lambda e: F.size(F.map_keys(e["meta"])) > 0,
+        )
+    nodes = nodes.withColumn(
+        META_COL, F.when(where, cleaned).otherwise(F.col(META_COL))
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+# ---------------------------------------------------------------------------
 # M9: graph variables; durability (atomic swap)
 # ---------------------------------------------------------------------------
 

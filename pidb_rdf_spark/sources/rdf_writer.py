@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pidb_rdf_spark.functions.iri import XSD, build_uri, subject_term
-from pidb_rdf_spark.graph import NODE_CORE, PropertyGraph
+from pidb_rdf_spark.graph import NODE_CORE, SIDECAR_COLS, PropertyGraph
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -47,7 +47,7 @@ def graph_to_triples(
     ns = _ns_dict(graph)
     n = graph.nodes
     has_types = "__prop_types" in n.columns
-    hot = [c for c in n.columns if c not in NODE_CORE and c != "__prop_types"]
+    hot = [c for c in n.columns if c not in NODE_CORE and c not in SIDECAR_COLS]
 
     # --- props-map literals -------------------------------------------
     # keys that also exist as typed hot columns are emitted from the

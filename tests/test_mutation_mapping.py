@@ -256,3 +256,114 @@ def test_add_edges_resolves_existing_node_ids(spark):
     # dedup against the resolved ids works on re-insert
     g3 = add_edges(g2, [{"src_uri": "urn:x", "predicate": "REL", "dst_uri": "urn:y"}])
     assert g3.edges.count() == 1
+
+
+def test_meta_properties_set_get(small_graph):
+    """M4: properties OF a vertex property (reference
+    MultiMetaNeo4jTrait.java:126-170,207-246)."""
+    from pidb_rdf_spark.mutation import get_meta_properties, set_meta_property
+
+    g = set_meta_property(
+        small_graph,
+        F.col("uri") == "urn:a",
+        "name",
+        "Alice",
+        {"since": "2020", "source": "census"},
+    )
+    rows = {
+        (r["uri"], r["prop_key"], r["prop_value"], r["meta_key"], r["meta_value"])
+        for r in get_meta_properties(g).collect()
+    }
+    assert rows == {
+        ("urn:a", "name", "Alice", "since", "2020"),
+        ("urn:a", "name", "Alice", "source", "census"),
+    }
+    # merge: overwrite one meta key, keep the other
+    g = set_meta_property(
+        g, F.col("uri") == "urn:a", "name", "Alice", {"since": "2021"}
+    )
+    rows = {
+        (r["meta_key"], r["meta_value"])
+        for r in get_meta_properties(g, key="name").collect()
+    }
+    assert rows == {("since", "2021"), ("source", "census")}
+    # the base property value is untouched
+    assert (
+        g.nodes.filter(F.col("uri") == "urn:a").collect()[0]["props"]["name"]
+        == "Alice"
+    )
+
+
+def test_meta_properties_distinct_instances(small_graph):
+    """Meta props attach to a (key, value) INSTANCE, not the key: two
+    values of the same key keep separate meta maps (multi-property
+    parity, cardinality=list per getCardinality)."""
+    from pidb_rdf_spark.mutation import get_meta_properties, set_meta_property
+
+    g = set_meta_property(
+        small_graph, F.col("uri") == "urn:b", "nick", "Bobby", {"rank": "1"}
+    )
+    g = set_meta_property(
+        g, F.col("uri") == "urn:b", "nick", "Rob", {"rank": "2"}
+    )
+    rows = {
+        (r["prop_value"], r["meta_key"], r["meta_value"])
+        for r in get_meta_properties(g, key="nick").collect()
+    }
+    assert rows == {("Bobby", "rank", "1"), ("Rob", "rank", "2")}
+
+
+def test_meta_properties_remove(small_graph):
+    from pidb_rdf_spark.mutation import (
+        get_meta_properties,
+        remove_meta_property,
+        set_meta_property,
+    )
+
+    g = set_meta_property(
+        small_graph,
+        F.col("uri") == "urn:a",
+        "name",
+        "Alice",
+        {"since": "2020", "source": "census"},
+    )
+    # drop one meta key
+    g = remove_meta_property(
+        g, F.col("uri") == "urn:a", "name", "Alice", meta_key="since"
+    )
+    rows = {
+        (r["meta_key"], r["meta_value"]) for r in get_meta_properties(g).collect()
+    }
+    assert rows == {("source", "census")}
+    # dropping the last meta key removes the instance entry entirely
+    g = remove_meta_property(
+        g, F.col("uri") == "urn:a", "name", "Alice", meta_key="source"
+    )
+    assert get_meta_properties(g).count() == 0
+    # whole-instance removal form
+    g2 = set_meta_property(
+        small_graph, F.col("uri") == "urn:c", "name", "Paris", {"lang": "fr"}
+    )
+    g2 = remove_meta_property(g2, F.col("uri") == "urn:c", "name", "Paris")
+    assert get_meta_properties(g2).count() == 0
+
+
+def test_meta_col_excluded_from_export_and_prop_keys(small_graph):
+    """The __meta sidecar must not leak into RDF export triples or the
+    property-key inventory."""
+    from pidb_rdf_spark.mutation import set_meta_property
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples
+
+    g = set_meta_property(
+        small_graph, F.col("uri") == "urn:a", "name", "Alice", {"since": "2020"}
+    )
+    before = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in graph_to_triples(small_graph).collect()
+    }
+    after = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in graph_to_triples(g).collect()
+    }
+    assert before == after
+    assert "__meta" not in g.node_prop_keys()
