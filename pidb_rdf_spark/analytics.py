@@ -28,6 +28,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _components_driver_side(spark, edge_rows, id_dtype) -> DataFrame:
+    """Union-find over a driver-resident (bounded) edge list; output
+    matches the distributed fixpoint exactly: (node, component) with
+    component = min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    out = []
+    for nodes in members.values():
+        comp = min(nodes)
+        out.extend((n, comp) for n in nodes)
+    out.sort()
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", id_dtype, False),
+            T.StructField("component", id_dtype, False),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def _sym(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge view: both directions, self-loops dropped."""
     fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -39,13 +79,31 @@ def _sym(pairs: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    small_cap: int | None = None,
 ) -> DataFrame:
     """(node, component) over the undirected graph of ``pairs``;
     component = the minimum node id reachable from the node (a
     canonical, deterministic representative). Min-label propagation
-    to fixpoint."""
-    edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
+    to fixpoint.
+
+    ``small_cap``: if set and the symmetrized edge set has at most
+    that many rows, components are computed driver-side with
+    union-find in one collect — ~2 Spark jobs per propagation round
+    otherwise dominate wall-clock on small pair sets (near-dup pair
+    graphs are usually tiny relative to the corpus). Above the cap
+    the distributed fixpoint runs unchanged."""
+    edges = _sym(pairs, src, dst)
+    if small_cap is not None:
+        probe = edges.limit(small_cap + 1).collect()
+        if len(probe) <= small_cap:
+            return _components_driver_side(
+                pairs.sparkSession, probe, edges.schema["src"].dataType
+            )
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
@@ -175,14 +233,25 @@ def near_dup_clusters(
     all_ids: DataFrame | None = None,
     a: str = "a",
     b: str = "b",
+    small_cap: int | None = 100_000,
 ) -> DataFrame:
     """(id, cluster) from near-duplicate pairs: connected components
     over the pair graph, so transitively-linked duplicates land in one
     cluster with the minimum member id as its deterministic canonical.
     With ``all_ids`` (one id column), unpaired ids come back as
     singleton clusters — the standard keep-one-per-cluster dedup
-    output is then ``filter(id == cluster)``."""
-    comp = connected_components(pairs, src=a, dst=b).withColumnRenamed(
+    output is then ``filter(id == cluster)``.
+
+    Near-dup pair graphs are sparse relative to the corpus (LSH
+    candidate pairs that survived exact verification), so by default
+    components run driver-side (union-find) when the pair set fits
+    under ``small_cap`` rows — the distributed min-label loop costs
+    ~2 jobs × O(diameter) rounds, which dominates on small inputs.
+    Past the cap the distributed fixpoint runs; singleton handling is
+    a single leftanti join either way."""
+    comp = connected_components(
+        pairs, src=a, dst=b, small_cap=small_cap
+    ).withColumnRenamed(
         "node", "id"
     ).withColumnRenamed("component", "cluster")
     if all_ids is None:
