@@ -62,9 +62,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # near-dup), operators/curation.py (sample, pack), operators/window.py
 # (topk, running, quantiles), events.asof_join (function untouched by
 # the watermark fix; sessionize was deferred in r03 so it RETURNS
-# here), and similarity.cosine_topk / ivf_search (functions untouched
-# by the hyperplane-dim change).
+# here), similarity.cosine_topk / ivf_search (functions untouched by
+# the hyperplane-dim change), and analytics.shortest_hops (function
+# untouched by the pagerank/components edits; the loop discipline is
+# re-proven by the components + pagerank entries in-window).
 _DEFER_TO_TAIL = [
+    "bfs_hops_containment",
     "exact_dedup_docs",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
@@ -656,6 +659,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_dedup_docs"] = exact_dedup_docs
 
+    # -- train/eval decontamination (n-gram overlap) -------------------
+    def decontam_overlap(spark, sf_dir):
+        """Benchmark-contamination check: word-4-gram overlap between
+        a train split and a held-out eval split of the documents table
+        (eval = doc_id % 20 == 0). Shingle hashes only through the
+        join; eval side broadcast."""
+        from pidb_rdf_spark.operators import ngram_overlap
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("doc_id") % 20 == 0)
+        tr = docs.filter(F.col("doc_id") % 20 != 0)
+        return ngram_overlap(tr, ev, n=4, min_overlap=1)
+
+    q["decontam_overlap"] = decontam_overlap
+
     # -- exact n-gram Jaccard near-dup (the quadratic baseline) --------
     def ngram_jaccard_dedup(spark, sf_dir):
         from pidb_rdf_spark.operators import ngram_jaccard_pairs
@@ -1206,6 +1224,25 @@ def _scale_extension_oracles() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
             FROM documents GROUP BY text
+        """,
+        "decontam_overlap": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ts
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+3], ' ') AS g
+                FROM idx
+            )
+            SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM grams t JOIN grams e ON t.g = e.g
+            WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
+            GROUP BY 1, 2
         """,
         "ngram_jaccard_dedup": _jaccard_pairs_sql(0.6),
         "minhash_lsh_dedup": _jaccard_pairs_sql(0.8),

@@ -3,6 +3,7 @@ from pidb_rdf_spark.operators.curation import (
     pack_token_stream,
     stratified_hash_sample,
 )
+from pidb_rdf_spark.operators.decontam import contaminated_ids, ngram_overlap
 from pidb_rdf_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -32,6 +33,8 @@ __all__ = [
     "stratified_hash_sample",
     "pack_token_stream",
     "topk_per_group",
+    "ngram_overlap",
+    "contaminated_ids",
     "exact_dedup",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",

@@ -1,0 +1,98 @@
+"""Train/eval decontamination: n-gram overlap between a training
+corpus and an evaluation set.
+
+The standard pre-training hygiene step (WebText/GPT-style 8-gram to
+13-gram overlap checks): any training document sharing >= K word
+n-grams with a benchmark document is flagged (and usually dropped).
+No reference counterpart — this is one of the LLM-data-pipeline
+operators the engine adds beyond the reference's surface, next to
+dedup and quality scoring.
+
+Scale shape: each side tokenizes and shingles with built-in
+expressions only (split / sequence / slice / array_join — all
+whole-stage-codegen), dedups shingles per document, and the join
+carries ``(doc_id, xxhash64(gram))`` pairs ONLY — no text through the
+shuffle. The eval side is benchmark-sized in practice, so it
+broadcasts; the train side streams through one hash join at scan
+parallelism. At 100 TB nothing here is wider than the shingle
+explode, and the explode feeds a hash-aggregate dedup before any
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, out_id: str, n: int,
+    hashed: bool = True,
+) -> DataFrame:
+    """One row per distinct word-``n``-gram per document:
+    ``(out_id, __g)`` with ``__g`` the gram's xxhash64 (or the raw
+    gram string with ``hashed=False`` — used by tests to pin
+    hash-join ≡ string-join)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    with_tok = df.select(
+        F.col(id_col).alias(out_id), toks.alias("__t"), starts.alias("__s")
+    )
+    gram = F.array_join(F.slice(F.col("__t"), F.col("__i"), n), " ")
+    return (
+        with_tok.select(out_id, "__t", F.explode("__s").alias("__i"))
+        .select(out_id, (F.xxhash64(gram) if hashed else gram).alias("__g"))
+        .dropDuplicates()
+    )
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per (train doc, eval doc) pair: the number of distinct word
+    ``n``-grams they share, keeping pairs with at least
+    ``min_overlap``. Output: ``train_id, eval_id, n_overlap``.
+
+    ``broadcast_eval=True`` pins the broadcast of the (benchmark-
+    sized) eval shingle set; pass False when the eval side is large
+    enough that a shuffle hash join is the right plan and let AQE
+    decide."""
+    t = _shingle_hashes(train, id_col, text_col, "train_id", n, hashed)
+    e = _shingle_hashes(eval_df, id_col, text_col, "eval_id", n, hashed)
+    if broadcast_eval:
+        e = F.broadcast(e)
+    return (
+        t.join(e, on="__g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Distinct train doc ids flagged by ``ngram_overlap`` — the set
+    to drop before training (one column, ``train_id``)."""
+    return (
+        ngram_overlap(
+            train, eval_df, id_col, text_col, n=n, min_overlap=min_overlap
+        )
+        .select("train_id")
+        .dropDuplicates()
+    )

@@ -426,3 +426,59 @@ def test_pack_token_stream(spark):
     # shards pack independently
     sharded = pack_token_stream(df, budget=128, n_shards=2).collect()
     assert {r["shard"] for r in sharded} == {0, 1}
+
+
+def test_ngram_overlap_hash_equals_string(spark):
+    """Hash-join and raw-string-join produce identical overlap pairs
+    (xxhash64 carries the gram identity through the shuffle)."""
+    from pidb_rdf_spark.operators import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumps over a sleeping cat"),
+            (3, "completely different text with no shared phrases here"),
+            (10, "the quick brown fox jumps over the lazy dog indeed"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = docs.filter("doc_id >= 10")
+    tr = docs.filter("doc_id < 10")
+    a = {
+        tuple(r)
+        for r in ngram_overlap(tr, ev, n=4, min_overlap=1, hashed=True).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ngram_overlap(tr, ev, n=4, min_overlap=1, hashed=False).collect()
+    }
+    assert a == b
+    # doc 1 shares 6 distinct 4-grams with doc 10 ("the quick brown
+    # fox" .. "over the lazy dog"); doc 2 shares 2 ("quick brown fox
+    # jumps", "brown fox jumps over"); doc 3 none
+    assert a == {(1, 10, 6), (2, 10, 2)}
+
+
+def test_ngram_overlap_short_and_dup_grams(spark):
+    """Docs shorter than n produce no shingles; repeated grams inside
+    one doc count once (distinct-shingle semantics)."""
+    from pidb_rdf_spark.operators import contaminated_ids, ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (10, "spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = docs.filter("doc_id >= 10")
+    tr = docs.filter("doc_id < 10")
+    got = {
+        tuple(r)
+        for r in ngram_overlap(tr, ev, n=3, min_overlap=1).collect()
+    }
+    # doc 2 has ONE distinct 3-gram ("spam spam spam") = doc 10's one
+    assert got == {(2, 10, 1)}
+    flagged = {r["train_id"] for r in contaminated_ids(tr, ev, n=3).collect()}
+    assert flagged == {2}
