@@ -116,3 +116,18 @@ def test_fused_and_join_paths_agree(spark):
         "?c v:c_name ?n . ?c v:c_mktsegment ?seg . ?c v:c_name ?n }",
     ).collect()
     assert sorted(map(tuple, fused)) == sorted(map(tuple, joined))
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """ngram_overlap: eval shingles broadcast (no shuffle of the train
+    side's shingle set for the join), all-JVM expressions."""
+    from pidb_rdf_spark.operators import ngram_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    out = ngram_overlap(tr, ev, n=4, min_overlap=1)
+    s = plan_summary(out)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    assert s["python_evals"] == 0
