@@ -1180,9 +1180,48 @@ class SparqlCompiler:
             return F.ceil(args[0])
         if name == "FLOOR":
             return F.floor(args[0])
-        if name in ("YEAR", "MONTH", "DAY"):
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
             ts = args[0].cast("timestamp")
-            return {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[name](ts)
+            return {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+            }[name](ts)
+        if name in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            s = args[0].cast("string")
+            if name == "MD5":
+                return F.md5(s)
+            if name == "SHA1":
+                return F.sha1(s)
+            return F.sha2(s, int(name[3:]))
+        if name == "SAMETERM":
+            # term equality over our value model: plain equality on the
+            # bound columns (node vars compare by id, literals by value)
+            return args[0] == args[1]
+        if name == "ENCODE_FOR_URI":
+            # percent-encode like W3C ENCODE_FOR_URI: url_encode is the
+            # form-encoding variant, so fix its two divergences
+            # (space as '+', tilde escaped)
+            enc = F.url_encode(args[0].cast("string"))
+            return F.replace(
+                F.replace(enc, F.lit("+"), F.lit("%20")),
+                F.lit("%7E"), F.lit("~"),
+            )
+        if name == "ISNUMERIC":
+            # true for numerically-typed terms; a string term is tested
+            # by castability (the props-map fallback stores every typed
+            # family as string — SURVEY §1.3 pragmatics)
+            if isinstance(call.args[0], A.Var) and call.args[0].name in df.columns:
+                dt = df.schema[call.args[0].name].dataType
+                if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                                   T.ByteType, T.DoubleType, T.FloatType,
+                                   T.DecimalType)):
+                    return F.lit(True)
+                if isinstance(dt, T.StringType):
+                    # try_cast: ANSI mode makes a plain cast THROW on
+                    # non-numeric strings instead of returning NULL
+                    return args[0].try_cast("double").isNotNull()
+                return F.lit(False)
+            return args[0].try_cast("double").isNotNull()
         raise NotImplementedError(f"builtin {name}")
 
     def _align_types(self, le, re_, lc: Column, rc: Column, df: DataFrame):

@@ -62,7 +62,9 @@ BUILTIN_FUNCS = {
     "REGEX", "BOUND", "STR", "LANG", "DATATYPE", "ABS", "ROUND", "CONTAINS",
     "STRSTARTS", "STRENDS", "UCASE", "LCASE", "STRLEN", "COALESCE", "IF",
     "CONCAT", "SUBSTR", "STRBEFORE", "STRAFTER", "REPLACE", "CEIL", "FLOOR",
-    "YEAR", "MONTH", "DAY",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "SAMETERM", "ENCODE_FOR_URI", "ISNUMERIC",
 }
 
 

@@ -141,3 +141,89 @@ def test_ceil_floor_year(graph):
     assert [(round(r.t, 2), r.c, r.f) for r in rows] == [
         (round(t, 2), c, f) for t, c, f in exp
     ]
+
+
+@pytest.mark.parametrize(
+    "expr,sql",
+    [
+        ("MD5(?x)", "md5(n_name)"),
+        ("SHA256(?x)", "sha256(n_name)"),
+        ('SAMETERM(?x, "ALGERIA")', "n_name = 'ALGERIA'"),
+        ("ISNUMERIC(?x)", "FALSE"),
+    ],
+)
+def test_hash_and_term_builtins(graph, expr, sql):
+    rows = sparql(
+        graph,
+        f"SELECT ?x ({expr} AS ?out) WHERE {{ ?n v:n_name ?x }} ORDER BY ?x",
+    ).collect()
+    exp = oracle(f"SELECT n_name, {sql} FROM nation ORDER BY n_name")
+    assert [(r.x, r.out) for r in rows] == exp
+
+
+def test_sha1_family_matches_hashlib(graph):
+    import hashlib
+
+    rows = sparql(
+        graph,
+        "SELECT ?x (SHA1(?x) AS ?h1) (SHA384(?x) AS ?h384) "
+        "(SHA512(?x) AS ?h512) WHERE { ?n v:n_name ?x } ORDER BY ?x",
+    ).collect()
+    for r in rows:
+        b = r.x.encode()
+        assert r.h1 == hashlib.sha1(b).hexdigest()
+        assert r.h384 == hashlib.sha384(b).hexdigest()
+        assert r.h512 == hashlib.sha512(b).hexdigest()
+
+
+def test_encode_for_uri_matches_rfc3986(graph, spark):
+    """ENCODE_FOR_URI percent-encodes everything but RFC3986
+    unreserved chars (W3C semantics; checked vs urllib.parse.quote)."""
+    from urllib.parse import quote
+
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.mutation import add_vertices
+
+    g = graphify(spark, SF_DIR)
+    g = add_vertices(
+        g,
+        [
+            {
+                "uri": "urn:t:enc",
+                "labels": ["T"],
+                "props": {"s": "a b/c?d&e=f~g_h-i.j:k"},
+            }
+        ],
+    )
+    rows = sparql(
+        g,
+        'SELECT (ENCODE_FOR_URI(?s) AS ?e) WHERE { ?n v:label "T" . ?n v:s ?s }',
+    ).collect()
+    assert rows[0].e == quote("a b/c?d&e=f~g_h-i.j:k", safe="")
+
+
+def test_time_part_builtins(graph, spark):
+    """HOURS/MINUTES/SECONDS on timestamp-valued properties (session
+    TZ is UTC, so parts are read off the literal verbatim)."""
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.mutation import add_vertices
+
+    g = graphify(spark, SF_DIR)
+    g = add_vertices(
+        g,
+        [
+            {"uri": "urn:t:ts1", "labels": ["Stamp"],
+             "props": {"at": "2026-08-13 17:45:09"}},
+            {"uri": "urn:t:ts2", "labels": ["Stamp"],
+             "props": {"at": "2026-01-02 03:04:05"}},
+        ],
+    )
+    got = sparql(
+        g,
+        """
+        SELECT ?at (HOURS(?at) AS ?h) (MINUTES(?at) AS ?m)
+               (SECONDS(?at) AS ?s)
+        WHERE { ?e v:label "Stamp" . ?e v:at ?at } ORDER BY ?at
+        """,
+    ).collect()
+    assert [(r.h, r.m, r.s) for r in got] == [(3, 4, 5), (17, 45, 9)]
