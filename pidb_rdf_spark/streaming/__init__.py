@@ -2,6 +2,7 @@ from pidb_rdf_spark.streaming.events import (
     asof_join,
     dedup_stream,
     sessionize,
+    sessionize_stream,
     windowed_event_counts,
 )
 from pidb_rdf_spark.streaming.rdf_stream import stream_import_triples
@@ -10,6 +11,7 @@ __all__ = [
     "asof_join",
     "dedup_stream",
     "sessionize",
+    "sessionize_stream",
     "windowed_event_counts",
     "stream_import_triples",
 ]

@@ -111,6 +111,46 @@ def sessionize(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` — the form that
+    runs incrementally under Structured Streaming (bounded state per
+    open session, closed sessions emitted once the watermark passes).
+    Works identically on batch input, where it equals ``sessionize``
+    minus the per-user ordinal (``session_seq`` needs a global
+    per-user order, which an unbounded stream cannot assign).
+
+    Output: user, session_start (min ts), session_end (max ts),
+    n_events. Engine session-merge semantics: an event at exactly
+    ``gap`` after the previous one opens a NEW session (session
+    windows are half-open), where the batch ``sessionize`` keeps it —
+    callers with exact-gap data should pick which contract they mean.
+    """
+    e = events
+    if e.isStreaming:
+        # TIMESTAMP_NTZ cannot carry a watermark (cast is
+        # value-preserving: UTC session timezone)
+        e = e.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+    return (
+        e.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

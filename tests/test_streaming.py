@@ -187,3 +187,62 @@ def test_dedup_stream_equals_batch(spark, events, tmp_path):
     got = {r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()}
     expected = {r["event_id"] for r in events.limit(500).collect()}
     assert got == expected
+
+
+def test_sessionize_stream_equals_batch(spark, events, tmp_path):
+    """session_window sessionization through Structured Streaming
+    (append mode) matches the batch run of the same function, which in
+    turn matches gap-sessionize minus the per-user ordinal.
+
+    Append mode only emits sessions the watermark has passed, so the
+    source gets one far-future sentinel row (dummy user) that pushes
+    the final watermark beyond every real session."""
+    from pyspark.sql import functions as F
+
+    from pidb_rdf_spark.streaming import sessionize, sessionize_stream
+
+    sentinel_user = -999
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = events.limit(1).select(
+        *[
+            F.lit(sentinel_user).alias(c)
+            if c == "user_id"
+            else (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias(c)
+            if c == "ts"
+            else F.col(c)
+            for c in events.columns
+        ]
+    )
+    src = str(tmp_path / "events_sess_src")
+    events.unionByName(sentinel).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sess = sessionize_stream(
+        stream, gap="37 minutes", watermark="1 minute"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql(
+            f"SELECT * FROM sess_stream WHERE user_id != {sentinel_user}"
+        ).collect()
+    }
+    batch_same_fn = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize_stream(events, gap="37 minutes").collect()
+    }
+    assert got == batch_same_fn
+    # and the batch lag-based sessionize agrees (modulo session_seq)
+    batch_ref = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(events, gap="37 minutes").collect()
+    }
+    assert got == batch_ref
