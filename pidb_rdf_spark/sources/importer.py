@@ -241,7 +241,55 @@ def merge_triples(graph: PropertyGraph, new_triples: DataFrame, **kwargs) -> Pro
     new_nodes = incoming.nodes.join(
         graph.nodes.select("uri"), on="uri", how="leftanti"
     )
-    nodes = graph.nodes.unionByName(new_nodes, allowMissingColumns=True)
+    # deep-merge into EXISTING nodes: incoming labels union in, incoming
+    # props overwrite same-key values (the reference's setProp is
+    # last-writer-wins, ``NoMultiNoMetaNeo4jTrait.java:87-110``) —
+    # required for SPARQL ``INSERT DATA`` on an already-present subject
+    existing = graph.nodes
+    if "__prop_types" not in existing.columns:
+        existing = existing.withColumn(
+            "__prop_types", F.lit(None).cast("map<string,string>")
+        )
+    inc = incoming.nodes.select(
+        "uri",
+        F.col("labels").alias("__in_labels"),
+        F.col("props").alias("__in_props"),
+        F.col("__prop_types").alias("__in_types"),
+    )
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    in_props = F.coalesce(F.col("__in_props"), empty_map)
+    in_types = F.coalesce(F.col("__in_types"), empty_map)
+    merged = (
+        existing.join(inc, on="uri", how="left")
+        .withColumn(
+            "labels",
+            F.array_union(
+                F.col("labels"),
+                F.coalesce(F.col("__in_labels"), F.array().cast("array<string>")),
+            ),
+        )
+        .withColumn(
+            "props",
+            F.map_concat(
+                F.map_filter(
+                    F.col("props"), lambda k, _: ~F.map_contains_key(in_props, k)
+                ),
+                in_props,
+            ),
+        )
+        .withColumn(
+            "__prop_types",
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(F.col("__prop_types"), empty_map),
+                    lambda k, _: ~F.map_contains_key(in_types, k),
+                ),
+                in_types,
+            ),
+        )
+        .drop("__in_labels", "__in_props", "__in_types")
+    )
+    nodes = merged.unionByName(new_nodes, allowMissingColumns=True)
     new_edges = incoming.edges.join(
         graph.edges.select("src", "predicate", "dst"),
         on=["src", "predicate", "dst"],
@@ -251,6 +299,104 @@ def merge_triples(graph: PropertyGraph, new_triples: DataFrame, **kwargs) -> Pro
     return PropertyGraph(
         spark=graph.spark, nodes=nodes, edges=edges,
         namespaces=incoming.namespaces, variables=graph.variables,
+    )
+
+
+def remove_triples(graph: PropertyGraph, triples: DataFrame) -> PropertyGraph:
+    """Set-oriented triple removal (the DELETE DATA half of SPARQL
+    Update): resource triples drop matching edges, rdf:type triples
+    drop the mapped label, literal triples drop the property key IF
+    the stored value equals the stated object (RDF set semantics).
+    Nodes themselves persist even when their last triple goes — node
+    lifecycle stays with ``mutation.remove_vertices``, matching the
+    reference where vertices outlive property removal.
+
+    IRIs are shortened against the graph's EXISTING namespace registry
+    (no discovery — removal must reference stored names verbatim)."""
+    ns_map = {
+        r["namespace"]: r["prefix"]
+        for r in (graph.namespaces.collect() if graph.namespaces is not None else [])
+        if r["namespace"]
+    }
+
+    def short(col):
+        return shorten_iri(col, ns_map) if ns_map else col
+
+    lit = triples.filter(F.col("is_literal"))
+    typ = triples.filter(
+        (F.col("predicate") == RDF_TYPE)
+        & ~F.col("is_literal")
+        & ~F.col("object").startswith("_:")
+    )
+    res = triples.filter(
+        ~F.col("is_literal") & (F.col("predicate") != RDF_TYPE)
+    )
+
+    # --- edges: anti-join on (src, predicate, dst) --------------------
+    del_edges = res.select(
+        F.xxhash64(F.col("subject")).alias("src"),
+        short(F.col("predicate")).alias("predicate"),
+        F.xxhash64(F.col("object")).alias("dst"),
+    ).dropDuplicates()
+    edges = graph.edges.join(
+        del_edges, on=["src", "predicate", "dst"], how="leftanti"
+    )
+
+    # --- labels -------------------------------------------------------
+    del_labels = (
+        typ.select(
+            F.col("subject").alias("uri"), short(F.col("object")).alias("label")
+        )
+        .groupBy("uri")
+        .agg(F.collect_set("label").alias("__rm_labels"))
+    )
+    # --- props (value-conditional) ------------------------------------
+    del_props = (
+        lit.select(
+            F.col("subject").alias("uri"),
+            short(F.col("predicate")).alias("key"),
+            F.col("object").alias("value"),
+        )
+        .dropDuplicates(["uri", "key"])
+        .groupBy("uri")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "value"))
+            ).alias("__rm_props")
+        )
+    )
+    nodes = (
+        graph.nodes.join(F.broadcast(del_labels), on="uri", how="left")
+        .join(F.broadcast(del_props), on="uri", how="left")
+        .withColumn(
+            "labels",
+            F.array_except(
+                F.col("labels"),
+                F.coalesce(F.col("__rm_labels"), F.array().cast("array<string>")),
+            ),
+        )
+        .withColumn(
+            "props",
+            F.map_filter(
+                F.col("props"),
+                lambda k, v: ~F.coalesce(
+                    F.col("__rm_props").getItem(k) == v, F.lit(False)
+                ),
+            ),
+        )
+        .drop("__rm_labels", "__rm_props")
+    )
+    if "__prop_types" in nodes.columns:
+        nodes = nodes.withColumn(
+            "__prop_types",
+            F.map_filter(
+                F.col("__prop_types"),
+                lambda k, _: F.map_contains_key(F.col("props"), k),
+            ),
+        )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes, edges=edges,
+        namespaces=graph.namespaces, variables=graph.variables,
     )
 
 

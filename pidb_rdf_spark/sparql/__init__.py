@@ -11,5 +11,6 @@ the physical optimizer.
 
 from pidb_rdf_spark.sparql.compiler import SparqlCompiler, sparql
 from pidb_rdf_spark.sparql.parser import parse_sparql
+from pidb_rdf_spark.sparql.update import sparql_update
 
-__all__ = ["SparqlCompiler", "parse_sparql", "sparql"]
+__all__ = ["SparqlCompiler", "parse_sparql", "sparql", "sparql_update"]

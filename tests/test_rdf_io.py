@@ -728,3 +728,69 @@ def test_export_graph_negotiated_roundtrips(spark, tmp_path):
             for r in read_rdf(spark, str(out), fmt=fmt).collect()
         }
         assert got == want, fmt
+
+
+def test_sparql_update_insert_and_delete(spark):
+    """INSERT DATA / DELETE DATA end-to-end: upsert into an imported
+    graph (new node, new edge, prop overwrite on an existing subject),
+    then remove a triple of each shape."""
+    from pidb_rdf_spark.sparql import sparql_update
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    n0, e0 = g.nodes.count(), g.edges.count()
+
+    g2 = sparql_update(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA {
+          ex:carol ex:name "Carol" ;
+                   a ex:Person ;
+                   ex:knows ex:alice .
+          ex:alice ex:name "Alice2.0" .
+        }
+        """,
+    )
+    assert g2.nodes.count() == n0 + 1
+    assert g2.edges.count() == e0 + 1
+    carol = g2.nodes.filter(F.col("uri") == "http://example.org/carol").collect()[0]
+    assert "Carol" in carol["props"].values()
+    # prop deep-merge on the existing subject: last-writer-wins
+    alice = g2.nodes.filter(F.col("uri") == "http://example.org/alice").collect()[0]
+    assert "Alice2.0" in alice["props"].values()
+
+    g3 = sparql_update(
+        g2,
+        """
+        PREFIX ex: <http://example.org/>
+        DELETE DATA {
+          ex:carol ex:knows ex:alice .
+          ex:carol a ex:Person .
+          ex:carol ex:name "Carol" .
+        }
+        """,
+    )
+    assert g3.edges.count() == e0  # carol->alice edge gone
+    carol3 = g3.nodes.filter(F.col("uri") == "http://example.org/carol").collect()[0]
+    assert "Carol" not in carol3["props"].values()
+    assert all("Person" not in l for l in carol3["labels"] if l != "Resource")
+    # value-conditional delete: stating a WRONG value removes nothing
+    g4 = sparql_update(
+        g3,
+        """
+        PREFIX ex: <http://example.org/>
+        DELETE DATA { ex:alice ex:name "NotHerName" . }
+        """,
+    )
+    alice4 = g4.nodes.filter(F.col("uri") == "http://example.org/alice").collect()[0]
+    assert "Alice2.0" in alice4["props"].values()
+
+
+def test_sparql_update_rejects_pattern_forms(spark):
+    from pidb_rdf_spark.sparql.update import parse_update
+
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        parse_update("DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }")
