@@ -63,11 +63,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # (topk, running, quantiles), events.asof_join (function untouched by
 # the watermark fix; sessionize was deferred in r03 so it RETURNS
 # here), similarity.cosine_topk / ivf_search (functions untouched by
-# the hyperplane-dim change), and analytics.shortest_hops (function
-# untouched by the pagerank/components edits; the loop discipline is
-# re-proven by the components + pagerank entries in-window).
+# the hyperplane-dim change), and analytics.shortest_hops /
+# analytics.triangle_count (functions untouched by the pagerank/
+# components edits; the loop discipline is re-proven by the
+# components + pagerank entries in-window).
 _DEFER_TO_TAIL = [
     "bfs_hops_containment",
+    "triangle_count_dups",
     "exact_dedup_docs",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
@@ -728,6 +730,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = cosine_topk_q
 
+    def quantize_embeddings_q(spark, sf_dir):
+        """Symmetric per-vector int8 quantization of the embedding
+        corpus (faiss-SQ8-style storage path for ANN at scale)."""
+        from pidb_rdf_spark.operators import quantize_embeddings
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return quantize_embeddings(emb)
+
+    q["quantize_embeddings"] = quantize_embeddings_q
+
     # -- IVF ANN, exact-probe configuration (validates the plumbing) ---
     def ivf_topk_exact(spark, sf_dir):
         from pidb_rdf_spark.operators import ivf_search, kmeans_centroids
@@ -1255,6 +1267,24 @@ def _scale_extension_oracles() -> dict[str, str]:
             ) >= 0.45
         """,
         "cosine_topk": _brute_topk_sql("vec_id < 10", 10),
+        "quantize_embeddings": """
+            -- CAST to DOUBLE before dividing: FLOAT / DECIMAL stays in
+            -- float32 in DuckDB, while Spark promotes to double
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding, x -> abs(x)))
+                            AS DOUBLE) AS ma
+                FROM embeddings
+            )
+            SELECT vec_id, ma / 127.0 AS scale,
+                   CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(
+                            embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / (ma / 127.0))
+                                      AS INT)
+                        ) END AS qvec
+            FROM s
+        """,
         "ivf_topk_exact": _brute_topk_sql("vec_id % 100 = 0", 5),
         # probe-2 is approximate vs brute force, but the pipeline is
         # fully deterministic — so the oracle replays k-means +

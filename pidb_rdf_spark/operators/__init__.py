@@ -17,6 +17,10 @@ from pidb_rdf_spark.operators.multimodal import (
     probe_media_headers,
     sample_frames,
 )
+from pidb_rdf_spark.operators.quantize import (
+    dequantize_embeddings,
+    quantize_embeddings,
+)
 from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
 from pidb_rdf_spark.operators.similarity import cosine_topk, ivf_search, kmeans_centroids
 from pidb_rdf_spark.operators.text import (
@@ -41,6 +45,8 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "cosine_topk",
+    "quantize_embeddings",
+    "dequantize_embeddings",
     "bm25_search",
     "tfidf_top_terms",
     "ivf_search",

