@@ -447,6 +447,56 @@ def save_graph(
         json.dump(graph.variables, f)
 
 
+def save_graph_bucketed(
+    graph: PropertyGraph,
+    table_prefix: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist nodes/edges as BUCKETED catalog tables: nodes bucketed
+    +sorted by ``id``, edges by ``src`` — the co-located layout
+    SCALE.md prescribes, so every node⋈edge traversal join reads
+    matching buckets with NO exchange on either side (verified by
+    plan test). ``path`` makes them external tables at that location;
+    bucket metadata lives in the session catalog either way.
+
+    At 100 TB: pick ``n_buckets`` so one bucket of the larger table
+    fits an executor's shuffle-free sort (the usual sizing rule);
+    re-bucketing is a one-time full shuffle that every subsequent
+    join then skips."""
+    def writer(df, key, name):
+        w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+        if path is not None:
+            w = w.option("path", os.path.join(path, name))
+        return w
+
+    writer(graph.nodes, "id", "nodes").saveAsTable(f"{table_prefix}_nodes")
+    writer(graph.edges, "src", "edges").saveAsTable(f"{table_prefix}_edges")
+    if graph.namespaces is not None:
+        w = graph.namespaces.write.mode("overwrite")
+        if path is not None:
+            w = w.option("path", os.path.join(path, "namespaces"))
+        w.saveAsTable(f"{table_prefix}_namespaces")
+
+
+def load_graph_bucketed(spark, table_prefix: str) -> PropertyGraph:
+    """Load a graph saved by ``save_graph_bucketed`` — reads come back
+    with bucket-aligned output partitioning, so joins on the bucket
+    keys skip their exchanges."""
+    catalog = spark.catalog
+    namespaces = (
+        spark.table(f"{table_prefix}_namespaces")
+        if catalog.tableExists(f"{table_prefix}_namespaces")
+        else None
+    )
+    return PropertyGraph(
+        spark=spark,
+        nodes=spark.table(f"{table_prefix}_nodes"),
+        edges=spark.table(f"{table_prefix}_edges"),
+        namespaces=namespaces,
+    )
+
+
 def load_graph(spark, path: str) -> PropertyGraph:
     nodes = spark.read.parquet(os.path.join(path, "nodes"))
     edges = spark.read.parquet(os.path.join(path, "edges"))

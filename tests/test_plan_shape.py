@@ -131,3 +131,37 @@ def test_decontam_broadcasts_eval_side(spark):
     assert s["broadcast_hash_joins"] >= 1
     assert s["sort_merge_joins"] == 0
     assert s["python_evals"] == 0
+
+
+def test_bucketed_save_makes_node_edge_join_shuffle_free(spark, tmp_path):
+    """save_graph_bucketed: nodes bucketed by id, edges by src — the
+    traversal join then runs with ZERO exchanges (vs 2 shuffles + SMJ
+    on plain parquet). This is SCALE.md's co-location claim, executed."""
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.mutation import load_graph_bucketed, save_graph_bucketed
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    save_graph_bucketed(g, "bk_t", n_buckets=4, path=str(tmp_path / "bk"))
+    gb = load_graph_bucketed(spark, "bk_t")
+    assert gb.nodes.count() == g.nodes.count()
+    assert gb.edges.count() == g.edges.count()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = gb.edges.join(
+            gb.nodes.withColumnRenamed("id", "src"), on="src"
+        ).select("src", "dst", "predicate", "uri")
+        s = plan_summary(joined)
+        assert s["sort_merge_joins"] == 1
+        assert s["exchanges"] == 0, "bucketed join must not shuffle"
+        # control: same join on the unbucketed frames DOES shuffle
+        j2 = g.edges.join(
+            g.nodes.withColumnRenamed("id", "src"), on="src"
+        ).select("src", "dst", "predicate", "uri")
+        assert plan_summary(j2)["exchanges"] >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_t_nodes")
+        spark.sql("DROP TABLE IF EXISTS bk_t_edges")
+        spark.sql("DROP TABLE IF EXISTS bk_t_namespaces")
