@@ -56,7 +56,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # else re-proves. r04 rotation: the 13 pipeline entries deferred in
 # r03 come back in (ranking.py and streaming/events.py changed this
 # round, so tfidf/bm25 and the stream entries re-prove), plus the new
-# gremlin_repeat_until. Deferred instead: 14 r03-green entries whose
+# gremlin_repeat_until / decontam_overlap / quantize_embeddings
+# entries (never checked before). Deferred instead: 16 r03-green
+# entries whose
 # operators sit in files/functions the r04 diff does not touch —
 # operators/dedup.py (exact, ngram, minhash, simhash, exact embedding
 # near-dup), operators/curation.py (sample, pack), operators/window.py
