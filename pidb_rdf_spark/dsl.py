@@ -284,6 +284,42 @@ class Traversal:
         ``coalesce(b, identity)``."""
         return self.coalesce_(branch, lambda t: t)
 
+    def choose(self, pred, true_branch, false_branch=None) -> "Traversal":
+        """TinkerPop ``choose(pred, a, b)``: traversers matching
+        ``pred`` (a step-filter function, same convention as
+        ``repeat``'s ``until`` — e.g. ``lambda t:
+        t.has_label("Nation")``) take branch ``a``, the rest branch
+        ``b`` (identity when omitted). Set-oriented: each branch runs
+        once over its frontier subset; one anti-join splits them
+        (per-frontier-element decision, like ``until``)."""
+        matched = pred(self).df
+        rest = self.df.join(
+            matched.select(CUR).dropDuplicates(), on=CUR, how="leftanti"
+        )
+        t_true = true_branch(self._with(matched))
+        t_false = (
+            false_branch(self._with(rest))
+            if false_branch is not None
+            else self._with(rest)
+        )
+        return self._with(
+            t_true.df.unionByName(t_false.df), on_edges=t_true.on_edges
+        )
+
+    def group_values(self, key: str, value: str) -> DataFrame:
+        """TinkerPop ``group().by(key).by(values(value).fold())``:
+        one row per ``key`` property value with the sorted list of
+        ``value`` properties of the grouped frontier elements
+        (sorted → deterministic across partitionings)."""
+        frontier = self._frontier_nodes()
+        return frontier.groupBy(
+            self.g.node_prop(key).alias("key")
+        ).agg(
+            F.array_sort(
+                F.collect_list(self.g.node_prop(value))
+            ).alias("values")
+        )
+
     # ---- step labels / projection --------------------------------------
 
     def with_path(self) -> "Traversal":

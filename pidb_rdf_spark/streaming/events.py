@@ -37,13 +37,17 @@ def windowed_event_counts(
     key_col: str = "event_type",
     value_col: str = "value",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + exact value sums per key.
+    """Tumbling-window (or, with ``slide``, sliding/hopping-window)
+    counts + exact value sums per key.
 
     Works on batch and streaming inputs alike. Value sums are kept in
     integer cents (``round(value*100)``) — exact, order-independent,
     and reproducible, unlike floating-point accumulation whose result
-    depends on partitioning.
+    depends on partitioning. A sliding window assigns each event to
+    ``window/slide`` overlapping windows (that factor is the row
+    amplification cost — still one shuffle on (window, key)).
     """
     if watermark is not None:
         # Parquet fixtures carry TIMESTAMP_NTZ; event-time watermarks
@@ -51,8 +55,13 @@ def windowed_event_counts(
         # The session timezone is UTC, so the cast is value-preserving.
         events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     return (
-        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        events.groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("sum_cents"),

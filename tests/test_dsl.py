@@ -323,3 +323,36 @@ def test_union_branches_bag(graph):
         "+ (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)"
     )[0][0]
     assert n == want
+
+
+def test_choose_branches(graph):
+    """Nations hop to their region; everything else stays put."""
+    t = traversal(graph).V().has_label("Nation", "Region")
+    out = t.choose(
+        lambda x: x.has_label("Nation"), lambda x: x.out("IN_REGION")
+    ).uri()
+    got = sorted(r["uri"] for r in out.collect())
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region"
+        )
+    )
+    assert got == want
+
+
+def test_group_values(graph):
+    """group().by(mktsegment).by(name list) matches DuckDB
+    string_agg-per-group."""
+    t = traversal(graph).V().has_label("Customer")
+    got = {
+        r["key"]: list(r["values"])
+        for r in t.group_values("c_mktsegment", "c_name").collect()
+    }
+    want = {}
+    for seg, name in oracle("SELECT c_mktsegment, c_name FROM customer"):
+        want.setdefault(seg, []).append(name)
+    want = {k: sorted(v) for k, v in want.items()}
+    assert got == want

@@ -246,3 +246,45 @@ def test_sessionize_stream_equals_batch(spark, events, tmp_path):
         for r in sessionize(events, gap="37 minutes").collect()
     }
     assert got == batch_ref
+
+
+def test_sliding_window_counts(spark, events):
+    """slide=30m over a 1h window: every event lands in exactly 2
+    windows, and each sliding bucket equals the sum of rows whose ts
+    falls in [start, start+1h) — cross-checked in DuckDB."""
+    import duckdb
+
+    from pidb_rdf_spark.streaming import windowed_event_counts
+    from tests.conftest import SF_DIR
+
+    out = windowed_event_counts(
+        events, window="1 hour", slide="30 minutes"
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in out.collect()
+    }
+    # row-amplification: total window rows = 2x the tumbling case
+    assert sum(n for n, _ in got.values()) == 2 * events.count()
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT date_trunc('hour', MIN(ts)) - INTERVAL 30 MINUTE, MAX(ts) "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()
+    exp = con.execute(
+        f"""
+        WITH halfs AS (
+            SELECT generate_series AS ws
+            FROM generate_series(
+                TIMESTAMP '{lo}', TIMESTAMP '{hi}', INTERVAL 30 MINUTE)
+        )
+        SELECT CAST(h.ws AS VARCHAR), e.event_type,
+               COUNT(*), CAST(SUM(round(e.value*100)) AS BIGINT)
+        FROM halfs h
+        JOIN '{SF_DIR}/events.parquet' e
+          ON e.ts >= h.ws AND e.ts < h.ws + INTERVAL 1 HOUR
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    exp_map = {(a, b): (c, d) for a, b, c, d in exp}
+    assert got == exp_map
