@@ -22,7 +22,14 @@ from pidb_rdf_spark.operators.quantize import (
     quantize_embeddings,
 )
 from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
-from pidb_rdf_spark.operators.similarity import cosine_topk, ivf_search, kmeans_centroids
+from pidb_rdf_spark.operators.similarity import (
+    cosine_topk,
+    ivf_search,
+    ivf_search_indexed,
+    kmeans_centroids,
+    load_ivf_index,
+    save_ivf_index,
+)
 from pidb_rdf_spark.operators.text import (
     fingerprint,
     language_id,
@@ -50,6 +57,9 @@ __all__ = [
     "bm25_search",
     "tfidf_top_terms",
     "ivf_search",
+    "ivf_search_indexed",
+    "save_ivf_index",
+    "load_ivf_index",
     "kmeans_centroids",
     "attach_media",
     "decode_media",

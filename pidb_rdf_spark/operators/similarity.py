@@ -336,3 +336,83 @@ def ivf_search(
             F.col("_nid").alias("neighbor_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: cluster-partitioned store -> probes are
+# partition pruning at the parquet scan
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus partitioned by its IVF cluster + a centroid
+    sidecar. A probe then reads ONLY the probed clusters' partitions
+    (static partition pruning, pinned by plan test) — at 100 TB this
+    is the difference between scanning nprobe/n_clusters of the data
+    and all of it."""
+    import json
+    import os
+
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def load_ivf_index(spark, path: str):
+    """(vectors DataFrame with ``cluster`` partition column, centroid
+    list) from a ``save_ivf_index`` store."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(os.path.join(path, "vectors")), centroids
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k against a saved index. The union of probed clusters
+    over all queries is collected driver-side (bounded by n_clusters,
+    never by data) and applied as a static ``cluster IN (...)`` filter
+    so the scan prunes unprobed partitions before the per-query join
+    narrows further."""
+    import numpy as np
+
+    corpus, centroids = load_ivf_index(spark, path)
+    C = np.array(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(centroids))
+    qv = np.array(
+        [r[0] for r in queries.select(vec_col).collect()], dtype=np.float64
+    )
+    d2 = (
+        (qv * qv).sum(1, keepdims=True) - 2.0 * (qv @ C.T) + (C * C).sum(1)[None, :]
+    )
+    probed = sorted(
+        {int(c) for row in np.argsort(d2, axis=1, kind="stable")[:, :nprobe] for c in row}
+    )
+    pruned = corpus.filter(F.col("cluster").isin(probed))
+    # hand ivf_search the pruned subset WITHOUT the stored cluster
+    # column: assignment is deterministic, so re-deriving it on the
+    # pruned rows is identical — and ivf_search's own code path stays
+    # byte-for-byte shared with the in-memory entries
+    return ivf_search(
+        pruned.drop("cluster"), queries, centroids, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

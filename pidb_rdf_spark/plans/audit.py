@@ -30,6 +30,11 @@ def plan_summary(df: DataFrame) -> dict:
         "exchanges": plan.count("Exchange"),
         "hash_aggregates": plan.count("HashAggregate"),
         "pushed_filter_scans": sum(1 for p in pushed if p.strip()),
+        "partition_filter_scans": sum(
+            1
+            for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if p.strip()
+        ),
         "scan_widths": [len(s.split(",")) if s else 0 for s in read_schemas],
         "python_evals": plan.count("BatchEvalPython")
         + plan.count("ArrowEvalPython")

@@ -519,3 +519,38 @@ def test_quantize_zero_vector(spark):
     rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
     assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0]
     assert rows[2]["qvec"][1] == -127
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    """save_ivf_index → ivf_search_indexed equals the in-memory IVF
+    search, and the probe scan carries a cluster partition filter
+    (static partition pruning at the store)."""
+    from pidb_rdf_spark.operators import (
+        ivf_search,
+        ivf_search_indexed,
+        kmeans_centroids,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from pidb_rdf_spark.plans import plan_summary
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    cents = kmeans_centroids(emb, n_clusters=4, iters=3)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(emb, idx, cents)
+
+    got = ivf_search_indexed(spark, idx, queries, k=5, nprobe=2)
+    want = ivf_search(emb, queries, cents, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # pruning pinned: the probed-cluster filter reaches the scan as a
+    # partition filter
+    vectors, _ = load_ivf_index(spark, idx)
+    pruned = vectors.filter(F.col("cluster").isin([0, 1]))
+    s = plan_summary(pruned)
+    assert s["partition_filter_scans"] >= 1
+    # and the pruned read returns only those clusters
+    assert {r["cluster"] for r in pruned.select("cluster").distinct().collect()} <= {0, 1}
