@@ -199,3 +199,49 @@ def test_construct_inverse_edge(fg):
     got = rows(df, "subject", "object")
     assert (f"{EX}bob", f"{EX}alice") in got
     assert len(got) == 4
+
+
+def test_optional_filter_scopes_to_optional_group(fg):
+    """W3C 8.1.1 (OPTIONAL with FILTER): the filter applies INSIDE the
+    optional — a binding failing it leaves the var unbound but keeps
+    the outer row (alice knows bob+carol; only carol's age > 28)."""
+    df = sparql(
+        fg,
+        """
+        SELECT ?n ?a WHERE {
+          ?p v:foaf__name ?n .
+          OPTIONAL { ?p v:foaf__age ?a FILTER(?a > 28) }
+        } ORDER BY ?n
+        """,
+    )
+    assert rows(df, "n", "a") == [
+        ("Alice", 30),
+        ("Bob", None),
+        ("Carol", 35),
+        ("Dave", None),
+        ("Eve", None),
+    ]
+
+
+def test_aggregate_over_empty_solution(fg):
+    """W3C 18.5: aggregates without GROUP BY over zero solutions still
+    produce ONE row (COUNT = 0)."""
+    df = sparql(
+        fg, 'SELECT (COUNT(?p) AS ?c) WHERE { ?p v:foaf__name "Nobody" }'
+    )
+    assert [r["c"] for r in df.collect()] == [0]
+
+
+def test_distinct_collapses_bag(fg):
+    """DISTINCT turns the join bag into a set: alice (via bob) and
+    dave (via alice) each know someone who knows carol."""
+    df = sparql(
+        fg,
+        """
+        SELECT DISTINCT ?n WHERE {
+          ?p e:foaf__knows ?q . ?q e:foaf__knows ?r .
+          ?r v:foaf__name "Carol" . ?p v:foaf__name ?n
+        }
+        """,
+    )
+    assert rows(df, "n") == [("Alice",), ("Dave",)]
