@@ -165,3 +165,14 @@ def test_bucketed_save_makes_node_edge_join_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_t_nodes")
         spark.sql("DROP TABLE IF EXISTS bk_t_edges")
         spark.sql("DROP TABLE IF EXISTS bk_t_namespaces")
+
+
+def test_quantize_is_scan_only(spark):
+    """int8 quantization must stay a narrow zero-shuffle JVM
+    projection (higher-order functions, no Python)."""
+    from pidb_rdf_spark.operators import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s = plan_summary(quantize_embeddings(emb))
+    assert s["exchanges"] == 0
+    assert s["python_evals"] == 0

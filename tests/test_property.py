@@ -135,3 +135,38 @@ def test_rdf_literal_roundtrip(spark, data):
     orig = norm(triples.collect())
     back = norm(reparsed.filter("is_literal").collect())
     assert back == orig
+
+
+@SLOW
+@given(
+    vectors=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_quantize_roundtrip_bound_property(spark, vectors):
+    """∀ float vectors: |dequantize(quantize(x)) - x| ≤ scale/2 + eps
+    per component, and quantized ints stay in [-127, 127]."""
+    from pidb_rdf_spark.operators import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    back = {r["vec_id"]: r["embedding"] for r in dequantize_embeddings(q).collect()}
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    for i, v in enumerate(vectors):
+        tol = scales[i] / 2 + 1e-9 * max(1.0, scales[i])
+        assert all(abs(a - b) <= tol for a, b in zip(v, back[i]))
+    for r in q.collect():
+        assert all(-127 <= x <= 127 for x in r["qvec"])
