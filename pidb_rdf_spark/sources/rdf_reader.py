@@ -636,11 +636,57 @@ def parse_jsonld_text(text: str) -> list[tuple]:
     return rows
 
 
+_TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
+
+
+def parse_trix_text(text: str) -> list[tuple]:
+    """Parse one TriX document -> triples rows (graph names dropped —
+    the LPG model has one graph, same convention as the N-Quads
+    reader). Term elements: ``uri``, ``id`` (bnode), ``plainLiteral``
+    (+``xml:lang``), ``typedLiteral`` (+``datatype``)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+
+    def local(tag: str) -> str:
+        return tag.split("}", 1)[1] if tag.startswith("{") else tag
+
+    def term(el):
+        kind = local(el.tag)
+        txt = el.text or ""
+        if kind == "uri":
+            return txt, False, None, None
+        if kind == "id":
+            bn = txt if txt.startswith("_:") else f"_:{txt}"
+            return bn, False, None, None
+        if kind == "plainLiteral":
+            lang = el.get("{http://www.w3.org/XML/1998/namespace}lang")
+            return txt, True, None, lang
+        if kind == "typedLiteral":
+            return txt, True, el.get("datatype"), None
+        raise ValueError(f"unknown TriX term element <{kind}>")
+
+    rows: list[tuple] = []
+    for graph in root:
+        if local(graph.tag) != "graph":
+            continue
+        for child in graph:
+            if local(child.tag) != "triple":
+                continue
+            terms = [term(t) for t in child]
+            if len(terms) != 3:
+                raise ValueError("TriX <triple> must have exactly 3 terms")
+            (s, _, _, _), (p, _, _, _), (o, is_lit, dt, lang) = terms
+            rows.append((s, p, o, is_lit, dt, lang))
+    return rows
+
+
 _NATIVE_DOC_PARSERS = {
     "rdfxml": parse_rdfxml_text,
     "xml": parse_rdfxml_text,
     "jsonld": parse_jsonld_text,
     "trig": parse_trig_text,
+    "trix": parse_trix_text,
 }
 
 

@@ -511,13 +511,73 @@ def export_rdfxml(graph: PropertyGraph, path: str, **kwargs) -> None:
     triples_to_rdfxml_lines(t).coalesce(1).write.mode("overwrite").text(path)
 
 
+def triples_to_trix_lines(triples: DataFrame) -> DataFrame:
+    """TriX serialization (one ``<triple>`` element per row). Each
+    partition emits a complete TriX document (root + one ``<graph>``
+    block), mirroring the Turtle/TriG per-partition-header pattern so
+    the write stays embarrassingly parallel — a directory of part
+    files is a set of valid TriX documents whose graphs union."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    header = [
+        '<?xml version="1.0"?>',
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">',
+        "<graph>",
+    ]
+    footer = ["</graph>", "</TriX>"]
+
+    def term_xml(value, is_literal, datatype, lang):
+        if not is_literal:
+            if value.startswith("_:"):
+                return f"<id>{escape(value)}</id>"
+            return f"<uri>{escape(value)}</uri>"
+        if datatype:
+            return (
+                f"<typedLiteral datatype={quoteattr(datatype)}>"
+                f"{escape(value)}</typedLiteral>"
+            )
+        if lang:
+            return (
+                f"<plainLiteral xml:lang={quoteattr(lang)}>"
+                f"{escape(value)}</plainLiteral>"
+            )
+        return f"<plainLiteral>{escape(value)}</plainLiteral>"
+
+    def to_lines(rows):
+        out = list(header)
+        for r in rows:
+            out.append(
+                "<triple>"
+                + term_xml(r["subject"], False, None, None)
+                + term_xml(r["predicate"], False, None, None)
+                + term_xml(r["object"], r["is_literal"], r["datatype"], r["lang"])
+                + "</triple>"
+            )
+        out.extend(footer)
+        return [(ln,) for ln in out]
+
+    spark = triples.sparkSession
+    rdd = triples.rdd.mapPartitions(to_lines)
+    return spark.createDataFrame(rdd, "value string")
+
+
+def export_trix(graph: PropertyGraph, path: str, **kwargs) -> None:
+    """Write the whole graph as TriX (7th serialization of the
+    reference's @Produces surface, ``RDFEndpoint.java:52-53``)."""
+    t = graph_to_triples(graph, **kwargs)
+    triples_to_trix_lines(t).write.mode("overwrite").text(path)
+
+
 # --- content negotiation (S12) ---------------------------------------
 # The reference endpoint picks its serializer from the request's MIME
-# type over RDF4J's registry (``RDFEndpoint.java:589-604`` getFormat;
-# the offered set is ``availableParsers``, :46-47: RDF/XML, JSON-LD,
-# Turtle, N-Triples, TriG), defaulting to Turtle when the Accept header
-# is unrecognized. Same contract here, plus N-Quads (this repo reads
-# and writes quads; the reference only reads them via RDF4J).
+# type over RDF4J's registry (``RDFEndpoint.java:589-604`` getFormat),
+# and its endpoints @Produce the 7-type set ``RDFEndpoint.java:52-53``:
+# application/rdf+xml, text/plain (N-Triples), text/turtle, text/n3,
+# application/trix, application/x-trig, application/ld+json —
+# defaulting to Turtle when the Accept header is unrecognized. Same
+# contract here (N3 output is the Turtle serialization — Turtle is a
+# subset of N3, so every document emitted is valid N3), plus N-Quads
+# (this repo reads and writes quads; the reference only reads them).
 MIME_FORMATS: dict[str, str] = {
     "application/rdf+xml": "RDF/XML",
     "application/xml": "RDF/XML",
@@ -525,10 +585,13 @@ MIME_FORMATS: dict[str, str] = {
     "application/json": "JSON-LD",
     "text/turtle": "Turtle",
     "application/x-turtle": "Turtle",
+    "text/n3": "N3",
+    "text/rdf+n3": "N3",
     "application/n-triples": "N-Triples",
     "text/plain": "N-Triples",
     "application/trig": "TriG",
     "application/x-trig": "TriG",
+    "application/trix": "TriX",
     "application/n-quads": "N-Quads",
     "text/x-nquads": "N-Quads",
 }
@@ -537,8 +600,10 @@ EXPORTERS = {
     "RDF/XML": export_rdfxml,
     "JSON-LD": export_jsonld,
     "Turtle": export_turtle,
+    "N3": export_turtle,
     "N-Triples": export_ntriples,
     "TriG": export_trig,
+    "TriX": export_trix,
     "N-Quads": export_nquads,
 }
 

@@ -794,3 +794,53 @@ def test_sparql_update_rejects_pattern_forms(spark):
 
     with _pytest.raises(SyntaxError):
         parse_update("DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }")
+
+
+def test_trix_export_roundtrip(spark, tmp_path):
+    """TriX writer -> repo's own TriX reader -> identical statements
+    (7th serialization of the reference's @Produces surface)."""
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+    from pidb_rdf_spark.sources.rdf_writer import export_graph, graph_to_triples
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    out = tmp_path / "trix"
+    used = export_graph(g, str(out), mimetype="application/trix")
+    assert used == "TriX"
+    want = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"],
+         r["datatype"], r["lang"])
+        for r in graph_to_triples(g).collect()
+    }
+    got = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"],
+         r["datatype"], r["lang"])
+        for r in read_rdf(spark, str(out), fmt="TriX").collect()
+    }
+    assert got == want
+
+
+def test_n3_negotiation_serves_turtle(spark, tmp_path):
+    """text/n3 negotiates to the Turtle serialization (Turtle ⊂ N3),
+    and the output re-parses as Turtle."""
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf
+    from pidb_rdf_spark.sources.rdf_writer import (
+        export_graph,
+        graph_to_triples,
+        negotiate_format,
+    )
+
+    assert negotiate_format("text/n3") == "N3"
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    out = tmp_path / "n3"
+    assert export_graph(g, str(out), mimetype="text/n3") == "N3"
+    want = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in graph_to_triples(g).collect()
+    }
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_rdf(spark, str(out), fmt="Turtle").collect()
+    }
+    assert got == want
