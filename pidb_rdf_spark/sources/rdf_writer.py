@@ -608,6 +608,58 @@ EXPORTERS = {
 }
 
 
+# format -> (triples DataFrame -> lines DataFrame), the streaming-body
+# halves of the exporters (used by query_to_rdf, the reference's
+# POST /cypher analog)
+def _turtle_lines_ns(graph):
+    return lambda t: triples_to_turtle_lines(t, _ns_dict(graph))
+
+
+def query_to_rdf(
+    graph: PropertyGraph,
+    query: str,
+    node_id_cols: list[str] | None = None,
+    mimetype: str | None = None,
+) -> tuple[str, DataFrame]:
+    """The reference's ``POST /cypher`` endpoint re-expressed: run a
+    query in the graph's query language (Spark SQL over the
+    ``nodes``/``edges`` views — the Cypher role here), serialize every
+    node the result mentions as RDF in the Accept-negotiated format
+    (``RDFEndpoint.java:50-98`` iterates result values and streams
+    Node/Relationship statements; set-oriented equivalent: semi-join
+    the nodes table on the result's id columns, own-triples only).
+
+    ``node_id_cols``: result columns holding node ids (default: a
+    column named ``id`` plus any ``*_id``). Returns ``(format,
+    lines DataFrame)`` — one serialized line per row, the streaming
+    response body (write with ``.write.text`` or collect)."""
+    res = graph.sql(query)
+    cols = node_id_cols or [
+        c for c in res.columns if c == "id" or c.endswith("_id")
+    ]
+    if not cols:
+        raise ValueError(
+            "query result has no node-id columns (pass node_id_cols)"
+        )
+    ids = res.select(F.col(cols[0]).cast("long").alias("id"))
+    for c in cols[1:]:
+        ids = ids.unionByName(res.select(F.col(c).cast("long").alias("id")))
+    target = graph.nodes.join(ids.dropDuplicates(), on="id", how="leftsemi")
+    triples = describe_nodes(graph, target, exclude_context=True)
+    fmt = negotiate_format(mimetype)
+    line_serializers = {
+        "Turtle": _turtle_lines_ns(graph),
+        "N3": _turtle_lines_ns(graph),
+        "N-Triples": triples_to_ntriples_lines,
+        "N-Quads": triples_to_nquads_lines,
+        "TriG": lambda t: triples_to_trig_lines(t, _ns_dict(graph)),
+        "TriX": triples_to_trix_lines,
+        "JSON-LD": triples_to_jsonld_lines,
+        "RDF/XML": triples_to_rdfxml_lines,
+    }
+    return fmt, line_serializers[fmt](triples)
+
+
 def negotiate_format(mimetype: str | None) -> str:
     """MIME type (optionally with parameters, e.g. ``;charset=``) →
     canonical format name; unrecognized/missing → ``Turtle``, exactly

@@ -844,3 +844,34 @@ def test_n3_negotiation_serves_turtle(spark, tmp_path):
         for r in read_rdf(spark, str(out), fmt="Turtle").collect()
     }
     assert got == want
+
+
+def test_query_to_rdf_cypher_endpoint_analog(spark):
+    """POST /cypher analog: SQL result rows → the mentioned nodes
+    serialized as RDF in the negotiated format."""
+    from pidb_rdf_spark.sources.rdf_writer import query_to_rdf
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    fmt, lines = query_to_rdf(
+        g,
+        """
+        SELECT n.id FROM nodes n
+        WHERE array_contains(n.labels, 'ns0__Person')
+        """,
+        node_id_cols=["id"],
+        mimetype="application/n-triples",
+    )
+    assert fmt == "N-Triples"
+    body = "\n".join(r["value"] for r in lines.collect())
+    reparsed = parse_rdf_snippet(spark, body, "N-Triples")
+    subs = {r["subject"] for r in reparsed.collect()}
+    # only alice carries the Person type; her own triples only
+    assert subs == {"http://example.org/alice"}
+    preds = {r["predicate"] for r in reparsed.collect()}
+    assert any(p.endswith("name") for p in preds)
+    # negotiated default: unknown accept → Turtle
+    fmt2, _ = query_to_rdf(
+        g, "SELECT id FROM nodes", mimetype="application/unknown"
+    )
+    assert fmt2 == "Turtle"
