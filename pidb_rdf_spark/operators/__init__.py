@@ -31,10 +31,12 @@ from pidb_rdf_spark.operators.similarity import (
     save_ivf_index,
 )
 from pidb_rdf_spark.operators.text import (
+    boilerplate_lines,
     fingerprint,
     language_id,
     quality_score,
     repetition_signals,
+    strip_boilerplate,
     token_count,
 )
 from pidb_rdf_spark.operators.window import topk_per_group
@@ -69,5 +71,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "repetition_signals",
+    "boilerplate_lines",
+    "strip_boilerplate",
     "token_count",
 ]

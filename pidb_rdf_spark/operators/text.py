@@ -205,3 +205,72 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             - n_dtoks / F.greatest(n_toks, F.lit(1)).cast("double"),
         }
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Lines that repeat across at least ``min_docs`` distinct
+    documents — headers, footers, nav chrome, cookie banners (the
+    CCNet/C4 boilerplate signal). Output: (line, n_docs).
+
+    One explode + one distinct-count aggregate; the result is
+    vocabulary-sized (boilerplate is by definition repeated), so
+    downstream consumers can broadcast it."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("__id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Documents with cross-document repeated lines removed. Output:
+    original columns with ``text_col`` rewritten + ``n_lines_kept`` /
+    ``n_lines_removed`` counters.
+
+    Scale shape: the boilerplate set is broadcast (vocabulary-sized)
+    as a MAP so membership tests are hash lookups, not per-line array
+    scans; each doc is rewritten with array expressions — no shuffle
+    of the corpus, no per-row Python. Line order within a document is
+    preserved (filter, not rebuild)."""
+    blist = F.collect_list("line")
+    boiler = F.broadcast(
+        boilerplate_lines(df, id_col, text_col, min_docs).select(
+            F.map_from_arrays(
+                blist, F.transform(blist, lambda _: F.lit(True))
+            ).alias("__bmap")
+        )
+    )
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines, lambda x: ~F.map_contains_key(F.col("__bmap"), x)
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.crossJoin(boiler)
+        .withColumn(
+            "__bmap",
+            F.coalesce(
+                F.col("__bmap"), F.from_json(F.lit("{}"), "map<string,boolean>")
+            ),
+        )
+        .select(
+            *out_cols,
+            F.array_join(kept, "\n").alias(text_col),
+            F.size(kept).cast("long").alias("n_lines_kept"),
+            (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_removed"),
+        )
+    )

@@ -554,3 +554,53 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert s["partition_filter_scans"] >= 1
     # and the pruned read returns only those clusters
     assert {r["cluster"] for r in pruned.select("cluster").distinct().collect()} <= {0, 1}
+
+
+def test_boilerplate_strip(spark):
+    """Cross-document repeated lines are detected and stripped; rare
+    lines survive with document line order preserved."""
+    from pidb_rdf_spark.operators import boilerplate_lines, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "COOKIE BANNER\nunique text\nFOOTER"),
+            (4, "no chrome here\njust content"),
+        ],
+        ["doc_id", "text"],
+    )
+    boiler = {
+        (r["line"], r["n_docs"])
+        for r in boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert boiler == {("COOKIE BANNER", 3), ("FOOTER", 3)}
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "real content one"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_removed"] == 2
+    assert out[4]["text"] == "no chrome here\njust content"
+    assert out[4]["n_lines_removed"] == 0
+    # no boilerplate at all -> empty map path (coalesce guard)
+    clean = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    r = strip_boilerplate(clean, min_docs=2).collect()[0]
+    assert r["text"] == "a\nb" and r["n_lines_removed"] == 0
+
+
+def test_boilerplate_duplicate_lines_within_doc(spark):
+    """A line repeated INSIDE one doc counts that doc once for the
+    cross-doc threshold, but every occurrence is stripped."""
+    from pidb_rdf_spark.operators import boilerplate_lines, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "AD\nbody\nAD"),
+            (2, "AD\nother"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert {
+        (r["line"], r["n_docs"])
+        for r in boilerplate_lines(docs, min_docs=2).collect()
+    } == {("AD", 2)}
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "body" and out[1]["n_lines_removed"] == 2
