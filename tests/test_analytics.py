@@ -120,3 +120,25 @@ def test_triangle_count(spark):
     # duplicate + reversed edges must not inflate counts
     noisy = spark.createDataFrame(edges + [(2, 1), (3, 1)], ["src", "dst"])
     assert dict(map(tuple, triangle_count(noisy).collect())) == got
+
+
+def test_star_components_long_path(spark):
+    """A 40-node path: star rounds converge in O(log n), and the
+    labeling matches min-label propagation on the worst diameter
+    shape for the latter."""
+    from pidb_rdf_spark.analytics import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {(i, 0) for i in range(41)}
+    ref = {
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    }
+    assert got == ref

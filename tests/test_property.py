@@ -170,3 +170,58 @@ def test_quantize_roundtrip_bound_property(spark, vectors):
         assert all(abs(a - b) <= tol for a, b in zip(v, back[i]))
     for r in q.collect():
         assert all(-127 <= x <= 127 for x in r["qvec"])
+
+
+def _py_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {
+        n: min(members) for members in comp.values() for n in members
+    }
+
+
+@SLOW
+@given(pairs=edges_strategy)
+def test_star_components_match_union_find(spark, pairs):
+    """Pointer-doubling (large-star/small-star) components equal the
+    python union-find oracle AND the min-label implementation."""
+    from pidb_rdf_spark.analytics import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+    expected = {
+        (n, c) for n, c in _py_components(pairs).items() if True
+    }
+    # drop self-loop-only nodes the same way _sym does
+    real = {(a, b) for a, b in pairs if a != b}
+    nodes_in = {x for e in real for x in e}
+    expected = {(n, c) for n, c in expected if n in nodes_in}
+    got_star = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got_star == expected
+    got_minlabel = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got_star == got_minlabel
