@@ -11,6 +11,7 @@ from pidb_rdf_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from pidb_rdf_spark.operators.join import salted_join
 from pidb_rdf_spark.operators.multimodal import (
     attach_media,
     decode_media,
@@ -46,6 +47,7 @@ __all__ = [
     "stratified_hash_sample",
     "pack_token_stream",
     "topk_per_group",
+    "salted_join",
     "ngram_overlap",
     "contaminated_ids",
     "exact_dedup",

@@ -604,3 +604,22 @@ def test_boilerplate_duplicate_lines_within_doc(spark):
     } == {("AD", 2)}
     out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=2).collect()}
     assert out[1]["text"] == "body" and out[1]["n_lines_removed"] == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-transparent: inner and left joins match
+    the unsalted join exactly, including duplicate-key bags."""
+    from pidb_rdf_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "hot", "hot", "cold") for i in range(3)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H1"), ("hot", "H2"), ("cold", "C"), ("orphan", "O")],
+        ["k", "rv"],
+    )
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(left, right, "k", 4, how).collect()))
+        want = sorted(map(tuple, left.join(right, on="k", how=how).collect()))
+        assert got == want, how
