@@ -734,11 +734,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def quantize_embeddings_q(spark, sf_dir):
         """Symmetric per-vector int8 quantization of the embedding
-        corpus (faiss-SQ8-style storage path for ANN at scale)."""
+        corpus (faiss-SQ8-style storage path for ANN at scale).
+
+        The operator returns ``(vec_id, scale, qvec array<int>)``; the
+        driver's canonicalization cannot hash array cells (r4's one red
+        row), so the entry exposes the same values exploded to one
+        ``(vec_id, scale, dim, q)`` row per component — every column
+        atomic, every quantized value still individually checked."""
         from pidb_rdf_spark.operators import quantize_embeddings
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return quantize_embeddings(emb)
+        qdf = quantize_embeddings(emb)
+        return qdf.select(
+            "vec_id",
+            "scale",
+            F.posexplode("qvec").alias("dim", "q"),
+        ).select(
+            "vec_id",
+            "scale",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("q").cast("long").alias("q"),
+        )
 
     q["quantize_embeddings"] = quantize_embeddings_q
 
@@ -1271,21 +1287,29 @@ def _scale_extension_oracles() -> dict[str, str]:
         "cosine_topk": _brute_topk_sql("vec_id < 10", 10),
         "quantize_embeddings": """
             -- CAST to DOUBLE before dividing: FLOAT / DECIMAL stays in
-            -- float32 in DuckDB, while Spark promotes to double
+            -- float32 in DuckDB, while Spark promotes to double.
+            -- Exploded to one row per vector component (atomic columns
+            -- only — the driver canon can't hash list cells); dim is
+            -- 0-based to match Spark's posexplode.
             WITH s AS (
                 SELECT vec_id, embedding,
                        CAST(list_max(list_transform(embedding, x -> abs(x)))
                             AS DOUBLE) AS ma
                 FROM embeddings
+            ), q AS (
+                SELECT vec_id, ma / 127.0 AS scale,
+                       CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+                            ELSE list_transform(
+                                embedding,
+                                x -> CAST(round(CAST(x AS DOUBLE) / (ma / 127.0))
+                                          AS INT)
+                            ) END AS qvec
+                FROM s
             )
-            SELECT vec_id, ma / 127.0 AS scale,
-                   CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
-                        ELSE list_transform(
-                            embedding,
-                            x -> CAST(round(CAST(x AS DOUBLE) / (ma / 127.0))
-                                      AS INT)
-                        ) END AS qvec
-            FROM s
+            SELECT vec_id, scale,
+                   CAST(generate_subscripts(qvec, 1) - 1 AS BIGINT) AS dim,
+                   CAST(unnest(qvec) AS BIGINT) AS q
+            FROM q
         """,
         "ivf_topk_exact": _brute_topk_sql("vec_id % 100 = 0", 5),
         # probe-2 is approximate vs brute force, but the pipeline is

@@ -1,0 +1,62 @@
+"""Entry-contract guards: every ``__spark_entry__.queries()`` output
+must be hashable by the DRIVER's canonicalization (pandas sort +
+value-hash), which is stricter than tools/check_correctness.py's
+stringifying ``norm_cell`` — array/map/struct cells raise
+``TypeError: unhashable type`` driver-side (r4's one red row).
+
+These tests are schema-only (no collect), so the full 66-entry sweep
+stays cheap.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+
+def _checker():
+    import check_correctness
+
+    return check_correctness
+
+
+def test_non_atomic_detector_flags_array_map_struct(spark):
+    chk = _checker()
+    df = spark.range(1).select(
+        F.col("id"),
+        F.array(F.lit(1)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("x")).alias("s"),
+        F.lit("ok").alias("t"),
+    )
+    assert chk.non_atomic_columns(df.schema) == ["arr", "m", "s"]
+
+
+def test_non_atomic_detector_passes_atomic(spark):
+    chk = _checker()
+    df = spark.range(1).select(
+        F.col("id"),
+        F.lit(1.5).alias("d"),
+        F.lit("s").alias("t"),
+        F.current_date().alias("dt"),
+    )
+    assert chk.non_atomic_columns(df.schema) == []
+
+
+def test_every_entry_emits_atomic_columns(spark):
+    """The whole queries() surface, schema-only: nothing the driver
+    cannot hash ever ships again."""
+    chk = _checker()
+    import __spark_entry__ as E
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        sdf = fn(spark, SF_DIR)
+        bad = chk.non_atomic_columns(sdf.schema)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}

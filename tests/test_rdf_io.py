@@ -787,13 +787,101 @@ def test_sparql_update_insert_and_delete(spark):
     assert "Alice2.0" in alice4["props"].values()
 
 
-def test_sparql_update_rejects_pattern_forms(spark):
+def test_sparql_update_insert_where(spark):
+    """INSERT { T } WHERE { P }: the WHERE is the ordinary query
+    compiler, the template instantiates per solution (reverse edges
+    here), and the result routes through merge_triples."""
+    from pidb_rdf_spark.sparql import sparql_update
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    e0 = g.edges.count()
+    g2 = sparql_update(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT { ?y ex:known_by ?x } WHERE { ?x e:ns0__knows ?y }
+        """,
+    )
+    assert g2.edges.count() == e0 + 2  # one reverse edge per knows edge
+    from pidb_rdf_spark.sparql import sparql
+
+    assert sparql(
+        g2, "ASK { <http://example.org/bob> e:ns0__known_by "
+            "<http://example.org/alice> }"
+    ).collect()[0].ask
+
+
+def test_sparql_update_delete_insert_where_renames_prop(spark):
+    """Combined DELETE {} INSERT {} WHERE {}: both templates bind
+    against the PRE-update state (SPARQL 1.1 Update §3.1.3) — the
+    insert still sees ?n even though the delete removes it."""
+    from pidb_rdf_spark.sparql import sparql_update
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    g2 = sparql_update(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        DELETE { ?s ex:name ?n }
+        INSERT { ?s ex:name2 ?n }
+        WHERE { ?s v:ns0__name ?n }
+        """,
+    )
+    rows = {
+        r["uri"]: r["props"]
+        for r in g2.nodes.filter(F.col("uri").startswith("http")).collect()
+    }
+    alice = rows["http://example.org/alice"]
+    bob = rows["http://example.org/bob"]
+    assert "ns0__name" not in alice and alice["ns0__name2"] == "Alice"
+    assert "ns0__name" not in bob and bob["ns0__name2"] == "Bobo"
+
+
+def test_sparql_update_delete_where_shorthand(spark):
+    """DELETE WHERE { P }: the pattern is its own template."""
+    from pidb_rdf_spark.sparql import sparql_update
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    g2 = sparql_update(g, "DELETE WHERE { ?x e:ns0__knows ?y }")
+    assert g2.edges.filter(F.col("predicate") == "ns0__knows").count() == 0
+    # unrelated state intact
+    assert g2.nodes.count() == g.nodes.count()
+
+
+def test_sparql_update_chained_ops_run_in_order(spark):
+    """Ground and pattern operations ;-chained apply in source order:
+    the second op sees the first op's writes."""
+    from pidb_rdf_spark.sparql import sparql_update
+
+    t = parse_rdf_snippet(spark, NT, "N-Triples")
+    g = import_triples(spark, t)
+    g2 = sparql_update(
+        g,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA { ex:dave ex:knows ex:alice . } ;
+        INSERT { ?x ex:greeted ?y } WHERE { ?x e:ns0__knows ?y }
+        """,
+    )
+    from pidb_rdf_spark.sparql import sparql
+
+    # dave's edge (op 1) was visible to op 2's WHERE
+    assert sparql(
+        g2, "ASK { <http://example.org/dave> e:ns0__greeted "
+            "<http://example.org/alice> }"
+    ).collect()[0].ask
+
+
+def test_sparql_update_pattern_requires_where(spark):
     from pidb_rdf_spark.sparql.update import parse_update
 
     import pytest as _pytest
 
     with _pytest.raises(SyntaxError):
-        parse_update("DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }")
+        parse_update("DELETE { ?s ?p ?o }")
 
 
 def test_trix_export_roundtrip(spark, tmp_path):

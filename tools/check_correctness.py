@@ -21,6 +21,24 @@ TABLES = [
 ]
 
 
+def non_atomic_columns(schema) -> list:
+    """Columns the DRIVER's canonicalization cannot hash.
+
+    The driver sorts entry output through pandas before value-hashing;
+    array/map/struct cells raise ``TypeError: unhashable type`` there
+    (exactly how r4's ``quantize_embeddings`` shipped red while this
+    checker — which stringifies lists in ``norm_cell`` — stayed green).
+    Simulate the stricter contract: any entry emitting a complex-typed
+    column is a FAIL here, before the driver ever sees it."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -57,6 +75,15 @@ def main():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
+        bad = non_atomic_columns(sdf.schema)
+        if bad:
+            print(
+                f"  {name:30s} FAIL non-atomic columns {bad} — the "
+                "driver's pandas canon cannot hash array/map/struct "
+                "cells; explode or hash them in the entry"
+            )
+            failures.append(name)
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if name not in oracles:
