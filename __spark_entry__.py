@@ -94,6 +94,10 @@ _DEFER_TO_TAIL = [
     "lineitem_three_hop_volume",
     "closure_reachability",
     "pagerank_containment",
+    # r4-green; its code path (analytics.near_dup_clusters over the
+    # shared minhash pairs cache) is r5-untouched, and the minhash
+    # pipeline itself re-proves in-window via minhash_lsh_dedup
+    "near_dup_doc_clusters",
 ]
 
 
@@ -305,6 +309,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["gremlin_repeat_until"] = gremlin_repeat_until
+
+    def gremlin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TinkerPop match(): pattern fragments natural-joined on
+        shared as_() labels, incoming traverser bound to the first
+        pattern's first label (dsl.py match_ — the last major
+        GraphTraversal step family, Neo4jGraph.java:61)."""
+        from pidb_rdf_spark.dsl import traversal
+
+        g = _graph(spark, sf_dir)
+        return (
+            traversal(g)
+            .V()
+            .has_label("Customer")
+            .match_(
+                lambda x: x.as_("c").out("IN_NATION").as_("n"),
+                lambda x: x.as_("n").out("IN_REGION").as_("r"),
+            )
+            .select("c", "n", "r")
+        )
+
+    q["gremlin_match"] = gremlin_match
 
     # -- S11: SQL pass-through (Cypher's role, SURVEY §3.3) ------------
     def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,6 +1866,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS nation, COUNT(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE c_acctbal > 5000 GROUP BY 1
+        """,
+        "gremlin_match": """
+            SELECT DISTINCT
+                   'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c,
+                   'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "sql_passthrough": """
             SELECT n_name AS nation, COUNT(*) AS n_suppliers

@@ -306,6 +306,61 @@ class Traversal:
             t_true.df.unionByName(t_false.df), on_edges=t_true.on_edges
         )
 
+    def match_(self, *patterns) -> "Traversal":
+        """TinkerPop ``match(p1, p2, ...)`` (the last major
+        ``GraphTraversal`` step family, ``Neo4jGraph.java:61``): each
+        pattern is a callable over an anonymous full-vertex traversal
+        that marks variables with ``as_()``; pattern solutions
+        natural-join on their shared labels — exactly the shape the
+        SPARQL compiler's BGP merge uses (``compiler._BGPState``),
+        re-expressed on the DSL surface. The incoming traverser binds
+        the FIRST pattern's first label (TinkerPop start-binding).
+
+        Each pattern contributes its DISTINCT label bindings (the
+        reference's MatchStep also de-duplicates per binding set), so
+        the result equals the SPARQL ``SELECT DISTINCT`` over the same
+        BGP. Patterns that share no label with the accumulated
+        solution are refused (no cartesian products — same rule as
+        the compiler's join ordering); connection order is resolved
+        greedily, so pattern order never forces a cross join."""
+        if not patterns:
+            raise ValueError("match_() needs at least one pattern")
+        frags = []
+        for p in patterns:
+            start = Traversal(
+                self.g, self.g.nodes.select(F.col("id").alias(CUR))
+            )
+            t = p(start)
+            labels = [
+                c for c in t.df.columns if c != CUR and not c.startswith("__")
+            ]
+            if not labels:
+                raise ValueError(
+                    "each match_() pattern needs at least one as_() label"
+                )
+            frags.append((labels, t.df.select(*labels).dropDuplicates()))
+        first_label = frags[0][0][0]
+        sol = frags[0][1]
+        bound = set(frags[0][0])
+        rest = list(frags[1:])
+        while rest:
+            for i, (labels, df) in enumerate(rest):
+                shared = [l for l in labels if l in bound]
+                if shared:
+                    sol = sol.join(df, on=shared, how="inner")
+                    bound |= set(labels)
+                    rest.pop(i)
+                    break
+            else:
+                raise ValueError(
+                    "match_() patterns do not connect on shared as_() "
+                    "labels (cartesian product refused)"
+                )
+        out = self.df.join(
+            sol, on=F.col(CUR) == F.col(first_label), how="inner"
+        )
+        return self._with(out)
+
     def group_values(self, key: str, value: str) -> DataFrame:
         """TinkerPop ``group().by(key).by(values(value).fold())``:
         one row per ``key`` property value with the sorted list of

@@ -460,6 +460,7 @@ def embedding_near_dup_pairs(
     bucketed: bool = False,
     n_planes: int = 4,
     n_tables: int = 8,
+    max_collect: int = 4_000_000,
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity ≥ threshold.
 
@@ -468,8 +469,9 @@ def embedding_near_dup_pairs(
     one BLAS matmul inside ``mapInPandas`` — Arrow batches, no
     per-pair JVM fold (a 2k×2k zip_with/aggregate self-join measured
     24s; the matmul is sub-second). Bounded by the corpus matrix
-    fitting in a broadcast (~1 GB ≈ 4M×64 floats); beyond that use
-    ``bucketed=True``.
+    fitting in a broadcast (~1 GB ≈ 4M×64 floats) — enforced by
+    ``max_collect``: above that many rows the call fails fast with a
+    pointer at ``bucketed=True`` instead of OOMing the driver.
     ``bucketed=True``: OR-amplified random-hyperplane LSH
     (``n_tables`` independent ``n_planes``-bit signatures) restricts
     a DataFrame self-join to same-(table, bucket) pairs; exact cosine
@@ -541,6 +543,18 @@ def embedding_near_dup_pairs(
 
     import numpy as np
 
+    # fail-fast guard on the driver-side collect (limit-probe, same
+    # pattern as the iterative operators' small_cap): the exact tier
+    # is only valid while the corpus matrix fits in a broadcast
+    probe = df.select(id_col).limit(max_collect + 1).count()
+    if probe > max_collect:
+        raise ValueError(
+            f"embedding_near_dup_pairs(bucketed=False) collects the "
+            f"corpus to the driver; input exceeds max_collect="
+            f"{max_collect} rows — use bucketed=True (hyperplane LSH "
+            f"+ exact verify), which never materializes the corpus "
+            f"driver-side"
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([r[1] for r in rows], dtype=np.float64)

@@ -356,3 +356,60 @@ def test_group_values(graph):
         want.setdefault(seg, []).append(name)
     want = {k: sorted(v) for k, v in want.items()}
     assert got == want
+
+
+def test_match_two_patterns_vs_sparql(graph):
+    """match() natural-joins pattern fragments on shared as_() labels
+    and binds the incoming traverser to the first pattern's first
+    label: starting from Customers must exclude supplier->nation
+    bindings, exactly the SPARQL DISTINCT BGP."""
+    from pidb_rdf_spark.sparql import sparql
+
+    out = (
+        traversal(graph)
+        .V()
+        .has_label("Customer")
+        .match_(
+            lambda x: x.as_("c").out("IN_NATION").as_("n"),
+            lambda x: x.as_("n").out("IN_REGION").as_("r"),
+        )
+        .select("c", "n", "r")
+    )
+    got = sorted((r["c"], r["n"], r["r"]) for r in out.collect())
+    want = sorted(
+        (r["c"], r["n"], r["r"])
+        for r in sparql(
+            graph,
+            'SELECT DISTINCT ?c ?n ?r WHERE { ?c v:label "Customer" . '
+            "?c e:IN_NATION ?n . ?n e:IN_REGION ?r }",
+        ).collect()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_match_greedy_connection_order(graph):
+    """A disconnected-in-given-order pattern list still joins (greedy
+    connectivity resolution), and a truly disconnected one raises."""
+    import pytest
+
+    t = traversal(graph).V().has_label("Nation")
+    # patterns 1 and 2 share nothing directly; 3 bridges them
+    out = t.match_(
+        lambda x: x.as_("n").out("IN_REGION").as_("r"),
+        lambda x: x.as_("c").has_label("Customer"),
+        lambda x: x.as_("c").out("IN_NATION").as_("n"),
+    ).select("c", "r")
+    assert out.count() > 0
+
+    with pytest.raises(ValueError, match="cartesian"):
+        t.match_(
+            lambda x: x.as_("n").out("IN_REGION").as_("r"),
+            lambda x: x.as_("a").out("IN_NATION").as_("b"),
+        )
+
+
+def test_match_requires_labels(graph):
+    import pytest
+
+    with pytest.raises(ValueError, match="as_"):
+        traversal(graph).V().match_(lambda x: x.out("IN_NATION"))

@@ -120,6 +120,21 @@ def test_embedding_near_dup_vs_numpy(emb):
     assert got == expected
 
 
+def test_embedding_near_dup_exact_collect_cap(emb):
+    """The exact tier's driver-side collect fails fast above
+    max_collect, pointing at the bucketed scale path."""
+    import pytest
+
+    from pidb_rdf_spark.operators import embedding_near_dup_pairs
+
+    n = emb.count()
+    with pytest.raises(ValueError, match="bucketed=True"):
+        embedding_near_dup_pairs(emb, threshold=0.45, max_collect=n - 1)
+    # at exactly the cap it still runs
+    out = embedding_near_dup_pairs(emb, threshold=0.45, max_collect=n)
+    assert out.count() >= 0
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
