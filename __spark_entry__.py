@@ -98,6 +98,11 @@ _DEFER_TO_TAIL = [
     # shared minhash pairs cache) is r5-untouched, and the minhash
     # pipeline itself re-proves in-window via minhash_lsh_dedup
     "near_dup_doc_clusters",
+    # r4-green compiler aggregates, parser/compiler untouched in r5;
+    # agg_full + distinct_projection keep the aggregate/DISTINCT
+    # compile path proven in-window
+    "group_count",
+    "count_distinct",
 ]
 
 
@@ -991,6 +996,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_signals_docs"] = repetition_signals_docs
 
+    # -- PII scrubbing + chunking (scrub.py, new in r5) ----------------
+    def _docs_with_pii(spark, sf_dir):
+        """Documents with deterministic synthetic PII appended (the
+        corpus is PII-free word salad, so the entry manufactures the
+        spans the scrubber exists to find; the oracle performs the
+        same construction)."""
+        return _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-123-4567 from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+
+    def pii_scrub_docs(spark, sf_dir):
+        from pidb_rdf_spark.operators import pii_scrub
+
+        return pii_scrub(_docs_with_pii(spark, sf_dir)).select(
+            "doc_id", "text", "n_email", "n_phone", "n_ip"
+        )
+
+    q["pii_scrub_docs"] = pii_scrub_docs
+
+    def chunk_documents_q(spark, sf_dir):
+        from pidb_rdf_spark.operators import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), max_tokens=16, overlap=4)
+
+    q["chunk_documents"] = chunk_documents_q
+
     def media_header_probe(spark, sf_dir):
         # end-to-end check of the REAL header prober: synthesize
         # PNG/WAV/raw blobs deterministically from doc_id, parse them
@@ -1400,6 +1438,11 @@ WHERE rn <= {k}
 
 
 def _scale_extension_oracles() -> dict[str, str]:
+    from pidb_rdf_spark.operators.scrub import (
+        EMAIL_RE as _EMAIL_RE,
+        IPV4_RE as _IPV4_RE,
+        PHONE_RE as _PHONE_RE,
+    )
     from pidb_rdf_spark.operators.text import BPE_SPLIT_REGEX, STOPWORDS
 
     en = _sql_list(STOPWORDS["en"])
@@ -1528,6 +1571,61 @@ def _scale_extension_oracles() -> dict[str, str]:
                        ) AS kept
                 FROM d CROSS JOIN b
             )
+        """,
+        "pii_scrub_docs": f"""
+            -- sequential scrub mirrored exactly: each count is taken
+            -- on the text as already scrubbed by the EARLIER rules
+            -- (emails before phones before IPs), like operators.scrub
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-123-4567 from 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) AS text
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                            AS BIGINT) AS n_email,
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')
+                           AS text
+                FROM d
+            ), p AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
+                            AS BIGINT) AS n_phone,
+                       regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g')
+                           AS text
+                FROM e
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '{_IPV4_RE}', '<IP>', 'g') AS text,
+                   n_email, n_phone,
+                   CAST(len(regexp_extract_all(text, '{_IPV4_RE}'))
+                        AS BIGINT) AS n_ip
+            FROM p
+        """,
+        "chunk_documents": """
+            -- windows of 16 ws-tokens advancing by 12 (overlap 4);
+            -- DuckDB list slice l[a:b] is 1-based inclusive
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       GREATEST(CAST(ceil((len(toks) - 4) / 12.0) AS BIGINT),
+                                1) AS n_chunks
+                FROM t
+            ), x AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(0, n_chunks - 1)) AS i
+                FROM c
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   array_to_string(toks[(i*12+1):(i*12+16)], ' ')
+                       AS chunk_text,
+                   CAST(LEAST(n - i*12, 16) AS BIGINT) AS n_tokens
+            FROM x
         """,
         "salted_join_lineitem": """
             SELECT l_orderkey, l_linenumber, l_suppkey, s_name

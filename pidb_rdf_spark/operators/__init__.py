@@ -23,6 +23,7 @@ from pidb_rdf_spark.operators.quantize import (
     quantize_embeddings,
 )
 from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
+from pidb_rdf_spark.operators.scrub import chunk_documents, pii_scrub
 from pidb_rdf_spark.operators.similarity import (
     cosine_topk,
     ivf_search,
@@ -45,6 +46,8 @@ from pidb_rdf_spark.operators.window import topk_per_group
 __all__ = [
     "hash_sample",
     "stratified_hash_sample",
+    "chunk_documents",
+    "pii_scrub",
     "pack_token_stream",
     "topk_per_group",
     "salted_join",

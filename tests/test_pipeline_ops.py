@@ -638,3 +638,57 @@ def test_salted_join_equals_plain_join(spark):
         got = sorted(map(tuple, salted_join(left, right, "k", 4, how).collect()))
         want = sorted(map(tuple, left.join(right, on="k", how=how).collect()))
         assert got == want, how
+
+
+# ---------------------------------------------------------------------------
+# scrubbing + chunking
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    from pidb_rdf_spark.operators import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, call +1-555-123-4567, ip 10.0.0.1"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_phone"] == 1
+    assert rows[1]["n_ip"] == 1
+    t = rows[1]["text"]
+    assert "<EMAIL>" in t and "<PHONE>" in t and "<IP>" in t
+    assert "a@b.com" not in t and "555" not in t and "10.0.0.1" not in t
+    assert rows[2]["text"] == "clean text with no pii at all"
+    assert rows[2]["n_email"] == rows[2]["n_phone"] == rows[2]["n_ip"] == 0
+
+
+def test_chunk_documents_windows(spark):
+    from pidb_rdf_spark.operators import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2)
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): r for r in out.collect()
+    }
+    # 25 tokens, stride 8 -> starts 0, 8, 16 -> 3 chunks
+    assert sorted(k for k in chunks if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    assert chunks[(1, 0)]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert chunks[(1, 1)]["chunk_text"].split() == [f"w{i}" for i in range(8, 18)]
+    assert chunks[(1, 2)]["chunk_text"].split() == [f"w{i}" for i in range(16, 25)]
+    assert chunks[(1, 2)]["n_tokens"] == 9
+    # short doc: exactly one unpadded chunk
+    assert sorted(k for k in chunks if k[0] == 2) == [(2, 0)]
+    assert chunks[(2, 0)]["chunk_text"] == "tiny doc"
+    assert chunks[(2, 0)]["n_tokens"] == 2
+    # consecutive chunks overlap by exactly `overlap` tokens
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=10, overlap=10)
