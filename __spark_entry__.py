@@ -64,8 +64,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # — operators/text.py (lang/quality/tokens/fingerprint/repetition;
 # r5 adds ENTRIES over the r4-built boilerplate functions, no
 # operator edit), operators/multimodal.py, operators/ranking.py,
-# streaming/events.py (watermark fix landed r4; sessionize_stream is
-# a new ENTRY over the existing function), operators/decontam.py,
+# streaming/events.py's sessionize/windowed/dedup_stream functions
+# (watermark fix landed r4; sessionize_stream is a new ENTRY over the
+# existing function; the one r5 edit in this file — asof_join's
+# forward direction — has its entry asof_join_events IN-window),
+# operators/decontam.py,
 # inference.py (closure + SLO/SCO/SRO), graph.py sql passthrough,
 # the two lineitem SPARQL pipelines (parser/compiler untouched in
 # r5 — pattern Update composes them from update.py, Gremlin match()

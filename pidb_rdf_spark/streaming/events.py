@@ -170,16 +170,19 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the right row with the greatest
-    ``right_ts <= left_ts`` (direction='backward') within the same
-    ``on`` key — SQL ASOF JOIN semantics (unmatched → NULLs).
+    ``right_ts <= left_ts`` (direction='backward') or the smallest
+    ``right_ts >= left_ts`` (direction='forward') within the same
+    ``on`` key — SQL ASOF JOIN semantics (unmatched → NULLs), both
+    directions inclusive at equality.
 
     Implementation: tag both sides, union, single shuffle on the key,
-    carry the latest right row forward with a running ``last(...,
-    ignorenulls)`` window — O(n log n) within each key partition and
-    exactly one shuffle, vs. the naive range-join explosion.
+    carry the nearest right row with a running ``last(...,
+    ignorenulls)`` window (time-ascending for backward, descending
+    for forward) — O(n log n) within each key partition and exactly
+    one shuffle, vs. the naive range-join explosion.
     """
-    if direction != "backward":
-        raise NotImplementedError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError("direction must be 'backward' or 'forward'")
     right_value_cols = right_value_cols or []
 
     r_payload = F.struct(
@@ -205,9 +208,12 @@ def asof_join(
     )
     r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
     # right rows sort before left rows at equal ts (side 0 < 1) so an
-    # exactly-simultaneous right row matches, like ASOF's >=
+    # exactly-simultaneous right row matches in BOTH directions
+    # (inclusive <= / >=); forward = the same running-last scan over
+    # time reversed
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = Window.partitionBy("_k").orderBy(
-        F.col("_t").asc(), F.col("_side").asc()
+        t_order, F.col("_side").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     merged = (
         l.unionByName(r)

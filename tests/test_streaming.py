@@ -288,3 +288,60 @@ def test_sliding_window_counts(spark, events):
     ).fetchall()
     exp_map = {(a, b): (c, d) for a, b, c, d in exp}
     assert got == exp_map
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': smallest right_ts >= left_ts per key,
+    inclusive at equality, unmatched -> NULLs."""
+    from pidb_rdf_spark.streaming import asof_join
+
+    clicks = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:10:00"),  # next error 00:15
+            (101, 1, "2024-01-01 00:20:00"),  # no later error
+            (102, 2, "2024-01-01 00:05:00"),  # next error 00:30
+            (103, 1, "2024-01-01 00:15:00"),  # equal-ts error matches
+        ],
+        ["event_id", "user_id", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    errors = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:08:00", 1.5),
+            (1, "2024-01-01 00:15:00", 2.5),
+            (2, "2024-01-01 00:30:00", 9.9),
+        ],
+        ["user_id", "ts_s", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    out = asof_join(
+        clicks, errors, on="user_id", right_value_cols=["value"],
+        direction="forward",
+    )
+    got = {
+        r["event_id"]: (
+            str(r["matched_ts"]) if r["matched_ts"] else None,
+            r["matched_value"],
+        )
+        for r in out.collect()
+    }
+    assert got[100] == ("2024-01-01 00:15:00", 2.5)
+    assert got[101] == (None, None)
+    assert got[102] == ("2024-01-01 00:30:00", 9.9)
+    assert got[103] == ("2024-01-01 00:15:00", 2.5)  # >= inclusive
+
+    # cross-check the whole output against DuckDB's ASOF with the
+    # inequality flipped
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("clicks", clicks.toPandas())
+    con.register("errors", errors.toPandas())
+    want = {
+        r[0]: (str(r[1]) if r[1] else None, r[2])
+        for r in con.execute(
+            "SELECT l.event_id, r.ts AS matched_ts, r.value "
+            "FROM clicks l ASOF LEFT JOIN errors r "
+            "ON l.user_id = r.user_id AND l.ts <= r.ts"
+        ).fetchall()
+    }
+    assert got == want
