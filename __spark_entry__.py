@@ -106,6 +106,11 @@ _DEFER_TO_TAIL = [
     # compile path proven in-window
     "group_count",
     "count_distinct",
+    # r4-green compiler entries, parser/compiler untouched in r5;
+    # union/exists compile paths stay proven in-window via the
+    # exists_semi / not_exists_anti / sparql_minus entries
+    "union_names",
+    "ask_exists",
 ]
 
 
@@ -879,6 +884,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk_indexed"] = ivf_topk_indexed
 
+    # -- product quantization: codes + ADC search ----------------------
+    def _pq(spark, sf_dir):
+        from pidb_rdf_spark.operators import pq_encode, pq_train
+
+        emb = _emb(spark, sf_dir)
+        books = pq_train(emb, m=4, k=16, iters=2)
+        return emb, books, pq_encode(emb, books)
+
+    def pq_codes_q(spark, sf_dir):
+        """PQ storage half: (vec_id, subspace, code) — 4 bytes per
+        64-dim vector (operators/quantize.py pq_*, the third leg of
+        the SQ8 + IVF + PQ faiss-style stack)."""
+        _, _, codes = _pq(spark, sf_dir)
+        return codes
+
+    q["pq_codes"] = pq_codes_q
+
+    def pq_topk_adc(spark, sf_dir):
+        """ADC search half: exact queries ranked against the code-
+        compressed corpus via a broadcast lookup table — only
+        (id, subspace, code) rows move, never vectors."""
+        emb, books, codes = _pq(spark, sf_dir)
+        from pidb_rdf_spark.operators import pq_topk
+
+        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return pq_topk(codes, queries_df, books, k=5).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
+    q["pq_topk_adc"] = pq_topk_adc
+
     # -- cross-document boilerplate chrome -----------------------------
     def _docs_with_chrome(spark, sf_dir):
         """Documents with deterministic synthetic page chrome: the
@@ -1440,6 +1478,95 @@ WHERE rn <= {k}
 """
 
 
+def _pq_sql(
+    what: str,
+    m: int = 4,
+    k_clusters: int = 16,
+    iters: int = 2,
+    query_pred: str = "vec_id % 100 = 0",
+    k: int = 5,
+) -> str:
+    """The deterministic PQ pipeline unrolled in DuckDB SQL: per-
+    subspace Lloyd's k-means (init = lowest-id sub-vectors, same
+    convention as ``_ivf_probe_sql`` / ``kmeans_centroids``), nearest-
+    centroid codes, and — for ``what='topk'`` — ADC ranking via
+    reconstruction (dot(q, reconstruct) ≡ the LUT sum the Spark side
+    computes, see ``operators.quantize.pq_topk``)."""
+    assign_tpl = """
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c.e), c.cl) AS rn
+    FROM {vname} v CROSS JOIN {cent} c) WHERE rn = 1
+"""
+    update_tpl = """
+  SELECT cl, list(mn ORDER BY dim) AS e FROM (
+    SELECT a.cl, u.dim, AVG(u.val) AS mn
+    FROM {assign} a JOIN {vname} v USING (vec_id),
+         LATERAL (SELECT generate_subscripts(v.e, 1) AS dim,
+                         unnest(v.e) AS val) u
+    GROUP BY a.cl, u.dim) GROUP BY cl
+"""
+    ctes = [
+        "vfull AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        f"CAST(len(embedding) / {m} AS INT) AS sd FROM embeddings)",
+    ]
+    for s in range(m):
+        vn = f"v{s}"
+        ctes.append(
+            f"{vn} AS (SELECT vec_id, e[({s}*sd+1):(({s}+1)*sd)] AS e "
+            "FROM vfull)"
+        )
+        ctes.append(f"""c{s}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, e
+  FROM (SELECT * FROM {vn} ORDER BY vec_id LIMIT {k_clusters})
+)""")
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"a{s}_{i} AS ({assign_tpl.format(vname=vn, cent=f'c{s}_{i - 1}')})"
+            )
+            ctes.append(
+                f"c{s}_{i} AS ({update_tpl.format(assign=f'a{s}_{i}', vname=vn)})"
+            )
+        ctes.append(
+            f"codes{s} AS ({assign_tpl.format(vname=vn, cent=f'c{s}_{iters}')})"
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
+        f"CAST(cl AS BIGINT) AS code FROM codes{s}"
+        for s in range(m)
+    )
+    ctes.append(f"codes AS ({codes_union})")
+    if what == "codes":
+        return f"""
+WITH {",".join(ctes)}
+SELECT vec_id, subspace, code FROM codes
+"""
+    cb_union = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS subspace, cl, e FROM c{s}_{iters}"
+        for s in range(m)
+    )
+    ctes += [
+        f"cb AS ({cb_union})",
+        """recon AS (
+  SELECT c.vec_id, flatten(list(b.e ORDER BY c.subspace)) AS e
+  FROM codes c JOIN cb b ON b.subspace = c.subspace AND b.cl = c.code
+  GROUP BY c.vec_id
+)""",
+        f"q AS (SELECT vec_id AS query_id, e FROM vfull WHERE {query_pred})",
+    ]
+    return f"""
+WITH {",".join(ctes)}
+SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id FROM (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_inner_product(q.e, r.e) DESC,
+                                     r.vec_id) AS rn
+  FROM q JOIN recon r ON r.vec_id <> q.query_id)
+WHERE rn <= {k}
+"""
+
+
 def _scale_extension_oracles() -> dict[str, str]:
     from pidb_rdf_spark.operators.scrub import (
         EMAIL_RE as _EMAIL_RE,
@@ -1526,6 +1653,11 @@ def _scale_extension_oracles() -> dict[str, str]:
         # which neighbors rank
         "ivf_topk_indexed": _ivf_probe_sql(
             "vec_id % 100 = 0", 5, n_clusters=8, iters=2, nprobe=2
+        ),
+        "pq_codes": _pq_sql("codes", m=4, k_clusters=16, iters=2),
+        "pq_topk_adc": _pq_sql(
+            "topk", m=4, k_clusters=16, iters=2,
+            query_pred="vec_id % 100 = 0", k=5,
         ),
         "boilerplate_lines": """
             WITH d AS (

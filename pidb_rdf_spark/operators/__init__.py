@@ -20,6 +20,10 @@ from pidb_rdf_spark.operators.multimodal import (
 )
 from pidb_rdf_spark.operators.quantize import (
     dequantize_embeddings,
+    pq_encode,
+    pq_reconstruct,
+    pq_topk,
+    pq_train,
     quantize_embeddings,
 )
 from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
@@ -61,6 +65,10 @@ __all__ = [
     "cosine_topk",
     "quantize_embeddings",
     "dequantize_embeddings",
+    "pq_train",
+    "pq_encode",
+    "pq_reconstruct",
+    "pq_topk",
     "bm25_search",
     "tfidf_top_terms",
     "ivf_search",

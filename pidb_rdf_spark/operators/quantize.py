@@ -52,3 +52,176 @@ def dequantize_embeddings(
             F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
         ).alias("embedding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the third leg of the faiss-style stack
+# (SQ8 storage above, IVF partitioning in similarity.py, PQ here) —
+# m subspace codebooks of k centroids each compress a d-dim float32
+# vector to m small codes (m=4, k=16 ⇒ 4 bytes/vector vs 256), and
+# asymmetric-distance search (ADC) ranks candidates from codes alone:
+# at 100 TB the corpus never ships vectors through a shuffle, only
+# (id, subspace, code) rows against a broadcast lookup table.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    max_train: int = 100_000,
+) -> list:
+    """Per-subspace codebooks: ``m`` independent deterministic
+    k-means runs (``similarity.kmeans_centroids``: init = lowest-id
+    vectors, bounded driver-side sample) over contiguous dim slices.
+    Returns ``m`` lists of ``k`` centroids of ``dim/m`` floats."""
+    from pidb_rdf_spark.operators.similarity import kmeans_centroids
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        kmeans_centroids(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+            ),
+            id_col=id_col, vec_col=vec_col,
+            n_clusters=k, iters=iters, max_train=max_train,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, subspace, code): nearest codebook entry per subspace —
+    ONE Arrow-batched pass over the corpus (all subspaces coded in a
+    single vectorized kernel; ties to the lower code index, same
+    argmin convention as ``assign_clusters``), then a posexplode to
+    the long, atomic-column layout. No shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    sub = Cs[0].shape[1]
+
+    def codes(v):
+        M = np.array(list(v), dtype=np.float64)
+        out = np.empty((len(M), len(Cs)), dtype=np.int32)
+        for s, C in enumerate(Cs):
+            X = M[:, s * sub:(s + 1) * sub]
+            d2 = (
+                (X * X).sum(1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            out[:, s] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    codes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    codes_udf = pandas_udf(codes, "array<int>")
+    return df.select(
+        F.col(id_col), F.posexplode(codes_udf(F.col(vec_col)))
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("subspace"),
+        F.col("col").cast("long").alias("code"),
+    )
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, embedding): approximate vectors from PQ codes — each
+    code looks up its subspace centroid in a literal (broadcast-
+    inlined) codebook tensor, subspaces re-assembled in order. One
+    shuffle on id (the assembly groupBy)."""
+    cb = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cent]) for cent in book
+        ])
+        for book in codebooks
+    ])
+    sub_vec = F.element_at(
+        F.element_at(cb, (F.col("subspace") + 1).cast("int")),
+        (F.col("code") + 1).cast("int"),
+    )
+    return (
+        codes.select(F.col(id_col), F.col("subspace"), sub_vec.alias("__sv"))
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("subspace", "__sv"))
+                    ),
+                    lambda x: x["__sv"],
+                )
+            ).alias("embedding")
+        )
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id): asymmetric-distance top-k by
+    inner product — exact queries against PQ-compressed corpus.
+
+    The ADC identity: dot(q, reconstruct(codes)) =
+    Σ_s dot(q_s, codebook[s][code_s]), so scoring needs only a
+    per-query lookup table of m×k partial dots (built driver-side
+    from the collected queries — bounded by queries, never corpus)
+    broadcast-joined to the code rows: codes are all that moves, the
+    100 TB shape. Ranking ties break by neighbor id."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    Cs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    sub = Cs[0].shape[1]
+    qrows = queries.select(query_id_col, vec_col).collect()
+    lut = []
+    for qid, qv in qrows:
+        q = np.array(qv, dtype=np.float64)
+        for s, C in enumerate(Cs):
+            parts = C @ q[s * sub:(s + 1) * sub]
+            lut.extend(
+                (qid, s, int(c), float(p)) for c, p in enumerate(parts)
+            )
+    spark = codes.sparkSession
+    lut_df = spark.createDataFrame(
+        lut, f"{query_id_col} long, subspace long, code long, __part double"
+    )
+    scored = (
+        codes.join(F.broadcast(lut_df), on=["subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__part").alias("__score"))
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"))
+    )

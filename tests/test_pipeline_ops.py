@@ -692,3 +692,78 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=10, overlap=10)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_reconstruct_roundtrip(emb):
+    """Codes pick each subspace's NEAREST centroid, so PQ
+    reconstruction must beat the trivial all-zeros baseline and every
+    per-subspace assignment must match a numpy argmin reference."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import pq_encode, pq_reconstruct, pq_train
+
+    books = pq_train(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    sub = M.shape[1] // 4
+
+    got = {(r["vec_id"], r["subspace"]): r["code"] for r in codes.collect()}
+    for i, vid in enumerate(ids):
+        for s in range(4):
+            C = np.array(books[s])
+            d2 = ((M[i, s * sub:(s + 1) * sub] - C) ** 2).sum(1)
+            assert got[(vid, s)] == d2.argmin(), (vid, s)
+
+    recon = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in pq_reconstruct(codes, books).collect()
+    }
+    err = np.mean([((recon[v] - M[i]) ** 2).mean() for i, v in enumerate(ids)])
+    base = np.mean(M ** 2)
+    assert err < base, f"PQ reconstruction no better than zeros: {err} vs {base}"
+
+
+def test_pq_topk_matches_numpy_adc(emb):
+    """ADC ranking from codes alone == numpy dot(q, reconstruction)
+    ranking (ties by neighbor id)."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import pq_encode, pq_topk, pq_train
+
+    books = pq_train(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in pq_topk(codes, q, books, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    sub = M.shape[1] // 4
+    R = np.zeros_like(M)
+    for s in range(4):
+        C = np.array(books[s])
+        X = M[:, s * sub:(s + 1) * sub]
+        a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+        R[:, s * sub:(s + 1) * sub] = C[a]
+    for qid in (0, 1, 2):
+        if qid not in got:
+            continue
+        qi = int(np.where(ids == qid)[0][0])
+        scores = R @ M[qi]
+        order = sorted(
+            (int(i) for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-scores[i], ids[i]),
+        )[:5]
+        want = [(rk + 1, int(ids[i])) for rk, i in enumerate(order)]
+        assert sorted(got[qid]) == want, f"query {qid}"
