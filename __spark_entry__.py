@@ -111,6 +111,9 @@ _DEFER_TO_TAIL = [
     # exists_semi / not_exists_anti / sparql_minus entries
     "union_names",
     "ask_exists",
+    # r4-green, untouched; OPTIONAL compile re-proven in-window by
+    # path_optional_hop's left-join shape
+    "optional_left_join",
 ]
 
 
@@ -1063,6 +1066,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub_docs"] = pii_scrub_docs
 
+    def unigram_quality_docs(spark, sf_dir):
+        """Unigram-LM perplexity proxy, self-scored on the corpus
+        (operators/lm.py — the CCNet-style quality-ranking signal)."""
+        from pidb_rdf_spark.operators import unigram_quality
+
+        return unigram_quality(_docs(spark, sf_dir))
+
+    q["unigram_quality_docs"] = unigram_quality_docs
+
     def chunk_documents_q(spark, sf_dir):
         from pidb_rdf_spark.operators import chunk_documents
 
@@ -1706,6 +1718,29 @@ def _scale_extension_oracles() -> dict[str, str]:
                        ) AS kept
                 FROM d CROSS JOIN b
             )
+        """,
+        "unigram_quality_docs": """
+            WITH toks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ),
+            model AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+            stats AS (
+                SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                       CAST(COUNT(*) + 1 AS DOUBLE) AS vocab
+                FROM model
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   AVG(ln((m.n + 1.0) / (s.total + s.vocab)))
+                       AS avg_logprob,
+                   exp(-AVG(ln((m.n + 1.0) / (s.total + s.vocab))))
+                       AS ppl_proxy
+            FROM toks t JOIN model m USING (token) CROSS JOIN stats s
+            GROUP BY doc_id
         """,
         "pii_scrub_docs": f"""
             -- sequential scrub mirrored exactly: each count is taken

@@ -12,6 +12,7 @@ from pidb_rdf_spark.operators.dedup import (
     simhash_pairs,
 )
 from pidb_rdf_spark.operators.join import salted_join
+from pidb_rdf_spark.operators.lm import unigram_model, unigram_quality
 from pidb_rdf_spark.operators.multimodal import (
     attach_media,
     decode_media,
@@ -55,6 +56,8 @@ __all__ = [
     "pack_token_stream",
     "topk_per_group",
     "salted_join",
+    "unigram_model",
+    "unigram_quality",
     "ngram_overlap",
     "contaminated_ids",
     "exact_dedup",

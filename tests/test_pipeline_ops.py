@@ -767,3 +767,48 @@ def test_pq_topk_matches_numpy_adc(emb):
         )[:5]
         want = [(rk + 1, int(ids[i])) for rk, i in enumerate(order)]
         assert sorted(got[qid]) == want, f"query {qid}"
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_quality_hand_computed(spark):
+    """2-doc corpus with hand-computable unigram probabilities; the
+    repeated-token doc must score lower perplexity than the
+    rare-token doc."""
+    import math
+
+    from pidb_rdf_spark.operators import unigram_quality
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "c d")],
+        "doc_id long, text string",
+    )
+    # counts: a=3 b=1 c=1 d=1, total=6, vocab=4+1 (OOV), alpha=1
+    out = {r["doc_id"]: r for r in unigram_quality(df).collect()}
+    p = lambda c: (c + 1.0) / (6 + 5.0)
+    want1 = (3 * math.log(p(3)) + math.log(p(1))) / 4
+    want2 = math.log(p(1))
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["avg_logprob"] - want1) < 1e-12
+    assert abs(out[2]["avg_logprob"] - want2) < 1e-12
+    assert out[1]["ppl_proxy"] < out[2]["ppl_proxy"]
+
+
+def test_unigram_quality_oov_and_external_model(spark):
+    """Scoring against an external model: unseen tokens take the
+    smoothed OOV mass, never -inf."""
+    import math
+
+    from pidb_rdf_spark.operators import unigram_model, unigram_quality
+
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    model = unigram_model(train)
+    out = unigram_quality(score, model=model).collect()[0]
+    # counts a=2 b=1, total=3, vocab=2+1
+    want = (math.log((2 + 1) / 6.0) + math.log((0 + 1) / 6.0)) / 2
+    assert out["n_tokens"] == 2
+    assert abs(out["avg_logprob"] - want) < 1e-12
