@@ -114,6 +114,8 @@ _DEFER_TO_TAIL = [
     # r4-green, untouched; OPTIONAL compile re-proven in-window by
     # path_optional_hop's left-join shape
     "optional_left_join",
+    # r4-green, untouched compile-tail dropDuplicates
+    "distinct_projection",
 ]
 
 
@@ -920,6 +922,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_topk_adc"] = pq_topk_adc
 
+    def ivfpq_topk_q(spark, sf_dir):
+        """The combined faiss-IVFPQ shape: coarse-cell pruning + ADC
+        ranking from codes alone (quantize.ivfpq_topk)."""
+        from pidb_rdf_spark.operators import ivfpq_topk, kmeans_centroids
+
+        emb, books, _ = _pq(spark, sf_dir)
+        coarse = kmeans_centroids(emb, n_clusters=8, iters=2)
+        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivfpq_topk(
+            emb, queries_df, coarse, books, k=5, nprobe=2
+        ).withColumn("rank", F.col("rank").cast("long"))
+
+    q["ivfpq_topk"] = ivfpq_topk_q
+
     # -- cross-document boilerplate chrome -----------------------------
     def _docs_with_chrome(spark, sf_dir):
         """Documents with deterministic synthetic page chrome: the
@@ -1579,6 +1597,113 @@ WHERE rn <= {k}
 """
 
 
+def _ivfpq_sql(
+    m: int = 4,
+    k_clusters: int = 16,
+    iters: int = 2,
+    coarse_clusters: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    query_pred: str = "vec_id % 100 = 0",
+    k: int = 5,
+) -> str:
+    """IVFPQ unrolled: the ``_pq_sql`` subspace-k-means + codes +
+    reconstruction chain, PLUS a coarse full-space k-means whose
+    per-query ``nprobe`` probe list prunes the candidate set before
+    the ADC (reconstruction inner-product) ranking — mirroring
+    ``operators.quantize.ivfpq_topk`` step-for-step."""
+    assign_tpl = """
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c.e), c.cl) AS rn
+    FROM {vname} v CROSS JOIN {cent} c) WHERE rn = 1
+"""
+    update_tpl = """
+  SELECT cl, list(mn ORDER BY dim) AS e FROM (
+    SELECT a.cl, u.dim, AVG(u.val) AS mn
+    FROM {assign} a JOIN {vname} v USING (vec_id),
+         LATERAL (SELECT generate_subscripts(v.e, 1) AS dim,
+                         unnest(v.e) AS val) u
+    GROUP BY a.cl, u.dim) GROUP BY cl
+"""
+
+    def kmeans_chain(vname: str, prefix: str, n_cl: int, n_it: int) -> list:
+        out = [f"""{prefix}0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, e
+  FROM (SELECT * FROM {vname} ORDER BY vec_id LIMIT {n_cl})
+)"""]
+        for i in range(1, n_it + 1):
+            out.append(
+                f"{prefix}a{i} AS "
+                f"({assign_tpl.format(vname=vname, cent=f'{prefix}{i - 1}')})"
+            )
+            out.append(
+                f"{prefix}{i} AS "
+                f"({update_tpl.format(assign=f'{prefix}a{i}', vname=vname)})"
+            )
+        return out
+
+    ctes = [
+        "vfull AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        f"CAST(len(embedding) / {m} AS INT) AS sd FROM embeddings)",
+    ]
+    for s in range(m):
+        vn = f"v{s}"
+        ctes.append(
+            f"{vn} AS (SELECT vec_id, e[({s}*sd+1):(({s}+1)*sd)] AS e "
+            "FROM vfull)"
+        )
+        ctes += kmeans_chain(vn, f"c{s}_", k_clusters, iters)
+        ctes.append(
+            f"codes{s} AS "
+            f"({assign_tpl.format(vname=vn, cent=f'c{s}_{iters}')})"
+        )
+    ctes.append("codes AS (" + " UNION ALL ".join(
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
+        f"CAST(cl AS BIGINT) AS code FROM codes{s}"
+        for s in range(m)
+    ) + ")")
+    ctes.append("cb AS (" + " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS subspace, cl, e FROM c{s}_{iters}"
+        for s in range(m)
+    ) + ")")
+    ctes += kmeans_chain("vfull", "g", coarse_clusters, coarse_iters)
+    ctes += [
+        f"cassign AS ({assign_tpl.format(vname='vfull', cent=f'g{coarse_iters}')})",
+        """recon AS (
+  SELECT c.vec_id, flatten(list(b.e ORDER BY c.subspace)) AS e
+  FROM codes c JOIN cb b ON b.subspace = c.subspace AND b.cl = c.code
+  GROUP BY c.vec_id
+)""",
+        f"q AS (SELECT vec_id AS query_id, e FROM vfull WHERE {query_pred})",
+        f"""probes AS (
+  SELECT query_id, cl FROM (
+    SELECT q.query_id, g.cl,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.e, g.e), g.cl) AS rn
+    FROM q CROSS JOIN g{coarse_iters} g) WHERE rn <= {nprobe}
+)""",
+        """cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN cassign a ON a.cl = p.cl
+  WHERE a.vec_id <> p.query_id
+)""",
+    ]
+    return f"""
+WITH {",".join(ctes)}
+SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id FROM (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY list_inner_product(qv.e, r.e) DESC,
+                                     c.vec_id) AS rn
+  FROM cand c
+  JOIN q qv ON qv.query_id = c.query_id
+  JOIN recon r ON r.vec_id = c.vec_id)
+WHERE rn <= {k}
+"""
+
+
 def _scale_extension_oracles() -> dict[str, str]:
     from pidb_rdf_spark.operators.scrub import (
         EMAIL_RE as _EMAIL_RE,
@@ -1667,6 +1792,10 @@ def _scale_extension_oracles() -> dict[str, str]:
             "vec_id % 100 = 0", 5, n_clusters=8, iters=2, nprobe=2
         ),
         "pq_codes": _pq_sql("codes", m=4, k_clusters=16, iters=2),
+        "ivfpq_topk": _ivfpq_sql(
+            m=4, k_clusters=16, iters=2, coarse_clusters=8, coarse_iters=2,
+            nprobe=2, query_pred="vec_id % 100 = 0", k=5,
+        ),
         "pq_topk_adc": _pq_sql(
             "topk", m=4, k_clusters=16, iters=2,
             query_pred="vec_id % 100 = 0", k=5,

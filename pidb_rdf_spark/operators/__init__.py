@@ -21,6 +21,7 @@ from pidb_rdf_spark.operators.multimodal import (
 )
 from pidb_rdf_spark.operators.quantize import (
     dequantize_embeddings,
+    ivfpq_topk,
     pq_encode,
     pq_reconstruct,
     pq_topk,
@@ -70,6 +71,7 @@ __all__ = [
     "dequantize_embeddings",
     "pq_train",
     "pq_encode",
+    "ivfpq_topk",
     "pq_reconstruct",
     "pq_topk",
     "bm25_search",

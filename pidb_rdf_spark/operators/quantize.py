@@ -225,3 +225,77 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF + PQ combined search (the faiss IVFPQ shape, flat-coded):
+    coarse clusters prune the candidate set (only vectors in each
+    query's ``nprobe`` nearest cells are considered), PQ codes +
+    broadcast lookup tables rank them by asymmetric inner product.
+
+    At 100 TB: the corpus is stored as (id, cluster) + (id, subspace,
+    code) — a few bytes per vector; search shuffles only id-sized
+    candidate rows. Probe lists are computed driver-side from the
+    collected queries (bounded by queries, never corpus), same as
+    ``similarity.ivf_search_indexed``."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from pidb_rdf_spark.operators.similarity import assign_clusters
+
+    spark = corpus.sparkSession
+    assigned = assign_clusters(corpus, coarse_centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("cluster")
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    C = np.array(coarse_centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(coarse_centroids))
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probes = []
+    lut = []
+    Cs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    sub = Cs[0].shape[1]
+    for qid, qv in qrows:
+        q = np.array(qv, dtype=np.float64)
+        d2 = (q * q).sum() - 2.0 * (C @ q) + (C * C).sum(1)
+        for cl in np.argsort(d2, kind="stable")[:nprobe]:
+            probes.append((qid, int(cl)))
+        for s, Csub in enumerate(Cs):
+            for c, p in enumerate(Csub @ q[s * sub:(s + 1) * sub]):
+                lut.append((qid, s, int(c), float(p)))
+    probes_df = spark.createDataFrame(
+        probes, f"{query_id_col} long, cluster int"
+    )
+    lut_df = spark.createDataFrame(
+        lut, f"{query_id_col} long, subspace long, code long, __part double"
+    )
+    cand = assigned.join(F.broadcast(probes_df), on="cluster").select(
+        query_id_col, id_col
+    )
+    scored = (
+        cand.join(codes, on=id_col)
+        .join(F.broadcast(lut_df), on=[query_id_col, "subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__part").alias("__score"))
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"))
+    )

@@ -812,3 +812,56 @@ def test_unigram_quality_oov_and_external_model(spark):
     want = (math.log((2 + 1) / 6.0) + math.log((0 + 1) / 6.0)) / 2
     assert out["n_tokens"] == 2
     assert abs(out["avg_logprob"] - want) < 1e-12
+
+
+def test_ivfpq_exhaustive_probe_equals_pq_topk(emb):
+    """nprobe = n_clusters makes the IVF prune a no-op, so IVFPQ must
+    equal plain PQ ADC ranking exactly."""
+    from pidb_rdf_spark.operators import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    coarse = kmeans_centroids(emb, n_clusters=4, iters=2)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {tuple(r) for r in pq_topk(codes, q, books, k=5).collect()}
+    ivfpq = {
+        tuple(r)
+        for r in ivfpq_topk(emb, q, coarse, books, k=5, nprobe=4).collect()
+    }
+    assert ivfpq == full and len(full) == 15
+
+
+def test_ivfpq_partial_probe_subset(emb):
+    """nprobe=1 results come only from the probed cell: every
+    neighbor must share the query's nearest coarse cluster set, and
+    each query still gets k rows on this corpus."""
+    from pidb_rdf_spark.operators import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=4, k=8, iters=2)
+    coarse = kmeans_centroids(emb, n_clusters=4, iters=2)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(emb, q, coarse, books, k=5, nprobe=1).collect()
+    from pidb_rdf_spark.operators.similarity import assign_clusters
+
+    cl = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, coarse).select("vec_id", "cluster").collect()
+    }
+    for r in out:
+        assert cl[r["neighbor_id"]] == cl[r["query_id"]]
