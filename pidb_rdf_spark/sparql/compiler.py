@@ -95,6 +95,9 @@ class SparqlCompiler:
         self._var_counter = 0
         self._active_agg_map: dict = {}
         self._optional_vars: set[str] = set()
+        # var -> 'node' | 'value' for the group currently being compiled;
+        # consulted by term-type builtins (ISIRI/ISBLANK/ISLITERAL)
+        self._term_kinds: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     def compile(self, query: str | A.Query) -> DataFrame:
@@ -217,6 +220,7 @@ class SparqlCompiler:
         the top level resolves node vars to uris for output."""
         state = _BGPState(self)
         self._compile_group(state, q.where)
+        self._term_kinds = state.kinds
         df = state.df
         if df is None:
             df = self.g.spark.range(1).select(F.lit(1).alias("__unit"))
@@ -510,6 +514,7 @@ class SparqlCompiler:
                 state.df = self.g.spark.range(1).select(
                     F.lit(1).alias("__unit")
                 )
+            self._term_kinds = state.kinds
             state.df = state.df.withColumn(
                 bind.var, self._expr_col(bind.expr, state.df)
             )
@@ -1036,7 +1041,52 @@ class SparqlCompiler:
             how = "leftanti" if expr.negated else "leftsemi"
             state.df = state.df.join(sub.df, on=shared or None, how=how)
             return
-        state.df = state.df.filter(self._expr_col(expr, state.df))
+        self._term_kinds = state.kinds
+        df = self._attach_bnode_flags(state, expr)
+        df = df.filter(self._expr_col(expr, df))
+        drop = [c for c in df.columns if c.startswith("__isbnode_")]
+        state.df = df.drop(*drop) if drop else df
+
+    def _attach_bnode_flags(self, state: _BGPState, expr) -> DataFrame:
+        """ISIRI/ISURI/ISBLANK over a node var must inspect the term's
+        IRI (blank nodes are stored with a ``_:`` uri, ``functions/
+        iri.py``), but node vars carry ids at filter time. Attach one
+        boolean ``__isbnode_<v>`` per referenced node var via a hash
+        join against the (id, uri-prefix) projection of the node table —
+        Catalyst prunes to two columns; AQE broadcasts when small."""
+        df = state.df
+        for v in sorted(self._bnode_test_vars(expr)):
+            if state.kinds.get(v) != "node" or v not in df.columns:
+                continue
+            flag = f"__isbnode_{v}"
+            if flag in df.columns:
+                continue
+            lookup = self.g.nodes.select(
+                F.col("id").alias(f"__bid_{v}"),
+                F.col("uri").startswith("_:").alias(flag),
+            )
+            df = df.join(
+                lookup, df[v] == lookup[f"__bid_{v}"], "left"
+            ).drop(f"__bid_{v}")
+        return df
+
+    def _bnode_test_vars(self, expr) -> set[str]:
+        out: set[str] = set()
+        if isinstance(expr, A.FuncCall):
+            if expr.name in ("ISIRI", "ISURI", "ISBLANK") and expr.args:
+                if isinstance(expr.args[0], A.Var):
+                    out.add(expr.args[0].name)
+            for a in expr.args:
+                out |= self._bnode_test_vars(a)
+        elif isinstance(expr, A.BoolOp):
+            for op in expr.operands:
+                out |= self._bnode_test_vars(op)
+        elif isinstance(expr, A.Not):
+            out |= self._bnode_test_vars(expr.operand)
+        elif isinstance(expr, (A.Comparison, A.Arith)):
+            out |= self._bnode_test_vars(expr.lhs)
+            out |= self._bnode_test_vars(expr.rhs)
+        return out
 
     # ---- expressions ---------------------------------------------------
 
@@ -1222,7 +1272,93 @@ class SparqlCompiler:
                     return args[0].try_cast("double").isNotNull()
                 return F.lit(False)
             return args[0].try_cast("double").isNotNull()
+        if name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL"):
+            return self._term_test_col(name, call, df, args)
+        if name in ("IRI", "URI"):
+            # IRI constructor: our IRIs are plain strings (uri column of
+            # the node table / TRIPLES_SCHEMA), so the term IS its
+            # lexical form
+            return args[0].cast("string")
+        if name == "BNODE":
+            # BNODE(str): stable label per lexical form (W3C maps equal
+            # strings to the same bnode within a solution); BNODE():
+            # fresh label per row
+            if args:
+                return F.concat(F.lit("_:b"), F.md5(args[0].cast("string")))
+            return F.concat(F.lit("_:b"), F.expr("uuid()"))
+        if name == "STRLANG":
+            # language tags are dropped at import (LANG above); the
+            # tagged literal's value survives as the plain string
+            return args[0].cast("string")
+        if name == "STRDT":
+            xsd = "http://www.w3.org/2001/XMLSchema#"
+            dt = call.args[1]
+            dt_iri = dt.value if isinstance(dt, (A.IRI, A.Literal)) else None
+            if dt_iri in (xsd + "integer", xsd + "long", xsd + "int"):
+                return args[0].cast("long")
+            if dt_iri in (xsd + "double", xsd + "decimal", xsd + "float"):
+                return args[0].cast("double")
+            if dt_iri == xsd + "boolean":
+                return args[0].cast("boolean")
+            if dt_iri in (xsd + "dateTime", xsd + "date"):
+                return args[0].cast("timestamp")
+            return args[0].cast("string")
+        if name == "TIMEZONE":
+            # import normalizes timestamps to the session zone, so every
+            # stored xsd:dateTime carries the zero offset duration
+            return F.lit("PT0S")
+        if name == "TZ":
+            return F.lit("Z")
+        if name == "UUID":
+            return F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+        if name == "STRUUID":
+            return F.expr("uuid()")
+        if name == "RAND":
+            return F.rand()
+        if name == "NOW":
+            return F.current_timestamp()
         raise NotImplementedError(f"builtin {name}")
+
+    def _term_test_col(self, name: str, call: A.FuncCall, df: DataFrame, args) -> Column:
+        """ISIRI/ISURI/ISBLANK/ISLITERAL: term-type tests over the value
+        model — value vars are literals; node vars are IRIs, except
+        blank nodes whose uri starts with ``_:`` (tested via the flag
+        column ``_attach_bnode_flags`` joins in, or directly on the uri
+        when the var is already materialized to a string)."""
+        arg = call.args[0] if call.args else None
+        if isinstance(arg, A.Var):
+            kind = self._term_kinds.get(arg.name)
+            if kind == "value":
+                return F.lit(name == "ISLITERAL") & args[0].isNotNull()
+            if kind == "node":
+                if name == "ISLITERAL":
+                    return F.lit(False)
+                flag = f"__isbnode_{arg.name}"
+                if flag in df.columns:
+                    blank = F.coalesce(F.col(flag), F.lit(False))
+                elif isinstance(df.schema[arg.name].dataType, T.StringType):
+                    blank = args[0].startswith("_:")
+                else:
+                    raise NotImplementedError(
+                        f"{name} on node var ?{arg.name} outside FILTER "
+                        "context (bnode flag not attached)"
+                    )
+                if name == "ISBLANK":
+                    return args[0].isNotNull() & blank
+                return args[0].isNotNull() & ~blank
+            # unbound/unknown var: error per W3C -> NULL (filters drop it)
+            return F.lit(None).cast("boolean")
+        # constant / computed terms: classify by AST shape
+        if isinstance(arg, A.IRI):
+            return F.lit(name in ("ISIRI", "ISURI"))
+        if isinstance(arg, A.Literal):
+            return F.lit(name == "ISLITERAL")
+        if isinstance(arg, A.FuncCall) and arg.name in ("IRI", "URI"):
+            return F.lit(name in ("ISIRI", "ISURI"))
+        if isinstance(arg, A.FuncCall) and arg.name == "BNODE":
+            return F.lit(name == "ISBLANK")
+        # any other computed expression yields a literal value
+        return F.lit(name == "ISLITERAL") & args[0].isNotNull()
 
     def _align_types(self, le, re_, lc: Column, rc: Column, df: DataFrame):
         """String column vs numeric literal -> cast column to double

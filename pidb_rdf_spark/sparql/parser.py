@@ -65,6 +65,8 @@ BUILTIN_FUNCS = {
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "SAMETERM", "ENCODE_FOR_URI", "ISNUMERIC",
+    "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "IRI", "URI", "BNODE",
+    "STRLANG", "STRDT", "TIMEZONE", "TZ", "UUID", "STRUUID", "RAND", "NOW",
 }
 
 

@@ -227,3 +227,107 @@ def test_time_part_builtins(graph, spark):
         """,
     ).collect()
     assert [(r.h, r.m, r.s) for r in got] == [(3, 4, 5), (17, 45, 9)]
+
+
+def test_term_type_builtins(graph):
+    """ISIRI/ISURI/ISBLANK/ISLITERAL over node + value vars (W3C term
+    tests re-expressed on the value model: node vars are IRIs except
+    ``_:``-prefixed blank nodes; value vars are literals)."""
+    rows = sparql(
+        graph,
+        """
+        SELECT ?x (ISIRI(?n) AS ?ni) (ISBLANK(?n) AS ?nb)
+               (ISLITERAL(?n) AS ?nl) (ISLITERAL(?x) AS ?xl)
+               (ISIRI(?x) AS ?xi)
+        WHERE { ?n v:n_name ?x } ORDER BY ?x LIMIT 3
+        """,
+    ).collect()
+    for r in rows:
+        assert (r.ni, r.nb, r.nl) == (True, False, False)
+        assert (r.xl, r.xi) == (True, False)
+
+
+def test_isblank_filter_on_bnode(spark):
+    """A blank node (uri ``_:...``) must satisfy FILTER(ISBLANK(?n))
+    and fail FILTER(ISIRI(?n)) — the flag join resolves ids to uri
+    prefixes inside the FILTER context."""
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.mutation import add_vertices
+
+    g = graphify(spark, SF_DIR)
+    g = add_vertices(
+        g,
+        [
+            {"uri": "_:anon1", "labels": ["BT"], "props": {"k": "a"}},
+            {"uri": "urn:t:named", "labels": ["BT"], "props": {"k": "b"}},
+        ],
+    )
+    blanks = sparql(
+        g,
+        'SELECT ?k WHERE { ?n v:label "BT" . ?n v:k ?k . FILTER(ISBLANK(?n)) }',
+    ).collect()
+    iris = sparql(
+        g,
+        'SELECT ?k WHERE { ?n v:label "BT" . ?n v:k ?k . FILTER(ISIRI(?n)) }',
+    ).collect()
+    assert [r.k for r in blanks] == ["a"]
+    assert [r.k for r in iris] == ["b"]
+
+
+def test_iri_bnode_constructors(graph):
+    rows = sparql(
+        graph,
+        """
+        SELECT ?x (IRI(CONCAT("urn:n:", ?x)) AS ?u) (BNODE(?x) AS ?b)
+               (ISIRI(IRI(?x)) AS ?ui) (ISBLANK(BNODE(?x)) AS ?bb)
+        WHERE { ?n v:n_name ?x } ORDER BY ?x LIMIT 2
+        """,
+    ).collect()
+    for r in rows:
+        assert r.u == "urn:n:" + r.x
+        assert r.b.startswith("_:b") and len(r.b) == 35  # _:b + md5 hex
+        assert r.ui is True and r.bb is True
+    # BNODE(str) is stable per lexical form
+    again = sparql(
+        graph,
+        "SELECT (BNODE(?x) AS ?b) WHERE { ?n v:n_name ?x } ORDER BY ?x LIMIT 2",
+    ).collect()
+    assert [r.b for r in again] == [r.b for r in rows]
+
+
+def test_strdt_strlang_casts(graph):
+    rows = sparql(
+        graph,
+        """
+        SELECT (STRDT("42", <http://www.w3.org/2001/XMLSchema#integer>) AS ?i)
+               (STRDT("2.5", <http://www.w3.org/2001/XMLSchema#double>) AS ?d)
+               (STRDT("true", <http://www.w3.org/2001/XMLSchema#boolean>) AS ?t)
+               (STRLANG("chat", "fr") AS ?s)
+        WHERE { ?n v:n_name ?x } LIMIT 1
+        """,
+    ).collect()
+    r = rows[0]
+    assert (r.i, r.d, r.t, r.s) == (42, 2.5, True, "chat")
+
+
+def test_nondeterministic_builtins_shape(graph):
+    """UUID/STRUUID/RAND/NOW/TZ: values are fresh per call, so assert
+    shape/range only."""
+    import re
+
+    rows = sparql(
+        graph,
+        """
+        SELECT (UUID() AS ?u) (STRUUID() AS ?su) (RAND() AS ?r)
+               (NOW() AS ?now) (TZ(?x) AS ?tz) (TIMEZONE(?x) AS ?dur)
+        WHERE { ?n v:n_name ?x } LIMIT 5
+        """,
+    ).collect()
+    hex_ = r"[0-9a-f]"
+    pat = re.compile(rf"^{hex_}{{8}}-{hex_}{{4}}-{hex_}{{4}}-{hex_}{{4}}-{hex_}{{12}}$")
+    for r in rows:
+        assert r.u.startswith("urn:uuid:") and pat.match(r.u[9:])
+        assert pat.match(r.su)
+        assert 0.0 <= r.r < 1.0
+        assert r.now is not None
+        assert r.tz == "Z" and r.dur == "PT0S"
