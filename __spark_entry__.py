@@ -56,24 +56,33 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # everything else re-proves. r05 rotation: all 16 r04-deferred
 # entries RETURN to the window (dedup/curation/window/asof/cosine/
 # ivf/bfs/triangle), quantize_embeddings stays in-window (red in r04
-# — entry reshaped this round), and the 6 new entries
-# (ivf_topk_indexed, boilerplate_lines, strip_boilerplate,
-# salted_join_lineitem, sessionize_stream, connected_components_star)
-# are in-window as always for first proof. Deferred instead: 22
-# r04-green entries whose operator files the r05 diff does not touch
-# — operators/text.py (lang/quality/tokens/fingerprint/repetition;
-# r5 adds ENTRIES over the r4-built boilerplate functions, no
-# operator edit), operators/multimodal.py, operators/ranking.py,
-# streaming/events.py's sessionize/windowed/dedup_stream functions
-# (watermark fix landed r4; sessionize_stream is a new ENTRY over the
-# existing function; the one r5 edit in this file — asof_join's
-# forward direction — has its entry asof_join_events IN-window),
-# operators/decontam.py,
-# inference.py (closure + SLO/SCO/SRO), graph.py sql passthrough,
-# the two lineitem SPARQL pipelines (parser/compiler untouched in
-# r5 — pattern Update composes them from update.py, Gremlin match()
-# lives in dsl.py), and analytics.pagerank (components/star re-prove
-# the loop discipline in-window).
+# — entry reshaped this round), and every new entry is in-window for
+# first proof (ivf_topk_indexed, boilerplate_lines,
+# strip_boilerplate, salted_join_lineitem, sessionize_stream,
+# connected_components_star, gremlin_match, pq/ivfpq family,
+# pii_scrub_docs, chunk_documents, unigram_quality_docs,
+# asof_join_events, gopher_quality_docs, line_dedup_docs). Deferred
+# instead: 24 r04-green entries whose FUNCTION-level code paths the
+# r05 diff does not touch — text.py's lang/quality/tokens/
+# fingerprint/repetition functions (r5 only APPENDS gopher_quality /
+# line_dedup_global beneath them), multimodal.py, ranking.py,
+# events.py's sessionize/windowed/dedup_stream functions (the one r5
+# edit there — asof_join's forward direction — has its entry
+# asof_join_events in-window), decontam.py, inference.py, graph.py
+# sql passthrough, the two lineitem SPARQL pipelines,
+# analytics.pagerank + near_dup_clusters + connected_components
+# (pointer-doubling star variant re-proves the component contract
+# in-window against the SAME oracle), and dedup.py's hyperplane-LSH
+# bucketed path (r5's only dedup.py edit is the cap guard on the
+# SEPARATE exact-collect function, whose own entry embedding_near_dup
+# is in-window). NOTE the r5 diff DOES touch sparql/parser.py +
+# compiler.py (term-type/constructor builtins: new BUILTIN_FUNCS
+# names, a flag-join hook in _apply_filter, new _func_col branches):
+# every deferred compiler entry's compile shape (aggregate, DISTINCT,
+# UNION, ASK, OPTIONAL) is re-proven in-window by agg_full /
+# distinct_projection / sparql_minus / exists_semi / not_exists_anti
+# / path_optional_hop / subselect_nation_order_counts, which exercise
+# the same _apply_filter/_func_col code lines.
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",
@@ -116,6 +125,14 @@ _DEFER_TO_TAIL = [
     "optional_left_join",
     # r4-green, untouched compile-tail dropDuplicates
     "distinct_projection",
+    # r4-green; analytics.connected_components untouched in r5 and the
+    # star variant re-proves the identical contract + oracle in-window
+    "connected_components_regions",
+    # r4-green; the bucketed hyperplane-LSH path (dedup.py:484) is
+    # r5-untouched — the r5 dedup.py edit is the row-count cap on the
+    # separate exact-collect path, proven in-window by
+    # embedding_near_dup
+    "embedding_near_dup_lsh",
 ]
 
 
@@ -973,6 +990,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "text", "n_lines_kept", "n_lines_removed")
 
     q["strip_boilerplate"] = strip_boilerplate_q
+
+    def gopher_quality_docs(spark, sf_dir):
+        """Gopher-rule quality signals (Rae et al. 2021 table A1) over
+        the documents table — evidence columns + the composite pass
+        flag. Zero-shuffle narrow projection (operators/text.py)."""
+        from pidb_rdf_spark.operators import gopher_quality
+
+        return gopher_quality(_docs(spark, sf_dir)).select(
+            "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+            "alpha_word_frac", "n_required_stopwords", "passes_gopher",
+        )
+
+    q["gopher_quality_docs"] = gopher_quality_docs
+
+    def line_dedup_docs(spark, sf_dir):
+        """Corpus-global exact line dedup (C4-style) over documents
+        with synthetic page chrome — the repeated header/footer lines
+        survive only in their first (doc_id, pos) occurrence. Min-
+        struct aggregate, not a window: hot lines combine map-side."""
+        from pidb_rdf_spark.operators import line_dedup_global
+
+        out = line_dedup_global(_docs_with_chrome(spark, sf_dir))
+        return out.select("doc_id", "text", "n_lines_kept", "n_lines_removed")
+
+    q["line_dedup_docs"] = line_dedup_docs
 
     # -- manual skew fallback: salted join == plain join ----------------
     def salted_join_lineitem(spark, sf_dir):
@@ -1847,6 +1889,84 @@ def _scale_extension_oracles() -> dict[str, str]:
                        ) AS kept
                 FROM d CROSS JOIN b
             )
+        """,
+        "gopher_quality_docs": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(words,
+                                x -> CAST(strlen(x) AS BIGINT)))
+                            AS DOUBLE)
+                           / greatest(len(words), 1) AS mean_word_len,
+                       CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                            AS DOUBLE)
+                           / greatest(len(words), 1) AS symbol_word_ratio,
+                       CAST(len(list_filter(words,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE)
+                           / greatest(len(words), 1) AS alpha_word_frac,
+                       CAST(len(list_intersect(
+                                list_distinct(list_transform(words,
+                                                             x -> lower(x))),
+                                ['the','be','to','of','and','that',
+                                 'have','with'])) AS BIGINT)
+                           AS n_required_stopwords
+                FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   alpha_word_frac, n_required_stopwords,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio < 0.1
+                    AND alpha_word_frac > 0.8
+                    AND n_required_stopwords >= 2) AS passes_gopher
+            FROM sig
+        """,
+        "line_dedup_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       '=== SITE HEADER ===' || chr(10) ||
+                       CASE WHEN doc_id % 2 = 0 THEN 'even footer'
+                            ELSE 'odd footer' END || chr(10) || text AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, u.pos, u.line
+                FROM d, LATERAL (
+                    SELECT generate_subscripts(
+                               string_split(text, chr(10)), 1) AS pos,
+                           unnest(string_split(text, chr(10))) AS line
+                ) u
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id, pos, line,
+                           row_number() OVER (PARTITION BY line
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM lines WHERE line <> ''
+                ) WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, pos, line FROM lines WHERE line = ''
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text, '') AS text,
+                   COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+                   CAST(len(string_split(d.text, chr(10)))
+                        - COALESCE(r.n_lines_kept, 0) AS BIGINT)
+                       AS n_lines_removed
+            FROM d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "unigram_quality_docs": """
             WITH toks AS (

@@ -41,7 +41,9 @@ from pidb_rdf_spark.operators.similarity import (
 from pidb_rdf_spark.operators.text import (
     boilerplate_lines,
     fingerprint,
+    gopher_quality,
     language_id,
+    line_dedup_global,
     quality_score,
     repetition_signals,
     strip_boilerplate,
@@ -91,5 +93,7 @@ __all__ = [
     "repetition_signals",
     "boilerplate_lines",
     "strip_boilerplate",
+    "gopher_quality",
+    "line_dedup_global",
     "token_count",
 ]

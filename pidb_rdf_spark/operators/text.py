@@ -274,3 +274,162 @@ def strip_boilerplate(
             (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_removed"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1).
+# Public, frozen numbers — callers can override any of them.
+GOPHER_REQUIRED_WORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-rule document quality signals + the composite pass flag.
+
+    Emits the per-document evidence columns (so a pipeline can audit
+    WHY a document failed) and ``passes_gopher``:
+
+    - ``n_words``: whitespace word count in [min_words, max_words];
+    - ``mean_word_len``: mean characters per word in [3, 10];
+    - ``symbol_word_ratio``: '#'-or-'...' occurrences per word < 0.1;
+    - ``bullet_line_frac``: lines starting with a bullet < 0.9;
+    - ``ellipsis_line_frac``: lines ending with '...' < 0.3;
+    - ``alpha_word_frac``: words containing a letter > 0.8;
+    - ``n_required_stopwords``: distinct hits in the 8-word required
+      set >= 2.
+
+    Scale shape: identical to the rest of this module — narrow
+    built-in projections only (array ops + regexp counts inside
+    whole-stage codegen), zero shuffle, integer sub-metrics so every
+    derived fraction is bit-reproducible against a SQL oracle.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)
+    n_words = F.size(words).cast("long")
+    n_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0)
+    ).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*([-*•‣◦])"))
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), req
+        )
+    ).cast("long")
+
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": n_word_chars
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            "symbol_word_ratio": n_symbols
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            "bullet_line_frac": n_bullet_lines
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            "ellipsis_line_frac": n_ellipsis_lines
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            "alpha_word_frac": n_alpha_words
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            "n_required_stopwords": n_req,
+        }
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") < max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") < max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") < max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") > min_alpha_word_frac)
+        & (F.col("n_required_stopwords") >= min_required_stopwords),
+    )
+
+
+def line_dedup_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global exact line dedup (the C4 three-sentence-span rule
+    at line granularity): every non-empty line is kept only in its
+    FIRST occurrence — lowest (doc id, position in doc) — and removed
+    everywhere else. Empty lines are structural, not content, and are
+    always kept. Output: original columns with ``text_col`` rewritten
+    + ``n_lines_kept`` / ``n_lines_removed``.
+
+    Scale shape: first-occurrence is a ``groupBy(line).agg(min(struct
+    (id, pos)))`` — a map-side-combinable aggregate, NOT a window over
+    lines (a window would sort every replica of a hot line in one
+    partition; the min-aggregate reduces duplicates map-side, so a
+    line repeated a billion times costs one row per input partition in
+    the shuffle). One line-keyed shuffle + one doc-keyed shuffle to
+    reassemble; both AQE-managed.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    firsts = (
+        lines.filter(F.col("__line") != "")
+        .groupBy("__line")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__first"))
+    )
+    kept = lines.join(firsts, on="__line", how="left").filter(
+        (F.col("__line") == "")
+        | (
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.count("*").cast("long").alias("n_lines_kept"),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    n_lines = F.size(F.split(F.col(text_col), "\n")).cast("long")
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .select(
+            *out_cols,
+            F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias(
+                "n_lines_kept"
+            ),
+            (n_lines - F.coalesce(F.col("n_lines_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_lines_removed"),
+        )
+    )

@@ -865,3 +865,72 @@ def test_ivfpq_partial_probe_subset(emb):
     }
     for r in out:
         assert cl[r["neighbor_id"]] == cl[r["query_id"]]
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule flips the pass flag independently."""
+    from pidb_rdf_spark.operators import gopher_quality
+
+    good = " ".join(
+        ["the be to of and that have with"] + ["word"] * 50
+    )
+    short = "the be to of and"  # < min_words
+    symbols = " ".join(["the be to of and ###"] * 20)  # symbol ratio
+    no_stop = " ".join(["zulu"] * 60)  # no required stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, no_stop)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["passes_gopher"] is False and out[2]["n_words"] == 5
+    assert out[3]["passes_gopher"] is False
+    assert out[3]["symbol_word_ratio"] > 0.1
+    assert out[4]["passes_gopher"] is False
+    assert out[4]["n_required_stopwords"] == 0
+    assert out[1]["n_required_stopwords"] == 8
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    from pidb_rdf_spark.operators import gopher_quality
+
+    bullets = "\n".join(["- item " + "w " * 20] * 10)
+    df = spark.createDataFrame([(1, bullets)], ["doc_id", "text"])
+    r = gopher_quality(df).collect()[0]
+    assert r["bullet_line_frac"] == 1.0 and r["passes_gopher"] is False
+    ell = "\n".join(["the be to of and that have with more..."] * 10)
+    r2 = gopher_quality(
+        spark.createDataFrame([(1, ell)], ["doc_id", "text"])
+    ).collect()[0]
+    assert r2["ellipsis_line_frac"] == 1.0 and r2["passes_gopher"] is False
+
+
+def test_line_dedup_global(spark):
+    """First occurrence (lowest doc_id, pos) keeps the line; empty
+    lines survive everywhere; doc order of kept lines preserved."""
+    from pidb_rdf_spark.operators import line_dedup_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared\n\nbeta"),
+            (2, "shared\ngamma\nalpha"),
+            (3, "shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup_global(df).collect()}
+    assert out[1]["text"] == "alpha\nshared\n\nbeta"
+    assert out[1]["n_lines_removed"] == 0
+    assert out[2]["text"] == "gamma"
+    assert out[2]["n_lines_kept"] == 1 and out[2]["n_lines_removed"] == 2
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+
+
+def test_line_dedup_within_doc_repeats(spark):
+    """A line repeated WITHIN one doc keeps only its first position."""
+    from pidb_rdf_spark.operators import line_dedup_global
+
+    df = spark.createDataFrame([(7, "x\ny\nx\nx")], ["doc_id", "text"])
+    r = line_dedup_global(df).collect()[0]
+    assert r["text"] == "x\ny"
+    assert r["n_lines_kept"] == 2 and r["n_lines_removed"] == 2
