@@ -3,6 +3,8 @@ from pidb_rdf_spark.streaming.events import (
     dedup_stream,
     sessionize,
     sessionize_stream,
+    user_stats,
+    user_stats_stream,
     windowed_event_counts,
 )
 from pidb_rdf_spark.streaming.rdf_stream import stream_import_triples
@@ -12,6 +14,8 @@ __all__ = [
     "dedup_stream",
     "sessionize",
     "sessionize_stream",
+    "user_stats",
+    "user_stats_stream",
     "windowed_event_counts",
     "stream_import_triples",
 ]

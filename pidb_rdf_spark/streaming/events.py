@@ -256,3 +256,102 @@ def dedup_stream(
             .dropDuplicatesWithinWatermark(key_cols)
         )
     return events.dropDuplicates(key_cols)
+
+
+USER_STATS_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_cents bigint, "
+    "first_ts timestamp, last_ts timestamp"
+)
+_USER_STATS_STATE_SCHEMA = (
+    "n bigint, cents bigint, first_us bigint, last_us bigint"
+)
+
+
+def user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user lifetime stats: event count, exact value sum in
+    integer cents, first/last event time. One map-side-combinable
+    shuffle on the user key — the batch twin of
+    ``user_stats_stream`` (same output contract, column for column).
+    """
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min(F.col(ts_col).cast("timestamp")).alias("first_ts"),
+            F.max(F.col(ts_col).cast("timestamp")).alias("last_ts"),
+        )
+    )
+
+
+def user_stats_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """``user_stats`` as a CUSTOM STATEFUL streaming operator —
+    ``applyInPandasWithState`` keyed on the user, the route for
+    operators Spark's built-in streaming aggregates cannot express
+    (the built-ins could do this particular reduction; it is the
+    reference implementation of the pattern, kept deliberately
+    simple so the state plumbing — schema, merge step, emission —
+    is the thing under test).
+
+    State per user is four scalars (count, cents, first/last event
+    micros): O(users) state total, no per-event growth. Each
+    micro-batch emits the user's UPDATED totals once (update-mode
+    sink semantics); the merge step is associative, so totals are
+    batch-boundary-invariant — the stream≡batch test pins that.
+
+    Works on batch input too (falls back to ``user_stats``), so one
+    call site serves both modes.
+    """
+    if not events.isStreaming:
+        return user_stats(events, user_col, ts_col, value_col)
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdfs, state):
+        n, cents, first_us, last_us = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            n += len(pdf)
+            cents += int(pdf[value_col].mul(100).round().astype("int64").sum())
+            lo = int(ts.min().value // 1000)
+            hi = int(ts.max().value // 1000)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, cents, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_cents": [cents],
+                "first_ts": [pd.Timestamp(first_us * 1000)],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return (
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_USER_STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
