@@ -77,22 +77,29 @@ def pq_train(
     """Per-subspace codebooks: ``m`` independent deterministic
     k-means runs (``similarity.kmeans_centroids``: init = lowest-id
     vectors, bounded driver-side sample) over contiguous dim slices.
-    Returns ``m`` lists of ``k`` centroids of ``dim/m`` floats."""
-    from pidb_rdf_spark.operators.similarity import kmeans_centroids
+    Returns ``m`` lists of ``k`` centroids of ``dim/m`` floats.
 
-    dim = len(df.select(vec_col).first()[0])
+    One collect for all subspaces (the bounded training sample is
+    fetched once and sliced driver-side — m Spark jobs collapse to
+    one; same per-subspace result as independent runs because the
+    subspace k-means never mix)."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators.similarity import lloyd_numpy
+
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(max_train)
+        .select(vec_col)
+        .collect()
+    )
+    M = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = M.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
     return [
-        kmeans_centroids(
-            df.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
-            ),
-            id_col=id_col, vec_col=vec_col,
-            n_clusters=k, iters=iters, max_train=max_train,
-        )
+        lloyd_numpy(M[:, s * sub:(s + 1) * sub], k, iters)
         for s in range(m)
     ]
 

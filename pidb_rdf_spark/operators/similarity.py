@@ -205,6 +205,15 @@ def kmeans_centroids(
         .collect()
     )
     M = np.array([r[0] for r in rows], dtype=np.float64)
+    return lloyd_numpy(M, n_clusters, iters)
+
+
+def lloyd_numpy(M, n_clusters: int, iters: int) -> list[list[float]]:
+    """The driver-side Lloyd's kernel shared by ``kmeans_centroids``
+    and ``quantize.pq_train`` (which slices ONE collected training
+    matrix into subspaces rather than re-collecting per subspace).
+    Init = first ``n_clusters`` rows; ties -> first minimum, same
+    argmin convention as ``assign_clusters``."""
     C = M[:n_clusters].copy()
     for _ in range(iters):
         d2 = (
@@ -212,7 +221,7 @@ def kmeans_centroids(
             - 2.0 * (M @ C.T)
             + (C * C).sum(1)[None, :]
         )
-        a = d2.argmin(1)  # ties -> first minimum, same as assign_clusters
+        a = d2.argmin(1)
         for c in range(n_clusters):
             members = M[a == c]
             if len(members):
