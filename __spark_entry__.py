@@ -83,6 +83,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # distinct_projection / sparql_minus / exists_semi / not_exists_anti
 # / path_optional_hop / subselect_nation_order_counts, which exercise
 # the same _apply_filter/_func_col code lines.
+# r06 TODO: the window is full at 50, so three r5-built operators are
+# pytest-only and OWE entries next round — bloom_build/bloom_probe
+# (operators/membership.py; oracle = the same md5 bit math in DuckDB,
+# already pinned cross-engine in tests), user_stats
+# (streaming/events.py; oracle = plain GROUP BY user_id), and
+# kmeans cluster assignment (reuse _ivf_probe_sql's assign CTEs).
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",

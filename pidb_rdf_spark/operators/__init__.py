@@ -13,6 +13,11 @@ from pidb_rdf_spark.operators.dedup import (
 )
 from pidb_rdf_spark.operators.join import salted_join
 from pidb_rdf_spark.operators.lm import unigram_model, unigram_quality
+from pidb_rdf_spark.operators.membership import (
+    bloom_build,
+    bloom_fp_rate,
+    bloom_probe,
+)
 from pidb_rdf_spark.operators.multimodal import (
     attach_media,
     decode_media,
@@ -59,6 +64,9 @@ __all__ = [
     "pack_token_stream",
     "topk_per_group",
     "salted_join",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_fp_rate",
     "unigram_model",
     "unigram_quality",
     "ngram_overlap",

@@ -934,3 +934,84 @@ def test_line_dedup_within_doc_repeats(spark):
     r = line_dedup_global(df).collect()[0]
     assert r["text"] == "x\ny"
     assert r["n_lines_kept"] == 2 and r["n_lines_removed"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from pidb_rdf_spark.operators import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(200)], ["id", "text"]
+    )
+    bloom = bloom_build(corpus, "text", m_bits=1 << 14, k_hashes=5)
+    probed = bloom_probe(corpus, bloom, "text", m_bits=1 << 14, k_hashes=5)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_rejects_nonmembers_and_fp_rate(spark):
+    from pidb_rdf_spark.operators import bloom_build, bloom_fp_rate, bloom_probe
+
+    n, m = 200, 1 << 14
+    corpus = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(n)], ["id", "text"]
+    )
+    others = spark.createDataFrame(
+        [(i, f"stranger-{i}") for i in range(1000)], ["id", "text"]
+    )
+    bloom = bloom_build(corpus, "text", m_bits=m, k_hashes=5)
+    hits = (
+        bloom_probe(others, bloom, "text", m_bits=m, k_hashes=5)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    # expected fp rate ~ (1 - e^(-5*200/16384))^5 ~ 7e-7; allow slack
+    assert hits / 1000 <= max(bloom_fp_rate(n, m, 5) * 50, 0.01)
+
+
+def test_bloom_empty_filter_probe(spark):
+    """Probing against an empty filter: nothing might_contain (the
+    empty-map coalesce guard)."""
+    from pidb_rdf_spark.operators import bloom_build, bloom_probe
+
+    empty = spark.createDataFrame([], "id long, text string")
+    bloom = bloom_build(empty, "text")
+    probed = bloom_probe(
+        spark.createDataFrame([(1, "x")], ["id", "text"]), bloom, "text"
+    )
+    rows = probed.collect()
+    assert len(rows) == 1 and rows[0]["might_contain"] is False
+
+
+def test_bloom_bit_math_matches_duckdb(spark):
+    """The determinism contract: Spark's bit positions and word masks
+    equal DuckDB's for the same values — collisions replay exactly."""
+    import duckdb
+
+    from pidb_rdf_spark.operators import bloom_build
+
+    vals = [f"v{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], ["text"])
+    got = {
+        (r["word"], r["bits"])
+        for r in bloom_build(df, "text", m_bits=1 << 10, k_hashes=3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            """
+            WITH v AS (SELECT unnest([{vals}]) AS text),
+            pos AS (
+                SELECT (('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT
+                        % 1024) AS p
+                FROM v, (SELECT unnest([0,1,2]) AS i)
+            )
+            SELECT (p // 32) AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+            FROM pos GROUP BY 1
+            """.replace("{vals}", ",".join(f"'{v}'" for v in vals))
+        ).fetchall()
+    }
+    assert got == want
