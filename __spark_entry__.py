@@ -83,12 +83,19 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # distinct_projection / sparql_minus / exists_semi / not_exists_anti
 # / path_optional_hop / subselect_nation_order_counts, which exercise
 # the same _apply_filter/_func_col code lines.
-# r06 TODO: the window is full at 50, so three r5-built operators are
-# pytest-only and OWE entries next round — bloom_build/bloom_probe
-# (operators/membership.py; oracle = the same md5 bit math in DuckDB,
-# already pinned cross-engine in tests), user_stats
-# (streaming/events.py; oracle = plain GROUP BY user_id), and
-# kmeans cluster assignment (reuse _ivf_probe_sql's assign CTEs).
+# Late-r5 window rebalance: the three r5-built operators that briefly
+# owed entries (bloom_build/bloom_probe -> bloom_membership, user_stats
+# -> user_stats_events, kmeans assignment -> kmeans_assign) are now
+# registered and IN-WINDOW (new entries are never deferred). Room was
+# made by deferring three MORE r4-green entries whose DISTINCTIVE
+# compile branches the r5 diff does not touch — construct_derived_edges
+# (CONSTRUCT tail), sparql_values (VALUES compile), and
+# subselect_nation_order_counts (subselect branch); the compiler lines
+# r5 DID touch (_term_kinds hooks, _apply_filter flag-join, _func_col)
+# are on the shared path still exercised in-window by bgp_three_hop,
+# filter_order_limit, agg_full, sparql_bind, exists_semi,
+# not_exists_anti, sparql_minus, path_* and group_concat_nations.
+# r06 TODO: all 34 deferred entries return to the window as usual.
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",
@@ -131,6 +138,12 @@ _DEFER_TO_TAIL = [
     "optional_left_join",
     # r4-green, untouched compile-tail dropDuplicates
     "distinct_projection",
+    # r4-green; CONSTRUCT tail / VALUES compile / subselect branch are
+    # r5-untouched (see the rebalance note above) — deferred to make
+    # window room for the three new in-window entries
+    "construct_derived_edges",
+    "sparql_values",
+    "subselect_nation_order_counts",
     # r4-green; analytics.connected_components untouched in r5 and the
     # star variant re-proves the identical contract + oracle in-window
     "connected_components_regions",
@@ -1342,6 +1355,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup_events"] = stream_dedup_events
 
+    def user_stats_events(spark, sf_dir):
+        """Per-user lifetime stats — the batch twin of the
+        applyInPandasWithState streaming operator (stream≡batch pinned
+        in tests/test_streaming.py); one map-side-combinable shuffle."""
+        from pidb_rdf_spark.streaming import user_stats
+
+        out = user_stats(_events(spark, sf_dir))
+        return out.select(
+            "user_id",
+            "n_events",
+            "sum_cents",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_s"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_s"),
+        )
+
+    q["user_stats_events"] = user_stats_events
+
+    def kmeans_assign(spark, sf_dir):
+        """Driver-trained Lloyd's centroids + distributed Arrow-batched
+        nearest-centroid assignment (the IVF building block, exposed as
+        its own operator); oracle = the same k-means unrolled in SQL."""
+        from pidb_rdf_spark.operators import assign_clusters, kmeans_centroids
+
+        emb = _emb(spark, sf_dir)
+        cents = kmeans_centroids(emb, n_clusters=8, iters=2)
+        return assign_clusters(emb, cents).select(
+            "vec_id", F.col("cluster").cast("long").alias("cluster")
+        )
+
+    q["kmeans_assign"] = kmeans_assign
+
+    def bloom_membership(spark, sf_dir):
+        """Bloom-filter membership (incremental dedup at scale): build
+        on every 10th document, probe ALL documents. Deterministic
+        md5 bit math on both engines, so even the false positives
+        replay exactly in the oracle (parity pinned in
+        tests/test_pipeline_ops.py::test_bloom_bit_math_matches_duckdb)."""
+        from pidb_rdf_spark.operators import bloom_build, bloom_probe
+
+        docs = _docs(spark, sf_dir)
+        members = docs.filter(F.col("doc_id") % 10 == 0)
+        bloom = bloom_build(members, "text", m_bits=1 << 16, k_hashes=5)
+        return bloom_probe(
+            docs, bloom, "text", m_bits=1 << 16, k_hashes=5
+        ).select("doc_id", "might_contain")
+
+    q["bloom_membership"] = bloom_membership
+
     return _rotate_checked_window(q)
 
 
@@ -1486,28 +1547,14 @@ FROM r{n_iter}
 """
 
 
-def _ivf_probe_sql(
-    query_pred: str,
-    k: int,
-    n_clusters: int = 8,
-    iters: int = 2,
-    nprobe: int = 2,
-) -> str:
-    """The ENTIRE deterministic IVF pipeline unrolled in DuckDB SQL:
-    Lloyd's k-means (init = lowest-id vectors, ``iters`` update
-    steps), nearest-centroid assignment, per-query ``nprobe`` probe
-    list, and cosine top-k over probed clusters only — mirroring
-    ``operators.similarity.kmeans_centroids``/``ivf_search``
-    step-for-step (same argmin tie-break: distance then cluster id).
-    Verified row-identical to a numpy re-implementation at sf0.01."""
-    assign_tpl = """
+_KM_ASSIGN_TPL = """
   SELECT vec_id, cl FROM (
     SELECT v.vec_id, c.cl,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY list_distance(v.e, c.e), c.cl) AS rn
     FROM v CROSS JOIN {cent} c) WHERE rn = 1
 """
-    update_tpl = """
+_KM_UPDATE_TPL = """
   SELECT cl, list(m ORDER BY dim) AS e FROM (
     SELECT a.cl, u.dim, AVG(u.val) AS m
     FROM {assign} a JOIN v USING (vec_id),
@@ -1515,6 +1562,16 @@ def _ivf_probe_sql(
                          unnest(v.e) AS val) u
     GROUP BY a.cl, u.dim) GROUP BY cl
 """
+
+
+def _kmeans_ctes(n_clusters: int, iters: int) -> list[str]:
+    """Shared CTE prefix: deterministic Lloyd's k-means (init =
+    lowest-id vectors, ``iters`` update steps) + final nearest-
+    centroid assignment as ``assigned`` — mirroring
+    ``operators.similarity.kmeans_centroids``/``assign_clusters``
+    step-for-step (same argmin tie-break: distance then cluster id).
+    Consumed by ``_ivf_probe_sql`` (which probes on ``c{iters}``)
+    and ``_kmeans_assign_sql`` (which projects ``assigned``)."""
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"""c0 AS (
@@ -1523,11 +1580,36 @@ def _ivf_probe_sql(
 )""",
     ]
     for i in range(1, iters + 1):
-        ctes.append(f"a{i} AS ({assign_tpl.format(cent=f'c{i - 1}')})")
-        ctes.append(f"c{i} AS ({update_tpl.format(assign=f'a{i}')})")
+        ctes.append(f"a{i} AS ({_KM_ASSIGN_TPL.format(cent=f'c{i - 1}')})")
+        ctes.append(f"c{i} AS ({_KM_UPDATE_TPL.format(assign=f'a{i}')})")
+    ctes.append(f"assigned AS ({_KM_ASSIGN_TPL.format(cent=f'c{iters}')})")
+    return ctes
+
+
+def _kmeans_assign_sql(n_clusters: int = 8, iters: int = 2) -> str:
+    """Full-corpus nearest-centroid assignment, k-means unrolled —
+    the oracle twin of ``assign_clusters(emb, kmeans_centroids(emb))``."""
+    return f"""
+WITH {",".join(_kmeans_ctes(n_clusters, iters))}
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM assigned
+"""
+
+
+def _ivf_probe_sql(
+    query_pred: str,
+    k: int,
+    n_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> str:
+    """The ENTIRE deterministic IVF pipeline unrolled in DuckDB SQL:
+    the shared k-means/assignment prefix (``_kmeans_ctes``), per-query
+    ``nprobe`` probe list, and cosine top-k over probed clusters only —
+    mirroring ``operators.similarity.ivf_search``. Verified
+    row-identical to a numpy re-implementation at sf0.01."""
+    ctes = _kmeans_ctes(n_clusters, iters)
     final_c = f"c{iters}"
     ctes += [
-        f"assigned AS ({assign_tpl.format(cent=final_c)})",
         f"q AS (SELECT vec_id AS query_id, e FROM v WHERE {query_pred})",
         f"""probes AS (
   SELECT query_id, cl FROM (
@@ -2200,6 +2282,40 @@ def _scale_extension_oracles() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    strftime(ts, '{tfmt}') AS ts_s
             FROM events
+        """,
+        "user_stats_events": f"""
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   strftime(MIN(ts), '{tfmt}') AS first_ts_s,
+                   strftime(MAX(ts), '{tfmt}') AS last_ts_s
+            FROM events GROUP BY user_id
+        """,
+        "kmeans_assign": _kmeans_assign_sql(n_clusters=8, iters=2),
+        "bloom_membership": """
+            WITH mem AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+            hs AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+            pos AS (
+                SELECT (('0x' || substr(md5(m.text || ':' || h.i), 1, 8))::BIGINT
+                        % 65536) AS p
+                FROM mem m, hs h),
+            words AS (
+                SELECT CAST(floor(p / 32) AS BIGINT) AS word,
+                       bit_or(CAST(pow(2.0, p % 32) AS BIGINT)) AS bits
+                FROM pos GROUP BY 1),
+            probe AS (
+                SELECT d.doc_id,
+                       (('0x' || substr(md5(d.text || ':' || h.i), 1, 8))::BIGINT
+                        % 65536) AS p
+                FROM documents d, hs h)
+            SELECT pr.doc_id,
+                   bool_and(
+                       (coalesce(w.bits, 0)
+                        & CAST(pow(2.0, pr.p % 32) AS BIGINT)) <> 0
+                   ) AS might_contain
+            FROM probe pr
+            LEFT JOIN words w ON w.word = CAST(floor(pr.p / 32) AS BIGINT)
+            GROUP BY pr.doc_id
         """,
         "stratified_sample_docs": f"""
             SELECT doc_id, lang FROM documents

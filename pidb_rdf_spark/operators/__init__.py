@@ -36,6 +36,7 @@ from pidb_rdf_spark.operators.quantize import (
 from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
 from pidb_rdf_spark.operators.scrub import chunk_documents, pii_scrub
 from pidb_rdf_spark.operators.similarity import (
+    assign_clusters,
     cosine_topk,
     ivf_search,
     ivf_search_indexed,
@@ -86,6 +87,7 @@ __all__ = [
     "pq_topk",
     "bm25_search",
     "tfidf_top_terms",
+    "assign_clusters",
     "ivf_search",
     "ivf_search_indexed",
     "save_ivf_index",
