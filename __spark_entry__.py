@@ -83,19 +83,23 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # distinct_projection / sparql_minus / exists_semi / not_exists_anti
 # / path_optional_hop / subselect_nation_order_counts, which exercise
 # the same _apply_filter/_func_col code lines.
-# Late-r5 window rebalance: the three r5-built operators that briefly
-# owed entries (bloom_build/bloom_probe -> bloom_membership, user_stats
-# -> user_stats_events, kmeans assignment -> kmeans_assign) are now
-# registered and IN-WINDOW (new entries are never deferred). Room was
-# made by deferring three MORE r4-green entries whose DISTINCTIVE
-# compile branches the r5 diff does not touch — construct_derived_edges
-# (CONSTRUCT tail), sparql_values (VALUES compile), and
-# subselect_nation_order_counts (subselect branch); the compiler lines
-# r5 DID touch (_term_kinds hooks, _apply_filter flag-join, _func_col)
-# are on the shared path still exercised in-window by bgp_three_hop,
-# filter_order_limit, agg_full, sparql_bind, exists_semi,
-# not_exists_anti, sparql_minus, path_* and group_concat_nations.
-# r06 TODO: all 34 deferred entries return to the window as usual.
+# Late-r5 window rebalance: five new in-window entries (new entries
+# are never deferred) — the three operators that briefly owed entries
+# (bloom_build/bloom_probe -> bloom_membership, user_stats ->
+# user_stats_events, kmeans assignment -> kmeans_assign) plus
+# json_props_extract (new semistructured.py operator) and
+# curation_pipeline (dedup->lang->gopher composition). Room was made
+# by deferring five MORE r4-green entries whose DISTINCTIVE compile
+# branches the r5 diff does not touch — construct_derived_edges
+# (CONSTRUCT tail), sparql_values (VALUES compile),
+# subselect_nation_order_counts (subselect branch), path_seq_region
+# (path-SEQ) and path_inverse_alt_members (path-INVERSE/ALT); the
+# compiler lines r5 DID touch (_term_kinds hooks, _apply_filter
+# flag-join, _func_col) are on the shared path still exercised
+# in-window by bgp_three_hop, filter_order_limit, agg_full,
+# sparql_bind, exists_semi, not_exists_anti, sparql_minus,
+# path_plus_reachability, path_optional_hop and group_concat_nations.
+# r06 TODO: all 36 deferred entries return to the window as usual.
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",
@@ -144,6 +148,13 @@ _DEFER_TO_TAIL = [
     "construct_derived_edges",
     "sparql_values",
     "subselect_nation_order_counts",
+    # r4-green; the path-SEQ and path-INVERSE/ALT compile branches are
+    # r5-untouched — deferred for the json_props_extract /
+    # curation_pipeline window slots; path_plus_reachability and
+    # path_optional_hop keep the property-path compile region proven
+    # in-window
+    "path_seq_region",
+    "path_inverse_alt_members",
     # r4-green; analytics.connected_components untouched in r5 and the
     # star variant re-proves the identical contract + oracle in-window
     "connected_components_regions",
@@ -1403,6 +1414,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_membership"] = bloom_membership
 
+    def json_props_extract(spark, sf_dir):
+        """Typed field extraction from the events table's JSON payload
+        column — from_json with an explicit schema, parsed inside
+        codegen (no Python, no shuffle); malformed/missing -> NULL."""
+        from pidb_rdf_spark.operators import json_extract_fields
+
+        ev = _events(spark, sf_dir)
+        return json_extract_fields(ev, "props", {"k": "int"}).select(
+            "event_id", "k"
+        )
+
+    q["json_props_extract"] = json_props_extract
+
+    def curation_pipeline(spark, sf_dir):
+        """End-to-end training-data curation: exact dedup (keep lowest
+        doc_id per identical text) -> language ID -> Gopher quality
+        rules, composed from the individually-verified operators into
+        the selection a real corpus build would run. One extra
+        broadcast-sized join per stage; each stage's own entry pins
+        its semantics, this entry pins the composition."""
+        from pidb_rdf_spark.operators import (
+            exact_dedup,
+            gopher_quality,
+            language_id,
+        )
+
+        docs = _docs(spark, sf_dir)
+        canon = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        kept = docs.join(canon, "doc_id", "leftsemi")
+        lang = language_id(kept).select("doc_id", "lang_pred")
+        gq = gopher_quality(kept).select("doc_id", "n_words", "passes_gopher")
+        return (
+            lang.join(gq, "doc_id")
+            .withColumn(
+                "selected",
+                (F.col("lang_pred") == "en") & F.col("passes_gopher"),
+            )
+            .select("doc_id", "lang_pred", "n_words", "passes_gopher", "selected")
+        )
+
+    q["curation_pipeline"] = curation_pipeline
+
     return _rotate_checked_window(q)
 
 
@@ -2292,6 +2345,73 @@ def _scale_extension_oracles() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "kmeans_assign": _kmeans_assign_sql(n_clusters=8, iters=2),
+        "json_props_extract": """
+            SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+            FROM events
+        """,
+        "curation_pipeline": f"""
+            WITH canon AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            kept AS (
+                SELECT d.* FROM documents d
+                JOIN canon USING (doc_id)
+            ),
+            toks AS (
+                SELECT doc_id, list_distinct({_TOKS}) AS t FROM kept
+            ),
+            lang AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+                            WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+                            WHEN s_en >= s_fr THEN 'en'
+                            ELSE 'fr' END AS lang_pred
+                FROM (
+                    SELECT doc_id,
+                           len(list_intersect(t, {en})) AS s_en,
+                           len(list_intersect(t, {de})) AS s_de,
+                           len(list_intersect(t, {fr})) AS s_fr
+                    FROM toks)
+            ),
+            w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS words
+                FROM kept
+            ),
+            gq AS (
+                SELECT doc_id, n_words,
+                       (n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_word_ratio < 0.1
+                        AND alpha_word_frac > 0.8
+                        AND n_required_stopwords >= 2) AS passes_gopher
+                FROM (
+                    SELECT doc_id,
+                           CAST(len(words) AS BIGINT) AS n_words,
+                           CAST(list_sum(list_transform(words,
+                                    x -> CAST(strlen(x) AS BIGINT)))
+                                AS DOUBLE)
+                               / greatest(len(words), 1) AS mean_word_len,
+                           CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                                AS DOUBLE)
+                               / greatest(len(words), 1) AS symbol_word_ratio,
+                           CAST(len(list_filter(words,
+                                    x -> regexp_matches(x, '[A-Za-z]')))
+                                AS DOUBLE)
+                               / greatest(len(words), 1) AS alpha_word_frac,
+                           CAST(len(list_intersect(
+                                    list_distinct(list_transform(words,
+                                                                 x -> lower(x))),
+                                    ['the','be','to','of','and','that',
+                                     'have','with'])) AS BIGINT)
+                               AS n_required_stopwords
+                    FROM w)
+            )
+            SELECT l.doc_id, l.lang_pred, g.n_words, g.passes_gopher,
+                   (l.lang_pred = 'en' AND g.passes_gopher) AS selected
+            FROM lang l JOIN gq g USING (doc_id)
+        """,
         "bloom_membership": """
             WITH mem AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
             hs AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),

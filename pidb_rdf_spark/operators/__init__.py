@@ -35,6 +35,10 @@ from pidb_rdf_spark.operators.quantize import (
 )
 from pidb_rdf_spark.operators.ranking import bm25_search, tfidf_top_terms
 from pidb_rdf_spark.operators.scrub import chunk_documents, pii_scrub
+from pidb_rdf_spark.operators.semistructured import (
+    json_extract_fields,
+    json_kv_explode,
+)
 from pidb_rdf_spark.operators.similarity import (
     assign_clusters,
     cosine_topk,
@@ -87,6 +91,8 @@ __all__ = [
     "pq_topk",
     "bm25_search",
     "tfidf_top_terms",
+    "json_extract_fields",
+    "json_kv_explode",
     "assign_clusters",
     "ivf_search",
     "ivf_search_indexed",

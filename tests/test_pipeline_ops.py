@@ -1015,3 +1015,75 @@ def test_bloom_bit_math_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) extraction
+# ---------------------------------------------------------------------------
+
+
+def test_json_extract_fields_typed(spark):
+    from pidb_rdf_spark.operators import json_extract_fields
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "a"}'),
+            (2, '{"k": 9}'),          # missing key -> NULL
+            (3, "not json at all"),    # malformed -> NULLs, no job failure
+            (4, None),                 # null payload
+        ],
+        ["id", "props"],
+    )
+    out = {
+        r["id"]: (r["k"], r["tag"])
+        for r in json_extract_fields(
+            df, "props", {"k": "int", "tag": "string"}
+        ).collect()
+    }
+    assert out[1] == (7, "a")
+    assert out[2] == (9, None)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_json_extract_fields_drop_source_and_empty(spark):
+    import pytest
+
+    from pidb_rdf_spark.operators import json_extract_fields
+
+    df = spark.createDataFrame([(1, '{"k": 1}')], ["id", "props"])
+    cols = json_extract_fields(df, "props", {"k": "int"}, drop_source=True).columns
+    assert cols == ["id", "k"]
+    with pytest.raises(ValueError):
+        json_extract_fields(df, "props", {})
+
+
+def test_json_kv_explode_open_schema(spark):
+    from pidb_rdf_spark.operators import json_kv_explode
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, "{}"), (3, None)], ["id", "props"]
+    )
+    rows = {
+        (r["id"], r["key"], r["value"])
+        for r in json_kv_explode(df, "props").collect()
+    }
+    # scalar values verbatim; empty/null objects keep the row (explode_outer)
+    assert (1, "a", "1") in rows and (1, "b", "x") in rows
+    assert (2, None, None) in rows and (3, None, None) in rows
+
+
+def test_json_extract_stays_jvm_side(spark):
+    """The parse must be a codegen'd projection: no BatchEvalPython /
+    shuffle in the plan."""
+    from pidb_rdf_spark.operators import json_extract_fields
+
+    df = spark.createDataFrame([(1, '{"k": 1}')], ["id", "props"])
+    plan = (
+        json_extract_fields(df, "props", {"k": "int"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
