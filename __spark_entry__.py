@@ -83,23 +83,28 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # distinct_projection / sparql_minus / exists_semi / not_exists_anti
 # / path_optional_hop / subselect_nation_order_counts, which exercise
 # the same _apply_filter/_func_col code lines.
-# Late-r5 window rebalance: five new in-window entries (new entries
+# Late-r5 window rebalance: eight new in-window entries (new entries
 # are never deferred) — the three operators that briefly owed entries
 # (bloom_build/bloom_probe -> bloom_membership, user_stats ->
 # user_stats_events, kmeans assignment -> kmeans_assign) plus
-# json_props_extract (new semistructured.py operator) and
-# curation_pipeline (dedup->lang->gopher composition). Room was made
-# by deferring five MORE r4-green entries whose DISTINCTIVE compile
+# json_props_extract (new semistructured.py), curation_pipeline
+# (dedup->lang->gopher composition), rollup_event_counts (new
+# hierarchical rollup), kmv_distinct_users (new KMV sketch) and
+# sssp_region_orders (new weighted Bellman-Ford). Room was made by
+# deferring eight MORE r4-green entries whose DISTINCTIVE compile
 # branches the r5 diff does not touch — construct_derived_edges
-# (CONSTRUCT tail), sparql_values (VALUES compile),
-# subselect_nation_order_counts (subselect branch), path_seq_region
-# (path-SEQ) and path_inverse_alt_members (path-INVERSE/ALT); the
-# compiler lines r5 DID touch (_term_kinds hooks, _apply_filter
-# flag-join, _func_col) are on the shared path still exercised
-# in-window by bgp_three_hop, filter_order_limit, agg_full,
-# sparql_bind, exists_semi, not_exists_anti, sparql_minus,
-# path_plus_reachability, path_optional_hop and group_concat_nations.
-# r06 TODO: all 36 deferred entries return to the window as usual.
+# (CONSTRUCT tail), sparql_values (VALUES), subselect_nation_order_
+# counts (subselect), path_seq_region (path-SEQ), path_inverse_alt_
+# members (path-INVERSE/ALT), dsl_two_hop_group + gremlin_repeat_until
+# (dsl.py's only r5 diff is the added match() method; gremlin_match
+# re-proves the shared traversal core in-window) and
+# group_concat_nations (GROUP_CONCAT branch; aggregates re-proven by
+# agg_full); the compiler lines r5 DID touch (_term_kinds hooks,
+# _apply_filter flag-join, _func_col) stay exercised in-window by
+# bgp_three_hop, filter_order_limit, agg_full, sparql_bind,
+# exists_semi, not_exists_anti, sparql_minus, path_plus_reachability
+# and path_optional_hop.
+# r06 TODO: all 39 deferred entries return to the window as usual.
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",
@@ -155,6 +160,16 @@ _DEFER_TO_TAIL = [
     # in-window
     "path_seq_region",
     "path_inverse_alt_members",
+    # r4-green; dsl.py's ONLY r5 diff is the added match() method (own
+    # in-window entry gremlin_match re-proves the shared traversal
+    # core), so the out/in/group and repeat/until code lines these two
+    # exercise are r5-untouched — deferred for the rollup/kmv/sssp
+    # window slots
+    "dsl_two_hop_group",
+    "gremlin_repeat_until",
+    # r4-green; GROUP_CONCAT's aggregate branch is r5-untouched and the
+    # aggregate compile path stays proven in-window by agg_full
+    "group_concat_nations",
     # r4-green; analytics.connected_components untouched in r5 and the
     # star variant re-proves the identical contract + oracle in-window
     "connected_components_regions",
@@ -1456,6 +1471,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = curation_pipeline
 
+    def rollup_event_counts(spark, sf_dir):
+        """Hierarchical time rollup (continuous-aggregate shape): the
+        day level re-aggregates the hour level's partials — raw table
+        scanned/shuffled once, pinned by a plan test."""
+        from pidb_rdf_spark.streaming import rollup_counts
+
+        out = rollup_counts(_events(spark, sf_dir), units=("hour", "day"))
+        return out.select(
+            "level",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+            F.col("key").alias("event_type"),
+            "n_events",
+            "sum_cents",
+        )
+
+    q["rollup_event_counts"] = rollup_event_counts
+
+    def kmv_distinct_users(spark, sf_dir):
+        """K-minimum-values distinct-user sketch per event type
+        (k=32 < 150 true users, so the (k-1)/h_k estimator path runs,
+        not the exact-count fallback). Deterministic md5-derived
+        hashes: the k-th minimum and the estimate replay bit-for-bit
+        in the oracle."""
+        from pidb_rdf_spark.operators import kmv_distinct
+
+        return kmv_distinct(
+            _events(spark, sf_dir), "user_id", k=32, by=["event_type"]
+        )
+
+    q["kmv_distinct_users"] = kmv_distinct_users
+
+    def sssp_region_orders(spark, sf_dir):
+        """Weighted single-source shortest paths (bounded Bellman-Ford)
+        over the region-1 commerce subgraph, undirected. The graph has
+        real path diversity: an order reaches the region via its
+        customer's nation OR via a contracted order->supplier edge
+        (DISTINCT lineitem pairs; lineitem node ids are xxhash64-based
+        and not SQL-reconstructible, the contraction is). Weights are
+        (key_a + key_b) % 5 + 1 — derived from entity keys so both
+        engines build the identical weighted graph. Both sides run
+        8 relax rounds (fixpoint is at 6 on this graph at sf0.01 AND
+        sf0.1, verified by r_i == r_{i+1} diffs in DuckDB; Spark
+        early-exits there); after i rounds dist = min cost over
+        <=i-edge paths on either engine, so equality holds converged
+        or not."""
+        from pidb_rdf_spark.analytics import sssp
+
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+            F.col("n_regionkey") == 1
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").join(
+            nat, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").join(
+            nat, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").join(
+            cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+            .dropDuplicates()
+            .join(
+                orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                supp.select("s_suppkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+        )
+
+        def uri(pfx, c):
+            return F.concat(F.lit(f"urn:{pfx}:"), F.col(c).cast("string"))
+
+        def w(a, b):
+            return ((F.col(a) + F.col(b)) % 5 + 1).alias("weight")
+
+        edges = (
+            nat.select(
+                uri("nation", "n_nationkey").alias("src"),
+                uri("region", "n_regionkey").alias("dst"),
+                w("n_nationkey", "n_regionkey"),
+            )
+            .unionByName(
+                cust.select(
+                    uri("customer", "c_custkey").alias("src"),
+                    uri("nation", "c_nationkey").alias("dst"),
+                    w("c_custkey", "c_nationkey"),
+                )
+            )
+            .unionByName(
+                supp.select(
+                    uri("supplier", "s_suppkey").alias("src"),
+                    uri("nation", "s_nationkey").alias("dst"),
+                    w("s_suppkey", "s_nationkey"),
+                )
+            )
+            .unionByName(
+                orders.select(
+                    uri("orders", "o_orderkey").alias("src"),
+                    uri("customer", "o_custkey").alias("dst"),
+                    w("o_orderkey", "o_custkey"),
+                )
+            )
+            .unionByName(
+                li.select(
+                    uri("orders", "l_orderkey").alias("src"),
+                    uri("supplier", "l_suppkey").alias("dst"),
+                    w("l_orderkey", "l_suppkey"),
+                )
+            )
+        )
+        sources = spark.createDataFrame([("urn:region:1",)], ["node"])
+        return sssp(edges, sources, directed=False, max_iter=8).select(
+            F.col("node").alias("node_uri"), "dist"
+        )
+
+    q["sssp_region_orders"] = sssp_region_orders
+
     return _rotate_checked_window(q)
 
 
@@ -1645,6 +1781,65 @@ def _kmeans_assign_sql(n_clusters: int = 8, iters: int = 2) -> str:
     return f"""
 WITH {",".join(_kmeans_ctes(n_clusters, iters))}
 SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM assigned
+"""
+
+
+def _sssp_region_sql(rounds: int = 12) -> str:
+    """Bounded Bellman-Ford unrolled: round i = min cost over paths of
+    <= i edges — exactly the invariant ``analytics.sssp`` maintains,
+    so ``rounds`` here must equal the entry's ``max_iter``."""
+    ctes = [
+        "nat AS (SELECT n_nationkey, n_regionkey FROM nation"
+        " WHERE n_regionkey = 1)",
+        "cust AS (SELECT c_custkey, c_nationkey FROM customer"
+        " JOIN nat ON c_nationkey = n_nationkey)",
+        "supp AS (SELECT s_suppkey, s_nationkey FROM supplier"
+        " JOIN nat ON s_nationkey = n_nationkey)",
+        "ords AS (SELECT o_orderkey, o_custkey FROM orders"
+        " JOIN cust ON o_custkey = c_custkey)",
+        "li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem"
+        " JOIN ords ON l_orderkey = o_orderkey"
+        " JOIN supp ON l_suppkey = s_suppkey)",
+        """e0 AS (
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+         'urn:region:' || CAST(n_regionkey AS VARCHAR) AS dst,
+         (n_nationkey + n_regionkey) % 5 + 1 AS w FROM nat
+  UNION ALL
+  SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+         'urn:nation:' || CAST(c_nationkey AS VARCHAR),
+         (c_custkey + c_nationkey) % 5 + 1 FROM cust
+  UNION ALL
+  SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+         'urn:nation:' || CAST(s_nationkey AS VARCHAR),
+         (s_suppkey + s_nationkey) % 5 + 1 FROM supp
+  UNION ALL
+  SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR),
+         'urn:customer:' || CAST(o_custkey AS VARCHAR),
+         (o_orderkey + o_custkey) % 5 + 1 FROM ords
+  UNION ALL
+  SELECT 'urn:orders:' || CAST(l_orderkey AS VARCHAR),
+         'urn:supplier:' || CAST(l_suppkey AS VARCHAR),
+         (l_orderkey + l_suppkey) % 5 + 1 FROM li
+)""",
+        # MATERIALIZED: every round references e (and r{i-1} twice);
+        # inlined CTEs would re-open the parquet scans per reference
+        # and exhaust the fd limit at 8+ unrolled rounds
+        "e AS MATERIALIZED (SELECT src, dst, w FROM e0"
+        " UNION ALL SELECT dst, src, w FROM e0)",
+        "r0 AS (SELECT 'urn:region:1' AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM r{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + e.w AS dist
+    FROM r{i - 1} r JOIN e ON e.src = r.node) GROUP BY node)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT node AS node_uri, dist FROM r{rounds}
 """
 
 
@@ -2345,6 +2540,46 @@ def _scale_extension_oracles() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "kmeans_assign": _kmeans_assign_sql(n_clusters=8, iters=2),
+        "rollup_event_counts": f"""
+            SELECT 'hour' AS level,
+                   strftime(date_trunc('hour', ts), '{tfmt}') AS bucket_s,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day',
+                   strftime(date_trunc('day', ts), '{tfmt}'),
+                   event_type, COUNT(*),
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            FROM events GROUP BY 2, 3
+        """,
+        "kmv_distinct_users": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                           ::BIGINT / 4503599627370496.0 AS hh
+                FROM events
+            ),
+            mins AS (
+                SELECT event_type, hh,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hh) AS rn
+                FROM h
+            ),
+            est AS (
+                SELECT event_type, COUNT(*) AS n_distinct,
+                       MAX(CASE WHEN rn = 32 THEN hh END) AS hk
+                FROM mins GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(LEAST(n_distinct, 32) AS BIGINT) AS n_hashes,
+                   round(CASE WHEN n_distinct < 32
+                              THEN CAST(n_distinct AS DOUBLE)
+                              ELSE 31.0 / hk END, 4) AS distinct_est
+            FROM est
+        """,
+        "sssp_region_orders": _sssp_region_sql(rounds=8),
         "json_props_extract": """
             SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
             FROM events

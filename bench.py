@@ -81,10 +81,17 @@ def main() -> None:
 
     triples = graph_to_triples(graphify(spark, SF_DIR)).cache()
     n_triples = triples.count()
-    t0 = time.perf_counter()
-    g2 = import_triples(spark, triples)
-    _ = g2.nodes.count() + g2.edges.count()
-    import_sec = time.perf_counter() - t0
+    # min over the same reps as the queries: the import runs after
+    # ~250 query executions, so a single shot inherits whatever GC /
+    # compaction debt the prelude left behind (r3 and r5 both showed
+    # ~12% single-shot dips on an untouched import path)
+    import_sec = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g2 = import_triples(spark, triples)
+        _ = g2.nodes.count() + g2.edges.count()
+        dt = time.perf_counter() - t0
+        import_sec = dt if import_sec is None else min(import_sec, dt)
     triples.unpersist()
 
     total = round(sum(timings.values()), 4)

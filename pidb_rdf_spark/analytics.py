@@ -253,6 +253,88 @@ def shortest_hops(
     return dist
 
 
+def sssp(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    directed: bool = True,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, dist) = minimum-cost distance from the nearest source
+    node — bounded Bellman-Ford with semi-naive frontiers.
+
+    Each round relaxes ONLY edges out of nodes whose distance improved
+    last round, so total work is O(edges touched by improvements), not
+    O(edges x rounds); the loop exits early at the fixpoint. After i
+    rounds ``dist`` equals the minimum cost over paths of <= i edges
+    (the same invariant whether relaxation is naive or semi-naive),
+    which is what makes the operator replayable: an oracle that
+    unrolls i naive rounds matches this exactly, converged or not.
+
+    Weights must be non-negative (Bellman-Ford relaxation converges
+    to shortest costs only without negative cycles; with bounded
+    rounds, negative edges would make the i-round invariant the only
+    guarantee). INTEGER weights recommended: min() over exact longs
+    is partition-order-independent, where float path sums can tie
+    apart by rounding. One shuffle per round (join on src + min-combine
+    on dst); ``localCheckpoint`` truncates lineage like the other
+    fixpoint loops here.
+    """
+    e = pairs.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    edges = e.localCheckpoint(eager=True)
+    dist = (
+        sources.select(
+            F.col(sources.columns[0]).alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        # ONE shuffle per round: merge the old distances with the
+        # relaxed candidates and take min(struct(dist, is_new)) per
+        # node — struct ordering breaks dist ties toward is_new=False
+        # (false < true), so is_new survives in the winner exactly
+        # when the node is newly reached or strictly improved. That
+        # folds candidate reduction, improvement detection, and the
+        # distance merge into a single aggregation.
+        cand = edges.join(
+            frontier.withColumnRenamed("node", "src"), on="src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(True).alias("is_new"),
+        )
+        merged = (
+            dist.withColumn("is_new", F.lit(False))
+            .unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "is_new")).alias("s"))
+            .select(
+                "node", F.col("s.dist").alias("dist"), F.col("s.is_new").alias("is_new")
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter("is_new").select("node", "dist")
+        if frontier.isEmpty():
+            return merged.select("node", "dist")
+        dist = merged.select("node", "dist")
+    return dist
+
+
 def pagerank(
     pairs: DataFrame,
     src: str = "src",

@@ -39,6 +39,7 @@ from pidb_rdf_spark.operators.semistructured import (
     json_extract_fields,
     json_kv_explode,
 )
+from pidb_rdf_spark.operators.sketch import approx_distinct, kmv_distinct
 from pidb_rdf_spark.operators.similarity import (
     assign_clusters,
     cosine_topk,
@@ -93,6 +94,8 @@ __all__ = [
     "tfidf_top_terms",
     "json_extract_fields",
     "json_kv_explode",
+    "approx_distinct",
+    "kmv_distinct",
     "assign_clusters",
     "ivf_search",
     "ivf_search_indexed",

@@ -1,0 +1,94 @@
+"""Distinct-count sketches.
+
+Two tiers, per the repo's standing pattern (SCALE.md "tiers"):
+
+- ``approx_distinct`` — Spark's native HyperLogLog++
+  (``approx_count_distinct``): bounded mergeable state, map-side
+  combinable, fully JVM-side. THE scale path for 100 TB cardinality
+  estimation; its exact register contents are implementation-defined,
+  so it is pinned by an error-bound test, not a value oracle.
+- ``kmv_distinct`` — a K-Minimum-Values sketch built from
+  deterministic md5-derived hashes, so every intermediate (the k
+  smallest hash values, the threshold, the estimate) replays
+  bit-for-bit in any engine — this is the ORACLE-CHECKABLE tier that
+  proves the sketch algebra. Its per-group state here is the distinct
+  hash set (same shuffle class as exact count-distinct); at scale one
+  keeps only the k smallest per partition via a custom aggregate —
+  the estimator and its guarantees are identical.
+
+KMV estimator (Bar-Yossef et al. 2002): with h uniform on [0,1) and
+h_k the k-th smallest distinct hash, E[h_k] ~ k/(n+1), so
+n_hat = (k-1)/h_k; when fewer than k distinct hashes exist the count
+of hashes IS the exact distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["approx_distinct", "kmv_distinct"]
+
+# 13 hex chars = 52 bits: the largest md5 prefix whose integer value
+# is exact in a double, so hash/2^52 is an exact dyadic in [0,1) and
+# every engine computes the identical estimate
+_KMV_BITS_DIV = float(1 << 52)
+
+
+def _unit_hash(col: Column) -> Column:
+    """Deterministic uniform-[0,1) hash: first 52 bits of md5."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    )
+    return h / F.lit(_KMV_BITS_DIV)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count estimate per ``by`` group.
+
+    Output: the ``by`` columns + ``n_hashes`` (min(k, distinct
+    hashes seen) — the sketch size actually used) + ``distinct_est``
+    (exact when the group has < k distinct values, else (k-1)/h_k,
+    rounded to 4 decimals so the dyadic division replays identically
+    everywhere).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    by = by or []
+    hashed = df.select(
+        *by, _unit_hash(F.col(col)).alias("__h")
+    ).dropDuplicates([*by, "__h"])
+    grouped = hashed.groupBy(*by) if by else hashed.groupBy()
+    mins = grouped.agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__mins")
+    )
+    n = F.size("__mins")
+    est = F.when(
+        n < k, n.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.element_at("__mins", k))
+    return mins.select(
+        *by,
+        n.cast("long").alias("n_hashes"),
+        F.round(est, 4).alias("distinct_est"),
+    )
+
+
+def approx_distinct(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ distinct count per ``by`` group (the 100 TB
+    tier): bounded state, map-side partials, no Python. ``rsd`` is
+    the target relative standard deviation."""
+    by = by or []
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    return grouped.agg(
+        F.approx_count_distinct(col, rsd).alias("distinct_approx")
+    )

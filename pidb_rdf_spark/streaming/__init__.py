@@ -1,6 +1,7 @@
 from pidb_rdf_spark.streaming.events import (
     asof_join,
     dedup_stream,
+    rollup_counts,
     sessionize,
     sessionize_stream,
     user_stats,
@@ -12,6 +13,7 @@ from pidb_rdf_spark.streaming.rdf_stream import stream_import_triples
 __all__ = [
     "asof_join",
     "dedup_stream",
+    "rollup_counts",
     "sessionize",
     "sessionize_stream",
     "user_stats",

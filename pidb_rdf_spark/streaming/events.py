@@ -355,3 +355,76 @@ def user_stats_stream(
             timeoutConf="NoTimeout",
         )
     )
+
+
+_ROLLUP_NESTING = ["minute", "hour", "day", "month", "year"]
+
+
+def rollup_counts(
+    events: DataFrame,
+    units: tuple[str, ...] = ("hour", "day"),
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hierarchical time-bucket rollup (the continuous-aggregate /
+    hypertable-rollup shape): counts + exact cent sums per key at
+    each granularity in ``units``, where every coarser level is
+    re-aggregated FROM THE PREVIOUS LEVEL'S PARTIALS, never from the
+    raw events.
+
+    That is the property that matters at 100 TB: the raw table is
+    scanned and shuffled exactly once (for the finest bucket); each
+    coarser level aggregates the already-tiny partial table (rows =
+    buckets x keys), so daily/monthly rollups cost milliseconds
+    regardless of raw volume. Sums are associative by construction
+    (integer cents, bigint counts), so partial re-aggregation is
+    exact — the same contract that makes the rollup incrementally
+    maintainable under Structured Streaming (append new finest
+    buckets, re-reduce the affected coarse buckets).
+
+    ``units`` must be ordered fine -> coarse with nesting buckets
+    (each unit's bucket boundary is also a boundary of the next;
+    'minute'/'hour'/'day'/'month'/'year' nest, 'week' does not nest
+    in 'month' and is rejected). Output: one row per
+    (level, bucket, key) with ``n_events`` and ``sum_cents``.
+    """
+    if not units:
+        raise ValueError("units must name at least one granularity")
+    order = [u for u in units]
+    idxs = []
+    for u in order:
+        if u not in _ROLLUP_NESTING:
+            raise ValueError(
+                f"unit {u!r} does not nest; choose from {_ROLLUP_NESTING}"
+            )
+        idxs.append(_ROLLUP_NESTING.index(u))
+    if idxs != sorted(idxs) or len(set(idxs)) != len(idxs):
+        raise ValueError("units must be strictly fine -> coarse")
+
+    finest = order[0]
+    cur = (
+        events.groupBy(
+            F.date_trunc(finest, F.col(ts_col).cast("timestamp")).alias(
+                "bucket"
+            ),
+            F.col(key_col).alias("key"),
+        ).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    out = cur.select(F.lit(finest).alias("level"), "*")
+    for unit in order[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(unit, F.col("bucket")).alias("bucket"), "key"
+            ).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+        )
+        out = out.unionByName(cur.select(F.lit(unit).alias("level"), "*"))
+    return out

@@ -142,3 +142,58 @@ def test_star_components_long_path(spark):
         (r["node"], r["component"]) for r in connected_components(df).collect()
     }
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+def _sssp_map(spark, edge_rows, sources, directed=True, max_iter=20):
+    from pidb_rdf_spark.analytics import sssp
+
+    e = spark.createDataFrame(edge_rows, ["src", "dst", "weight"])
+    s = spark.createDataFrame([(x,) for x in sources], ["node"])
+    return {
+        r["node"]: r["dist"]
+        for r in sssp(e, s, directed=directed, max_iter=max_iter).collect()
+    }
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # direct a->d costs 10; a->b->c->d costs 3
+    d = _sssp_map(
+        spark,
+        [("a", "d", 10), ("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        ["a"],
+    )
+    assert d == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_sssp_undirected_and_multi_source(spark):
+    d = _sssp_map(
+        spark,
+        [("a", "b", 2), ("c", "b", 1)],
+        ["a", "c"],
+        directed=False,
+    )
+    # b reached from c (cost 1), not a (cost 2)
+    assert d == {"a": 0, "c": 0, "b": 1}
+
+
+def test_sssp_unreachable_absent_and_bounded_rounds(spark):
+    d = _sssp_map(
+        spark, [("a", "b", 1), ("x", "y", 1)], ["a"], max_iter=1
+    )
+    # one round: only paths of <=1 edge; x/y unreachable -> absent
+    assert d == {"a": 0, "b": 1}
+
+
+def test_sssp_round_invariant_matches_naive(spark):
+    """After i rounds dist == min cost over paths of <= i edges — the
+    invariant the SQL oracle's unrolled rounds rely on."""
+    edges = [("s", "m", 5), ("s", "a", 1), ("a", "b", 1), ("b", "m", 1)]
+    d2 = _sssp_map(spark, edges, ["s"], max_iter=2)
+    assert d2["m"] == 5  # 3-edge cheap path not yet visible
+    d3 = _sssp_map(spark, edges, ["s"], max_iter=3)
+    assert d3["m"] == 3

@@ -1087,3 +1087,85 @@ def test_json_extract_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count sketches
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from pidb_rdf_spark.operators import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], ["v"]
+    )
+    r = kmv_distinct(df, "v", k=64).collect()[0]
+    assert r["n_hashes"] == 10 and r["distinct_est"] == 10.0
+
+
+def test_kmv_estimates_above_k(spark):
+    from pidb_rdf_spark.operators import kmv_distinct
+
+    n = 2000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], ["v"])
+    r = kmv_distinct(df, "v", k=128).collect()[0]
+    assert r["n_hashes"] == 128
+    # KMV rse ~ 1/sqrt(k-2) ~ 9%; allow 3 sigma
+    assert abs(r["distinct_est"] - n) / n < 0.27
+
+
+def test_kmv_grouped_matches_duckdb(spark):
+    """Full cross-engine replay: same hashes, same k-th minimum, same
+    estimate — the determinism contract behind the driver oracle."""
+    import duckdb
+
+    from pidb_rdf_spark.operators import kmv_distinct
+
+    rows = [("g1", f"x{i}") for i in range(50)] + [
+        ("g2", f"y{i}") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r["g"], r["n_hashes"], r["distinct_est"])
+        for r in kmv_distinct(df, "v", k=16, by=["g"]).collect()
+    }
+    vals = ", ".join(f"('{g}', '{v}')" for g, v in rows)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            WITH raw(g, v) AS (VALUES {vals}),
+            h AS (
+                SELECT DISTINCT g,
+                       ('0x' || substr(md5(v), 1, 13))::BIGINT
+                           / 4503599627370496.0 AS hh
+                FROM raw
+            ),
+            mins AS (
+                SELECT g, hh,
+                       row_number() OVER (PARTITION BY g ORDER BY hh) AS rn
+                FROM h
+            ),
+            est AS (
+                SELECT g, COUNT(*) AS n_distinct,
+                       MAX(CASE WHEN rn = 16 THEN hh END) AS hk
+                FROM mins GROUP BY g
+            )
+            SELECT g, CAST(LEAST(n_distinct, 16) AS BIGINT) AS n_hashes,
+                   round(CASE WHEN n_distinct < 16
+                              THEN CAST(n_distinct AS DOUBLE)
+                              ELSE 15.0 / hk END, 4) AS distinct_est
+            FROM est
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_approx_distinct_within_bound(spark):
+    from pidb_rdf_spark.operators import approx_distinct
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5000)], ["v"])
+    got = approx_distinct(df, "v", rsd=0.02).collect()[0]["distinct_approx"]
+    assert abs(got - 5000) / 5000 < 0.06  # 3 sigma at rsd=0.02

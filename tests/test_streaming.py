@@ -415,3 +415,71 @@ def test_user_stats_stream_on_batch_input(spark, events):
     a = {tuple(r) for r in user_stats_stream(events).collect()}
     b = {tuple(r) for r in user_stats(events).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_counts_levels_consistent(spark):
+    import datetime as dt
+
+    from pidb_rdf_spark.streaming import rollup_counts
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 5), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 10, 55), "a", 2.0),
+        (dt.datetime(2024, 1, 1, 23, 5), "a", 4.0),
+        (dt.datetime(2024, 1, 2, 0, 5), "a", 8.0),
+        (dt.datetime(2024, 1, 1, 10, 5), "b", 0.5),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = rollup_counts(df, units=("hour", "day"))
+    by = {
+        (r["level"], str(r["bucket"]), r["key"]): (r["n_events"], r["sum_cents"])
+        for r in out.collect()
+    }
+    assert by[("hour", "2024-01-01 10:00:00", "a")] == (2, 300)
+    assert by[("hour", "2024-01-01 23:00:00", "a")] == (1, 400)
+    assert by[("day", "2024-01-01 00:00:00", "a")] == (3, 700)
+    assert by[("day", "2024-01-02 00:00:00", "a")] == (1, 800)
+    assert by[("day", "2024-01-01 00:00:00", "b")] == (1, 50)
+    # day rows re-aggregate hour partials exactly: totals agree per key
+    hours = sum(v[1] for k, v in by.items() if k[0] == "hour" and k[2] == "a")
+    days = sum(v[1] for k, v in by.items() if k[0] == "day" and k[2] == "a")
+    assert hours == days == 1500
+
+
+def test_rollup_rejects_non_nesting_units(spark):
+    import pytest
+
+    from pidb_rdf_spark.streaming import rollup_counts
+
+    df = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+    with pytest.raises(ValueError):
+        rollup_counts(df, units=("day", "hour"))  # coarse -> fine
+    with pytest.raises(ValueError):
+        rollup_counts(df, units=("week",))  # non-nesting unit
+    with pytest.raises(ValueError):
+        rollup_counts(df, units=())
+
+
+def test_rollup_coarse_from_partials_plan(spark):
+    """The day level must scan the HOUR aggregate, not the raw table:
+    exactly one scan of the input in the full plan."""
+    import datetime as dt
+
+    from pidb_rdf_spark.streaming import rollup_counts
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 5), "a", 1.0)],
+        ["ts", "event_type", "value"],
+    )
+    plan = (
+        rollup_counts(df, units=("hour", "day"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LocalRelation") <= 2  # union of 2 levels, 1 scan each side max
