@@ -83,15 +83,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # distinct_projection / sparql_minus / exists_semi / not_exists_anti
 # / path_optional_hop / subselect_nation_order_counts, which exercise
 # the same _apply_filter/_func_col code lines.
-# Late-r5 window rebalance: eight new in-window entries (new entries
+# Late-r5 window rebalance: nine new in-window entries (new entries
 # are never deferred) — the three operators that briefly owed entries
 # (bloom_build/bloom_probe -> bloom_membership, user_stats ->
 # user_stats_events, kmeans assignment -> kmeans_assign) plus
 # json_props_extract (new semistructured.py), curation_pipeline
 # (dedup->lang->gopher composition), rollup_event_counts (new
 # hierarchical rollup), kmv_distinct_users (new KMV sketch) and
-# sssp_region_orders (new weighted Bellman-Ford). Room was made by
-# deferring eight MORE r4-green entries whose DISTINCTIVE compile
+# sssp_region_orders (new weighted Bellman-Ford) and
+# substring_dup_docs (new MOSS-winnowing substring dedup). Room was
+# made by deferring nine MORE r4-green entries whose DISTINCTIVE compile
 # branches the r5 diff does not touch — construct_derived_edges
 # (CONSTRUCT tail), sparql_values (VALUES), subselect_nation_order_
 # counts (subselect), path_seq_region (path-SEQ), path_inverse_alt_
@@ -99,12 +100,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # (dsl.py's only r5 diff is the added match() method; gremlin_match
 # re-proves the shared traversal core in-window) and
 # group_concat_nations (GROUP_CONCAT branch; aggregates re-proven by
-# agg_full); the compiler lines r5 DID touch (_term_kinds hooks,
-# _apply_filter flag-join, _func_col) stay exercised in-window by
-# bgp_three_hop, filter_order_limit, agg_full, sparql_bind,
-# exists_semi, not_exists_anti, sparql_minus, path_plus_reachability
+# agg_full) and exists_semi (leftsemi/leftanti share one compile line,
+# proven by not_exists_anti); the compiler lines r5 DID touch
+# (_term_kinds hooks, _apply_filter flag-join, _func_col) stay
+# exercised in-window by bgp_three_hop, filter_order_limit, agg_full,
+# sparql_bind, not_exists_anti, sparql_minus, path_plus_reachability
 # and path_optional_hop.
-# r06 TODO: all 39 deferred entries return to the window as usual.
+# r06 TODO: all 40 deferred entries return to the window as usual.
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",
@@ -170,6 +172,11 @@ _DEFER_TO_TAIL = [
     # r4-green; GROUP_CONCAT's aggregate branch is r5-untouched and the
     # aggregate compile path stays proven in-window by agg_full
     "group_concat_nations",
+    # r4-green; leftsemi and leftanti EXISTS compile through the SAME
+    # line (compiler.py `how = "leftanti" if negated else "leftsemi"`),
+    # and not_exists_anti stays in-window to prove it — deferred for
+    # the substring_dup_docs slot
+    "exists_semi",
     # r4-green; analytics.connected_components untouched in r5 and the
     # star variant re-proves the identical contract + oracle in-window
     "connected_components_regions",
@@ -1592,6 +1599,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sssp_region_orders"] = sssp_region_orders
 
+    def substring_dup_docs(spark, sf_dir):
+        """MOSS winnowing fingerprints -> exact-substring duplicate
+        pairs (Lee et al. 2022 substring dedup shape). Each even/odd
+        doc pair gets a planted >=40-char verbatim span (guaranteed
+        to share fingerprints: span >= w+k-1 = 23); the spans' shared
+        PREFIX/SUFFIX text appears in every doc, and max_df=20 drops
+        those corpus-wide fingerprints before the pair join — the
+        boilerplate guard doing its job is part of what the oracle
+        verifies. Deterministic md5 window-minima replay in SQL."""
+        from pidb_rdf_spark.operators import substring_dup_pairs
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" verbatim shared span "),
+                F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+                F.lit(" closing words here"),
+            ),
+        )
+        return substring_dup_pairs(docs, k=16, w=8, min_shared=2, max_df=20)
+
+    q["substring_dup_docs"] = substring_dup_docs
+
     return _rotate_checked_window(q)
 
 
@@ -2580,6 +2611,43 @@ def _scale_extension_oracles() -> dict[str, str]:
             FROM est
         """,
         "sssp_region_orders": _sssp_region_sql(rounds=8),
+        "substring_dup_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' verbatim shared span ' ||
+                       CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR) ||
+                       ' closing words here' AS text
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(length(text) - 15, 0)),
+                           i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 13))
+                                    ::BIGINT) AS hs
+                FROM d
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id AS id, s.fp AS fp_hash FROM (
+                    SELECT doc_id,
+                           list_transform(
+                               generate_series(1, greatest(len(hs) - 7, 0)),
+                               j -> struct_pack(
+                                   fp := list_min(list_slice(hs, j, j + 7)))) AS ps
+                    FROM h) p0, LATERAL (SELECT unnest(ps) AS s) u
+            ),
+            kept AS (
+                SELECT fp_hash FROM (
+                    SELECT fp_hash, COUNT(*) AS df FROM fps GROUP BY fp_hash)
+                WHERE df <= 20
+            ),
+            f2 AS (SELECT id, fp_hash FROM fps JOIN kept USING (fp_hash))
+            SELECT x.id AS a, y.id AS b,
+                   CAST(COUNT(DISTINCT x.fp_hash) AS BIGINT) AS n_shared
+            FROM f2 x JOIN f2 y ON x.fp_hash = y.fp_hash AND x.id < y.id
+            GROUP BY x.id, y.id
+            HAVING COUNT(DISTINCT x.fp_hash) >= 2
+        """,
         "json_props_extract": """
             SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
             FROM events

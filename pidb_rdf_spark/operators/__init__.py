@@ -40,6 +40,10 @@ from pidb_rdf_spark.operators.semistructured import (
     json_kv_explode,
 )
 from pidb_rdf_spark.operators.sketch import approx_distinct, kmv_distinct
+from pidb_rdf_spark.operators.winnow import (
+    substring_dup_pairs,
+    winnow_fingerprints,
+)
 from pidb_rdf_spark.operators.similarity import (
     assign_clusters,
     cosine_topk,
@@ -96,6 +100,8 @@ __all__ = [
     "json_kv_explode",
     "approx_distinct",
     "kmv_distinct",
+    "winnow_fingerprints",
+    "substring_dup_pairs",
     "assign_clusters",
     "ivf_search",
     "ivf_search_indexed",

@@ -1,0 +1,151 @@
+"""Winnowing fingerprints + exact-substring duplicate detection.
+
+The document-fingerprinting scheme of Schleimer/Wilkerson/Aiken
+(SIGMOD 2003, the MOSS algorithm), the standard tool for "these two
+documents share a literal substring" at corpus scale — the
+span-level complement of MinHash (whole-doc resemblance) and line
+dedup (line-exact): training-data work uses it to find long verbatim
+overlaps (Lee et al. 2022 substring dedup) without an all-pairs
+scan.
+
+Guarantee: with k-gram hashes and window w, any shared substring of
+length >= w + k - 1 produces at least one shared fingerprint
+(every length-w window keeps its minimum, and a substring that long
+contains a full window). Density ~ 2/(w+1) of positions.
+
+Everything is deterministic md5-derived hashing and windowed minima
+— built-in expressions, no Python — so the whole pipeline replays in
+any SQL engine for the oracle.
+
+Scale shape: fingerprint selection is one positional explode + one
+window pass partitioned by document; the pair step shuffles only
+(hash, doc_id) fingerprint rows, and ``max_df`` drops boilerplate
+hashes seen in too many docs (the same frequency-pruning idea as
+AllPairs prefix filtering) so a hot header line cannot create a
+quadratic bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["winnow_fingerprints", "substring_dup_pairs"]
+
+# 13 hex chars = 52 bits: exact in doubles and BIGINTs everywhere
+_HEX_CHARS = 13
+
+
+def _seq1(n: Column) -> Column:
+    """sequence(1, n), EMPTY when n < 1 — Spark's sequence() counts
+    DOWN when stop < start ([1, 0] for n=0), so the guard is load-
+    bearing for short/empty documents."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _kgram_hashes(text: Column, k: int) -> Column:
+    """Array of 52-bit k-gram hashes at every position (1-based)."""
+    return F.transform(
+        _seq1(F.length(text) - F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(text.substr(i, F.lit(k))), 1, _HEX_CHARS),
+            16,
+            10,
+        ).cast("long"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select winnowing fingerprints per document.
+
+    Output: (id_col, pos, fp_hash) — ``pos`` is the 1-based character
+    position of the chosen k-gram. Selection rule: in every window of
+    ``w`` consecutive k-gram hashes keep the LEFTMOST minimum (any
+    consistent tie rule preserves the guarantee; leftmost is what
+    min(struct(hash, pos)) gives here and ``list_position`` gives in
+    the SQL oracle).
+    Documents shorter than w + k - 1 chars yield no fingerprints.
+    """
+    if k < 2 or w < 1:
+        raise ValueError("require k >= 2 and w >= 1")
+    from pyspark.sql import Window
+
+    # posexplode once (the k-gram md5 array is evaluated exactly once
+    # per document — an all-array formulation with slice() inside a
+    # transform() lambda re-inlines the n-md5 array into every slice
+    # reference and goes O(n^2) in md5 calls), then ONE window pass:
+    # min(struct(hash, pos)) over [current, +w-1] IS the leftmost
+    # window minimum (struct order: hash, then pos breaks ties left).
+    # Scale note: the window sorts within doc_id partitions — a
+    # single pathological multi-MB document skews its partition;
+    # chunk such docs first (``chunk_documents``).
+    hashes = _kgram_hashes(F.col(text_col), k)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(hashes).alias("__p0", "__h")
+    )
+    moving = Window.partitionBy(id_col).orderBy("__p0").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        exploded.withColumn(
+            "__pick", F.min(F.struct(F.col("__h"), F.col("__p0"))).over(moving)
+        )
+        .withColumn("__n", F.count("*").over(whole))
+        .filter(F.col("__p0") <= F.col("__n") - w)
+        .select(
+            id_col,
+            (F.col("__pick.__p0") + 1).cast("long").alias("pos"),
+            F.col("__pick.__h").alias("fp_hash"),
+        )
+        .dropDuplicates()
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing
+    fingerprints — candidates for verbatim substring overlap of
+    length >= w + k - 1.
+
+    ``max_df`` drops fingerprint hashes present in more than that
+    many documents before pairing (boilerplate guard: a hash shared
+    by d docs creates d^2/2 pairs, so ubiquitous strings must not
+    reach the self-join). Output: (a, b, n_shared) with a < b,
+    counting DISTINCT shared hashes.
+    """
+    fps = (
+        winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("id"), "fp_hash")
+        .dropDuplicates()
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp_hash")
+            .agg(F.countDistinct("id").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp_hash")
+        )
+        fps = fps.join(keep, on="fp_hash", how="leftsemi")
+    pairs = (
+        fps.alias("x")
+        .join(fps.alias("y"), on="fp_hash")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.countDistinct("fp_hash").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -1169,3 +1169,104 @@ def test_approx_distinct_within_bound(spark):
     df = spark.createDataFrame([(f"u{i}",) for i in range(5000)], ["v"])
     got = approx_distinct(df, "v", rsd=0.02).collect()[0]["distinct_approx"]
     assert abs(got - 5000) / 5000 < 0.06  # 3 sigma at rsd=0.02
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints / exact-substring dup detection
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    """Any shared substring of length >= w+k-1 must yield a shared
+    fingerprint (the MOSS guarantee, one-directional)."""
+    from pidb_rdf_spark.operators import substring_dup_pairs
+
+    shared = "a very long verbatim passage that appears in both documents"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other intro " + shared + " closing beta"),
+            (3, "nothing in common with the rest of this tiny corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in substring_dup_pairs(
+            df, k=8, w=4, min_shared=1, max_df=None
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_short_docs_yield_nothing(spark):
+    from pidb_rdf_spark.operators import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "")], ["doc_id", "text"])
+    assert winnow_fingerprints(df, k=8, w=4).count() == 0
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """A span shared by EVERY doc must not reach the pair join when
+    max_df excludes it."""
+    from pidb_rdf_spark.operators import substring_dup_pairs
+
+    chrome = " universal footer present in absolutely every document here"
+    rows = [(i, f"unique body text number {i} with filler words{chrome}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    everybody = substring_dup_pairs(df, k=8, w=4, min_shared=1, max_df=None)
+    assert everybody.count() == 45  # all 10C2 pairs via the footer
+    pruned = substring_dup_pairs(df, k=8, w=4, min_shared=1, max_df=5)
+    assert pruned.count() == 0
+
+
+def test_winnow_matches_duckdb(spark):
+    """Full cross-engine replay of hashing, windowed minima, and
+    leftmost-tie selection — the determinism behind the entry oracle."""
+    import duckdb
+
+    from pidb_rdf_spark.operators import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "pack my box with five dozen liquor jugs right now ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fp_hash"])
+        for r in winnow_fingerprints(df, k=8, w=4).collect()
+    }
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            WITH d(doc_id, text) AS (VALUES {vals}),
+            h AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(length(text) - 7, 0)),
+                           i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 13))
+                                    ::BIGINT) AS hs
+                FROM d
+            ),
+            p0 AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(len(hs) - 3, 0)),
+                           j -> struct_pack(
+                               pos := CAST(j + list_position(
+                                   list_slice(hs, j, j + 3),
+                                   list_min(list_slice(hs, j, j + 3))) - 1
+                                   AS BIGINT),
+                               fp := list_min(list_slice(hs, j, j + 3)))) AS ps
+                FROM h
+            )
+            SELECT DISTINCT doc_id, s.pos, s.fp
+            FROM p0, LATERAL (SELECT unnest(ps) AS s) u
+            """
+        ).fetchall()
+    }
+    assert got == want
