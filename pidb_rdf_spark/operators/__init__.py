@@ -8,6 +8,8 @@ from pidb_rdf_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dedup,
+    minhash_query_index,
+    save_minhash_index,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -83,6 +85,8 @@ __all__ = [
     "contaminated_ids",
     "exact_dedup",
     "minhash_lsh_dedup",
+    "save_minhash_index",
+    "minhash_query_index",
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "embedding_near_dup_pairs",

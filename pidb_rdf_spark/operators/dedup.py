@@ -190,13 +190,31 @@ def verify_pairs_jaccard(
     strings: same intersection counts absent 64-bit collisions
     (P ≈ |set|²/2⁶⁴ per doc, ~1e-13 here) at a fraction of the
     compare/shuffle cost."""
-    sets = shingles.groupBy("id").agg(
+    sets = shingle_sets(shingles).localCheckpoint(
+        eager=False
+    )  # read twice (a-side and b-side joins)
+    return _verify_with_sets(candidates, sets, sets, threshold)
+
+
+def shingle_sets(shingles: DataFrame) -> DataFrame:
+    """(id, arr, n_sh): each doc's shingle set as one xxhash64-long
+    array — the verify-side representation, also what the persisted
+    index stores so corpus shingling never reruns at query time."""
+    return shingles.groupBy("id").agg(
         F.collect_list(F.xxhash64("shingle")).alias("arr"),
         F.count("*").cast("long").alias("n_sh"),
-    ).localCheckpoint(eager=False)  # read twice (a-side and b-side joins)
+    )
+
+
+def _verify_with_sets(
+    candidates: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
     return (
         candidates.join(
-            sets.select(
+            sets_a.select(
                 F.col("id").alias("a"),
                 F.col("arr").alias("arr_a"),
                 F.col("n_sh").alias("na"),
@@ -204,7 +222,7 @@ def verify_pairs_jaccard(
             on="a",
         )
         .join(
-            sets.select(
+            sets_b.select(
                 F.col("id").alias("b"),
                 F.col("arr").alias("arr_b"),
                 F.col("n_sh").alias("nb"),
@@ -289,13 +307,12 @@ def minhash_signatures(
     return lists.select("id", sig_udf(F.col("hs")).alias("sig"))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
 ) -> DataFrame:
-    """Banding: hash each band of the signature; docs sharing any
-    (band, band_hash) bucket become candidate pairs. Equi-join on the
-    bucket key — no n² comparison ever happens."""
-    banded = signatures.select(
+    """(id, band, bhash) bucket keys — the banding half of LSH,
+    shared by the self-join dedup path and the persisted index."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -311,6 +328,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: hash each band of the signature; docs sharing any
+    (band, band_hash) bucket become candidate pairs. Equi-join on the
+    bucket key — no n² comparison ever happens."""
+    banded = band_keys(signatures, bands, rows_per_band)
     l = banded.select(F.col("id").alias("a"), "band", "bhash")
     r = banded.select(F.col("id").alias("b"), "band", "bhash")
     return (
@@ -579,3 +605,92 @@ def embedding_near_dup_pairs(
             yield pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     return df.select(id_col, vec_col).mapInPandas(score, "a long, b long")
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index (incremental dedup against a fixed corpus)
+# ---------------------------------------------------------------------------
+
+
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> None:
+    """Persist the corpus half of MinHash+LSH: the (id, band, bhash)
+    bucket table and each doc's shingle-hash set, plus a parameter
+    sidecar. The production incremental-dedup shape: index the
+    existing corpus ONCE; each new batch is shingled/signed at its
+    own (small) size and equi-joined against the stored buckets —
+    corpus cost never recurs, exactly like ``save_ivf_index`` for
+    vectors. Sidecar is a local json (same convention as the IVF
+    index; at cluster scale it would live next to the parquet).
+    """
+    import json
+    import os
+
+    sh = char_shingles(df, id_col, text_col, k)
+    sigs = minhash_signatures(sh, num_perm)
+    band_keys(sigs, bands, rows_per_band).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    shingle_sets(sh).write.mode("overwrite").parquet(
+        os.path.join(path, "sets")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "k": k,
+                "num_perm": num_perm,
+                "bands": bands,
+                "rows_per_band": rows_per_band,
+            },
+            f,
+        )
+
+
+def minhash_query_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup matches of ``new_docs`` against a saved corpus index:
+    (query_id, match_id, jaccard) with jaccard >= threshold.
+
+    New-doc ids must be disjoint from indexed ids (the id IS the
+    identity across the join). Work is proportional to the NEW batch
+    plus matched buckets — the indexed corpus is read, never
+    re-shingled; verification joins the stored shingle sets.
+    """
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    sh_new = char_shingles(new_docs, id_col, text_col, meta["k"])
+    sigs_new = minhash_signatures(sh_new, meta["num_perm"])
+    bk_new = band_keys(sigs_new, meta["bands"], meta["rows_per_band"])
+    buckets = spark.read.parquet(f"{path}/buckets")
+    cands = (
+        bk_new.select(F.col("id").alias("a"), "band", "bhash")
+        .join(
+            buckets.select(F.col("id").alias("b"), "band", "bhash"),
+            on=["band", "bhash"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets_new = shingle_sets(sh_new).localCheckpoint(eager=False)
+    sets_idx = spark.read.parquet(f"{path}/sets")
+    out = _verify_with_sets(cands, sets_new, sets_idx, threshold)
+    return out.select(
+        F.col("a").alias("query_id"), F.col("b").alias("match_id"), "jaccard"
+    )

@@ -416,6 +416,14 @@ def rollup_counts(
             ),
         )
     )
+    # Each level is MATERIALIZED (lazy checkpoint) before the next is
+    # derived — that is what makes the partial-reuse claim physically
+    # true: Catalyst does not de-duplicate common subplans across a
+    # union, so without the checkpoint both the hour output AND the
+    # day branch would rescan+reshuffle the raw table. (It is also
+    # what a continuous aggregate IS — each granularity persisted,
+    # coarser ones re-reduced from it.)
+    cur = cur.localCheckpoint(eager=False)
     out = cur.select(F.lit(finest).alias("level"), "*")
     for unit in order[1:]:
         cur = (
@@ -425,6 +433,6 @@ def rollup_counts(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_cents").alias("sum_cents"),
             )
-        )
+        ).localCheckpoint(eager=False)
         out = out.unionByName(cur.select(F.lit(unit).alias("level"), "*"))
     return out

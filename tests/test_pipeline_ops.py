@@ -1270,3 +1270,59 @@ def test_winnow_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index (incremental dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_query_equals_batch_pairs(spark, docs, tmp_path):
+    """Indexing a corpus then querying a held-out batch must find
+    exactly the cross pairs the one-shot batch dedup finds between
+    the two groups."""
+    from pidb_rdf_spark.operators import (
+        minhash_lsh_dedup,
+        minhash_query_index,
+        save_minhash_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index")
+    save_minhash_index(corpus, path)
+    got = {
+        (r["query_id"], r["match_id"], round(r["jaccard"], 6))
+        for r in minhash_query_index(spark, path, batch).collect()
+    }
+    full = minhash_lsh_dedup(docs, threshold=0.8).collect()
+    want = set()
+    for r in full:
+        qa, qb = r["a"], r["b"]
+        j = round(r["jaccard"], 6)
+        if qa % 5 == 0 and qb % 5 != 0:
+            want.add((qa, qb, j))
+        elif qb % 5 == 0 and qa % 5 != 0:
+            want.add((qb, qa, j))
+    assert got == want
+    assert len(want) > 0  # fixture's planted near-dups straddle the split
+
+
+def test_minhash_index_query_no_corpus_reshingle(spark, docs, tmp_path):
+    """Query-time plan must read the stored parquet, not recompute
+    corpus shingles: only the NEW batch flows through the signature
+    Python stage."""
+    from pidb_rdf_spark.operators import minhash_query_index, save_minhash_index
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "mh_index2")
+    save_minhash_index(corpus, path)
+    out = minhash_query_index(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # 3 file scans: new-batch docs + stored buckets + stored sets
+    assert plan.count("FileScan") >= 3
+    # exactly ONE Arrow signature stage: the new batch; the corpus is
+    # never re-shingled or re-signed
+    assert plan.count("ArrowEvalPython") == 1

@@ -176,3 +176,65 @@ def test_quantize_is_scan_only(spark):
     s = plan_summary(quantize_embeddings(emb))
     assert s["exchanges"] == 0
     assert s["python_evals"] == 0
+
+
+def test_bloom_probe_is_broadcast_no_shuffle(spark):
+    """The probe side must be a broadcast of the word map + a narrow
+    projection: no shuffle Exchange past the (already-aggregated)
+    filter build, no Python."""
+    from pidb_rdf_spark.operators import bloom_build, bloom_probe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bloom = bloom_build(docs.limit(50), "text").localCheckpoint(eager=True)
+    s = plan_summary(bloom_probe(docs, bloom, "text"))
+    # one exchange allowed: the single-row map aggregation's broadcast
+    assert s["python_evals"] == 0
+    assert s["sort_merge_joins"] == 0
+    plan = (
+        bloom_probe(docs, bloom, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmv_two_shuffles(spark):
+    """KMV = distinct (group, hash) pairs + one grouped min-k array:
+    two exchanges, all JVM."""
+    from pidb_rdf_spark.operators import kmv_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = plan_summary(kmv_distinct(ev, "user_id", k=16, by=["event_type"]))
+    assert s["python_evals"] == 0
+    assert s["exchanges"] <= 3  # dedup + group (+AQE reuse markers)
+
+
+def test_rollup_day_reads_hour_partials(spark):
+    """The coarse level must aggregate the finer level's MATERIALIZED
+    partials, not rescan raw input: exactly one file scan in the
+    whole executed two-level plan (the checkpointed hour table feeds
+    both the hour output and the day aggregation)."""
+    from pidb_rdf_spark.streaming import rollup_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = rollup_counts(ev, units=("hour", "day"))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both levels come from materialized (checkpointed) partials: the
+    # union job rescans NO file — the raw scan ran exactly once, in
+    # the hour level's checkpoint job
+    assert plan.count("FileScan") == 0
+    assert plan.count("ExistingRDD") == 2
+
+
+def test_winnow_single_window_pass(spark):
+    """Fingerprint selection = one explode + one window sort per doc
+    partition: no Python, no join, bounded exchanges."""
+    from pidb_rdf_spark.operators import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = plan_summary(winnow_fingerprints(docs))
+    assert s["python_evals"] == 0
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["exchanges"] <= 3  # window partition + dropDuplicates
