@@ -391,6 +391,15 @@ def rollup_counts(
     """
     if not units:
         raise ValueError("units must name at least one granularity")
+    if events.isStreaming:
+        # the level chain materializes each granularity (checkpoint),
+        # which has no streaming equivalent in one query — run the
+        # finest level via windowed_event_counts under foreachBatch
+        # and re-reduce coarse levels batch-side
+        raise ValueError(
+            "rollup_counts is batch-only; for streams compute the finest "
+            "level with windowed_event_counts and roll up in foreachBatch"
+        )
     order = [u for u in units]
     idxs = []
     for u in order:

@@ -483,3 +483,18 @@ def test_rollup_coarse_from_partials_plan(spark):
         .toString()
     )
     assert plan.count("LocalRelation") <= 2  # union of 2 levels, 1 scan each side max
+
+
+def test_rollup_rejects_streaming_input(spark, tmp_path):
+    import pytest
+
+    from pidb_rdf_spark.streaming import rollup_counts
+
+    spark.createDataFrame(
+        [], "ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(str(tmp_path / "ev"))
+    with pytest.raises(ValueError, match="batch-only"):
+        rollup_counts(stream, units=("hour", "day"))
