@@ -282,11 +282,27 @@ def sssp(
     on dst); ``localCheckpoint`` truncates lineage like the other
     fixpoint loops here.
     """
+    from pyspark.sql import types as T
+
+    wtype = pairs.schema[weight].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # a silent cast('long') would TRUNCATE fractional weights and
+        # return wrong shortest paths; pre-scale to integers (e.g.
+        # cents) instead
+        raise ValueError(
+            f"sssp requires integral weights, got {wtype.simpleString()}; "
+            "scale fractional weights to integers first"
+        )
     e = pairs.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).cast("long").alias("w"),
-    )
+        # NULL weight = no usable edge: dropped here, because NULL
+        # would win min(struct(dist, ...)) (NULLs sort first) and
+        # poison every downstream distance
+    ).filter(F.col("w").isNotNull())
     if not directed:
         e = e.unionByName(
             e.select(

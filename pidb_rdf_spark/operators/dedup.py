@@ -36,23 +36,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# the shared md5-prefix idiom lives in operators.hashing so Bloom/KMV/
+# winnowing and these dedup hashes stay consistent with the oracles
+from pidb_rdf_spark.operators.hashing import md5_prefix_long as _md5_hash
 from pidb_rdf_spark.operators.text import tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1 (prime), universal-hash modulus
-
-
-def _md5_hash(col: Column, bits: int = 32) -> Column:
-    """First ``bits`` (≤60) bits of md5 as a non-negative long — the
-    cross-engine-reproducible base hash (any engine with md5 + hex
-    parse recomputes it; 60-bit cap keeps the value inside a signed
-    64-bit integer everywhere)."""
-    if bits > 60:
-        raise ValueError("md5 hash slice must fit a signed long: bits <= 60")
-    nhex = (bits + 3) // 4
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, nhex), 16, 10).cast("long")
-    if nhex * 4 > bits:
-        h = F.shiftright(h, nhex * 4 - bits)
-    return h
 
 
 def _md5_32(col: Column) -> Column:
@@ -634,7 +623,9 @@ def save_minhash_index(
     import json
     import os
 
-    sh = char_shingles(df, id_col, text_col, k)
+    # two write actions consume sh (signatures -> buckets, sets);
+    # checkpoint so the corpus-wide shingle explode runs once
+    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, num_perm)
     band_keys(sigs, bands, rows_per_band).write.mode("overwrite").parquet(
         os.path.join(path, "buckets")
@@ -674,7 +665,10 @@ def minhash_query_index(
 
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
-    sh_new = char_shingles(new_docs, id_col, text_col, meta["k"])
+    # consumed twice (signatures for banding, verify-side sets)
+    sh_new = char_shingles(
+        new_docs, id_col, text_col, meta["k"]
+    ).localCheckpoint(eager=False)
     sigs_new = minhash_signatures(sh_new, meta["num_perm"])
     bk_new = band_keys(sigs_new, meta["bands"], meta["rows_per_band"])
     buckets = spark.read.parquet(f"{path}/buckets")

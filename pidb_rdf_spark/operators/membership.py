@@ -37,12 +37,11 @@ WORD_BITS = 32  # signed-overflow-safe in every engine's BIGINT
 
 def _bit_position(col: Column, i: int, m_bits: int) -> Column:
     """Deterministic i-th hash: first 32 bits of md5(value ':' i)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{i}"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return h % m_bits
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    return md5_prefix_long(
+        F.concat(col.cast("string"), F.lit(f":{i}")), 32
+    ) % m_bits
 
 
 def bloom_build(
@@ -63,7 +62,15 @@ def bloom_build(
             _mask(F.col("__pos")).alias("__mask"),
         )
         .groupBy("word")
-        .agg(F.expr("bit_or(__mask)").alias("bits"))
+        .agg(
+            # build parameters ride as column METADATA (survives
+            # parquet round-trips) so a probe can verify it uses the
+            # same (m_bits, k_hashes) — a mismatch would silently
+            # break the no-false-negatives contract
+            F.expr("bit_or(__mask)").alias(
+                "bits", metadata={"m_bits": m_bits, "k_hashes": k_hashes}
+            )
+        )
     )
 
 
@@ -77,16 +84,36 @@ def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     col: str,
-    m_bits: int = 1 << 20,
-    k_hashes: int = 5,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
 ) -> DataFrame:
     """Probe: original columns + ``might_contain`` (true iff all k
     bits are set — no false negatives, deterministic false positives).
 
+    Parameters default to the ones recorded by ``bloom_build`` in the
+    ``bits`` column's metadata; passing values that DISAGREE with the
+    recorded ones raises instead of silently probing the wrong bit
+    positions (which would produce false negatives). Explicit values
+    are only needed for a filter frame that lost its metadata.
+
     The filter is broadcast as a map column (``strip_boilerplate``'s
     membership idiom): m_bits/32 entries, a few MB at the default
     size, so the probe is a zero-shuffle narrow projection.
+    (A missing-map coalesce is unnecessary: the ungrouped agg always
+    yields one row, and ``map_from_arrays`` of empty collect_lists is
+    an empty map, not NULL — covered by the empty-filter test.)
     """
+    meta = dict(bloom.schema["bits"].metadata or {})
+    for name, given in (("m_bits", m_bits), ("k_hashes", k_hashes)):
+        if name in meta and given is not None and given != meta[name]:
+            raise ValueError(
+                f"bloom_probe {name}={given} disagrees with the filter's "
+                f"recorded {name}={meta[name]}"
+            )
+    m_bits = m_bits if m_bits is not None else meta.get("m_bits", 1 << 20)
+    k_hashes = (
+        k_hashes if k_hashes is not None else meta.get("k_hashes", 5)
+    )
     words = F.collect_list("word")
     bmap = F.broadcast(
         bloom.agg(
@@ -108,21 +135,7 @@ def bloom_probe(
             != 0
         ),
     )
-    return (
-        df.crossJoin(bmap)
-        .withColumn(
-            "__bloom",
-            F.coalesce(
-                F.col("__bloom"),
-                F.map_from_arrays(
-                    F.array().cast("array<bigint>"),
-                    F.array().cast("array<bigint>"),
-                ),
-            ),
-        )
-        .withColumn("might_contain", hit)
-        .drop("__bloom")
-    )
+    return df.crossJoin(bmap).withColumn("might_contain", hit).drop("__bloom")
 
 
 def bloom_fp_rate(n_items: int, m_bits: int = 1 << 20, k_hashes: int = 5) -> float:

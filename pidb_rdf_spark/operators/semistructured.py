@@ -46,7 +46,11 @@ def json_extract_fields(
 
 
 def json_kv_explode(
-    df: DataFrame, json_col: str, id_cols: list[str] | None = None
+    df: DataFrame,
+    json_col: str,
+    id_cols: list[str] | None = None,
+    key_alias: str = "key",
+    value_alias: str = "value",
 ) -> DataFrame:
     """Explode a flat JSON object column into (key, value) rows.
 
@@ -55,9 +59,20 @@ def json_kv_explode(
     ``json_extract_fields``. Values are surfaced as strings (JSON
     scalars verbatim); cast downstream once the key is known. Row
     count grows by the average key count; still shuffle-free.
+
+    The output aliases must not collide with a kept id column (the
+    events table itself has a ``value`` column) — rename via
+    ``key_alias``/``value_alias`` or the call is rejected rather
+    than emitting an ambiguous duplicate column.
     """
     id_cols = id_cols or [c for c in df.columns if c != json_col]
+    clash = {key_alias, value_alias} & set(id_cols)
+    if clash:
+        raise ValueError(
+            f"output alias(es) {sorted(clash)} collide with kept id "
+            "columns; pass key_alias/value_alias or trim id_cols"
+        )
     m = F.from_json(F.col(json_col), "map<string,string>")
     return df.select(
-        *id_cols, F.explode_outer(m).alias("key", "value")
+        *id_cols, F.explode_outer(m).alias(key_alias, value_alias)
     )

@@ -27,20 +27,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
 __all__ = ["approx_distinct", "kmv_distinct"]
 
-# 13 hex chars = 52 bits: the largest md5 prefix whose integer value
-# is exact in a double, so hash/2^52 is an exact dyadic in [0,1) and
-# every engine computes the identical estimate
+# 52 bits: the largest md5 prefix whose integer value is exact in a
+# double, so hash/2^52 is an exact dyadic in [0,1) and every engine
+# computes the identical estimate
 _KMV_BITS_DIV = float(1 << 52)
 
 
 def _unit_hash(col: Column) -> Column:
     """Deterministic uniform-[0,1) hash: first 52 bits of md5."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
-        "double"
-    )
-    return h / F.lit(_KMV_BITS_DIV)
+    return md5_prefix_long(col, 52).cast("double") / F.lit(_KMV_BITS_DIV)
 
 
 def kmv_distinct(

@@ -30,10 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winnow_fingerprints", "substring_dup_pairs"]
+from pidb_rdf_spark.operators.hashing import md5_prefix_long
 
-# 13 hex chars = 52 bits: exact in doubles and BIGINTs everywhere
-_HEX_CHARS = 13
+__all__ = ["winnow_fingerprints", "substring_dup_pairs"]
 
 
 def _seq1(n: Column) -> Column:
@@ -49,11 +48,7 @@ def _kgram_hashes(text: Column, k: int) -> Column:
     """Array of 52-bit k-gram hashes at every position (1-based)."""
     return F.transform(
         _seq1(F.length(text) - F.lit(k - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(text.substr(i, F.lit(k))), 1, _HEX_CHARS),
-            16,
-            10,
-        ).cast("long"),
+        lambda i: md5_prefix_long(text.substr(i, F.lit(k)), 52),
     )
 
 
@@ -131,6 +126,11 @@ def substring_dup_pairs(
         winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
         .select(F.col(id_col).alias("id"), "fp_hash")
         .dropDuplicates()
+        # consumed up to 4x below (df-count agg, leftsemi probe, both
+        # self-join sides) and Catalyst does not share common
+        # subplans — without this the full per-doc window sort reruns
+        # per consumer
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         keep = (

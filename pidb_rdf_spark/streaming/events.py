@@ -318,6 +318,7 @@ def user_stats_stream(
     if not events.isStreaming:
         return user_stats(events, user_col, ts_col, value_col)
 
+    import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def update(key, pdfs, state):
@@ -327,7 +328,13 @@ def user_stats_stream(
         for pdf in pdfs:
             ts = pd.to_datetime(pdf[ts_col])
             n += len(pdf)
-            cents += int(pdf[value_col].mul(100).round().astype("int64").sum())
+            # HALF_UP (away from zero), matching Spark's F.round in the
+            # batch twin — pandas' .round() is half-EVEN and would put
+            # exact .5-cent values (e.g. 0.125*100) one cent off batch
+            v = pdf[value_col].to_numpy() * 100
+            cents += int(
+                (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64").sum()
+            )
             lo = int(ts.min().value // 1000)
             hi = int(ts.max().value // 1000)
             first_us = lo if first_us is None else min(first_us, lo)

@@ -197,3 +197,21 @@ def test_sssp_round_invariant_matches_naive(spark):
     assert d2["m"] == 5  # 3-edge cheap path not yet visible
     d3 = _sssp_map(spark, edges, ["s"], max_iter=3)
     assert d3["m"] == 3
+
+
+def test_sssp_rejects_fractional_weights_and_drops_null(spark):
+    import pytest
+
+    from pidb_rdf_spark.analytics import sssp
+
+    s = spark.createDataFrame([("a",)], ["node"])
+    frac = spark.createDataFrame([("a", "b", 1.6)], ["src", "dst", "weight"])
+    with pytest.raises(ValueError, match="integral weights"):
+        sssp(frac, s)
+    # NULL weight = no edge; must not poison downstream distances
+    withnull = spark.createDataFrame(
+        [("a", "b", None), ("a", "b", 3), ("b", "c", 1)],
+        "src string, dst string, weight int",
+    )
+    d = {r["node"]: r["dist"] for r in sssp(withnull, s).collect()}
+    assert d == {"a": 0, "b": 3, "c": 4}

@@ -1321,8 +1321,42 @@ def test_minhash_index_query_no_corpus_reshingle(spark, docs, tmp_path):
         spark, path, docs.filter(F.col("doc_id") % 5 == 0)
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # 3 file scans: new-batch docs + stored buckets + stored sets
-    assert plan.count("FileScan") >= 3
+    # stored buckets + stored sets parquet are scanned (the new-batch
+    # doc scan sits behind the shingle checkpoint barrier)
+    assert plan.count("FileScan") >= 2
     # exactly ONE Arrow signature stage: the new batch; the corpus is
     # never re-shingled or re-signed
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_json_kv_explode_rejects_alias_collision(spark):
+    import pytest
+
+    from pidb_rdf_spark.operators import json_kv_explode
+
+    df = spark.createDataFrame([(1, 2.0, '{"a": 1}')], ["id", "value", "props"])
+    with pytest.raises(ValueError, match="collide"):
+        json_kv_explode(df, "props")
+    out = json_kv_explode(df, "props", value_alias="json_value")
+    assert out.columns == ["id", "value", "key", "json_value"]
+
+
+def test_bloom_probe_rejects_param_mismatch_and_reads_metadata(spark):
+    """Probe must inherit (m_bits, k_hashes) from the filter's column
+    metadata and refuse contradicting explicit values — a silent
+    mismatch means false negatives."""
+    import pytest
+
+    from pidb_rdf_spark.operators import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(100)], ["id", "text"]
+    )
+    bloom = bloom_build(corpus, "text", m_bits=1 << 14, k_hashes=3)
+    # no explicit params: inherited from metadata; still zero false negatives
+    probed = bloom_probe(corpus, bloom, "text")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    with pytest.raises(ValueError, match="disagrees"):
+        bloom_probe(corpus, bloom, "text", m_bits=1 << 20)
+    with pytest.raises(ValueError, match="disagrees"):
+        bloom_probe(corpus, bloom, "text", k_hashes=5)

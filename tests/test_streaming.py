@@ -498,3 +498,45 @@ def test_rollup_rejects_streaming_input(spark, tmp_path):
     ).parquet(str(tmp_path / "ev"))
     with pytest.raises(ValueError, match="batch-only"):
         rollup_counts(stream, units=("hour", "day"))
+
+
+def test_user_stats_stream_half_cent_rounding_matches_batch(spark, tmp_path):
+    """Exact .5-cent values must round the same way (HALF_UP, away
+    from zero) on both paths — pandas' default half-even rounding put
+    value=0.125 one cent below the batch answer."""
+    import datetime as dt
+
+    from pidb_rdf_spark.streaming import user_stats, user_stats_stream
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "view", 0.125, "{}"),   # 12.5c
+        (2, dt.datetime(2024, 1, 1, 11), 7, "view", 0.135, "{}"),   # 13.5c
+        (3, dt.datetime(2024, 1, 1, 12), 8, "view", 2.245, "{}"),   # 224.5c
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = spark.createDataFrame(rows, schema)
+    batch = {
+        r["user_id"]: r["sum_cents"] for r in user_stats(events).collect()
+    }
+    assert batch == {7: 13 + 14, 8: 225}  # HALF_UP on each value
+
+    src = str(tmp_path / "halfcent")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        user_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("halfcent")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["sum_cents"]
+        for r in spark.sql("SELECT * FROM halfcent").collect()
+    }
+    assert got == batch
