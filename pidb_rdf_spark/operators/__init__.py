@@ -11,6 +11,8 @@ from pidb_rdf_spark.operators.dedup import (
     minhash_query_index,
     save_minhash_index,
     ngram_jaccard_pairs,
+    semantic_dedup,
+    semantic_dup_pairs,
     simhash_pairs,
 )
 from pidb_rdf_spark.operators.join import salted_join
@@ -90,6 +92,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
+    "semantic_dup_pairs",
     "cosine_topk",
     "quantize_embeddings",
     "dequantize_embeddings",

@@ -597,6 +597,144 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) dedup via k-means partitioning
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Within-cluster semantic duplicate pairs, SemDeDup-style
+    (Abbas et al. 2023, arXiv:2303.09540): k-means partitions the
+    embedding space, and candidate pairs are generated ONLY inside a
+    cluster — the quadratic cosine verify is bounded per cluster at
+    ~(n/k)², with k grown alongside the corpus so per-cluster work
+    stays flat (the paper's design point; k-means here is the same
+    driver-trained, sample-bounded ``kmeans_centroids`` the IVF path
+    uses, so clustering cost does not grow with the corpus either).
+
+    Scale shape: assignment is an Arrow-batched map (no shuffle); the
+    pair join carries only ``(id, cluster)`` through its shuffle;
+    vectors rejoin once per surviving candidate and cosine is one
+    Arrow-batched einsum. Unlike hyperplane LSH (recall < 1 per
+    table), a pair is missed only when k-means splits it across
+    clusters — the paper's accepted approximation.
+
+    Returns ``(a, b, cluster, cosine)`` with ``a < b``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pidb_rdf_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+        with_norm,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, id_col, vec_col, n_clusters=n_clusters, iters=iters
+        )
+    normed = with_norm(
+        assign_clusters(df, centroids, id_col, vec_col), id_col, vec_col
+    )
+    sig = normed.select(id_col, "cluster")
+    pair_ids = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.cluster").alias("cluster"),
+        )
+    )
+    va = normed.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("__va"),
+        F.col("norm").alias("__na"),
+    )
+    vb = normed.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("norm").alias("__nb"),
+    )
+
+    def _dot_batch(x, y):
+        X = np.array(list(x), dtype=np.float64)
+        Y = np.array(list(y), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", X, Y))
+
+    _dot_batch.__annotations__ = {
+        "x": pd.Series, "y": pd.Series, "return": pd.Series,
+    }
+    dot_udf = pandas_udf(_dot_batch, "double")
+    return (
+        pair_ids.join(va, on="a")
+        .join(vb, on="b")
+        .withColumn(
+            "cosine",
+            dot_udf(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cluster", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic-dedup survivors: drop every vector that has a
+    LOWER-id within-cluster neighbor with cosine ≥ threshold (the
+    deterministic min-id keeper rule — SemDeDup's "keep one per
+    ε-ball" with the representative fixed by id instead of by
+    centroid distance, so reruns and the SQL oracle agree exactly).
+    Note the rule is per-witness, not transitive: b dropped for a and
+    c dropped for b can both go even if cos(a, c) < threshold — same
+    greedy shape as the paper's implementation.
+
+    Returns the surviving ``(id_col, cluster)`` rows.
+    """
+    from pidb_rdf_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, id_col, vec_col, n_clusters=n_clusters, iters=iters
+        )
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    dups = (
+        semantic_dup_pairs(
+            df, id_col, vec_col, n_clusters, iters, threshold, centroids
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, on=id_col, how="leftanti").select(
+        id_col, "cluster"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted MinHash index (incremental dedup against a fixed corpus)
 # ---------------------------------------------------------------------------
 

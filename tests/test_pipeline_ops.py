@@ -311,6 +311,56 @@ def test_embedding_lsh_bucketed_recall(emb):
     assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
 
 
+def test_semantic_dedup_vs_numpy(emb):
+    """SemDeDup semantics re-derived independently: Lloyd's k-means
+    (lowest-id init, first-minimum argmin), within-cluster cosine
+    witness pairs, min-id keeper rule."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import semantic_dedup, semantic_dup_pairs
+
+    n_clusters, iters, thr = 4, 2, 0.4
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = M[:n_clusters].copy()
+    for _ in range(iters + 1):  # iters updates + final assignment
+        d2 = (
+            (M * M).sum(1, keepdims=True) - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        a = d2.argmin(1)
+        for c in range(n_clusters):
+            if (a == c).any():
+                C[c] = M[a == c].mean(axis=0)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    exp_pairs, dropped = set(), set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if a[i] == a[j] and S[i, j] >= thr:
+                exp_pairs.add((ids[i], ids[j]))
+                dropped.add(ids[j])
+    exp_survivors = {(ids[i], int(a[i])) for i in range(len(ids))
+                     if ids[i] not in dropped}
+
+    got_pairs = {
+        (r["a"], r["b"])
+        for r in semantic_dup_pairs(
+            emb, n_clusters=n_clusters, iters=iters, threshold=thr
+        ).collect()
+    }
+    assert got_pairs == exp_pairs
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(
+            emb, n_clusters=n_clusters, iters=iters, threshold=thr
+        ).collect()
+    }
+    assert got == exp_survivors
+    assert len(exp_pairs) > 0  # fixture actually exercises the drop rule
+
+
 def test_repetition_signals(spark):
     from pidb_rdf_spark.operators import repetition_signals
 
