@@ -628,23 +628,37 @@ def semantic_dup_pairs(
 
     Returns ``(a, b, cluster, cosine)`` with ``a < b``.
     """
+    if centroids is None:
+        from pidb_rdf_spark.operators.similarity import kmeans_centroids
+
+        centroids = kmeans_centroids(
+            df, id_col, vec_col, n_clusters=n_clusters, iters=iters
+        )
+    normed = _assigned_normed(df, id_col, vec_col, centroids)
+    return _pairs_from_normed(normed, id_col, vec_col, threshold)
+
+
+def _assigned_normed(df, id_col, vec_col, centroids):
+    """``(id, vec, norm, cluster)`` with the lineage cut: the frame
+    feeds three plan branches (pair generation + both vector
+    rejoins), and without the checkpoint Catalyst re-evaluates the
+    assignment UDF per branch — and once more inside the pushed
+    ``isnotnull(cluster)`` join-key filter (4 full-corpus Arrow
+    passes, measured in the executed plan). One corpus-sized
+    materialization buys assignment-computed-once, the same trade
+    ``minhash_query_index`` makes for its signature frame."""
+    from pidb_rdf_spark.operators.similarity import assign_clusters, with_norm
+
+    return with_norm(
+        assign_clusters(df, centroids, id_col, vec_col), id_col, vec_col
+    ).localCheckpoint(eager=False)
+
+
+def _pairs_from_normed(normed, id_col, vec_col, threshold):
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from pidb_rdf_spark.operators.similarity import (
-        assign_clusters,
-        kmeans_centroids,
-        with_norm,
-    )
-
-    if centroids is None:
-        centroids = kmeans_centroids(
-            df, id_col, vec_col, n_clusters=n_clusters, iters=iters
-        )
-    normed = with_norm(
-        assign_clusters(df, centroids, id_col, vec_col), id_col, vec_col
-    )
     sig = normed.select(id_col, "cluster")
     pair_ids = (
         sig.alias("l")
@@ -712,25 +726,20 @@ def semantic_dedup(
 
     Returns the surviving ``(id_col, cluster)`` rows.
     """
-    from pidb_rdf_spark.operators.similarity import (
-        assign_clusters,
-        kmeans_centroids,
-    )
+    from pidb_rdf_spark.operators.similarity import kmeans_centroids
 
     if centroids is None:
         centroids = kmeans_centroids(
             df, id_col, vec_col, n_clusters=n_clusters, iters=iters
         )
-    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    normed = _assigned_normed(df, id_col, vec_col, centroids)
     dups = (
-        semantic_dup_pairs(
-            df, id_col, vec_col, n_clusters, iters, threshold, centroids
-        )
+        _pairs_from_normed(normed, id_col, vec_col, threshold)
         .select(F.col("b").alias(id_col))
         .distinct()
     )
-    return assigned.join(dups, on=id_col, how="leftanti").select(
-        id_col, "cluster"
+    return normed.select(id_col, "cluster").join(
+        dups, on=id_col, how="leftanti"
     )
 
 

@@ -228,6 +228,23 @@ def test_rollup_day_reads_hour_partials(spark):
     assert plan.count("ExistingRDD") == 2
 
 
+def test_semantic_dedup_assignment_evaluated_once(spark):
+    """SemDeDup: the k-means assignment UDF must not appear in the
+    pair-pipeline plan at all — it runs exactly once behind the
+    checkpointed (id, vec, norm, cluster) frame (un-checkpointed, the
+    executed plan showed FOUR full-corpus Arrow passes: per join
+    branch plus the pushed isnotnull(cluster) key filters). The only
+    Python left is the per-candidate-pair cosine kernel."""
+    from pidb_rdf_spark.operators import semantic_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dup_pairs(emb, n_clusters=4, iters=2, threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "nearest" not in plan
+    # dot kernel: filter + projection dup-eval only (pairs, not corpus)
+    assert plan.count("ArrowEvalPython") <= 2
+
+
 def test_winnow_single_window_pass(spark):
     """Fingerprint selection = one explode + one window sort per doc
     partition: no Python, no join, bounded exchanges."""
