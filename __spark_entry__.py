@@ -108,10 +108,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # exercised in-window by bgp_three_hop, filter_order_limit, agg_full,
 # sparql_bind, not_exists_anti, sparql_minus, path_plus_reachability
 # and path_optional_hop.
-# Final r5 addition: semantic_dedup_embeddings (SemDeDup — k-means +
-# within-cluster cosine pruning) enters the window as a new entry;
-# ivf_topk_exact is deferred to make room (see its note in the list).
-# r06 TODO: all 42 deferred entries return to the window as usual.
+# Final r5 additions: semantic_dedup_embeddings (SemDeDup — k-means +
+# within-cluster cosine pruning) and semantic_decontam_embeddings
+# (embedding-level train/eval decontamination) enter the window as
+# new entries; ivf_topk_exact and triangle_count_dups are deferred to
+# make room (see their notes in the list).
+# r06 TODO: all 43 deferred entries return to the window as usual.
 _DEFER_TO_TAIL = [
     "lang_id",
     "text_quality",
@@ -201,6 +203,13 @@ _DEFER_TO_TAIL = [
     # same ivf_search/kmeans code lines stay proven in-window by
     # ivf_topk_probe2, ivf_topk_indexed and kmeans_assign
     "ivf_topk_exact",
+    # deferred to make window room for the NEW
+    # semantic_decontam_embeddings entry: r4-green, and
+    # analytics.triangle_count is untouched by the r5 diff (the only
+    # analytics.py edit is the inserted sssp function); its input —
+    # the shared MinHash pairs cache — stays proven in-window by
+    # minhash_lsh_dedup
+    "triangle_count_dups",
 ]
 
 
@@ -1141,6 +1150,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("cluster", F.col("cluster").cast("long"))
 
     q["semantic_dedup_embeddings"] = semantic_dedup_embeddings
+
+    def semantic_decontam_embeddings(spark, sf_dir):
+        """Embedding-level train/eval decontamination
+        (``decontam.semantic_overlap``): eval = every 50th vector
+        (benchmark-sized), train = the rest; flag pairs with cosine
+        >= 0.40 — 6 pairs at sf0.01, nearest cosines 0.3983 below /
+        0.4071 above the threshold, so the cross-engine boundary is
+        safe. Ids only through the entry (the cosine float column
+        stays operator-side)."""
+        from pidb_rdf_spark.operators import semantic_overlap
+
+        emb = _emb(spark, sf_dir)
+        ev = emb.filter(F.col("vec_id") % 50 == 0)
+        tr = emb.filter(F.col("vec_id") % 50 != 0)
+        return semantic_overlap(tr, ev, threshold=0.40).select(
+            "train_id", "eval_id"
+        )
+
+    q["semantic_decontam_embeddings"] = semantic_decontam_embeddings
 
     # -- text analysis --------------------------------------------------
     def lang_id(spark, sf_dir):
@@ -2673,6 +2701,15 @@ def _scale_extension_oracles() -> dict[str, str]:
         "semantic_dedup_embeddings": _semantic_dedup_sql(
             n_clusters=8, iters=2, threshold=0.45
         ),
+        "semantic_decontam_embeddings": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            ev AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+            tr AS (SELECT * FROM v WHERE vec_id % 50 <> 0)
+            SELECT t.vec_id AS train_id, e.vec_id AS eval_id
+            FROM tr t CROSS JOIN ev e
+            WHERE list_cosine_similarity(t.e, e.e) >= 0.40
+        """,
         "rollup_event_counts": f"""
             SELECT 'hour' AS level,
                    strftime(date_trunc('hour', ts), '{tfmt}') AS bucket_s,

@@ -3,7 +3,11 @@ from pidb_rdf_spark.operators.curation import (
     pack_token_stream,
     stratified_hash_sample,
 )
-from pidb_rdf_spark.operators.decontam import contaminated_ids, ngram_overlap
+from pidb_rdf_spark.operators.decontam import (
+    contaminated_ids,
+    ngram_overlap,
+    semantic_overlap,
+)
 from pidb_rdf_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -84,6 +88,7 @@ __all__ = [
     "unigram_model",
     "unigram_quality",
     "ngram_overlap",
+    "semantic_overlap",
     "contaminated_ids",
     "exact_dedup",
     "minhash_lsh_dedup",

@@ -79,6 +79,71 @@ def ngram_overlap(
     )
 
 
+def semantic_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_eval_collect: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-level decontamination: every (train, eval) vector
+    pair with cosine >= ``threshold`` — the semantic complement of
+    ``ngram_overlap``, catching paraphrased/reworded benchmark leaks
+    that shared word n-grams miss (the eval-similarity check run for
+    modern pretraining corpora alongside exact n-gram overlap).
+
+    Scale shape: the EVAL matrix (benchmark-sized by nature — the
+    same asymmetry ``ngram_overlap`` exploits with its broadcast) is
+    collected once, L2-normalized, and broadcast; the train corpus
+    streams through ``mapInPandas`` at scan parallelism with one
+    BLAS matmul per Arrow batch. No join, no shuffle, nothing moves
+    but the flagged pairs. ``max_eval_collect`` fail-fasts if the
+    "eval" side is actually corpus-sized (at ~1M x 64 floats the
+    broadcast is ~500 MB; past that, flip the sides or use
+    ``dedup.semantic_dup_pairs`` on the union).
+
+    Output: ``(train_id, eval_id, cosine)``.
+    """
+    import numpy as np
+
+    probe = eval_df.select(id_col).limit(max_eval_collect + 1).count()
+    if probe > max_eval_collect:
+        raise ValueError(
+            f"semantic_overlap broadcasts the eval matrix; eval side "
+            f"exceeds max_eval_collect={max_eval_collect} rows — this "
+            f"side should be the benchmark set, not the corpus"
+        )
+    rows = eval_df.select(id_col, vec_col).collect()
+    eids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    bc = train.sparkSession.sparkContext.broadcast((eids, E))
+
+    def score(batches):
+        import pandas as pd
+
+        ev_ids, En = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            T = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
+            T /= np.linalg.norm(T, axis=1, keepdims=True)
+            S = T @ En.T
+            ti, ei = np.nonzero(S >= threshold)
+            yield pd.DataFrame(
+                {
+                    "train_id": pdf.iloc[:, 0].to_numpy()[ti],
+                    "eval_id": ev_ids[ei],
+                    "cosine": S[ti, ei],
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(
+        score, "train_id long, eval_id long, cosine double"
+    )
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_df: DataFrame,

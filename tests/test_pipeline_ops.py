@@ -493,6 +493,46 @@ def test_pack_token_stream(spark):
     assert {r["shard"] for r in sharded} == {0, 1}
 
 
+def test_semantic_overlap_vs_numpy(emb):
+    """Embedding-level decontamination matches a dense numpy
+    cross-product reference, including the cosine values."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import semantic_overlap
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    is_ev = ids % 10 == 0
+    S = Mn[~is_ev] @ Mn[is_ev].T
+    ti, ei = np.nonzero(S >= 0.35)
+    expected = {
+        (int(ids[~is_ev][t]), int(ids[is_ev][e]), round(S[t, e], 9))
+        for t, e in zip(ti, ei)
+    }
+    assert expected  # fixture exercises the flag path
+
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    got = {
+        (r["train_id"], r["eval_id"], round(r["cosine"], 9))
+        for r in semantic_overlap(tr, ev, threshold=0.35).collect()
+    }
+    assert got == expected
+
+
+def test_semantic_overlap_eval_side_cap(emb):
+    """The eval-matrix collect fails fast when the 'eval' side is
+    corpus-sized."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import semantic_overlap
+
+    with _pytest.raises(ValueError, match="max_eval_collect"):
+        semantic_overlap(emb, emb, threshold=0.9, max_eval_collect=10)
+
+
 def test_ngram_overlap_hash_equals_string(spark):
     """Hash-join and raw-string-join produce identical overlap pairs
     (xxhash64 carries the gram identity through the shuffle)."""
