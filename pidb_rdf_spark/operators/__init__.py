@@ -17,6 +17,7 @@ from pidb_rdf_spark.operators.dedup import (
     ngram_jaccard_pairs,
     semantic_dedup,
     semantic_dup_pairs,
+    semantic_query_index,
     simhash_pairs,
 )
 from pidb_rdf_spark.operators.join import salted_join
@@ -99,6 +100,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "semantic_dedup",
     "semantic_dup_pairs",
+    "semantic_query_index",
     "cosine_topk",
     "quantize_embeddings",
     "dequantize_embeddings",

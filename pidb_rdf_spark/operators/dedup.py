@@ -743,6 +743,96 @@ def semantic_dedup(
     )
 
 
+def semantic_query_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SEMANTIC dedup of a new batch against a persisted
+    IVF index (``similarity.save_ivf_index``): every (batch, indexed)
+    pair with cosine >= ``threshold``, probing only each batch
+    vector's ``nprobe`` nearest clusters. Completes the incremental-
+    dedup triple: Bloom (exact), ``minhash_query_index`` (lexical),
+    this (semantic) — the corpus is read cluster-pruned, never
+    re-scored against itself.
+
+    Scale shape: cluster probing is a distributed Arrow map over the
+    batch (no driver collect of vectors); the set of DISTINCT probed
+    clusters — bounded by n_clusters, never by data — is collected
+    and applied as a static ``cluster IN`` filter, so the index scan
+    prunes unprobed partitions at the parquet level. The batch side
+    then equi-joins on cluster; only flagged pairs survive.
+
+    Batch ids must be disjoint from indexed ids. Returns
+    ``(query_id, match_id, cosine)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pidb_rdf_spark.operators.similarity import load_ivf_index, with_norm
+
+    corpus, centroids = load_ivf_index(spark, path)
+    C = np.array(centroids, dtype=np.float64)
+    k_probe = min(nprobe, len(centroids))
+
+    def probe_list(v):
+        M = np.array(list(v), dtype=np.float64)
+        d2 = (
+            (M * M).sum(1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        order = np.argsort(d2, axis=1, kind="stable")[:, :k_probe]
+        return pd.Series(list(order))
+
+    probe_list.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(probe_list, "array<int>")
+    qprobe = with_norm(
+        batch.withColumn("cluster", F.explode(probe_udf(F.col(vec_col)))),
+        id_col,
+        vec_col,
+    ).select(
+        "cluster",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("norm").alias("_qnorm"),
+    ).localCheckpoint(eager=False)
+    probed = [r[0] for r in qprobe.select("cluster").distinct().collect()]
+    c = with_norm(
+        corpus.filter(F.col("cluster").isin(probed)), id_col, vec_col
+    ).select(
+        "cluster",
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_nvec"),
+        F.col("norm").alias("_nnorm"),
+    )
+
+    def _dot_batch(x, y):
+        X = np.array(list(x), dtype=np.float64)
+        Y = np.array(list(y), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", X, Y))
+
+    _dot_batch.__annotations__ = {
+        "x": pd.Series, "y": pd.Series, "return": pd.Series,
+    }
+    dot_udf = pandas_udf(_dot_batch, "double")
+    return (
+        c.join(qprobe, on="cluster")
+        .withColumn(
+            "cosine",
+            dot_udf(F.col("_qvec"), F.col("_nvec"))
+            / (F.col("_qnorm") * F.col("_nnorm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "match_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted MinHash index (incremental dedup against a fixed corpus)
 # ---------------------------------------------------------------------------

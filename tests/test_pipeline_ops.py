@@ -661,6 +661,60 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert {r["cluster"] for r in pruned.select("cluster").distinct().collect()} <= {0, 1}
 
 
+def test_semantic_query_index_vs_numpy(spark, tmp_path):
+    """Incremental semantic dedup against a saved IVF index matches a
+    numpy replay of probe-then-threshold (the probe-recall
+    approximation is part of the contract, so the reference replays
+    it too)."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import (
+        kmeans_centroids,
+        semantic_query_index,
+    )
+    from pidb_rdf_spark.operators.similarity import save_ivf_index
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx_side = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_centroids(idx_side, n_clusters=4, iters=2)
+    path = str(tmp_path / "sem_idx")
+    save_ivf_index(idx_side, path, cents)
+
+    rows_i = idx_side.orderBy("vec_id").collect()
+    rows_b = batch.orderBy("vec_id").collect()
+    C = np.array(cents, dtype=np.float64)
+    I = np.array([r["embedding"] for r in rows_i], dtype=np.float64)
+    B = np.array([r["embedding"] for r in rows_b], dtype=np.float64)
+    iid = np.array([r["vec_id"] for r in rows_i])
+    bid = np.array([r["vec_id"] for r in rows_b])
+    assign = (
+        (I * I).sum(1, keepdims=True) - 2.0 * (I @ C.T) + (C * C).sum(1)
+    ).argmin(1)
+    d2b = (B * B).sum(1, keepdims=True) - 2.0 * (B @ C.T) + (C * C).sum(1)
+    probes = np.argsort(d2b, axis=1, kind="stable")[:, :2]
+    In = I / np.linalg.norm(I, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    S = Bn @ In.T
+    thr = 0.35
+    expected = {
+        (int(bid[q]), int(iid[m]))
+        for q in range(len(bid))
+        for m in range(len(iid))
+        if assign[m] in probes[q] and S[q, m] >= thr
+    }
+    assert expected  # fixture exercises matches
+
+    got = {
+        (r["query_id"], r["match_id"])
+        for r in semantic_query_index(
+            spark, path, batch, threshold=thr, nprobe=2
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_boilerplate_strip(spark):
     """Cross-document repeated lines are detected and stripped; rare
     lines survive with document line order preserved."""
