@@ -111,6 +111,15 @@ def main() -> None:
                     "import_sec": round(import_sec, 2),
                     "import_triples_per_sec": int(n_triples / import_sec),
                     "reps": reps,
+                    "notes": {
+                        "quantize_embeddings": (
+                            "r5: entry output reshaped to exploded "
+                            "(vec_id, scale, dim, q) rows for driver "
+                            "hashability (r4 verdict #1); the timed "
+                            "work now includes the 64x row explode, "
+                            "the operator itself is unchanged"
+                        ),
+                    },
                 },
             },
             separators=(",", ":"),
