@@ -107,14 +107,23 @@ def semantic_overlap(
     """
     import numpy as np
 
-    probe = eval_df.select(id_col).limit(max_eval_collect + 1).count()
-    if probe > max_eval_collect:
+    # one eval-side scan: the limit-probe and the matrix collect are
+    # the same job (len > cap == the probe tripping)
+    rows = (
+        eval_df.select(id_col, vec_col).limit(max_eval_collect + 1).collect()
+    )
+    if len(rows) > max_eval_collect:
         raise ValueError(
             f"semantic_overlap broadcasts the eval matrix; eval side "
             f"exceeds max_eval_collect={max_eval_collect} rows — this "
             f"side should be the benchmark set, not the corpus"
         )
-    rows = eval_df.select(id_col, vec_col).collect()
+    if not rows:
+        # empty benchmark -> no pairs (np.linalg.norm would raise on
+        # the 0-d matrix)
+        return train.sparkSession.createDataFrame(
+            [], "train_id long, eval_id long, cosine double"
+        )
     eids = np.array([r[0] for r in rows], dtype=np.int64)
     E = np.array([r[1] for r in rows], dtype=np.float64)
     E /= np.linalg.norm(E, axis=1, keepdims=True)

@@ -499,10 +499,6 @@ def embedding_near_dup_pairs(
     )
 
     if bucketed:
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
         normed = with_norm(df, id_col, vec_col)
         v = with_hyperplane_buckets(normed, vec_col, n_planes, n_tables)
         # candidate generation carries ONLY ids through the join +
@@ -537,15 +533,9 @@ def embedding_near_dup_pairs(
         )
         cands = pair_ids.join(va, on="a").join(vb, on="b")
 
-        def _dot_batch(x, y):
-            X = np.array(list(x), dtype=np.float64)
-            Y = np.array(list(y), dtype=np.float64)
-            return pd.Series(np.einsum("ij,ij->i", X, Y))
+        from pidb_rdf_spark.operators.similarity import make_dot_udf
 
-        _dot_batch.__annotations__ = {
-            "x": pd.Series, "y": pd.Series, "return": pd.Series,
-        }
-        dot_udf = pandas_udf(_dot_batch, "double")
+        dot_udf = make_dot_udf()
         return (
             cands.withColumn(
                 "cosine",
@@ -655,9 +645,7 @@ def _assigned_normed(df, id_col, vec_col, centroids):
 
 
 def _pairs_from_normed(normed, id_col, vec_col, threshold):
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from pidb_rdf_spark.operators.similarity import make_dot_udf
 
     sig = normed.select(id_col, "cluster")
     pair_ids = (
@@ -684,15 +672,7 @@ def _pairs_from_normed(normed, id_col, vec_col, threshold):
         F.col("norm").alias("__nb"),
     )
 
-    def _dot_batch(x, y):
-        X = np.array(list(x), dtype=np.float64)
-        Y = np.array(list(y), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", X, Y))
-
-    _dot_batch.__annotations__ = {
-        "x": pd.Series, "y": pd.Series, "return": pd.Series,
-    }
-    dot_udf = pandas_udf(_dot_batch, "double")
+    dot_udf = make_dot_udf()
     return (
         pair_ids.join(va, on="a")
         .join(vb, on="b")
@@ -770,38 +750,28 @@ def semantic_query_index(
     Batch ids must be disjoint from indexed ids. Returns
     ``(query_id, match_id, cosine)``.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    from pidb_rdf_spark.operators.similarity import load_ivf_index, with_norm
+    from pidb_rdf_spark.operators.similarity import (
+        load_ivf_index,
+        make_dot_udf,
+        make_probe_udf,
+        with_norm,
+    )
 
     corpus, centroids = load_ivf_index(spark, path)
-    C = np.array(centroids, dtype=np.float64)
-    k_probe = min(nprobe, len(centroids))
-
-    def probe_list(v):
-        M = np.array(list(v), dtype=np.float64)
-        d2 = (
-            (M * M).sum(1, keepdims=True)
-            - 2.0 * (M @ C.T)
-            + (C * C).sum(1)[None, :]
+    probe_udf = make_probe_udf(centroids, nprobe)
+    # norm BEFORE the probe explode: one fold per vector, and the
+    # explode then replicates the scalar, not the fold
+    qprobe = (
+        with_norm(batch, id_col, vec_col)
+        .withColumn("cluster", F.explode(probe_udf(F.col(vec_col))))
+        .select(
+            "cluster",
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.col("norm").alias("_qnorm"),
         )
-        order = np.argsort(d2, axis=1, kind="stable")[:, :k_probe]
-        return pd.Series(list(order))
-
-    probe_list.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    probe_udf = pandas_udf(probe_list, "array<int>")
-    qprobe = with_norm(
-        batch.withColumn("cluster", F.explode(probe_udf(F.col(vec_col)))),
-        id_col,
-        vec_col,
-    ).select(
-        "cluster",
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.col("norm").alias("_qnorm"),
-    ).localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)
+    )
     probed = [r[0] for r in qprobe.select("cluster").distinct().collect()]
     c = with_norm(
         corpus.filter(F.col("cluster").isin(probed)), id_col, vec_col
@@ -812,15 +782,7 @@ def semantic_query_index(
         F.col("norm").alias("_nnorm"),
     )
 
-    def _dot_batch(x, y):
-        X = np.array(list(x), dtype=np.float64)
-        Y = np.array(list(y), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", X, Y))
-
-    _dot_batch.__annotations__ = {
-        "x": pd.Series, "y": pd.Series, "return": pd.Series,
-    }
-    dot_udf = pandas_udf(_dot_batch, "double")
+    dot_udf = make_dot_udf()
     return (
         c.join(qprobe, on="cluster")
         .withColumn(

@@ -177,6 +177,57 @@ def with_hyperplane_buckets(
 # ---------------------------------------------------------------------------
 
 
+def make_dot_udf():
+    """The Arrow-batched row-wise dot kernel (one einsum per batch)
+    shared by every cosine-verify path — ivf_search, the SemDeDup
+    pair verify, the hyperplane-LSH verify, and the semantic index
+    probe all score candidates through this one definition so a
+    numerical change cannot silently diverge between them (their SQL
+    oracles replay the same float64 math)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot_batch(x, y):
+        X = np.array(list(x), dtype=np.float64)
+        Y = np.array(list(y), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", X, Y))
+
+    _dot_batch.__annotations__ = {
+        "x": pd.Series, "y": pd.Series, "return": pd.Series,
+    }
+    return pandas_udf(_dot_batch, "double")
+
+
+def make_probe_udf(centroids: list[list[float]], nprobe: int):
+    """``array<int>`` of each vector's ``nprobe`` nearest centroids:
+    squared-L2 expansion + STABLE argsort, i.e. distance-then-
+    cluster-id tie-break — the single definition of the probe order
+    that ``_ivf_probe_sql``-style oracles replay
+    (``ORDER BY list_distance(...), cl``). Shared by ``ivf_search``
+    and ``dedup.semantic_query_index``; a tie-break change in one
+    place cannot strand the other."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    k_probe = min(nprobe, len(centroids))
+
+    def probe_list(v):
+        M = np.array(list(v), dtype=np.float64)
+        d2 = (
+            (M * M).sum(1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        order = np.argsort(d2, axis=1, kind="stable")[:, :k_probe]
+        return pd.Series(list(order))
+
+    probe_list.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(probe_list, "array<int>")
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -282,29 +333,10 @@ def ivf_search(
 
     ``nprobe >= len(centroids)`` ⇒ exact (== cosine_topk).
     """
-    n_clusters = len(centroids)
-    nprobe = min(nprobe, n_clusters)
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
 
     # query → nprobe nearest centroids, as an exploded (query, cluster) map
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.array(centroids, dtype=np.float64)
-
-    def probe_list(v):
-        M = np.array(list(v), dtype=np.float64)
-        d2 = (
-            (M * M).sum(1, keepdims=True)
-            - 2.0 * (M @ C.T)
-            + (C * C).sum(1)[None, :]
-        )
-        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order))
-
-    probe_list.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    probe_udf = pandas_udf(probe_list, "array<int>")
+    probe_udf = make_probe_udf(centroids, nprobe)
     qprobe = queries.withColumn("cluster", F.explode(probe_udf(F.col(vec_col))))
 
     c = with_norm(assigned, id_col, vec_col).select(
@@ -319,13 +351,7 @@ def ivf_search(
         F.col(vec_col).alias("_qvec"),
         F.col("norm").alias("_qnorm"),
     )
-    def _dot_batch(x, y):
-        X = np.array(list(x), dtype=np.float64)
-        Y = np.array(list(y), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", X, Y))
-
-    _dot_batch.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
-    dot_udf = pandas_udf(_dot_batch, "double")
+    dot_udf = make_dot_udf()
     scored = (
         c.join(F.broadcast(q), on="cluster")
         .filter(F.col("_nid") != F.col("_qid"))

@@ -522,6 +522,16 @@ def test_semantic_overlap_vs_numpy(emb):
     assert got == expected
 
 
+def test_semantic_overlap_empty_eval(emb):
+    """An empty benchmark side yields an empty result frame, not a
+    numpy axis error."""
+    from pidb_rdf_spark.operators import semantic_overlap
+
+    out = semantic_overlap(emb, emb.filter(F.col("vec_id") < 0), threshold=0.0)
+    assert out.count() == 0
+    assert out.columns == ["train_id", "eval_id", "cosine"]
+
+
 def test_semantic_overlap_eval_side_cap(emb):
     """The eval-matrix collect fails fast when the 'eval' side is
     corpus-sized."""
