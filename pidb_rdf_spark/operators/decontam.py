@@ -86,6 +86,7 @@ def semantic_overlap(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     max_eval_collect: int = 1_000_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding-level decontamination: every (train, eval) vector
     pair with cosine >= ``threshold`` — the semantic complement of
@@ -103,9 +104,28 @@ def semantic_overlap(
     broadcast is ~500 MB; past that, flip the sides or use
     ``dedup.semantic_dup_pairs`` on the union).
 
+    A zero-norm embedding on either side raises (eval side at build
+    time, train side from the scoring task): cosine is undefined for
+    the zero vector, and silently dropping it would let a degenerate
+    row pass decontamination unexamined.
+
+    Broadcast lifetime: the eval matrix broadcast lives until the
+    returned (lazy) frame's last job — i.e. for the SESSION unless
+    released. With ``materialize=True`` the result is eagerly
+    computed (``localCheckpoint``) and the broadcast destroyed before
+    returning, so repeated calls in a long-lived session don't
+    accumulate eval-matrix broadcasts.
+
+    Ids pass through with their input types (long, string, ...);
+    the output id columns mirror the input id dtypes.
+
     Output: ``(train_id, eval_id, cosine)``.
     """
     import numpy as np
+
+    t_id_type = train.schema[id_col].dataType.simpleString()
+    e_id_type = eval_df.schema[id_col].dataType.simpleString()
+    out_schema = f"train_id {t_id_type}, eval_id {e_id_type}, cosine double"
 
     # one eval-side scan: the limit-probe and the matrix collect are
     # the same job (len > cap == the probe tripping)
@@ -121,12 +141,18 @@ def semantic_overlap(
     if not rows:
         # empty benchmark -> no pairs (np.linalg.norm would raise on
         # the 0-d matrix)
-        return train.sparkSession.createDataFrame(
-            [], "train_id long, eval_id long, cosine double"
-        )
-    eids = np.array([r[0] for r in rows], dtype=np.int64)
+        return train.sparkSession.createDataFrame([], out_schema)
+    eids = np.array([r[0] for r in rows])
     E = np.array([r[1] for r in rows], dtype=np.float64)
-    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    En_ = np.linalg.norm(E, axis=1, keepdims=True)
+    zero = np.nonzero(En_[:, 0] == 0.0)[0]
+    if zero.size:
+        raise ValueError(
+            f"semantic_overlap: {zero.size} zero-norm eval embedding(s) "
+            f"(e.g. {id_col}={eids[zero[0]]!r}) — cosine is undefined; "
+            f"drop or fix them before decontamination"
+        )
+    E /= En_
     bc = train.sparkSession.sparkContext.broadcast((eids, E))
 
     def score(batches):
@@ -137,7 +163,16 @@ def semantic_overlap(
             if not len(pdf):
                 continue
             T = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
-            T /= np.linalg.norm(T, axis=1, keepdims=True)
+            Tn = np.linalg.norm(T, axis=1, keepdims=True)
+            tz = np.nonzero(Tn[:, 0] == 0.0)[0]
+            if tz.size:
+                bad = pdf.iloc[:, 0].to_numpy()[tz[0]]
+                raise ValueError(
+                    f"semantic_overlap: zero-norm train embedding "
+                    f"({id_col}={bad!r}) — cosine is undefined; drop or "
+                    f"fix it before decontamination"
+                )
+            T /= Tn
             S = T @ En.T
             ti, ei = np.nonzero(S >= threshold)
             yield pd.DataFrame(
@@ -148,9 +183,11 @@ def semantic_overlap(
                 }
             )
 
-    return train.select(id_col, vec_col).mapInPandas(
-        score, "train_id long, eval_id long, cosine double"
-    )
+    out = train.select(id_col, vec_col).mapInPandas(score, out_schema)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        bc.destroy()
+    return out
 
 
 def contaminated_ids(

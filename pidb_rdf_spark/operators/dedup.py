@@ -731,6 +731,7 @@ def semantic_query_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_disjoint: bool = True,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup of a new batch against a persisted
     IVF index (``similarity.save_ivf_index``): every (batch, indexed)
@@ -747,8 +748,16 @@ def semantic_query_index(
     prunes unprobed partitions at the parquet level. The batch side
     then equi-joins on cluster; only flagged pairs survive.
 
-    Batch ids must be disjoint from indexed ids. Returns
-    ``(query_id, match_id, cosine)``.
+    Batch ids must be disjoint from indexed ids; ``check_disjoint``
+    (default on) enforces it with one leftsemi probe over the
+    already-pruned corpus ids — a column- and partition-pruned scan,
+    cheap next to the scoring join that reads the same partitions —
+    and raises naming an offending id instead of silently emitting
+    self-matches at cosine 1.0. Pass ``check_disjoint=False`` to skip
+    the probe job when the pipeline guarantees disjointness upstream
+    (e.g. the batch ids are minted after the index build).
+
+    Returns ``(query_id, match_id, cosine)``.
     """
     from pidb_rdf_spark.operators.similarity import (
         load_ivf_index,
@@ -781,6 +790,24 @@ def semantic_query_index(
         F.col(vec_col).alias("_nvec"),
         F.col("norm").alias("_nnorm"),
     )
+    if check_disjoint:
+        overlap = (
+            c.select(F.col("match_id").alias("__id"))
+            .join(
+                qprobe.select(F.col("query_id").alias("__id")).distinct(),
+                on="__id",
+                how="leftsemi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                f"semantic_query_index: batch ids overlap indexed ids "
+                f"(e.g. {id_col}={overlap[0][0]!r}) — the batch must be "
+                f"disjoint from the index or every overlapping vector "
+                f"trivially self-matches at cosine 1.0"
+            )
 
     dot_udf = make_dot_udf()
     return (

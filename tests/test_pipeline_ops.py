@@ -543,6 +543,88 @@ def test_semantic_overlap_eval_side_cap(emb):
         semantic_overlap(emb, emb, threshold=0.9, max_eval_collect=10)
 
 
+def test_semantic_overlap_zero_norm_raises(spark):
+    """Degenerate all-zero embeddings fail loudly on either side
+    (cosine is undefined; silently dropping them would let them pass
+    decontamination) — ADVICE r5."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import semantic_overlap
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    zero = spark.createDataFrame(
+        [(3, [0.0, 0.0]), (4, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="zero-norm eval"):
+        semantic_overlap(ok, zero, threshold=0.5)
+    # train-side zero norm raises from the scoring task at action time
+    with _pytest.raises(Exception, match="zero-norm train"):
+        semantic_overlap(zero, ok, threshold=0.5).collect()
+
+
+def test_semantic_overlap_string_ids(spark):
+    """Ids pass through with their input dtype — string ids are not
+    coerced to long (ADVICE r5: the id contract follows the schema)."""
+    from pidb_rdf_spark.operators import semantic_overlap
+
+    tr = spark.createDataFrame(
+        [("ta", [1.0, 0.0]), ("tb", [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    ev = spark.createDataFrame(
+        [("e1", [2.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = semantic_overlap(tr, ev, threshold=0.9)
+    assert dict(out.dtypes) == {
+        "train_id": "string",
+        "eval_id": "string",
+        "cosine": "double",
+    }
+    assert [(r["train_id"], r["eval_id"]) for r in out.collect()] == [("ta", "e1")]
+
+
+def test_semantic_overlap_materialize_destroys_broadcast(spark):
+    """materialize=True eagerly computes the pair frame and releases
+    the eval-matrix broadcast (long-session hygiene — ADVICE r5)."""
+    from pidb_rdf_spark.operators import semantic_overlap
+
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    ev = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = semantic_overlap(tr, ev, threshold=0.9, materialize=True)
+    # broadcast already destroyed; the checkpointed frame still serves
+    assert [(r["train_id"], r["eval_id"]) for r in out.collect()] == [(1, 9)]
+
+
+def test_semantic_query_index_disjoint_guard(spark, tmp_path):
+    """A batch that overlaps the indexed ids raises instead of
+    emitting trivial self-matches at cosine 1.0 (ADVICE r5); the
+    explicit opt-out skips the probe job."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import kmeans_centroids, semantic_query_index
+    from pidb_rdf_spark.operators.similarity import save_ivf_index
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx_side = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = kmeans_centroids(idx_side, n_clusters=4, iters=2)
+    path = str(tmp_path / "sem_idx_guard")
+    save_ivf_index(idx_side, path, cents)
+
+    overlapping = emb.limit(20)  # ids 0..19 include indexed ids
+    with _pytest.raises(ValueError, match="disjoint"):
+        semantic_query_index(spark, path, overlapping, threshold=0.99)
+    # opt-out: the same batch runs, and the self-matches it produces
+    # are exactly the overlap the guard protects against
+    out = semantic_query_index(
+        spark, path, overlapping, threshold=0.999999, check_disjoint=False
+    )
+    assert any(r["query_id"] == r["match_id"] for r in out.collect())
+
+
 def test_ngram_overlap_hash_equals_string(spark):
     """Hash-join and raw-string-join produce identical overlap pairs
     (xxhash64 carries the gram identity through the shuffle)."""
