@@ -115,108 +115,67 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # persisted IVF index) enter the window as new entries;
 # ivf_topk_exact, triangle_count_dups and bfs_hops_containment are
 # deferred to make room (see their notes in the list).
-# r06 TODO: all 44 deferred entries return to the window as usual.
 _DEFER_TO_TAIL = [
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "doc_fingerprint",
-    "repetition_signals_docs",
-    "media_header_probe",
-    "media_features",
-    "frame_sample",
-    "tfidf_top_terms_docs",
-    "bm25_search_docs",
-    "windowed_event_counts",
-    "sessionize_events",
-    "stream_dedup_events",
-    "decontam_overlap",
-    "nodes_with_label_inferred",
-    "nodes_linked_to_inferred",
-    "rels_inferred",
-    "sql_passthrough",
-    "lineitem_pricing_summary",
-    "lineitem_three_hop_volume",
-    "closure_reachability",
-    "pagerank_containment",
-    # r4-green; its code path (analytics.near_dup_clusters over the
-    # shared minhash pairs cache) is r5-untouched, and the minhash
-    # pipeline itself re-proves in-window via minhash_lsh_dedup
-    "near_dup_doc_clusters",
-    # r4-green compiler aggregates, parser/compiler untouched in r5;
-    # agg_full + distinct_projection keep the aggregate/DISTINCT
-    # compile path proven in-window
-    "group_count",
-    "count_distinct",
-    # r4-green compiler entries, parser/compiler untouched in r5;
-    # union/exists compile paths stay proven in-window via the
-    # exists_semi / not_exists_anti / sparql_minus entries
-    "union_names",
-    "ask_exists",
-    # r4-green, untouched; OPTIONAL compile re-proven in-window by
-    # path_optional_hop's left-join shape
-    "optional_left_join",
-    # r4-green, untouched compile-tail dropDuplicates
-    "distinct_projection",
-    # r4-green; CONSTRUCT tail / VALUES compile / subselect branch are
-    # r5-untouched (see the rebalance note above) — deferred to make
-    # window room for the three new in-window entries
-    "construct_derived_edges",
-    "sparql_values",
-    "subselect_nation_order_counts",
-    # r4-green; the path-SEQ and path-INVERSE/ALT compile branches are
-    # r5-untouched — deferred for the json_props_extract /
-    # curation_pipeline window slots; path_plus_reachability and
-    # path_optional_hop keep the property-path compile region proven
-    # in-window
-    "path_seq_region",
-    "path_inverse_alt_members",
-    # r4-green; dsl.py's ONLY r5 diff is the added match() method (own
-    # in-window entry gremlin_match re-proves the shared traversal
-    # core), so the out/in/group and repeat/until code lines these two
-    # exercise are r5-untouched — deferred for the rollup/kmv/sssp
-    # window slots
-    "dsl_two_hop_group",
-    "gremlin_repeat_until",
-    # r4-green; GROUP_CONCAT's aggregate branch is r5-untouched and the
-    # aggregate compile path stays proven in-window by agg_full
-    "group_concat_nations",
-    # r4-green; leftsemi and leftanti EXISTS compile through the SAME
-    # line (compiler.py `how = "leftanti" if negated else "leftsemi"`),
-    # and not_exists_anti stays in-window to prove it — deferred for
-    # the substring_dup_docs slot
-    "exists_semi",
-    # r4-green; its distinctive surface (index-seek pushdown + scan
-    # pruning) is pinned by tests/test_plan_shape.py, and the touched
-    # compile lines stay proven by bgp_three_hop + filter_order_limit
-    # — deferred for the minhash_index_query slot
-    "label_scan_prop_seek",
-    # r4-green; analytics.connected_components untouched in r5 and the
-    # star variant re-proves the identical contract + oracle in-window
-    "connected_components_regions",
-    # r4-green; the bucketed hyperplane-LSH path (dedup.py:484) is
-    # r5-untouched — the r5 dedup.py edit is the row-count cap on the
-    # separate exact-collect path, proven in-window by
-    # embedding_near_dup
-    "embedding_near_dup_lsh",
-    # deferred to make window room for the NEW semantic_dedup_embeddings
-    # entry (new entries are never deferred): r4-green, and its ONLY
-    # difference from ivf_topk_probe2 is nprobe=n_clusters — the exact
-    # same ivf_search/kmeans code lines stay proven in-window by
-    # ivf_topk_probe2, ivf_topk_indexed and kmeans_assign
-    "ivf_topk_exact",
-    # deferred to make window room for the NEW
-    # semantic_decontam_embeddings entry: r4-green, and
-    # analytics.triangle_count is untouched by the r5 diff (the only
-    # analytics.py edit is the inserted sssp function); its input —
-    # the shared MinHash pairs cache — stays proven in-window by
-    # minhash_lsh_dedup
-    "triangle_count_dups",
-    # deferred to make window room for the NEW semantic_index_query
-    # entry: r4-green, and analytics.shortest_hops is untouched by the
-    # r5 diff (sssp was INSERTED after it; sssp_region_orders proves
-    # the shared checkpointed-frontier loop shape in-window)
-    "bfs_hops_containment",
+    # -- r7 rotation: the FULL r6 window rotates out; every entry
+    # deferred below has a green row in CORRECTNESS_r06.json (50/50
+    # green) and its function-level code path is untouched by the r7
+    # diff (r7 touches inference.py [LRU-bounded closure cache — its
+    # three entries are IN-window], sources/rdf_reader.py JSON-LD
+    # [import entries are pytest-covered], dsl.py [Cypher front-end —
+    # gremlin_match + the dsl/gremlin entries are kept IN-window],
+    # dedup.py:793 docstring [semantic_index_query kept IN-window],
+    # and bench.py). The r7 window = the 44 entries deferred in
+    # r5/r6 (all return, led by the r03-stale trio ivf_topk_exact /
+    # triangle_count_dups / bfs_hops_containment and the inference
+    # trio whose code changed in r6) + new r7 entries + r6-proven
+    # watch/touched entries (minhash_lsh_dedup, semantic_index_query,
+    # substring_dup_docs, gremlin_match, ...).
+    "bgp_three_hop",
+    "filter_order_limit",
+    "agg_full",
+    "not_exists_anti",
+    "running_window_orders",
+    "quantiles_order_prices",
+    "topk_orders_per_segment",
+    "sparql_bind",
+    "sparql_minus",
+    "path_plus_reachability",
+    "path_optional_hop",
+    "connected_components_star",
+    "exact_dedup_docs",
+    "ngram_jaccard_dedup",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "cosine_topk",
+    "quantize_embeddings",
+    "ivf_topk_probe2",
+    "ivf_topk_indexed",
+    "pq_codes",
+    "pq_topk_adc",
+    "ivfpq_topk",
+    "boilerplate_lines",
+    "strip_boilerplate",
+    "gopher_quality_docs",
+    "line_dedup_docs",
+    "salted_join_lineitem",
+    "semantic_dedup_embeddings",
+    "semantic_decontam_embeddings",
+    "pii_scrub_docs",
+    "unigram_quality_docs",
+    "chunk_documents",
+    "stratified_sample_docs",
+    "pack_docs_stream",
+    "sessionize_stream",
+    "asof_join_events",
+    "user_stats_events",
+    "kmeans_assign",
+    "bloom_membership",
+    "json_props_extract",
+    "curation_pipeline",
+    "rollup_event_counts",
+    "kmv_distinct_users",
+    "sssp_region_orders",
+    "minhash_index_query",
 ]
 
 
