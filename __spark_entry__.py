@@ -1708,6 +1708,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_index_query"] = minhash_index_query
 
+    # -- Cypher front-end (NEW r7, in-window): the reference's third
+    # query surface (Neo4jGraph.java:288-304) as text -> DataFrame
+    # compile; pidb_rdf_spark/cypher.py --------------------------------
+    def cypher_filter_topk(spark, sf_dir):
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "WHERE c.c_acctbal > 9000 "
+            "RETURN c.c_name AS name, n.n_name AS nation "
+            "ORDER BY name LIMIT 25",
+        )
+
+    q["cypher_filter_topk"] = cypher_filter_topk
+
+    def cypher_nation_order_stats(spark, sf_dir):
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (o:Orders)-[:PLACED_BY]->(c)-[:IN_NATION]->(n:Nation) "
+            "WHERE o.o_totalprice > 100000 "
+            "RETURN n.n_name AS nation, count(*) AS n_orders, "
+            "count(DISTINCT c) AS n_custs ORDER BY nation",
+        )
+
+    q["cypher_nation_order_stats"] = cypher_nation_order_stats
+
     return _rotate_checked_window(q)
 
 
@@ -3048,6 +3079,21 @@ def _scale_extension_oracles() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     base = {
+        "cypher_filter_topk": """
+            SELECT c_name AS name, n_name AS nation
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 9000
+            ORDER BY name LIMIT 25
+        """,
+        "cypher_nation_order_stats": """
+            SELECT n_name AS nation, COUNT(*) AS n_orders,
+                   COUNT(DISTINCT c_custkey) AS n_custs
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_totalprice > 100000
+            GROUP BY n_name ORDER BY nation
+        """,
         "label_scan_prop_seek": """
             SELECT c_name AS name FROM customer
             WHERE c_mktsegment = 'BUILDING'

@@ -26,4 +26,7 @@ from pidb_rdf_spark.session import get_spark
 
 __all__ = ["PropertyGraph", "get_spark", "graphify"]
 
+# query surfaces (imported lazily by most callers; re-exported for
+# discoverability): sparql.sparql, cypher.cypher, dsl.traversal
+
 __version__ = "0.1.0"

@@ -1,0 +1,825 @@
+"""Cypher front-end: a MATCH / WHERE / RETURN subset compiled to one
+DataFrame plan.
+
+Reference parity: the reference's third query surface is Cypher text
+executed through the embedded Neo4j engine
+(``neo4j/structure/Neo4jGraph.java:288-304`` ``cypher(...)`` /
+``execute(...)``; used by the micro-reasoners,
+``semantics/inference/MicroReasoners.java:20-22``). Here the same
+query text compiles to DataFrame joins — each node pattern is a
+filtered scan of the nodes table, each relationship a hash join
+through the edges table, WHERE/property predicates become Catalyst
+filters pushed to the parquet scan, and RETURN aggregation uses
+Cypher's implicit grouping (group by every non-aggregate item).
+
+Supported subset (the shapes the reference's own code and tests
+issue):
+
+- ``MATCH`` comma-separated patterns of ``(v:Label {k: lit})`` nodes
+  and ``-[r:TYPE|TYPE2]->`` / ``<-[...]-`` / ``-[...]-`` (undirected)
+  relationships, including variable-length ``*``, ``*n``, ``*n..m``.
+- ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
+  ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``.
+- ``RETURN [DISTINCT]`` of properties, variables (their ids),
+  arithmetic, and aggregates ``count/sum/avg/min/max/collect``
+  (+ ``count(DISTINCT x)``), with ``AS`` aliases and implicit
+  grouping.
+- ``ORDER BY expr [ASC|DESC], ...``, ``SKIP n``, ``LIMIT n``.
+
+Unsupported constructs raise ``CypherSyntaxError`` with a position —
+never silently mis-execute (same contract as the SPARQL parser).
+
+Scale shape: a Cypher query is ONE lazy plan — label/property
+predicates reach the scan as PushedFilters, relationship hops are
+equi-joins on node ids (AQE/broadcast decides the physical join),
+and variable-length paths reuse the semi-naive fixpoint from
+``inference.transitive_closure`` (bounded lengths unroll to a
+union of joins instead)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.graph import PropertyGraph
+
+
+class CypherSyntaxError(SyntaxError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
+  | (?P<op><>|<=|>=|\.\.|->|<-|[()\[\]{}:,.\-<>=|*+/%])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "match", "where", "return", "distinct", "order", "by", "asc", "desc",
+    "skip", "limit", "and", "or", "not", "is", "null", "in", "starts",
+    "ends", "with", "contains", "true", "false", "as", "optional",
+}
+
+_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
+
+
+@dataclass
+class _Tok:
+    kind: str  # num | str | name | kw | op
+    text: str
+    pos: int
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise CypherSyntaxError(f"unexpected character {text[i]!r} at position {i}")
+        i = m.end()
+        if m.lastgroup == "ws":
+            continue
+        kind = m.lastgroup
+        tok = m.group()
+        if kind == "name":
+            if tok.startswith("`"):
+                toks.append(_Tok("name", tok[1:-1], m.start()))
+                continue
+            if tok.lower() in _KEYWORDS:
+                toks.append(_Tok("kw", tok.lower(), m.start()))
+                continue
+        toks.append(_Tok(kind, tok, m.start()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    labels: list[str]
+    props: dict
+
+
+@dataclass
+class RelPat:
+    var: str | None
+    types: list[str]
+    direction: str  # "out" (->), "in" (<-), "both" (undirected)
+    min_len: int = 1
+    max_len: int | None = 1  # None = unbounded (*)
+
+
+@dataclass
+class Pattern:
+    """node (rel node)* chain."""
+
+    nodes: list[NodePat]
+    rels: list[RelPat]
+
+
+@dataclass
+class ReturnItem:
+    expr: tuple
+    alias: str | None
+    text: str  # source text, the default column name
+
+
+@dataclass
+class CypherQuery:
+    patterns: list[Pattern]
+    where: tuple | None
+    distinct: bool
+    items: list[ReturnItem]
+    order: list[tuple]  # (expr-or-alias-text, asc)
+    skip: int | None
+    limit: int | None
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    # -- token helpers --------------------------------------------------
+
+    def _peek(self, k: int = 0) -> _Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        if self.i >= len(self.toks):
+            raise CypherSyntaxError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect(self, kind: str, text: str | None = None) -> _Tok:
+        t = self._next()
+        if t.kind != kind or (text is not None and t.text != text):
+            want = text or kind
+            raise CypherSyntaxError(
+                f"expected {want!r}, got {t.text!r} at position {t.pos}"
+            )
+        return t
+
+    def _at(self, kind: str, text: str | None = None) -> bool:
+        t = self._peek()
+        return t is not None and t.kind == kind and (text is None or t.text == text)
+
+    def _accept(self, kind: str, text: str | None = None) -> _Tok | None:
+        if self._at(kind, text):
+            return self._next()
+        return None
+
+    def _expect_name_like(self) -> _Tok:
+        """An identifier position that may collide with a keyword
+        (labels, relationship types, property names): ``Order``,
+        ``In``, ... — the original spelling is preserved via the
+        source text."""
+        t = self._next()
+        if t.kind == "name":
+            return t
+        if t.kind == "kw":
+            return _Tok("name", self.text[t.pos : t.pos + len(t.text)], t.pos)
+        raise CypherSyntaxError(
+            f"expected identifier, got {t.text!r} at position {t.pos}"
+        )
+
+    # -- grammar --------------------------------------------------------
+
+    def parse(self) -> CypherQuery:
+        self._expect("kw", "match")
+        patterns = [self._pattern()]
+        while self._accept("op", ","):
+            patterns.append(self._pattern())
+        where = None
+        if self._accept("kw", "where"):
+            where = self._expr()
+        self._expect("kw", "return")
+        distinct = self._accept("kw", "distinct") is not None
+        items = [self._return_item()]
+        while self._accept("op", ","):
+            items.append(self._return_item())
+        order: list[tuple] = []
+        if self._accept("kw", "order"):
+            self._expect("kw", "by")
+            order.append(self._sort_item())
+            while self._accept("op", ","):
+                order.append(self._sort_item())
+        skip = limit = None
+        if self._accept("kw", "skip"):
+            skip = int(self._expect("num").text)
+        if self._accept("kw", "limit"):
+            limit = int(self._expect("num").text)
+        if self.i != len(self.toks):
+            t = self.toks[self.i]
+            raise CypherSyntaxError(
+                f"unexpected {t.text!r} at position {t.pos}"
+            )
+        return CypherQuery(patterns, where, distinct, items, order, skip, limit)
+
+    def _pattern(self) -> Pattern:
+        nodes = [self._node_pat()]
+        rels: list[RelPat] = []
+        while self._at("op", "-") or self._at("op", "<-"):
+            rels.append(self._rel_pat())
+            nodes.append(self._node_pat())
+        return Pattern(nodes, rels)
+
+    def _node_pat(self) -> NodePat:
+        self._expect("op", "(")
+        var = None
+        t = self._peek()
+        if t is not None and t.kind == "name":
+            var = self._next().text
+        labels: list[str] = []
+        while self._accept("op", ":"):
+            labels.append(self._expect_name_like().text)
+        props: dict = {}
+        if self._accept("op", "{"):
+            while True:
+                key = self._expect_name_like().text
+                self._expect("op", ":")
+                props[key] = self._literal()
+                if not self._accept("op", ","):
+                    break
+            self._expect("op", "}")
+        self._expect("op", ")")
+        return NodePat(var, labels, props)
+
+    def _rel_pat(self) -> RelPat:
+        # '<-[' ... ']-'  |  '-[' ... ']->'  |  '-[' ... ']-'
+        incoming = self._accept("op", "<-") is not None
+        if not incoming:
+            self._expect("op", "-")
+        var = None
+        types: list[str] = []
+        min_len, max_len = 1, 1
+        if self._accept("op", "["):
+            t = self._peek()
+            if t is not None and t.kind == "name" and not self._at("op", ":"):
+                var = self._next().text
+            if self._accept("op", ":"):
+                types.append(self._expect_name_like().text)
+                while self._accept("op", "|"):
+                    self._accept("op", ":")  # legacy  :A|:B  form
+                    types.append(self._expect_name_like().text)
+            if self._accept("op", "*"):
+                max_len = None
+                if self._at("num"):
+                    min_len = int(self._next().text)
+                    max_len = min_len
+                    if self._accept("op", ".."):
+                        max_len = int(self._expect("num").text)
+                elif self._accept("op", ".."):
+                    min_len = 1
+                    max_len = int(self._expect("num").text)
+                else:
+                    min_len = 1
+            self._expect("op", "]")
+        if incoming:
+            self._expect("op", "-")
+            direction = "in"
+        elif self._accept("op", "->"):
+            direction = "out"
+        else:
+            self._expect("op", "-")
+            direction = "both"
+        if (min_len, max_len) != (1, 1) and var is not None:
+            raise CypherSyntaxError(
+                "a variable-length relationship cannot bind a variable "
+                f"({var!r}) in this subset"
+            )
+        return RelPat(var, types, direction, min_len, max_len)
+
+    def _literal(self):
+        t = self._next()
+        if t.kind == "num":
+            return ("lit", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            body = t.text[1:-1]
+            return ("lit", re.sub(r"\\(.)", r"\1", body))
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return ("lit", t.text == "true")
+        if t.kind == "kw" and t.text == "null":
+            return ("lit", None)
+        if t.kind == "op" and t.text == "-" and self._at("num"):
+            n = self._next()
+            return ("lit", -(float(n.text) if "." in n.text else int(n.text)))
+        raise CypherSyntaxError(f"expected literal, got {t.text!r} at position {t.pos}")
+
+    # expression grammar: or > and > not > comparison > additive >
+    # multiplicative > unary > primary
+    def _expr(self) -> tuple:
+        left = self._and_expr()
+        while self._accept("kw", "or"):
+            left = ("or", left, self._and_expr())
+        return left
+
+    def _and_expr(self) -> tuple:
+        left = self._not_expr()
+        while self._accept("kw", "and"):
+            left = ("and", left, self._not_expr())
+        return left
+
+    def _not_expr(self) -> tuple:
+        if self._accept("kw", "not"):
+            return ("not", self._not_expr())
+        return self._comparison()
+
+    def _comparison(self) -> tuple:
+        left = self._additive()
+        t = self._peek()
+        if t is not None and t.kind == "op" and t.text in ("=", "<>", "<", "<=", ">", ">="):
+            op = self._next().text
+            return ("cmp", op, left, self._additive())
+        if self._accept("kw", "is"):
+            neg = self._accept("kw", "not") is not None
+            self._expect("kw", "null")
+            return ("isnull", left, neg)
+        if self._accept("kw", "in"):
+            self._expect("op", "[")
+            vals = []
+            if not self._at("op", "]"):
+                vals.append(self._literal()[1])
+                while self._accept("op", ","):
+                    vals.append(self._literal()[1])
+            self._expect("op", "]")
+            return ("in", left, vals)
+        if self._accept("kw", "starts"):
+            self._expect("kw", "with")
+            return ("startswith", left, self._additive())
+        if self._accept("kw", "ends"):
+            self._expect("kw", "with")
+            return ("endswith", left, self._additive())
+        if self._accept("kw", "contains"):
+            return ("contains", left, self._additive())
+        return left
+
+    def _additive(self) -> tuple:
+        left = self._multiplicative()
+        while True:
+            t = self._peek()
+            if t is not None and t.kind == "op" and t.text in ("+", "-"):
+                op = self._next().text
+                left = ("arith", op, left, self._multiplicative())
+            else:
+                return left
+
+    def _multiplicative(self) -> tuple:
+        left = self._unary()
+        while True:
+            t = self._peek()
+            if t is not None and t.kind == "op" and t.text in ("*", "/", "%"):
+                op = self._next().text
+                left = ("arith", op, left, self._unary())
+            else:
+                return left
+
+    def _unary(self) -> tuple:
+        if self._accept("op", "-"):
+            return ("neg", self._unary())
+        return self._primary()
+
+    def _primary(self) -> tuple:
+        if self._accept("op", "("):
+            e = self._expr()
+            self._expect("op", ")")
+            return e
+        t = self._next()
+        if t.kind == "num":
+            return ("lit", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            return ("lit", re.sub(r"\\(.)", r"\1", t.text[1:-1]))
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return ("lit", t.text == "true")
+        if t.kind == "kw" and t.text == "null":
+            return ("lit", None)
+        if t.kind == "name":
+            name = t.text
+            if self._at("op", "("):  # function call
+                self._next()
+                fn = name.lower()
+                distinct = self._accept("kw", "distinct") is not None
+                if self._at("op", "*"):
+                    self._next()
+                    arg = ("star",)
+                else:
+                    arg = self._expr()
+                self._expect("op", ")")
+                return ("call", fn, arg, distinct)
+            if self._accept("op", "."):
+                prop = self._expect_name_like().text
+                return ("prop", name, prop)
+            return ("var", name)
+        raise CypherSyntaxError(
+            f"unexpected {t.text!r} at position {t.pos}"
+        )
+
+    def _return_item(self) -> ReturnItem:
+        if self.i >= len(self.toks):
+            raise CypherSyntaxError("unexpected end of query: expected RETURN item")
+        start = self.toks[self.i].pos
+        e = self._expr()
+        end = self.toks[self.i - 1]
+        text = self.text[start : end.pos + len(end.text)].strip()
+        alias = None
+        if self._accept("kw", "as"):
+            alias = self._expect("name").text
+        return ReturnItem(e, alias, text)
+
+    def _sort_item(self) -> tuple:
+        if self.i >= len(self.toks):
+            raise CypherSyntaxError("unexpected end of query: expected sort key")
+        start = self.toks[self.i].pos
+        e = self._expr()
+        end = self.toks[self.i - 1]
+        text = self.text[start : end.pos + len(end.text)].strip()
+        asc = True
+        if self._accept("kw", "desc"):
+            asc = False
+        else:
+            self._accept("kw", "asc")
+        return (e, text, asc)
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Compile:
+    graph: PropertyGraph
+    cur: DataFrame | None = None
+    kinds: dict = field(default_factory=dict)  # var -> "node" | "rel"
+    prop_cols: dict = field(default_factory=dict)  # (var, prop) -> col name
+    anon: int = 0
+
+    def fresh(self, prefix: str) -> str:
+        self.anon += 1
+        return f"__{prefix}{self.anon}"
+
+
+def _node_frame(g: PropertyGraph, pat: NodePat, var: str) -> DataFrame:
+    nd = g.nodes
+    for lab in pat.labels:
+        nd = nd.filter(F.array_contains(F.col("labels"), lab))
+    for k, (_, v) in pat.props.items():
+        nd = nd.filter(g.node_prop(k) == F.lit(v))
+    return nd.select(F.col("id").alias(var))
+
+
+def _bind_node(c: _Compile, pat: NodePat) -> str:
+    """Bind a node pattern into the current frame; return its var."""
+    g = c.graph
+    var = pat.var or c.fresh("n")
+    if pat.var is not None and pat.var in c.kinds:
+        if c.kinds[var] != "node":
+            raise CypherSyntaxError(f"variable {var!r} bound as both node and relationship")
+        # already bound: apply any extra label/prop constraints as a semi-join
+        if pat.labels or pat.props:
+            keep = _node_frame(g, pat, var)
+            c.cur = c.cur.join(keep, on=var, how="leftsemi")
+        return var
+    c.kinds[var] = "node"
+    nd = _node_frame(g, pat, var)
+    if c.cur is None:
+        c.cur = nd
+    else:
+        # disconnected pattern start: Cypher cartesian product
+        c.cur = c.cur.crossJoin(nd)
+    return var
+
+
+def _var_length_pairs(
+    g: PropertyGraph, rel: RelPat
+) -> DataFrame:
+    """(src, dst) pairs for a variable-length relationship: bounded
+    lengths unroll to a union of equi-join chains; unbounded reuses
+    the semi-naive closure fixpoint."""
+    e = g.edges
+    if rel.types:
+        e = e.filter(F.col("predicate").isin(rel.types))
+    pairs = e.select("src", "dst")
+    if rel.direction == "both":
+        pairs = pairs.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    if rel.max_len is None:
+        from pidb_rdf_spark.inference import transitive_closure
+
+        clo = transitive_closure(
+            pairs.select(F.col("src").alias("child"), F.col("dst").alias("parent"))
+        ).select(F.col("child").alias("src"), F.col("parent").alias("dst"))
+        if rel.min_len <= 1:
+            return clo
+        # drop pairs only reachable in < min_len hops: re-derive the
+        # short-hop set and anti-join (rare query shape; bounded work)
+        short = _unrolled_pairs(pairs, 1, rel.min_len - 1)
+        return clo.join(short, on=["src", "dst"], how="leftanti")
+    return _unrolled_pairs(pairs, rel.min_len, rel.max_len)
+
+
+def _unrolled_pairs(pairs: DataFrame, min_len: int, max_len: int) -> DataFrame:
+    hop = pairs.dropDuplicates()
+    out = hop if min_len <= 1 else None
+    cur = hop
+    for _ in range(2, max_len + 1):
+        cur = (
+            cur.select(F.col("src"), F.col("dst").alias("__m"))
+            .join(hop.select(F.col("src").alias("__m"), "dst"), on="__m")
+            .select("src", "dst")
+            .dropDuplicates()
+        )
+        out = cur if out is None else out.unionAll(cur)
+    if out is None:  # min_len > max_len: empty result, keep schema
+        return hop.limit(0)
+    return out.dropDuplicates()
+
+
+def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
+    """Join one relationship hop; returns the bound far-node var."""
+    g = c.graph
+    nxt = pat_next.var or c.fresh("n")
+    nxt_bound = pat_next.var is not None and pat_next.var in c.kinds
+
+    if (rel.min_len, rel.max_len) != (1, 1):
+        pairs = _var_length_pairs(g, rel)
+        here, there = ("src", "dst") if rel.direction != "in" else ("dst", "src")
+        hop = pairs.select(F.col(here).alias(prev), F.col(there).alias(nxt))
+        c.cur = c.cur.join(hop, on=prev)
+        if nxt_bound:
+            # far end already bound under another name: equality join
+            c.cur = c.cur.filter(F.col(nxt) == F.col(pat_next.var))
+        else:
+            c.kinds[nxt] = "node"
+            keep = _node_frame(g, pat_next, nxt)
+            if pat_next.labels or pat_next.props:
+                c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
+        return nxt
+
+    rvar = rel.var or c.fresh("r")
+    if rel.var is not None and rel.var in c.kinds:
+        raise CypherSyntaxError(
+            f"relationship variable {rel.var!r} bound twice (not supported)"
+        )
+    c.kinds[rvar] = "rel"
+    e = g.edges
+    if rel.types:
+        e = e.filter(F.col("predicate").isin(rel.types))
+    if rel.direction == "out":
+        hop = e.select(
+            F.col("src").alias(prev), F.col("dst").alias(nxt), F.col("id").alias(rvar)
+        )
+    elif rel.direction == "in":
+        hop = e.select(
+            F.col("dst").alias(prev), F.col("src").alias(nxt), F.col("id").alias(rvar)
+        )
+    else:  # undirected: either orientation
+        hop = e.select(
+            F.col("src").alias(prev), F.col("dst").alias(nxt), F.col("id").alias(rvar)
+        ).unionAll(
+            e.select(
+                F.col("dst").alias(prev), F.col("src").alias(nxt), F.col("id").alias(rvar)
+            )
+        )
+    if nxt_bound:
+        tmp = c.fresh("j")
+        hop = hop.withColumnRenamed(nxt, tmp)
+        c.cur = c.cur.join(hop, on=prev).filter(F.col(tmp) == F.col(nxt)).drop(tmp)
+    else:
+        c.kinds[nxt] = "node"
+        c.cur = c.cur.join(hop, on=prev)
+        if pat_next.labels or pat_next.props:
+            keep = _node_frame(c.graph, pat_next, nxt)
+            c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
+    return nxt
+
+
+def _collect_props(expr: tuple | None, acc: set) -> None:
+    if expr is None:
+        return
+    if expr[0] == "prop":
+        acc.add((expr[1], expr[2]))
+        return
+    for part in expr[1:]:
+        if isinstance(part, tuple):
+            _collect_props(part, acc)
+
+
+def _materialize_props(c: _Compile, needed: set) -> None:
+    """Join each referenced var.prop in as a concrete column (one
+    projection join per variable — column-pruned scans, broadcast-
+    eligible)."""
+    g = c.graph
+    by_var: dict[str, list[str]] = {}
+    for var, prop in needed:
+        if (var, prop) not in c.prop_cols:
+            by_var.setdefault(var, []).append(prop)
+    for var, props in by_var.items():
+        kind = c.kinds.get(var)
+        if kind is None:
+            raise CypherSyntaxError(f"undefined variable {var!r}")
+        cols = []
+        for p in props:
+            cname = f"__p_{var}_{p}"
+            c.prop_cols[(var, p)] = cname
+            if kind == "node":
+                cols.append(g.node_prop(p).alias(cname))
+            else:
+                cols.append(F.col("props").getItem(p).alias(cname))
+        side = (g.nodes if kind == "node" else g.edges).select(
+            F.col("id").alias(var), *cols
+        )
+        c.cur = c.cur.join(side, on=var, how="left")
+
+
+def _to_col(c: _Compile, expr: tuple) -> Column:
+    op = expr[0]
+    if op == "lit":
+        return F.lit(expr[1])
+    if op == "prop":
+        return F.col(c.prop_cols[(expr[1], expr[2])])
+    if op == "var":
+        if expr[1] not in c.kinds:
+            raise CypherSyntaxError(f"undefined variable {expr[1]!r}")
+        return F.col(expr[1])
+    if op == "and":
+        return _to_col(c, expr[1]) & _to_col(c, expr[2])
+    if op == "or":
+        return _to_col(c, expr[1]) | _to_col(c, expr[2])
+    if op == "not":
+        return ~_to_col(c, expr[1])
+    if op == "cmp":
+        a, b = _to_col(c, expr[2]), _to_col(c, expr[3])
+        return {
+            "=": a == b, "<>": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[expr[1]]
+    if op == "isnull":
+        col = _to_col(c, expr[1])
+        return col.isNotNull() if expr[2] else col.isNull()
+    if op == "in":
+        return _to_col(c, expr[1]).isin(expr[2])
+    if op == "startswith":
+        return _to_col(c, expr[1]).startswith(_to_col(c, expr[2]))
+    if op == "endswith":
+        return _to_col(c, expr[1]).endswith(_to_col(c, expr[2]))
+    if op == "contains":
+        return _to_col(c, expr[1]).contains(_to_col(c, expr[2]))
+    if op == "arith":
+        a, b = _to_col(c, expr[2]), _to_col(c, expr[3])
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b, "%": a % b}[expr[1]]
+    if op == "neg":
+        return -_to_col(c, expr[1])
+    if op == "call":
+        raise CypherSyntaxError(
+            f"aggregate {expr[1]}() is only allowed in RETURN items"
+        )
+    raise CypherSyntaxError(f"unsupported expression {op!r}")
+
+
+def _has_agg(expr: tuple) -> bool:
+    if expr[0] == "call" and expr[1] in _AGG_FUNCS:
+        return True
+    return any(_has_agg(p) for p in expr[1:] if isinstance(p, tuple))
+
+
+def _agg_col(c: _Compile, expr: tuple) -> Column:
+    """A RETURN item expression containing aggregates -> agg Column."""
+    op = expr[0]
+    if op == "call":
+        fn, arg, distinct = expr[1], expr[2], expr[3]
+        if fn not in _AGG_FUNCS:
+            raise CypherSyntaxError(f"unknown function {fn}()")
+        if arg[0] == "star":
+            if fn != "count":
+                raise CypherSyntaxError(f"{fn}(*) is not valid")
+            return F.count(F.lit(1))
+        inner = _to_col(c, arg)
+        if fn == "count":
+            return F.count_distinct(inner) if distinct else F.count(inner)
+        if distinct:
+            raise CypherSyntaxError(f"DISTINCT inside {fn}() is not supported")
+        return {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "collect": F.collect_list,
+        }[fn](inner)
+    if op == "arith":
+        return {
+            "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+            "%": lambda a, b: a % b,
+        }[expr[1]](_agg_col(c, expr[2]), _agg_col(c, expr[3]))
+    if op == "neg":
+        return -_agg_col(c, expr[1])
+    if _has_agg(expr):
+        raise CypherSyntaxError(f"unsupported aggregate expression {op!r}")
+    return _to_col(c, expr)
+
+
+def cypher(graph: PropertyGraph, text: str) -> DataFrame:
+    """Execute a Cypher query against the graph; returns the RETURN
+    projection as a DataFrame (reference
+    ``Neo4jGraph.java:288-304``)."""
+    q = _Parser(text).parse()
+    c = _Compile(graph)
+
+    for pat in q.patterns:
+        prev = _bind_node(c, pat.nodes[0])
+        for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
+            prev = _bind_rel(c, rel, prev, nxt_pat)
+
+    needed: set = set()
+    _collect_props(q.where, needed)
+    for it in q.items:
+        _collect_props(it.expr, needed)
+    for e, _, _ in q.order:
+        _collect_props(e, needed)
+    _materialize_props(c, needed)
+
+    if q.where is not None:
+        c.cur = c.cur.filter(_to_col(c, q.where))
+
+    names = [it.alias or it.text for it in q.items]
+    aggregating = any(_has_agg(it.expr) for it in q.items)
+    if aggregating:
+        keys = [
+            _to_col(c, it.expr).alias(name)
+            for it, name in zip(q.items, names)
+            if not _has_agg(it.expr)
+        ]
+        aggs = [
+            _agg_col(c, it.expr).alias(name)
+            for it, name in zip(q.items, names)
+            if _has_agg(it.expr)
+        ]
+        out = c.cur.groupBy(*keys).agg(*aggs) if keys else c.cur.agg(*aggs)
+        # restore declared item order
+        out = out.select(*[F.col(n) for n in names])
+    else:
+        out = c.cur.select(
+            *[_to_col(c, it.expr).alias(name) for it, name in zip(q.items, names)]
+        )
+    if q.distinct:
+        out = out.dropDuplicates()
+
+    if q.order:
+        sort_cols = []
+        for e, etext, asc in q.order:
+            if etext in names:
+                col = F.col(etext)
+            elif e[0] in ("prop", "var", "lit") or not aggregating:
+                # sort on a non-projected expression: only valid
+                # pre-aggregation; post-aggregation it must be an alias
+                if aggregating:
+                    raise CypherSyntaxError(
+                        f"ORDER BY {etext!r}: sort keys of an aggregating "
+                        "query must be RETURN items"
+                    )
+                col = _to_col(c, e)
+                out = c.cur.select(
+                    *[
+                        _to_col(c, it.expr).alias(name)
+                        for it, name in zip(q.items, names)
+                    ],
+                    col.alias("__sort"),
+                )
+                out = out.orderBy(
+                    F.col("__sort").asc() if asc else F.col("__sort").desc()
+                ).drop("__sort")
+                sort_cols = None
+                break
+            else:
+                raise CypherSyntaxError(
+                    f"ORDER BY {etext!r}: sort keys of an aggregating "
+                    "query must be RETURN items"
+                )
+            sort_cols.append(col.asc() if asc else col.desc())
+        if sort_cols:
+            out = out.orderBy(*sort_cols)
+
+    if q.skip is not None:
+        out = out.offset(q.skip)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
