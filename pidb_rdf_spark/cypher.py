@@ -18,6 +18,10 @@ issue):
 - ``MATCH`` comma-separated patterns of ``(v:Label {k: lit})`` nodes
   and ``-[r:TYPE|TYPE2]->`` / ``<-[...]-`` / ``-[...]-`` (undirected)
   relationships, including variable-length ``*``, ``*n``, ``*n..m``.
+  Cypher's relationship-uniqueness rule (edge isomorphism) is
+  enforced across the single-hop relationships of a MATCH; the
+  expansions of variable-length segments are NOT edge-deduplicated
+  against other segments (documented subset limit).
 - ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
   ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``.
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
@@ -472,6 +476,9 @@ class _Compile:
     cur: DataFrame | None = None
     kinds: dict = field(default_factory=dict)  # var -> "node" | "rel"
     prop_cols: dict = field(default_factory=dict)  # (var, prop) -> col name
+    # every single-hop relationship column (named or anonymous) with
+    # its type restriction, for Cypher's relationship-uniqueness rule
+    rel_cols: list = field(default_factory=list)  # (col, frozenset(types))
     anon: int = 0
 
     def fresh(self, prefix: str) -> str:
@@ -583,6 +590,7 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
             f"relationship variable {rel.var!r} bound twice (not supported)"
         )
     c.kinds[rvar] = "rel"
+    c.rel_cols.append((rvar, frozenset(rel.types)))
     e = g.edges
     if rel.types:
         e = e.filter(F.col("predicate").isin(rel.types))
@@ -748,6 +756,20 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         prev = _bind_node(c, pat.nodes[0])
         for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
             prev = _bind_rel(c, rel, prev, nxt_pat)
+
+    # Cypher relationship uniqueness (edge isomorphism): no single
+    # relationship may appear twice in one MATCH. Pairwise != on the
+    # edge-id columns, skipping pairs whose type restrictions cannot
+    # overlap (the predicate would be vacuously true). Variable-length
+    # segments are NOT covered (documented subset limit: their
+    # expansion dedups (src, dst) pairs, not edge multisets).
+    for i in range(len(c.rel_cols)):
+        for j in range(i + 1, len(c.rel_cols)):
+            ci, ti = c.rel_cols[i]
+            cj, tj = c.rel_cols[j]
+            if ti and tj and not (ti & tj):
+                continue
+            c.cur = c.cur.filter(F.col(ci) != F.col(cj))
 
     needed: set = set()
     _collect_props(q.where, needed)

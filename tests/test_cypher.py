@@ -210,3 +210,21 @@ def test_syntax_errors_have_position(graph):
         cypher(graph, "MATCH (a:Customer) RETURN b.c_name AS x")
     with pytest.raises(CypherSyntaxError):
         cypher(graph, "MATCH (a:Customer) RETURN")
+
+
+def test_relationship_uniqueness(graph):
+    """Cypher edge-isomorphism: the same relationship cannot match
+    twice in one MATCH, so the diamond pattern excludes a = b."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (a:Customer)-[:IN_NATION]->(n)<-[:IN_NATION]-(b:Customer) "
+            "RETURN count(*) AS pairs",
+        )
+    )
+    want = oracle(
+        """SELECT COUNT(*) FROM customer c1 JOIN customer c2
+           ON c1.c_nationkey = c2.c_nationkey
+           AND c1.c_custkey <> c2.c_custkey"""
+    )
+    assert got == want
