@@ -22,6 +22,9 @@ issue):
   enforced across the single-hop relationships of a MATCH; the
   expansions of variable-length segments are NOT edge-deduplicated
   against other segments (documented subset limit).
+- ``OPTIONAL MATCH`` blocks (left-join semantics: unmatched rows
+  keep NULL for every block-introduced variable; a block-local
+  ``WHERE`` filters inside the match, before the left join).
 - ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
   ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``.
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
@@ -154,6 +157,8 @@ class CypherQuery:
     order: list[tuple]  # (expr-or-alias-text, asc)
     skip: int | None
     limit: int | None
+    # OPTIONAL MATCH blocks: (patterns, block-local where)
+    optionals: list = field(default_factory=list)
 
 
 class _Parser:
@@ -217,6 +222,16 @@ class _Parser:
         where = None
         if self._accept("kw", "where"):
             where = self._expr()
+        optionals = []
+        while self._accept("kw", "optional"):
+            self._expect("kw", "match")
+            opats = [self._pattern()]
+            while self._accept("op", ","):
+                opats.append(self._pattern())
+            owhere = None
+            if self._accept("kw", "where"):
+                owhere = self._expr()
+            optionals.append((opats, owhere))
         self._expect("kw", "return")
         distinct = self._accept("kw", "distinct") is not None
         items = [self._return_item()]
@@ -238,7 +253,9 @@ class _Parser:
             raise CypherSyntaxError(
                 f"unexpected {t.text!r} at position {t.pos}"
             )
-        return CypherQuery(patterns, where, distinct, items, order, skip, limit)
+        return CypherQuery(
+            patterns, where, distinct, items, order, skip, limit, optionals
+        )
 
     def _pattern(self) -> Pattern:
         nodes = [self._node_pat()]
@@ -745,6 +762,72 @@ def _agg_col(c: _Compile, expr: tuple) -> Column:
     return _to_col(c, expr)
 
 
+def _apply_rel_uniqueness(c: _Compile) -> None:
+    """Cypher relationship uniqueness (edge isomorphism): no single
+    relationship may appear twice in one MATCH clause. Pairwise != on
+    the edge-id columns, skipping pairs whose type restrictions cannot
+    overlap (the predicate would be vacuously true). Variable-length
+    segments are NOT covered (documented subset limit: their
+    expansion dedups (src, dst) pairs, not edge multisets). Scoped
+    per MATCH / OPTIONAL MATCH clause, as in Cypher — each clause's
+    compiler consumes its own ``rel_cols``."""
+    for i in range(len(c.rel_cols)):
+        for j in range(i + 1, len(c.rel_cols)):
+            ci, ti = c.rel_cols[i]
+            cj, tj = c.rel_cols[j]
+            if ti and tj and not (ti & tj):
+                continue
+            c.cur = c.cur.filter(F.col(ci) != F.col(cj))
+    c.rel_cols.clear()
+
+
+def _pattern_vars(pats: list) -> list:
+    out = []
+    for p in pats:
+        for n in p.nodes:
+            if n.var is not None:
+                out.append(n.var)
+        for r in p.rels:
+            if r.var is not None:
+                out.append(r.var)
+    return out
+
+
+def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
+    """OPTIONAL MATCH = compile the block against the distinct values
+    of its shared variables, then LEFT-join it back: unmatched rows
+    keep their mandatory columns and take NULL for every
+    block-introduced variable (Neo4j semantics; the block-local WHERE
+    filters INSIDE the match, before the left join)."""
+    shared = [v for v in dict.fromkeys(_pattern_vars(pats)) if v in c.kinds]
+    if not shared:
+        raise CypherSyntaxError(
+            "OPTIONAL MATCH must share at least one variable with a "
+            "previous MATCH in this subset"
+        )
+    c2 = _Compile(c.graph)
+    c2.anon = c.anon
+    c2.kinds = {v: c.kinds[v] for v in shared}
+    c2.cur = c.cur.select(*shared).dropDuplicates()
+    for pat in pats:
+        prev = _bind_node(c2, pat.nodes[0])
+        for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
+            prev = _bind_rel(c2, rel, prev, nxt_pat)
+    _apply_rel_uniqueness(c2)
+    if where is not None:
+        block_props: set = set()
+        _collect_props(where, block_props)
+        _materialize_props(c2, block_props)
+        c2.cur = c2.cur.filter(_to_col(c2, where))
+        c2.cur = c2.cur.drop(*[c2.prop_cols[k] for k in block_props])
+    c.anon = c2.anon
+    new_vars = [v for v in c2.kinds if v not in c.kinds]
+    c.kinds.update({v: c2.kinds[v] for v in new_vars})
+    c.cur = c.cur.join(
+        c2.cur.select(*shared, *new_vars), on=shared, how="left"
+    )
+
+
 def cypher(graph: PropertyGraph, text: str) -> DataFrame:
     """Execute a Cypher query against the graph; returns the RETURN
     projection as a DataFrame (reference
@@ -757,19 +840,10 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
             prev = _bind_rel(c, rel, prev, nxt_pat)
 
-    # Cypher relationship uniqueness (edge isomorphism): no single
-    # relationship may appear twice in one MATCH. Pairwise != on the
-    # edge-id columns, skipping pairs whose type restrictions cannot
-    # overlap (the predicate would be vacuously true). Variable-length
-    # segments are NOT covered (documented subset limit: their
-    # expansion dedups (src, dst) pairs, not edge multisets).
-    for i in range(len(c.rel_cols)):
-        for j in range(i + 1, len(c.rel_cols)):
-            ci, ti = c.rel_cols[i]
-            cj, tj = c.rel_cols[j]
-            if ti and tj and not (ti & tj):
-                continue
-            c.cur = c.cur.filter(F.col(ci) != F.col(cj))
+    _apply_rel_uniqueness(c)
+
+    for opats, owhere in q.optionals:
+        _bind_optional_match(c, opats, owhere)
 
     needed: set = set()
     _collect_props(q.where, needed)

@@ -228,3 +228,52 @@ def test_relationship_uniqueness(graph):
            AND c1.c_custkey <> c2.c_custkey"""
     )
     assert got == want
+
+
+def test_optional_match_left_join(graph):
+    """OPTIONAL MATCH keeps unmatched rows with NULLs: only some
+    nations have suppliers; count(s) counts the matched ones."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) OPTIONAL MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "RETURN n.n_name AS nation, count(s) AS sups ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, COUNT(s_suppkey) FROM nation
+           LEFT JOIN supplier ON s_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name"""
+    )
+    assert got == want
+    assert any(g[1] == 0 for g in got)  # the join really is optional
+
+
+def test_optional_match_block_where(graph):
+    """A WHERE attached to OPTIONAL MATCH filters inside the block
+    (before the left join), not after it."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "OPTIONAL MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > 9990 "
+            "RETURN n.n_name AS nation, count(c) AS rich ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, COUNT(c_custkey) FROM nation
+           LEFT JOIN customer ON c_nationkey = n_nationkey
+                             AND c_acctbal > 9990
+           GROUP BY n_name ORDER BY n_name"""
+    )
+    assert got == want
+    assert len(got) == 25  # every nation row survives
+
+
+def test_optional_match_requires_shared_variable(graph):
+    with pytest.raises(CypherSyntaxError, match="share"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) OPTIONAL MATCH (c:Customer) RETURN n.n_name AS x",
+        )
