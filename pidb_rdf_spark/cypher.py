@@ -880,38 +880,39 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         out = out.dropDuplicates()
 
     if q.order:
+        # Sort keys that are RETURN items (by alias or verbatim text)
+        # sort the projection directly; any other expression is
+        # projected as a hidden __sortN column and dropped after the
+        # sort — valid only pre-aggregation (post-aggregation the
+        # source rows are gone) and without DISTINCT (the hidden
+        # column would change the distinct-row set).
+        sel = [
+            _to_col(c, it.expr).alias(name) for it, name in zip(q.items, names)
+        ] if not aggregating else None
+        hidden: list[str] = []
         sort_cols = []
-        for e, etext, asc in q.order:
+        for idx, (e, etext, asc) in enumerate(q.order):
             if etext in names:
                 col = F.col(etext)
-            elif e[0] in ("prop", "var", "lit") or not aggregating:
-                # sort on a non-projected expression: only valid
-                # pre-aggregation; post-aggregation it must be an alias
-                if aggregating:
-                    raise CypherSyntaxError(
-                        f"ORDER BY {etext!r}: sort keys of an aggregating "
-                        "query must be RETURN items"
-                    )
-                col = _to_col(c, e)
-                out = c.cur.select(
-                    *[
-                        _to_col(c, it.expr).alias(name)
-                        for it, name in zip(q.items, names)
-                    ],
-                    col.alias("__sort"),
-                )
-                out = out.orderBy(
-                    F.col("__sort").asc() if asc else F.col("__sort").desc()
-                ).drop("__sort")
-                sort_cols = None
-                break
-            else:
+            elif aggregating:
                 raise CypherSyntaxError(
                     f"ORDER BY {etext!r}: sort keys of an aggregating "
                     "query must be RETURN items"
                 )
+            elif q.distinct:
+                raise CypherSyntaxError(
+                    f"ORDER BY {etext!r}: DISTINCT queries can only sort "
+                    "on returned items"
+                )
+            else:
+                cname = f"__sort{idx}"
+                sel.append(_to_col(c, e).alias(cname))
+                hidden.append(cname)
+                col = F.col(cname)
             sort_cols.append(col.asc() if asc else col.desc())
-        if sort_cols:
+        if hidden:
+            out = c.cur.select(*sel).orderBy(*sort_cols).drop(*hidden)
+        else:
             out = out.orderBy(*sort_cols)
 
     if q.skip is not None:

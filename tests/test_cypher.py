@@ -277,3 +277,29 @@ def test_optional_match_requires_shared_variable(graph):
             graph,
             "MATCH (n:Nation) OPTIONAL MATCH (c:Customer) RETURN n.n_name AS x",
         )
+
+
+def test_order_by_non_returned_expression(graph):
+    """Mixed sort keys: a non-projected expression plus a returned
+    alias — both must participate in the sort."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) RETURN c.c_mktsegment AS seg "
+            "ORDER BY c.c_acctbal DESC, seg LIMIT 5",
+        )
+    )
+    want = oracle(
+        """SELECT c_mktsegment FROM customer
+           ORDER BY c_acctbal DESC, c_mktsegment LIMIT 5"""
+    )
+    assert got == want
+
+
+def test_order_by_distinct_requires_returned_key(graph):
+    with pytest.raises(CypherSyntaxError, match="DISTINCT"):
+        cypher(
+            graph,
+            "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg "
+            "ORDER BY c.c_acctbal",
+        )
