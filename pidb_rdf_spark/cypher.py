@@ -309,7 +309,8 @@ class _Parser:
                     min_len = int(self._next().text)
                     max_len = min_len
                     if self._accept("op", ".."):
-                        max_len = int(self._expect("num").text)
+                        # ``*n..m`` bounded; ``*n..`` open-ended
+                        max_len = int(self._next().text) if self._at("num") else None
                 elif self._accept("op", ".."):
                     min_len = 1
                     max_len = int(self._expect("num").text)
@@ -556,10 +557,17 @@ def _var_length_pairs(
         ).select(F.col("child").alias("src"), F.col("parent").alias("dst"))
         if rel.min_len <= 1:
             return clo
-        # drop pairs only reachable in < min_len hops: re-derive the
-        # short-hop set and anti-join (rare query shape; bounded work)
-        short = _unrolled_pairs(pairs, 1, rel.min_len - 1)
-        return clo.join(short, on=["src", "dst"], how="leftanti")
+        # paths of length >= min_len: a mandatory exact-(min_len-1)-hop
+        # prefix composed with the 1..inf closure. (An anti-join against
+        # the short-hop set would be wrong: a pair with BOTH a short and
+        # a long path must be kept.)
+        prefix = _unrolled_pairs(pairs, rel.min_len - 1, rel.min_len - 1)
+        return (
+            prefix.select("src", F.col("dst").alias("__m"))
+            .join(clo.select(F.col("src").alias("__m"), "dst"), on="__m")
+            .select("src", "dst")
+            .dropDuplicates()
+        )
     return _unrolled_pairs(pairs, rel.min_len, rel.max_len)
 
 
@@ -567,14 +575,15 @@ def _unrolled_pairs(pairs: DataFrame, min_len: int, max_len: int) -> DataFrame:
     hop = pairs.dropDuplicates()
     out = hop if min_len <= 1 else None
     cur = hop
-    for _ in range(2, max_len + 1):
+    for k in range(2, max_len + 1):
         cur = (
             cur.select(F.col("src"), F.col("dst").alias("__m"))
             .join(hop.select(F.col("src").alias("__m"), "dst"), on="__m")
             .select("src", "dst")
             .dropDuplicates()
         )
-        out = cur if out is None else out.unionAll(cur)
+        if k >= min_len:  # lengths below min_len feed the chain but not the result
+            out = cur if out is None else out.unionAll(cur)
     if out is None:  # min_len > max_len: empty result, keep schema
         return hop.limit(0)
     return out.dropDuplicates()
@@ -589,16 +598,22 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
     if (rel.min_len, rel.max_len) != (1, 1):
         pairs = _var_length_pairs(g, rel)
         here, there = ("src", "dst") if rel.direction != "in" else ("dst", "src")
-        hop = pairs.select(F.col(here).alias(prev), F.col(there).alias(nxt))
-        c.cur = c.cur.join(hop, on=prev)
         if nxt_bound:
-            # far end already bound under another name: equality join
-            c.cur = c.cur.filter(F.col(nxt) == F.col(pat_next.var))
+            # far end already bound: alias to a temp column, join, then
+            # filter temp == bound var (same-name alias would collide)
+            tmp = c.fresh("j")
+            hop = pairs.select(F.col(here).alias(prev), F.col(there).alias(tmp))
+            c.cur = (
+                c.cur.join(hop, on=prev)
+                .filter(F.col(tmp) == F.col(nxt))
+                .drop(tmp)
+            )
         else:
+            hop = pairs.select(F.col(here).alias(prev), F.col(there).alias(nxt))
+            c.cur = c.cur.join(hop, on=prev)
             c.kinds[nxt] = "node"
-            keep = _node_frame(g, pat_next, nxt)
-            if pat_next.labels or pat_next.props:
-                c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
+        if pat_next.labels or pat_next.props:
+            c.cur = c.cur.join(_node_frame(g, pat_next, nxt), on=nxt, how="leftsemi")
         return nxt
 
     rvar = rel.var or c.fresh("r")
@@ -634,10 +649,17 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
     else:
         c.kinds[nxt] = "node"
         c.cur = c.cur.join(hop, on=prev)
-        if pat_next.labels or pat_next.props:
-            keep = _node_frame(c.graph, pat_next, nxt)
-            c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
+    if pat_next.labels or pat_next.props:
+        keep = _node_frame(c.graph, pat_next, nxt)
+        c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
     return nxt
+
+
+def _qcol(name: str) -> Column:
+    """Column reference by exact name: backtick-quoted so default item
+    names containing dots (e.g. an unaliased ``n.n_name``) resolve as
+    top-level columns instead of nested-field access."""
+    return F.col("`" + name.replace("`", "") + "`")
 
 
 def _collect_props(expr: tuple | None, acc: set) -> None:
@@ -871,7 +893,7 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         ]
         out = c.cur.groupBy(*keys).agg(*aggs) if keys else c.cur.agg(*aggs)
         # restore declared item order
-        out = out.select(*[F.col(n) for n in names])
+        out = out.select(*[_qcol(n) for n in names])
     else:
         out = c.cur.select(
             *[_to_col(c, it.expr).alias(name) for it, name in zip(q.items, names)]
@@ -893,7 +915,7 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         sort_cols = []
         for idx, (e, etext, asc) in enumerate(q.order):
             if etext in names:
-                col = F.col(etext)
+                col = _qcol(etext)
             elif aggregating:
                 raise CypherSyntaxError(
                     f"ORDER BY {etext!r}: sort keys of an aggregating "

@@ -303,3 +303,129 @@ def test_order_by_distinct_requires_returned_key(graph):
             "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg "
             "ORDER BY c.c_acctbal",
         )
+
+
+# ---------------------------------------------------------------------------
+# regression tests: var-length semantics + bound-variable rebinding
+# (round-8 ADVICE fixes)
+# ---------------------------------------------------------------------------
+
+
+def _mk_graph(spark, nodes, edges):
+    """Tiny literal graph: nodes = [(id, [labels], name)], edges =
+    [(src, dst, type)]."""
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    return PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(i, f"urn:n{i}", labs, {"name": name}) for i, labs, name in nodes],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(k, s, d, t, {}) for k, (s, d, t) in enumerate(edges)],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+
+
+def _chain5(spark):
+    return _mk_graph(
+        spark,
+        [(i, ["N"], f"n{i}") for i in range(1, 6)],
+        [(i, i + 1, "T") for i in range(1, 5)],
+    )
+
+
+def test_var_length_min_len_three(spark):
+    """*3..4 must NOT return pairs at distance < 3 (r8 ADVICE high)."""
+    g = _chain5(spark)
+    got = sorted(
+        rows(
+            cypher(
+                g,
+                "MATCH (a)-[:T*3..4]->(b) RETURN a.name AS s, b.name AS t",
+            )
+        )
+    )
+    assert got == [("n1", "n4"), ("n1", "n5"), ("n2", "n5")]
+
+
+def test_var_length_exact_three(spark):
+    g = _chain5(spark)
+    got = sorted(
+        rows(cypher(g, "MATCH (a)-[:T*3]->(b) RETURN a.name AS s, b.name AS t"))
+    )
+    assert got == [("n1", "n4"), ("n2", "n5")]
+
+
+def test_unaliased_property_return_items(spark):
+    """Unaliased items keep their dotted source text as the column
+    name and still resolve in the aggregate reorder and ORDER BY."""
+    g = _chain5(spark)
+    df = cypher(g, "MATCH (a)-[:T]->(b) RETURN a.name, count(*) ORDER BY a.name")
+    assert df.columns == ["a.name", "count(*)"]
+    assert rows(df) == [(f"n{i}", 1) for i in range(1, 5)]
+    # non-aggregating unaliased ORDER BY as well
+    df2 = cypher(g, "MATCH (a)-[:T]->(b) RETURN b.name ORDER BY b.name DESC LIMIT 2")
+    assert df2.columns == ["b.name"]
+    assert rows(df2) == [("n5",), ("n4",)]
+
+
+def test_var_length_far_node_already_bound(spark):
+    """A var-length hop whose far node is bound joins through a temp
+    column (no duplicate-name AMBIGUOUS_REFERENCE)."""
+    g = _mk_graph(
+        spark,
+        [(i, ["N"], f"n{i}") for i in range(1, 4)],
+        [(1, 2, "T"), (2, 3, "T"), (1, 3, "T")],
+    )
+    # pairs with BOTH a direct edge and a 2-hop path: only (1, 3)
+    got = rows(
+        cypher(
+            g,
+            "MATCH (a)-[:T]->(b), (a)-[:T*2..2]->(b) "
+            "RETURN a.name AS s, b.name AS t",
+        )
+    )
+    assert got == [("n1", "n3")]
+
+
+def test_bound_far_node_label_filter(spark):
+    """Label/prop constraints on a re-bound far node must apply
+    (single-hop and var-length branches)."""
+    g = _mk_graph(
+        spark,
+        [(1, ["N"], "a"), (2, ["N", "Admin"], "b"), (3, ["N"], "b2"), (4, ["N"], "c")],
+        [(1, 2, "T"), (1, 3, "T"), (4, 2, "S"), (4, 3, "S")],
+    )
+    got = rows(
+        cypher(
+            g,
+            "MATCH (a)-[:T]->(b), (c)-[:S]->(b:Admin) "
+            "RETURN a.name AS s, b.name AS t",
+        )
+    )
+    assert got == [("a", "b")]
+    got2 = rows(
+        cypher(
+            g,
+            "MATCH (a)-[:T]->(b), (c)-[:S*1..2]->(b:Admin) "
+            "RETURN a.name AS s, b.name AS t",
+        )
+    )
+    assert got2 == [("a", "b")]
+
+
+def test_unbounded_min_two_keeps_pairs_with_short_paths(spark):
+    """*2.. keeps a pair reachable at >= 2 hops even when a 1-hop
+    path also exists (prefix-compose, not anti-join)."""
+    g = _mk_graph(
+        spark,
+        [(1, ["N"], "a"), (2, ["N"], "b"), (3, ["N"], "x")],
+        [(1, 2, "T"), (1, 3, "T"), (3, 2, "T")],
+    )
+    got = rows(
+        cypher(g, "MATCH (s)-[:T*2..]->(t) RETURN s.name AS s, t.name AS t")
+    )
+    assert got == [("a", "b")]
