@@ -1739,6 +1739,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cypher_nation_order_stats"] = cypher_nation_order_stats
 
+    # -- Cypher WITH pipeline (NEW r8, in-window): aggregate -> HAVING
+    # filter -> re-expand from the piped node variable, then UNWIND a
+    # collected list (pidb_rdf_spark/cypher.py WITH/UNWIND clauses) ----
+    def cypher_with_having_expand(spark, sf_dir):
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WITH n, count(*) AS custs WHERE custs > 8 "
+            "MATCH (n)-[:IN_REGION]->(r) "
+            "RETURN r.r_name AS region, n.n_name AS nation, custs "
+            "ORDER BY region, nation",
+        )
+
+    q["cypher_with_having_expand"] = cypher_with_having_expand
+
     return _rotate_checked_window(q)
 
 
@@ -3093,6 +3111,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             WHERE o_totalprice > 100000
             GROUP BY n_name ORDER BY nation
+        """,
+        "cypher_with_having_expand": """
+            WITH nc AS (
+                SELECT c_nationkey AS nk, COUNT(*) AS custs
+                FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 8
+            )
+            SELECT r_name AS region, n_name AS nation, custs
+            FROM nc
+            JOIN nation ON n_nationkey = nk
+            JOIN region ON r_regionkey = n_regionkey
+            ORDER BY region, nation
         """,
         "label_scan_prop_seek": """
             SELECT c_name AS name FROM customer

@@ -32,6 +32,13 @@ issue):
   (+ ``count(DISTINCT x)``), with ``AS`` aliases and implicit
   grouping.
 - ``ORDER BY expr [ASC|DESC], ...``, ``SKIP n``, ``LIMIT n``.
+- ``WITH`` pipeline stages (same item grammar as RETURN, aliases
+  required for non-variable items, implicit grouping, ORDER/SKIP/
+  LIMIT, and a post-WITH ``WHERE`` with HAVING semantics); later
+  MATCH/UNWIND clauses join against the piped frame, and a piped
+  node/relationship variable keeps its identity (hops and property
+  reads still work on it).
+- ``UNWIND list AS x`` over list literals and collected lists.
 
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
@@ -77,6 +84,8 @@ _KEYWORDS = {
     "match", "where", "return", "distinct", "order", "by", "asc", "desc",
     "skip", "limit", "and", "or", "not", "is", "null", "in", "starts",
     "ends", "with", "contains", "true", "false", "as", "optional",
+    "unwind", "create", "merge", "set", "delete", "detach", "remove",
+    "on",
 }
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
@@ -149,16 +158,29 @@ class ReturnItem:
 
 
 @dataclass
-class CypherQuery:
-    patterns: list[Pattern]
-    where: tuple | None
-    distinct: bool
+class Projection:
+    """A ``WITH`` or ``RETURN`` clause body."""
+
     items: list[ReturnItem]
-    order: list[tuple]  # (expr-or-alias-text, asc)
+    distinct: bool
+    order: list[tuple]  # (expr, source-text, asc)
     skip: int | None
     limit: int | None
-    # OPTIONAL MATCH blocks: (patterns, block-local where)
-    optionals: list = field(default_factory=list)
+    is_return: bool
+    post_where: tuple | None = None  # WITH ... WHERE (HAVING-style)
+
+
+@dataclass
+class CypherQuery:
+    """A sequence of clauses ending in a RETURN projection:
+
+    - ``("match", patterns, where)``
+    - ``("optmatch", patterns, where)``
+    - ``("unwind", expr, alias)``
+    - ``("project", Projection)``  (WITH, or the final RETURN)
+    """
+
+    clauses: list
 
 
 class _Parser:
@@ -215,24 +237,63 @@ class _Parser:
     # -- grammar --------------------------------------------------------
 
     def parse(self) -> CypherQuery:
-        self._expect("kw", "match")
+        clauses: list = []
+        saw_return = False
+        while True:
+            t = self._peek()
+            if t is None:
+                break
+            if t.kind != "kw":
+                raise CypherSyntaxError(
+                    f"expected a clause keyword, got {t.text!r} at position {t.pos}"
+                )
+            if t.text == "match":
+                self._next()
+                clauses.append(("match", *self._match_tail()))
+            elif t.text == "optional":
+                self._next()
+                self._expect("kw", "match")
+                if not clauses:
+                    raise CypherSyntaxError(
+                        f"OPTIONAL MATCH cannot be the first clause (position {t.pos})"
+                    )
+                clauses.append(("optmatch", *self._match_tail()))
+            elif t.text == "unwind":
+                self._next()
+                e = self._expr()
+                self._expect("kw", "as")
+                alias = self._expect_name_like().text
+                clauses.append(("unwind", e, alias))
+            elif t.text in ("with", "return"):
+                self._next()
+                proj = self._projection(is_return=t.text == "return")
+                clauses.append(("project", proj))
+                if proj.is_return:
+                    saw_return = True
+                    break
+            else:
+                raise CypherSyntaxError(
+                    f"unexpected {t.text.upper()} at position {t.pos}"
+                )
+        if not saw_return:
+            raise CypherSyntaxError("query must end with a RETURN clause")
+        if self.i != len(self.toks):
+            t = self.toks[self.i]
+            raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
+        if clauses[0][0] not in ("match", "unwind"):
+            raise CypherSyntaxError("query must start with MATCH or UNWIND")
+        return CypherQuery(clauses)
+
+    def _match_tail(self) -> tuple:
         patterns = [self._pattern()]
         while self._accept("op", ","):
             patterns.append(self._pattern())
         where = None
         if self._accept("kw", "where"):
             where = self._expr()
-        optionals = []
-        while self._accept("kw", "optional"):
-            self._expect("kw", "match")
-            opats = [self._pattern()]
-            while self._accept("op", ","):
-                opats.append(self._pattern())
-            owhere = None
-            if self._accept("kw", "where"):
-                owhere = self._expr()
-            optionals.append((opats, owhere))
-        self._expect("kw", "return")
+        return patterns, where
+
+    def _projection(self, is_return: bool) -> Projection:
         distinct = self._accept("kw", "distinct") is not None
         items = [self._return_item()]
         while self._accept("op", ","):
@@ -248,14 +309,10 @@ class _Parser:
             skip = int(self._expect("num").text)
         if self._accept("kw", "limit"):
             limit = int(self._expect("num").text)
-        if self.i != len(self.toks):
-            t = self.toks[self.i]
-            raise CypherSyntaxError(
-                f"unexpected {t.text!r} at position {t.pos}"
-            )
-        return CypherQuery(
-            patterns, where, distinct, items, order, skip, limit, optionals
-        )
+        post_where = None
+        if not is_return and self._accept("kw", "where"):
+            post_where = self._expr()
+        return Projection(items, distinct, order, skip, limit, is_return, post_where)
 
     def _pattern(self) -> Pattern:
         nodes = [self._node_pat()]
@@ -426,6 +483,14 @@ class _Parser:
             e = self._expr()
             self._expect("op", ")")
             return e
+        if self._accept("op", "["):
+            items = []
+            if not self._at("op", "]"):
+                items.append(self._expr())
+                while self._accept("op", ","):
+                    items.append(self._expr())
+            self._expect("op", "]")
+            return ("listlit", items)
         t = self._next()
         if t.kind == "num":
             return ("lit", float(t.text) if "." in t.text else int(t.text))
@@ -686,6 +751,11 @@ def _materialize_props(c: _Compile, needed: set) -> None:
         kind = c.kinds.get(var)
         if kind is None:
             raise CypherSyntaxError(f"undefined variable {var!r}")
+        if kind == "value":
+            raise CypherSyntaxError(
+                f"{var!r} is a WITH/UNWIND value, not a node or "
+                "relationship — it has no properties"
+            )
         cols = []
         for p in props:
             cname = f"__p_{var}_{p}"
@@ -738,6 +808,8 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return {"+": a + b, "-": a - b, "*": a * b, "/": a / b, "%": a % b}[expr[1]]
     if op == "neg":
         return -_to_col(c, expr[1])
+    if op == "listlit":
+        return F.array(*[_to_col(c, e) for e in expr[1]])
     if op == "call":
         raise CypherSyntaxError(
             f"aggregate {expr[1]}() is only allowed in RETURN items"
@@ -850,45 +922,36 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
     )
 
 
-def cypher(graph: PropertyGraph, text: str) -> DataFrame:
-    """Execute a Cypher query against the graph; returns the RETURN
-    projection as a DataFrame (reference
-    ``Neo4jGraph.java:288-304``)."""
-    q = _Parser(text).parse()
-    c = _Compile(graph)
-
-    for pat in q.patterns:
-        prev = _bind_node(c, pat.nodes[0])
-        for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
-            prev = _bind_rel(c, rel, prev, nxt_pat)
-
-    _apply_rel_uniqueness(c)
-
-    for opats, owhere in q.optionals:
-        _bind_optional_match(c, opats, owhere)
-
+def _apply_projection(c: _Compile, proj: Projection) -> tuple:
+    """Compile a WITH/RETURN body against the current frame; returns
+    ``(out, names)``."""
     needed: set = set()
-    _collect_props(q.where, needed)
-    for it in q.items:
+    for it in proj.items:
         _collect_props(it.expr, needed)
-    for e, _, _ in q.order:
+    for e, _, _ in proj.order:
         _collect_props(e, needed)
     _materialize_props(c, needed)
 
-    if q.where is not None:
-        c.cur = c.cur.filter(_to_col(c, q.where))
-
-    names = [it.alias or it.text for it in q.items]
-    aggregating = any(_has_agg(it.expr) for it in q.items)
+    names = []
+    for it in proj.items:
+        if it.alias is not None:
+            names.append(it.alias)
+        elif proj.is_return or it.expr[0] == "var":
+            names.append(it.text)
+        else:
+            raise CypherSyntaxError(
+                f"WITH item {it.text!r} must be aliased (AS name)"
+            )
+    aggregating = any(_has_agg(it.expr) for it in proj.items)
     if aggregating:
         keys = [
             _to_col(c, it.expr).alias(name)
-            for it, name in zip(q.items, names)
+            for it, name in zip(proj.items, names)
             if not _has_agg(it.expr)
         ]
         aggs = [
             _agg_col(c, it.expr).alias(name)
-            for it, name in zip(q.items, names)
+            for it, name in zip(proj.items, names)
             if _has_agg(it.expr)
         ]
         out = c.cur.groupBy(*keys).agg(*aggs) if keys else c.cur.agg(*aggs)
@@ -896,32 +959,33 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         out = out.select(*[_qcol(n) for n in names])
     else:
         out = c.cur.select(
-            *[_to_col(c, it.expr).alias(name) for it, name in zip(q.items, names)]
+            *[_to_col(c, it.expr).alias(name) for it, name in zip(proj.items, names)]
         )
-    if q.distinct:
+    if proj.distinct:
         out = out.dropDuplicates()
 
-    if q.order:
-        # Sort keys that are RETURN items (by alias or verbatim text)
-        # sort the projection directly; any other expression is
+    if proj.order:
+        # Sort keys that are projection items (by alias or verbatim
+        # text) sort the projection directly; any other expression is
         # projected as a hidden __sortN column and dropped after the
         # sort — valid only pre-aggregation (post-aggregation the
         # source rows are gone) and without DISTINCT (the hidden
         # column would change the distinct-row set).
         sel = [
-            _to_col(c, it.expr).alias(name) for it, name in zip(q.items, names)
+            _to_col(c, it.expr).alias(name)
+            for it, name in zip(proj.items, names)
         ] if not aggregating else None
         hidden: list[str] = []
         sort_cols = []
-        for idx, (e, etext, asc) in enumerate(q.order):
+        for idx, (e, etext, asc) in enumerate(proj.order):
             if etext in names:
                 col = _qcol(etext)
             elif aggregating:
                 raise CypherSyntaxError(
                     f"ORDER BY {etext!r}: sort keys of an aggregating "
-                    "query must be RETURN items"
+                    "query must be projection items"
                 )
-            elif q.distinct:
+            elif proj.distinct:
                 raise CypherSyntaxError(
                     f"ORDER BY {etext!r}: DISTINCT queries can only sort "
                     "on returned items"
@@ -937,8 +1001,79 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
         else:
             out = out.orderBy(*sort_cols)
 
-    if q.skip is not None:
-        out = out.offset(q.skip)
-    if q.limit is not None:
-        out = out.limit(q.limit)
+    if proj.skip is not None:
+        out = out.offset(proj.skip)
+    if proj.limit is not None:
+        out = out.limit(proj.limit)
+    return out, names
+
+
+def _rebind_after_with(c: _Compile, proj: Projection, out: DataFrame, names: list) -> None:
+    """Reset the compile state after a WITH: the projected frame
+    becomes the current frame and only the projected names remain in
+    scope (a bare or aliased variable keeps its node/rel kind — later
+    clauses can hop from it or read its properties; every other item
+    becomes an opaque value column)."""
+    new_kinds = {}
+    for it, name in zip(proj.items, names):
+        if it.expr[0] == "var":
+            new_kinds[name] = c.kinds[it.expr[1]]
+        else:
+            new_kinds[name] = "value"
+    c.kinds = new_kinds
+    c.prop_cols = {}
+    c.rel_cols = []
+    c.cur = out
+
+
+def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
+    for pat in pats:
+        prev = _bind_node(c, pat.nodes[0])
+        for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
+            prev = _bind_rel(c, rel, prev, nxt_pat)
+    _apply_rel_uniqueness(c)
+    if where is not None:
+        needed: set = set()
+        _collect_props(where, needed)
+        _materialize_props(c, needed)
+        c.cur = c.cur.filter(_to_col(c, where))
+
+
+def cypher(graph: PropertyGraph, text: str) -> DataFrame:
+    """Execute a Cypher query against the graph; returns the RETURN
+    projection as a DataFrame (reference
+    ``Neo4jGraph.java:288-304``)."""
+    q = _Parser(text).parse()
+    c = _Compile(graph)
+    out = None
+
+    for cl in q.clauses:
+        kind = cl[0]
+        if kind == "match":
+            _compile_match(c, cl[1], cl[2])
+        elif kind == "optmatch":
+            _bind_optional_match(c, cl[1], cl[2])
+        elif kind == "unwind":
+            _, e, alias = cl
+            if alias in c.kinds:
+                raise CypherSyntaxError(
+                    f"UNWIND alias {alias!r} is already bound"
+                )
+            if c.cur is None:  # UNWIND as the first clause
+                c.cur = graph.spark.range(1).select(F.lit(1).alias("__one"))
+            needed: set = set()
+            _collect_props(e, needed)
+            _materialize_props(c, needed)
+            c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
+            c.kinds[alias] = "value"
+        else:  # project (WITH or RETURN)
+            proj = cl[1]
+            out, names = _apply_projection(c, proj)
+            if not proj.is_return:
+                _rebind_after_with(c, proj, out, names)
+                if proj.post_where is not None:
+                    needed = set()
+                    _collect_props(proj.post_where, needed)
+                    _materialize_props(c, needed)
+                    c.cur = c.cur.filter(_to_col(c, proj.post_where))
     return out

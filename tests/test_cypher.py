@@ -429,3 +429,139 @@ def test_unbounded_min_two_keeps_pairs_with_short_paths(spark):
         cypher(g, "MATCH (s)-[:T*2..]->(t) RETURN s.name AS s, t.name AS t")
     )
     assert got == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# WITH pipeline stages + UNWIND (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_with_aggregate_then_filter(graph):
+    """WITH ... WHERE = HAVING: nations with more than 8 customers."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WITH n, count(*) AS custs WHERE custs > 8 "
+            "RETURN n.n_name AS nation, custs ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, COUNT(*) AS custs FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name HAVING COUNT(*) > 8 ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_with_then_match_expansion(graph):
+    """A node variable piped through WITH still expands: top-3 richest
+    customers' nations."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) "
+            "WITH c ORDER BY c.c_acctbal DESC LIMIT 3 "
+            "MATCH (c)-[:IN_NATION]->(n) "
+            "RETURN c.c_name AS name, n.n_name AS nation ORDER BY name",
+        )
+    )
+    want = oracle(
+        """WITH top3 AS (SELECT * FROM customer ORDER BY c_acctbal DESC LIMIT 3)
+           SELECT c_name, n_name FROM top3 JOIN nation
+           ON c_nationkey = n_nationkey ORDER BY c_name"""
+    )
+    assert got == want
+
+
+def test_with_chained_aggregation(graph):
+    """Two WITH stages: per-nation counts, then the max count."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WITH n, count(*) AS custs "
+            "WITH max(custs) AS biggest "
+            "RETURN biggest",
+        )
+    )
+    want = oracle(
+        """SELECT MAX(custs) FROM (SELECT COUNT(*) AS custs FROM customer
+           GROUP BY c_nationkey)"""
+    )
+    assert got == want
+
+
+def test_with_value_then_where_on_prop(graph):
+    """Post-WITH WHERE on a property of a carried node variable."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) WITH c, c.c_acctbal AS bal "
+            "WHERE c.c_mktsegment = 'BUILDING' AND bal > 9000 "
+            "RETURN count(*) AS n",
+        )
+    )
+    want = oracle(
+        """SELECT COUNT(*) FROM customer
+           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000"""
+    )
+    assert got == want
+
+
+def test_with_requires_alias(graph):
+    with pytest.raises(CypherSyntaxError, match="aliased"):
+        cypher(graph, "MATCH (c:Customer) WITH c.c_name RETURN count(*) AS n")
+
+
+def test_unwind_literal_list(spark, graph):
+    got = rows(cypher(graph, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x"))
+    assert got == [(1,), (2,), (3,)]
+
+
+def test_unwind_collected_list(graph):
+    """collect() then UNWIND round-trips the rows (per group)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation)-[:IN_REGION]->(r) "
+            "WITH r, collect(n.n_name) AS names "
+            "UNWIND names AS name "
+            "RETURN r.r_name AS region, name ORDER BY region, name",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, n_name FROM nation JOIN region
+           ON n_regionkey = r_regionkey ORDER BY r_name, n_name"""
+    )
+    assert got == want
+
+
+def test_unwind_cross_product_per_row(graph):
+    """UNWIND multiplies each input row by the list length."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) UNWIND [1, 2] AS k RETURN count(*) AS n",
+        )
+    )
+    want = oracle("SELECT 2 * COUNT(*) FROM region")
+    assert got == [(want[0][0],)]
+
+
+def test_optional_match_after_with(graph):
+    """OPTIONAL MATCH directly after a WITH stage."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WITH n ORDER BY n.n_name LIMIT 5 "
+            "OPTIONAL MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "RETURN n.n_name AS nation, count(s) AS sups ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """WITH top5 AS (SELECT * FROM nation ORDER BY n_name LIMIT 5)
+           SELECT n_name, COUNT(s_suppkey) FROM top5 LEFT JOIN supplier
+           ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""
+    )
+    assert got == want
