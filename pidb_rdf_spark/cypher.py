@@ -90,6 +90,8 @@ _KEYWORDS = {
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
 
+_WRITE_KINDS = {"create", "merge", "setitems", "removeitems", "delete"}
+
 
 @dataclass
 class _Tok:
@@ -140,6 +142,7 @@ class RelPat:
     direction: str  # "out" (->), "in" (<-), "both" (undirected)
     min_len: int = 1
     max_len: int | None = 1  # None = unbounded (*)
+    props: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -239,6 +242,15 @@ class _Parser:
     def parse(self) -> CypherQuery:
         clauses: list = []
         saw_return = False
+        wrote = False
+
+        def _no_write(t):
+            if wrote:
+                raise CypherSyntaxError(
+                    f"{t.text.upper()} cannot follow a write clause in "
+                    f"this subset (position {t.pos})"
+                )
+
         while True:
             t = self._peek()
             if t is None:
@@ -248,9 +260,11 @@ class _Parser:
                     f"expected a clause keyword, got {t.text!r} at position {t.pos}"
                 )
             if t.text == "match":
+                _no_write(t)
                 self._next()
                 clauses.append(("match", *self._match_tail()))
             elif t.text == "optional":
+                _no_write(t)
                 self._next()
                 self._expect("kw", "match")
                 if not clauses:
@@ -259,30 +273,80 @@ class _Parser:
                     )
                 clauses.append(("optmatch", *self._match_tail()))
             elif t.text == "unwind":
+                _no_write(t)
                 self._next()
                 e = self._expr()
                 self._expect("kw", "as")
                 alias = self._expect_name_like().text
                 clauses.append(("unwind", e, alias))
             elif t.text in ("with", "return"):
+                _no_write(t)
                 self._next()
                 proj = self._projection(is_return=t.text == "return")
                 clauses.append(("project", proj))
                 if proj.is_return:
                     saw_return = True
                     break
+            elif t.text == "create":
+                self._next()
+                pats = [self._pattern()]
+                while self._accept("op", ","):
+                    pats.append(self._pattern())
+                clauses.append(("create", pats))
+                wrote = True
+            elif t.text == "merge":
+                self._next()
+                clauses.append(("merge", self._pattern()))
+                wrote = True
+            elif t.text == "set":
+                self._next()
+                items = [self._set_item(with_value=True)]
+                while self._accept("op", ","):
+                    items.append(self._set_item(with_value=True))
+                clauses.append(("setitems", items))
+                wrote = True
+            elif t.text == "remove":
+                self._next()
+                items = [self._set_item(with_value=False)]
+                while self._accept("op", ","):
+                    items.append(self._set_item(with_value=False))
+                clauses.append(("removeitems", items))
+                wrote = True
+            elif t.text in ("delete", "detach"):
+                detach = t.text == "detach"
+                self._next()
+                if detach:
+                    self._expect("kw", "delete")
+                names = [self._expect("name").text]
+                while self._accept("op", ","):
+                    names.append(self._expect("name").text)
+                clauses.append(("delete", names, detach))
+                wrote = True
             else:
                 raise CypherSyntaxError(
                     f"unexpected {t.text.upper()} at position {t.pos}"
                 )
-        if not saw_return:
+        if not saw_return and not wrote:
             raise CypherSyntaxError("query must end with a RETURN clause")
         if self.i != len(self.toks):
             t = self.toks[self.i]
             raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
-        if clauses[0][0] not in ("match", "unwind"):
-            raise CypherSyntaxError("query must start with MATCH or UNWIND")
+        if clauses[0][0] not in ("match", "unwind", "create", "merge"):
+            raise CypherSyntaxError(
+                "query must start with MATCH, UNWIND, CREATE or MERGE"
+            )
         return CypherQuery(clauses)
+
+    def _set_item(self, with_value: bool) -> tuple:
+        var = self._expect("name").text
+        if self._accept("op", ":"):
+            return ("label", var, self._expect_name_like().text)
+        self._expect("op", ".")
+        key = self._expect_name_like().text
+        if not with_value:
+            return ("prop", var, key)
+        self._expect("op", "=")
+        return ("prop", var, key, self._expr())
 
     def _match_tail(self) -> tuple:
         patterns = [self._pattern()]
@@ -350,6 +414,7 @@ class _Parser:
             self._expect("op", "-")
         var = None
         types: list[str] = []
+        props: dict = {}
         min_len, max_len = 1, 1
         if self._accept("op", "["):
             t = self._peek()
@@ -373,6 +438,14 @@ class _Parser:
                     max_len = int(self._expect("num").text)
                 else:
                     min_len = 1
+            if self._accept("op", "{"):
+                while True:
+                    key = self._expect_name_like().text
+                    self._expect("op", ":")
+                    props[key] = self._literal()
+                    if not self._accept("op", ","):
+                        break
+                self._expect("op", "}")
             self._expect("op", "]")
         if incoming:
             self._expect("op", "-")
@@ -387,7 +460,11 @@ class _Parser:
                 "a variable-length relationship cannot bind a variable "
                 f"({var!r}) in this subset"
             )
-        return RelPat(var, types, direction, min_len, max_len)
+        if (min_len, max_len) != (1, 1) and props:
+            raise CypherSyntaxError(
+                "a variable-length relationship cannot carry a property map"
+            )
+        return RelPat(var, types, direction, min_len, max_len, props)
 
     def _literal(self):
         t = self._next()
@@ -691,6 +768,8 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
     e = g.edges
     if rel.types:
         e = e.filter(F.col("predicate").isin(rel.types))
+    for k, (_, v) in rel.props.items():
+        e = e.filter(F.col("props").getItem(k) == F.lit(str(v)))
     if rel.direction == "out":
         hop = e.select(
             F.col("src").alias(prev), F.col("dst").alias(nxt), F.col("id").alias(rvar)
@@ -1044,6 +1123,12 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
     projection as a DataFrame (reference
     ``Neo4jGraph.java:288-304``)."""
     q = _Parser(text).parse()
+    if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
+        raise CypherSyntaxError(
+            "write clauses (CREATE/MERGE/SET/REMOVE/DELETE) mutate the "
+            "graph — execute them with cypher_write(), which returns "
+            "the new PropertyGraph"
+        )
     c = _Compile(graph)
     out = None
 

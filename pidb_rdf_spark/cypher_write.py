@@ -1,0 +1,317 @@
+"""Cypher write clauses: CREATE / MERGE / SET / REMOVE / DELETE
+compiled onto the ``mutation`` primitives.
+
+Reference parity: the reference issues write Cypher through the same
+embedded engine as reads — the importer's statement shapes
+(``loader/StatementPreviewer.java:100-107`` CREATE/MERGE previews,
+``semantics/LiteOntologyImporter.java:82-86`` MERGE-style ontology
+upserts) and the TinkerPop mutation surface it proxies. Here the read
+prefix (MATCH/WHERE/WITH/UNWIND) compiles exactly as in
+:mod:`pidb_rdf_spark.cypher`; each write clause then applies the
+matching ``mutation.py`` primitive (M1-M11) and the function returns
+the NEW immutable :class:`PropertyGraph`.
+
+Scale shape: matched-variable writes never collect ids to the driver
+— SET/REMOVE/DELETE pass the bound id column as a DataFrame into the
+mutation layer's semi-join form (``mutation._resolve_where``), and
+relationship CREATE/MERGE inserts the whole (src, dst) pair frame
+through one ``add_edges_frame`` anti-join. Only literal node
+CREATE/MERGE rows (inherently driver-issued point data) build a
+local-row DataFrame.
+
+Supported subset (the shapes the reference's own code issues):
+
+- ``CREATE (n:Label {k: lit})`` node rows; ``CREATE (a)-[:T {..}]->(b)``
+  relationship chains whose endpoints are all bound by a previous
+  MATCH, or standalone all-new literal chains.
+- ``MERGE`` = match-or-create: a literal node pattern upserts by its
+  content identity (M11); a bound-endpoint relationship pattern is
+  dedup-on-insert (M10).
+- ``SET n.k = lit``, ``SET n:Label``, ``SET r.k = lit``.
+- ``REMOVE n.k``, ``REMOVE n:Label``, ``REMOVE r.k``.
+- ``[DETACH] DELETE n, r`` — plain DELETE on a node with incident
+  relationships raises (Neo4j semantics); DETACH cascades.
+
+Unsupported constructs raise :class:`CypherSyntaxError` — never
+silently mis-execute.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark import mutation as M
+from pidb_rdf_spark.cypher import (
+    CypherSyntaxError,
+    NodePat,
+    _Compile,
+    _Parser,
+    _WRITE_KINDS,
+    _bind_optional_match,
+    _compile_match,
+    _apply_projection,
+    _rebind_after_with,
+    _collect_props,
+    _materialize_props,
+    _to_col,
+)
+from pidb_rdf_spark.graph import PropertyGraph
+
+
+class CypherWriteError(RuntimeError):
+    """A write whose precondition failed at run time (e.g. plain
+    DELETE of a node that still has relationships)."""
+
+
+def _fold_literal(expr: tuple):
+    if expr[0] == "lit":
+        return expr[1]
+    if expr[0] == "neg":
+        return -_fold_literal(expr[1])
+    raise CypherSyntaxError(
+        "write-clause values must be literals in this subset"
+    )
+
+
+def _literal_props(pat: NodePat) -> dict:
+    return {k: _fold_literal(e) for k, e in pat.props.items()}
+
+
+def _content_uri(pat: NodePat) -> str:
+    """Deterministic identity for a MERGE node pattern: same labels +
+    literal props -> same uri -> same xxhash64 id, so repeated MERGE
+    is idempotent (M11 upsert-by-uri semantics)."""
+    props = _literal_props(pat)
+    if "uri" in props:
+        return str(props["uri"])
+    body = ";".join(sorted(pat.labels)) + "|" + ";".join(
+        f"{k}={props[k]}" for k in sorted(props)
+    )
+    return f"urn:cypher:merge:{body}"
+
+
+def _node_row(pat: NodePat, uri: str) -> dict:
+    props = _literal_props(pat)
+    props.pop("uri", None)
+    return {"uri": uri, "labels": list(pat.labels), "props": props}
+
+
+def _ids_frame(c: _Compile, var: str):
+    if c.cur is None or var not in c.kinds:
+        raise CypherSyntaxError(f"undefined variable {var!r} in write clause")
+    return c.cur.select(var).dropDuplicates()
+
+
+def _apply_create(
+    g: PropertyGraph, c: _Compile, pats: list, merge: bool
+) -> PropertyGraph:
+    for pat in pats:
+        bound = [
+            n.var is not None and n.var in c.kinds for n in pat.nodes
+        ]
+        if not pat.rels:
+            n = pat.nodes[0]
+            if bound[0]:
+                raise CypherSyntaxError(
+                    f"CREATE/MERGE node variable {n.var!r} is already bound"
+                )
+            if merge:
+                uri = _content_uri(n)
+                exists = (
+                    g.nodes.filter(F.col("uri") == uri).limit(1).count() > 0
+                )
+                if not exists:
+                    g = M.add_vertices(g, [_node_row(n, uri)])
+            else:
+                g = M.add_vertices(
+                    g, [_node_row(n, f"urn:cypher:{uuid.uuid4().hex}")]
+                )
+            continue
+        # relationship chain
+        for rel in pat.rels:
+            if (rel.min_len, rel.max_len) != (1, 1) or rel.direction == "both":
+                raise CypherSyntaxError(
+                    "CREATE/MERGE relationships must be single, directed hops"
+                )
+            if len(rel.types) != 1:
+                raise CypherSyntaxError(
+                    "CREATE/MERGE relationships need exactly one type"
+                )
+        if all(bound):
+            for i, rel in enumerate(pat.rels):
+                a, b = pat.nodes[i].var, pat.nodes[i + 1].var
+                if rel.direction == "in":
+                    a, b = b, a
+                pairs = c.cur.select(a, b).dropDuplicates()
+                g = M.add_edges_frame(
+                    g, pairs, rel.types[0],
+                    props={k: _fold_literal(e) for k, e in rel.props.items()},
+                    dedup=True,
+                )
+        elif not any(bound) and c.cur is None:
+            # standalone literal chain: mint every node once, then the
+            # edges between them (driver-issued point data)
+            uris = []
+            for n in pat.nodes:
+                uri = (
+                    _content_uri(n) if merge
+                    else f"urn:cypher:{uuid.uuid4().hex}"
+                )
+                if not merge or (
+                    g.nodes.filter(F.col("uri") == uri).limit(1).count() == 0
+                ):
+                    g = M.add_vertices(g, [_node_row(n, uri)])
+                uris.append(uri)
+            rows = []
+            for i, rel in enumerate(pat.rels):
+                a, b = uris[i], uris[i + 1]
+                if rel.direction == "in":
+                    a, b = b, a
+                rows.append(
+                    {
+                        "src_uri": a,
+                        "predicate": rel.types[0],
+                        "dst_uri": b,
+                        "props": {
+                            k: _fold_literal(e) for k, e in rel.props.items()
+                        },
+                    }
+                )
+            g = M.add_edges(g, rows, dedup=True)
+        else:
+            raise CypherSyntaxError(
+                "CREATE/MERGE relationship endpoints must be either all "
+                "bound by a previous MATCH or all new (mixed per-row "
+                "node minting is not in this subset)"
+            )
+    return g
+
+
+def _apply_set(
+    g: PropertyGraph, c: _Compile, items: list, remove: bool
+) -> PropertyGraph:
+    for item in items:
+        var = item[1]
+        ids = _ids_frame(c, var)
+        kind = c.kinds[var]
+        if item[0] == "label":
+            if kind != "node":
+                raise CypherSyntaxError(
+                    f"labels apply to nodes, not {kind} {var!r}"
+                )
+            g = (
+                M.remove_label(g, ids, item[2])
+                if remove
+                else M.add_label(g, ids, item[2])
+            )
+        else:
+            key = item[2]
+            if kind == "node":
+                if remove:
+                    g = M.remove_vertex_property(g, ids, key)
+                else:
+                    g = M.set_vertex_property(g, ids, key, _fold_literal(item[3]))
+            elif kind == "rel":
+                if remove:
+                    # map_filter drop, mirrored from set_edge_property
+                    base, cond, tmp = M._resolve_where(g.edges, ids)
+                    edges = base.withColumn(
+                        "props",
+                        F.when(
+                            cond,
+                            F.map_filter(F.col("props"), lambda k, _: k != key),
+                        ).otherwise(F.col("props")),
+                    ).drop(*tmp)
+                    g = PropertyGraph(
+                        spark=g.spark, nodes=g.nodes, edges=edges,
+                        namespaces=g.namespaces, variables=g.variables,
+                    )
+                else:
+                    g = M.set_edge_property(g, ids, key, _fold_literal(item[3]))
+            else:
+                raise CypherSyntaxError(
+                    f"SET/REMOVE target {var!r} is not a node or relationship"
+                )
+    return g
+
+
+def _apply_delete(
+    g: PropertyGraph, c: _Compile, names: list, detach: bool
+) -> PropertyGraph:
+    rel_vars = [v for v in names if c.kinds.get(v) == "rel"]
+    node_vars = [v for v in names if c.kinds.get(v) == "node"]
+    unknown = [v for v in names if c.kinds.get(v) not in ("rel", "node")]
+    if unknown:
+        raise CypherSyntaxError(
+            f"DELETE target {unknown[0]!r} is not a bound node or relationship"
+        )
+    # relationships first so a same-statement node DELETE sees them gone
+    for v in rel_vars:
+        g = M.remove_edges(g, _ids_frame(c, v))
+    for v in node_vars:
+        ids = _ids_frame(c, v)
+        if not detach:
+            incident = (
+                g.edges.join(
+                    ids.select(F.col(v).alias("src")), on="src", how="leftsemi"
+                ).limit(1).count()
+                + g.edges.join(
+                    ids.select(F.col(v).alias("dst")), on="dst", how="leftsemi"
+                ).limit(1).count()
+            )
+            if incident:
+                raise CypherWriteError(
+                    f"cannot DELETE node {v!r}: it still has relationships "
+                    "(use DETACH DELETE)"
+                )
+        g = M.remove_vertices(g, ids)
+    return g
+
+
+def cypher_write(graph: PropertyGraph, text: str) -> PropertyGraph:
+    """Execute a Cypher write statement; returns the mutated
+    (new, immutable) graph. The read prefix compiles exactly as in
+    :func:`pidb_rdf_spark.cypher.cypher`."""
+    q = _Parser(text).parse()
+    if not any(cl[0] in _WRITE_KINDS for cl in q.clauses):
+        raise CypherSyntaxError(
+            "no write clause found — use cypher() for read queries"
+        )
+    c = _Compile(graph)
+    g = graph
+    for cl in q.clauses:
+        kind = cl[0]
+        if kind == "match":
+            _compile_match(c, cl[1], cl[2])
+        elif kind == "optmatch":
+            _bind_optional_match(c, cl[1], cl[2])
+        elif kind == "unwind":
+            _, e, alias = cl
+            if c.cur is None:
+                c.cur = graph.spark.range(1).select(F.lit(1).alias("__one"))
+            needed: set = set()
+            _collect_props(e, needed)
+            _materialize_props(c, needed)
+            c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
+            c.kinds[alias] = "value"
+        elif kind == "project":
+            out, names = _apply_projection(c, cl[1])
+            _rebind_after_with(c, cl[1], out, names)
+            if cl[1].post_where is not None:
+                needed = set()
+                _collect_props(cl[1].post_where, needed)
+                _materialize_props(c, needed)
+                c.cur = c.cur.filter(_to_col(c, cl[1].post_where))
+        elif kind == "create":
+            g = _apply_create(g, c, cl[1], merge=False)
+        elif kind == "merge":
+            g = _apply_create(g, c, [cl[1]], merge=True)
+        elif kind == "setitems":
+            g = _apply_set(g, c, cl[1], remove=False)
+        elif kind == "removeitems":
+            g = _apply_set(g, c, cl[1], remove=True)
+        elif kind == "delete":
+            g = _apply_delete(g, c, cl[1], cl[2])
+    return g

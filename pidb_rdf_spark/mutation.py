@@ -38,6 +38,19 @@ def _empty_props():
     return F.from_json(F.lit("{}"), "map<string,string>")
 
 
+def _resolve_where(df: DataFrame, where):
+    """Normalize a mutation predicate: a boolean ``Column``, or a
+    ``DataFrame`` whose FIRST column holds matching ids (semi-join
+    membership — the distributed form used by the Cypher write
+    clauses; no ids are ever collected to the driver). Returns
+    ``(df, cond, drop_cols)``."""
+    if isinstance(where, DataFrame):
+        ids = where.select(F.col(where.columns[0]).alias("id")).dropDuplicates()
+        df = df.join(ids.withColumn("__w", F.lit(True)), on="id", how="left")
+        return df, F.col("__w").isNotNull(), ["__w"]
+    return df, where, []
+
+
 # ---------------------------------------------------------------------------
 # M1 / M2: add vertices / edges
 # ---------------------------------------------------------------------------
@@ -119,6 +132,54 @@ def add_edges(
     )
 
 
+def add_edges_frame(
+    graph: PropertyGraph,
+    pairs: DataFrame,
+    predicate: str,
+    props: dict | None = None,
+    dedup: bool = True,
+) -> PropertyGraph:
+    """M2/M10 distributed form: insert one ``predicate`` edge per
+    (src, dst) row of ``pairs`` (its first two columns are node ids —
+    e.g. a Cypher ``MATCH ... CREATE (a)-[:T]->(b)`` frame). Never
+    collects: the pair set stays a DataFrame, dedup-on-insert is one
+    left-anti join against the existing edges (reference
+    ``DirectStatementLoader.java:281-305``)."""
+    s, d = pairs.columns[:2]
+    props = {k: str(v) for k, v in (props or {}).items()}
+    pmap = (
+        F.create_map(*[F.lit(x) for kv in sorted(props.items()) for x in kv])
+        if props
+        else _empty_props()
+    )
+    new = (
+        pairs.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+        .dropDuplicates()
+        .select(
+            F.xxhash64(
+                F.concat_ws(":", F.lit(predicate), F.col("src"), F.col("dst"))
+            ).alias("id"),
+            "src",
+            "dst",
+            F.lit(predicate).alias("predicate"),
+            pmap.alias("props"),
+        )
+    )
+    if dedup:
+        new = new.join(
+            graph.edges.select("src", "predicate", "dst"),
+            on=["src", "predicate", "dst"],
+            how="leftanti",
+        ).select(*graph.edges.columns)
+    return PropertyGraph(
+        spark=graph.spark,
+        nodes=graph.nodes,
+        edges=graph.edges.unionByName(new),
+        namespaces=graph.namespaces,
+        variables=graph.variables,
+    )
+
+
 # ---------------------------------------------------------------------------
 # M3 / M8: property set / remove
 # ---------------------------------------------------------------------------
@@ -128,10 +189,12 @@ def set_vertex_property(
     graph: PropertyGraph, where, key: str, value
 ) -> PropertyGraph:
     """M3: set a property on every vertex matching ``where`` (a
-    boolean Column). Updates the typed hot column when one exists,
-    and always the schemaless ``props`` map (reference single-value
-    semantics, ``NoMultiNoMetaNeo4jTrait.java:87-110``)."""
-    nodes = graph.nodes.withColumn(
+    boolean Column, or an id DataFrame — see ``_resolve_where``).
+    Updates the typed hot column when one exists, and always the
+    schemaless ``props`` map (reference single-value semantics,
+    ``NoMultiNoMetaNeo4jTrait.java:87-110``)."""
+    base, where, tmp = _resolve_where(graph.nodes, where)
+    nodes = base.withColumn(
         "props",
         F.when(
             where,
@@ -147,7 +210,7 @@ def set_vertex_property(
             key, F.when(where, F.lit(value).cast(dtype)).otherwise(F.col(key))
         )
     return PropertyGraph(
-        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        spark=graph.spark, nodes=nodes.drop(*tmp), edges=graph.edges,
         namespaces=graph.namespaces, variables=graph.variables,
     )
 
@@ -155,7 +218,8 @@ def set_vertex_property(
 def remove_vertex_property(graph: PropertyGraph, where, key: str) -> PropertyGraph:
     """M3 (remove form): drop a key from matching vertices' property
     maps (hot column set to NULL)."""
-    nodes = graph.nodes.withColumn(
+    base, where, tmp = _resolve_where(graph.nodes, where)
+    nodes = base.withColumn(
         "props",
         F.when(
             where, F.map_filter(F.col("props"), lambda k, _: k != key)
@@ -167,14 +231,15 @@ def remove_vertex_property(graph: PropertyGraph, where, key: str) -> PropertyGra
             key, F.when(where, F.lit(None).cast(dtype)).otherwise(F.col(key))
         )
     return PropertyGraph(
-        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        spark=graph.spark, nodes=nodes.drop(*tmp), edges=graph.edges,
         namespaces=graph.namespaces, variables=graph.variables,
     )
 
 
 def set_edge_property(graph: PropertyGraph, where, key: str, value) -> PropertyGraph:
     """M8: set a property on matching edges (``Neo4jEdge.java:114-123``)."""
-    edges = graph.edges.withColumn(
+    base, where, tmp = _resolve_where(graph.edges, where)
+    edges = base.withColumn(
         "props",
         F.when(
             where,
@@ -185,7 +250,7 @@ def set_edge_property(graph: PropertyGraph, where, key: str, value) -> PropertyG
         ).otherwise(F.col("props")),
     )
     return PropertyGraph(
-        spark=graph.spark, nodes=graph.nodes, edges=edges,
+        spark=graph.spark, nodes=graph.nodes, edges=edges.drop(*tmp),
         namespaces=graph.namespaces, variables=graph.variables,
     )
 
@@ -203,7 +268,7 @@ def remove_vertices(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGrap
     spark = graph.spark
     if isinstance(ids, list):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
-    ids = ids.select("id")
+    ids = ids.select(F.col(ids.columns[0]).alias("id"))
     nodes = graph.nodes.join(ids, on="id", how="leftanti")
     edges = (
         graph.edges.join(
@@ -223,7 +288,9 @@ def remove_edges(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGraph:
     spark = graph.spark
     if isinstance(ids, list):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
-    edges = graph.edges.join(ids.select("id"), on="id", how="leftanti")
+    edges = graph.edges.join(
+        ids.select(F.col(ids.columns[0]).alias("id")), on="id", how="leftanti"
+    )
     return PropertyGraph(
         spark=spark, nodes=graph.nodes, edges=edges,
         namespaces=graph.namespaces, variables=graph.variables,
@@ -238,28 +305,30 @@ def remove_edges(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGraph:
 def add_label(graph: PropertyGraph, where, label: str) -> PropertyGraph:
     """M7: set-semantics label add (``Neo4jVertex.java:158-166`` —
     duplicate adds are no-ops)."""
-    nodes = graph.nodes.withColumn(
+    base, where, tmp = _resolve_where(graph.nodes, where)
+    nodes = base.withColumn(
         "labels",
         F.when(
             where, F.array_union(F.col("labels"), F.array(F.lit(label)))
         ).otherwise(F.col("labels")),
     )
     return PropertyGraph(
-        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        spark=graph.spark, nodes=nodes.drop(*tmp), edges=graph.edges,
         namespaces=graph.namespaces, variables=graph.variables,
     )
 
 
 def remove_label(graph: PropertyGraph, where, label: str) -> PropertyGraph:
     """M7: label remove (``Neo4jVertex.java:168-172``)."""
-    nodes = graph.nodes.withColumn(
+    base, where, tmp = _resolve_where(graph.nodes, where)
+    nodes = base.withColumn(
         "labels",
         F.when(
             where, F.array_remove(F.col("labels"), label)
         ).otherwise(F.col("labels")),
     )
     return PropertyGraph(
-        spark=graph.spark, nodes=nodes, edges=graph.edges,
+        spark=graph.spark, nodes=nodes.drop(*tmp), edges=graph.edges,
         namespaces=graph.namespaces, variables=graph.variables,
     )
 

@@ -203,6 +203,8 @@ def test_null_handling(graph):
 
 def test_syntax_errors_have_position(graph):
     with pytest.raises(CypherSyntaxError, match="position"):
+        cypher(graph, "MATCH (a) FOO a")
+    with pytest.raises(CypherSyntaxError, match="cypher_write"):
         cypher(graph, "MATCH (a) DELETE a")
     with pytest.raises(CypherSyntaxError, match="variable-length"):
         cypher(graph, "MATCH (a)-[r*]->(b) RETURN a")

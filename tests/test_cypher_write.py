@@ -1,0 +1,188 @@
+"""Cypher write-clause tests: CREATE / MERGE / SET / REMOVE / DELETE
+routed through the mutation primitives (reference write shapes:
+``loader/StatementPreviewer.java:100-107``,
+``semantics/LiteOntologyImporter.java:82-86``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+from pidb_rdf_spark.cypher_write import CypherWriteError, cypher_write
+from pidb_rdf_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def wg(spark):
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [
+                (1, "urn:a", ["Person"], {"name": "Alice", "age": "30"}),
+                (2, "urn:b", ["Person"], {"name": "Bob"}),
+                (3, "urn:c", ["City"], {"name": "Paris"}),
+            ],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(10, 1, 2, "KNOWS", {"since": "2020"}), (11, 1, 3, "LIVES_IN", {})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    return g
+
+
+def names(g, label=None):
+    nd = g.nodes
+    if label:
+        nd = nd.filter(F.array_contains("labels", label))
+    return sorted(r[0] for r in nd.select(nd.props.getItem("name")).collect())
+
+
+def test_create_node(wg):
+    g2 = cypher_write(wg, "CREATE (n:Person {name: 'Carol', age: 25})")
+    assert names(g2, "Person") == ["Alice", "Bob", "Carol"]
+    row = g2.nodes.filter(F.col("props").getItem("name") == "Carol").collect()[0]
+    assert row["props"]["age"] == "25"
+    # CREATE is not idempotent: a second identical CREATE adds another
+    g3 = cypher_write(g2, "CREATE (n:Person {name: 'Carol', age: 25})")
+    assert g3.nodes.filter(F.array_contains("labels", "Person")).count() == 4
+
+
+def test_merge_node_idempotent(wg):
+    g2 = cypher_write(wg, "MERGE (n:Person {name: 'Carol'})")
+    g3 = cypher_write(g2, "MERGE (n:Person {name: 'Carol'})")
+    assert names(g3, "Person") == ["Alice", "Bob", "Carol"]
+
+
+def test_create_relationship_between_matched(wg):
+    g2 = cypher_write(
+        wg,
+        "MATCH (a:Person {name: 'Bob'}), (c:City) "
+        "CREATE (a)-[:LIVES_IN {since: 2021}]->(c)",
+    )
+    e = g2.edges.filter(F.col("predicate") == "LIVES_IN").collect()
+    assert len(e) == 2
+    new = [r for r in e if r["src"] == 2][0]
+    assert new["dst"] == 3 and new["props"]["since"] == "2021"
+    # dedup-on-insert: repeating the CREATE does not duplicate
+    g3 = cypher_write(
+        g2,
+        "MATCH (a:Person {name: 'Bob'}), (c:City) CREATE (a)-[:LIVES_IN]->(c)",
+    )
+    assert g3.edges.filter(F.col("predicate") == "LIVES_IN").count() == 2
+
+
+def test_merge_relationship(wg):
+    # already exists -> no-op
+    g2 = cypher_write(
+        wg,
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "MERGE (a)-[:KNOWS]->(b)",
+    )
+    assert g2.edges.count() == wg.edges.count()
+
+
+def test_create_standalone_chain(wg):
+    g2 = cypher_write(
+        wg,
+        "CREATE (x:Person {name: 'Dan'})-[:LIVES_IN]->(y:City {name: 'Lyon'})",
+    )
+    assert "Dan" in names(g2, "Person") and "Lyon" in names(g2, "City")
+    pair = (
+        g2.edges.filter(F.col("predicate") == "LIVES_IN")
+        .join(g2.nodes.select(F.col("id").alias("src"), F.col("props").getItem("name").alias("sn")), "src")
+        .filter(F.col("sn") == "Dan")
+        .count()
+    )
+    assert pair == 1
+
+
+def test_set_property_and_label(wg):
+    g2 = cypher_write(
+        wg,
+        "MATCH (n:Person) WHERE n.name = 'Bob' SET n.age = 41, n:Employee",
+    )
+    row = g2.nodes.filter(F.col("uri") == "urn:b").collect()[0]
+    assert row["props"]["age"] == "41"
+    assert "Employee" in row["labels"]
+    # others untouched
+    assert g2.nodes.filter(F.array_contains("labels", "Employee")).count() == 1
+
+
+def test_set_edge_property(wg):
+    g2 = cypher_write(
+        wg, "MATCH (a)-[r:KNOWS]->(b) SET r.since = 2019"
+    )
+    assert g2.edges.filter(F.col("predicate") == "KNOWS").collect()[0]["props"][
+        "since"
+    ] == "2019"
+
+
+def test_remove_property_and_label(wg):
+    g2 = cypher_write(wg, "MATCH (n:Person {name: 'Alice'}) REMOVE n.age, n:Person")
+    row = g2.nodes.filter(F.col("uri") == "urn:a").collect()[0]
+    assert "age" not in row["props"]
+    assert row["labels"] == []
+
+
+def test_delete_relationship_then_node(wg):
+    g2 = cypher_write(wg, "MATCH (a)-[r]->(b) WHERE b.name = 'Bob' DELETE r")
+    assert g2.edges.count() == 1
+    g3 = cypher_write(g2, "MATCH (n {name: 'Bob'}) DELETE n")
+    assert names(g3) == ["Alice", "Paris"]
+
+
+def test_plain_delete_with_edges_raises(wg):
+    with pytest.raises(CypherWriteError, match="DETACH"):
+        cypher_write(wg, "MATCH (n:Person {name: 'Alice'}) DELETE n")
+
+
+def test_detach_delete_cascades(wg):
+    g2 = cypher_write(wg, "MATCH (n:Person {name: 'Alice'}) DETACH DELETE n")
+    assert names(g2) == ["Bob", "Paris"]
+    assert g2.edges.count() == 0
+
+
+def test_same_statement_rel_and_node_delete(wg):
+    g2 = cypher_write(
+        wg, "MATCH (n:Person {name: 'Alice'})-[r]->(m) DELETE r, n"
+    )
+    assert names(g2) == ["Bob", "Paris"]
+
+
+def test_write_through_with_pipeline(wg):
+    """WITH limits the write target set."""
+    g2 = cypher_write(
+        wg,
+        "MATCH (n:Person) WITH n ORDER BY n.name LIMIT 1 SET n.flag = true",
+    )
+    flagged = g2.nodes.filter(F.col("props").getItem("flag").isNotNull()).collect()
+    assert len(flagged) == 1 and flagged[0]["props"]["name"] == "Alice"
+
+
+def test_read_api_rejects_writes(wg):
+    with pytest.raises(CypherSyntaxError, match="cypher_write"):
+        cypher(wg, "CREATE (n:Person {name: 'X'})")
+    with pytest.raises(CypherSyntaxError, match="read queries"):
+        cypher_write(wg, "MATCH (n) RETURN n")
+
+
+def test_rel_prop_pattern_filters_match(wg):
+    got = cypher(
+        wg,
+        "MATCH (a)-[r:KNOWS {since: '2020'}]->(b) RETURN b.name AS n",
+    ).collect()
+    assert [r["n"] for r in got] == ["Bob"]
+    got2 = cypher(
+        wg,
+        "MATCH (a)-[r:KNOWS {since: '1999'}]->(b) RETURN b.name AS n",
+    ).collect()
+    assert got2 == []
+
+
+def test_mixed_endpoint_create_rejected(wg):
+    with pytest.raises(CypherSyntaxError, match="all new|all\\s+bound"):
+        cypher_write(
+            wg,
+            "MATCH (a:Person {name: 'Alice'}) CREATE (a)-[:VISITED]->(x:City {name: 'Rome'})",
+        )
