@@ -19,9 +19,12 @@ issue):
   and ``-[r:TYPE|TYPE2]->`` / ``<-[...]-`` / ``-[...]-`` (undirected)
   relationships, including variable-length ``*``, ``*n``, ``*n..m``.
   Cypher's relationship-uniqueness rule (edge isomorphism) is
-  enforced across the single-hop relationships of a MATCH; the
-  expansions of variable-length segments are NOT edge-deduplicated
-  against other segments (documented subset limit).
+  enforced across the single-hop relationships of a MATCH, and
+  WITHIN each bounded variable-length path (no edge repeats on one
+  path; unbounded ``*`` uses reachability, where the rule is
+  vacuous). Uniqueness BETWEEN a variable-length segment's edges and
+  other segments of the same MATCH is not enforced (documented
+  subset limit).
 - ``OPTIONAL MATCH`` blocks (left-join semantics: unmatched rows
   keep NULL for every block-introduced variable; a block-local
   ``WHERE`` filters inside the match, before the left join).
@@ -53,6 +56,7 @@ union of joins instead)."""
 from __future__ import annotations
 
 import re
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -63,6 +67,12 @@ from pidb_rdf_spark.graph import PropertyGraph
 
 class CypherSyntaxError(SyntaxError):
     pass
+
+
+class CypherCartesianWarning(UserWarning):
+    """A MATCH pattern shares no variable with the rows already bound,
+    forcing a cartesian product — quadratic at scale. Pass
+    ``allow_cartesian=True`` to silence when intentional."""
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +644,7 @@ class _Parser:
 class _Compile:
     graph: PropertyGraph
     cur: DataFrame | None = None
+    allow_cartesian: bool = False
     kinds: dict = field(default_factory=dict)  # var -> "node" | "rel"
     prop_cols: dict = field(default_factory=dict)  # (var, prop) -> col name
     # every single-hop relationship column (named or anonymous) with
@@ -681,15 +692,25 @@ def _var_length_pairs(
     g: PropertyGraph, rel: RelPat
 ) -> DataFrame:
     """(src, dst) pairs for a variable-length relationship: bounded
-    lengths unroll to a union of equi-join chains; unbounded reuses
-    the semi-naive closure fixpoint."""
+    lengths unroll to a union of equi-join chains with WITHIN-path
+    relationship uniqueness (Cypher: no relationship appears twice in
+    one path — the ``__eid`` column tracks the edges used); unbounded
+    reuses the semi-naive closure fixpoint (reachability — the
+    uniqueness rule is vacuous there, since any walk that repeats an
+    edge reaches nothing a simple path does not)."""
     e = g.edges
     if rel.types:
         e = e.filter(F.col("predicate").isin(rel.types))
-    pairs = e.select("src", "dst")
+    pairs = e.select("src", "dst", F.col("id").alias("__eid"))
     if rel.direction == "both":
+        # both orientations carry the SAME edge id: traversing one
+        # relationship forward then backward is the classic
+        # uniqueness violation
         pairs = pairs.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                F.col("id").alias("__eid"),
+            )
         )
     if rel.max_len is None:
         from pidb_rdf_spark.inference import transitive_closure
@@ -714,20 +735,35 @@ def _var_length_pairs(
 
 
 def _unrolled_pairs(pairs: DataFrame, min_len: int, max_len: int) -> DataFrame:
+    """Union of exact-k-hop (src, dst) pairs for k in [min_len,
+    max_len]. ``pairs`` carries ``__eid``; each chain extension
+    filters edges already on the path (Cypher relationship-uniqueness
+    WITHIN a variable-length path) and dedups on (src, dst, edge-set)
+    so the carried state stays bounded by the simple-path count, not
+    the walk count."""
     hop = pairs.dropDuplicates()
-    out = hop if min_len <= 1 else None
-    cur = hop
+    out = hop.select("src", "dst") if min_len <= 1 else None
+    cur = hop.select("src", "dst", F.array("__eid").alias("__es"))
     for k in range(2, max_len + 1):
         cur = (
-            cur.select(F.col("src"), F.col("dst").alias("__m"))
-            .join(hop.select(F.col("src").alias("__m"), "dst"), on="__m")
-            .select("src", "dst")
+            cur.select("src", F.col("dst").alias("__m"), "__es")
+            .join(
+                hop.select(F.col("src").alias("__m"), "dst", "__eid"),
+                on="__m",
+            )
+            .filter(~F.array_contains("__es", F.col("__eid")))
+            .select(
+                "src",
+                "dst",
+                F.array_sort(F.array_append("__es", F.col("__eid"))).alias("__es"),
+            )
             .dropDuplicates()
         )
         if k >= min_len:  # lengths below min_len feed the chain but not the result
-            out = cur if out is None else out.unionAll(cur)
+            nxt = cur.select("src", "dst")
+            out = nxt if out is None else out.unionAll(nxt)
     if out is None:  # min_len > max_len: empty result, keep schema
-        return hop.limit(0)
+        return hop.select("src", "dst").limit(0)
     return out.dropDuplicates()
 
 
@@ -978,7 +1014,7 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
             "OPTIONAL MATCH must share at least one variable with a "
             "previous MATCH in this subset"
         )
-    c2 = _Compile(c.graph)
+    c2 = _Compile(c.graph, allow_cartesian=c.allow_cartesian)
     c2.anon = c.anon
     c2.kinds = {v: c.kinds[v] for v in shared}
     c2.cur = c.cur.select(*shared).dropDuplicates()
@@ -1107,6 +1143,22 @@ def _rebind_after_with(c: _Compile, proj: Projection, out: DataFrame, names: lis
 
 def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
     for pat in pats:
+        pvars = {n.var for n in pat.nodes if n.var} | {
+            r.var for r in pat.rels if r.var
+        }
+        if (
+            c.cur is not None
+            and not (pvars & set(c.kinds))
+            and not c.allow_cartesian
+        ):
+            warnings.warn(
+                f"MATCH pattern {{{', '.join(sorted(pvars)) or 'anonymous'}}} "
+                "shares no variable with the rows already bound — this is a "
+                "cartesian product (quadratic at scale). Pass "
+                "allow_cartesian=True if intentional.",
+                CypherCartesianWarning,
+                stacklevel=3,
+            )
         prev = _bind_node(c, pat.nodes[0])
         for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
             prev = _bind_rel(c, rel, prev, nxt_pat)
@@ -1118,10 +1170,13 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
         c.cur = c.cur.filter(_to_col(c, where))
 
 
-def cypher(graph: PropertyGraph, text: str) -> DataFrame:
+def cypher(
+    graph: PropertyGraph, text: str, allow_cartesian: bool = False
+) -> DataFrame:
     """Execute a Cypher query against the graph; returns the RETURN
     projection as a DataFrame (reference
-    ``Neo4jGraph.java:288-304``)."""
+    ``Neo4jGraph.java:288-304``). ``allow_cartesian=True`` silences
+    the :class:`CypherCartesianWarning` on disconnected patterns."""
     q = _Parser(text).parse()
     if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
         raise CypherSyntaxError(
@@ -1129,7 +1184,7 @@ def cypher(graph: PropertyGraph, text: str) -> DataFrame:
             "graph — execute them with cypher_write(), which returns "
             "the new PropertyGraph"
         )
-    c = _Compile(graph)
+    c = _Compile(graph, allow_cartesian=allow_cartesian)
     out = None
 
     for cl in q.clauses:

@@ -270,7 +270,9 @@ def _apply_delete(
     return g
 
 
-def cypher_write(graph: PropertyGraph, text: str) -> PropertyGraph:
+def cypher_write(
+    graph: PropertyGraph, text: str, allow_cartesian: bool = False
+) -> PropertyGraph:
     """Execute a Cypher write statement; returns the mutated
     (new, immutable) graph. The read prefix compiles exactly as in
     :func:`pidb_rdf_spark.cypher.cypher`."""
@@ -279,7 +281,7 @@ def cypher_write(graph: PropertyGraph, text: str) -> PropertyGraph:
         raise CypherSyntaxError(
             "no write clause found — use cypher() for read queries"
         )
-    c = _Compile(graph)
+    c = _Compile(graph, allow_cartesian=allow_cartesian)
     g = graph
     for cl in q.clauses:
         kind = cl[0]

@@ -567,3 +567,44 @@ def test_optional_match_after_with(graph):
            ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""
     )
     assert got == want
+
+
+def test_var_length_within_path_edge_uniqueness(spark):
+    """A single undirected edge must NOT make a 2-hop path by being
+    traversed forward then backward (Cypher relationship uniqueness
+    within a variable-length path)."""
+    g = _mk_graph(spark, [(1, ["N"], "a"), (2, ["N"], "b")], [(1, 2, "T")])
+    assert rows(cypher(g, "MATCH (x)-[:T*2]-(y) RETURN x.name AS s, y.name AS t")) == []
+    # two distinct parallel-ish edges DO make the round trip
+    g2 = _mk_graph(
+        spark, [(1, ["N"], "a"), (2, ["N"], "b")], [(1, 2, "T"), (2, 1, "T")]
+    )
+    got = sorted(
+        rows(cypher(g2, "MATCH (x)-[:T*2]->(y) RETURN x.name AS s, y.name AS t"))
+    )
+    assert got == [("a", "a"), ("b", "b")]
+
+
+def test_var_length_directed_cycle_no_edge_reuse(spark):
+    """Directed 2-cycle: *3 would need an edge twice -> no matches."""
+    g = _mk_graph(
+        spark, [(1, ["N"], "a"), (2, ["N"], "b")], [(1, 2, "T"), (2, 1, "T")]
+    )
+    assert rows(cypher(g, "MATCH (x)-[:T*3]->(y) RETURN x.name AS s")) == []
+
+
+def test_cartesian_warning_and_opt_in(spark):
+    import warnings as W
+
+    from pidb_rdf_spark.cypher import CypherCartesianWarning
+
+    g = _chain5(spark)
+    with pytest.warns(CypherCartesianWarning):
+        cypher(g, "MATCH (a:N), (b:N) RETURN count(*) AS n")
+    with W.catch_warnings():
+        W.simplefilter("error", CypherCartesianWarning)
+        # opt-in silences
+        df = cypher(g, "MATCH (a:N), (b:N) RETURN count(*) AS n", allow_cartesian=True)
+        assert rows(df) == [(25,)]
+        # connected patterns never warn
+        cypher(g, "MATCH (a)-[:T]->(b), (b)-[:T]->(c) RETURN count(*) AS n").collect()

@@ -131,12 +131,33 @@ def test_closure_cache_computes_once_per_frame_and_kind(spark, graph, label_hier
     get_rels(graph, flat, "LOCATED").count()             # kind=SRO
     assert inf.CLOSURE_COMPUTES == start + 3
 
-    # a NEW frame over identical rows is a new id() -> recompute
+    # a NEW createDataFrame over identical rows is a new LocalRelation
+    # plan (Spark never marks two of those sameResult) -> recompute
     flat2 = spark.createDataFrame(
         [("Customer", "Actor"), ("IN_NATION", "LOCATED")], ["child", "parent"]
     )
     get_nodes_with_label(graph, flat2, "Actor").count()
     assert inf.CLOSURE_COMPUTES == start + 4
+
+
+def test_closure_cache_plan_keying_shares_rebuilt_frames(spark, tmp_path):
+    """r8 plan-keying: two independently-BUILT frames over the same
+    source with the same plan (parquet-derived — the driver-entry
+    shape) share ONE closure; the old id()-keying recomputed."""
+    import pidb_rdf_spark.inference as inf
+    from pidb_rdf_spark.inference import hierarchy_closure
+
+    p = str(tmp_path / "hier.parquet")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["child", "parent"]
+    ).write.parquet(p)
+    inf.clear_closure_cache()
+    start = inf.CLOSURE_COMPUTES
+    h1 = spark.read.parquet(p)
+    h2 = spark.read.parquet(p)  # distinct Python/JVM frame, same plan
+    assert hierarchy_closure(h1).count() == 3
+    assert hierarchy_closure(h2).count() == 3
+    assert inf.CLOSURE_COMPUTES == start + 1
 
 
 def test_closure_cache_bounded_lru(spark):
@@ -164,3 +185,28 @@ def test_closure_cache_bounded_lru(spark):
 
     inf.clear_closure_cache()
     assert len(inf._CLOSURE_CACHE) == 0
+
+
+def test_driver_entries_share_one_closure(spark):
+    """Bench-shaped r8 contract (verdict #5): running the three
+    reasoner driver entries back-to-back computes the hierarchy
+    fixpoint exactly ONCE — they share a combined kind-less hierarchy
+    frame and the plan-keyed closure cache."""
+    import importlib.util
+
+    import pidb_rdf_spark.inference as inf
+
+    spec = importlib.util.spec_from_file_location(
+        "se_inference_probe", "/root/repo/__spark_entry__.py"
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    q = se.queries()
+    inf.clear_closure_cache()
+    start = inf.CLOSURE_COMPUTES
+    sf = "/root/testdata/sf0.001"
+    n1 = q["nodes_with_label_inferred"](spark, sf).count()
+    n2 = q["nodes_linked_to_inferred"](spark, sf).count()
+    n3 = q["rels_inferred"](spark, sf).count()
+    assert n1 > 0 and n2 > 0 and n3 > 0
+    assert inf.CLOSURE_COMPUTES == start + 1
