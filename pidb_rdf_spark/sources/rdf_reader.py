@@ -191,25 +191,45 @@ def parse_ntriples_lines(lines: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Turtle subset parser (per-file, python) — prefixes, a, ; , lists of
-# objects, IRIs, prefixed names, literals with @lang/^^dt, bnodes.
+# Turtle parser (per-file, python) — prefixes, a, ; , lists of
+# objects, IRIs, prefixed names (incl. %-encoding and PN_LOCAL_ESC
+# escapes), literals with @lang/^^dt in every quote form (single,
+# double, and both long triple-quote forms), bnodes, blank-node
+# property lists [ ... ], and collections ( ... ) expanded to
+# rdf:first/rest/nil chains (full-spec shapes, r8 verdict #4 —
+# parity with rdf4j-rio-turtle on the reference's corpus;
+# rdf4j-rio reference: ``sources/RDFImport.java`` format table).
 # ---------------------------------------------------------------------------
+
+# a PN_LOCAL char run: word chars, %XX encodings, \-escaped
+# punctuation; interior dots allowed but a trailing dot stays a
+# statement terminator (lookahead)
+_PN_LOCAL = r"(?:[\w\-%]|\\.|\.(?=[\w\-%\\.]))*"
 
 _TTL_TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<prefix_decl>@prefix|@base|PREFIX|BASE)
     | (?P<iriref><[^>]*>)
-    | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]+))?)
-    | (?P<bnode>_:[\w.-]+)
-    | (?P<pname>[A-Za-z_][\w.-]*?:[\w.-]*|:[\w.-]*)
-    | (?P<kw_a>\ba\b)
-    | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-    | (?P<bool>\btrue\b|\bfalse\b)
-    | (?P<kw_graph>(?i:\bGRAPH\b))
+    | (?P<literal>
+        (?:\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
+          |'''(?:[^'\\]|\\.|'(?!''))*'''
+          |"(?:[^"\n\\]|\\.)*"
+          |'(?:[^'\n\\]|\\.)*'
+        )
+        (?:@[A-Za-z][A-Za-z0-9-]*(?:-[A-Za-z0-9]+)*
+          |\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]+)
+        )?
+      )
+    | (?P<bnode>_:[\w](?:[\w\-]|\.(?=[\w\-.]))*)
+    | (?P<num>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+|\d*\.\d+|\d+))
+    | (?P<kw_a>\ba\b(?!:))
+    | (?P<bool>\btrue\b(?!:)|\bfalse\b(?!:))
+    | (?P<kw_graph>(?i:\bGRAPH\b)(?!:))
+    | (?P<pname>[A-Za-z_][\w.-]*?:PNL|:PNL)
     | (?P<punct>[;,.\[\](){}])
     | (?P<ws>\s+)
-    """,
+    """.replace("PNL", _PN_LOCAL),
     re.VERBOSE,
 )
 
@@ -233,12 +253,50 @@ def parse_turtle_text(text: str) -> list[tuple]:
     return _parse_turtle_tokens(_tokenize_turtle(text))
 
 
-def _parse_turtle_tokens(toks: list[tuple[str, str]]) -> list[tuple]:
-    prefixes: dict[str, str] = {}
-    rows: list[tuple] = []
-    i = 0
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_FIRST = _RDF_NS + "first"
+_RDF_REST = _RDF_NS + "rest"
+_RDF_NIL = _RDF_NS + "nil"
 
-    def resolve(kind: str, tok: str):
+_TTL_LIT_RE = re.compile(
+    r"(?s)"
+    r"(?:\"\"\"((?:[^\"\\]|\\.|\"(?!\"\"))*)\"\"\""
+    r"|'''((?:[^'\\]|\\.|'(?!''))*)'''"
+    r"|\"((?:[^\"\n\\]|\\.)*)\""
+    r"|'((?:[^'\n\\]|\\.)*)'"
+    r")"
+    r"(?:@([A-Za-z][A-Za-z0-9-]*(?:-[A-Za-z0-9]+)*)"
+    r"|\^\^(<[^>]*>|[\w.-]*:[\w.-]+))?"
+)
+
+
+class _TtlParser:
+    """Recursive-descent over the token stream: statements, predicate-
+    object lists, blank-node property lists, collections."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self.rows: list[tuple] = []
+        self.prefixes: dict[str, str] = {}
+        self.ngen = 0
+
+    # -- helpers ---------------------------------------------------------
+
+    def _bnode(self) -> str:
+        self.ngen += 1
+        return f"_:gen{self.ngen}"
+
+    def _peek_text(self) -> str | None:
+        return self.toks[self.i][1] if self.i < len(self.toks) else None
+
+    def _expect(self, text: str) -> None:
+        if self._peek_text() != text:
+            got = self._peek_text()
+            raise ValueError(f"Turtle: expected {text!r}, got {got!r}")
+        self.i += 1
+
+    def _resolve(self, kind: str, tok: str):
         """-> (value, is_literal, datatype, lang)"""
         if kind == "iriref":
             return tok[1:-1], False, None, None
@@ -246,72 +304,135 @@ def _parse_turtle_tokens(toks: list[tuple[str, str]]) -> list[tuple]:
             return tok, False, None, None
         if kind == "pname":
             pfx, _, local = tok.partition(":")
-            return prefixes.get(pfx, pfx + ":") + local, False, None, None
+            # PN_LOCAL_ESC: drop backslash escapes; %XX stays verbatim
+            local = re.sub(r"\\(.)", r"\1", local)
+            return self.prefixes.get(pfx, pfx + ":") + local, False, None, None
         if kind == "kw_a":
             return _RDF_TYPE, False, None, None
         if kind == "num":
-            dt = _XSD + ("integer" if re.fullmatch(r"[+-]?\d+", tok) else "decimal")
+            if "e" in tok or "E" in tok:
+                dt = _XSD + "double"
+            elif "." in tok:
+                dt = _XSD + "decimal"
+            else:
+                dt = _XSD + "integer"
             return tok, True, dt, None
         if kind == "bool":
             return tok, True, _XSD + "boolean", None
         if kind == "literal":
-            m2 = re.fullmatch(
-                r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(<[^>]*>|[\w.-]*:[\w.-]+))?',
-                tok,
-            )
-            lex = unescape_string(m2.group(1))
-            lang = m2.group(2)
-            dt_tok = m2.group(3)
+            m2 = _TTL_LIT_RE.fullmatch(tok)
+            body = next(g for g in m2.group(1, 2, 3, 4) if g is not None)
+            lex = unescape_string(body)
+            lang = m2.group(5)
+            dt_tok = m2.group(6)
             dt = None
             if dt_tok:
                 if dt_tok.startswith("<"):
                     dt = dt_tok[1:-1]
                 else:
                     pfx, _, local = dt_tok.partition(":")
-                    dt = prefixes.get(pfx, pfx + ":") + local
+                    dt = self.prefixes.get(pfx, pfx + ":") + local
             return lex, True, dt, lang
         raise ValueError(f"unexpected token {tok!r} as term")
 
-    while i < len(toks):
-        kind, tok = toks[i]
-        if kind == "prefix_decl":
-            if tok.lower().endswith("prefix"):
-                pname = toks[i + 1][1]
-                iri = toks[i + 2][1][1:-1]
-                prefixes[pname.rstrip(":")] = iri
-                i += 3
-                if i < len(toks) and toks[i][1] == ".":
-                    i += 1
-            else:  # @base — rare; skip its IRI
-                i += 2
-                if i < len(toks) and toks[i][1] == ".":
-                    i += 1
-            continue
-        subj, _, _, _ = resolve(kind, tok)
-        i += 1
-        while True:  # predicate-object list
-            pk, pt = toks[i]
-            pred, _, _, _ = resolve(pk, pt)
-            i += 1
+    # -- grammar ---------------------------------------------------------
+
+    def parse(self) -> list[tuple]:
+        while self.i < len(self.toks):
+            kind, tok = self.toks[self.i]
+            if kind == "prefix_decl":
+                if tok.lower().endswith("prefix"):
+                    pname = self.toks[self.i + 1][1]
+                    iri = self.toks[self.i + 2][1][1:-1]
+                    self.prefixes[pname.rstrip(":")] = iri
+                    self.i += 3
+                    if self._peek_text() == ".":
+                        self.i += 1
+                else:  # @base — rare; skip its IRI
+                    self.i += 2
+                    if self._peek_text() == ".":
+                        self.i += 1
+                continue
+            self._statement()
+        return self.rows
+
+    def _statement(self) -> None:
+        subj = self._subject()
+        # "[ p o ] ."  — a property-list subject may stand alone
+        if self._peek_text() != ".":
+            self._pred_obj_list(subj)
+        if self._peek_text() == ".":
+            self.i += 1
+
+    def _subject(self) -> str:
+        kind, tok = self.toks[self.i]
+        if tok == "[" and kind == "punct":
+            return self._bnode_prop_list()
+        if tok == "(" and kind == "punct":
+            return self._collection()[0]
+        self.i += 1
+        return self._resolve(kind, tok)[0]
+
+    def _pred_obj_list(self, subj: str) -> None:
+        while True:
+            pk, pt = self.toks[self.i]
+            pred = self._resolve(pk, pt)[0]
+            self.i += 1
             while True:  # object list
-                ok, ot = toks[i]
-                obj, is_lit, dt, lang = resolve(ok, ot)
-                rows.append((subj, pred, obj, is_lit, dt, lang))
-                i += 1
-                if i < len(toks) and toks[i][1] == ",":
-                    i += 1
+                obj, is_lit, dt, lang = self._object()
+                self.rows.append((subj, pred, obj, is_lit, dt, lang))
+                if self._peek_text() == ",":
+                    self.i += 1
                     continue
                 break
-            if i < len(toks) and toks[i][1] == ";":
-                i += 1
-                # trailing ; before .
-                if i < len(toks) and toks[i][1] == ".":
-                    break
+            if self._peek_text() == ";":
+                while self._peek_text() == ";":  # ;; runs are legal
+                    self.i += 1
+                if self._peek_text() in (".", "]", None):
+                    return
                 continue
-            break
-        if i < len(toks) and toks[i][1] == ".":
-            i += 1
-    return rows
+            return
+
+    def _object(self):
+        kind, tok = self.toks[self.i]
+        if tok == "[" and kind == "punct":
+            return self._bnode_prop_list(), False, None, None
+        if tok == "(" and kind == "punct":
+            return self._collection()
+        self.i += 1
+        return self._resolve(kind, tok)
+
+    def _bnode_prop_list(self) -> str:
+        self._expect("[")
+        b = self._bnode()
+        if self._peek_text() != "]":
+            self._pred_obj_list(b)
+        self._expect("]")
+        return b
+
+    def _collection(self):
+        """( o1 o2 ... ) -> rdf:first/rest chain; returns the head."""
+        self._expect("(")
+        items = []
+        while self._peek_text() != ")":
+            if self._peek_text() is None:
+                raise ValueError("Turtle: unterminated collection")
+            items.append(self._object())
+        self.i += 1
+        if not items:
+            return _RDF_NIL, False, None, None
+        head = self._bnode()
+        cur = head
+        for idx, (v, lit, dt, lang) in enumerate(items):
+            self.rows.append((cur, _RDF_FIRST, v, lit, dt, lang))
+            nxt = self._bnode() if idx < len(items) - 1 else _RDF_NIL
+            self.rows.append((cur, _RDF_REST, nxt, False, None, None))
+            cur = nxt
+        return head, False, None, None
+
+
+def _parse_turtle_tokens(toks: list[tuple[str, str]]) -> list[tuple]:
+    return _TtlParser(toks).parse()
 
 
 def read_turtle(spark: SparkSession, path: str) -> DataFrame:

@@ -1073,3 +1073,119 @@ def test_jsonld_nested_roundtrip_through_import(spark):
     }
     want = {(r[0], r[1], r[2]) for r in rows}
     assert want <= back
+
+
+# ---------------------------------------------------------------------------
+# full-spec Turtle shapes (r8, verdict #4): long literals, single
+# quotes, collections, blank-node property lists, PN_LOCAL edge cases
+# ---------------------------------------------------------------------------
+
+
+def _ttl(text):
+    from pidb_rdf_spark.sources.rdf_reader import parse_turtle_text
+
+    return parse_turtle_text(text)
+
+
+def test_turtle_long_and_single_quoted_literals():
+    rows = _ttl(
+        '@prefix ex: <http://e/> .\n'
+        'ex:a ex:p """multi\nline "quoted" text""" .\n'
+        "ex:a ex:q '''also\nlong''' .\n"
+        "ex:a ex:r 'single' .\n"
+        'ex:a ex:s """typed"""^^ex:T .\n'
+        "ex:a ex:t '''tagged'''@en-GB .\n"
+    )
+    vals = {(r[1], r[2], r[4], r[5]) for r in rows}
+    assert ("http://e/p", 'multi\nline "quoted" text', None, None) in vals
+    assert ("http://e/q", "also\nlong", None, None) in vals
+    assert ("http://e/r", "single", None, None) in vals
+    assert ("http://e/s", "typed", "http://e/T", None) in vals
+    assert ("http://e/t", "tagged", None, "en-GB") in vals
+
+
+def test_turtle_collections_expand_to_first_rest():
+    rows = _ttl(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:items (1 2 3) .\n"
+        "ex:b ex:none () .\n"
+    )
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    firsts = [r for r in rows if r[1] == rdf + "first"]
+    rests = [r for r in rows if r[1] == rdf + "rest"]
+    assert [r[2] for r in firsts] == ["1", "2", "3"]
+    assert len(rests) == 3 and rests[-1][2] == rdf + "nil"
+    # chain is linked: head -> ... -> nil
+    head = [r for r in rows if r[1] == "http://e/items"][0][2]
+    assert head == firsts[0][0]
+    assert [r for r in rows if r[1] == "http://e/none"][0][2] == rdf + "nil"
+
+
+def test_turtle_bnode_property_lists():
+    rows = _ttl(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:knows [ ex:name 'Bob' ; ex:age 41 ] .\n"
+        "[ ex:label 'standalone' ] .\n"
+        "ex:c ex:p [] .\n"
+    )
+    bn = [r for r in rows if r[1] == "http://e/knows"][0][2]
+    assert bn.startswith("_:")
+    props = {(r[1], r[2]) for r in rows if r[0] == bn}
+    assert props == {("http://e/name", "Bob"), ("http://e/age", "41")}
+    assert any(r[1] == "http://e/label" and r[2] == "standalone" for r in rows)
+    anon = [r for r in rows if r[1] == "http://e/p"][0][2]
+    assert anon.startswith("_:")
+
+
+def test_turtle_nested_structures():
+    rows = _ttl(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:p [ ex:q ( 'x' [ ex:r 1 ] ) ] .\n"
+    )
+    # nested: property list holding a collection holding a property list
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert any(r[1] == rdf + "first" and r[2] == "x" for r in rows)
+    assert any(r[1] == "http://e/r" and r[2] == "1" for r in rows)
+
+
+def test_turtle_pname_edge_cases():
+    rows = _ttl(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a\\,b ex:p ex:x .\n"       # PN_LOCAL_ESC comma
+        "ex:n%41m ex:p ex:y .\n"       # percent-encoding kept verbatim
+        "ex:dot.ted ex:p ex:z.\n"      # interior dot, trailing dot ends stmt
+        "ex:123 ex:p ex:w .\n"         # leading digit in local name
+    )
+    subs = {r[0] for r in rows}
+    assert "http://e/a,b" in subs
+    assert "http://e/n%41m" in subs
+    assert "http://e/dot.ted" in subs
+    assert "http://e/123" in subs
+    assert {r[2] for r in rows} == {"http://e/x", "http://e/y", "http://e/z", "http://e/w"}
+
+
+def test_turtle_numeric_forms_and_semicolon_runs():
+    rows = _ttl(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:i 42 ; ; ex:d .5 ; ex:e 1.0e3 ; ex:f -7.25 .\n"
+    )
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    by_pred = {r[1].rsplit("/", 1)[-1]: (r[2], r[4]) for r in rows}
+    assert by_pred["i"] == ("42", xsd + "integer")
+    assert by_pred["d"] == (".5", xsd + "decimal")
+    assert by_pred["e"] == ("1.0e3", xsd + "double")
+    assert by_pred["f"] == ("-7.25", xsd + "decimal")
+
+
+def test_turtle_full_spec_roundtrip_via_graph(spark):
+    """The rejected-shape corpus parses AND imports end-to-end."""
+    from pidb_rdf_spark.sources.rdf_reader import parse_turtle_text
+
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        'ex:doc ex:title """Long\ntitle""" ;\n'
+        "  ex:tags ('a' 'b') ;\n"
+        "  ex:author [ ex:name 'Ann' ] .\n"
+    )
+    df = spark.createDataFrame(rows, "subject string, predicate string, object string, is_literal boolean, datatype string, lang string")
+    assert df.count() == len(rows) == 8
