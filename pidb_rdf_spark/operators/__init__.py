@@ -30,6 +30,8 @@ from pidb_rdf_spark.operators.membership import (
 from pidb_rdf_spark.operators.multimodal import (
     attach_media,
     decode_media,
+    decode_png,
+    png_decode,
     probe_media_headers,
     sample_frames,
 )
@@ -125,6 +127,8 @@ __all__ = [
     "kmeans_centroids",
     "attach_media",
     "decode_media",
+    "decode_png",
+    "png_decode",
     "probe_media_headers",
     "sample_frames",
     "fingerprint",

@@ -7,12 +7,15 @@ travel as opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extraction / resize run as Arrow-batched
 ``mapInPandas`` stages.
 
-The actual codec step is STUBBED in this environment (no
-PIL/opencv/ffmpeg in the container): ``decode_media`` raises
-``NotImplementedError`` unless ``stub=True``, in which case it
-computes a deterministic fake (byte histogram + length features)
-with the exact Spark-side contract — schema, Arrow batch shape,
-partitioning — that a real decoder drops into.
+Codec status (r8, no ambiguity): **PNG pixel decode is REAL** —
+``decode_png`` inflates IDAT with stdlib ``zlib`` and unfilters all
+five PNG filter types (no PIL needed). The container/metadata probe
+(``probe_media_headers``) is REAL header parsing for PNG/JPEG/GIF/
+WAV. JPEG/audio/video PIXEL decode stays PERMANENTLY gated in this
+environment (entropy decoding needs a codec library; there is no
+stdlib path) — ``decode_media`` raises ``NotImplementedError``
+unless ``stub=True``, which runs a deterministic fake featurizer
+through the identical mapInPandas plumbing.
 
 Scale notes: binary payloads dominate row size, so feature
 extraction runs ``mapInPandas`` with Arrow batches sized by
@@ -30,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -81,8 +85,11 @@ def decode_media(df: DataFrame, stub: bool = False) -> DataFrame:
     """
     if not stub:
         raise NotImplementedError(
-            "media codecs (PIL/opencv/ffmpeg) are not installed in this "
-            "environment; pass stub=True for the deterministic fake path"
+            "generic media codecs (PIL/opencv/ffmpeg) are not installed "
+            "in this environment (permanent gate — no stdlib path for "
+            "JPEG/audio/video entropy decoding). PNG pixel decode IS "
+            "available: use decode_png(). Pass stub=True here for the "
+            "deterministic fake featurizer."
         )
 
     def featurize(batches: Iterator) -> Iterator:
@@ -106,6 +113,149 @@ def decode_media(df: DataFrame, stub: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select("media_id", "content").mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel decode — pure stdlib (zlib inflate + PNG unfilter)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (palette expands to RGB after decode)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+PNG_PIXELS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("channel_means", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse the five PNG scanline filters (spec §9): each scanline
+    is one filter-type byte + ``stride`` filtered bytes."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                line[x] = (
+                    line[x] + (a if pa <= pb and pa <= pc else b if pb <= pc else cc)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def png_decode(bs: bytes) -> tuple:
+    """Decode one PNG -> (width, height, channels, pixels: bytes).
+
+    Pure stdlib: chunk walk + ``zlib.decompress`` of the concatenated
+    IDAT stream + scanline unfilter. Supports bit depth 8, color
+    types 0/2/3/4/6 (palette images expand to RGB), non-interlaced.
+    Raises ``ValueError`` with the exact unsupported feature
+    otherwise — never silently mis-decodes."""
+    import struct
+    import zlib
+
+    bs = bytes(bs)
+    if bs[:8] != _PNG_MAGIC:
+        raise ValueError("PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(bs):
+        (length,) = struct.unpack(">I", bs[pos : pos + 4])
+        ctype = bs[pos + 4 : pos + 8]
+        data = bs[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {bit_depth} (only 8)")
+    if interlace:
+        raise ValueError("PNG: Adam7 interlacing not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unknown color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: IDAT size does not match dimensions")
+    pixels = _png_unfilter(raw, height, stride, ch)
+    if color_type == 3:  # palette -> RGB
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        pixels = b"".join(palette[3 * p : 3 * p + 3] for p in pixels)
+        ch = 3
+    return width, height, ch, pixels
+
+
+def decode_png(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL pixel decode for PNG blobs via Arrow-batched
+    ``mapInPandas``: (media_id, width, height, channels, n_pixels,
+    channel_means). Non-PNG or unsupported-variant blobs surface as
+    NULL dimensions (the id row is kept so coverage is auditable
+    downstream: ``WHERE width IS NULL`` = the undecodable set)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, ch, px = png_decode(content)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
+                    means = [float(m) for m in arr.mean(axis=0)]
+                    out.append((int(mid), w, h, ch, w * h, means))
+                except Exception:
+                    out.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG_PIXELS_SCHEMA.fields]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, PNG_PIXELS_SCHEMA)
 
 
 def sample_frames(

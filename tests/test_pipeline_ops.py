@@ -1596,3 +1596,133 @@ def test_bloom_probe_rejects_param_mismatch_and_reads_metadata(spark):
         bloom_probe(corpus, bloom, "text", m_bits=1 << 20)
     with pytest.raises(ValueError, match="disagrees"):
         bloom_probe(corpus, bloom, "text", k_hashes=5)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel decode (r8, verdict #8): stdlib zlib + unfilter
+# ---------------------------------------------------------------------------
+
+
+def _make_png(width, height, pixels, color_type=2, filters=None, palette=None):
+    """Minimal PNG writer for tests: 8-bit, optional per-row filter
+    types (pre-filtered according to the PNG spec so the decoder's
+    unfilter is genuinely exercised)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        ft = filters[y]
+        enc = bytearray(line)
+        if ft == 1:
+            for x in range(stride - 1, ch - 1, -1):
+                enc[x] = (line[x] - line[x - ch]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc[x] = (line[x] - pr) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_roundtrip_all_filters():
+    from pidb_rdf_spark.operators import png_decode
+
+    w, h = 4, 5
+    pixels = bytes(range(w * h * 3))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        png = _make_png(w, h, pixels, color_type=2, filters=filters)
+        gw, gh, gch, gpx = png_decode(png)
+        assert (gw, gh, gch) == (w, h, 3)
+        assert gpx == pixels, f"filters={filters}"
+
+
+def test_png_decode_color_types():
+    from pidb_rdf_spark.operators import png_decode
+
+    # grayscale
+    g = _make_png(3, 2, bytes([10, 20, 30, 40, 50, 60]), color_type=0)
+    assert png_decode(g)[2:] == (1, bytes([10, 20, 30, 40, 50, 60]))
+    # RGBA
+    px = bytes(range(3 * 2 * 4))
+    assert png_decode(_make_png(3, 2, px, color_type=6))[2:] == (4, px)
+    # palette -> RGB expansion
+    pal = bytes([255, 0, 0, 0, 255, 0])  # idx0=red, idx1=green
+    p = _make_png(2, 1, bytes([0, 1]), color_type=3, palette=pal)
+    assert png_decode(p)[2:] == (3, bytes([255, 0, 0, 0, 255, 0]))
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from pidb_rdf_spark.operators import png_decode
+
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JUNK")
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png16 = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(png16)
+
+
+def test_decode_png_operator(spark):
+    from pidb_rdf_spark.operators import decode_png
+
+    solid = _make_png(4, 4, bytes([100, 150, 200]) * 16, color_type=2)
+    rows = [(1, bytearray(solid)), (2, bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in decode_png(df).collect()}
+    assert got[1]["width"] == 4 and got[1]["height"] == 4
+    assert got[1]["n_pixels"] == 16
+    assert got[1]["channel_means"] == [100.0, 150.0, 200.0]
+    assert got[2]["width"] is None  # undecodable set auditable as NULLs
+
+
+def test_decode_media_gate_mentions_real_png_path(spark):
+    import pytest
+
+    from pidb_rdf_spark.operators import attach_media, decode_media
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError, match="decode_png"):
+        decode_media(attach_media(docs))
