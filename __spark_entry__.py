@@ -152,66 +152,80 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # ivf_topk_exact, triangle_count_dups and bfs_hops_containment are
 # deferred to make room (see their notes in the list).
 _DEFER_TO_TAIL = [
-    # -- r7 rotation: the FULL r6 window rotates out; every entry
-    # deferred below has a green row in CORRECTNESS_r06.json (50/50
-    # green) and its function-level code path is untouched by the r7
-    # diff (r7 touches inference.py [LRU-bounded closure cache — its
-    # three entries are IN-window], sources/rdf_reader.py JSON-LD
-    # [import entries are pytest-covered], dsl.py [Cypher front-end —
-    # gremlin_match + the dsl/gremlin entries are kept IN-window],
-    # dedup.py:793 docstring [semantic_index_query kept IN-window],
-    # and bench.py). The r7 window = the 44 entries deferred in
-    # r5/r6 (all return, led by the r03-stale trio ivf_topk_exact /
-    # triangle_count_dups / bfs_hops_containment and the inference
-    # trio whose code changed in r6) + new r7 entries + r6-proven
-    # watch/touched entries (minhash_lsh_dedup, semantic_index_query,
-    # substring_dup_docs, gremlin_match, ...).
-    "bgp_three_hop",
-    "filter_order_limit",
-    "agg_full",
-    "not_exists_anti",
-    "running_window_orders",
-    "quantiles_order_prices",
-    "topk_orders_per_segment",
-    "sparql_bind",
-    "sparql_minus",
-    "path_plus_reachability",
-    "path_optional_hop",
-    "connected_components_star",
-    "exact_dedup_docs",
-    "ngram_jaccard_dedup",
-    "simhash_dedup",
-    "embedding_near_dup",
-    "cosine_topk",
-    "quantize_embeddings",
-    "ivf_topk_probe2",
-    "ivf_topk_indexed",
-    "pq_codes",
-    "pq_topk_adc",
-    "ivfpq_topk",
-    "boilerplate_lines",
-    "strip_boilerplate",
-    "gopher_quality_docs",
-    "line_dedup_docs",
-    "salted_join_lineitem",
-    "semantic_dedup_embeddings",
-    "semantic_decontam_embeddings",
-    "pii_scrub_docs",
-    "unigram_quality_docs",
-    "chunk_documents",
-    "stratified_sample_docs",
-    "pack_docs_stream",
-    "sessionize_stream",
-    "asof_join_events",
-    "user_stats_events",
-    "kmeans_assign",
-    "bloom_membership",
-    "json_props_extract",
-    "curation_pipeline",
-    "rollup_event_counts",
-    "kmv_distinct_users",
-    "sssp_region_orders",
-    "minhash_index_query",
+    # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
+    # window (contract rule 3); the r7-proven window rotates out.
+    # Every entry below has a green row in CORRECTNESS_r07.json and
+    # its function-level code path is untouched by the r8 diff, with
+    # the documented exceptions justified inline. The r8 diff touches:
+    #   * cypher.py / cypher_write.py (WITH/UNWIND/writes + the five
+    #     ADVICE fixes) — the NEW in-window entry
+    #     cypher_with_having_expand exercises the changed front-end
+    #     (parser, MATCH compile, WITH aggregate+HAVING, re-expansion,
+    #     ORDER BY); cypher_filter_topk / cypher_nation_order_stats
+    #     (green r7) defer one round with their compile path covered
+    #     in-window by that entry + 37 DuckDB-oracle pytest tests
+    #     (tests/test_cypher.py) and 16 write round-trips.
+    #   * inference.py (plan-keyed closure LRU) — the three reasoner
+    #     entries nodes_with_label_inferred / nodes_linked_to_inferred
+    #     / rels_inferred are KEPT IN-WINDOW (their compute path
+    #     changed: shared combined hierarchy + plan-keyed cache).
+    #   * mutation.py (_resolve_where DataFrame form + add_edges_frame)
+    #     — additive; existing Column-form callers unchanged, proven
+    #     by test_mutation_mapping.py (26 tests) + the import entries.
+    #   * sources/rdf_reader.py (full-spec Turtle shapes) — Turtle/
+    #     TriG parse paths are pytest-covered (49 tests incl. the new
+    #     corpus); no driver entry consumes Turtle directly.
+    #   * operators/multimodal.py decode_png (new function) +
+    #     decode_media's gate MESSAGE — media_features (stub path,
+    #     code unchanged), frame_sample and media_header_probe
+    #     (untouched functions) defer with green r7 rows.
+    "label_scan_prop_seek",
+    "group_count",
+    "count_distinct",
+    "optional_left_join",
+    "union_names",
+    "exists_semi",
+    "distinct_projection",
+    "dsl_two_hop_group",
+    "gremlin_repeat_until",
+    "gremlin_match",
+    "sql_passthrough",
+    "closure_reachability",  # calls transitive_closure directly — that function is untouched by the r8 cache-keying diff
+    "lineitem_pricing_summary",
+    "lineitem_three_hop_volume",
+    "sparql_values",
+    "path_seq_region",
+    "path_inverse_alt_members",
+    "subselect_nation_order_counts",
+    "group_concat_nations",
+    "ask_exists",
+    "construct_derived_edges",
+    "connected_components_regions",
+    "bfs_hops_containment",
+    "near_dup_doc_clusters",
+    "pagerank_containment",
+    "triangle_count_dups",
+    "decontam_overlap",
+    "minhash_lsh_dedup",
+    "ivf_topk_exact",
+    "embedding_near_dup_lsh",
+    "semantic_index_query",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "repetition_signals_docs",
+    "media_header_probe",
+    "tfidf_top_terms_docs",
+    "bm25_search_docs",
+    "media_features",
+    "frame_sample",
+    "windowed_event_counts",
+    "sessionize_events",
+    "stream_dedup_events",
+    "substring_dup_docs",
+    "cypher_filter_topk",
+    "cypher_nation_order_stats",
 ]
 
 
