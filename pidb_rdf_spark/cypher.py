@@ -593,13 +593,16 @@ class _Parser:
                 self._next()
                 fn = name.lower()
                 distinct = self._accept("kw", "distinct") is not None
+                args: list = []
                 if self._at("op", "*"):
                     self._next()
-                    arg = ("star",)
-                else:
-                    arg = self._expr()
+                    args.append(("star",))
+                elif not self._at("op", ")"):
+                    args.append(self._expr())
+                    while self._accept("op", ","):
+                        args.append(self._expr())
                 self._expect("op", ")")
-                return ("call", fn, arg, distinct)
+                return ("call", fn, args, distinct)
             if self._accept("op", "."):
                 prop = self._expect_name_like().text
                 return ("prop", name, prop)
@@ -848,9 +851,20 @@ def _collect_props(expr: tuple | None, acc: set) -> None:
     if expr[0] == "prop":
         acc.add((expr[1], expr[2]))
         return
+    # labels(n) / type(r) read a pseudo-property materialized from the
+    # node/edge table, same join machinery as real properties
+    if expr[0] == "call" and expr[1] in ("labels", "type") and expr[2]:
+        a = expr[2][0]
+        if a[0] == "var":
+            acc.add((a[1], "__labels__" if expr[1] == "labels" else "__type__"))
+            return
     for part in expr[1:]:
         if isinstance(part, tuple):
             _collect_props(part, acc)
+        elif isinstance(part, list):
+            for sub in part:
+                if isinstance(sub, tuple):
+                    _collect_props(sub, acc)
 
 
 def _materialize_props(c: _Compile, needed: set) -> None:
@@ -875,7 +889,15 @@ def _materialize_props(c: _Compile, needed: set) -> None:
         for p in props:
             cname = f"__p_{var}_{p}"
             c.prop_cols[(var, p)] = cname
-            if kind == "node":
+            if p == "__labels__":
+                if kind != "node":
+                    raise CypherSyntaxError(f"labels() needs a node, got {var!r}")
+                cols.append(F.col("labels").alias(cname))
+            elif p == "__type__":
+                if kind != "rel":
+                    raise CypherSyntaxError(f"type() needs a relationship, got {var!r}")
+                cols.append(F.col("predicate").alias(cname))
+            elif kind == "node":
                 cols.append(g.node_prop(p).alias(cname))
             else:
                 cols.append(F.col("props").getItem(p).alias(cname))
@@ -926,25 +948,130 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
     if op == "listlit":
         return F.array(*[_to_col(c, e) for e in expr[1]])
     if op == "call":
-        raise CypherSyntaxError(
-            f"aggregate {expr[1]}() is only allowed in RETURN items"
-        )
+        if expr[1] in _AGG_FUNCS:
+            raise CypherSyntaxError(
+                f"aggregate {expr[1]}() is only allowed in RETURN/WITH items"
+            )
+        return _scalar_call(c, expr[1], expr[2], lambda e: _to_col(c, e))
     raise CypherSyntaxError(f"unsupported expression {op!r}")
 
 
 def _has_agg(expr: tuple) -> bool:
     if expr[0] == "call" and expr[1] in _AGG_FUNCS:
         return True
-    return any(_has_agg(p) for p in expr[1:] if isinstance(p, tuple))
+    for p in expr[1:]:
+        if isinstance(p, tuple) and _has_agg(p):
+            return True
+        if isinstance(p, list) and any(
+            isinstance(s, tuple) and _has_agg(s) for s in p
+        ):
+            return True
+    return False
+
+
+def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
+    """Cypher scalar functions -> built-in Spark expressions (JVM-side,
+    codegen'd — never Python). ``rec`` compiles argument expressions
+    (``_to_col``, or ``_agg_col`` when the argument carries an
+    aggregate, e.g. ``round(avg(x))``)."""
+    def need(n):
+        if len(args) != n:
+            raise CypherSyntaxError(f"{fn}() takes {n} argument(s), got {len(args)}")
+
+    if fn == "id":
+        need(1)
+        if args[0][0] != "var":
+            raise CypherSyntaxError("id() takes a node or relationship variable")
+        return rec(args[0])
+    if fn in ("labels", "type"):
+        need(1)
+        a = args[0]
+        if a[0] != "var":
+            raise CypherSyntaxError(f"{fn}() takes a bound variable")
+        pseudo = "__labels__" if fn == "labels" else "__type__"
+        return F.col(c.prop_cols[(a[1], pseudo)])
+    if fn == "coalesce":
+        if not args:
+            raise CypherSyntaxError("coalesce() needs at least one argument")
+        return F.coalesce(*[rec(a) for a in args])
+    if fn == "size":
+        need(1)
+        col = rec(args[0])
+        # lists -> size, strings -> length: pick by the resolved dtype
+        # when the argument is a materialized column, default to size
+        name = None
+        if args[0][0] == "prop":
+            name = c.prop_cols.get((args[0][1], args[0][2]))
+        elif args[0][0] == "var":
+            name = args[0][1]
+        if name is not None and c.cur is not None:
+            try:
+                dt = c.cur.schema[name].dataType.typeName()
+            except KeyError:
+                dt = None
+            if dt == "string":
+                return F.length(col)
+        return F.size(col)
+    if fn == "substring":
+        if len(args) not in (2, 3):
+            raise CypherSyntaxError("substring() takes 2 or 3 arguments")
+        s = rec(args[0])
+        start = rec(args[1]) + F.lit(1)  # Cypher is 0-indexed
+        if len(args) == 3:
+            return s.substr(start, rec(args[2]))
+        return s.substr(start, F.length(s))
+    if fn == "split":
+        need(2)
+        if args[1][0] == "lit":
+            return F.split(rec(args[0]), re.escape(str(args[1][1])))
+        raise CypherSyntaxError("split() needs a literal delimiter")
+    if fn == "replace":
+        need(3)
+        return F.replace(rec(args[0]), rec(args[1]), rec(args[2]))
+    if fn == "round":
+        if len(args) not in (1, 2):
+            raise CypherSyntaxError("round() takes 1 or 2 arguments")
+        if len(args) == 2:
+            if args[1][0] != "lit":
+                raise CypherSyntaxError("round() precision must be a literal")
+            return F.round(rec(args[0]), int(args[1][1]))
+        return F.round(rec(args[0]))
+    one_arg = {
+        "toupper": F.upper,
+        "tolower": F.lower,
+        "trim": F.trim,
+        "ltrim": F.ltrim,
+        "rtrim": F.rtrim,
+        "abs": F.abs,
+        "floor": lambda x: F.floor(x).cast("double"),
+        "ceil": lambda x: F.ceil(x).cast("double"),
+        "sqrt": F.sqrt,
+        "sign": lambda x: F.signum(x).cast("long"),
+        "tointeger": lambda x: x.cast("long"),
+        "tofloat": lambda x: x.cast("double"),
+        "tostring": lambda x: x.cast("string"),
+        "toboolean": lambda x: x.cast("boolean"),
+        "head": lambda x: F.element_at(x, 1),
+        "last": lambda x: F.element_at(x, -1),
+        "reverse": F.reverse,
+    }
+    if fn in one_arg:
+        need(1)
+        return one_arg[fn](rec(args[0]))
+    raise CypherSyntaxError(f"unknown function {fn}()")
 
 
 def _agg_col(c: _Compile, expr: tuple) -> Column:
     """A RETURN item expression containing aggregates -> agg Column."""
     op = expr[0]
     if op == "call":
-        fn, arg, distinct = expr[1], expr[2], expr[3]
+        fn, args, distinct = expr[1], expr[2], expr[3]
         if fn not in _AGG_FUNCS:
-            raise CypherSyntaxError(f"unknown function {fn}()")
+            # scalar over aggregate(s): round(avg(x)) etc.
+            return _scalar_call(c, fn, args, lambda e: _agg_col(c, e))
+        if len(args) != 1:
+            raise CypherSyntaxError(f"{fn}() takes exactly one argument")
+        arg = args[0]
         if arg[0] == "star":
             if fn != "count":
                 raise CypherSyntaxError(f"{fn}(*) is not valid")

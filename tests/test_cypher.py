@@ -608,3 +608,98 @@ def test_cartesian_warning_and_opt_in(spark):
         assert rows(df) == [(25,)]
         # connected patterns never warn
         cypher(g, "MATCH (a)-[:T]->(b), (b)-[:T]->(c) RETURN count(*) AS n").collect()
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (r8): id/labels/type + string/number/list library
+# ---------------------------------------------------------------------------
+
+
+def test_scalar_string_and_numeric_functions(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE toLower(n.n_name) STARTS WITH 'nation_1' "
+            "RETURN toUpper(n.n_name) AS up, size(n.n_name) AS len, "
+            "abs(0 - n.n_nationkey) AS k ORDER BY up",
+        )
+    )
+    want = oracle(
+        """SELECT UPPER(n_name), LENGTH(n_name), ABS(0 - n_nationkey)
+           FROM nation WHERE LOWER(n_name) LIKE 'nation\\_1%' ESCAPE '\\'
+           ORDER BY UPPER(n_name)"""
+    )
+    assert got == want
+
+
+def test_labels_type_id_functions(spark):
+    g = _mk_graph(
+        spark,
+        [(1, ["N", "Admin"], "a"), (2, ["N"], "b")],
+        [(1, 2, "T")],
+    )
+    got = rows(
+        cypher(
+            g,
+            "MATCH (a)-[r]->(b) RETURN id(a) AS ia, type(r) AS t, "
+            "size(labels(a)) AS nl, head(labels(b)) AS lb",
+        )
+    )
+    assert got == [(1, "T", 2, "N")]
+
+
+def test_substring_split_replace_coalesce(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer {c_custkey: 7}) "
+            "RETURN substring(c.c_name, 0, 8) AS pre, "
+            "head(split(c.c_name, '#')) AS brand, "
+            "replace(c.c_name, 'Customer', 'Cust') AS rep, "
+            "coalesce(c.no_such_prop, c.c_name) AS co",
+        )
+    )
+    want = oracle(
+        """SELECT SUBSTRING(c_name, 1, 8), STR_SPLIT(c_name, '#')[1],
+           REPLACE(c_name, 'Customer', 'Cust'), c_name
+           FROM customer WHERE c_custkey = 7"""
+    )
+    assert got == want
+
+
+def test_scalar_over_aggregate_and_casts(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "RETURN n.n_name AS nation, round(avg(c.c_acctbal), 1) AS bal, "
+            "toInteger(max(c.c_acctbal)) AS mx ORDER BY nation LIMIT 5",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, ROUND(AVG(c_acctbal), 1),
+           CAST(TRUNC(MAX(c_acctbal)) AS BIGINT)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name LIMIT 5"""
+    )
+    for g_, w in zip(got, want):
+        assert g_[0] == w[0]
+        assert g_[1] == pytest.approx(w[1])
+        assert g_[2] == w[2]
+
+
+def test_labels_filter_in_where(spark):
+    g = _mk_graph(
+        spark,
+        [(1, ["N", "Admin"], "a"), (2, ["N"], "b")],
+        [],
+    )
+    got = rows(
+        cypher(g, "MATCH (n) WHERE size(labels(n)) > 1 RETURN n.name AS x")
+    )
+    assert got == [("a",)]
+
+
+def test_unknown_function_raises(graph):
+    with pytest.raises(CypherSyntaxError, match="unknown function"):
+        cypher(graph, "MATCH (n:Nation) RETURN frobnicate(n.n_name) AS x")
