@@ -95,7 +95,7 @@ _KEYWORDS = {
     "skip", "limit", "and", "or", "not", "is", "null", "in", "starts",
     "ends", "with", "contains", "true", "false", "as", "optional",
     "unwind", "create", "merge", "set", "delete", "detach", "remove",
-    "on",
+    "on", "case", "when", "then", "else", "end",
 }
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
@@ -566,6 +566,8 @@ class _Parser:
         return self._primary()
 
     def _primary(self) -> tuple:
+        if self._at("kw", "case"):
+            return self._case_expr()
         if self._accept("op", "("):
             e = self._expr()
             self._expect("op", ")")
@@ -610,6 +612,28 @@ class _Parser:
         raise CypherSyntaxError(
             f"unexpected {t.text!r} at position {t.pos}"
         )
+
+    def _case_expr(self) -> tuple:
+        """Generic ``CASE WHEN p THEN v ... [ELSE v] END`` and simple
+        ``CASE x WHEN v THEN r ... END`` forms."""
+        self._expect("kw", "case")
+        operand = None
+        if not self._at("kw", "when"):
+            operand = self._expr()
+        whens: list[tuple] = []
+        while self._accept("kw", "when"):
+            cond = self._expr()
+            self._expect("kw", "then")
+            whens.append((cond, self._expr()))
+        if not whens:
+            t = self._peek()
+            pos = t.pos if t else len(self.text)
+            raise CypherSyntaxError(f"CASE needs at least one WHEN (position {pos})")
+        default = None
+        if self._accept("kw", "else"):
+            default = self._expr()
+        self._expect("kw", "end")
+        return ("case", operand, whens, default)
 
     def _return_item(self) -> ReturnItem:
         if self.i >= len(self.toks):
@@ -845,26 +869,31 @@ def _qcol(name: str) -> Column:
     return F.col("`" + name.replace("`", "") + "`")
 
 
-def _collect_props(expr: tuple | None, acc: set) -> None:
+def _collect_props(expr, acc: set) -> None:
     if expr is None:
         return
-    if expr[0] == "prop":
-        acc.add((expr[1], expr[2]))
+    if isinstance(expr, list):
+        for e in expr:
+            _collect_props(e, acc)
         return
-    # labels(n) / type(r) read a pseudo-property materialized from the
-    # node/edge table, same join machinery as real properties
-    if expr[0] == "call" and expr[1] in ("labels", "type") and expr[2]:
-        a = expr[2][0]
-        if a[0] == "var":
-            acc.add((a[1], "__labels__" if expr[1] == "labels" else "__type__"))
+    if not isinstance(expr, tuple) or not expr:
+        return
+    if isinstance(expr[0], str):
+        if expr[0] == "prop":
+            acc.add((expr[1], expr[2]))
             return
-    for part in expr[1:]:
-        if isinstance(part, tuple):
-            _collect_props(part, acc)
-        elif isinstance(part, list):
-            for sub in part:
-                if isinstance(sub, tuple):
-                    _collect_props(sub, acc)
+        # labels(n) / type(r) read a pseudo-property materialized from
+        # the node/edge table, same join machinery as real properties
+        if expr[0] == "call" and expr[1] in ("labels", "type") and expr[2]:
+            a = expr[2][0]
+            if a[0] == "var":
+                acc.add((a[1], "__labels__" if expr[1] == "labels" else "__type__"))
+                return
+        parts = expr[1:]
+    else:  # bare tuple grouping (e.g. a CASE (when, then) pair)
+        parts = expr
+    for part in parts:
+        _collect_props(part, acc)
 
 
 def _materialize_props(c: _Compile, needed: set) -> None:
@@ -947,6 +976,19 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return -_to_col(c, expr[1])
     if op == "listlit":
         return F.array(*[_to_col(c, e) for e in expr[1]])
+    if op == "case":
+        operand, whens, default = expr[1], expr[2], expr[3]
+        out = None
+        for cond, val in whens:
+            test = (
+                _to_col(c, cond)
+                if operand is None
+                else _to_col(c, operand) == _to_col(c, cond)
+            )
+            out = F.when(test, _to_col(c, val)) if out is None else out.when(
+                test, _to_col(c, val)
+            )
+        return out if default is None else out.otherwise(_to_col(c, default))
     if op == "call":
         if expr[1] in _AGG_FUNCS:
             raise CypherSyntaxError(
@@ -956,17 +998,18 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
     raise CypherSyntaxError(f"unsupported expression {op!r}")
 
 
-def _has_agg(expr: tuple) -> bool:
-    if expr[0] == "call" and expr[1] in _AGG_FUNCS:
-        return True
-    for p in expr[1:]:
-        if isinstance(p, tuple) and _has_agg(p):
+def _has_agg(expr) -> bool:
+    if isinstance(expr, list):
+        return any(_has_agg(e) for e in expr)
+    if not isinstance(expr, tuple) or not expr:
+        return False
+    if isinstance(expr[0], str):
+        if expr[0] == "call" and expr[1] in _AGG_FUNCS:
             return True
-        if isinstance(p, list) and any(
-            isinstance(s, tuple) and _has_agg(s) for s in p
-        ):
-            return True
-    return False
+        parts = expr[1:]
+    else:
+        parts = expr
+    return any(_has_agg(p) for p in parts)
 
 
 def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:

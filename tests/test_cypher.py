@@ -703,3 +703,58 @@ def test_labels_filter_in_where(spark):
 def test_unknown_function_raises(graph):
     with pytest.raises(CypherSyntaxError, match="unknown function"):
         cypher(graph, "MATCH (n:Nation) RETURN frobnicate(n.n_name) AS x")
+
+
+def test_case_expression_generic_and_simple(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) "
+            "RETURN CASE WHEN c.c_acctbal < 0 THEN 'debt' "
+            "WHEN c.c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band, "
+            "count(*) AS k ORDER BY band",
+        )
+    )
+    want = oracle(
+        """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                       WHEN c_acctbal < 5000 THEN 'low'
+                       ELSE 'high' END AS band, COUNT(*)
+           FROM customer GROUP BY band ORDER BY band"""
+    )
+    assert got == want
+    got2 = rows(
+        cypher(
+            graph,
+            "MATCH (n:Region) "
+            "RETURN n.r_name AS r, "
+            "CASE n.r_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' END AS w "
+            "ORDER BY r",
+        )
+    )
+    want2 = oracle(
+        """SELECT r_name, CASE r_regionkey WHEN 0 THEN 'zero'
+           WHEN 1 THEN 'one' END FROM region ORDER BY r_name"""
+    )
+    assert got2 == want2
+
+
+def test_case_with_aggregate_inside_where_clause(graph):
+    """CASE usable in WHERE and inside aggregated items."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) "
+            "WHERE CASE WHEN c.c_acctbal < 0 THEN true ELSE false END "
+            "RETURN count(*) AS n",
+        )
+    )
+    want = oracle("SELECT COUNT(*) FROM customer WHERE c_acctbal < 0")
+    assert got == want
+    got2 = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) "
+            "RETURN sum(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) AS neg",
+        )
+    )
+    assert got2 == want

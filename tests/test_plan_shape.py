@@ -255,3 +255,26 @@ def test_winnow_single_window_pass(spark):
     assert s["python_evals"] == 0
     assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
     assert s["exchanges"] <= 3  # window partition + dropDuplicates
+
+
+def test_cypher_plan_is_jvm_only_with_broadcasts(spark):
+    """The Cypher front-end compiles to the same plan family as the
+    SPARQL path: broadcast joins on dimension-sized sides, zero
+    Python evals, and the WITH/HAVING pipeline stays one plan."""
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.graph import graphify
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    df = cypher(
+        g,
+        "MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "WITH n, count(*) AS custs WHERE custs > 5 "
+        "MATCH (n)-[:IN_REGION]->(r) "
+        "RETURN r.r_name AS region, count(*) AS k ORDER BY region",
+    )
+    from pidb_rdf_spark.plans import plan_summary
+
+    s = plan_summary(df)
+    assert s["python_evals"] == 0
+    assert s["broadcast_hash_joins"] >= 2
+    assert s["sort_merge_joins"] == 0
