@@ -341,9 +341,10 @@ class _Parser:
         if self.i != len(self.toks):
             t = self.toks[self.i]
             raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
-        if clauses[0][0] not in ("match", "unwind", "create", "merge"):
+        if clauses[0][0] not in ("match", "unwind", "create", "merge", "project"):
             raise CypherSyntaxError(
-                "query must start with MATCH, UNWIND, CREATE or MERGE"
+                "query must start with MATCH, UNWIND, CREATE, MERGE, "
+                "WITH or RETURN"
             )
         return CypherQuery(clauses)
 
@@ -1210,6 +1211,8 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
 def _apply_projection(c: _Compile, proj: Projection) -> tuple:
     """Compile a WITH/RETURN body against the current frame; returns
     ``(out, names)``."""
+    if c.cur is None:  # leading WITH/RETURN: one unit row (Neo4j)
+        c.cur = c.graph.spark.range(1).select(F.lit(1).alias("__one"))
     needed: set = set()
     for it in proj.items:
         _collect_props(it.expr, needed)

@@ -758,3 +758,10 @@ def test_case_with_aggregate_inside_where_clause(graph):
         )
     )
     assert got2 == want
+
+
+def test_standalone_return_and_leading_with(graph):
+    assert rows(cypher(graph, "RETURN 1 + 2 AS x")) == [(3,)]
+    assert rows(
+        cypher(graph, "WITH 2 AS k MATCH (r:Region) RETURN k, count(*) AS n")
+    ) == [(2, 5)]
