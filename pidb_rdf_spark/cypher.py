@@ -722,10 +722,21 @@ def _var_length_pairs(
     """(src, dst) pairs for a variable-length relationship: bounded
     lengths unroll to a union of equi-join chains with WITHIN-path
     relationship uniqueness (Cypher: no relationship appears twice in
-    one path — the ``__eid`` column tracks the edges used); unbounded
-    reuses the semi-naive closure fixpoint (reachability — the
-    uniqueness rule is vacuous there, since any walk that repeats an
-    edge reaches nothing a simple path does not)."""
+    one path — the ``__eid`` column tracks the edges used); a zero
+    lower bound contributes the identity pairs; unbounded reuses the
+    semi-naive closure fixpoint.
+
+    Documented approximation for unbounded lengths: ``*`` / ``*1..``
+    is plain reachability, where uniqueness cannot change the answer
+    (a repeated-edge walk reaches nothing a simple path does not).
+    For ``*n..`` with n >= 2 the result composes an exact
+    uniqueness-enforced (n-1)-hop prefix with the closure; a pair
+    whose EVERY qualifying walk must reuse an edge across that
+    boundary (e.g. the two-node cycle A->B->A->B for ``*2..``) is
+    still returned, where Neo4j's path enumeration would not. Exact
+    trail semantics at unbounded length are a longest-trail problem
+    (NP-hard) — not expressible as a fixed DataFrame plan; bounded
+    ``*n..m`` is exact."""
     e = g.edges
     if rel.types:
         e = e.filter(F.col("predicate").isin(rel.types))
@@ -740,6 +751,16 @@ def _var_length_pairs(
                 F.col("id").alias("__eid"),
             )
         )
+    if rel.min_len == 0:
+        # zero-length path: every node pairs with itself (far-node
+        # constraints still apply through the caller's semi-join)
+        ident = g.nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        rest = RelPat(
+            rel.var, rel.types, rel.direction, 1, rel.max_len, rel.props
+        )
+        if rel.max_len == 0:
+            return ident
+        return ident.unionAll(_var_length_pairs(g, rest)).dropDuplicates()
     if rel.max_len is None:
         from pidb_rdf_spark.inference import transitive_closure
 
@@ -834,26 +855,28 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
         e = e.filter(F.col("predicate").isin(rel.types))
     for k, (_, v) in rel.props.items():
         e = e.filter(F.col("props").getItem(k) == F.lit(str(v)))
+    # the far column gets a temp name when its variable is already
+    # bound — including the self-loop pattern (n)-[:T]->(n), where
+    # aliasing both ends to the same name would collide
+    far = c.fresh("j") if nxt_bound else nxt
     if rel.direction == "out":
         hop = e.select(
-            F.col("src").alias(prev), F.col("dst").alias(nxt), F.col("id").alias(rvar)
+            F.col("src").alias(prev), F.col("dst").alias(far), F.col("id").alias(rvar)
         )
     elif rel.direction == "in":
         hop = e.select(
-            F.col("dst").alias(prev), F.col("src").alias(nxt), F.col("id").alias(rvar)
+            F.col("dst").alias(prev), F.col("src").alias(far), F.col("id").alias(rvar)
         )
     else:  # undirected: either orientation
         hop = e.select(
-            F.col("src").alias(prev), F.col("dst").alias(nxt), F.col("id").alias(rvar)
+            F.col("src").alias(prev), F.col("dst").alias(far), F.col("id").alias(rvar)
         ).unionAll(
             e.select(
-                F.col("dst").alias(prev), F.col("src").alias(nxt), F.col("id").alias(rvar)
+                F.col("dst").alias(prev), F.col("src").alias(far), F.col("id").alias(rvar)
             )
         )
     if nxt_bound:
-        tmp = c.fresh("j")
-        hop = hop.withColumnRenamed(nxt, tmp)
-        c.cur = c.cur.join(hop, on=prev).filter(F.col(tmp) == F.col(nxt)).drop(tmp)
+        c.cur = c.cur.join(hop, on=prev).filter(F.col(far) == F.col(nxt)).drop(far)
     else:
         c.kinds[nxt] = "node"
         c.cur = c.cur.join(hop, on=prev)
@@ -1343,6 +1366,43 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
         c.cur = c.cur.filter(_to_col(c, where))
 
 
+def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
+    """Compile one read clause against the state; returns the result
+    frame for a RETURN projection, else None. Shared by the read
+    (:func:`cypher`) and write (``cypher_write``) drivers so the two
+    dispatch paths cannot drift."""
+    kind = cl[0]
+    if kind == "match":
+        _compile_match(c, cl[1], cl[2])
+    elif kind == "optmatch":
+        _bind_optional_match(c, cl[1], cl[2])
+    elif kind == "unwind":
+        _, e, alias = cl
+        if alias in c.kinds:
+            raise CypherSyntaxError(f"UNWIND alias {alias!r} is already bound")
+        if c.cur is None:  # UNWIND as the first clause
+            c.cur = c.graph.spark.range(1).select(F.lit(1).alias("__one"))
+        needed: set = set()
+        _collect_props(e, needed)
+        _materialize_props(c, needed)
+        c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
+        c.kinds[alias] = "value"
+    elif kind == "project":
+        proj = cl[1]
+        out, names = _apply_projection(c, proj)
+        if proj.is_return:
+            return out
+        _rebind_after_with(c, proj, out, names)
+        if proj.post_where is not None:
+            needed = set()
+            _collect_props(proj.post_where, needed)
+            _materialize_props(c, needed)
+            c.cur = c.cur.filter(_to_col(c, proj.post_where))
+    else:
+        raise CypherSyntaxError(f"unexpected clause kind {kind!r}")
+    return None
+
+
 def cypher(
     graph: PropertyGraph, text: str, allow_cartesian: bool = False
 ) -> DataFrame:
@@ -1359,34 +1419,8 @@ def cypher(
         )
     c = _Compile(graph, allow_cartesian=allow_cartesian)
     out = None
-
     for cl in q.clauses:
-        kind = cl[0]
-        if kind == "match":
-            _compile_match(c, cl[1], cl[2])
-        elif kind == "optmatch":
-            _bind_optional_match(c, cl[1], cl[2])
-        elif kind == "unwind":
-            _, e, alias = cl
-            if alias in c.kinds:
-                raise CypherSyntaxError(
-                    f"UNWIND alias {alias!r} is already bound"
-                )
-            if c.cur is None:  # UNWIND as the first clause
-                c.cur = graph.spark.range(1).select(F.lit(1).alias("__one"))
-            needed: set = set()
-            _collect_props(e, needed)
-            _materialize_props(c, needed)
-            c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
-            c.kinds[alias] = "value"
-        else:  # project (WITH or RETURN)
-            proj = cl[1]
-            out, names = _apply_projection(c, proj)
-            if not proj.is_return:
-                _rebind_after_with(c, proj, out, names)
-                if proj.post_where is not None:
-                    needed = set()
-                    _collect_props(proj.post_where, needed)
-                    _materialize_props(c, needed)
-                    c.cur = c.cur.filter(_to_col(c, proj.post_where))
+        res = apply_read_clause(c, cl)
+        if res is not None:
+            out = res
     return out

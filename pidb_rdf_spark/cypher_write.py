@@ -21,9 +21,12 @@ local-row DataFrame.
 
 Supported subset (the shapes the reference's own code issues):
 
-- ``CREATE (n:Label {k: lit})`` node rows; ``CREATE (a)-[:T {..}]->(b)``
-  relationship chains whose endpoints are all bound by a previous
-  MATCH, or standalone all-new literal chains.
+- ``CREATE (n:Label {k: lit})`` node rows — one node PER matched row
+  when a MATCH precedes (zero rows create nothing), one node for a
+  standalone statement; ``CREATE (a)-[:T {..}]->(b)`` relationship
+  chains whose endpoints are all bound by a previous MATCH (one NEW
+  edge per matched row — multi-edges allowed, Cypher semantics), or
+  standalone all-new literal chains.
 - ``MERGE`` = match-or-create: a literal node pattern upserts by its
   content identity (M11); a bound-endpoint relationship pattern is
   dedup-on-insert (M10).
@@ -49,13 +52,7 @@ from pidb_rdf_spark.cypher import (
     _Compile,
     _Parser,
     _WRITE_KINDS,
-    _bind_optional_match,
-    _compile_match,
-    _apply_projection,
-    _rebind_after_with,
-    _collect_props,
-    _materialize_props,
-    _to_col,
+    apply_read_clause,
 )
 from pidb_rdf_spark.graph import PropertyGraph
 
@@ -119,11 +116,21 @@ def _apply_create(
                 )
             if merge:
                 uri = _content_uri(n)
+                # MERGE of a literal pattern resolves to ONE node
+                # regardless of match-row multiplicity, but zero
+                # matched rows merge nothing (Neo4j cardinality)
+                if c.cur is not None and c.cur.limit(1).isEmpty():
+                    continue
                 exists = (
                     g.nodes.filter(F.col("uri") == uri).limit(1).count() > 0
                 )
                 if not exists:
                     g = M.add_vertices(g, [_node_row(n, uri)])
+            elif c.cur is not None:
+                # CREATE runs once PER matched row (0 rows -> 0 nodes)
+                props = _literal_props(n)
+                props.pop("uri", None)
+                g = M.add_vertices_frame(g, c.cur, list(n.labels), props)
             else:
                 g = M.add_vertices(
                     g, [_node_row(n, f"urn:cypher:{uuid.uuid4().hex}")]
@@ -144,11 +151,15 @@ def _apply_create(
                 a, b = pat.nodes[i].var, pat.nodes[i + 1].var
                 if rel.direction == "in":
                     a, b = b, a
-                pairs = c.cur.select(a, b).dropDuplicates()
+                # CREATE: one new edge per matched row (multi-edges
+                # allowed, Cypher semantics); MERGE: dedup-on-insert
+                pairs = c.cur.select(a, b)
+                if merge:
+                    pairs = pairs.dropDuplicates()
                 g = M.add_edges_frame(
                     g, pairs, rel.types[0],
                     props={k: _fold_literal(e) for k, e in rel.props.items()},
-                    dedup=True,
+                    dedup=merge,
                 )
         elif not any(bound) and c.cur is None:
             # standalone literal chain: mint every node once, then the
@@ -179,7 +190,7 @@ def _apply_create(
                         },
                     }
                 )
-            g = M.add_edges(g, rows, dedup=True)
+            g = M.add_edges(g, rows, dedup=merge)
         else:
             raise CypherSyntaxError(
                 "CREATE/MERGE relationship endpoints must be either all "
@@ -215,19 +226,7 @@ def _apply_set(
                     g = M.set_vertex_property(g, ids, key, _fold_literal(item[3]))
             elif kind == "rel":
                 if remove:
-                    # map_filter drop, mirrored from set_edge_property
-                    base, cond, tmp = M._resolve_where(g.edges, ids)
-                    edges = base.withColumn(
-                        "props",
-                        F.when(
-                            cond,
-                            F.map_filter(F.col("props"), lambda k, _: k != key),
-                        ).otherwise(F.col("props")),
-                    ).drop(*tmp)
-                    g = PropertyGraph(
-                        spark=g.spark, nodes=g.nodes, edges=edges,
-                        namespaces=g.namespaces, variables=g.variables,
-                    )
+                    g = M.remove_edge_property(g, ids, key)
                 else:
                     g = M.set_edge_property(g, ids, key, _fold_literal(item[3]))
             else:
@@ -285,27 +284,8 @@ def cypher_write(
     g = graph
     for cl in q.clauses:
         kind = cl[0]
-        if kind == "match":
-            _compile_match(c, cl[1], cl[2])
-        elif kind == "optmatch":
-            _bind_optional_match(c, cl[1], cl[2])
-        elif kind == "unwind":
-            _, e, alias = cl
-            if c.cur is None:
-                c.cur = graph.spark.range(1).select(F.lit(1).alias("__one"))
-            needed: set = set()
-            _collect_props(e, needed)
-            _materialize_props(c, needed)
-            c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
-            c.kinds[alias] = "value"
-        elif kind == "project":
-            out, names = _apply_projection(c, cl[1])
-            _rebind_after_with(c, cl[1], out, names)
-            if cl[1].post_where is not None:
-                needed = set()
-                _collect_props(cl[1].post_where, needed)
-                _materialize_props(c, needed)
-                c.cur = c.cur.filter(_to_col(c, cl[1].post_where))
+        if kind not in _WRITE_KINDS:
+            apply_read_clause(c, cl)
         elif kind == "create":
             g = _apply_create(g, c, cl[1], merge=False)
         elif kind == "merge":

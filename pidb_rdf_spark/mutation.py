@@ -45,7 +45,8 @@ def _resolve_where(df: DataFrame, where):
     clauses; no ids are ever collected to the driver). Returns
     ``(df, cond, drop_cols)``."""
     if isinstance(where, DataFrame):
-        ids = where.select(F.col(where.columns[0]).alias("id")).dropDuplicates()
+        key = "id" if "id" in where.columns else where.columns[0]
+        ids = where.select(F.col(key).alias("id")).dropDuplicates()
         df = df.join(ids.withColumn("__w", F.lit(True)), on="id", how="left")
         return df, F.col("__w").isNotNull(), ["__w"]
     return df, where, []
@@ -73,6 +74,45 @@ def add_vertices(graph: PropertyGraph, rows: list[dict]) -> PropertyGraph:
     return PropertyGraph(
         spark=spark, nodes=nodes, edges=graph.edges,
         namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def add_vertices_frame(
+    graph: PropertyGraph,
+    rows_frame: DataFrame,
+    labels: list[str],
+    props: dict | None = None,
+) -> PropertyGraph:
+    """M1 distributed form: mint ONE new vertex per input row of
+    ``rows_frame`` — Cypher ``MATCH ... CREATE (n:L {..})``
+    cardinality (zero matched rows create zero nodes, N rows create N
+    distinct nodes). Uris/ids are minted executor-side via ``uuid()``;
+    no collect."""
+    props = {k: str(v) for k, v in (props or {}).items()}
+    pmap = (
+        F.create_map(*[F.lit(x) for kv in sorted(props.items()) for x in kv])
+        if props
+        else _empty_props()
+    )
+    labs = (
+        F.array(*[F.lit(x) for x in labels])
+        if labels
+        else F.array().cast("array<string>")
+    )
+    new = rows_frame.select(
+        F.concat(F.lit("urn:cypher:"), F.expr("replace(uuid(), '-', '')")).alias("uri")
+    ).select(
+        F.xxhash64("uri").alias("id"),
+        "uri",
+        labs.alias("labels"),
+        pmap.alias("props"),
+    )
+    return PropertyGraph(
+        spark=graph.spark,
+        nodes=graph.nodes.unionByName(new, allowMissingColumns=True),
+        edges=graph.edges,
+        namespaces=graph.namespaces,
+        variables=graph.variables,
     )
 
 
@@ -142,9 +182,13 @@ def add_edges_frame(
     """M2/M10 distributed form: insert one ``predicate`` edge per
     (src, dst) row of ``pairs`` (its first two columns are node ids —
     e.g. a Cypher ``MATCH ... CREATE (a)-[:T]->(b)`` frame). Never
-    collects: the pair set stays a DataFrame, dedup-on-insert is one
-    left-anti join against the existing edges (reference
-    ``DirectStatementLoader.java:281-305``)."""
+    collects: the pair set stays a DataFrame.
+
+    ``dedup=True`` is MERGE/M10 semantics (dedup-on-insert via one
+    left-anti join against the existing edges, reference
+    ``DirectStatementLoader.java:281-305``; deterministic edge ids).
+    ``dedup=False`` is Cypher CREATE semantics: one NEW edge per
+    input row, multi-edges allowed, ids minted executor-side."""
     s, d = pairs.columns[:2]
     props = {k: str(v) for k, v in (props or {}).items()}
     pmap = (
@@ -152,18 +196,22 @@ def add_edges_frame(
         if props
         else _empty_props()
     )
-    new = (
-        pairs.select(F.col(s).alias("src"), F.col(d).alias("dst"))
-        .dropDuplicates()
-        .select(
-            F.xxhash64(
-                F.concat_ws(":", F.lit(predicate), F.col("src"), F.col("dst"))
-            ).alias("id"),
-            "src",
-            "dst",
-            F.lit(predicate).alias("predicate"),
-            pmap.alias("props"),
+    base = pairs.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    if dedup:
+        eid = F.xxhash64(
+            F.concat_ws(":", F.lit(predicate), F.col("src"), F.col("dst"))
         )
+        base = base.dropDuplicates()
+    else:
+        eid = F.xxhash64(
+            F.concat_ws(":", F.lit(predicate), F.col("src"), F.col("dst"), F.expr("uuid()"))
+        )
+    new = base.select(
+        eid.alias("id"),
+        "src",
+        "dst",
+        F.lit(predicate).alias("predicate"),
+        pmap.alias("props"),
     )
     if dedup:
         new = new.join(
@@ -255,6 +303,22 @@ def set_edge_property(graph: PropertyGraph, where, key: str, value) -> PropertyG
     )
 
 
+def remove_edge_property(graph: PropertyGraph, where, key: str) -> PropertyGraph:
+    """M8 (remove form): drop a key from matching edges' property maps
+    (``Neo4jEdge.java:95-112`` property removal)."""
+    base, where, tmp = _resolve_where(graph.edges, where)
+    edges = base.withColumn(
+        "props",
+        F.when(
+            where, F.map_filter(F.col("props"), lambda k, _: k != key)
+        ).otherwise(F.col("props")),
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=graph.nodes, edges=edges.drop(*tmp),
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
 # ---------------------------------------------------------------------------
 # M5 / M6: removals
 # ---------------------------------------------------------------------------
@@ -268,7 +332,8 @@ def remove_vertices(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGrap
     spark = graph.spark
     if isinstance(ids, list):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
-    ids = ids.select(F.col(ids.columns[0]).alias("id"))
+    key = "id" if "id" in ids.columns else ids.columns[0]
+    ids = ids.select(F.col(key).alias("id"))
     nodes = graph.nodes.join(ids, on="id", how="leftanti")
     edges = (
         graph.edges.join(
@@ -288,8 +353,9 @@ def remove_edges(graph: PropertyGraph, ids: DataFrame | list) -> PropertyGraph:
     spark = graph.spark
     if isinstance(ids, list):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    key = "id" if "id" in ids.columns else ids.columns[0]
     edges = graph.edges.join(
-        ids.select(F.col(ids.columns[0]).alias("id")), on="id", how="leftanti"
+        ids.select(F.col(key).alias("id")), on="id", how="leftanti"
     )
     return PropertyGraph(
         spark=spark, nodes=graph.nodes, edges=edges,

@@ -218,7 +218,7 @@ _TTL_TOKEN = re.compile(
           |'(?:[^'\n\\]|\\.)*'
         )
         (?:@[A-Za-z][A-Za-z0-9-]*(?:-[A-Za-z0-9]+)*
-          |\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]+)
+          |\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*?:PNL)
         )?
       )
     | (?P<bnode>_:[\w](?:[\w\-]|\.(?=[\w\-.]))*)
@@ -266,7 +266,7 @@ _TTL_LIT_RE = re.compile(
     r"|'((?:[^'\n\\]|\\.)*)'"
     r")"
     r"(?:@([A-Za-z][A-Za-z0-9-]*(?:-[A-Za-z0-9]+)*)"
-    r"|\^\^(<[^>]*>|[\w.-]*:[\w.-]+))?"
+    r"|\^\^(<[^>]*>|[\w.-]*?:" + _PN_LOCAL + r"))?"
 )
 
 

@@ -765,3 +765,19 @@ def test_standalone_return_and_leading_with(graph):
     assert rows(
         cypher(graph, "WITH 2 AS k MATCH (r:Region) RETURN k, count(*) AS n")
     ) == [(2, 5)]
+
+
+def test_unbounded_min_two_documented_approximation(spark):
+    """Documented divergence (see _var_length_pairs docstring): for
+    *2.. on the two-node cycle, the prefix-compose returns (a,b) even
+    though the only length>=2 a->b walk reuses an edge; Neo4j's path
+    enumeration returns only (a,a) and (b,b). Exact unbounded trail
+    semantics are NP-hard — this pin makes the approximation visible
+    instead of silent."""
+    g = _mk_graph(
+        spark, [(1, ["N"], "a"), (2, ["N"], "b")], [(1, 2, "T"), (2, 1, "T")]
+    )
+    got = sorted(
+        rows(cypher(g, "MATCH (x)-[:T*2..]->(y) RETURN x.name AS s, y.name AS t"))
+    )
+    assert got == [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]

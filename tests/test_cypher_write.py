@@ -64,12 +64,14 @@ def test_create_relationship_between_matched(wg):
     assert len(e) == 2
     new = [r for r in e if r["src"] == 2][0]
     assert new["dst"] == 3 and new["props"]["since"] == "2021"
-    # dedup-on-insert: repeating the CREATE does not duplicate
+    # CREATE is per-row and multi-edge: repeating it ADDS another
+    # relationship (Cypher semantics; MERGE is the dedup form)
     g3 = cypher_write(
         g2,
         "MATCH (a:Person {name: 'Bob'}), (c:City) CREATE (a)-[:LIVES_IN]->(c)",
     )
-    assert g3.edges.filter(F.col("predicate") == "LIVES_IN").count() == 2
+    assert g3.edges.filter(F.col("predicate") == "LIVES_IN").count() == 3
+    assert g3.edges.select("id").distinct().count() == g3.edges.count()
 
 
 def test_merge_relationship(wg):
@@ -186,3 +188,73 @@ def test_mixed_endpoint_create_rejected(wg):
             wg,
             "MATCH (a:Person {name: 'Alice'}) CREATE (a)-[:VISITED]->(x:City {name: 'Rome'})",
         )
+
+
+def test_create_node_per_matched_row(wg):
+    """CREATE after MATCH mints one node PER matched row; zero matched
+    rows create nothing (r8 review fix)."""
+    g2 = cypher_write(wg, "MATCH (p:Person) CREATE (t:Tag {kind: 'x'})")
+    assert g2.nodes.filter(F.array_contains("labels", "Tag")).count() == 2
+    # distinct ids/uris per minted node
+    tags = g2.nodes.filter(F.array_contains("labels", "Tag"))
+    assert tags.select("id").distinct().count() == 2
+    g3 = cypher_write(wg, "MATCH (p:Person {name: 'nobody'}) CREATE (t:Tag)")
+    assert g3.nodes.filter(F.array_contains("labels", "Tag")).count() == 0
+    # MERGE with zero matched rows also merges nothing
+    g4 = cypher_write(wg, "MATCH (p:Person {name: 'nobody'}) MERGE (t:Tag {kind: 'y'})")
+    assert g4.nodes.filter(F.array_contains("labels", "Tag")).count() == 0
+
+
+def test_self_loop_pattern_matches(spark):
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:a", ["N"], {"name": "a"}), (2, "urn:b", ["N"], {"name": "b"})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(10, 1, 1, "T", {}), (11, 1, 2, "T", {})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    got = [tuple(r) for r in cypher(g, "MATCH (n)-[:T]->(n) RETURN n.name AS x").collect()]
+    assert got == [("a",)]
+
+
+def test_var_length_zero_lower_bound(spark):
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(i, f"urn:{i}", ["N"], {"name": f"n{i}"}) for i in (1, 2, 3)],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(10, 1, 2, "T", {})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    # *0 = identity pairs only
+    got0 = sorted(
+        tuple(r)
+        for r in cypher(g, "MATCH (a)-[:T*0]->(b) RETURN a.name AS s, b.name AS t").collect()
+    )
+    assert got0 == [("n1", "n1"), ("n2", "n2"), ("n3", "n3")]
+    # *0..1 = identity + the single hop
+    got01 = sorted(
+        tuple(r)
+        for r in cypher(g, "MATCH (a)-[:T*0..1]->(b) RETURN a.name AS s, b.name AS t").collect()
+    )
+    assert got01 == [("n1", "n1"), ("n1", "n2"), ("n2", "n2"), ("n3", "n3")]
+
+
+def test_unwind_alias_collision_same_error_in_write_path(wg):
+    from pidb_rdf_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="already bound"):
+        cypher_write(wg, "MATCH (n:Person) UNWIND [1, 2] AS n SET n.x = 1")

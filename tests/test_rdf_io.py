@@ -1189,3 +1189,16 @@ def test_turtle_full_spec_roundtrip_via_graph(spark):
     )
     df = spark.createDataFrame(rows, "subject string, predicate string, object string, is_literal boolean, datatype string, lang string")
     assert df.count() == len(rows) == 8
+
+
+def test_turtle_datatype_pname_trailing_dot():
+    """Compact form with no space before the statement dot: the
+    datatype must not swallow the terminator (r8 review fix)."""
+    rows = _ttl(
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        "@prefix ex: <http://e/> .\n"
+        'ex:s ex:p "5"^^xsd:integer.\n'
+        "ex:t ex:q ex:u.\n"
+    )
+    assert rows[0][4] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert rows[1][2] == "http://e/u"
