@@ -29,7 +29,10 @@ issue):
   keep NULL for every block-introduced variable; a block-local
   ``WHERE`` filters inside the match, before the left join).
 - ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
-  ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``.
+  ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``, and
+  ``[NOT] exists(pattern)`` predicates as top-level conjuncts of a
+  MATCH-attached WHERE (compiled to one semi/anti join each — the
+  SPARQL FILTER EXISTS shape).
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
   arithmetic, and aggregates ``count/sum/avg/min/max/collect``
   (+ ``count(DISTINCT x)``), with ``AS`` aliases and implicit
@@ -592,6 +595,17 @@ class _Parser:
             return ("lit", None)
         if t.kind == "name":
             name = t.text
+            if name.lower() == "exists" and self._at("op", "("):
+                # exists((a)-[:T]->(b)) pattern predicate, or the
+                # legacy exists(n.prop) property form
+                self._next()
+                if self._at("op", "("):
+                    pat = self._pattern()
+                    self._expect("op", ")")
+                    return ("exists_pat", pat)
+                inner = self._expr()
+                self._expect("op", ")")
+                return ("isnull", inner, True)  # IS NOT NULL
             if self._at("op", "("):  # function call
                 self._next()
                 fn = name.lower()
@@ -1019,6 +1033,10 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
                 f"aggregate {expr[1]}() is only allowed in RETURN/WITH items"
             )
         return _scalar_call(c, expr[1], expr[2], lambda e: _to_col(c, e))
+    if op == "exists_pat":
+        raise CypherSyntaxError(
+            "exists(pattern) is only supported in a MATCH-attached WHERE"
+        )
     raise CypherSyntaxError(f"unsupported expression {op!r}")
 
 
@@ -1337,6 +1355,78 @@ def _rebind_after_with(c: _Compile, proj: Projection, out: DataFrame, names: lis
     c.cur = out
 
 
+def _split_exists(expr: tuple) -> tuple:
+    """Split a WHERE tree into (semi-patterns, anti-patterns,
+    residual-expr): ``exists(pattern)`` conjuncts become semi-joins,
+    ``NOT exists(pattern)`` anti-joins. A pattern predicate anywhere
+    deeper (under OR, comparisons, ...) is out of this subset and
+    raises — never silently mis-execute."""
+    semis: list = []
+    antis: list = []
+
+    def contains_pat(e) -> bool:
+        if isinstance(e, list):
+            return any(contains_pat(x) for x in e)
+        if not isinstance(e, tuple) or not e:
+            return False
+        if isinstance(e[0], str):
+            if e[0] == "exists_pat":
+                return True
+            return any(contains_pat(p) for p in e[1:])
+        return any(contains_pat(p) for p in e)
+
+    def walk(e):
+        if e[0] == "and":
+            left = walk(e[1])
+            right = walk(e[2])
+            if left is None:
+                return right
+            if right is None:
+                return left
+            return ("and", left, right)
+        if e[0] == "exists_pat":
+            semis.append(e[1])
+            return None
+        if e[0] == "not" and isinstance(e[1], tuple) and e[1][0] == "exists_pat":
+            antis.append(e[1][1])
+            return None
+        if contains_pat(e):
+            raise CypherSyntaxError(
+                "exists(pattern) is only supported as a top-level WHERE "
+                "conjunct (optionally under NOT) in this subset"
+            )
+        return e
+
+    residual = walk(expr)
+    return semis, antis, residual
+
+
+def _apply_exists(c: _Compile, pat: Pattern, anti: bool) -> None:
+    """Compile a pattern predicate as one semi/anti join on the
+    variables it shares with the bound rows (the SPARQL FILTER
+    [NOT] EXISTS shape, J4/J5, re-used for Cypher)."""
+    pvars = [v for v in dict.fromkeys(_pattern_vars([pat]))]
+    shared = [v for v in pvars if v in c.kinds]
+    if not shared:
+        raise CypherSyntaxError(
+            "exists(pattern) must share at least one bound variable"
+        )
+    c2 = _Compile(c.graph, allow_cartesian=True)
+    c2.anon = c.anon
+    c2.kinds = {v: c.kinds[v] for v in shared}
+    c2.cur = c.cur.select(*shared).dropDuplicates()
+    prev = _bind_node(c2, pat.nodes[0])
+    for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
+        prev = _bind_rel(c2, rel, prev, nxt_pat)
+    _apply_rel_uniqueness(c2)
+    c.anon = c2.anon
+    c.cur = c.cur.join(
+        c2.cur.select(*shared).dropDuplicates(),
+        on=shared,
+        how="leftanti" if anti else "leftsemi",
+    )
+
+
 def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
     for pat in pats:
         pvars = {n.var for n in pat.nodes if n.var} | {
@@ -1360,10 +1450,16 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
             prev = _bind_rel(c, rel, prev, nxt_pat)
     _apply_rel_uniqueness(c)
     if where is not None:
-        needed: set = set()
-        _collect_props(where, needed)
-        _materialize_props(c, needed)
-        c.cur = c.cur.filter(_to_col(c, where))
+        semis, antis, residual = _split_exists(where)
+        for pat in semis:
+            _apply_exists(c, pat, anti=False)
+        for pat in antis:
+            _apply_exists(c, pat, anti=True)
+        if residual is not None:
+            needed: set = set()
+            _collect_props(residual, needed)
+            _materialize_props(c, needed)
+            c.cur = c.cur.filter(_to_col(c, residual))
 
 
 def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:

@@ -781,3 +781,61 @@ def test_unbounded_min_two_documented_approximation(spark):
         rows(cypher(g, "MATCH (x)-[:T*2..]->(y) RETURN x.name AS s, y.name AS t"))
     )
     assert got == [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+
+
+def test_exists_pattern_predicate(graph):
+    """[NOT] exists(pattern) as semi/anti joins: nations with /
+    without suppliers (suppliers exist in only some nations)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE exists((s:Supplier)-[:IN_NATION]->(n)) "
+            "RETURN count(*) AS k",
+        )
+    )
+    want = oracle(
+        "SELECT COUNT(DISTINCT s_nationkey) FROM supplier"
+    )
+    assert got == want
+    got2 = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE NOT exists((s:Supplier)-[:IN_NATION]->(n)) "
+            "RETURN count(*) AS k",
+        )
+    )
+    want2 = oracle(
+        """SELECT COUNT(*) FROM nation WHERE n_nationkey NOT IN
+           (SELECT s_nationkey FROM supplier)"""
+    )
+    assert got2 == want2
+
+
+def test_exists_combined_with_residual_where(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) "
+            "WHERE c.c_acctbal > 0 AND exists((o:Orders)-[:PLACED_BY]->(c)) "
+            "RETURN count(*) AS k",
+        )
+    )
+    want = oracle(
+        """SELECT COUNT(*) FROM customer WHERE c_acctbal > 0
+           AND c_custkey IN (SELECT o_custkey FROM orders)"""
+    )
+    assert got == want
+
+
+def test_exists_property_form_and_misplaced_pattern(graph):
+    got = rows(
+        cypher(graph, "MATCH (c:Customer) WHERE exists(c.c_name) RETURN count(*) AS k")
+    )
+    want = oracle("SELECT COUNT(*) FROM customer WHERE c_name IS NOT NULL")
+    assert got == want
+    with pytest.raises(CypherSyntaxError, match="conjunct"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE exists((s:Supplier)-[:IN_NATION]->(n)) "
+            "OR n.n_nationkey = 0 RETURN count(*) AS k",
+        )
