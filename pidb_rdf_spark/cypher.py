@@ -87,6 +87,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
   | (?P<op><>|<=|>=|\.\.|->|<-|[()\[\]{}:,.\-<>=|*+/%])
     """,
@@ -384,9 +385,15 @@ class _Parser:
                 order.append(self._sort_item())
         skip = limit = None
         if self._accept("kw", "skip"):
-            skip = int(self._expect("num").text)
+            if self._at("param"):
+                skip = ("param", self._next().text[1:])
+            else:
+                skip = int(self._expect("num").text)
         if self._accept("kw", "limit"):
-            limit = int(self._expect("num").text)
+            if self._at("param"):
+                limit = ("param", self._next().text[1:])
+            else:
+                limit = int(self._expect("num").text)
         post_where = None
         if not is_return and self._accept("kw", "where"):
             post_where = self._expr()
@@ -482,6 +489,8 @@ class _Parser:
 
     def _literal(self):
         t = self._next()
+        if t.kind == "param":
+            return ("param", t.text[1:])
         if t.kind == "num":
             return ("lit", float(t.text) if "." in t.text else int(t.text))
         if t.kind == "str":
@@ -526,12 +535,14 @@ class _Parser:
             self._expect("kw", "null")
             return ("isnull", left, neg)
         if self._accept("kw", "in"):
+            if self._at("param"):
+                return ("in", left, [("param", self._next().text[1:])])
             self._expect("op", "[")
             vals = []
             if not self._at("op", "]"):
-                vals.append(self._literal()[1])
+                vals.append(self._literal())
                 while self._accept("op", ","):
-                    vals.append(self._literal()[1])
+                    vals.append(self._literal())
             self._expect("op", "]")
             return ("in", left, vals)
         if self._accept("kw", "starts"):
@@ -585,6 +596,8 @@ class _Parser:
             self._expect("op", "]")
             return ("listlit", items)
         t = self._next()
+        if t.kind == "param":
+            return ("param", t.text[1:])
         if t.kind == "num":
             return ("lit", float(t.text) if "." in t.text else int(t.text))
         if t.kind == "str":
@@ -687,6 +700,7 @@ class _Compile:
     graph: PropertyGraph
     cur: DataFrame | None = None
     allow_cartesian: bool = False
+    params: dict | None = None
     kinds: dict = field(default_factory=dict)  # var -> "node" | "rel"
     prop_cols: dict = field(default_factory=dict)  # (var, prop) -> col name
     # every single-hop relationship column (named or anonymous) with
@@ -699,12 +713,27 @@ class _Compile:
         return f"__{prefix}{self.anon}"
 
 
-def _node_frame(g: PropertyGraph, pat: NodePat, var: str) -> DataFrame:
+def _pat_value(expr: tuple, params: dict | None):
+    """A pattern/write value position: literal or $parameter."""
+    if expr[0] == "lit":
+        return expr[1]
+    if expr[0] == "param":
+        if params is None or expr[1] not in params:
+            raise CypherSyntaxError(f"missing parameter ${expr[1]}")
+        return params[expr[1]]
+    raise CypherSyntaxError(
+        "property values in patterns must be literals or $parameters"
+    )
+
+
+def _node_frame(
+    g: PropertyGraph, pat: NodePat, var: str, params: dict | None = None
+) -> DataFrame:
     nd = g.nodes
     for lab in pat.labels:
         nd = nd.filter(F.array_contains(F.col("labels"), lab))
-    for k, (_, v) in pat.props.items():
-        nd = nd.filter(g.node_prop(k) == F.lit(v))
+    for k, v in pat.props.items():
+        nd = nd.filter(g.node_prop(k) == F.lit(_pat_value(v, params)))
     return nd.select(F.col("id").alias(var))
 
 
@@ -717,11 +746,11 @@ def _bind_node(c: _Compile, pat: NodePat) -> str:
             raise CypherSyntaxError(f"variable {var!r} bound as both node and relationship")
         # already bound: apply any extra label/prop constraints as a semi-join
         if pat.labels or pat.props:
-            keep = _node_frame(g, pat, var)
+            keep = _node_frame(g, pat, var, c.params)
             c.cur = c.cur.join(keep, on=var, how="leftsemi")
         return var
     c.kinds[var] = "node"
-    nd = _node_frame(g, pat, var)
+    nd = _node_frame(g, pat, var, c.params)
     if c.cur is None:
         c.cur = nd
     else:
@@ -854,7 +883,7 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
             c.cur = c.cur.join(hop, on=prev)
             c.kinds[nxt] = "node"
         if pat_next.labels or pat_next.props:
-            c.cur = c.cur.join(_node_frame(g, pat_next, nxt), on=nxt, how="leftsemi")
+            c.cur = c.cur.join(_node_frame(g, pat_next, nxt, c.params), on=nxt, how="leftsemi")
         return nxt
 
     rvar = rel.var or c.fresh("r")
@@ -867,8 +896,10 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
     e = g.edges
     if rel.types:
         e = e.filter(F.col("predicate").isin(rel.types))
-    for k, (_, v) in rel.props.items():
-        e = e.filter(F.col("props").getItem(k) == F.lit(str(v)))
+    for k, v in rel.props.items():
+        e = e.filter(
+            F.col("props").getItem(k) == F.lit(str(_pat_value(v, c.params)))
+        )
     # the far column gets a temp name when its variable is already
     # bound — including the self-loop pattern (n)-[:T]->(n), where
     # aliasing both ends to the same name would collide
@@ -895,7 +926,7 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
         c.kinds[nxt] = "node"
         c.cur = c.cur.join(hop, on=prev)
     if pat_next.labels or pat_next.props:
-        keep = _node_frame(c.graph, pat_next, nxt)
+        keep = _node_frame(c.graph, pat_next, nxt, c.params)
         c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
     return nxt
 
@@ -978,6 +1009,8 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
     op = expr[0]
     if op == "lit":
         return F.lit(expr[1])
+    if op == "param":
+        return F.lit(_pat_value(expr, c.params))
     if op == "prop":
         return F.col(c.prop_cols[(expr[1], expr[2])])
     if op == "var":
@@ -1000,7 +1033,14 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         col = _to_col(c, expr[1])
         return col.isNotNull() if expr[2] else col.isNull()
     if op == "in":
-        return _to_col(c, expr[1]).isin(expr[2])
+        vals = []
+        for v in expr[2]:
+            rv = _pat_value(v, c.params)
+            if isinstance(rv, (list, tuple)):
+                vals.extend(rv)  # IN $list_param
+            else:
+                vals.append(rv)
+        return _to_col(c, expr[1]).isin(vals)
     if op == "startswith":
         return _to_col(c, expr[1]).startswith(_to_col(c, expr[2]))
     if op == "endswith":
@@ -1331,10 +1371,18 @@ def _apply_projection(c: _Compile, proj: Projection) -> tuple:
             out = out.orderBy(*sort_cols)
 
     if proj.skip is not None:
-        out = out.offset(proj.skip)
+        out = out.offset(_int_param(proj.skip, c.params, "SKIP"))
     if proj.limit is not None:
-        out = out.limit(proj.limit)
+        out = out.limit(_int_param(proj.limit, c.params, "LIMIT"))
     return out, names
+
+
+def _int_param(v, params: dict | None, what: str) -> int:
+    if isinstance(v, tuple):
+        v = _pat_value(v, params)
+    if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+        raise CypherSyntaxError(f"{what} must be a non-negative integer")
+    return v
 
 
 def _rebind_after_with(c: _Compile, proj: Projection, out: DataFrame, names: list) -> None:
@@ -1500,12 +1548,18 @@ def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
 
 
 def cypher(
-    graph: PropertyGraph, text: str, allow_cartesian: bool = False
+    graph: PropertyGraph,
+    text: str,
+    allow_cartesian: bool = False,
+    params: dict | None = None,
 ) -> DataFrame:
     """Execute a Cypher query against the graph; returns the RETURN
     projection as a DataFrame (reference
     ``Neo4jGraph.java:288-304``). ``allow_cartesian=True`` silences
-    the :class:`CypherCartesianWarning` on disconnected patterns."""
+    the :class:`CypherCartesianWarning` on disconnected patterns.
+    ``params`` supplies ``$name`` query parameters — the reason the
+    reference's F8 string-splicing escape hatch is unnecessary here:
+    values enter the plan as typed literals, never via text."""
     q = _Parser(text).parse()
     if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
         raise CypherSyntaxError(
@@ -1513,7 +1567,7 @@ def cypher(
             "graph — execute them with cypher_write(), which returns "
             "the new PropertyGraph"
         )
-    c = _Compile(graph, allow_cartesian=allow_cartesian)
+    c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
     out = None
     for cl in q.clauses:
         res = apply_read_clause(c, cl)

@@ -62,25 +62,29 @@ class CypherWriteError(RuntimeError):
     DELETE of a node that still has relationships)."""
 
 
-def _fold_literal(expr: tuple):
+def _fold_literal(expr: tuple, params: dict | None = None):
     if expr[0] == "lit":
         return expr[1]
+    if expr[0] == "param":
+        if params is None or expr[1] not in params:
+            raise CypherSyntaxError(f"missing parameter ${expr[1]}")
+        return params[expr[1]]
     if expr[0] == "neg":
-        return -_fold_literal(expr[1])
+        return -_fold_literal(expr[1], params)
     raise CypherSyntaxError(
-        "write-clause values must be literals in this subset"
+        "write-clause values must be literals or $parameters in this subset"
     )
 
 
-def _literal_props(pat: NodePat) -> dict:
-    return {k: _fold_literal(e) for k, e in pat.props.items()}
+def _literal_props(pat: NodePat, params: dict | None = None) -> dict:
+    return {k: _fold_literal(e, params) for k, e in pat.props.items()}
 
 
-def _content_uri(pat: NodePat) -> str:
+def _content_uri(pat: NodePat, params: dict | None = None) -> str:
     """Deterministic identity for a MERGE node pattern: same labels +
     literal props -> same uri -> same xxhash64 id, so repeated MERGE
     is idempotent (M11 upsert-by-uri semantics)."""
-    props = _literal_props(pat)
+    props = _literal_props(pat, params)
     if "uri" in props:
         return str(props["uri"])
     body = ";".join(sorted(pat.labels)) + "|" + ";".join(
@@ -89,8 +93,8 @@ def _content_uri(pat: NodePat) -> str:
     return f"urn:cypher:merge:{body}"
 
 
-def _node_row(pat: NodePat, uri: str) -> dict:
-    props = _literal_props(pat)
+def _node_row(pat: NodePat, uri: str, params: dict | None = None) -> dict:
+    props = _literal_props(pat, params)
     props.pop("uri", None)
     return {"uri": uri, "labels": list(pat.labels), "props": props}
 
@@ -115,7 +119,7 @@ def _apply_create(
                     f"CREATE/MERGE node variable {n.var!r} is already bound"
                 )
             if merge:
-                uri = _content_uri(n)
+                uri = _content_uri(n, c.params)
                 # MERGE of a literal pattern resolves to ONE node
                 # regardless of match-row multiplicity, but zero
                 # matched rows merge nothing (Neo4j cardinality)
@@ -125,15 +129,15 @@ def _apply_create(
                     g.nodes.filter(F.col("uri") == uri).limit(1).count() > 0
                 )
                 if not exists:
-                    g = M.add_vertices(g, [_node_row(n, uri)])
+                    g = M.add_vertices(g, [_node_row(n, uri, c.params)])
             elif c.cur is not None:
                 # CREATE runs once PER matched row (0 rows -> 0 nodes)
-                props = _literal_props(n)
+                props = _literal_props(n, c.params)
                 props.pop("uri", None)
                 g = M.add_vertices_frame(g, c.cur, list(n.labels), props)
             else:
                 g = M.add_vertices(
-                    g, [_node_row(n, f"urn:cypher:{uuid.uuid4().hex}")]
+                    g, [_node_row(n, f"urn:cypher:{uuid.uuid4().hex}", c.params)]
                 )
             continue
         # relationship chain
@@ -158,7 +162,7 @@ def _apply_create(
                     pairs = pairs.dropDuplicates()
                 g = M.add_edges_frame(
                     g, pairs, rel.types[0],
-                    props={k: _fold_literal(e) for k, e in rel.props.items()},
+                    props={k: _fold_literal(e, c.params) for k, e in rel.props.items()},
                     dedup=merge,
                 )
         elif not any(bound) and c.cur is None:
@@ -167,13 +171,13 @@ def _apply_create(
             uris = []
             for n in pat.nodes:
                 uri = (
-                    _content_uri(n) if merge
+                    _content_uri(n, c.params) if merge
                     else f"urn:cypher:{uuid.uuid4().hex}"
                 )
                 if not merge or (
                     g.nodes.filter(F.col("uri") == uri).limit(1).count() == 0
                 ):
-                    g = M.add_vertices(g, [_node_row(n, uri)])
+                    g = M.add_vertices(g, [_node_row(n, uri, c.params)])
                 uris.append(uri)
             rows = []
             for i, rel in enumerate(pat.rels):
@@ -186,7 +190,8 @@ def _apply_create(
                         "predicate": rel.types[0],
                         "dst_uri": b,
                         "props": {
-                            k: _fold_literal(e) for k, e in rel.props.items()
+                            k: _fold_literal(e, c.params)
+                            for k, e in rel.props.items()
                         },
                     }
                 )
@@ -223,12 +228,12 @@ def _apply_set(
                 if remove:
                     g = M.remove_vertex_property(g, ids, key)
                 else:
-                    g = M.set_vertex_property(g, ids, key, _fold_literal(item[3]))
+                    g = M.set_vertex_property(g, ids, key, _fold_literal(item[3], c.params))
             elif kind == "rel":
                 if remove:
                     g = M.remove_edge_property(g, ids, key)
                 else:
-                    g = M.set_edge_property(g, ids, key, _fold_literal(item[3]))
+                    g = M.set_edge_property(g, ids, key, _fold_literal(item[3], c.params))
             else:
                 raise CypherSyntaxError(
                     f"SET/REMOVE target {var!r} is not a node or relationship"
@@ -270,7 +275,10 @@ def _apply_delete(
 
 
 def cypher_write(
-    graph: PropertyGraph, text: str, allow_cartesian: bool = False
+    graph: PropertyGraph,
+    text: str,
+    allow_cartesian: bool = False,
+    params: dict | None = None,
 ) -> PropertyGraph:
     """Execute a Cypher write statement; returns the mutated
     (new, immutable) graph. The read prefix compiles exactly as in
@@ -280,7 +288,7 @@ def cypher_write(
         raise CypherSyntaxError(
             "no write clause found — use cypher() for read queries"
         )
-    c = _Compile(graph, allow_cartesian=allow_cartesian)
+    c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
     g = graph
     for cl in q.clauses:
         kind = cl[0]

@@ -839,3 +839,82 @@ def test_exists_property_form_and_misplaced_pattern(graph):
             "MATCH (n:Nation) WHERE exists((s:Supplier)-[:IN_NATION]->(n)) "
             "OR n.n_nationkey = 0 RETURN count(*) AS k",
         )
+
+
+# ---------------------------------------------------------------------------
+# query parameters ($name) — typed plan literals, no string splicing
+# ---------------------------------------------------------------------------
+
+
+def test_parameters_in_where_pattern_and_limit(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer {c_mktsegment: $seg})-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > $minbal AND n.n_name IN $nations "
+            "RETURN c.c_name AS name ORDER BY name LIMIT $k",
+            params={
+                "seg": "BUILDING",
+                "minbal": 5000,
+                "nations": ["NATION_1", "NATION_2", "NATION_3"],
+                "k": 5,
+            },
+        )
+    )
+    want = oracle(
+        """SELECT c_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           ORDER BY c_name LIMIT 5"""
+    )
+    assert got == want
+
+
+def test_parameters_no_injection(graph):
+    """A hostile string parameter is a VALUE, never query text."""
+    evil = "' OR 1=1 RETURN x //"
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) WHERE c.c_name = $v RETURN count(*) AS n",
+            params={"v": evil},
+        )
+    )
+    assert got == [(0,)]
+
+
+def test_missing_parameter_raises(graph):
+    with pytest.raises(CypherSyntaxError, match="missing parameter"):
+        cypher(graph, "MATCH (c:Customer {c_custkey: $k}) RETURN c.c_name AS x").collect()
+
+
+def test_parameters_in_writes(spark):
+    from pidb_rdf_spark.cypher_write import cypher_write
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:a", ["P"], {"name": "a"})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    from pyspark.sql import functions as F
+
+    g2 = cypher_write(
+        g,
+        "MERGE (n:P {name: $name}) ",
+        params={"name": "bob"},
+    )
+    assert g2.nodes.count() == 2
+    g3 = cypher_write(
+        g2,
+        "MATCH (n:P {name: $name}) SET n.age = $age",
+        params={"name": "bob", "age": 33},
+    )
+    row = g3.nodes.filter(F.col("props").getItem("name") == "bob").collect()[0]
+    assert row["props"]["age"] == "33"
