@@ -432,7 +432,10 @@ class _TtlParser:
 
 
 def _parse_turtle_tokens(toks: list[tuple[str, str]]) -> list[tuple]:
-    return _TtlParser(toks).parse()
+    try:
+        return _TtlParser(toks).parse()
+    except IndexError:
+        raise ValueError("Turtle: unexpected end of document") from None
 
 
 def read_turtle(spark: SparkSession, path: str) -> DataFrame:

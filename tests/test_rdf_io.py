@@ -1202,3 +1202,30 @@ def test_turtle_datatype_pname_trailing_dot():
     )
     assert rows[0][4] == "http://www.w3.org/2001/XMLSchema#integer"
     assert rows[1][2] == "http://e/u"
+
+
+def test_turtle_truncated_document_raises_cleanly():
+    import pytest
+
+    for bad in ["ex:s ex:p", "@prefix ex: <http://e/> .\nex:a ex:items (1 2", "ex:a ex:p [ ex:q"]:
+        with pytest.raises(ValueError):
+            _ttl(bad)
+
+
+def test_turtle_parser_never_hangs_on_noise():
+    """Hypothesis fuzz: arbitrary text either parses or raises — no
+    hang, no wrong-type rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=2000)
+    @given(st.text(alphabet=' .;,[]()<>"\'@^:_abeprx0\n', max_size=80))
+    def run(text):
+        try:
+            rows = _ttl(text)
+        except ValueError:
+            return
+        for r in rows:
+            assert len(r) == 6 and isinstance(r[3], bool)
+
+    run()
