@@ -179,6 +179,11 @@ _DEFER_TO_TAIL = [
     #     decode_media's gate MESSAGE — media_features (stub path,
     #     code unchanged), frame_sample and media_header_probe
     #     (untouched functions) defer with green r7 rows.
+    #   * operators/dedup.py ngram_jaccard_pairs (r8 perf: shingles
+    #     hashed to longs before the PPJoin shuffles; isolated 16.4
+    #     -> 12.3 s) — its entry ngram_jaccard_dedup is IN-window
+    #     this round (one of the 46 returning); char_shingles itself
+    #     and every minhash/semantic path are untouched.
     "label_scan_prop_seek",
     "group_count",
     "count_distinct",

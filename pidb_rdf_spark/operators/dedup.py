@@ -120,8 +120,17 @@ def ngram_jaccard_pairs(
     t = float(threshold)
     # materialize the shingle table once: four consumers read it
     # (frequency ranks, doc sizes, the prefix join, verification) and
-    # would otherwise each re-run the 10M-substring explode
-    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # would otherwise each re-run the 10M-substring explode. Shingles
+    # are hashed to xxhash64 longs UP FRONT (r8): every downstream
+    # shuffle (frequency groupBy, per-doc rank sort, prefix self-join)
+    # moves 8-byte keys instead of k-char strings; prefix filtering
+    # only needs SOME global total order, and hash order qualifies.
+    # Same 64-bit-collision caveat as the verify step (P ~ 1e-13).
+    sh = (
+        char_shingles(df, id_col, text_col, k)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
     ranked = (
