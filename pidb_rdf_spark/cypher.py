@@ -1266,7 +1266,7 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
             "OPTIONAL MATCH must share at least one variable with a "
             "previous MATCH in this subset"
         )
-    c2 = _Compile(c.graph, allow_cartesian=c.allow_cartesian)
+    c2 = _Compile(c.graph, allow_cartesian=c.allow_cartesian, params=c.params)
     c2.anon = c.anon
     c2.kinds = {v: c.kinds[v] for v in shared}
     c2.cur = c.cur.select(*shared).dropDuplicates()
@@ -1459,7 +1459,7 @@ def _apply_exists(c: _Compile, pat: Pattern, anti: bool) -> None:
         raise CypherSyntaxError(
             "exists(pattern) must share at least one bound variable"
         )
-    c2 = _Compile(c.graph, allow_cartesian=True)
+    c2 = _Compile(c.graph, allow_cartesian=True, params=c.params)
     c2.anon = c.anon
     c2.kinds = {v: c.kinds[v] for v in shared}
     c2.cur = c.cur.select(*shared).dropDuplicates()
@@ -1484,6 +1484,9 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
             c.cur is not None
             and not (pvars & set(c.kinds))
             and not c.allow_cartesian
+            # a frame of pure values (leading WITH constants, UNWIND
+            # rows) is a deliberate small bind, not a graph cartesian
+            and any(k in ("node", "rel") for k in c.kinds.values())
         ):
             warnings.warn(
                 f"MATCH pattern {{{', '.join(sorted(pvars)) or 'anonymous'}}} "

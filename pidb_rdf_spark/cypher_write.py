@@ -52,6 +52,7 @@ from pidb_rdf_spark.cypher import (
     _Compile,
     _Parser,
     _WRITE_KINDS,
+    _pat_value,
     apply_read_clause,
 )
 from pidb_rdf_spark.graph import PropertyGraph
@@ -63,12 +64,8 @@ class CypherWriteError(RuntimeError):
 
 
 def _fold_literal(expr: tuple, params: dict | None = None):
-    if expr[0] == "lit":
-        return expr[1]
-    if expr[0] == "param":
-        if params is None or expr[1] not in params:
-            raise CypherSyntaxError(f"missing parameter ${expr[1]}")
-        return params[expr[1]]
+    if expr[0] in ("lit", "param"):
+        return _pat_value(expr, params)  # one parameter-resolution contract
     if expr[0] == "neg":
         return -_fold_literal(expr[1], params)
     raise CypherSyntaxError(
@@ -169,7 +166,20 @@ def _apply_create(
             # standalone literal chain: mint every node once, then the
             # edges between them (driver-issued point data)
             uris = []
+            var_uris: dict = {}
             for n in pat.nodes:
+                if n.var is not None and n.var in var_uris:
+                    # repeated chain variable: reuse the binding
+                    # (self-loops/cycles); re-declaring labels or
+                    # props on the repeat is an error, as in Neo4j
+                    if n.labels or n.props:
+                        raise CypherSyntaxError(
+                            f"variable {n.var!r} already declared in this "
+                            "CREATE pattern — repeats cannot add labels or "
+                            "properties"
+                        )
+                    uris.append(var_uris[n.var])
+                    continue
                 uri = (
                     _content_uri(n, c.params) if merge
                     else f"urn:cypher:{uuid.uuid4().hex}"
@@ -178,6 +188,8 @@ def _apply_create(
                     g.nodes.filter(F.col("uri") == uri).limit(1).count() == 0
                 ):
                     g = M.add_vertices(g, [_node_row(n, uri, c.params)])
+                if n.var is not None:
+                    var_uris[n.var] = uri
                 uris.append(uri)
             rows = []
             for i, rel in enumerate(pat.rels):

@@ -107,6 +107,10 @@ def add_vertices_frame(
         labs.alias("labels"),
         pmap.alias("props"),
     )
+    # uuid() is non-deterministic: pin the minted rows NOW so later
+    # re-scans of the unioned plan (task retry, AQE replan, the same
+    # frame on both sides of a self-join) see identical ids
+    new = new.localCheckpoint(eager=True)
     return PropertyGraph(
         spark=graph.spark,
         nodes=graph.nodes.unionByName(new, allowMissingColumns=True),
@@ -219,6 +223,11 @@ def add_edges_frame(
             on=["src", "predicate", "dst"],
             how="leftanti",
         ).select(*graph.edges.columns)
+    else:
+        # uuid()-minted ids are non-deterministic: pin them NOW so
+        # re-scans of the unioned plan see identical edge ids (the
+        # relationship-uniqueness filter self-joins this frame)
+        new = new.localCheckpoint(eager=True)
     return PropertyGraph(
         spark=graph.spark,
         nodes=graph.nodes,

@@ -258,3 +258,66 @@ def test_unwind_alias_collision_same_error_in_write_path(wg):
 
     with pytest.raises(CypherSyntaxError, match="already bound"):
         cypher_write(wg, "MATCH (n:Person) UNWIND [1, 2] AS n SET n.x = 1")
+
+
+def test_create_chain_repeated_variable_self_loop(wg):
+    """A repeated chain variable reuses its binding: CREATE self-loop
+    (r8 review fix #3)."""
+    g2 = cypher_write(wg, "CREATE (a:X {name: 'loop'})-[:T]->(a)")
+    xs = g2.nodes.filter(F.array_contains("labels", "X")).collect()
+    assert len(xs) == 1
+    e = g2.edges.filter(F.col("predicate") == "T").collect()
+    assert len(e) == 1 and e[0]["src"] == e[0]["dst"] == xs[0]["id"]
+    with pytest.raises(CypherSyntaxError, match="already declared"):
+        cypher_write(wg, "CREATE (a:X {p: 1})-[:T]->(a {p: 2})")
+
+
+def test_params_in_optional_match_and_exists(spark):
+    from pidb_rdf_spark.cypher import cypher
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:a", ["P"], {"name": "a"}), (2, "urn:b", ["P"], {"name": "b"})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(10, 1, 2, "T", {})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    got = [
+        tuple(r)
+        for r in cypher(
+            g,
+            "MATCH (x:P {name: 'a'}) OPTIONAL MATCH (x)-[:T]->(y {name: $t}) "
+            "RETURN x.name AS a, y.name AS b",
+            params={"t": "b"},
+        ).collect()
+    ]
+    assert got == [("a", "b")]
+    got2 = [
+        tuple(r)
+        for r in cypher(
+            g,
+            "MATCH (x:P) WHERE exists((x)-[:T]->({name: $t})) RETURN x.name AS n",
+            params={"t": "b"},
+        ).collect()
+    ]
+    assert got2 == [("a",)]
+
+
+def test_leading_with_no_cartesian_warning(spark, wg):
+    import warnings as W
+
+    from pidb_rdf_spark.cypher import CypherCartesianWarning, cypher
+
+    with W.catch_warnings():
+        W.simplefilter("error", CypherCartesianWarning)
+        got = [
+            tuple(r)
+            for r in cypher(
+                wg, "WITH 2 AS k MATCH (p:Person) RETURN k, count(*) AS n"
+            ).collect()
+        ]
+        assert got == [(2, 2)]
