@@ -310,7 +310,25 @@ class _Parser:
                 wrote = True
             elif t.text == "merge":
                 self._next()
-                clauses.append(("merge", self._pattern()))
+                pat = self._pattern()
+                on_create: list = []
+                on_match: list = []
+                while self._at("kw", "on"):
+                    self._next()
+                    which = self._expect("kw")
+                    if which.text not in ("create", "match"):
+                        raise CypherSyntaxError(
+                            f"expected CREATE or MATCH after ON, got "
+                            f"{which.text.upper()} at position {which.pos}"
+                        )
+                    self._expect("kw", "set")
+                    items = [self._set_item(with_value=True)]
+                    while self._accept("op", ","):
+                        items.append(self._set_item(with_value=True))
+                    (on_create if which.text == "create" else on_match).extend(
+                        items
+                    )
+                clauses.append(("merge", pat, on_create, on_match))
                 wrote = True
             elif t.text == "set":
                 self._next()

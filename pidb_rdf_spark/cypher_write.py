@@ -29,7 +29,12 @@ Supported subset (the shapes the reference's own code issues):
   standalone all-new literal chains.
 - ``MERGE`` = match-or-create: a literal node pattern upserts by its
   content identity (M11); a bound-endpoint relationship pattern is
-  dedup-on-insert (M10).
+  dedup-on-insert (M10). ``ON CREATE SET`` / ``ON MATCH SET`` apply
+  conditionally on whether the merge created or matched — targets
+  must be the merged pattern's own variable, and a relationship
+  MERGE carrying them must have exactly one relationship (the
+  matched/created split is computed as two anti/semi joins over the
+  pre-insert edge frame; nothing is collected).
 - ``SET n.k = lit``, ``SET n:Label``, ``SET r.k = lit``.
 - ``REMOVE n.k``, ``REMOVE n:Label``, ``REMOVE r.k``.
 - ``[DETACH] DELETE n, r`` — plain DELETE on a node with incident
@@ -102,9 +107,44 @@ def _ids_frame(c: _Compile, var: str):
     return c.cur.select(var).dropDuplicates()
 
 
-def _apply_create(
-    g: PropertyGraph, c: _Compile, pats: list, merge: bool
+def _apply_merge_sets(
+    g: PropertyGraph, c: _Compile, items: list, var: str | None, kind: str, where
 ) -> PropertyGraph:
+    """Apply ON CREATE SET / ON MATCH SET items to the merged entity.
+    ``where`` is a boolean Column (node merge: uri equality) or an
+    edge-id DataFrame (relationship merge) — both the distributed
+    ``_resolve_where`` forms, nothing collected."""
+    for item in items:
+        if var is None or item[1] != var:
+            raise CypherSyntaxError(
+                f"ON CREATE/ON MATCH SET target {item[1]!r} must be the "
+                "merged pattern's own variable in this subset"
+            )
+        if item[0] == "label":
+            if kind != "node":
+                raise CypherSyntaxError(
+                    f"labels apply to nodes, not {kind} {var!r}"
+                )
+            g = M.add_label(g, where, item[2])
+        else:
+            value = _fold_literal(item[3], c.params)
+            if kind == "node":
+                g = M.set_vertex_property(g, where, item[2], value)
+            else:
+                g = M.set_edge_property(g, where, item[2], value)
+    return g
+
+
+def _apply_create(
+    g: PropertyGraph,
+    c: _Compile,
+    pats: list,
+    merge: bool,
+    on_create: list | None = None,
+    on_match: list | None = None,
+) -> PropertyGraph:
+    on_create = on_create or []
+    on_match = on_match or []
     for pat in pats:
         bound = [
             n.var is not None and n.var in c.kinds for n in pat.nodes
@@ -127,6 +167,11 @@ def _apply_create(
                 )
                 if not exists:
                     g = M.add_vertices(g, [_node_row(n, uri, c.params)])
+                items = on_match if exists else on_create
+                if items:
+                    g = _apply_merge_sets(
+                        g, c, items, n.var, "node", F.col("uri") == uri
+                    )
             elif c.cur is not None:
                 # CREATE runs once PER matched row (0 rows -> 0 nodes)
                 props = _literal_props(n, c.params)
@@ -148,6 +193,12 @@ def _apply_create(
                     "CREATE/MERGE relationships need exactly one type"
                 )
         if all(bound):
+            want_sets = merge and bool(on_create or on_match)
+            if want_sets and len(pat.rels) != 1:
+                raise CypherSyntaxError(
+                    "ON CREATE/ON MATCH SET on a relationship MERGE "
+                    "requires exactly one relationship in the pattern"
+                )
             for i, rel in enumerate(pat.rels):
                 a, b = pat.nodes[i].var, pat.nodes[i + 1].var
                 if rel.direction == "in":
@@ -157,12 +208,47 @@ def _apply_create(
                 pairs = c.cur.select(a, b)
                 if merge:
                     pairs = pairs.dropDuplicates()
+                if want_sets:
+                    # split the pair set into matched (an edge of this
+                    # type already exists) vs created BEFORE the
+                    # insert; both stay DataFrames over the pre-insert
+                    # edge frame (immutable plans)
+                    pf = pairs.select(
+                        F.col(a).alias("src"), F.col(b).alias("dst")
+                    )
+                    ex = g.edges.filter(
+                        F.col("predicate") == rel.types[0]
+                    ).select("src", "dst")
+                    matched_pairs = pf.join(ex, ["src", "dst"], "leftsemi")
+                    created_pairs = pf.join(ex, ["src", "dst"], "leftanti")
                 g = M.add_edges_frame(
                     g, pairs, rel.types[0],
                     props={k: _fold_literal(e, c.params) for k, e in rel.props.items()},
                     dedup=merge,
                 )
+                if want_sets:
+                    tpe = g.edges.filter(F.col("predicate") == rel.types[0])
+                    if on_create:
+                        ids = tpe.join(
+                            created_pairs, ["src", "dst"], "leftsemi"
+                        ).select("id")
+                        g = _apply_merge_sets(
+                            g, c, on_create, rel.var, "rel", ids
+                        )
+                    if on_match:
+                        ids = tpe.join(
+                            matched_pairs, ["src", "dst"], "leftsemi"
+                        ).select("id")
+                        g = _apply_merge_sets(
+                            g, c, on_match, rel.var, "rel", ids
+                        )
         elif not any(bound) and c.cur is None:
+            if merge and (on_create or on_match):
+                raise CypherSyntaxError(
+                    "ON CREATE/ON MATCH SET is not supported on literal "
+                    "chain MERGE in this subset (merge the node and the "
+                    "relationship in separate statements)"
+                )
             # standalone literal chain: mint every node once, then the
             # edges between them (driver-issued point data)
             uris = []
@@ -309,7 +395,9 @@ def cypher_write(
         elif kind == "create":
             g = _apply_create(g, c, cl[1], merge=False)
         elif kind == "merge":
-            g = _apply_create(g, c, [cl[1]], merge=True)
+            g = _apply_create(
+                g, c, [cl[1]], merge=True, on_create=cl[2], on_match=cl[3]
+            )
         elif kind == "setitems":
             g = _apply_set(g, c, cl[1], remove=False)
         elif kind == "removeitems":
