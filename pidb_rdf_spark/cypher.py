@@ -25,6 +25,11 @@ issue):
   vacuous). Uniqueness BETWEEN a variable-length segment's edges and
   other segments of the same MATCH is not enforced (documented
   subset limit).
+- ``p = shortestPath((a)-[:T*..m]->(b))`` MATCH patterns, compiled
+  to a multi-source semi-naive BFS keyed by origin; ``length(p)``
+  reads the hop count (the only path observation in this subset;
+  ``allShortestPaths`` is rejected as equivalent under it). Lower
+  bound must be 0 or 1, as in Neo4j.
 - ``OPTIONAL MATCH`` blocks (left-join semantics: unmatched rows
   keep NULL for every block-introduced variable; a block-local
   ``WHERE`` filters inside the match, before the left join).
@@ -165,6 +170,16 @@ class Pattern:
 
     nodes: list[NodePat]
     rels: list[RelPat]
+
+
+@dataclass
+class ShortestPat:
+    """``p = shortestPath((a)-[:T*..m]->(b))`` — the inner pattern has
+    exactly two nodes and one relationship; ``path_var`` binds the
+    hop count, observable through ``length(p)``."""
+
+    path_var: str
+    pattern: Pattern
 
 
 @dataclass
@@ -382,13 +397,50 @@ class _Parser:
         return ("prop", var, key, self._expr())
 
     def _match_tail(self) -> tuple:
-        patterns = [self._pattern()]
+        patterns = [self._maybe_shortest() or self._pattern()]
         while self._accept("op", ","):
-            patterns.append(self._pattern())
+            patterns.append(self._maybe_shortest() or self._pattern())
         where = None
         if self._accept("kw", "where"):
             where = self._expr()
         return patterns, where
+
+    def _maybe_shortest(self) -> "ShortestPat | None":
+        t, t1, t2 = self._peek(), self._peek(1), self._peek(2)
+        if not (
+            t is not None and t.kind == "name"
+            and t1 is not None and t1.kind == "op" and t1.text == "="
+            and t2 is not None and t2.kind == "name"
+            and t2.text.lower() in ("shortestpath", "allshortestpaths")
+        ):
+            return None
+        pvar = self._next().text
+        self._next()  # =
+        fn = self._next()
+        if fn.text.lower() == "allshortestpaths":
+            raise CypherSyntaxError(
+                "allShortestPaths is not supported in this subset — with "
+                "length(p) as the only path observation, shortestPath is "
+                f"equivalent (position {fn.pos})"
+            )
+        self._expect("op", "(")
+        pat = self._pattern()
+        self._expect("op", ")")
+        if len(pat.rels) != 1:
+            raise CypherSyntaxError(
+                "shortestPath takes a two-node, single-relationship pattern"
+            )
+        if pat.rels[0].var is not None:
+            raise CypherSyntaxError(
+                "a relationship variable inside shortestPath is not "
+                "supported in this subset"
+            )
+        if pat.rels[0].props:
+            raise CypherSyntaxError(
+                "a relationship property map inside shortestPath is not "
+                "supported in this subset"
+            )
+        return ShortestPat(pvar, pat)
 
     def _projection(self, is_return: bool) -> Projection:
         distinct = self._accept("kw", "distinct") is not None
@@ -949,6 +1001,115 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
     return nxt
 
 
+def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
+    """Bind ``p = shortestPath((a)-[:T*..m]->(b))``: a multi-source
+    BFS keyed by origin — semi-naive, each round expands ONLY the
+    newly-settled frontier through one equi-join, so total work is
+    O(origin-node pairs reached), never all-pairs. The path variable
+    binds the hop count; the subset exposes it through ``length(p)``
+    only (Neo4j's path object has no DataFrame analog).
+
+    Subset notes: the lower bound must be 0 or 1 (Neo4j's own
+    shortestPath rule); with lower bound 1 a pair whose ONLY
+    connection is a cycle back to the start node is not found (BFS
+    settles the origin at distance 0 first) — Neo4j rejects
+    common-endpoint shortestPath outright
+    (``cypher.forbid_shortestpath_common_nodes``), so cyclic
+    self-paths are out of scope either way. Reference parity: the
+    reference reaches the same question through its variable-length
+    inference procs (``MicroReasoners.java:20-22``); here it is a
+    first-class MATCH pattern."""
+    pat = sp.pattern
+    rel = pat.rels[0]
+    if sp.path_var in c.kinds:
+        raise CypherSyntaxError(
+            f"path variable {sp.path_var!r} is already bound"
+        )
+    if rel.min_len not in (0, 1):
+        raise CypherSyntaxError(
+            "shortestPath lower bound must be 0 or 1 (Neo4j rule)"
+        )
+    g = c.graph
+    a = _bind_node(c, pat.nodes[0])
+    b_pat = pat.nodes[1]
+    b_bound = b_pat.var is not None and b_pat.var in c.kinds
+    e = g.edges
+    if rel.types:
+        e = e.filter(F.col("predicate").isin(rel.types))
+    fwd = e.select("src", "dst")
+    if rel.direction == "in":
+        edges = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif rel.direction == "both":
+        edges = fwd.unionAll(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        edges = fwd
+    # the loop re-scans the edge set every round: pin it once
+    edges = edges.localCheckpoint(eager=True)
+    dist = (
+        c.cur.select(F.col(a).alias("origin"))
+        .dropDuplicates()
+        .select(
+            "origin",
+            F.col("origin").alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    limit = rel.max_len if rel.max_len is not None else 50
+    for hop in range(1, limit + 1):
+        reached = (
+            frontier.select("origin", F.col("node").alias("src"))
+            .join(edges, on="src")
+            .select("origin", F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(
+                dist.select("origin", "node"),
+                on=["origin", "node"],
+                how="leftanti",
+            )
+            .select(
+                "origin", "node", F.lit(hop).cast("long").alias("hops")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            break
+        dist = dist.unionAll(reached).localCheckpoint(eager=True)
+        frontier = reached
+    if rel.min_len >= 1:
+        dist = dist.filter(F.col("hops") >= 1)
+    if b_bound:
+        tmp = c.fresh("j")
+        hopf = dist.select(
+            F.col("origin").alias(a),
+            F.col("node").alias(tmp),
+            F.col("hops").alias(sp.path_var),
+        )
+        c.cur = (
+            c.cur.join(hopf, on=a)
+            .filter(F.col(tmp) == F.col(b_pat.var))
+            .drop(tmp)
+        )
+        nxt = b_pat.var
+    else:
+        nxt = b_pat.var or c.fresh("n")
+        hopf = dist.select(
+            F.col("origin").alias(a),
+            F.col("node").alias(nxt),
+            F.col("hops").alias(sp.path_var),
+        )
+        c.cur = c.cur.join(hopf, on=a)
+        c.kinds[nxt] = "node"
+    if b_pat.labels or b_pat.props:
+        c.cur = c.cur.join(
+            _node_frame(g, b_pat, nxt, c.params), on=nxt, how="leftsemi"
+        )
+    c.kinds[sp.path_var] = "pathlen"
+
+
 def _qcol(name: str) -> Column:
     """Column reference by exact name: backtick-quoted so default item
     names containing dots (e.g. an unaliased ``n.n_name``) resolve as
@@ -1034,6 +1195,11 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
     if op == "var":
         if expr[1] not in c.kinds:
             raise CypherSyntaxError(f"undefined variable {expr[1]!r}")
+        if c.kinds[expr[1]] == "pathlen":
+            raise CypherSyntaxError(
+                f"path variable {expr[1]!r} can only be read through "
+                "length() in this subset"
+            )
         return F.col(expr[1])
     if op == "and":
         return _to_col(c, expr[1]) & _to_col(c, expr[2])
@@ -1126,6 +1292,14 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         if args[0][0] != "var":
             raise CypherSyntaxError("id() takes a node or relationship variable")
         return rec(args[0])
+    if fn == "length":
+        need(1)
+        a = args[0]
+        # length(p) over a shortestPath variable reads the hop count;
+        # anything else is string length (Cypher's legacy meaning)
+        if a[0] == "var" and c.kinds.get(a[1]) == "pathlen":
+            return _qcol(a[1])
+        return F.length(rec(a))
     if fn in ("labels", "type"):
         need(1)
         a = args[0]
@@ -1263,6 +1437,10 @@ def _apply_rel_uniqueness(c: _Compile) -> None:
 def _pattern_vars(pats: list) -> list:
     out = []
     for p in pats:
+        if isinstance(p, ShortestPat):
+            out.extend(_pattern_vars([p.pattern]))
+            out.append(p.path_var)
+            continue
         for n in p.nodes:
             if n.var is not None:
                 out.append(n.var)
@@ -1278,6 +1456,11 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
     keep their mandatory columns and take NULL for every
     block-introduced variable (Neo4j semantics; the block-local WHERE
     filters INSIDE the match, before the left join)."""
+    if any(isinstance(p, ShortestPat) for p in pats):
+        raise CypherSyntaxError(
+            "shortestPath is not supported inside OPTIONAL MATCH in "
+            "this subset"
+        )
     shared = [v for v in dict.fromkeys(_pattern_vars(pats)) if v in c.kinds]
     if not shared:
         raise CypherSyntaxError(
@@ -1495,8 +1678,9 @@ def _apply_exists(c: _Compile, pat: Pattern, anti: bool) -> None:
 
 def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
     for pat in pats:
-        pvars = {n.var for n in pat.nodes if n.var} | {
-            r.var for r in pat.rels if r.var
+        inner = pat.pattern if isinstance(pat, ShortestPat) else pat
+        pvars = {n.var for n in inner.nodes if n.var} | {
+            r.var for r in inner.rels if r.var
         }
         if (
             c.cur is not None
@@ -1514,6 +1698,9 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
                 CypherCartesianWarning,
                 stacklevel=3,
             )
+        if isinstance(pat, ShortestPat):
+            _bind_shortest(c, pat)
+            continue
         prev = _bind_node(c, pat.nodes[0])
         for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
             prev = _bind_rel(c, rel, prev, nxt_pat)

@@ -918,3 +918,173 @@ def test_parameters_in_writes(spark):
     )
     row = g3.nodes.filter(F.col("props").getItem("name") == "bob").collect()[0]
     assert row["props"]["age"] == "33"
+
+
+# ---------------------------------------------------------------------------
+# shortestPath
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def chain_graph(spark):
+    """1->2->3->4->5 chain plus a 1->3 shortcut, all :T edges."""
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    return PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(i, f"urn:n{i}", ["P"], {"name": f"n{i}"}) for i in range(1, 6)],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [
+                (10, 1, 2, "T", {}),
+                (11, 2, 3, "T", {}),
+                (12, 3, 4, "T", {}),
+                (13, 4, 5, "T", {}),
+                (14, 1, 3, "T", {}),
+            ],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+
+
+def test_shortest_path_basic(chain_graph):
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*]->(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    # the 1->3 shortcut makes n3 distance 1, n4 distance 2, n5 distance 3
+    assert got == [("n2", 1), ("n3", 1), ("n4", 2), ("n5", 3)]
+
+
+def test_shortest_path_bounded_and_zero_lower(chain_graph):
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*..2]->(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    assert got == [("n2", 1), ("n3", 1), ("n4", 2)]
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*0..1]->(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    # zero lower bound includes the zero-length self path
+    assert got == [("n1", 0), ("n2", 1), ("n3", 1)]
+
+
+def test_shortest_path_both_endpoints_constrained(chain_graph):
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*]->(b:P {name: 'n5'})) "
+            "RETURN length(p) AS hops",
+        )
+    )
+    assert got == [(3,)]
+
+
+def test_shortest_path_prebound_far_node_and_where(chain_graph):
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH (b:P {name: 'n4'}) "
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*]->(b)) "
+            "RETURN length(p) AS hops",
+        )
+    )
+    assert got == [(2,)]
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*]->(b)) "
+            "WHERE length(p) >= 2 "
+            "RETURN b.name AS name ORDER BY name",
+        )
+    )
+    assert got == [("n4",), ("n5",)]
+
+
+def test_shortest_path_undirected(chain_graph):
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P {name: 'n3'})-[:T*]-(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    # undirected: n1 via the shortcut (1), n2 via either chain hop (1),
+    # n4 forward (1), n5 forward (2)
+    assert got == [("n1", 1), ("n2", 1), ("n4", 1), ("n5", 2)]
+
+
+def test_shortest_path_oracle_customer_region(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH p = shortestPath("
+            "(c:Customer)-[:IN_NATION|IN_REGION*]->(r:Region)) "
+            "RETURN c.c_name AS name, r.r_name AS region, "
+            "length(p) AS hops ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT c_name, r_name, 2 FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           ORDER BY c_name"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_shortest_path_rejections(chain_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher(
+            chain_graph,
+            "MATCH p = allShortestPaths((a:P)-[:T*]->(b)) RETURN length(p) AS h",
+        )
+    with pytest.raises(CypherSyntaxError):
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P)-[:T*2..]->(b)) RETURN length(p) AS h",
+        )
+    with pytest.raises(CypherSyntaxError):
+        # bare path variable outside length()
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P)-[:T*]->(b)) RETURN p AS p",
+        )
+    with pytest.raises(CypherSyntaxError):
+        cypher(
+            chain_graph,
+            "MATCH (a:P) OPTIONAL MATCH p = shortestPath((a)-[:T*]->(b)) "
+            "RETURN length(p) AS h",
+        )
+    with pytest.raises(CypherSyntaxError):
+        # relationship variable inside shortestPath
+        cypher(
+            chain_graph,
+            "MATCH p = shortestPath((a:P)-[r:T*]->(b)) RETURN length(p) AS h",
+        )
+
+
+def test_length_still_means_string_length(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN n.n_name AS name, "
+            "length(n.n_name) AS len ORDER BY name LIMIT 3",
+        )
+    )
+    want = oracle(
+        "SELECT n_name, LENGTH(n_name) FROM nation ORDER BY n_name LIMIT 3"
+    )
+    assert got == [tuple(w) for w in want]
