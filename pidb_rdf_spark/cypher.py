@@ -34,14 +34,17 @@ issue):
   keep NULL for every block-introduced variable; a block-local
   ``WHERE`` filters inside the match, before the left join).
 - ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
-  ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``, and
+  ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``,
+  ``=~`` full-string regex (literal/$parameter pattern), and
   ``[NOT] exists(pattern)`` predicates as top-level conjuncts of a
   MATCH-attached WHERE (compiled to one semi/anti join each — the
   SPARQL FILTER EXISTS shape).
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
   arithmetic, and aggregates ``count/sum/avg/min/max/collect``
-  (+ ``count(DISTINCT x)``), with ``AS`` aliases and implicit
-  grouping.
+  (+ ``count(DISTINCT x)`` and ``collect(DISTINCT x)``, the latter
+  sorted), with ``AS`` aliases and implicit grouping. Scalar
+  functions include ``properties(v)`` / ``keys(v)`` (typed hot
+  columns merged into the schemaless map, stringified).
 - ``ORDER BY expr [ASC|DESC], ...``, ``SKIP n``, ``LIMIT n``.
 - ``WITH`` pipeline stages (same item grammar as RETURN, aliases
   required for non-variable items, implicit grouping, ORDER/SKIP/
@@ -70,7 +73,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pidb_rdf_spark.graph import PropertyGraph
+from pidb_rdf_spark.graph import NODE_CORE, SIDECAR_COLS, PropertyGraph
 
 
 class CypherSyntaxError(SyntaxError):
@@ -94,7 +97,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
-  | (?P<op><>|<=|>=|\.\.|->|<-|[()\[\]{}:,.\-<>=|*+/%])
+  | (?P<op><>|<=|>=|=~|\.\.|->|<-|[()\[\]{}:,.\-<>=|*+/%])
     """,
     re.VERBOSE,
 )
@@ -600,6 +603,9 @@ class _Parser:
         if t is not None and t.kind == "op" and t.text in ("=", "<>", "<", "<=", ">", ">="):
             op = self._next().text
             return ("cmp", op, left, self._additive())
+        if t is not None and t.kind == "op" and t.text == "=~":
+            self._next()
+            return ("regex", left, self._additive())
         if self._accept("kw", "is"):
             neg = self._accept("kw", "not") is not None
             self._expect("kw", "null")
@@ -1137,6 +1143,11 @@ def _collect_props(expr, acc: set) -> None:
             if a[0] == "var":
                 acc.add((a[1], "__labels__" if expr[1] == "labels" else "__type__"))
                 return
+        if expr[0] == "call" and expr[1] in ("properties", "keys") and expr[2]:
+            a = expr[2][0]
+            if a[0] == "var":
+                acc.add((a[1], "__props__"))
+                return
         parts = expr[1:]
     else:  # bare tuple grouping (e.g. a CASE (when, then) pair)
         parts = expr
@@ -1174,6 +1185,33 @@ def _materialize_props(c: _Compile, needed: set) -> None:
                 if kind != "rel":
                     raise CypherSyntaxError(f"type() needs a relationship, got {var!r}")
                 cols.append(F.col("predicate").alias(cname))
+            elif p == "__props__":
+                # the full property map: schemaless props merged with
+                # the typed hot columns (stringified — the map is
+                # map<string,string>, the reference's storage dtype)
+                if kind == "node":
+                    hot = [
+                        col
+                        for col in g.nodes.columns
+                        if col not in NODE_CORE and col not in SIDECAR_COLS
+                    ]
+                    m = F.col("props")
+                    if hot:
+                        pairs: list = []
+                        for h in hot:
+                            pairs.extend([F.lit(h), F.col(h).cast("string")])
+                        m = F.map_concat(
+                            F.map_filter(
+                                F.col("props"), lambda k, _: ~k.isin(hot)
+                            ),
+                            F.map_filter(
+                                F.create_map(*pairs),
+                                lambda _, v: v.isNotNull(),
+                            ),
+                        )
+                    cols.append(m.alias(cname))
+                else:
+                    cols.append(F.col("props").alias(cname))
             elif kind == "node":
                 cols.append(g.node_prop(p).alias(cname))
             else:
@@ -1225,6 +1263,18 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
             else:
                 vals.append(rv)
         return _to_col(c, expr[1]).isin(vals)
+    if op == "regex":
+        # Cypher =~ is a FULL-string match (Java matches()); Spark
+        # rlike is substring search, so anchor the pattern
+        pat = expr[2]
+        if pat[0] not in ("lit", "param"):
+            raise CypherSyntaxError(
+                "=~ needs a literal or $parameter regex on the right"
+            )
+        rx = _pat_value(pat, c.params)
+        if not isinstance(rx, str):
+            raise CypherSyntaxError("=~ pattern must be a string")
+        return _to_col(c, expr[1]).rlike(f"^(?:{rx})$")
     if op == "startswith":
         return _to_col(c, expr[1]).startswith(_to_col(c, expr[2]))
     if op == "endswith":
@@ -1307,6 +1357,15 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
             raise CypherSyntaxError(f"{fn}() takes a bound variable")
         pseudo = "__labels__" if fn == "labels" else "__type__"
         return F.col(c.prop_cols[(a[1], pseudo)])
+    if fn in ("properties", "keys"):
+        need(1)
+        a = args[0]
+        if a[0] != "var":
+            raise CypherSyntaxError(f"{fn}() takes a bound variable")
+        col = F.col(c.prop_cols[(a[1], "__props__")])
+        # keys() sorted for a deterministic answer (Cypher leaves the
+        # order unspecified)
+        return F.array_sort(F.map_keys(col)) if fn == "keys" else col
     if fn == "coalesce":
         if not args:
             raise CypherSyntaxError("coalesce() needs at least one argument")
@@ -1396,6 +1455,10 @@ def _agg_col(c: _Compile, expr: tuple) -> Column:
         inner = _to_col(c, arg)
         if fn == "count":
             return F.count_distinct(inner) if distinct else F.count(inner)
+        if fn == "collect" and distinct:
+            # sorted for a deterministic answer (Cypher leaves the
+            # order unspecified)
+            return F.array_sort(F.collect_set(inner))
         if distinct:
             raise CypherSyntaxError(f"DISTINCT inside {fn}() is not supported")
         return {

@@ -1088,3 +1088,121 @@ def test_length_still_means_string_length(graph):
         "SELECT n_name, LENGTH(n_name) FROM nation ORDER BY n_name LIMIT 3"
     )
     assert got == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# =~ regex, properties()/keys(), collect(DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+def test_regex_match_is_anchored(graph):
+    # nation names are NATION_0 .. NATION_24 (no zero padding):
+    # NATION_[0-9] full-matches exactly the ten single-digit ones
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name =~ 'NATION_[0-9]' "
+            "RETURN n.n_name AS name ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name FROM nation
+           WHERE regexp_full_match(n_name, 'NATION_[0-9]')
+           ORDER BY n_name"""
+    )
+    assert len(got) == 10
+    assert got == [tuple(w) for w in want]
+    # Cypher string escapes: '\\d' in source reaches the engine as \d
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name =~ 'NATION_\\\\d' "
+            "RETURN count(*) AS n",
+        )
+    )
+    assert got == [(10,)]
+    # anchored: a prefix that would substring-match must NOT match
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name =~ 'NATION' "
+            "RETURN count(*) AS n",
+        )
+    )
+    assert got == [(0,)]
+
+
+def test_regex_param_and_nonliteral_rejected(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name =~ $rx RETURN count(*) AS n",
+            params={"rx": "NATION_.*"},
+        )
+    )
+    want = oracle("SELECT COUNT(*) FROM nation")
+    assert got == [tuple(w) for w in want]
+    with pytest.raises(CypherSyntaxError):
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name =~ n.n_name RETURN count(*) AS n",
+        )
+
+
+def test_collect_distinct_sorted(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+            "WHERE r.r_name = 'ASIA' "
+            "RETURN collect(DISTINCT n.n_name) AS nations",
+        )
+    )
+    want = oracle(
+        """SELECT DISTINCT n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA' ORDER BY n_name"""
+    )
+    assert got == [(sorted(w[0] for w in want),)]
+
+
+def test_properties_and_keys(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) WHERE r.r_name = 'ASIA' "
+            "RETURN keys(r) AS ks",
+        )
+    )
+    assert len(got) == 1
+    ks = got[0][0]
+    # hot typed columns surface through keys()
+    assert "r_name" in ks and "r_regionkey" in ks and ks == sorted(ks)
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) WHERE r.r_name = 'ASIA' "
+            "RETURN properties(r) AS ps",
+        )
+    )
+    ps = got[0][0]
+    assert ps["r_name"] == "ASIA"
+
+
+def test_properties_of_relationship(spark):
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:a", ["P"], {}), (2, "urn:b", ["P"], {})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(10, 1, 2, "T", {"w": "5"})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    got = rows(cypher(g, "MATCH (a:P)-[r:T]->(b:P) RETURN properties(r) AS ps"))
+    assert got == [({"w": "5"},)]
