@@ -53,6 +53,11 @@ issue):
   node/relationship variable keeps its identity (hops and property
   reads still work on it).
 - ``UNWIND list AS x`` over list literals and collected lists.
+- List expressions: ``range(a, b[, step])``, comprehensions
+  ``[x IN list WHERE p | e]``, and predicates
+  ``any/all/none/single(x IN list WHERE p)`` — compiled to JVM-side
+  higher-order functions (filter/transform/exists/forall). Element
+  variables are scalars; property access on them is unsupported.
 
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
@@ -664,6 +669,23 @@ class _Parser:
             self._expect("op", ")")
             return e
         if self._accept("op", "["):
+            t0, t1 = self._peek(), self._peek(1)
+            if (
+                t0 is not None and t0.kind == "name"
+                and t1 is not None and t1.kind == "kw" and t1.text == "in"
+            ):
+                # list comprehension [x IN list WHERE p | e]
+                var = self._next().text
+                self._next()  # IN
+                lst = self._expr()
+                cond = None
+                if self._accept("kw", "where"):
+                    cond = self._expr()
+                mape = None
+                if self._accept("op", "|"):
+                    mape = self._expr()
+                self._expect("op", "]")
+                return ("listcomp", var, lst, cond, mape)
             items = []
             if not self._at("op", "]"):
                 items.append(self._expr())
@@ -698,6 +720,15 @@ class _Parser:
             if self._at("op", "("):  # function call
                 self._next()
                 fn = name.lower()
+                if fn in ("any", "all", "none", "single"):
+                    # list predicate: any(x IN list WHERE cond)
+                    var = self._expect("name").text
+                    self._expect("kw", "in")
+                    lst = self._expr()
+                    self._expect("kw", "where")
+                    cond = self._expr()
+                    self._expect("op", ")")
+                    return ("listpred", fn, var, lst, cond)
                 distinct = self._accept("kw", "distinct") is not None
                 args: list = []
                 if self._at("op", "*"):
@@ -782,6 +813,9 @@ class _Compile:
     # every single-hop relationship column (named or anonymous) with
     # its type restriction, for Cypher's relationship-uniqueness rule
     rel_cols: list = field(default_factory=list)  # (col, frozenset(types))
+    # comprehension/list-predicate variables in scope -> their lambda
+    # Column (checked before kinds in _to_col's var resolution)
+    lambda_vars: dict = field(default_factory=dict)
     anon: int = 0
 
     def fresh(self, prefix: str) -> str:
@@ -1222,6 +1256,26 @@ def _materialize_props(c: _Compile, needed: set) -> None:
         c.cur = c.cur.join(side, on=var, how="left")
 
 
+def _lambda_body(c: _Compile, var: str, body: tuple):
+    """Compile a comprehension/list-predicate body as a higher-order
+    function lambda: ``var`` resolves to the lambda's element Column
+    (shadowing any outer binding of the same name) for the duration of
+    the body compile. JVM-side higher-order functions — no Python in
+    the row path. Subset: the element is a scalar, so property access
+    on it is not supported (a clear undefined-variable error)."""
+    def f(x: Column) -> Column:
+        had, old = var in c.lambda_vars, c.lambda_vars.get(var)
+        c.lambda_vars[var] = x
+        try:
+            return _to_col(c, body)
+        finally:
+            if had:
+                c.lambda_vars[var] = old
+            else:
+                c.lambda_vars.pop(var, None)
+    return f
+
+
 def _to_col(c: _Compile, expr: tuple) -> Column:
     op = expr[0]
     if op == "lit":
@@ -1231,6 +1285,8 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
     if op == "prop":
         return F.col(c.prop_cols[(expr[1], expr[2])])
     if op == "var":
+        if expr[1] in c.lambda_vars:
+            return c.lambda_vars[expr[1]]
         if expr[1] not in c.kinds:
             raise CypherSyntaxError(f"undefined variable {expr[1]!r}")
         if c.kinds[expr[1]] == "pathlen":
@@ -1288,6 +1344,25 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return -_to_col(c, expr[1])
     if op == "listlit":
         return F.array(*[_to_col(c, e) for e in expr[1]])
+    if op == "listcomp":
+        _, var, lst, cond, mape = expr
+        col = _to_col(c, lst)
+        if cond is not None:
+            col = F.filter(col, _lambda_body(c, var, cond))
+        if mape is not None:
+            col = F.transform(col, _lambda_body(c, var, mape))
+        return col
+    if op == "listpred":
+        _, fn, var, lst, cond = expr
+        col = _to_col(c, lst)
+        lam = _lambda_body(c, var, cond)
+        if fn == "any":
+            return F.exists(col, lam)
+        if fn == "all":
+            return F.forall(col, lam)
+        if fn == "none":
+            return ~F.exists(col, lam)
+        return F.size(F.filter(col, lam)) == F.lit(1)  # single
     if op == "case":
         operand, whens, default = expr[1], expr[2], expr[3]
         out = None
@@ -1396,6 +1471,15 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         if len(args) == 3:
             return s.substr(start, rec(args[2]))
         return s.substr(start, F.length(s))
+    if fn == "range":
+        if len(args) not in (2, 3):
+            raise CypherSyntaxError("range() takes 2 or 3 arguments")
+        step = rec(args[2]) if len(args) == 3 else F.lit(1)
+        return F.sequence(
+            rec(args[0]).cast("long"),
+            rec(args[1]).cast("long"),
+            step.cast("long"),
+        )
     if fn == "split":
         need(2)
         if args[1][0] == "lit":

@@ -1206,3 +1206,100 @@ def test_properties_of_relationship(spark):
     )
     got = rows(cypher(g, "MATCH (a:P)-[r:T]->(b:P) RETURN properties(r) AS ps"))
     assert got == [({"w": "5"},)]
+
+
+# ---------------------------------------------------------------------------
+# list comprehensions, list predicates, range()
+# ---------------------------------------------------------------------------
+
+
+def test_range_and_unwind(graph):
+    got = rows(
+        cypher(
+            graph,
+            "UNWIND range(1, 5) AS x RETURN x ORDER BY x",
+        )
+    )
+    assert got == [(1,), (2,), (3,), (4,), (5,)]
+    got = rows(cypher(graph, "UNWIND range(0, 10, 5) AS x RETURN x ORDER BY x"))
+    assert got == [(0,), (5,), (10,)]
+
+
+def test_list_comprehension_filter_and_map(graph):
+    got = rows(
+        cypher(
+            graph,
+            "WITH [1, 2, 3, 4, 5] AS xs "
+            "RETURN [x IN xs WHERE x % 2 = 0 | x * 10] AS evens",
+        )
+    )
+    assert got == [([20, 40],)]
+    # filter-only and map-only forms
+    got = rows(
+        cypher(graph, "WITH range(1, 4) AS xs RETURN [x IN xs WHERE x > 2] AS t")
+    )
+    assert got == [([3, 4],)]
+    got = rows(
+        cypher(graph, "WITH range(1, 3) AS xs RETURN [x IN xs | x + 1] AS t")
+    )
+    assert got == [([2, 3, 4],)]
+
+
+def test_list_predicates(graph):
+    q = (
+        "WITH {lst} AS xs RETURN any(x IN xs WHERE x > 3) AS a, "
+        "all(x IN xs WHERE x > 0) AS b, none(x IN xs WHERE x = 2) AS c, "
+        "single(x IN xs WHERE x = 1) AS d"
+    )
+    got = rows(cypher(graph, q.format(lst="[1, 2, 3]")))
+    assert got == [(False, True, False, True)]
+    got = rows(cypher(graph, q.format(lst="[4, 5]")))
+    assert got == [(True, True, True, False)]
+
+
+def test_list_comprehension_over_collected(graph):
+    # collect nation names per region, then comprehension-filter them
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+            "WITH r.r_name AS region, collect(DISTINCT n.n_name) AS nations "
+            "RETURN region, size([x IN nations WHERE x ENDS WITH '1']) AS n1 "
+            "ORDER BY region",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, COUNT(*) FILTER (WHERE n_name LIKE '%1') FROM nation
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name ORDER BY r_name"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_lambda_var_shadows_outer_binding(graph):
+    # x bound by UNWIND, shadowed inside the comprehension
+    got = rows(
+        cypher(
+            graph,
+            "UNWIND [10, 20] AS x "
+            "RETURN x, [x IN range(1, 2) | x] AS inner ORDER BY x",
+        )
+    )
+    assert got == [(10, [1, 2]), (20, [1, 2])]
+
+
+def test_list_predicate_in_where(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+            "WITH r.r_name AS region, collect(DISTINCT n.n_name) AS nations "
+            "WHERE any(x IN nations WHERE x = 'NATION_3') "
+            "RETURN region",
+        )
+    )
+    want = oracle(
+        """SELECT r_name FROM nation JOIN region
+           ON n_regionkey = r_regionkey WHERE n_name = 'NATION_3'"""
+    )
+    assert got == [tuple(w) for w in want]
