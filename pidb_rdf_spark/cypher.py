@@ -54,10 +54,12 @@ issue):
   reads still work on it).
 - ``UNWIND list AS x`` over list literals and collected lists.
 - List expressions: ``range(a, b[, step])``, comprehensions
-  ``[x IN list WHERE p | e]``, and predicates
-  ``any/all/none/single(x IN list WHERE p)`` — compiled to JVM-side
-  higher-order functions (filter/transform/exists/forall). Element
-  variables are scalars; property access on them is unsupported.
+  ``[x IN list WHERE p | e]``, predicates
+  ``any/all/none/single(x IN list WHERE p)``, and
+  ``reduce(acc = init, x IN list | e)`` — compiled to JVM-side
+  higher-order functions (filter/transform/exists/forall/aggregate).
+  Element variables are scalars; property access on them is
+  unsupported.
 
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
@@ -729,6 +731,19 @@ class _Parser:
                     cond = self._expr()
                     self._expect("op", ")")
                     return ("listpred", fn, var, lst, cond)
+                if fn == "reduce":
+                    # reduce(acc = init, x IN list | body)
+                    acc = self._expect("name").text
+                    self._expect("op", "=")
+                    init = self._expr()
+                    self._expect("op", ",")
+                    var = self._expect("name").text
+                    self._expect("kw", "in")
+                    lst = self._expr()
+                    self._expect("op", "|")
+                    body = self._expr()
+                    self._expect("op", ")")
+                    return ("reduce", acc, init, var, lst, body)
                 distinct = self._accept("kw", "distinct") is not None
                 args: list = []
                 if self._at("op", "*"):
@@ -1363,6 +1378,32 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         if fn == "none":
             return ~F.exists(col, lam)
         return F.size(F.filter(col, lam)) == F.lit(1)  # single
+    if op == "reduce":
+        _, acc, init, var, lst, body = expr
+
+        def merge(a: Column, x: Column) -> Column:
+            saved = {}
+            for name, colv in ((acc, a), (var, x)):
+                saved[name] = (name in c.lambda_vars, c.lambda_vars.get(name))
+                c.lambda_vars[name] = colv
+            try:
+                return _to_col(c, body)
+            finally:
+                for name, (had, old) in saved.items():
+                    if had:
+                        c.lambda_vars[name] = old
+                    else:
+                        c.lambda_vars.pop(name, None)
+
+        # F.aggregate needs init and merge-result types to agree —
+        # Cypher integers are 64-bit, so an integer init widens to
+        # long up front (otherwise INT init vs BIGINT merge mismatches)
+        initc = _to_col(c, init)
+        if init[0] in ("lit", "param"):
+            v = init[1] if init[0] == "lit" else _pat_value(init, c.params)
+            if isinstance(v, int) and not isinstance(v, bool):
+                initc = initc.cast("long")
+        return F.aggregate(_to_col(c, lst), initc, merge)
     if op == "case":
         operand, whens, default = expr[1], expr[2], expr[3]
         out = None

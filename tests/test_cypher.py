@@ -1303,3 +1303,27 @@ def test_list_predicate_in_where(graph):
            ON n_regionkey = r_regionkey WHERE n_name = 'NATION_3'"""
     )
     assert got == [tuple(w) for w in want]
+
+
+def test_reduce(graph):
+    got = rows(
+        cypher(
+            graph,
+            "WITH [1, 2, 3, 4] AS xs "
+            "RETURN reduce(acc = 0, x IN xs | acc + x) AS total, "
+            "reduce(acc = 1, x IN [2, 3, 4] | acc * x) AS prod",
+        )
+    )
+    assert got == [(10, 24)]
+    # over collected real data: total customers across nations = count
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "WITH n.n_name AS nation, count(*) AS custs "
+            "WITH collect(custs) AS per_nation "
+            "RETURN reduce(acc = 0, x IN per_nation | acc + x) AS total",
+        )
+    )
+    want = oracle("SELECT COUNT(*) FROM customer")
+    assert got == [tuple(w) for w in want]
