@@ -44,7 +44,9 @@ issue):
   (+ ``count(DISTINCT x)`` and ``collect(DISTINCT x)``, the latter
   sorted), with ``AS`` aliases and implicit grouping. Scalar
   functions include ``properties(v)`` / ``keys(v)`` (typed hot
-  columns merged into the schemaless map, stringified).
+  columns merged into the schemaless map, stringified) and
+  ``startNode(r)`` / ``endNode(r)`` (endpoint ids, aligned with
+  ``id(n)``).
 - ``ORDER BY expr [ASC|DESC], ...``, ``SKIP n``, ``LIMIT n``.
 - ``WITH`` pipeline stages (same item grammar as RETURN, aliases
   required for non-variable items, implicit grouping, ORDER/SKIP/
@@ -1197,6 +1199,11 @@ def _collect_props(expr, acc: set) -> None:
             if a[0] == "var":
                 acc.add((a[1], "__props__"))
                 return
+        if expr[0] == "call" and expr[1] in ("startnode", "endnode") and expr[2]:
+            a = expr[2][0]
+            if a[0] == "var":
+                acc.add((a[1], "__src__" if expr[1] == "startnode" else "__dst__"))
+                return
         parts = expr[1:]
     else:  # bare tuple grouping (e.g. a CASE (when, then) pair)
         parts = expr
@@ -1234,6 +1241,14 @@ def _materialize_props(c: _Compile, needed: set) -> None:
                 if kind != "rel":
                     raise CypherSyntaxError(f"type() needs a relationship, got {var!r}")
                 cols.append(F.col("predicate").alias(cname))
+            elif p in ("__src__", "__dst__"):
+                if kind != "rel":
+                    raise CypherSyntaxError(
+                        f"startNode()/endNode() need a relationship, got {var!r}"
+                    )
+                cols.append(
+                    F.col("src" if p == "__src__" else "dst").alias(cname)
+                )
             elif p == "__props__":
                 # the full property map: schemaless props merged with
                 # the typed hot columns (stringified — the map is
@@ -1472,6 +1487,15 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         if a[0] != "var":
             raise CypherSyntaxError(f"{fn}() takes a bound variable")
         pseudo = "__labels__" if fn == "labels" else "__type__"
+        return F.col(c.prop_cols[(a[1], pseudo)])
+    if fn in ("startnode", "endnode"):
+        need(1)
+        a = args[0]
+        if a[0] != "var":
+            raise CypherSyntaxError(f"{fn}() takes a relationship variable")
+        pseudo = "__src__" if fn == "startnode" else "__dst__"
+        # a node "is" its id in this compiler, so startNode(r) aligns
+        # with id(n) of the corresponding endpoint variable
         return F.col(c.prop_cols[(a[1], pseudo)])
     if fn in ("properties", "keys"):
         need(1)

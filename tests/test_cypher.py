@@ -1327,3 +1327,25 @@ def test_reduce(graph):
     )
     want = oracle("SELECT COUNT(*) FROM customer")
     assert got == [tuple(w) for w in want]
+
+
+def test_startnode_endnode(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+            "WHERE startNode(r) = id(c) AND endNode(r) = id(n) "
+            "RETURN count(*) AS ok",
+        )
+    )
+    want = oracle("SELECT COUNT(*) FROM customer")
+    assert got == [tuple(w) for w in want]
+    # endpoints of a reversed arrow still follow the stored edge
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation)<-[r:IN_NATION]-(c:Customer) "
+            "WHERE startNode(r) = id(c) RETURN count(*) AS ok",
+        )
+    )
+    assert got == [tuple(w) for w in want]
