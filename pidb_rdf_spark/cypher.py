@@ -63,6 +63,11 @@ issue):
   Element variables are scalars; property access on them is
   unsupported.
 
+- ``CALL db.labels() / db.relationshipTypes() / db.propertyKeys()``
+  schema-inventory procedures (standalone, optional ``YIELD col
+  [AS alias]``) — each one distributed distinct, sorted, nothing
+  collected.
+
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
 
@@ -116,7 +121,7 @@ _KEYWORDS = {
     "skip", "limit", "and", "or", "not", "is", "null", "in", "starts",
     "ends", "with", "contains", "true", "false", "as", "optional",
     "unwind", "create", "merge", "set", "delete", "detach", "remove",
-    "on", "case", "when", "then", "else", "end",
+    "on", "case", "when", "then", "else", "end", "call", "yield",
 }
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
@@ -328,6 +333,31 @@ class _Parser:
                 if proj.is_return:
                     saw_return = True
                     break
+            elif t.text == "call":
+                if clauses:
+                    raise CypherSyntaxError(
+                        "CALL must be the only clause in this subset "
+                        f"(position {t.pos})"
+                    )
+                self._next()
+                name = self._expect("name").text
+                while self._accept("op", "."):
+                    name += "." + self._expect_name_like().text
+                self._expect("op", "(")
+                self._expect("op", ")")
+                yields = []
+                if self._accept("kw", "yield"):
+                    while True:
+                        col = self._expect_name_like().text
+                        alias = None
+                        if self._accept("kw", "as"):
+                            alias = self._expect_name_like().text
+                        yields.append((col, alias))
+                        if not self._accept("op", ","):
+                            break
+                clauses.append(("callproc", name, yields))
+                saw_return = True
+                break
             elif t.text == "create":
                 self._next()
                 pats = [self._pattern()]
@@ -390,10 +420,12 @@ class _Parser:
         if self.i != len(self.toks):
             t = self.toks[self.i]
             raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
-        if clauses[0][0] not in ("match", "unwind", "create", "merge", "project"):
+        if clauses[0][0] not in (
+            "match", "unwind", "create", "merge", "project", "callproc"
+        ):
             raise CypherSyntaxError(
                 "query must start with MATCH, UNWIND, CREATE, MERGE, "
-                "WITH or RETURN"
+                "WITH, RETURN or CALL"
             )
         return CypherQuery(clauses)
 
@@ -1930,12 +1962,82 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
             c.cur = c.cur.filter(_to_col(c, residual))
 
 
+_PROCEDURES = {
+    # Neo4j's schema-inventory procedures over the reference's admin
+    # surface (label / relationship-type / property-key inventories,
+    # ``mapping.py`` S14): each is one distributed distinct, nothing
+    # collected to the driver. Sorted for deterministic answers
+    # (Neo4j leaves the order unspecified).
+    "db.labels": ("label",),
+    "db.relationshiptypes": ("relationshipType",),
+    "db.propertykeys": ("propertyKey",),
+}
+
+
+def _call_procedure(g: PropertyGraph, name: str, yields: list) -> DataFrame:
+    key = name.lower()
+    if key not in _PROCEDURES:
+        raise CypherSyntaxError(
+            f"unknown procedure {name!r} (supported: "
+            + ", ".join(sorted(_PROCEDURES)) + ")"
+        )
+    if key == "db.labels":
+        df = (
+            g.nodes.select(F.explode("labels").alias("label"))
+            .dropDuplicates()
+            .orderBy("label")
+        )
+    elif key == "db.relationshiptypes":
+        df = (
+            g.edges.select(F.col("predicate").alias("relationshipType"))
+            .dropDuplicates()
+            .orderBy("relationshipType")
+        )
+    else:  # db.propertyKeys: hot typed columns + node/edge map keys
+        hot = [
+            col
+            for col in g.nodes.columns
+            if col not in NODE_CORE and col not in SIDECAR_COLS
+        ]
+        parts = [
+            g.nodes.select(
+                F.explode(F.map_keys("props")).alias("propertyKey")
+            ),
+            g.edges.select(
+                F.explode(F.map_keys("props")).alias("propertyKey")
+            ),
+        ]
+        if hot:
+            parts.append(
+                g.spark.createDataFrame(
+                    [(h,) for h in hot], "propertyKey string"
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df = df.dropDuplicates().orderBy("propertyKey")
+    (default,) = _PROCEDURES[key]
+    if yields:
+        sel = []
+        for col, alias in yields:
+            if col != default:
+                raise CypherSyntaxError(
+                    f"procedure {name} yields {default!r}, not {col!r}"
+                )
+            sel.append(F.col(default).alias(alias or col))
+        df = df.select(*sel)
+    return df
+
+
 def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
     """Compile one read clause against the state; returns the result
     frame for a RETURN projection, else None. Shared by the read
     (:func:`cypher`) and write (``cypher_write``) drivers so the two
     dispatch paths cannot drift."""
     kind = cl[0]
+    if kind == "callproc":
+        return _call_procedure(c.graph, cl[1], cl[2])
     if kind == "match":
         _compile_match(c, cl[1], cl[2])
     elif kind == "optmatch":

@@ -1349,3 +1349,34 @@ def test_startnode_endnode(graph):
         )
     )
     assert got == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# CALL procedures
+# ---------------------------------------------------------------------------
+
+
+def test_call_db_labels_and_types(graph):
+    got = rows(cypher(graph, "CALL db.labels()"))
+    labels = [g[0] for g in got]
+    for expected in ("Customer", "Supplier", "Nation", "Region", "Orders", "Part"):
+        assert expected in labels
+    assert labels == sorted(labels) and len(labels) == len(set(labels))
+    got = rows(cypher(graph, "CALL db.relationshipTypes()"))
+    names = [g[0] for g in got]
+    assert "IN_NATION" in names and "PLACED_BY" in names
+    assert names == sorted(names)
+
+
+def test_call_yield_alias_and_errors(graph):
+    got = rows(cypher(graph, "CALL db.labels() YIELD label AS l"))
+    assert got and all(len(g) == 1 for g in got)
+    keys = rows(cypher(graph, "CALL db.propertyKeys()"))
+    flat = [k[0] for k in keys]
+    assert "c_name" in flat and "n_name" in flat and flat == sorted(flat)
+    with pytest.raises(CypherSyntaxError, match="unknown procedure"):
+        cypher(graph, "CALL db.nothing()")
+    with pytest.raises(CypherSyntaxError, match="yields"):
+        cypher(graph, "CALL db.labels() YIELD foo")
+    with pytest.raises(CypherSyntaxError, match="only clause"):
+        cypher(graph, "MATCH (n) CALL db.labels()")
