@@ -1568,6 +1568,12 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         if len(args) == 3:
             return s.substr(start, rec(args[2]))
         return s.substr(start, F.length(s))
+    if fn == "date":
+        need(1)
+        return rec(args[0]).cast("date")
+    if fn in ("datetime", "localdatetime"):
+        need(1)
+        return rec(args[0]).cast("timestamp")
     if fn == "range":
         if len(args) not in (2, 3):
             raise CypherSyntaxError("range() takes 2 or 3 arguments")

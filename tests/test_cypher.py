@@ -1380,3 +1380,33 @@ def test_call_yield_alias_and_errors(graph):
         cypher(graph, "CALL db.labels() YIELD foo")
     with pytest.raises(CypherSyntaxError, match="only clause"):
         cypher(graph, "MATCH (n) CALL db.labels()")
+
+
+def test_date_filters(graph):
+    # explicit date() cast and implicit string comparison both work
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (o:Orders) WHERE o.o_orderdate >= date('1997-01-01') "
+            "RETURN count(*) AS n",
+        )
+    )
+    want = oracle(
+        "SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '1997-01-01'"
+    )
+    assert got == [tuple(w) for w in want]
+    # o_orderdate lives in the schemaless props map (string-typed);
+    # date() casts it for typed comparison, and min/max over the
+    # ISO format agree with the timestamp oracle
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (o:Orders) "
+            "RETURN max(date(o.o_orderdate)) AS latest, "
+            "min(date(o.o_orderdate)) AS first",
+        )
+    )
+    want = oracle("SELECT MAX(o_orderdate), MIN(o_orderdate) FROM orders")
+    assert [(str(a), str(b)) for a, b in got] == [
+        (str(w[0].date()), str(w[1].date())) for w in want
+    ]
