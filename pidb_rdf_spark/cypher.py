@@ -67,6 +67,9 @@ issue):
   schema-inventory procedures (standalone, optional ``YIELD col
   [AS alias]``) — each one distributed distinct, sorted, nothing
   collected.
+- ``UNION [ALL]`` between read queries: parts must return the same
+  column names; plain UNION dedups (set semantics), ALL keeps bags;
+  mixing the two in one statement is rejected, as in Neo4j.
 
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
@@ -122,6 +125,7 @@ _KEYWORDS = {
     "ends", "with", "contains", "true", "false", "as", "optional",
     "unwind", "create", "merge", "set", "delete", "detach", "remove",
     "on", "case", "when", "then", "else", "end", "call", "yield",
+    "union",
 }
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
@@ -286,6 +290,41 @@ class _Parser:
     # -- grammar --------------------------------------------------------
 
     def parse(self) -> CypherQuery:
+        q = self._parse_single()
+        if self.i != len(self.toks):
+            t = self.toks[self.i]
+            raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
+        return q
+
+    def parse_multi(self) -> tuple[list[CypherQuery], bool]:
+        """``query UNION [ALL] query ...`` — returns the part queries
+        and whether ALL was used (Neo4j rejects mixing UNION with
+        UNION ALL in one statement; so does this parser)."""
+        qs = [self._parse_single()]
+        alls: list[bool] = []
+        while self._at("kw", "union"):
+            t = self._next()
+            # ALL is a name token (it doubles as the list predicate)
+            nxt = self._peek()
+            is_all = (
+                nxt is not None and nxt.kind == "name"
+                and nxt.text.lower() == "all"
+            )
+            if is_all:
+                self._next()
+            alls.append(is_all)
+            if len(set(alls)) > 1:
+                raise CypherSyntaxError(
+                    "invalid combination of UNION and UNION ALL "
+                    f"(position {t.pos})"
+                )
+            qs.append(self._parse_single())
+        if self.i != len(self.toks):
+            t = self.toks[self.i]
+            raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
+        return qs, bool(alls and alls[0])
+
+    def _parse_single(self) -> CypherQuery:
         clauses: list = []
         saw_return = False
         wrote = False
@@ -417,9 +456,6 @@ class _Parser:
                 )
         if not saw_return and not wrote:
             raise CypherSyntaxError("query must end with a RETURN clause")
-        if self.i != len(self.toks):
-            t = self.toks[self.i]
-            raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
         if clauses[0][0] not in (
             "match", "unwind", "create", "merge", "project", "callproc"
         ):
@@ -2088,17 +2124,34 @@ def cypher(
     ``params`` supplies ``$name`` query parameters — the reason the
     reference's F8 string-splicing escape hatch is unnecessary here:
     values enter the plan as typed literals, never via text."""
-    q = _Parser(text).parse()
-    if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
-        raise CypherSyntaxError(
-            "write clauses (CREATE/MERGE/SET/REMOVE/DELETE) mutate the "
-            "graph — execute them with cypher_write(), which returns "
-            "the new PropertyGraph"
-        )
-    c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
-    out = None
-    for cl in q.clauses:
-        res = apply_read_clause(c, cl)
-        if res is not None:
-            out = res
-    return out
+    qs, union_all = _Parser(text).parse_multi()
+    frames = []
+    for q in qs:
+        if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
+            raise CypherSyntaxError(
+                "write clauses (CREATE/MERGE/SET/REMOVE/DELETE) mutate the "
+                "graph — execute them with cypher_write(), which returns "
+                "the new PropertyGraph"
+            )
+        c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
+        out = None
+        for cl in q.clauses:
+            res = apply_read_clause(c, cl)
+            if res is not None:
+                out = res
+        frames.append(out)
+    if len(frames) == 1:
+        return frames[0]
+    # UNION: all parts must return the same column names (Neo4j rule);
+    # plain UNION has set semantics, UNION ALL bag semantics
+    names = frames[0].columns
+    for f in frames[1:]:
+        if f.columns != names:
+            raise CypherSyntaxError(
+                "all UNION parts must return the same column names "
+                f"({names} vs {f.columns})"
+            )
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    return res if union_all else res.dropDuplicates()

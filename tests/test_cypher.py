@@ -1410,3 +1410,72 @@ def test_date_filters(graph):
     assert [(str(a), str(b)) for a, b in got] == [
         (str(w[0].date()), str(w[1].date())) for w in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# UNION / UNION ALL
+# ---------------------------------------------------------------------------
+
+
+def test_union_dedups_and_union_all_keeps(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN n.n_name AS name "
+            "UNION "
+            "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) RETURN n.n_name AS name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+           UNION
+           SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey"""
+    )
+    assert sorted(g[0] for g in got) == sorted(w[0] for w in want)
+    got_all = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN n.n_name AS name "
+            "UNION ALL MATCH (n:Nation) RETURN n.n_name AS name",
+        )
+    )
+    want_all = oracle(
+        "SELECT n_name FROM nation UNION ALL SELECT n_name FROM nation"
+    )
+    assert sorted(g[0] for g in got_all) == sorted(w[0] for w in want_all)
+
+
+def test_union_with_aggregates_and_order_in_parts(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) RETURN 'customers' AS kind, count(*) AS n "
+            "UNION ALL "
+            "MATCH (s:Supplier) RETURN 'suppliers' AS kind, count(*) AS n",
+        )
+    )
+    want = oracle(
+        """SELECT 'customers' AS kind, COUNT(*) FROM customer
+           UNION ALL SELECT 'suppliers', COUNT(*) FROM supplier"""
+    )
+    assert sorted(got) == sorted(tuple(w) for w in want)
+
+
+def test_union_errors(graph):
+    with pytest.raises(CypherSyntaxError, match="same column names"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN n.n_name AS a "
+            "UNION MATCH (n:Nation) RETURN n.n_name AS b",
+        )
+    with pytest.raises(CypherSyntaxError, match="combination"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN n.n_name AS a "
+            "UNION MATCH (n:Nation) RETURN n.n_name AS a "
+            "UNION ALL MATCH (n:Nation) RETURN n.n_name AS a",
+        )
+    from pidb_rdf_spark.cypher_write import cypher_write
+    with pytest.raises(CypherSyntaxError):
+        # UNION is a read-surface construct; the write parser stops at it
+        cypher_write(graph, "CREATE (n:X) UNION CREATE (m:Y)")
