@@ -469,6 +469,20 @@ class _Parser:
         var = self._expect("name").text
         if self._accept("op", ":"):
             return ("label", var, self._expect_name_like().text)
+        if with_value and self._at("op", "+"):
+            # SET n += {k: v, ...}: additive property-map merge
+            self._next()
+            self._expect("op", "=")
+            self._expect("op", "{")
+            props: dict = {}
+            while True:
+                key = self._expect_name_like().text
+                self._expect("op", ":")
+                props[key] = self._literal()
+                if not self._accept("op", ","):
+                    break
+            self._expect("op", "}")
+            return ("propmap", var, props)
         self._expect("op", ".")
         key = self._expect_name_like().text
         if not with_value:

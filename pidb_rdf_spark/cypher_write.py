@@ -126,6 +126,13 @@ def _apply_merge_sets(
                     f"labels apply to nodes, not {kind} {var!r}"
                 )
             g = M.add_label(g, where, item[2])
+        elif item[0] == "propmap":
+            setter = (
+                M.set_vertex_property if kind == "node"
+                else M.set_edge_property
+            )
+            for key, e in item[2].items():
+                g = setter(g, where, key, _fold_literal(e, c.params))
         else:
             value = _fold_literal(item[3], c.params)
             if kind == "node":
@@ -320,6 +327,18 @@ def _apply_set(
                 if remove
                 else M.add_label(g, ids, item[2])
             )
+        elif item[0] == "propmap":
+            # SET v += {..}: additive merge, one set per key
+            if kind not in ("node", "rel"):
+                raise CypherSyntaxError(
+                    f"SET target {var!r} is not a node or relationship"
+                )
+            setter = (
+                M.set_vertex_property if kind == "node"
+                else M.set_edge_property
+            )
+            for key, e in item[2].items():
+                g = setter(g, ids, key, _fold_literal(e, c.params))
         else:
             key = item[2]
             if kind == "node":

@@ -424,3 +424,32 @@ def test_merge_on_create_zero_matched_rows_is_noop(wg):
         "MERGE (n:Person {name: 'Ghost'}) ON CREATE SET n.created = 1",
     )
     assert g2.nodes.filter(F.col("props").getItem("name") == "Ghost").count() == 0
+
+
+def test_set_plus_equals_map(wg):
+    g2 = cypher_write(
+        wg,
+        "MATCH (n:Person {name: 'Alice'}) SET n += {age: 31, city: 'Oslo'}",
+    )
+    p = _props_of(g2, "Alice")
+    # merged keys updated/added, untouched keys survive
+    assert p["age"] == "31" and p["city"] == "Oslo" and p["name"] == "Alice"
+    # Bob untouched
+    assert "city" not in _props_of(g2, "Bob")
+    # on a relationship
+    g3 = cypher_write(
+        g2,
+        "MATCH (:Person {name: 'Alice'})-[r:KNOWS]->(:Person) "
+        "SET r += {since: 2024, via: 'work'}",
+    )
+    e = g3.edges.filter(F.col("predicate") == "KNOWS").collect()[0]
+    assert e["props"]["since"] == "2024" and e["props"]["via"] == "work"
+
+
+def test_merge_on_create_set_plus_equals(wg):
+    g2 = cypher_write(
+        wg,
+        "MERGE (n:Person {name: 'Eve'}) ON CREATE SET n += {age: 1, x: 'y'}",
+    )
+    p = _props_of(g2, "Eve")
+    assert p["age"] == "1" and p["x"] == "y"
