@@ -70,6 +70,10 @@ issue):
 - ``UNION [ALL]`` between read queries: parts must return the same
   column names; plain UNION dedups (set semantics), ALL keeps bags;
   mixing the two in one statement is rejected, as in Neo4j.
+- ``CALL { query [UNION [ALL] query ...] }`` as the leading clause
+  (uncorrelated subquery): later clauses post-process its output
+  rows — the post-UNION-aggregation shape. Output columns arrive as
+  piped values; a returned node variable flattens to its id.
 
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
@@ -300,6 +304,13 @@ class _Parser:
         """``query UNION [ALL] query ...`` — returns the part queries
         and whether ALL was used (Neo4j rejects mixing UNION with
         UNION ALL in one statement; so does this parser)."""
+        qs, union_all = self._parse_union_chain()
+        if self.i != len(self.toks):
+            t = self.toks[self.i]
+            raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
+        return qs, union_all
+
+    def _parse_union_chain(self) -> tuple[list[CypherQuery], bool]:
         qs = [self._parse_single()]
         alls: list[bool] = []
         while self._at("kw", "union"):
@@ -319,9 +330,6 @@ class _Parser:
                     f"(position {t.pos})"
                 )
             qs.append(self._parse_single())
-        if self.i != len(self.toks):
-            t = self.toks[self.i]
-            raise CypherSyntaxError(f"unexpected {t.text!r} at position {t.pos}")
         return qs, bool(alls and alls[0])
 
     def _parse_single(self) -> CypherQuery:
@@ -375,10 +383,18 @@ class _Parser:
             elif t.text == "call":
                 if clauses:
                     raise CypherSyntaxError(
-                        "CALL must be the only clause in this subset "
+                        "CALL must be the first clause in this subset "
                         f"(position {t.pos})"
                     )
                 self._next()
+                if self._accept("op", "{"):
+                    # CALL { query [UNION [ALL] query ...] }: an
+                    # uncorrelated leading subquery — later clauses
+                    # post-process its output rows
+                    sub_qs, sub_all = self._parse_union_chain()
+                    self._expect("op", "}")
+                    clauses.append(("callsub", sub_qs, sub_all))
+                    continue
                 name = self._expect("name").text
                 while self._accept("op", "."):
                     name += "." + self._expect_name_like().text
@@ -457,7 +473,8 @@ class _Parser:
         if not saw_return and not wrote:
             raise CypherSyntaxError("query must end with a RETURN clause")
         if clauses[0][0] not in (
-            "match", "unwind", "create", "merge", "project", "callproc"
+            "match", "unwind", "create", "merge", "project", "callproc",
+            "callsub",
         ):
             raise CypherSyntaxError(
                 "query must start with MATCH, UNWIND, CREATE, MERGE, "
@@ -2094,6 +2111,19 @@ def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
     kind = cl[0]
     if kind == "callproc":
         return _call_procedure(c.graph, cl[1], cl[2])
+    if kind == "callsub":
+        # leading uncorrelated subquery: compile each UNION part with
+        # a fresh state, union, and expose the output columns as
+        # piped values (a returned node variable flattens to its id —
+        # re-MATCH on it to hop, as with any piped value)
+        frames = [
+            _compile_query(c.graph, q, c.allow_cartesian, c.params)
+            for q in cl[1]
+        ]
+        c.cur = _union_frames(frames, cl[2])
+        for col in c.cur.columns:
+            c.kinds[col] = "value"
+        return None
     if kind == "match":
         _compile_match(c, cl[1], cl[2])
     elif kind == "optmatch":
@@ -2139,25 +2169,35 @@ def cypher(
     reference's F8 string-splicing escape hatch is unnecessary here:
     values enter the plan as typed literals, never via text."""
     qs, union_all = _Parser(text).parse_multi()
-    frames = []
-    for q in qs:
-        if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
-            raise CypherSyntaxError(
-                "write clauses (CREATE/MERGE/SET/REMOVE/DELETE) mutate the "
-                "graph — execute them with cypher_write(), which returns "
-                "the new PropertyGraph"
-            )
-        c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
-        out = None
-        for cl in q.clauses:
-            res = apply_read_clause(c, cl)
-            if res is not None:
-                out = res
-        frames.append(out)
+    frames = [
+        _compile_query(graph, q, allow_cartesian, params) for q in qs
+    ]
+    return _union_frames(frames, union_all)
+
+
+def _compile_query(
+    graph: PropertyGraph, q: CypherQuery, allow_cartesian: bool, params
+) -> DataFrame:
+    if any(cl[0] in _WRITE_KINDS for cl in q.clauses):
+        raise CypherSyntaxError(
+            "write clauses (CREATE/MERGE/SET/REMOVE/DELETE) mutate the "
+            "graph — execute them with cypher_write(), which returns "
+            "the new PropertyGraph"
+        )
+    c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
+    out = None
+    for cl in q.clauses:
+        res = apply_read_clause(c, cl)
+        if res is not None:
+            out = res
+    return out
+
+
+def _union_frames(frames: list, union_all: bool) -> DataFrame:
+    """UNION semantics: all parts must return the same column names
+    (Neo4j rule); plain UNION dedups (set semantics), ALL keeps bags."""
     if len(frames) == 1:
         return frames[0]
-    # UNION: all parts must return the same column names (Neo4j rule);
-    # plain UNION has set semantics, UNION ALL bag semantics
     names = frames[0].columns
     for f in frames[1:]:
         if f.columns != names:

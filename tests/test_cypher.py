@@ -1378,7 +1378,7 @@ def test_call_yield_alias_and_errors(graph):
         cypher(graph, "CALL db.nothing()")
     with pytest.raises(CypherSyntaxError, match="yields"):
         cypher(graph, "CALL db.labels() YIELD foo")
-    with pytest.raises(CypherSyntaxError, match="only clause"):
+    with pytest.raises(CypherSyntaxError, match="first clause"):
         cypher(graph, "MATCH (n) CALL db.labels()")
 
 
@@ -1479,3 +1479,53 @@ def test_union_errors(graph):
     with pytest.raises(CypherSyntaxError):
         # UNION is a read-surface construct; the write parser stops at it
         cypher_write(graph, "CREATE (n:X) UNION CREATE (m:Y)")
+
+
+def test_call_subquery_post_union_aggregation(graph):
+    got = rows(
+        cypher(
+            graph,
+            "CALL { "
+            "  MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "  RETURN n.n_name AS nation, count(*) AS members "
+            "  UNION ALL "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) "
+            "  RETURN n.n_name AS nation, count(*) AS members "
+            "} "
+            "RETURN nation, sum(members) AS total ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT nation, SUM(members) FROM (
+             SELECT n_name AS nation, COUNT(*) AS members FROM customer
+               JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+             UNION ALL
+             SELECT n_name, COUNT(*) FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+           ) GROUP BY nation ORDER BY nation"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_call_subquery_then_where_and_limit(graph):
+    got = rows(
+        cypher(
+            graph,
+            "CALL { MATCH (n:Nation) RETURN n.n_name AS name } "
+            "WITH name WHERE name ENDS WITH '1' "
+            "RETURN name ORDER BY name LIMIT 2",
+        )
+    )
+    want = oracle(
+        """SELECT n_name FROM nation WHERE n_name LIKE '%1'
+           ORDER BY n_name LIMIT 2"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_call_subquery_must_lead(graph):
+    with pytest.raises(CypherSyntaxError, match="first clause"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) CALL { MATCH (m) RETURN m } RETURN n",
+        )
