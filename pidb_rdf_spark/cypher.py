@@ -132,7 +132,10 @@ _KEYWORDS = {
     "union",
 }
 
-_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
+_AGG_FUNCS = {
+    "count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc",
+}
 
 _WRITE_KINDS = {"create", "merge", "setitems", "removeitems", "delete"}
 
@@ -1699,6 +1702,26 @@ def _agg_col(c: _Compile, expr: tuple) -> Column:
         if fn not in _AGG_FUNCS:
             # scalar over aggregate(s): round(avg(x)) etc.
             return _scalar_call(c, fn, args, lambda e: _agg_col(c, e))
+        if fn in ("percentilecont", "percentiledisc"):
+            if len(args) != 2 or args[1][0] != "lit":
+                raise CypherSyntaxError(
+                    f"{fn}() takes a value and a literal percentile"
+                )
+            if distinct:
+                raise CypherSyntaxError(f"DISTINCT inside {fn}() is not supported")
+            col = _to_col(c, args[0])
+            p = float(args[1][1])
+            if fn == "percentilecont":
+                return F.percentile(col, F.lit(p))
+            # percentileDisc: the smallest value whose cumulative
+            # frequency reaches p — exact, via a sorted per-group
+            # array (memory bounded by the group size, the same
+            # contract as collect())
+            arr = F.array_sort(F.collect_list(col))
+            idx = F.greatest(
+                F.ceil(F.lit(p) * F.size(arr)).cast("int"), F.lit(1)
+            )
+            return F.element_at(arr, idx)
         if len(args) != 1:
             raise CypherSyntaxError(f"{fn}() takes exactly one argument")
         arg = args[0]
@@ -1718,6 +1741,7 @@ def _agg_col(c: _Compile, expr: tuple) -> Column:
         return {
             "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
             "collect": F.collect_list,
+            "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
         }[fn](inner)
     if op == "arith":
         return {

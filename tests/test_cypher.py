@@ -1529,3 +1529,41 @@ def test_call_subquery_must_lead(graph):
             graph,
             "MATCH (n:Nation) CALL { MATCH (m) RETURN m } RETURN n",
         )
+
+
+def test_statistical_aggregates(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer) "
+            "RETURN stDev(c.c_acctbal) AS sd, stDevP(c.c_acctbal) AS sdp, "
+            "percentileCont(c.c_acctbal, 0.5) AS med, "
+            "percentileDisc(c.c_acctbal, 0.5) AS medd",
+        )
+    )
+    want = oracle(
+        """SELECT STDDEV_SAMP(c_acctbal), STDDEV_POP(c_acctbal),
+                  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY c_acctbal),
+                  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c_acctbal)
+           FROM customer"""
+    )
+    g0, w0 = got[0], want[0]
+    for i in range(4):
+        assert g0[i] == pytest.approx(w0[i]), (i, g0[i], w0[i])
+    # grouped percentileDisc picks an actual member value
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "RETURN n.n_name AS nation, percentileDisc(c.c_acctbal, 0.5) AS m "
+            "ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c_acctbal)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name"""
+    )
+    assert [(g[0],) for g in got] == [(w[0],) for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1])
