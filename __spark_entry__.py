@@ -160,7 +160,9 @@ _DEFER_TO_TAIL = [
     # MATCH pattern), MERGE ON CREATE/ON MATCH SET (write path),
     # =~ regex / properties() / keys() / collect(DISTINCT), and the
     # list library (comprehensions, any/all/none/single, reduce,
-    # range) — all currently proven by DuckDB-oracle pytest tests in
+    # range), UNION [ALL] / leading CALL {subquery}, CALL db.* schema
+    # procedures, SET += maps, date() casts, and statistical
+    # aggregates (stDev/percentileCont/...) — all currently proven by DuckDB-oracle pytest tests in
     # tests/test_cypher.py and tests/test_cypher_write.py.
     # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
     # window (contract rule 3); the r7-proven window rotates out.
