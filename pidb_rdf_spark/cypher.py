@@ -211,6 +211,21 @@ class ShortestPat:
 
 
 @dataclass
+class NamedPath:
+    """``p = (a)-[r:T]->(b)-...`` — a plain (fixed-length) pattern
+    bound to a path variable. Nodes "are" their ids and relationships
+    their edge ids in this compiler, so the path is observable through
+    ``nodes(p)`` (id array, in pattern order), ``relationships(p)``
+    (edge-id array) and ``length(p)`` (the relationship count —
+    a constant per pattern). Variable-length segments are rejected
+    (their expansion keeps (src, dst) pairs, not per-path element
+    lists; ``shortestPath`` covers the bounded-search use)."""
+
+    path_var: str
+    pattern: Pattern
+
+
+@dataclass
 class ReturnItem:
     expr: tuple
     alias: str | None
@@ -519,12 +534,29 @@ class _Parser:
             where = self._expr()
         return patterns, where
 
-    def _maybe_shortest(self) -> "ShortestPat | None":
+    def _maybe_shortest(self) -> "ShortestPat | NamedPath | None":
         t, t1, t2 = self._peek(), self._peek(1), self._peek(2)
         if not (
             t is not None and t.kind == "name"
             and t1 is not None and t1.kind == "op" and t1.text == "="
-            and t2 is not None and t2.kind == "name"
+            and t2 is not None
+        ):
+            return None
+        if t2.kind == "op" and t2.text == "(":
+            # p = (a)-[r]->(b): a named fixed-length path
+            pvar = self._next().text
+            self._next()  # =
+            pat = self._pattern()
+            for rel in pat.rels:
+                if (rel.min_len, rel.max_len) != (1, 1):
+                    raise CypherSyntaxError(
+                        "a named path cannot contain a variable-length "
+                        "relationship in this subset (use shortestPath, "
+                        f"or drop the path binding) (position {t.pos})"
+                    )
+            return NamedPath(pvar, pat)
+        if not (
+            t2.kind == "name"
             and t2.text.lower() in ("shortestpath", "allshortestpaths")
         ):
             return None
@@ -935,6 +967,9 @@ class _Compile:
     # comprehension/list-predicate variables in scope -> their lambda
     # Column (checked before kinds in _to_col's var resolution)
     lambda_vars: dict = field(default_factory=dict)
+    # named fixed-length paths: path var -> (node vars, rel vars),
+    # in pattern order (read through nodes()/relationships()/length())
+    paths: dict = field(default_factory=dict)
     anon: int = 0
 
     def fresh(self, prefix: str) -> str:
@@ -1426,6 +1461,11 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
                 f"path variable {expr[1]!r} can only be read through "
                 "length() in this subset"
             )
+        if c.kinds[expr[1]] == "path":
+            raise CypherSyntaxError(
+                f"path variable {expr[1]!r} can only be read through "
+                "nodes()/relationships()/length() in this subset"
+            )
         return F.col(expr[1])
     if op == "and":
         return _to_col(c, expr[1]) & _to_col(c, expr[2])
@@ -1579,10 +1619,27 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         need(1)
         a = args[0]
         # length(p) over a shortestPath variable reads the hop count;
+        # over a named path it is the (constant) relationship count;
         # anything else is string length (Cypher's legacy meaning)
         if a[0] == "var" and c.kinds.get(a[1]) == "pathlen":
             return _qcol(a[1])
+        if a[0] == "var" and c.kinds.get(a[1]) == "path":
+            return F.lit(len(c.paths[a[1]][1])).cast("long")
         return F.length(rec(a))
+    if fn in ("nodes", "relationships"):
+        need(1)
+        a = args[0]
+        if a[0] != "var" or c.kinds.get(a[1]) != "path":
+            if a[0] == "var" and c.kinds.get(a[1]) == "pathlen":
+                raise CypherSyntaxError(
+                    f"{fn}() over a shortestPath variable is not "
+                    "supported in this subset (length(p) is the only "
+                    "shortestPath observation)"
+                )
+            raise CypherSyntaxError(f"{fn}() takes a named path variable")
+        node_vars, rel_vars = c.paths[a[1]]
+        cols = node_vars if fn == "nodes" else rel_vars
+        return F.array(*[_qcol(v) for v in cols])
     if fn in ("labels", "type"):
         need(1)
         a = args[0]
@@ -1669,7 +1726,32 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
                 raise CypherSyntaxError("round() precision must be a literal")
             return F.round(rec(args[0]), int(args[1][1]))
         return F.round(rec(args[0]))
+    if fn in ("left", "right"):
+        need(2)
+        s = rec(args[0])
+        n = rec(args[1]).cast("int")
+        return F.left(s, n) if fn == "left" else F.right(s, n)
+    if fn == "atan2":
+        need(2)
+        return F.atan2(rec(args[0]), rec(args[1]))
+    if fn == "pi":
+        need(0)
+        return F.lit(3.141592653589793)
+    if fn == "e":
+        need(0)
+        return F.lit(2.718281828459045)
     one_arg = {
+        "exp": F.exp,
+        "log": F.log,
+        "log10": F.log10,
+        "sin": F.sin,
+        "cos": F.cos,
+        "tan": F.tan,
+        "asin": F.asin,
+        "acos": F.acos,
+        "atan": F.atan,
+        "degrees": F.degrees,
+        "radians": F.radians,
         "toupper": F.upper,
         "tolower": F.lower,
         "trim": F.trim,
@@ -1778,7 +1860,7 @@ def _apply_rel_uniqueness(c: _Compile) -> None:
 def _pattern_vars(pats: list) -> list:
     out = []
     for p in pats:
-        if isinstance(p, ShortestPat):
+        if isinstance(p, (ShortestPat, NamedPath)):
             out.extend(_pattern_vars([p.pattern]))
             out.append(p.path_var)
             continue
@@ -1797,10 +1879,10 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
     keep their mandatory columns and take NULL for every
     block-introduced variable (Neo4j semantics; the block-local WHERE
     filters INSIDE the match, before the left join)."""
-    if any(isinstance(p, ShortestPat) for p in pats):
+    if any(isinstance(p, (ShortestPat, NamedPath)) for p in pats):
         raise CypherSyntaxError(
-            "shortestPath is not supported inside OPTIONAL MATCH in "
-            "this subset"
+            "shortestPath / named paths are not supported inside "
+            "OPTIONAL MATCH in this subset"
         )
     shared = [v for v in dict.fromkeys(_pattern_vars(pats)) if v in c.kinds]
     if not shared:
@@ -2017,9 +2099,40 @@ def _apply_exists(c: _Compile, pat: Pattern, anti: bool) -> None:
     )
 
 
+def _bind_named_path(c: _Compile, np: NamedPath) -> None:
+    """Bind ``p = (a)-[r]->(b)-...``: the inner fixed-length pattern
+    compiles exactly as an anonymous MATCH pattern (same joins, same
+    relationship-uniqueness); the path variable just records which
+    node/edge columns make up the path, so ``nodes(p)`` /
+    ``relationships(p)`` are plain ``F.array`` projections — no extra
+    plan cost."""
+    if np.path_var in c.kinds:
+        raise CypherSyntaxError(
+            f"path variable {np.path_var!r} is already bound"
+        )
+    pat = np.pattern
+    # anonymous elements get compiler vars so the path can observe them
+    for n in pat.nodes:
+        if n.var is None:
+            n.var = c.fresh("n")
+    for r in pat.rels:
+        if r.var is None:
+            r.var = c.fresh("r")
+    prev = _bind_node(c, pat.nodes[0])
+    for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
+        prev = _bind_rel(c, rel, prev, nxt_pat)
+    c.kinds[np.path_var] = "path"
+    c.paths[np.path_var] = (
+        [n.var for n in pat.nodes],
+        [r.var for r in pat.rels],
+    )
+
+
 def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
     for pat in pats:
-        inner = pat.pattern if isinstance(pat, ShortestPat) else pat
+        inner = (
+            pat.pattern if isinstance(pat, (ShortestPat, NamedPath)) else pat
+        )
         pvars = {n.var for n in inner.nodes if n.var} | {
             r.var for r in inner.rels if r.var
         }
@@ -2041,6 +2154,9 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
             )
         if isinstance(pat, ShortestPat):
             _bind_shortest(c, pat)
+            continue
+        if isinstance(pat, NamedPath):
+            _bind_named_path(c, pat)
             continue
         prev = _bind_node(c, pat.nodes[0])
         for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):

@@ -1567,3 +1567,116 @@ def test_statistical_aggregates(graph):
     assert [(g[0],) for g in got] == [(w[0],) for w in want]
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1])
+
+
+def test_math_function_library(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation {n_nationkey: 4}) "
+            "RETURN exp(1) AS ex, log(e()) AS ln1, log10(100) AS lg, "
+            "sin(0) AS s, cos(0) AS c, atan2(1, 1) AS a2, "
+            "round(degrees(pi()), 3) AS deg, radians(180) AS rad",
+        )
+    )
+    want = oracle(
+        """SELECT EXP(1), LN(EXP(1)), LOG10(100), SIN(0), COS(0),
+                  ATAN2(1, 1), ROUND(DEGREES(PI()), 3), RADIANS(180)
+           FROM nation WHERE n_nationkey = 4"""
+    )
+    for g, w in zip(got[0], want[0]):
+        assert g == pytest.approx(w)
+
+
+def test_left_right_functions(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer {c_custkey: 7}) "
+            "RETURN left(c.c_name, 8) AS pre, right(c.c_name, 3) AS suf",
+        )
+    )
+    want = oracle(
+        """SELECT LEFT(c_name, 8), RIGHT(c_name, 3)
+           FROM customer WHERE c_custkey = 7"""
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# named paths: p = (a)-[r]->(b), nodes(p)/relationships(p)/length(p)
+# ---------------------------------------------------------------------------
+
+
+def test_named_path_observations(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH p = (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "WHERE c.c_custkey = 7 "
+            "RETURN length(p) AS l, size(nodes(p)) AS nn, "
+            "size(relationships(p)) AS nr, "
+            "head(nodes(p)) = id(c) AS first_is_c, "
+            "last(nodes(p)) = id(n) AS last_is_n",
+        )
+    )
+    assert got == [(1, 2, 1, True, True)]
+
+
+def test_named_path_longer_chain_anonymous_middle(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH p = (c:Customer)-[:IN_NATION]->()-[:IN_REGION]->(r:Region) "
+            "WHERE c.c_custkey = 7 "
+            "RETURN length(p) AS l, size(nodes(p)) AS nn, r.r_name AS reg",
+        )
+    )
+    want = oracle(
+        """SELECT 2, 3, r_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE c_custkey = 7"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_named_path_rel_var_and_uniqueness(spark):
+    g = _chain5(spark)
+    # the two hops of one named path may not reuse a relationship
+    got = rows(
+        cypher(
+            g,
+            "MATCH p = (a)-[r1:T]->(b)-[r2:T]->(c) "
+            "RETURN length(p) AS l, count(*) AS n",
+        )
+    )
+    assert got == [(2, 3)]  # 1-2-3, 2-3-4, 3-4-5
+    # relationships(p) carries the same edge ids as the bound vars
+    got = rows(
+        cypher(
+            g,
+            "MATCH p = (a)-[r1:T]->(b) "
+            "RETURN head(relationships(p)) = id(r1) AS same LIMIT 1",
+        )
+    )
+    assert got == [(True,)]
+
+
+def test_named_path_errors(graph):
+    with pytest.raises(CypherSyntaxError, match="variable-length"):
+        cypher(graph, "MATCH p = (a)-[:T*1..2]->(b) RETURN length(p) AS l")
+    with pytest.raises(CypherSyntaxError, match="nodes\\(\\)/relationships"):
+        cypher(graph, "MATCH p = (a)-[:IN_NATION]->(b) RETURN p")
+    with pytest.raises(CypherSyntaxError, match="named path"):
+        cypher(
+            graph,
+            "MATCH (a:Customer) OPTIONAL MATCH p = (a)-[:IN_NATION]->(b) "
+            "RETURN length(p) AS l",
+        )
+    with pytest.raises(CypherSyntaxError, match="already bound"):
+        cypher(
+            graph,
+            "MATCH p = (a)-[:IN_NATION]->(b), p = (a)-[:IN_NATION]->(c) "
+            "RETURN length(p) AS l",
+        )
