@@ -36,9 +36,12 @@ issue):
 - ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
   ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``,
   ``=~`` full-string regex (literal/$parameter pattern), and
-  ``[NOT] exists(pattern)`` predicates as top-level conjuncts of a
-  MATCH-attached WHERE (compiled to one semi/anti join each — the
-  SPARQL FILTER EXISTS shape).
+  ``[NOT] exists(pattern)`` / ``EXISTS { [MATCH] patterns [WHERE] }``
+  pattern predicates: top-level WHERE conjuncts compile to one
+  semi/anti join each (the SPARQL FILTER EXISTS shape); anywhere
+  deeper (under OR, CASE, in RETURN items) they become per-row
+  match-count columns (one left join). ``COUNT { ... }`` subquery
+  expressions give the match count directly, 0 when unmatched.
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
   arithmetic, and aggregates ``count/sum/avg/min/max/collect``
   (+ ``count(DISTINCT x)`` and ``collect(DISTINCT x)``, the latter
@@ -518,6 +521,24 @@ class _Parser:
                     break
             self._expect("op", "}")
             return ("propmap", var, props)
+        t1 = self._peek(1)
+        if (
+            with_value and self._at("op", "=")
+            and t1 is not None and t1.kind == "op" and t1.text == "{"
+        ):
+            # SET n = {map}: FULL property replacement ({} clears all)
+            self._next()
+            self._next()
+            rprops: dict = {}
+            if not self._at("op", "}"):
+                while True:
+                    key = self._expect_name_like().text
+                    self._expect("op", ":")
+                    rprops[key] = self._literal()
+                    if not self._accept("op", ","):
+                        break
+            self._expect("op", "}")
+            return ("propreplace", var, rprops)
         self._expect("op", ".")
         key = self._expect_name_like().text
         if not with_value:
@@ -844,6 +865,12 @@ class _Parser:
             return ("lit", None)
         if t.kind == "name":
             name = t.text
+            if name.lower() in ("exists", "count") and self._at("op", "{"):
+                # EXISTS { ... } / COUNT { ... } subquery expressions
+                self._next()
+                pats, where = self._subquery_block()
+                kind = "exists_sub" if name.lower() == "exists" else "count_sub"
+                return (kind, pats, where)
             if name.lower() == "exists" and self._at("op", "("):
                 # exists((a)-[:T]->(b)) pattern predicate, or the
                 # legacy exists(n.prop) property form
@@ -898,6 +925,20 @@ class _Parser:
         raise CypherSyntaxError(
             f"unexpected {t.text!r} at position {t.pos}"
         )
+
+    def _subquery_block(self) -> tuple:
+        """``{ [MATCH] pattern[, ...] [WHERE expr] }`` — the body of an
+        EXISTS/COUNT subquery expression (the pattern-comprehension
+        subset: plain fixed/variable-length patterns, no nested WITH)."""
+        self._accept("kw", "match")
+        pats = [self._pattern()]
+        while self._accept("op", ","):
+            pats.append(self._pattern())
+        where = None
+        if self._accept("kw", "where"):
+            where = self._expr()
+        self._expect("op", "}")
+        return pats, where
 
     def _case_expr(self) -> tuple:
         """Generic ``CASE WHEN p THEN v ... [ELSE v] END`` and simple
@@ -1580,9 +1621,10 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
                 f"aggregate {expr[1]}() is only allowed in RETURN/WITH items"
             )
         return _scalar_call(c, expr[1], expr[2], lambda e: _to_col(c, e))
-    if op == "exists_pat":
+    if op in ("exists_pat", "exists_sub", "count_sub"):
         raise CypherSyntaxError(
-            "exists(pattern) is only supported in a MATCH-attached WHERE"
+            "pattern predicates and EXISTS{}/COUNT{} subqueries are "
+            "not supported in this clause position"
         )
     raise CypherSyntaxError(f"unsupported expression {op!r}")
 
@@ -1900,11 +1942,16 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
             prev = _bind_rel(c2, rel, prev, nxt_pat)
     _apply_rel_uniqueness(c2)
     if where is not None:
+        pre_kinds = set(c2.kinds)
+        where = _rewrite_subqueries(c2, where)
         block_props: set = set()
         _collect_props(where, block_props)
         _materialize_props(c2, block_props)
         c2.cur = c2.cur.filter(_to_col(c2, where))
         c2.cur = c2.cur.drop(*[c2.prop_cols[k] for k in block_props])
+        for extra in set(c2.kinds) - pre_kinds:  # subquery count columns
+            c2.cur = c2.cur.drop(extra)
+            del c2.kinds[extra]
     c.anon = c2.anon
     new_vars = [v for v in c2.kinds if v not in c.kinds]
     c.kinds.update({v: c2.kinds[v] for v in new_vars})
@@ -1918,6 +1965,12 @@ def _apply_projection(c: _Compile, proj: Projection) -> tuple:
     ``(out, names)``."""
     if c.cur is None:  # leading WITH/RETURN: one unit row (Neo4j)
         c.cur = c.graph.spark.range(1).select(F.lit(1).alias("__one"))
+    # EXISTS{}/COUNT{} items join their match-count columns in first
+    for it in proj.items:
+        it.expr = _rewrite_subqueries(c, it.expr)
+    proj.order[:] = [
+        (_rewrite_subqueries(c, e), t, a) for e, t, a in proj.order
+    ]
     needed: set = set()
     for it in proj.items:
         _collect_props(it.expr, needed)
@@ -2028,24 +2081,16 @@ def _rebind_after_with(c: _Compile, proj: Projection, out: DataFrame, names: lis
 
 
 def _split_exists(expr: tuple) -> tuple:
-    """Split a WHERE tree into (semi-patterns, anti-patterns,
-    residual-expr): ``exists(pattern)`` conjuncts become semi-joins,
-    ``NOT exists(pattern)`` anti-joins. A pattern predicate anywhere
-    deeper (under OR, comparisons, ...) is out of this subset and
-    raises — never silently mis-execute."""
+    """Split a WHERE tree into (semi-subqueries, anti-subqueries,
+    residual-expr): top-level ``exists(pattern)`` / ``EXISTS { }``
+    conjuncts become semi-joins, their negations anti-joins (the
+    cheap forms — no new columns). A pattern predicate anywhere
+    deeper (under OR, CASE, comparisons) stays in the residual and is
+    rewritten by :func:`_rewrite_subqueries` into a per-row
+    match-count column (``exists`` = count > 0) — fully composable,
+    one left join per subquery. Each entry is ``(patterns, where)``."""
     semis: list = []
     antis: list = []
-
-    def contains_pat(e) -> bool:
-        if isinstance(e, list):
-            return any(contains_pat(x) for x in e)
-        if not isinstance(e, tuple) or not e:
-            return False
-        if isinstance(e[0], str):
-            if e[0] == "exists_pat":
-                return True
-            return any(contains_pat(p) for p in e[1:])
-        return any(contains_pat(p) for p in e)
 
     def walk(e):
         if e[0] == "and":
@@ -2057,46 +2102,146 @@ def _split_exists(expr: tuple) -> tuple:
                 return left
             return ("and", left, right)
         if e[0] == "exists_pat":
-            semis.append(e[1])
+            semis.append(([e[1]], None))
             return None
-        if e[0] == "not" and isinstance(e[1], tuple) and e[1][0] == "exists_pat":
-            antis.append(e[1][1])
+        if e[0] == "exists_sub":
+            semis.append((e[1], e[2]))
             return None
-        if contains_pat(e):
-            raise CypherSyntaxError(
-                "exists(pattern) is only supported as a top-level WHERE "
-                "conjunct (optionally under NOT) in this subset"
-            )
+        if e[0] == "not" and isinstance(e[1], tuple):
+            if e[1][0] == "exists_pat":
+                antis.append(([e[1][1]], None))
+                return None
+            if e[1][0] == "exists_sub":
+                antis.append((e[1][1], e[1][2]))
+                return None
         return e
 
     residual = walk(expr)
     return semis, antis, residual
 
 
-def _apply_exists(c: _Compile, pat: Pattern, anti: bool) -> None:
-    """Compile a pattern predicate as one semi/anti join on the
-    variables it shares with the bound rows (the SPARQL FILTER
-    [NOT] EXISTS shape, J4/J5, re-used for Cypher)."""
-    pvars = [v for v in dict.fromkeys(_pattern_vars([pat]))]
-    shared = [v for v in pvars if v in c.kinds]
-    if not shared:
-        raise CypherSyntaxError(
-            "exists(pattern) must share at least one bound variable"
-        )
+def _expr_vars(e, acc: set) -> None:
+    """Variable names referenced anywhere in an expression tree.
+    Comprehension-local variables overcount harmlessly: a same-named
+    outer variable just joins through as an unused (shadowed) key."""
+    if isinstance(e, list):
+        for x in e:
+            _expr_vars(x, acc)
+        return
+    if not isinstance(e, tuple) or not e:
+        return
+    if isinstance(e[0], str):
+        if e[0] in ("var", "prop"):
+            acc.add(e[1])
+            return
+        parts = e[1:]
+    else:
+        parts = e
+    for p in parts:
+        _expr_vars(p, acc)
+
+
+def _sub_shared(c: _Compile, pats: list, where: tuple | None) -> list:
+    """The outer-bound variables an EXISTS/COUNT subquery correlates
+    on: every pattern or WHERE variable that is already bound to a
+    real column (path objects have none)."""
+    seen = dict.fromkeys(_pattern_vars(pats))
+    wvars: set = set()
+    if where is not None:
+        _expr_vars(where, wvars)
+    for v in sorted(wvars):
+        seen.setdefault(v, None)
+    return [
+        v for v in seen
+        if c.kinds.get(v) in ("node", "rel", "value", "pathlen")
+    ]
+
+
+def _sub_compile(
+    c: _Compile, pats: list, where: tuple | None, shared: list
+) -> _Compile:
+    """Compile a subquery block against the DISTINCT values of its
+    shared variables (never the full outer row set — the correlated
+    work is bounded by distinct keys, not outer cardinality)."""
     c2 = _Compile(c.graph, allow_cartesian=True, params=c.params)
     c2.anon = c.anon
     c2.kinds = {v: c.kinds[v] for v in shared}
-    c2.cur = c.cur.select(*shared).dropDuplicates()
-    prev = _bind_node(c2, pat.nodes[0])
-    for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
-        prev = _bind_rel(c2, rel, prev, nxt_pat)
-    _apply_rel_uniqueness(c2)
+    c2.cur = c.cur.select(*shared).dropDuplicates() if shared else None
+    _compile_match(c2, pats, where)
     c.anon = c2.anon
-    c.cur = c.cur.join(
-        c2.cur.select(*shared).dropDuplicates(),
-        on=shared,
-        how="leftanti" if anti else "leftsemi",
-    )
+    return c2
+
+
+def _apply_exists(
+    c: _Compile, pats: list, where: tuple | None, anti: bool
+) -> None:
+    """Compile a top-level pattern predicate as one semi/anti join on
+    the variables it shares with the bound rows (the SPARQL FILTER
+    [NOT] EXISTS shape, J4/J5, re-used for Cypher). An uncorrelated
+    subquery degenerates to a global emptiness probe (one ``limit 1``
+    row, broadcast)."""
+    shared = _sub_shared(c, pats, where)
+    c2 = _sub_compile(c, pats, where, shared)
+    if shared:
+        c.cur = c.cur.join(
+            c2.cur.select(*shared).dropDuplicates(),
+            on=shared,
+            how="leftanti" if anti else "leftsemi",
+        )
+        return
+    probe_col = c.fresh("x")
+    probe = c2.cur.limit(1).select(F.lit(1).alias(probe_col))
+    if anti:  # keep rows iff the subquery is empty
+        c.cur = c.cur.join(probe, F.lit(True), "left_anti")
+    else:  # keep all rows iff the subquery is non-empty
+        c.cur = c.cur.crossJoin(probe).drop(probe_col)
+
+
+def _bind_count_sub(c: _Compile, pats: list, where: tuple | None) -> str:
+    """COUNT { } (and non-top-level EXISTS): join a per-row
+    match-count column into the frame — group the subquery by its
+    shared variables, count, left-join back, NULL -> 0. Returns the
+    new column's name."""
+    shared = _sub_shared(c, pats, where)
+    tmp = c.fresh("cnt")
+    c2 = _sub_compile(c, pats, where, shared)
+    if shared:
+        cnt = c2.cur.groupBy(*shared).agg(F.count(F.lit(1)).alias(tmp))
+        c.cur = c.cur.join(cnt, on=shared, how="left").withColumn(
+            tmp, F.coalesce(F.col(tmp), F.lit(0))
+        )
+    else:  # uncorrelated: one global count row, broadcast cross join
+        c.cur = c.cur.crossJoin(c2.cur.agg(F.count(F.lit(1)).alias(tmp)))
+    c.kinds[tmp] = "value"
+    return tmp
+
+
+def _rewrite_subqueries(c: _Compile, expr):
+    """Replace EXISTS{}/COUNT{} subquery expressions (and pattern
+    predicates at non-top-level positions) in an expression tree with
+    references to per-row match-count columns: COUNT{} reads the
+    count, EXISTS becomes count > 0. Top-level WHERE conjuncts never
+    reach here — :func:`_split_exists` turns those into semi/anti
+    joins, the cheaper form."""
+    def walk(e):
+        if isinstance(e, list):
+            return [walk(x) for x in e]
+        if not isinstance(e, tuple) or not e:
+            return e
+        if isinstance(e[0], str):
+            if e[0] == "count_sub":
+                return ("var", _bind_count_sub(c, e[1], e[2]))
+            if e[0] == "exists_sub":
+                cnt = _bind_count_sub(c, e[1], e[2])
+                return ("cmp", ">", ("var", cnt), ("lit", 0))
+            if e[0] == "exists_pat":
+                cnt = _bind_count_sub(c, [e[1]], None)
+                return ("cmp", ">", ("var", cnt), ("lit", 0))
+        return tuple(
+            walk(x) if isinstance(x, (tuple, list)) else x for x in e
+        )
+
+    return walk(expr)
 
 
 def _bind_named_path(c: _Compile, np: NamedPath) -> None:
@@ -2164,11 +2309,12 @@ def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
     _apply_rel_uniqueness(c)
     if where is not None:
         semis, antis, residual = _split_exists(where)
-        for pat in semis:
-            _apply_exists(c, pat, anti=False)
-        for pat in antis:
-            _apply_exists(c, pat, anti=True)
+        for sub_pats, sub_where in semis:
+            _apply_exists(c, sub_pats, sub_where, anti=False)
+        for sub_pats, sub_where in antis:
+            _apply_exists(c, sub_pats, sub_where, anti=True)
         if residual is not None:
+            residual = _rewrite_subqueries(c, residual)
             needed: set = set()
             _collect_props(residual, needed)
             _materialize_props(c, needed)
@@ -2274,6 +2420,7 @@ def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
             raise CypherSyntaxError(f"UNWIND alias {alias!r} is already bound")
         if c.cur is None:  # UNWIND as the first clause
             c.cur = c.graph.spark.range(1).select(F.lit(1).alias("__one"))
+        e = _rewrite_subqueries(c, e)
         needed: set = set()
         _collect_props(e, needed)
         _materialize_props(c, needed)
@@ -2286,10 +2433,11 @@ def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
             return out
         _rebind_after_with(c, proj, out, names)
         if proj.post_where is not None:
+            pw = _rewrite_subqueries(c, proj.post_where)
             needed = set()
-            _collect_props(proj.post_where, needed)
+            _collect_props(pw, needed)
             _materialize_props(c, needed)
-            c.cur = c.cur.filter(_to_col(c, proj.post_where))
+            c.cur = c.cur.filter(_to_col(c, pw))
     else:
         raise CypherSyntaxError(f"unexpected clause kind {kind!r}")
     return None

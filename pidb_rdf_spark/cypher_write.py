@@ -35,7 +35,10 @@ Supported subset (the shapes the reference's own code issues):
   MERGE carrying them must have exactly one relationship (the
   matched/created split is computed as two anti/semi joins over the
   pre-insert edge frame; nothing is collected).
-- ``SET n.k = lit``, ``SET n:Label``, ``SET r.k = lit``.
+- ``SET n.k = lit``, ``SET n:Label``, ``SET r.k = lit``,
+  ``SET n += {map}`` (additive merge), ``SET n = {map}`` (FULL
+  replacement — typed hot columns not named in the map null out;
+  ``SET n = {}`` clears every property).
 - ``REMOVE n.k``, ``REMOVE n:Label``, ``REMOVE r.k``.
 - ``[DETACH] DELETE n, r`` — plain DELETE on a node with incident
   relationships raises (Neo4j semantics); DETACH cascades.
@@ -133,6 +136,15 @@ def _apply_merge_sets(
             )
             for key, e in item[2].items():
                 g = setter(g, where, key, _fold_literal(e, c.params))
+        elif item[0] == "propreplace":
+            props = {
+                k: _fold_literal(e, c.params) for k, e in item[2].items()
+            }
+            replacer = (
+                M.replace_vertex_properties if kind == "node"
+                else M.replace_edge_properties
+            )
+            g = replacer(g, where, props)
         else:
             value = _fold_literal(item[3], c.params)
             if kind == "node":
@@ -339,6 +351,20 @@ def _apply_set(
             )
             for key, e in item[2].items():
                 g = setter(g, ids, key, _fold_literal(e, c.params))
+        elif item[0] == "propreplace":
+            # SET v = {..}: full property replacement
+            if kind not in ("node", "rel"):
+                raise CypherSyntaxError(
+                    f"SET target {var!r} is not a node or relationship"
+                )
+            props = {
+                k: _fold_literal(e, c.params) for k, e in item[2].items()
+            }
+            replacer = (
+                M.replace_vertex_properties if kind == "node"
+                else M.replace_edge_properties
+            )
+            g = replacer(g, ids, props)
         else:
             key = item[2]
             if kind == "node":

@@ -293,6 +293,67 @@ def remove_vertex_property(graph: PropertyGraph, where, key: str) -> PropertyGra
     )
 
 
+def replace_vertex_properties(
+    graph: PropertyGraph, where, props: dict
+) -> PropertyGraph:
+    """M3 (replace form, Cypher ``SET n = {map}``): the matched
+    vertices' property set becomes EXACTLY ``props`` — the schemaless
+    map is rebuilt from the dict and every typed hot column not named
+    in it nulls out (``SET n = {}`` clears everything). One
+    column-rewrite pass, no shuffle."""
+    from pidb_rdf_spark.graph import NODE_CORE, SIDECAR_COLS
+
+    base, where, tmp = _resolve_where(graph.nodes, where)
+    if props:
+        pairs: list = []
+        for k, v in props.items():
+            pairs.extend([F.lit(k), F.lit(str(v))])
+        new_map = F.create_map(*pairs)
+    else:
+        new_map = _empty_props()
+    nodes = base.withColumn(
+        "props", F.when(where, new_map).otherwise(F.col("props"))
+    )
+    dtypes = dict(graph.nodes.dtypes)
+    for col in graph.nodes.columns:
+        if col in NODE_CORE or col in SIDECAR_COLS:
+            continue
+        val = (
+            F.lit(props[col]).cast(dtypes[col])
+            if col in props
+            else F.lit(None).cast(dtypes[col])
+        )
+        nodes = nodes.withColumn(
+            col, F.when(where, val).otherwise(F.col(col))
+        )
+    return PropertyGraph(
+        spark=graph.spark, nodes=nodes.drop(*tmp), edges=graph.edges,
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
+def replace_edge_properties(
+    graph: PropertyGraph, where, props: dict
+) -> PropertyGraph:
+    """M8 (replace form): matched edges' property maps become exactly
+    ``props`` (edges carry no typed hot columns)."""
+    base, where, tmp = _resolve_where(graph.edges, where)
+    if props:
+        pairs: list = []
+        for k, v in props.items():
+            pairs.extend([F.lit(k), F.lit(str(v))])
+        new_map = F.create_map(*pairs)
+    else:
+        new_map = _empty_props()
+    edges = base.withColumn(
+        "props", F.when(where, new_map).otherwise(F.col("props"))
+    )
+    return PropertyGraph(
+        spark=graph.spark, nodes=graph.nodes, edges=edges.drop(*tmp),
+        namespaces=graph.namespaces, variables=graph.variables,
+    )
+
+
 def set_edge_property(graph: PropertyGraph, where, key: str, value) -> PropertyGraph:
     """M8: set a property on matching edges (``Neo4jEdge.java:114-123``)."""
     base, where, tmp = _resolve_where(graph.edges, where)

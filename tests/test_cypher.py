@@ -827,18 +827,26 @@ def test_exists_combined_with_residual_where(graph):
     assert got == want
 
 
-def test_exists_property_form_and_misplaced_pattern(graph):
+def test_exists_property_form_and_deep_pattern(graph):
     got = rows(
         cypher(graph, "MATCH (c:Customer) WHERE exists(c.c_name) RETURN count(*) AS k")
     )
     want = oracle("SELECT COUNT(*) FROM customer WHERE c_name IS NOT NULL")
     assert got == want
-    with pytest.raises(CypherSyntaxError, match="conjunct"):
+    # a pattern predicate under OR compiles to a match-count column
+    got = rows(
         cypher(
             graph,
             "MATCH (n:Nation) WHERE exists((s:Supplier)-[:IN_NATION]->(n)) "
             "OR n.n_nationkey = 0 RETURN count(*) AS k",
         )
+    )
+    want = oracle(
+        """SELECT COUNT(*) FROM nation
+           WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+              OR n_nationkey = 0"""
+    )
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
@@ -1680,3 +1688,154 @@ def test_named_path_errors(graph):
             "MATCH p = (a)-[:IN_NATION]->(b), p = (a)-[:IN_NATION]->(c) "
             "RETURN length(p) AS l",
         )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS { } / COUNT { } subquery expressions
+# ---------------------------------------------------------------------------
+
+
+def test_exists_subquery_top_level(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "WHERE EXISTS { (s:Supplier)-[:IN_NATION]->(n) } "
+            "RETURN n.n_name AS name ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name FROM nation
+           WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+           ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_exists_subquery_with_match_and_where(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "WHERE NOT EXISTS { MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > 9900 } "
+            "RETURN count(*) AS k",
+        )
+    )
+    want = oracle(
+        """SELECT COUNT(*) FROM nation WHERE NOT EXISTS
+           (SELECT 1 FROM customer
+            WHERE c_nationkey = n_nationkey AND c_acctbal > 9900)"""
+    )
+    assert got == want
+
+
+def test_count_subquery_in_return(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS name, "
+            "COUNT { (c:Customer)-[:IN_NATION]->(n) } AS custs "
+            "ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+           FROM nation ORDER BY n_name"""
+    )
+    assert got == want  # includes 0-customer nations
+
+
+def test_count_subquery_with_where_in_filter(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "WHERE COUNT { (c:Customer)-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > 5000 } >= 3 "
+            "RETURN n.n_name AS name ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name FROM nation
+           WHERE (SELECT COUNT(*) FROM customer
+                  WHERE c_nationkey = n_nationkey AND c_acctbal > 5000) >= 3
+           ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_count_subquery_uncorrelated_and_in_with(graph):
+    # uncorrelated COUNT{}: a global constant per row
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) "
+            "RETURN r.r_name AS name, COUNT { (n:Nation) } AS nations "
+            "ORDER BY name LIMIT 2",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, (SELECT COUNT(*) FROM nation)
+           FROM region ORDER BY r_name LIMIT 2"""
+    )
+    assert got == want
+    # COUNT{} in a WITH item, filtered by the post-WITH WHERE
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "WITH n.n_name AS name, "
+            "COUNT { (s:Supplier)-[:IN_NATION]->(n) } AS sups "
+            "WHERE sups > 0 RETURN name, sups ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, (SELECT COUNT(*) FROM supplier
+                           WHERE s_nationkey = n_nationkey) AS sups
+           FROM nation WHERE sups > 0 ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_exists_subquery_correlated_on_property(graph):
+    # the subquery WHERE references an outer variable's property
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "WHERE EXISTS { MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "WHERE s.s_acctbal > c.c_acctbal } "
+            "RETURN count(*) AS k",
+        )
+    )
+    want = oracle(
+        """SELECT COUNT(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE EXISTS (SELECT 1 FROM supplier
+                         WHERE s_nationkey = n_nationkey
+                           AND s_acctbal > c_acctbal)"""
+    )
+    assert got == want
+
+
+def test_exists_subquery_in_case_and_return(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS name, "
+            "CASE WHEN EXISTS { (s:Supplier)-[:IN_NATION]->(n) } "
+            "THEN 'has' ELSE 'none' END AS sup "
+            "ORDER BY name LIMIT 5",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  CASE WHEN EXISTS (SELECT 1 FROM supplier
+                                    WHERE s_nationkey = n_nationkey)
+                       THEN 'has' ELSE 'none' END
+           FROM nation ORDER BY n_name LIMIT 5"""
+    )
+    assert got == want

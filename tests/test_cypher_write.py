@@ -453,3 +453,37 @@ def test_merge_on_create_set_plus_equals(wg):
     )
     p = _props_of(g2, "Eve")
     assert p["age"] == "1" and p["x"] == "y"
+
+
+def test_set_equals_map_full_replacement(wg):
+    g2 = cypher_write(
+        wg,
+        "MATCH (n:Person {name: 'Alice'}) SET n = {name: 'Alice2', job: 'eng'}",
+    )
+    p = _props_of(g2, "Alice2")
+    # old keys are gone, new set is exactly the map
+    assert p == {"name": "Alice2", "job": "eng"}
+    # Bob untouched
+    assert _props_of(g2, "Bob") == {"name": "Bob"}
+    # empty map clears every property
+    g3 = cypher_write(g2, "MATCH (n:City) SET n = {}")
+    row = g3.nodes.filter(F.col("uri") == "urn:c").collect()[0]
+    assert row["props"] == {}
+    # on a relationship
+    g4 = cypher_write(
+        wg, "MATCH ()-[r:KNOWS]->() SET r = {mode: 'online'}"
+    )
+    e = g4.edges.filter(F.col("predicate") == "KNOWS").collect()[0]
+    assert e["props"] == {"mode": "online"}
+
+
+def test_merge_on_match_set_equals_map(wg):
+    # MERGE matches by content identity (M11): create via MERGE first
+    g1 = cypher_write(
+        wg, "MERGE (n:Person {name: 'Eve'}) ON CREATE SET n.tmp = 'x'"
+    )
+    g2 = cypher_write(
+        g1,
+        "MERGE (n:Person {name: 'Eve'}) ON MATCH SET n = {name: 'Eve', v: '2'}",
+    )
+    assert _props_of(g2, "Eve") == {"name": "Eve", "v": "2"}

@@ -367,3 +367,40 @@ def test_meta_col_excluded_from_export_and_prop_keys(small_graph):
     }
     assert before == after
     assert "__meta" not in g.node_prop_keys()
+
+
+def test_replace_vertex_properties_hot_columns(spark):
+    """SET n = {map}: typed hot columns not named in the map null out
+    for matched rows and survive for the rest."""
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.mutation import replace_vertex_properties
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [
+                (1, "urn:a", ["P"], {"name": "Alice", "age": "30"}, 30, "x"),
+                (2, "urn:b", ["P"], {"name": "Bob", "age": "20"}, 20, "y"),
+            ],
+            "id long, uri string, labels array<string>, "
+            "props map<string,string>, age long, tag string",
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    g2 = replace_vertex_properties(
+        g, F.col("uri") == "urn:a", {"name": "A2", "age": 44}
+    )
+    a = g2.nodes.filter(F.col("uri") == "urn:a").first()
+    assert dict(a["props"]) == {"name": "A2", "age": "44"}
+    assert a["age"] == 44  # hot column named in the map: updated
+    assert a["tag"] is None  # hot column NOT in the map: nulled
+    b = g2.nodes.filter(F.col("uri") == "urn:b").first()
+    assert dict(b["props"]) == {"name": "Bob", "age": "20"}
+    assert b["age"] == 20 and b["tag"] == "y"  # unmatched row untouched
+    # empty map clears everything
+    g3 = replace_vertex_properties(g, F.col("uri") == "urn:a", {})
+    a3 = g3.nodes.filter(F.col("uri") == "urn:a").first()
+    assert dict(a3["props"]) == {} and a3["age"] is None and a3["tag"] is None
