@@ -164,6 +164,13 @@ _DEFER_TO_TAIL = [
     # procedures, SET += maps, date() casts, and statistical
     # aggregates (stDev/percentileCont/...) — all currently proven by DuckDB-oracle pytest tests in
     # tests/test_cypher.py and tests/test_cypher_write.py.
+    # Also from the second late-r8 session (same proof status):
+    # named paths (nodes()/relationships()/length()), EXISTS{}/COUNT{}
+    # subquery expressions (incl. deep/composable pattern predicates),
+    # SET n = {map} replacement, UNWIND $batch bulk ingest with row
+    # expressions in CREATE, the math/left/right scalar functions,
+    # and analytics.kcore / analytics.label_propagation
+    # (tests/test_analytics.py).
     # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
     # window (contract rule 3); the r7-proven window rotates out.
     # Every entry below has a green row in CORRECTNESS_r07.json and

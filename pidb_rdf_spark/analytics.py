@@ -475,3 +475,91 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(node) rows of the k-core: the maximal subgraph of the
+    undirected simple graph of ``pairs`` in which every node has
+    degree >= k. The standard noise filter before community/cohesion
+    analysis — at pipeline scale it strips the long tail of weakly
+    connected documents from a near-dup or citation graph before the
+    expensive stages.
+
+    Plan: iterative peel — each round computes current degrees (one
+    aggregation) and drops nodes below k (one semi-join on each
+    endpoint); converges when a round removes nothing. Rounds are
+    bounded by the peeling depth (<= max coreness steps, typically
+    << diameter); lineage truncated per round, convergence tested on
+    the delta count only."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("src")
+        # symmetric view: a node's degree is its out-degree here
+        dropped = deg.filter(F.col("__deg") < k).limit(1).isEmpty()
+        if dropped:
+            break
+        keep = keep.localCheckpoint(eager=True)
+        edges = (
+            edges.join(keep, on="src", how="leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), on="dst", how="leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.select(F.col("src").alias("node")).dropDuplicates()
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """(node, community) by synchronous label propagation over the
+    undirected graph: every node starts in its own community (its own
+    id); each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — fully
+    deterministic, unlike classic asynchronous LPA. A fixed round
+    count keeps the loop bounded (LPA has no convergence guarantee;
+    5 rounds is the conventional cut). Known synchronous-LPA caveat
+    (GraphFrames documents the same): bipartite/star regions can
+    oscillate between two label states instead of settling — use
+    ``connected_components`` when the graph is a star forest.
+
+    Plan per round: one join to carry neighbor labels, one
+    count-aggregation per (node, label), one max_by tie-broken
+    reduction — all shuffles keyed on node id. No arrays are
+    collected per node (safe for power-law degrees at scale)."""
+    edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        freq = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), on="dst"
+            )
+            .groupBy(F.col("src").alias("node"), F.col("community"))
+            .agg(F.count("*").alias("__n"))
+        )
+        # most frequent neighbor label; ties -> smallest label
+        # (two aggregations keyed on node — works for any id type)
+        best = freq.groupBy("node").agg(F.max("__n").alias("__m"))
+        labels = (
+            freq.join(best, on="node")
+            .filter(F.col("__n") == F.col("__m"))
+            .groupBy("node")
+            .agg(F.min("community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -96,6 +96,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pidb_rdf_spark.graph import NODE_CORE, SIDECAR_COLS, PropertyGraph
 
@@ -655,10 +656,13 @@ class _Parser:
             labels.append(self._expect_name_like().text)
         props: dict = {}
         if self._accept("op", "{"):
+            # values are full expressions: MATCH restricts them to
+            # literals/$parameters at compile time (_pat_value);
+            # CREATE compiles row expressions per matched row
             while True:
                 key = self._expect_name_like().text
                 self._expect("op", ":")
-                props[key] = self._literal()
+                props[key] = self._expr()
                 if not self._accept("op", ","):
                     break
             self._expect("op", "}")
@@ -697,10 +701,12 @@ class _Parser:
                 else:
                     min_len = 1
             if self._accept("op", "{"):
+                # values are full expressions; MATCH restricts them
+                # to literals/$parameters at compile time (_pat_value)
                 while True:
                     key = self._expect_name_like().text
                     self._expect("op", ":")
-                    props[key] = self._literal()
+                    props[key] = self._expr()
                     if not self._accept("op", ","):
                         break
                 self._expect("op", "}")
@@ -1019,15 +1025,22 @@ class _Compile:
 
 
 def _pat_value(expr: tuple, params: dict | None):
-    """A pattern/write value position: literal or $parameter."""
+    """A pattern value position in a MATCH: literal or $parameter
+    (CREATE patterns additionally accept row expressions — that path
+    compiles them as Columns in ``cypher_write`` instead)."""
     if expr[0] == "lit":
         return expr[1]
     if expr[0] == "param":
         if params is None or expr[1] not in params:
             raise CypherSyntaxError(f"missing parameter ${expr[1]}")
         return params[expr[1]]
+    if expr[0] == "neg":
+        v = _pat_value(expr[1], params)
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise CypherSyntaxError("unary minus needs a number")
+        return -v
     raise CypherSyntaxError(
-        "property values in patterns must be literals or $parameters"
+        "property values in MATCH patterns must be literals or $parameters"
     )
 
 
@@ -1403,10 +1416,33 @@ def _materialize_props(c: _Compile, needed: set) -> None:
         if kind is None:
             raise CypherSyntaxError(f"undefined variable {var!r}")
         if kind == "value":
-            raise CypherSyntaxError(
-                f"{var!r} is a WITH/UNWIND value, not a node or "
-                "relationship — it has no properties"
-            )
+            # map/struct element access on a WITH/UNWIND value — the
+            # bulk-ingest idiom UNWIND $batch AS row ... row.k.
+            # No join: the container is already a column.
+            dt = c.cur.schema[var].dataType
+            for p in props:
+                if p.startswith("__"):
+                    raise CypherSyntaxError(
+                        f"{var!r} is a WITH/UNWIND value, not a node "
+                        "or relationship"
+                    )
+                cname = f"__p_{var}_{p}"
+                c.prop_cols[(var, p)] = cname
+                if isinstance(dt, T.MapType):
+                    c.cur = c.cur.withColumn(cname, F.col(var).getItem(p))
+                elif isinstance(dt, T.StructType) and p in dt.names:
+                    c.cur = c.cur.withColumn(cname, F.col(var).getField(p))
+                elif isinstance(dt, T.StructType):
+                    raise CypherSyntaxError(
+                        f"{var}.{p}: no such field (has: "
+                        + ", ".join(dt.names) + ")"
+                    )
+                else:
+                    raise CypherSyntaxError(
+                        f"{var!r} is a scalar value — property access "
+                        "needs a map/struct (or a node/relationship)"
+                    )
+            continue
         cols = []
         for p in props:
             cname = f"__p_{var}_{p}"
@@ -2421,10 +2457,32 @@ def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
         if c.cur is None:  # UNWIND as the first clause
             c.cur = c.graph.spark.range(1).select(F.lit(1).alias("__one"))
         e = _rewrite_subqueries(c, e)
-        needed: set = set()
-        _collect_props(e, needed)
-        _materialize_props(c, needed)
-        c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
+        batch = None
+        if e[0] == "param":
+            val = _pat_value(e, c.params)
+            if (
+                isinstance(val, list) and val
+                and all(isinstance(x, dict) for x in val)
+            ):
+                batch = val
+        if batch is not None:
+            # UNWIND $batch AS row over a list of maps — the bulk
+            # ingest idiom. Build a typed struct frame (one column
+            # per key, missing keys NULL) so row.k reads a field.
+            # Parameter batches are driver-issued point data by
+            # construction; the cross join is rows x batch, Cypher
+            # cardinality.
+            keys = sorted({k for d in batch for k in d})
+            rows_df = c.graph.spark.createDataFrame(
+                [tuple(d.get(k) for k in keys) for d in batch],
+                schema=keys,
+            ).select(F.struct(*keys).alias(alias))
+            c.cur = c.cur.crossJoin(rows_df)
+        else:
+            needed: set = set()
+            _collect_props(e, needed)
+            _materialize_props(c, needed)
+            c.cur = c.cur.withColumn(alias, F.explode(_to_col(c, e)))
         c.kinds[alias] = "value"
     elif kind == "project":
         proj = cl[1]

@@ -26,7 +26,10 @@ Supported subset (the shapes the reference's own code issues):
   standalone statement; ``CREATE (a)-[:T {..}]->(b)`` relationship
   chains whose endpoints are all bound by a previous MATCH (one NEW
   edge per matched row — multi-edges allowed, Cypher semantics), or
-  standalone all-new literal chains.
+  standalone all-new literal chains. After a MATCH/UNWIND, node
+  property values may be ROW EXPRESSIONS (``UNWIND $batch AS row
+  CREATE (n:L {k: row.k})`` — the bulk-ingest idiom; NULL values are
+  omitted, as in Cypher).
 - ``MERGE`` = match-or-create: a literal node pattern upserts by its
   content identity (M11); a bound-endpoint relationship pattern is
   dedup-on-insert (M10). ``ON CREATE SET`` / ``ON MATCH SET`` apply
@@ -60,7 +63,10 @@ from pidb_rdf_spark.cypher import (
     _Compile,
     _Parser,
     _WRITE_KINDS,
+    _collect_props,
+    _materialize_props,
     _pat_value,
+    _to_col,
     apply_read_clause,
 )
 from pidb_rdf_spark.graph import PropertyGraph
@@ -192,10 +198,30 @@ def _apply_create(
                         g, c, items, n.var, "node", F.col("uri") == uri
                     )
             elif c.cur is not None:
-                # CREATE runs once PER matched row (0 rows -> 0 nodes)
-                props = _literal_props(n, c.params)
-                props.pop("uri", None)
-                g = M.add_vertices_frame(g, c.cur, list(n.labels), props)
+                # CREATE runs once PER matched row (0 rows -> 0
+                # nodes); property values may be row expressions
+                # (UNWIND $batch AS row CREATE (n {k: row.k}))
+                const_props: dict = {}
+                expr_items: dict = {}
+                for k, e in n.props.items():
+                    if e[0] in ("lit", "param", "neg"):
+                        const_props[k] = _fold_literal(e, c.params)
+                    else:
+                        expr_items[k] = e
+                const_props.pop("uri", None)
+                expr_cols = None
+                if expr_items:
+                    needed: set = set()
+                    for e in expr_items.values():
+                        _collect_props(e, needed)
+                    _materialize_props(c, needed)
+                    expr_cols = {
+                        k: _to_col(c, e) for k, e in expr_items.items()
+                    }
+                g = M.add_vertices_frame(
+                    g, c.cur, list(n.labels), const_props,
+                    expr_props=expr_cols,
+                )
             else:
                 g = M.add_vertices(
                     g, [_node_row(n, f"urn:cypher:{uuid.uuid4().hex}", c.params)]
@@ -223,8 +249,35 @@ def _apply_create(
                 if rel.direction == "in":
                     a, b = b, a
                 # CREATE: one new edge per matched row (multi-edges
-                # allowed, Cypher semantics); MERGE: dedup-on-insert
-                pairs = c.cur.select(a, b)
+                # allowed, Cypher semantics); MERGE: dedup-on-insert.
+                # CREATE property values may be row expressions
+                # (UNWIND $batch AS row ... [:T {w: row.w}]).
+                const_rel_props: dict = {}
+                rel_expr_items: dict = {}
+                for k, e in rel.props.items():
+                    if e[0] in ("lit", "param", "neg"):
+                        const_rel_props[k] = _fold_literal(e, c.params)
+                    else:
+                        rel_expr_items[k] = e
+                if rel_expr_items and merge:
+                    raise CypherSyntaxError(
+                        "MERGE relationship properties must be literals "
+                        "or $parameters (row expressions are CREATE-only)"
+                    )
+                rel_expr_cols = None
+                if rel_expr_items:
+                    needed: set = set()
+                    for e in rel_expr_items.values():
+                        _collect_props(e, needed)
+                    _materialize_props(c, needed)
+                    rel_expr_cols = {
+                        k: _to_col(c, e) for k, e in rel_expr_items.items()
+                    }
+                    pairs = c.cur.select(
+                        a, b, *[x for x in c.cur.columns if x not in (a, b)]
+                    )
+                else:
+                    pairs = c.cur.select(a, b)
                 if merge:
                     pairs = pairs.dropDuplicates()
                 if want_sets:
@@ -242,8 +295,9 @@ def _apply_create(
                     created_pairs = pf.join(ex, ["src", "dst"], "leftanti")
                 g = M.add_edges_frame(
                     g, pairs, rel.types[0],
-                    props={k: _fold_literal(e, c.params) for k, e in rel.props.items()},
+                    props=const_rel_props,
                     dedup=merge,
+                    expr_props=rel_expr_cols,
                 )
                 if want_sets:
                     tpe = g.edges.filter(F.col("predicate") == rel.types[0])

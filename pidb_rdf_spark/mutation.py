@@ -82,16 +82,23 @@ def add_vertices_frame(
     rows_frame: DataFrame,
     labels: list[str],
     props: dict | None = None,
+    expr_props: dict | None = None,
 ) -> PropertyGraph:
     """M1 distributed form: mint ONE new vertex per input row of
     ``rows_frame`` — Cypher ``MATCH ... CREATE (n:L {..})``
     cardinality (zero matched rows create zero nodes, N rows create N
-    distinct nodes). Uris/ids are minted executor-side via ``uuid()``;
-    no collect."""
+    distinct nodes). ``props`` are constants; ``expr_props`` map keys
+    to Columns evaluated against each input row (the bulk-ingest
+    idiom ``UNWIND $batch AS row CREATE (n {k: row.k})``) — NULL
+    values are omitted, as in Cypher. Uris/ids are minted
+    executor-side via ``uuid()``; no collect."""
     props = {k: str(v) for k, v in (props or {}).items()}
+    pairs = [F.lit(x) for kv in sorted(props.items()) for x in kv]
+    for k in sorted(expr_props or {}):
+        pairs.extend([F.lit(k), expr_props[k].cast("string")])
     pmap = (
-        F.create_map(*[F.lit(x) for kv in sorted(props.items()) for x in kv])
-        if props
+        F.map_filter(F.create_map(*pairs), lambda _, v: v.isNotNull())
+        if pairs
         else _empty_props()
     )
     labs = (
@@ -100,12 +107,13 @@ def add_vertices_frame(
         else F.array().cast("array<string>")
     )
     new = rows_frame.select(
-        F.concat(F.lit("urn:cypher:"), F.expr("replace(uuid(), '-', '')")).alias("uri")
+        F.concat(F.lit("urn:cypher:"), F.expr("replace(uuid(), '-', '')")).alias("uri"),
+        pmap.alias("props"),
     ).select(
         F.xxhash64("uri").alias("id"),
         "uri",
         labs.alias("labels"),
-        pmap.alias("props"),
+        "props",
     )
     # uuid() is non-deterministic: pin the minted rows NOW so later
     # re-scans of the unioned plan (task retry, AQE replan, the same
@@ -182,6 +190,7 @@ def add_edges_frame(
     predicate: str,
     props: dict | None = None,
     dedup: bool = True,
+    expr_props: dict | None = None,
 ) -> PropertyGraph:
     """M2/M10 distributed form: insert one ``predicate`` edge per
     (src, dst) row of ``pairs`` (its first two columns are node ids —
@@ -192,31 +201,58 @@ def add_edges_frame(
     left-anti join against the existing edges, reference
     ``DirectStatementLoader.java:281-305``; deterministic edge ids).
     ``dedup=False`` is Cypher CREATE semantics: one NEW edge per
-    input row, multi-edges allowed, ids minted executor-side."""
+    input row, multi-edges allowed, ids minted executor-side.
+    ``expr_props`` map keys to Columns evaluated against each pairs
+    row (NULL values omitted) — CREATE only: dedup would have to
+    compare map columns, which Spark set operations cannot."""
     s, d = pairs.columns[:2]
     props = {k: str(v) for k, v in (props or {}).items()}
-    pmap = (
-        F.create_map(*[F.lit(x) for kv in sorted(props.items()) for x in kv])
-        if props
-        else _empty_props()
-    )
-    base = pairs.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    map_args = [F.lit(x) for kv in sorted(props.items()) for x in kv]
+    if expr_props:
+        if dedup:
+            raise ValueError(
+                "expr_props requires dedup=False (CREATE semantics)"
+            )
+        for k in sorted(expr_props):
+            map_args.extend([F.lit(k), expr_props[k].cast("string")])
+        pmap = F.map_filter(
+            F.create_map(*map_args), lambda _, v: v.isNotNull()
+        )
+    else:
+        pmap = F.create_map(*map_args) if map_args else _empty_props()
     if dedup:
         eid = F.xxhash64(
             F.concat_ws(":", F.lit(predicate), F.col("src"), F.col("dst"))
         )
-        base = base.dropDuplicates()
+        base = (
+            pairs.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+            .dropDuplicates()
+        )
     else:
         eid = F.xxhash64(
             F.concat_ws(":", F.lit(predicate), F.col("src"), F.col("dst"), F.expr("uuid()"))
         )
-    new = base.select(
-        eid.alias("id"),
-        "src",
-        "dst",
-        F.lit(predicate).alias("predicate"),
-        pmap.alias("props"),
-    )
+        # evaluate the property map against the FULL pairs row first
+        # (expression props may read any of its columns)
+        base = pairs.select(
+            F.col(s).alias("src"), F.col(d).alias("dst"), pmap.alias("__pm")
+        )
+    if dedup:
+        new = base.select(
+            eid.alias("id"),
+            "src",
+            "dst",
+            F.lit(predicate).alias("predicate"),
+            pmap.alias("props"),
+        )
+    else:
+        new = base.select(
+            eid.alias("id"),
+            "src",
+            "dst",
+            F.lit(predicate).alias("predicate"),
+            F.col("__pm").alias("props"),
+        )
     if dedup:
         new = new.join(
             graph.edges.select("src", "predicate", "dst"),

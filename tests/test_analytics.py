@@ -215,3 +215,91 @@ def test_sssp_rejects_fractional_weights_and_drops_null(spark):
     )
     d = {r["node"]: r["dist"] for r in sssp(withnull, s).collect()}
     assert d == {"a": 0, "b": 3, "c": 4}
+
+
+# ---------------------------------------------------------------------------
+# k-core and label propagation (late-r8)
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_tail(spark):
+    # triangle {1,2,3} with a tail 3-4-5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    from pidb_rdf_spark.analytics import kcore
+
+    got = sorted(r[0] for r in kcore(pairs, 2).collect())
+    assert got == [1, 2, 3]
+    assert kcore(pairs, 3).isEmpty()  # no 3-core anywhere
+    assert sorted(r[0] for r in kcore(pairs, 1).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_kcore_k4_with_pendant(spark):
+    k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    pairs = spark.createDataFrame(k4 + [(13, 14)], ["src", "dst"])
+    from pidb_rdf_spark.analytics import kcore
+
+    got = sorted(r[0] for r in kcore(pairs, 3).collect())
+    assert got == [10, 11, 12, 13]
+
+
+def test_kcore_vs_python_reference(spark):
+    """Peel order must not matter: compare against a sequential peel."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.15
+    ]
+
+    def ref_kcore(edges, k):
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return sorted(adj)
+
+    from pidb_rdf_spark.analytics import kcore
+
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3, 4):
+        got = sorted(r[0] for r in kcore(pairs, k).collect())
+        assert got == ref_kcore(edges, k), f"k={k}"
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one weak edge -> two communities
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    from pidb_rdf_spark.analytics import label_propagation
+
+    got = dict(map(tuple, label_propagation(pairs).collect()))
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_label_propagation_deterministic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    from pidb_rdf_spark.analytics import label_propagation
+
+    a = sorted(map(tuple, label_propagation(pairs, n_iter=4).collect()))
+    b = sorted(map(tuple, label_propagation(pairs, n_iter=4).collect()))
+    assert a == b

@@ -1839,3 +1839,15 @@ def test_exists_subquery_in_case_and_return(graph):
            FROM nation ORDER BY n_name LIMIT 5"""
     )
     assert got == want
+
+
+def test_unwind_batch_of_maps_read(graph):
+    got = rows(
+        cypher(
+            graph,
+            "UNWIND $batch AS row "
+            "RETURN row.name AS name, row.age * 2 AS dbl ORDER BY name",
+            params={"batch": [{"name": "b", "age": 2}, {"name": "a", "age": 1}]},
+        )
+    )
+    assert got == [("a", 2), ("b", 4)]

@@ -487,3 +487,55 @@ def test_merge_on_match_set_equals_map(wg):
         "MERGE (n:Person {name: 'Eve'}) ON MATCH SET n = {name: 'Eve', v: '2'}",
     )
     assert _props_of(g2, "Eve") == {"name": "Eve", "v": "2"}
+
+
+def test_unwind_batch_create_bulk_ingest(wg):
+    """UNWIND $batch AS row CREATE (...row.k...): the bulk-load shape."""
+    batch = [
+        {"name": "Dan", "age": 40},
+        {"name": "Erin", "age": 35},
+        {"name": "Frank"},  # missing key -> property omitted
+    ]
+    g2 = cypher_write(
+        wg,
+        "UNWIND $batch AS row "
+        "CREATE (n:Loaded {name: row.name, age: row.age, src: 'batch'})",
+        params={"batch": batch},
+    )
+    rows_ = g2.nodes.filter(F.array_contains("labels", "Loaded")).collect()
+    assert len(rows_) == 3
+    by_name = {r["props"]["name"]: dict(r["props"]) for r in rows_}
+    assert by_name["Dan"] == {"name": "Dan", "age": "40", "src": "batch"}
+    assert by_name["Erin"]["age"] == "35"
+    assert "age" not in by_name["Frank"]  # NULL omitted
+
+
+def test_create_property_from_matched_node(wg):
+    g2 = cypher_write(
+        wg,
+        "MATCH (p:Person) CREATE (s:Shadow {of: p.name})",
+    )
+    shadows = sorted(
+        r["props"]["of"]
+        for r in g2.nodes.filter(F.array_contains("labels", "Shadow")).collect()
+    )
+    assert shadows == ["Alice", "Bob"]
+
+
+def test_create_edge_property_from_row(wg):
+    """CREATE relationship property from a row expression."""
+    g2 = cypher_write(
+        wg,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "CREATE (a)-[:GREETS {to: b.name, mode: 'hi'}]->(b)",
+    )
+    e = g2.edges.filter(F.col("predicate") == "GREETS").collect()
+    assert len(e) == 1
+    assert dict(e[0]["props"]) == {"to": "Bob", "mode": "hi"}
+    # MERGE rejects row-expression properties
+    with pytest.raises(CypherSyntaxError, match="CREATE-only"):
+        cypher_write(
+            wg,
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+            "MERGE (a)-[:GREETS {to: b.name}]->(b)",
+        )
