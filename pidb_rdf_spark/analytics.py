@@ -563,3 +563,70 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def modularity(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> float:
+    """Newman modularity Q of a community ``assignment`` (columns
+    ``node, community``) over the undirected simple graph of
+    ``pairs``: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c counts
+    intra-community edges, d_c sums member degrees and m is the edge
+    total. The standard quality score for a label-propagation or
+    components clustering (Q > ~0.3 reads as real structure).
+
+    Plan: two broadcast-sized aggregations (per-community edge and
+    degree sums) folded into one driver scalar — the metric is a
+    single float, so the final collect is one row."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    m = e.count()
+    if m == 0:
+        return 0.0
+    asg = assignment.select(
+        F.col(assignment.columns[0]).alias("node"),
+        F.col(assignment.columns[1]).alias("community"),
+    ).dropDuplicates(["node"])
+    tagged = (
+        e.join(asg.withColumnRenamed("node", "u"), on="u")
+        .withColumnRenamed("community", "cu")
+        .join(asg.withColumnRenamed("node", "v"), on="v")
+        .withColumnRenamed("community", "cv")
+    )
+    intra = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dsum = (
+        deg.join(asg, on="node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    row = (
+        dsum.join(intra, on="community", how="left")
+        .select(
+            F.sum(
+                F.coalesce(F.col("e_c"), F.lit(0)) / F.lit(float(m))
+                - (F.col("d_c") / F.lit(2.0 * m)) ** 2
+            ).alias("q")
+        )
+        .first()
+    )
+    return float(row["q"] or 0.0)

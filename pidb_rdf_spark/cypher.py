@@ -43,7 +43,9 @@ issue):
   match-count columns (one left join). ``COUNT { ... }`` subquery
   expressions give the match count directly, 0 when unmatched.
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
-  arithmetic, and aggregates ``count/sum/avg/min/max/collect``
+  arithmetic, ``*`` (every bound variable, optionally with extra
+  items — ``RETURN *, count(*) AS n``; also ``WITH *``),
+  and aggregates ``count/sum/avg/min/max/collect``
   (+ ``count(DISTINCT x)`` and ``collect(DISTINCT x)``, the latter
   sorted), with ``AS`` aliases and implicit grouping. Scalar
   functions include ``properties(v)`` / ``keys(v)`` (typed hot
@@ -247,6 +249,7 @@ class Projection:
     limit: int | None
     is_return: bool
     post_where: tuple | None = None  # WITH ... WHERE (HAVING-style)
+    star: bool = False  # RETURN * / WITH * — expand bound vars first
 
 
 @dataclass
@@ -612,9 +615,19 @@ class _Parser:
 
     def _projection(self, is_return: bool) -> Projection:
         distinct = self._accept("kw", "distinct") is not None
-        items = [self._return_item()]
-        while self._accept("op", ","):
-            items.append(self._return_item())
+        star = False
+        items: list[ReturnItem] = []
+        if self._at("op", "*"):
+            # RETURN * / WITH * — every bound variable, optionally
+            # followed by extra items (RETURN *, count(*) AS n)
+            self._next()
+            star = True
+            while self._accept("op", ","):
+                items.append(self._return_item())
+        else:
+            items = [self._return_item()]
+            while self._accept("op", ","):
+                items.append(self._return_item())
         order: list[tuple] = []
         if self._accept("kw", "order"):
             self._expect("kw", "by")
@@ -635,7 +648,9 @@ class _Parser:
         post_where = None
         if not is_return and self._accept("kw", "where"):
             post_where = self._expr()
-        return Projection(items, distinct, order, skip, limit, is_return, post_where)
+        return Projection(
+            items, distinct, order, skip, limit, is_return, post_where, star
+        )
 
     def _pattern(self) -> Pattern:
         nodes = [self._node_pat()]
@@ -2001,6 +2016,25 @@ def _apply_projection(c: _Compile, proj: Projection) -> tuple:
     ``(out, names)``."""
     if c.cur is None:  # leading WITH/RETURN: one unit row (Neo4j)
         c.cur = c.graph.spark.range(1).select(F.lit(1).alias("__one"))
+    if proj.star:
+        # RETURN * / WITH *: every user-named bound variable, in
+        # declaration order, ahead of any extra items
+        star_items = []
+        for v, kind in c.kinds.items():
+            if v.startswith("__"):
+                continue  # compiler-internal columns
+            if kind in ("path", "pathlen"):
+                raise CypherSyntaxError(
+                    f"RETURN */WITH * with a bound path variable ({v!r}) "
+                    "is not supported — name the items explicitly"
+                )
+            star_items.append(ReturnItem(("var", v), None, v))
+        if not star_items:
+            raise CypherSyntaxError(
+                "RETURN */WITH *: no variables in scope"
+            )
+        proj.items[:] = star_items + proj.items
+        proj.star = False  # expanded exactly once
     # EXISTS{}/COUNT{} items join their match-count columns in first
     for it in proj.items:
         it.expr = _rewrite_subqueries(c, it.expr)
@@ -2024,6 +2058,11 @@ def _apply_projection(c: _Compile, proj: Projection) -> tuple:
             raise CypherSyntaxError(
                 f"WITH item {it.text!r} must be aliased (AS name)"
             )
+    if len(set(names)) != len(names):
+        dup = next(n for n in names if names.count(n) > 1)
+        raise CypherSyntaxError(
+            f"multiple result columns with the same name {dup!r}"
+        )
     aggregating = any(_has_agg(it.expr) for it in proj.items)
     if aggregating:
         keys = [

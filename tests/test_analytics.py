@@ -303,3 +303,28 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(pairs, n_iter=4).collect()))
     b = sorted(map(tuple, label_propagation(pairs, n_iter=4).collect()))
     assert a == b
+
+
+def test_modularity_two_cliques(spark):
+    """Hand-checked: two triangles + one bridge, perfect 2-community
+    split. m=7; e_c=3 each; degrees: 2,2,3 | 3,2,2 -> d_c=7 each.
+    Q = 2 * (3/7 - (7/14)^2) = 6/7 - 1/2 = 5/14."""
+    from pidb_rdf_spark.analytics import modularity
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)],
+        ["node", "community"],
+    )
+    assert modularity(pairs, asg) == pytest.approx(5 / 14)
+    # everything in ONE community: Q = e/m - 1 = 0 by definition
+    one = spark.createDataFrame([(i, 1) for i in range(1, 7)], ["node", "community"])
+    assert modularity(pairs, one) == pytest.approx(0.0)
+    # the LPA split of this graph should be the good split
+    from pidb_rdf_spark.analytics import label_propagation
+
+    lpa = label_propagation(pairs)
+    assert modularity(pairs, lpa) == pytest.approx(5 / 14)

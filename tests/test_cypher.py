@@ -1851,3 +1851,51 @@ def test_unwind_batch_of_maps_read(graph):
         )
     )
     assert got == [("a", 2), ("b", 4)]
+
+
+def test_return_star_and_with_star(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "WHERE c.c_custkey <= 3 RETURN * ORDER BY c",
+        )
+    )
+    want = oracle(
+        """SELECT c_custkey, n_nationkey FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey <= 3 ORDER BY c_custkey"""
+    )
+    # node variables project as ids; ids here are xxhash64 of uris, so
+    # compare shapes and grouping instead of raw values
+    assert len(got) == len(want) and all(len(r) == 2 for r in got)
+    # star + extra aggregate: star vars become the group keys
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation)<-[:IN_NATION]-(c:Customer) "
+            "WITH n.n_name AS name, c WITH name, count(c) AS k "
+            "RETURN *, k * 2 AS dbl ORDER BY name LIMIT 3",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, COUNT(*), COUNT(*) * 2 FROM nation
+           JOIN customer ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name LIMIT 3"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_star_errors(graph):
+    with pytest.raises(CypherSyntaxError, match="no variables"):
+        cypher(graph, "RETURN *")
+    with pytest.raises(CypherSyntaxError, match="same name"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN n.n_name AS x, n.n_nationkey AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="path variable"):
+        cypher(
+            graph,
+            "MATCH p = (c:Customer)-[:IN_NATION]->(n) RETURN *",
+        )
