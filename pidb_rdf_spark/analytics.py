@@ -493,10 +493,14 @@ def kcore(
 
     Plan: iterative peel — each round computes current degrees (one
     aggregation) and drops nodes below k (one semi-join on each
-    endpoint); converges when a round removes nothing. Rounds are
-    bounded by the peeling depth (<= max coreness steps, typically
-    << diameter); lineage truncated per round, convergence tested on
-    the delta count only."""
+    endpoint); converges when a round removes nothing. Rounds equal
+    the peeling depth: small on real (power-law) graphs, but O(n) in
+    the adversarial chain case (k=2 peels two chain ends per round) —
+    the same long-path caveat as min-label components; raise
+    ``max_rounds`` for such graphs (the result after an exhausted
+    budget is a SUPERSET of the k-core: peeling stopped early).
+    Lineage truncated per round, convergence tested on a one-row
+    probe only."""
     if k < 1:
         raise ValueError("k must be >= 1")
     edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
