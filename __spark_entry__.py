@@ -164,13 +164,18 @@ _DEFER_TO_TAIL = [
     # procedures, SET += maps, date() casts, and statistical
     # aggregates (stDev/percentileCont/...) — all currently proven by DuckDB-oracle pytest tests in
     # tests/test_cypher.py and tests/test_cypher_write.py.
-    # Also from the second late-r8 session (same proof status):
-    # named paths (nodes()/relationships()/length()), EXISTS{}/COUNT{}
-    # subquery expressions (incl. deep/composable pattern predicates),
-    # SET n = {map} replacement, UNWIND $batch bulk ingest with row
-    # expressions in CREATE, the math/left/right scalar functions,
-    # and analytics.kcore / analytics.label_propagation
-    # (tests/test_analytics.py).
+    # Also from the second late-r8 session: named paths
+    # (nodes()/relationships()/length()), EXISTS{}/COUNT{} subquery
+    # expressions (deep/composable pattern predicates), RETURN */
+    # WITH *, SET n = {map} replacement, UNWIND $batch bulk ingest
+    # with row expressions in CREATE, the math/left/right scalar
+    # functions, and analytics.kcore / label_propagation / modularity.
+    # FOUR of these already have PRE-STAGED driver entries + DuckDB
+    # oracles declared at the END of queries() (past position 50, so
+    # the full r8 window is untouched): cypher_count_subquery,
+    # cypher_named_path_stats, kcore_dup_graph (unrolled-peel oracle
+    # _kcore_sql), label_prop_dup_communities (unrolled _lpa_sql) —
+    # the r9 rotation just needs to move them into the window.
     # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
     # window (contract rule 3); the r7-proven window rotates out.
     # Every entry below has a green row in CORRECTNESS_r07.json and
@@ -1815,6 +1820,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cypher_with_having_expand"] = cypher_with_having_expand
 
+    # ==================================================================
+    # Second late-r8 additions — declared LAST on purpose: the r8
+    # window is already exactly full (the 46 r7-deferred returners +
+    # inference trio + cypher_with_having_expand), so these sit past
+    # position 50 until the r9 rotation pulls them in. Each one is
+    # ALSO proven by pytest oracles now (tests/test_cypher.py,
+    # tests/test_analytics.py).
+    # ==================================================================
+
+    def cypher_count_subquery(spark, sf_dir):
+        """EXISTS{}/COUNT{} subquery expressions (cypher.py
+        _sub_compile): the EXISTS conjunct compiles to a semi-join,
+        the COUNT item to one grouped left join on the shared
+        variable."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (n:Nation) "
+            "WHERE EXISTS { (s:Supplier)-[:IN_NATION]->(n) } "
+            "RETURN n.n_name AS nation, "
+            "COUNT { (c:Customer)-[:IN_NATION]->(n) } AS custs "
+            "ORDER BY nation",
+        )
+
+    q["cypher_count_subquery"] = cypher_count_subquery
+
+    def cypher_named_path_stats(spark, sf_dir):
+        """Named path variables (cypher.py _bind_named_path):
+        length(p) folds to a literal, the pattern compiles exactly as
+        an anonymous MATCH."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH p = (c:Customer)-[:IN_NATION]->()-[:IN_REGION]->(r:Region) "
+            "RETURN r.r_name AS region, count(*) AS n, length(p) AS plen "
+            "ORDER BY region",
+        )
+
+    q["cypher_named_path_stats"] = cypher_named_path_stats
+
+    def kcore_dup_graph(spark, sf_dir):
+        """k-core of the near-dup pair graph (analytics.kcore):
+        members of dup families that are 2-cohesive — the standard
+        low-connectivity noise filter. Oracle: the same peel unrolled
+        in DuckDB SQL (_kcore_sql), fixpoint well inside the unroll
+        budget at sf<=0.01."""
+        from pidb_rdf_spark.analytics import kcore
+
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return kcore(pairs, 2, src="a", dst="b")
+
+    q["kcore_dup_graph"] = kcore_dup_graph
+
+    def label_prop_dup_communities(spark, sf_dir):
+        """Deterministic synchronous label propagation over the
+        near-dup pair graph (analytics.label_propagation). Oracle:
+        all 5 rounds unrolled in DuckDB SQL (_lpa_sql), mirroring the
+        most-frequent/min-tie update step-for-step."""
+        from pidb_rdf_spark.analytics import label_propagation
+
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return label_propagation(pairs, src="a", dst="b", n_iter=5)
+
+    q["label_prop_dup_communities"] = label_prop_dup_communities
+
     return _rotate_checked_window(q)
 
 
@@ -1901,6 +1975,66 @@ def _brute_topk_sql(query_pred: str, k: int) -> str:
         SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id
         FROM r WHERE rn <= {k}
     """
+
+
+def _kcore_sql(k: int = 2, rounds: int = 10) -> str:
+    """The k-core peel unrolled in DuckDB SQL, mirroring
+    ``analytics.kcore`` round-for-round over the near-dup pair graph:
+    each round keeps nodes whose degree in the surviving edge set is
+    >= k. ``rounds`` must exceed the peeling depth (clique-family dup
+    graphs converge in 1-2 rounds; 10 is ample at sf<=0.01 — an
+    unconverged unroll shows up as a hash mismatch, never silently)."""
+    ctes = [
+        f"pr AS MATERIALIZED (SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp)",
+        "sym0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"keep{i} AS MATERIALIZED (SELECT u FROM sym{i} GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"""sym{i + 1} AS MATERIALIZED (
+  SELECT s.u, s.v FROM sym{i} s
+  JOIN keep{i} x ON s.u = x.u JOIN keep{i} y ON s.v = y.u
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT DISTINCT u AS node FROM sym{rounds}
+"""
+
+
+def _lpa_sql(n_iter: int = 5) -> str:
+    """All ``n_iter`` synchronous label-propagation rounds unrolled in
+    DuckDB SQL, mirroring ``analytics.label_propagation``
+    step-for-step: adopt the most frequent neighbor label, ties to
+    the smallest label."""
+    ctes = [
+        f"pr AS MATERIALIZED (SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp)",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr)",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS community FROM sym)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""freq{i} AS MATERIALIZED (
+  SELECT s.u AS node, l.community AS community, COUNT(*) AS n
+  FROM sym s JOIN lab{i - 1} l ON l.node = s.v GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"best{i} AS MATERIALIZED (SELECT node, MAX(n) AS m FROM freq{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"""lab{i} AS MATERIALIZED (
+  SELECT f.node, MIN(f.community) AS community
+  FROM freq{i} f JOIN best{i} b ON b.node = f.node AND f.n = b.m
+  GROUP BY f.node
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT node, community FROM lab{n_iter}
+"""
 
 
 def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
@@ -3516,4 +3650,23 @@ def oracle_sql() -> dict[str, str]:
     # identical output contract (component = min reachable node id),
     # so the star variant shares the propagation variant's oracle
     base["connected_components_star"] = base["connected_components_regions"]
+    # -- second late-r8 additions (past the r8 window; r9 pulls them in)
+    base["cypher_count_subquery"] = """
+        SELECT n_name AS nation,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_nationkey = n_nationkey) AS custs
+        FROM nation
+        WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        ORDER BY n_name
+    """
+    base["cypher_named_path_stats"] = """
+        SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(2 AS BIGINT) AS plen
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """
+    base["kcore_dup_graph"] = _kcore_sql(2, 10)
+    base["label_prop_dup_communities"] = _lpa_sql(5)
     return base
