@@ -1899,3 +1899,36 @@ def test_star_errors(graph):
             graph,
             "MATCH p = (c:Customer)-[:IN_NATION]->(n) RETURN *",
         )
+
+
+def test_parser_fuzz_no_crash():
+    """Hypothesis fuzz over grammar fragments: any text either parses
+    or raises CypherSyntaxError — never another exception type, never
+    a hang (same contract as the SPARQL/Turtle parser fuzz)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pidb_rdf_spark.cypher import _Parser
+
+    fragments = st.sampled_from([
+        "MATCH", "OPTIONAL MATCH", "RETURN", "WITH", "WHERE", "UNWIND",
+        "EXISTS", "COUNT", "(n:Person)", "(m)", "-[:T]->", "<-[r:T]-",
+        "-[*1..3]->", "p =", "shortestPath", "*", "{", "}", "(", ")",
+        ",", "n.name", "AS x", "count(*)", "collect(DISTINCT n)",
+        "'str'", "42", "-7", "[1, 2]", "ORDER BY", "SKIP 1", "LIMIT 3",
+        "CREATE", "MERGE", "SET", "REMOVE", "DETACH DELETE", "=", "+=",
+        "{k: 1}", "CASE", "WHEN", "THEN", "END", "UNION", "ALL",
+        "CALL", "db.labels()", "YIELD", "$param", "AND", "OR", "NOT",
+        "=~", "STARTS WITH", "IS NULL", "nodes(p)", "length(p)",
+    ])
+
+    @given(st.lists(fragments, min_size=1, max_size=12))
+    @settings(max_examples=300, deadline=None)
+    def run(parts):
+        text = " ".join(parts)
+        try:
+            _Parser(text).parse_multi()
+        except SyntaxError:
+            pass  # CypherSyntaxError subclasses SyntaxError
+
+    run()
