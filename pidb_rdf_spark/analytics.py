@@ -634,3 +634,129 @@ def modularity(
         .first()
     )
     return float(row["q"] or 0.0)
+
+
+def _partition_min_propagate(
+    edges: DataFrame, nodes: DataFrame, max_iter: int
+) -> DataFrame:
+    """Directed min-label propagation WITHIN partitions: ``edges`` is
+    (src, dst, p), ``nodes`` is (node, p); returns (node, p, m) where
+    m = min id over the node itself and everything that reaches it
+    along edge direction inside its partition. Semi-naive: each round
+    one equi-join + one min-aggregate, lineage truncated."""
+    lab = nodes.select("node", "p", F.col("node").alias("m")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                lab.withColumnRenamed("node", "src"), on=["src", "p"]
+            )
+            .select(F.col("dst").alias("node"), "p", "m")
+        )
+        new = (
+            lab.unionAll(nbr)
+            .groupBy("node", "p")
+            .agg(F.min("m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.join(
+                lab.withColumnRenamed("m", "old"), on=["node", "p"]
+            )
+            .filter(F.col("m") != F.col("old"))
+            .isEmpty()
+        )
+        lab = new
+        if converged:
+            break
+    return lab
+
+
+def strongly_connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) over the DIRECTED graph of ``pairs``:
+    component = the minimum node id in the node's strongly connected
+    component. The directed sibling of ``connected_components`` —
+    cycle detection, dependency condensation, link-graph analysis.
+
+    Algorithm (FW-BW-MIN, the standard distributed SCC): per round,
+    compute each node's forward-min f(v) (smallest id among v and its
+    ancestors) and backward-min b(v) (smallest id among v and its
+    descendants) WITHIN its current partition. Nodes with f = b are
+    mutually reachable with that pivot — their SCC is settled and
+    removed. SCCs never span different (f, b) classes, so the
+    remaining nodes re-partition by the exact (p, f, b) string key and
+    iterate. Rounds needed = recursion depth of the partition
+    refinement (small on real graphs: every round settles at least
+    each partition's pivot SCC); an exhausted ``max_rounds`` raises —
+    never a silently under-merged answer.
+
+    Scale shape: every step is an equi-join or a min-aggregate keyed
+    on (node, partition); no arrays, no driver-side graph state. The
+    partition key is an exact concatenated string (grows one id per
+    round, bounded by max_rounds) — exactness over a hashed key's
+    2^-64 cross-partition leak."""
+    e = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    work_nodes = nodes.select(
+        "node", F.lit("r").alias("p")
+    ).localCheckpoint(eager=True)
+    settled_parts: list = []
+    for _ in range(max_rounds):
+        node_p = work_nodes
+        ep = (
+            e.join(node_p.withColumnRenamed("node", "src"), on="src")
+            .withColumnRenamed("p", "ps")
+            .join(node_p.withColumnRenamed("node", "dst"), on="dst")
+            .filter(F.col("ps") == F.col("p"))
+            .select("src", "dst", "p")
+            .localCheckpoint(eager=True)
+        )
+        fwd = _partition_min_propagate(ep, node_p, max_iter)
+        bwd = _partition_min_propagate(
+            ep.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "p"
+            ),
+            node_p,
+            max_iter,
+        )
+        joined = fwd.join(
+            bwd.withColumnRenamed("m", "mb"), on=["node", "p"]
+        ).localCheckpoint(eager=True)
+        settled = joined.filter(F.col("m") == F.col("mb")).select(
+            "node", F.col("m").alias("component")
+        )
+        settled_parts.append(settled.localCheckpoint(eager=True))
+        rest = joined.filter(F.col("m") != F.col("mb"))
+        if rest.isEmpty():
+            out = settled_parts[0]
+            for part in settled_parts[1:]:
+                out = out.unionAll(part)
+            return out
+        work_nodes = rest.select(
+            "node",
+            F.concat_ws(
+                "|", F.col("p"), F.col("m").cast("string"),
+                F.col("mb").cast("string"),
+            ).alias("p"),
+        ).localCheckpoint(eager=True)
+    raise RuntimeError(
+        "strongly_connected_components: partition refinement did not "
+        f"settle within max_rounds={max_rounds} — raise max_rounds "
+        "(each round is one forward + one backward propagation)"
+    )

@@ -328,3 +328,95 @@ def test_modularity_two_cliques(spark):
 
     lpa = label_propagation(pairs)
     assert modularity(pairs, lpa) == pytest.approx(5 / 14)
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (directed) vs a python Kosaraju oracle
+# ---------------------------------------------------------------------------
+
+
+def _py_scc(edges):
+    """Kosaraju reference: node -> min id of its SCC."""
+    from collections import defaultdict
+
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            nodes.add(a)
+            continue
+        fwd[a].append(b)
+        bwd[b].append(a)
+        nodes.update((a, b))
+    order, seen = [], set()
+    for s in nodes:
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            n, it = stack[-1]
+            adv = False
+            for m in it:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append((m, iter(fwd[m])))
+                    adv = True
+                    break
+            if not adv:
+                order.append(n)
+                stack.pop()
+    comp, assigned = {}, set()
+    for s in reversed(order):
+        if s in assigned:
+            continue
+        members, stack = [], [s]
+        assigned.add(s)
+        while stack:
+            n = stack.pop()
+            members.append(n)
+            for m in bwd[n]:
+                if m not in assigned:
+                    assigned.add(m)
+                    stack.append(m)
+        mn = min(members)
+        for n in members:
+            comp[n] = mn
+    return comp
+
+
+def test_scc_basic_shapes(spark):
+    from pidb_rdf_spark.analytics import strongly_connected_components
+
+    # a 3-cycle, a 2-cycle reachable from it, and a dangling tail
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)]
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(map(tuple, strongly_connected_components(pairs).collect()))
+    assert got == _py_scc(edges)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    assert got[6] == 6
+
+
+def test_scc_vs_python_reference_random(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = list({
+        (rng.randrange(18), rng.randrange(18)) for _ in range(60)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    from pidb_rdf_spark.analytics import strongly_connected_components
+
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(map(tuple, strongly_connected_components(pairs).collect()))
+    assert got == _py_scc(edges)
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from pidb_rdf_spark.analytics import strongly_connected_components
+
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(map(tuple, strongly_connected_components(pairs).collect()))
+    assert got == {n: n for n in (1, 2, 3, 4)}
