@@ -170,12 +170,14 @@ _DEFER_TO_TAIL = [
     # WITH *, SET n = {map} replacement, UNWIND $batch bulk ingest
     # with row expressions in CREATE, the math/left/right scalar
     # functions, and analytics.kcore / label_propagation / modularity.
-    # FOUR of these already have PRE-STAGED driver entries + DuckDB
+    # FIVE of these already have PRE-STAGED driver entries + DuckDB
     # oracles declared at the END of queries() (past position 50, so
     # the full r8 window is untouched): cypher_count_subquery,
     # cypher_named_path_stats, kcore_dup_graph (unrolled-peel oracle
-    # _kcore_sql), label_prop_dup_communities (unrolled _lpa_sql) —
-    # the r9 rotation just needs to move them into the window.
+    # _kcore_sql), label_prop_dup_communities (unrolled _lpa_sql),
+    # scc_event_transitions (recursive-CTE mutual-reachability
+    # oracle) — the r9 rotation just needs to move them into the
+    # window.
     # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
     # window (contract rule 3); the r7-proven window rotates out.
     # Every entry below has a green row in CORRECTNESS_r07.json and
@@ -1888,6 +1890,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(pairs, src="a", dst="b", n_iter=5)
 
     q["label_prop_dup_communities"] = label_prop_dup_communities
+
+    def scc_event_transitions(spark, sf_dir):
+        """Strongly connected components of the per-user event-type
+        transition graph (analytics.strongly_connected_components,
+        FW-BW-MIN): nodes are event types, edges are observed
+        consecutive transitions (ts, event_id ordering pins ties).
+        Oracle: recursive-CTE mutual reachability in DuckDB."""
+        from pyspark.sql import Window
+
+        from pidb_rdf_spark.analytics import strongly_connected_components
+
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        pairs = (
+            seq.filter(
+                F.col("prev").isNotNull()
+                & (F.col("prev") != F.col("event_type"))
+            )
+            .select(
+                F.col("prev").alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+            .dropDuplicates()
+        )
+        return strongly_connected_components(pairs)
+
+    q["scc_event_transitions"] = scc_event_transitions
 
     return _rotate_checked_window(q)
 
@@ -3669,4 +3701,33 @@ def oracle_sql() -> dict[str, str]:
     """
     base["kcore_dup_graph"] = _kcore_sql(2, 10)
     base["label_prop_dup_communities"] = _lpa_sql(5)
+    base["scc_event_transitions"] = """
+        WITH RECURSIVE seq AS MATERIALIZED (
+            SELECT event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ),
+        e AS MATERIALIZED (
+            SELECT DISTINCT prev AS src, event_type AS dst
+            FROM seq WHERE prev IS NOT NULL AND prev <> event_type
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        reach(u, v) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.u, e.dst FROM reach r JOIN e ON e.src = r.v
+        ),
+        mutual AS MATERIALIZED (
+            SELECT a.u, a.v FROM reach a
+            JOIN reach b ON b.u = a.v AND b.v = a.u
+        )
+        SELECT n.node AS node,
+               LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS component
+        FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        GROUP BY n.node
+    """
     return base
