@@ -68,6 +68,15 @@ issue):
   Element variables are scalars; property access on them is
   unsupported.
 
+- Pattern comprehensions ``[(a)-[:T]->(b) WHERE p | expr]`` — one
+  correlated ``collect_list`` aggregate joined back per comprehension
+  (the COUNT{} shape); unmatched rows get ``[]``; element order is
+  pinned ascending (Cypher leaves it unspecified); aggregates inside
+  are rejected.
+- Map projections ``n {.k, .*, key: expr}`` compiled to
+  ``map<string,string>`` (values stringified — the ``properties()``
+  storage convention); explicit entries win over the ``.*`` spread;
+  duplicate explicit keys are rejected.
 - ``CALL db.labels() / db.relationshipTypes() / db.propertyKeys()``
   schema-inventory procedures (standalone, optional ``YIELD col
   [AS alias]``) — each one distributed distinct, sorted, nothing
@@ -849,6 +858,33 @@ class _Parser:
             self._expect("op", ")")
             return e
         if self._accept("op", "["):
+            if self._at("op", "("):
+                # maybe a pattern comprehension [(a)-[:T]->(b) WHERE p | e]:
+                # commit iff a full pattern parses AND is followed by
+                # WHERE or | (else backtrack — it was a parenthesized
+                # expression opening a plain list literal)
+                save = self.i
+                pat = None
+                try:
+                    p = self._pattern()
+                    if self._at("kw", "where") or self._at("op", "|"):
+                        pat = p
+                except CypherSyntaxError:
+                    pat = None
+                if pat is not None:
+                    cond = None
+                    if self._accept("kw", "where"):
+                        cond = self._expr()
+                    self._expect("op", "|")
+                    mape = self._expr()
+                    self._expect("op", "]")
+                    if not pat.rels:
+                        raise CypherSyntaxError(
+                            "a pattern comprehension needs at least one "
+                            "relationship in its pattern"
+                        )
+                    return ("patcomp", pat, cond, mape)
+                self.i = save
             t0, t1 = self._peek(), self._peek(1)
             if (
                 t0 is not None and t0.kind == "name"
@@ -942,6 +978,27 @@ class _Parser:
             if self._accept("op", "."):
                 prop = self._expect_name_like().text
                 return ("prop", name, prop)
+            if self._at("op", "{"):
+                # map projection n {.name, .*, key: expr}
+                self._next()
+                entries: list[tuple] = []
+                if not self._at("op", "}"):
+                    while True:
+                        if self._accept("op", "."):
+                            if self._accept("op", "*"):
+                                entries.append(("all",))
+                            else:
+                                entries.append(
+                                    ("pk", self._expect_name_like().text)
+                                )
+                        else:
+                            k = self._expect_name_like().text
+                            self._expect("op", ":")
+                            entries.append(("kv", k, self._expr()))
+                        if not self._accept("op", ","):
+                            break
+                self._expect("op", "}")
+                return ("mapproj", name, entries)
             return ("var", name)
         raise CypherSyntaxError(
             f"unexpected {t.text!r} at position {t.pos}"
@@ -1410,6 +1467,16 @@ def _collect_props(expr, acc: set) -> None:
             if a[0] == "var":
                 acc.add((a[1], "__src__" if expr[1] == "startnode" else "__dst__"))
                 return
+        if expr[0] == "mapproj":
+            var = expr[1]
+            for ent in expr[2]:
+                if ent[0] == "pk":
+                    acc.add((var, ent[1]))
+                elif ent[0] == "all":
+                    acc.add((var, "__props__"))
+                else:  # ("kv", key, expr)
+                    _collect_props(ent[2], acc)
+            return
         parts = expr[1:]
     else:  # bare tuple grouping (e.g. a CASE (when, then) pair)
         parts = expr
@@ -1608,6 +1675,38 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return -_to_col(c, expr[1])
     if op == "listlit":
         return F.array(*[_to_col(c, e) for e in expr[1]])
+    if op == "mapproj":
+        # map projection n {.k, .*, key: expr} -> map<string,string>
+        # (values stringified — the properties() storage convention)
+        var, entries = expr[1], expr[2]
+        explicit: list[str] = []
+        pairs: list[Column] = []
+        want_all = False
+        for ent in entries:
+            if ent[0] == "all":
+                want_all = True
+                continue
+            if ent[0] == "pk":
+                key, val = ent[1], F.col(c.prop_cols[(var, ent[1])])
+            else:  # ("kv", key, expr)
+                key, val = ent[1], _to_col(c, ent[2])
+            if key in explicit:
+                raise CypherSyntaxError(
+                    f"duplicate key {key!r} in map projection"
+                )
+            explicit.append(key)
+            pairs.extend([F.lit(key), val.cast("string")])
+        own = (
+            F.create_map(*pairs)
+            if pairs
+            else F.create_map().cast("map<string,string>")
+        )
+        if not want_all:
+            return own
+        base = F.col(c.prop_cols[(var, "__props__")])
+        if explicit:  # explicit entries win over the .* spread
+            base = F.map_filter(base, lambda k, _: ~k.isin(explicit))
+        return F.map_concat(base, own)
     if op == "listcomp":
         _, var, lst, cond, mape = expr
         col = _to_col(c, lst)
@@ -2216,14 +2315,19 @@ def _expr_vars(e, acc: set) -> None:
         _expr_vars(p, acc)
 
 
-def _sub_shared(c: _Compile, pats: list, where: tuple | None) -> list:
-    """The outer-bound variables an EXISTS/COUNT subquery correlates
-    on: every pattern or WHERE variable that is already bound to a
-    real column (path objects have none)."""
+def _sub_shared(
+    c: _Compile, pats: list, where: tuple | None, extra: tuple | None = None
+) -> list:
+    """The outer-bound variables an EXISTS/COUNT subquery (or pattern
+    comprehension, whose map expression is ``extra``) correlates on:
+    every pattern or WHERE variable that is already bound to a real
+    column (path objects have none)."""
     seen = dict.fromkeys(_pattern_vars(pats))
     wvars: set = set()
     if where is not None:
         _expr_vars(where, wvars)
+    if extra is not None:
+        _expr_vars(extra, wvars)
     for v in sorted(wvars):
         seen.setdefault(v, None)
     return [
@@ -2291,6 +2395,42 @@ def _bind_count_sub(c: _Compile, pats: list, where: tuple | None) -> str:
     return tmp
 
 
+def _bind_patcomp(
+    c: _Compile, pat, where: tuple | None, mapexpr: tuple
+) -> str:
+    """Pattern comprehension ``[(a)-[:T]->(b) WHERE p | expr]``: join a
+    per-row collected-list column into the frame. Same correlated shape
+    as COUNT{} — the subquery compiles against the DISTINCT shared
+    keys, the map expression is evaluated inside it, and one
+    ``collect_list`` aggregate joins back (unmatched rows get ``[]``).
+    Element order is pinned to ascending sort (Cypher leaves it
+    unspecified); NULL map values are dropped by ``collect_list``."""
+    if _has_agg(mapexpr) or (where is not None and _has_agg(where)):
+        raise CypherSyntaxError(
+            "aggregates are not allowed inside a pattern comprehension"
+        )
+    shared = _sub_shared(c, [pat], where, mapexpr)
+    c2 = _sub_compile(c, [pat], where, shared)
+    mapexpr = _rewrite_subqueries(c2, mapexpr)
+    needed: set = set()
+    _collect_props(mapexpr, needed)
+    _materialize_props(c2, needed)
+    vcol = c.fresh("v")
+    tmp = c.fresh("lst")
+    proj = c2.cur.withColumn(vcol, _to_col(c2, mapexpr))
+    agg = F.array_sort(F.collect_list(vcol)).alias(tmp)
+    if shared:
+        lst = proj.groupBy(*shared).agg(agg)
+        empty = F.array().cast(lst.schema[tmp].dataType)
+        c.cur = c.cur.join(lst, on=shared, how="left").withColumn(
+            tmp, F.coalesce(F.col(tmp), empty)
+        )
+    else:  # uncorrelated: one global list row, broadcast cross join
+        c.cur = c.cur.crossJoin(proj.agg(agg))
+    c.kinds[tmp] = "value"
+    return tmp
+
+
 def _rewrite_subqueries(c: _Compile, expr):
     """Replace EXISTS{}/COUNT{} subquery expressions (and pattern
     predicates at non-top-level positions) in an expression tree with
@@ -2312,6 +2452,8 @@ def _rewrite_subqueries(c: _Compile, expr):
             if e[0] == "exists_pat":
                 cnt = _bind_count_sub(c, [e[1]], None)
                 return ("cmp", ">", ("var", cnt), ("lit", 0))
+            if e[0] == "patcomp":
+                return ("var", _bind_patcomp(c, e[1], e[2], e[3]))
         return tuple(
             walk(x) if isinstance(x, (tuple, list)) else x for x in e
         )

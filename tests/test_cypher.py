@@ -1932,3 +1932,92 @@ def test_parser_fuzz_no_crash():
             pass  # CypherSyntaxError subclasses SyntaxError
 
     run()
+
+
+def test_pattern_comprehension_collects_per_row(graph):
+    """[(c)-[:T]->(n) WHERE p | e] joins one collect_list per outer
+    row; unmatched rows get [] (elements sorted — order is
+    unspecified in Cypher, pinned ascending here)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS nation, "
+            "[(c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal > 9900 "
+            "| c.c_name] AS rich ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  COALESCE(LIST(c_name ORDER BY c_name)
+                           FILTER (c_name IS NOT NULL), []) AS rich
+           FROM nation LEFT JOIN customer
+             ON c_nationkey = n_nationkey AND c_acctbal > 9900
+           GROUP BY n_name ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_pattern_comprehension_in_where_and_size(graph):
+    """size([...]) inside WHERE — the rewritten list column filters
+    the outer rows (per-nation degree test)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "WHERE size([(c:Customer)-[:IN_NATION]->(n) | c.c_name]) > 7 "
+            "RETURN n.n_name AS nation ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name FROM nation JOIN customer
+             ON c_nationkey = n_nationkey
+           GROUP BY n_name HAVING COUNT(*) > 7 ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_pattern_comprehension_backtracks_to_list_literal(graph):
+    """A parenthesized expression opening a list stays a list literal
+    — the pattern-comprehension try backtracks cleanly."""
+    got = rows(cypher(graph, "RETURN [(1 + 2), 3] AS l"))
+    assert got == [(([3, 3]),)]
+
+
+def test_pattern_comprehension_requires_relationship(graph):
+    with pytest.raises(CypherSyntaxError, match="at least one relationship"):
+        cypher(graph, "MATCH (n:Nation) RETURN [(n) | n.n_name] AS x")
+
+
+def test_map_projection_props_and_computed(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name = 'NATION_7' "
+            "RETURN n {.n_name, kind: 'nation'} AS m",
+        )
+    )
+    assert got == [({"n_name": "NATION_7", "kind": "nation"},)]
+
+
+def test_map_projection_spread_and_override(graph):
+    """.* spreads the full property map; explicit entries win."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) WHERE r.r_name = 'ASIA' "
+            "RETURN r {.*, r_name: 'x'} AS m",
+        )
+    )
+    assert len(got) == 1
+    m = got[0][0]
+    assert m["r_name"] == "x"
+    assert "r_regionkey" in m  # spread kept the other properties
+
+
+def test_map_projection_duplicate_key_rejected(graph):
+    with pytest.raises(CypherSyntaxError, match="duplicate key"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN n {.n_name, n_name: 'x'} AS m",
+        )
