@@ -144,7 +144,7 @@ _KEYWORDS = {
     "ends", "with", "contains", "true", "false", "as", "optional",
     "unwind", "create", "merge", "set", "delete", "detach", "remove",
     "on", "case", "when", "then", "else", "end", "call", "yield",
-    "union",
+    "union", "foreach",
 }
 
 _AGG_FUNCS = {
@@ -152,7 +152,9 @@ _AGG_FUNCS = {
     "stdev", "stdevp", "percentilecont", "percentiledisc",
 }
 
-_WRITE_KINDS = {"create", "merge", "setitems", "removeitems", "delete"}
+_WRITE_KINDS = {
+    "create", "merge", "setitems", "removeitems", "delete", "foreach",
+}
 
 
 @dataclass
@@ -447,74 +449,102 @@ class _Parser:
                 clauses.append(("callproc", name, yields))
                 saw_return = True
                 break
-            elif t.text == "create":
-                self._next()
-                pats = [self._pattern()]
-                while self._accept("op", ","):
-                    pats.append(self._pattern())
-                clauses.append(("create", pats))
-                wrote = True
-            elif t.text == "merge":
-                self._next()
-                pat = self._pattern()
-                on_create: list = []
-                on_match: list = []
-                while self._at("kw", "on"):
-                    self._next()
-                    which = self._expect("kw")
-                    if which.text not in ("create", "match"):
-                        raise CypherSyntaxError(
-                            f"expected CREATE or MATCH after ON, got "
-                            f"{which.text.upper()} at position {which.pos}"
-                        )
-                    self._expect("kw", "set")
-                    items = [self._set_item(with_value=True)]
-                    while self._accept("op", ","):
-                        items.append(self._set_item(with_value=True))
-                    (on_create if which.text == "create" else on_match).extend(
-                        items
-                    )
-                clauses.append(("merge", pat, on_create, on_match))
-                wrote = True
-            elif t.text == "set":
-                self._next()
-                items = [self._set_item(with_value=True)]
-                while self._accept("op", ","):
-                    items.append(self._set_item(with_value=True))
-                clauses.append(("setitems", items))
-                wrote = True
-            elif t.text == "remove":
-                self._next()
-                items = [self._set_item(with_value=False)]
-                while self._accept("op", ","):
-                    items.append(self._set_item(with_value=False))
-                clauses.append(("removeitems", items))
-                wrote = True
-            elif t.text in ("delete", "detach"):
-                detach = t.text == "detach"
-                self._next()
-                if detach:
-                    self._expect("kw", "delete")
-                names = [self._expect("name").text]
-                while self._accept("op", ","):
-                    names.append(self._expect("name").text)
-                clauses.append(("delete", names, detach))
-                wrote = True
             else:
-                raise CypherSyntaxError(
-                    f"unexpected {t.text.upper()} at position {t.pos}"
-                )
+                wcl = self._write_clause()
+                if wcl is None:
+                    raise CypherSyntaxError(
+                        f"unexpected {t.text.upper()} at position {t.pos}"
+                    )
+                clauses.append(wcl)
+                wrote = True
         if not saw_return and not wrote:
             raise CypherSyntaxError("query must end with a RETURN clause")
         if clauses[0][0] not in (
             "match", "unwind", "create", "merge", "project", "callproc",
-            "callsub",
+            "callsub", "foreach",
         ):
             raise CypherSyntaxError(
                 "query must start with MATCH, UNWIND, CREATE, MERGE, "
-                "WITH, RETURN or CALL"
+                "WITH, RETURN, CALL or FOREACH"
             )
         return CypherQuery(clauses)
+
+    def _write_clause(self) -> tuple | None:
+        """Parse one write clause (CREATE / MERGE / SET / REMOVE /
+        [DETACH] DELETE / FOREACH) if the next token starts one, else
+        None — shared between the top-level clause loop and FOREACH
+        bodies so the two grammars cannot drift."""
+        t = self._peek()
+        if t is None or t.kind != "kw":
+            return None
+        if t.text == "create":
+            self._next()
+            pats = [self._pattern()]
+            while self._accept("op", ","):
+                pats.append(self._pattern())
+            return ("create", pats)
+        if t.text == "merge":
+            self._next()
+            pat = self._pattern()
+            on_create: list = []
+            on_match: list = []
+            while self._at("kw", "on"):
+                self._next()
+                which = self._expect("kw")
+                if which.text not in ("create", "match"):
+                    raise CypherSyntaxError(
+                        f"expected CREATE or MATCH after ON, got "
+                        f"{which.text.upper()} at position {which.pos}"
+                    )
+                self._expect("kw", "set")
+                items = [self._set_item(with_value=True)]
+                while self._accept("op", ","):
+                    items.append(self._set_item(with_value=True))
+                (on_create if which.text == "create" else on_match).extend(
+                    items
+                )
+            return ("merge", pat, on_create, on_match)
+        if t.text == "set":
+            self._next()
+            items = [self._set_item(with_value=True)]
+            while self._accept("op", ","):
+                items.append(self._set_item(with_value=True))
+            return ("setitems", items)
+        if t.text == "remove":
+            self._next()
+            items = [self._set_item(with_value=False)]
+            while self._accept("op", ","):
+                items.append(self._set_item(with_value=False))
+            return ("removeitems", items)
+        if t.text in ("delete", "detach"):
+            detach = t.text == "detach"
+            self._next()
+            if detach:
+                self._expect("kw", "delete")
+            names = [self._expect("name").text]
+            while self._accept("op", ","):
+                names.append(self._expect("name").text)
+            return ("delete", names, detach)
+        if t.text == "foreach":
+            self._next()
+            self._expect("op", "(")
+            var = self._expect_name_like().text
+            self._expect("kw", "in")
+            lst = self._expr()
+            self._expect("op", "|")
+            body: list = []
+            while True:
+                wcl = self._write_clause()
+                if wcl is None:
+                    break
+                body.append(wcl)
+            if not body:
+                raise CypherSyntaxError(
+                    "FOREACH body needs at least one write clause"
+                )
+            self._expect("op", ")")
+            return ("foreach", var, lst, body)
+        return None
 
     def _set_item(self, with_value: bool) -> tuple:
         var = self._expect("name").text

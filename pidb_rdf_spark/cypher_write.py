@@ -45,6 +45,11 @@ Supported subset (the shapes the reference's own code issues):
 - ``REMOVE n.k``, ``REMOVE n:Label``, ``REMOVE r.k``.
 - ``[DETACH] DELETE n, r`` — plain DELETE on a node with incident
   relationships raises (Neo4j semantics); DETACH cascades.
+- ``FOREACH (x IN list | write clauses)``, nestable — desugars to an
+  UNWIND on a cloned compile state (outer cardinality unchanged);
+  ``nodes(p)`` / ``relationships(p)`` elements keep their node/rel
+  kind so they can be SET/REMOVE/DELETE targets, any other list
+  yields scalar elements (CREATE row-expression values only).
 
 Unsupported constructs raise :class:`CypherSyntaxError` — never
 silently mis-execute.
@@ -471,6 +476,61 @@ def _apply_delete(
     return g
 
 
+def _clone_compile(c: _Compile) -> _Compile:
+    """A detached copy of the compile state: FOREACH binds its element
+    variable in the copy, so the outer pipeline's cardinality and
+    scope are untouched (DataFrames are immutable — sharing ``cur``
+    is safe)."""
+    c2 = _Compile(c.graph, allow_cartesian=True, params=c.params)
+    c2.cur = c.cur
+    c2.kinds = dict(c.kinds)
+    c2.prop_cols = dict(c.prop_cols)
+    c2.rel_cols = list(c.rel_cols)
+    c2.lambda_vars = dict(c.lambda_vars)
+    c2.paths = dict(c.paths)
+    c2.anon = c.anon
+    return c2
+
+
+def _apply_foreach(
+    g: PropertyGraph, c: _Compile, var: str, lst: tuple, body: list
+) -> PropertyGraph:
+    """FOREACH (x IN list | write clauses): desugars to an UNWIND on a
+    cloned compile state (one row per element, outer rows unchanged
+    after the clause) followed by the body writes. Elements of
+    ``nodes(p)`` / ``relationships(p)`` keep their node/relationship
+    kind, so the canonical path-marking idiom
+    ``FOREACH (n IN nodes(p) | SET n.marked = true)`` works; any other
+    list yields scalar elements (usable in CREATE row expressions,
+    not as SET/DELETE targets)."""
+    c2 = _clone_compile(c)
+    apply_read_clause(c2, ("unwind", lst, var))
+    if lst[0] == "call" and lst[1] in ("nodes", "relationships"):
+        c2.kinds[var] = "node" if lst[1] == "nodes" else "rel"
+    for cl in body:
+        g = _apply_write_clause(g, c2, cl)
+    return g
+
+
+def _apply_write_clause(
+    g: PropertyGraph, c: _Compile, cl: tuple
+) -> PropertyGraph:
+    kind = cl[0]
+    if kind == "create":
+        return _apply_create(g, c, cl[1], merge=False)
+    if kind == "merge":
+        return _apply_create(
+            g, c, [cl[1]], merge=True, on_create=cl[2], on_match=cl[3]
+        )
+    if kind == "setitems":
+        return _apply_set(g, c, cl[1], remove=False)
+    if kind == "removeitems":
+        return _apply_set(g, c, cl[1], remove=True)
+    if kind == "delete":
+        return _apply_delete(g, c, cl[1], cl[2])
+    return _apply_foreach(g, c, cl[1], cl[2], cl[3])  # foreach
+
+
 def cypher_write(
     graph: PropertyGraph,
     text: str,
@@ -488,19 +548,8 @@ def cypher_write(
     c = _Compile(graph, allow_cartesian=allow_cartesian, params=params)
     g = graph
     for cl in q.clauses:
-        kind = cl[0]
-        if kind not in _WRITE_KINDS:
+        if cl[0] not in _WRITE_KINDS:
             apply_read_clause(c, cl)
-        elif kind == "create":
-            g = _apply_create(g, c, cl[1], merge=False)
-        elif kind == "merge":
-            g = _apply_create(
-                g, c, [cl[1]], merge=True, on_create=cl[2], on_match=cl[3]
-            )
-        elif kind == "setitems":
-            g = _apply_set(g, c, cl[1], remove=False)
-        elif kind == "removeitems":
-            g = _apply_set(g, c, cl[1], remove=True)
-        elif kind == "delete":
-            g = _apply_delete(g, c, cl[1], cl[2])
+        else:
+            g = _apply_write_clause(g, c, cl)
     return g

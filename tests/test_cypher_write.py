@@ -539,3 +539,76 @@ def test_create_edge_property_from_row(wg):
             "MATCH (a:Person)-[:KNOWS]->(b:Person) "
             "MERGE (a)-[:GREETS {to: b.name}]->(b)",
         )
+
+
+def test_foreach_create_over_literal_list(wg):
+    g2 = cypher_write(
+        wg, "FOREACH (x IN [1, 2, 3] | CREATE (n:Num {v: x}))"
+    )
+    got = sorted(
+        r[0]
+        for r in g2.nodes.filter(F.array_contains("labels", "Num"))
+        .select(F.col("props").getItem("v"))
+        .collect()
+    )
+    assert got == ["1", "2", "3"]
+
+
+def test_foreach_marks_path_nodes(wg):
+    """The canonical idiom: FOREACH (n IN nodes(p) | SET ...) — the
+    unwound elements keep their node kind, so SET resolves them."""
+    g2 = cypher_write(
+        wg,
+        "MATCH p = (a:Person {name: 'Alice'})-[:LIVES_IN]->(c) "
+        "FOREACH (n IN nodes(p) | SET n.mark = 'y')",
+    )
+    marked = sorted(
+        r[0]
+        for r in g2.nodes.filter(F.col("props").getItem("mark") == "y")
+        .select(F.col("props").getItem("name"))
+        .collect()
+    )
+    assert marked == ["Alice", "Paris"]
+
+
+def test_foreach_relationships_set_property(wg):
+    g2 = cypher_write(
+        wg,
+        "MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b) "
+        "FOREACH (r IN relationships(p) | SET r.checked = '1')",
+    )
+    row = g2.edges.filter(F.col("predicate") == "KNOWS").collect()[0]
+    assert row["props"]["checked"] == "1"
+
+
+def test_foreach_does_not_change_outer_cardinality(wg):
+    """Writes after a FOREACH still see the pre-FOREACH row set: one
+    SET per matched row, not per FOREACH element."""
+    g2 = cypher_write(
+        wg,
+        "MATCH (a:Person {name: 'Bob'}) "
+        "FOREACH (x IN [1, 2, 3] | CREATE (n:T {v: x})) "
+        "SET a.seen = 'once'",
+    )
+    assert (
+        g2.nodes.filter(F.col("props").getItem("seen") == "once").count() == 1
+    )
+    assert g2.nodes.filter(F.array_contains("labels", "T")).count() == 3
+
+
+def test_foreach_nested(wg):
+    g2 = cypher_write(
+        wg,
+        "FOREACH (x IN [1, 2] | FOREACH (y IN [1, 2] | CREATE (n:P)))",
+    )
+    assert g2.nodes.filter(F.array_contains("labels", "P")).count() == 4
+
+
+def test_foreach_scalar_element_not_a_set_target(wg):
+    with pytest.raises(CypherSyntaxError, match="not a node or relationship"):
+        cypher_write(wg, "FOREACH (x IN [1, 2] | SET x.k = 1)")
+
+
+def test_foreach_empty_body_rejected(wg):
+    with pytest.raises(CypherSyntaxError, match="at least one write"):
+        cypher_write(wg, "FOREACH (x IN [1, 2] | )")
