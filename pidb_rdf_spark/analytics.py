@@ -760,3 +760,270 @@ def strongly_connected_components(
         f"settle within max_rounds={max_rounds} — raise max_rounds "
         "(each round is one forward + one backward propagation)"
     )
+
+
+def closeness_centrality(
+    pairs: DataFrame,
+    sources: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, n_reached, sum_hops, closeness, harmonic) per source
+    node: closeness = n_reached / sum_hops over the nodes it reaches
+    (0.0 for isolated nodes), harmonic = sum(1/hops) — the variant
+    that stays well-defined across disconnected graphs.
+
+    One multi-source BFS keyed by origin: state rows are
+    (origin, node, hops), each round joins only the last frontier
+    against the edges (semi-naive), so total work is
+    O(|sources| x edges reached) — exact closeness over every node is
+    quadratic by definition; at scale pass a SAMPLE of nodes as
+    ``sources`` (the estimate is unbiased under uniform sampling,
+    scale by N/|sources| if an absolute total is needed).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates()
+        if directed
+        else _sym(pairs, src, dst)
+    ).localCheckpoint(eager=True)
+    if sources is None:
+        sources = edges.select(F.col("src").alias("node")).unionAll(
+            edges.select(F.col("dst").alias("node"))
+        )
+    origins = (
+        sources.select(F.col(sources.columns[0]).alias("origin"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    state = origins.select(
+        "origin",
+        F.col("origin").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for hop in range(1, max_iter + 1):
+        reached = (
+            frontier.select("origin", F.col("node").alias("src"))
+            .join(edges, on="src")
+            .select("origin", F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(state.select("origin", "node"), on=["origin", "node"], how="leftanti")
+            .select("origin", "node", F.lit(hop).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            break
+        state = state.unionAll(reached).localCheckpoint(eager=True)
+        frontier = reached
+    per = (
+        state.filter(F.col("hops") > 0)
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("hops").alias("sum_hops"),
+            F.sum(F.lit(1.0) / F.col("hops")).alias("harmonic"),
+        )
+    )
+    return (
+        origins.join(per, on="origin", how="left")
+        .select(
+            F.col("origin").alias("node"),
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+            F.coalesce("sum_hops", F.lit(0)).alias("sum_hops"),
+            F.when(
+                F.coalesce("sum_hops", F.lit(0)) > 0,
+                F.col("n_reached") / F.col("sum_hops"),
+            ).otherwise(F.lit(0.0)).alias("closeness"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        )
+    )
+
+
+def betweenness_centrality(
+    pairs: DataFrame,
+    sources: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, betweenness) — Brandes' algorithm as DataFrame rounds.
+
+    Forward: a multi-source BFS keyed by origin settles each node's
+    level and shortest-path count sigma (sigma sums over the level-k
+    predecessors when level k+1 settles — exactly Brandes' counting).
+    Backward: dependencies accumulate level by level, deepest first:
+    delta(v) = sum over successors w of sigma(v)/sigma(w)*(1+delta(w));
+    betweenness(v) = sum of delta(v) over all origins, halved for
+    undirected graphs (each path is seen from both ends).
+
+    Exact betweenness from every source is O(V x E) by definition —
+    the classic result; at scale pass a SAMPLE of nodes as
+    ``sources`` (Brandes-Pich estimation: scale by N/|sources|).
+    Rounds = 2 x BFS depth; each round is bounded equi-joins with
+    per-round ``localCheckpoint`` lineage truncation.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates()
+        if directed
+        else _sym(pairs, src, dst)
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    origins = (
+        all_nodes.select(F.col("node").alias("origin"))
+        if sources is None
+        else sources.select(F.col(sources.columns[0]).alias("origin")).dropDuplicates()
+    ).localCheckpoint(eager=True)
+    # -- forward: settle (origin, node) -> (lvl, sigma), level by level
+    state = origins.select(
+        "origin",
+        F.col("origin").alias("node"),
+        F.lit(0).alias("lvl"),
+        F.lit(1).cast("double").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    depth = 0
+    for lvl in range(1, max_iter + 1):
+        nxt = (
+            frontier.select("origin", F.col("node").alias("src"), "sigma")
+            .join(edges, on="src")
+            .groupBy("origin", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(state.select("origin", "node"), on=["origin", "node"], how="leftanti")
+            .select("origin", "node", F.lit(lvl).alias("lvl"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        state = state.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        depth = lvl
+    # -- backward: delta accumulates from the deepest level up
+    delta = state.select(
+        "origin", "node", "lvl", "sigma", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    for lvl in range(depth - 1, -1, -1):
+        lower = delta.filter(F.col("lvl") == lvl)
+        upper = delta.filter(F.col("lvl") == lvl + 1)
+        contrib = (
+            lower.select("origin", F.col("node").alias("src"), "lvl", "sigma", "delta")
+            .join(edges, on="src")
+            .join(
+                upper.select(
+                    "origin",
+                    F.col("node").alias("dst"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                on=["origin", "dst"],
+            )
+            .groupBy("origin", F.col("src").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("sigma") / F.col("sigma_w"))
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("acc")
+            )
+        )
+        delta = (
+            delta.join(contrib, on=["origin", "node"], how="left")
+            .withColumn("delta", F.col("delta") + F.coalesce("acc", F.lit(0.0)))
+            .drop("acc")
+            .localCheckpoint(eager=True)
+        )
+    per_node = (
+        delta.filter(F.col("node") != F.col("origin"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    scale = F.col("betweenness") / 2 if not directed else F.col("betweenness")
+    return (
+        all_nodes.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce(scale, F.lit(0.0)).alias("betweenness"),
+        )
+    )
+
+
+def node_similarity(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    threshold: float = 0.0,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, n_common, jaccard) for node pairs sharing at least one
+    neighbor, a < b: jaccard = |N(a) & N(b)| / |N(a) | N(b)| over
+    (out-)neighbor sets.
+
+    Scale shape: candidates come only from the common-neighbor
+    equi-join (never all pairs); a neighbor of degree d contributes
+    d*(d-1)/2 candidate pairs, so hot hubs dominate — ``max_degree``
+    drops neighbors above the cap from candidate GENERATION only
+    (pairs whose every common neighbor is a hub are lost — the
+    standard mitigation); surviving candidates are then re-counted
+    against the FULL neighbor set (the bucketed-candidates +
+    exact-verify shape used across this repo), so every emitted
+    (n_common, jaccard) is exact."""
+    nbrs = (
+        pairs.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .dropDuplicates()
+        if directed
+        else _sym(pairs, src, dst).select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr")
+        )
+    ).localCheckpoint(eager=True)
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    gen = nbrs
+    if max_degree is not None:
+        nbr_deg = nbrs.groupBy("nbr").agg(F.count(F.lit(1)).alias("nd"))
+        gen = nbrs.join(
+            nbr_deg.filter(F.col("nd") <= max_degree).select("nbr"),
+            on="nbr",
+            how="leftsemi",
+        )
+    common = (
+        gen.select(F.col("node").alias("a"), "nbr")
+        .join(gen.select(F.col("node").alias("b"), "nbr"), on="nbr")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if max_degree is not None:
+        # exact-verify: re-count common neighbors of the surviving
+        # candidates over the uncapped neighbor set
+        common = (
+            common.select("a", "b")
+            .join(nbrs.select(F.col("node").alias("a"), "nbr"), on="a")
+            .join(
+                nbrs.select(F.col("node").alias("b"), "nbr"),
+                on=["b", "nbr"],
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    return (
+        common.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), on="b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )

@@ -420,3 +420,150 @@ def test_scc_dag_is_all_singletons(spark):
     pairs = spark.createDataFrame(edges, ["src", "dst"])
     got = dict(map(tuple, strongly_connected_components(pairs).collect()))
     assert got == {n: n for n in (1, 2, 3, 4)}
+
+
+def _brute_betweenness(edges, directed=False):
+    """Brute-force betweenness by shortest-path enumeration."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        nodes.update((a, b))
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    import itertools
+    from collections import deque
+
+    bc = dict.fromkeys(nodes, 0.0)
+    for s, t in itertools.permutations(nodes, 2):
+        # enumerate all shortest s->t paths by BFS layering
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        if t not in dist:
+            continue
+        paths = [[s]]
+        full = []
+        while paths:
+            p = paths.pop()
+            u = p[-1]
+            if u == t:
+                full.append(p)
+                continue
+            for v in adj.get(u, ()):
+                if dist.get(v) == dist[u] + 1 and dist[v] <= dist[t]:
+                    paths.append(p + [v])
+        for p in full:
+            for mid in p[1:-1]:
+                bc[mid] += 1.0 / len(full)
+    if not directed:
+        bc = {n: v / 2 for n, v in bc.items()}
+    return bc
+
+
+def test_closeness_path_graph(spark):
+    from pidb_rdf_spark.analytics import closeness_centrality
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    got = {
+        r["node"]: (r["n_reached"], r["sum_hops"], r["closeness"], r["harmonic"])
+        for r in closeness_centrality(pairs).collect()
+    }
+    assert got[1][:3] == (3, 6, 0.5)
+    assert got[2][:3] == (3, 4, 0.75)
+    assert got[1][3] == pytest.approx(1 + 0.5 + 1 / 3)
+    assert got[2][3] == pytest.approx(1 + 1 + 0.5)
+
+
+def test_closeness_sampled_sources_and_disconnected(spark):
+    from pidb_rdf_spark.analytics import closeness_centrality
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+    srcs = spark.createDataFrame([(1,)], ["node"])
+    rows = closeness_centrality(pairs, sources=srcs).collect()
+    assert len(rows) == 1  # only the sampled source
+    assert rows[0]["n_reached"] == 1  # the other component is unreachable
+
+
+def test_betweenness_matches_brute_force(spark):
+    from pidb_rdf_spark.analytics import betweenness_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (2, 5)]
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(pairs).collect()
+    }
+    want = _brute_betweenness(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n]), n
+
+
+def test_betweenness_square_multipath(spark):
+    """C4: two shortest paths between opposite corners — sigma
+    splitting gives every node 0.5."""
+    from pidb_rdf_spark.analytics import betweenness_centrality
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(pairs).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
+
+
+def test_betweenness_directed_chain(spark):
+    from pidb_rdf_spark.analytics import betweenness_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    pairs = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(pairs, directed=True).collect()
+    }
+    want = _brute_betweenness(edges, directed=True)
+    for n in want:
+        assert got[n] == pytest.approx(want[n]), n
+
+
+def test_node_similarity_jaccard(spark):
+    from pidb_rdf_spark.analytics import node_similarity
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 4), (2, 4), (2, 5)], ["src", "dst"]
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in node_similarity(pairs).collect()
+    }
+    assert got[(1, 2)] == (2, pytest.approx(2 / 3))
+    assert got[(3, 4)] == (2, pytest.approx(1.0))
+    assert got[(3, 5)] == (1, pytest.approx(0.5))
+    assert got[(4, 5)] == (1, pytest.approx(0.5))
+
+
+def test_node_similarity_max_degree_drops_hub_candidates(spark):
+    from pidb_rdf_spark.analytics import node_similarity
+
+    # hub node 9 links 1,2,3; private neighbor 8 links only 1,2
+    pairs = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (1, 8), (2, 8)], ["src", "dst"]
+    )
+    got = node_similarity(pairs, max_degree=2).collect()
+    keys = {(r["a"], r["b"]) for r in got}
+    # pairs generated only through the degree-2 neighbor 8
+    assert (1, 2) in keys
+    assert (1, 3) not in keys and (2, 3) not in keys
+    # surviving pairs are re-verified over the FULL neighbor set:
+    # the hub 9 counts toward n_common even though it never generated
+    row = {(r["a"], r["b"]): r for r in got}[(1, 2)]
+    assert row["n_common"] == 2  # {8, 9}
+    assert row["jaccard"] == pytest.approx(2 / (2 + 2 - 2))
