@@ -170,14 +170,22 @@ _DEFER_TO_TAIL = [
     # WITH *, SET n = {map} replacement, UNWIND $batch bulk ingest
     # with row expressions in CREATE, the math/left/right scalar
     # functions, and analytics.kcore / label_propagation / modularity.
-    # FIVE of these already have PRE-STAGED driver entries + DuckDB
+    # NINE of these already have PRE-STAGED driver entries + DuckDB
     # oracles declared at the END of queries() (past position 50, so
     # the full r8 window is untouched): cypher_count_subquery,
     # cypher_named_path_stats, kcore_dup_graph (unrolled-peel oracle
     # _kcore_sql), label_prop_dup_communities (unrolled _lpa_sql),
     # scc_event_transitions (recursive-CTE mutual-reachability
-    # oracle) — the r9 rotation just needs to move them into the
-    # window.
+    # oracle), and from the third late-r8 session:
+    # cypher_patcomp_nation_rich (pattern comprehensions),
+    # closeness_containment + betweenness_containment (multi-source
+    # BFS closeness / sampled-Brandes betweenness over the reversed
+    # containment DAG, per-level unrolled oracles), and
+    # node_similarity_event_types (common-neighbor Jaccard) — the r9
+    # rotation just needs to move them into the window. Also added in
+    # the third session, pytest-proven only: Cypher map projections
+    # (n {.k, .*, key: e}) and the FOREACH write clause (write path —
+    # no SQL-expressible output, 7 round-trip tests).
     # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
     # window (contract rule 3); the r7-proven window rotates out.
     # Every entry below has a green row in CORRECTNESS_r07.json and
@@ -1920,6 +1928,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return strongly_connected_components(pairs)
 
     q["scc_event_transitions"] = scc_event_transitions
+
+    def cypher_patcomp_nation_rich(spark, sf_dir):
+        """Pattern comprehension (cypher.py _bind_patcomp): one
+        correlated collect_list join; size() reads the per-nation
+        list length (unmatched nations get [], so 0)."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS nation, "
+            "size([(c:Customer)-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > 5000 | c.c_name]) AS n_rich "
+            "ORDER BY nation",
+        )
+
+    q["cypher_patcomp_nation_rich"] = cypher_patcomp_nation_rich
+
+    def closeness_containment(spark, sf_dir):
+        """Closeness centrality (analytics.closeness_centrality) of
+        the 5 region roots over the REVERSED containment DAG
+        (region->nation->{customer,supplier}->orders): multi-source
+        BFS keyed by origin, distances 1..3. harmonic is dropped from
+        the checked projection (a float SUM of repeated 1/k terms is
+        association-sensitive across engines); closeness is one exact
+        long/long division. Oracle: per-level unrolled counts."""
+        from pidb_rdf_spark.analytics import closeness_centrality
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(
+            F.col("predicate").isin("IN_NATION", "IN_REGION", "PLACED_BY")
+        )
+        rev = cont.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        regions = g.nodes.filter(F.array_contains("labels", "Region")).select("id")
+        cc = closeness_centrality(rev, sources=regions, directed=True)
+        return cc.join(
+            g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+            on="node",
+        ).select("node_uri", "n_reached", "sum_hops", "closeness")
+
+    q["closeness_containment"] = closeness_containment
+
+    def betweenness_containment(spark, sf_dir):
+        """Brandes betweenness (analytics.betweenness_centrality),
+        sampled from the 5 region roots, over the reversed containment
+        DAG. Every node has one parent, so sigma=1 everywhere and
+        delta(v) = #descendants(v) — integer-valued doubles, exact in
+        both engines. Oracle: descendant counts per level."""
+        from pidb_rdf_spark.analytics import betweenness_centrality
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(
+            F.col("predicate").isin("IN_NATION", "IN_REGION", "PLACED_BY")
+        )
+        rev = cont.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        regions = g.nodes.filter(F.array_contains("labels", "Region")).select("id")
+        bc = betweenness_centrality(rev, sources=regions, directed=True)
+        return bc.join(
+            g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+            on="node",
+        ).select("node_uri", "betweenness")
+
+    q["betweenness_containment"] = betweenness_containment
+
+    def node_similarity_event_types(spark, sf_dir):
+        """Jaccard node similarity (analytics.node_similarity) between
+        event types by audience overlap: neighbors of a type are the
+        users who emitted it; candidates come from the common-user
+        equi-join only. All values are single exact divisions."""
+        from pidb_rdf_spark.analytics import node_similarity
+
+        ev = _events(spark, sf_dir)
+        pairs = ev.select(
+            F.col("event_type").alias("t"), F.col("user_id").alias("u")
+        ).dropDuplicates()
+        return node_similarity(pairs, src="t", dst="u", directed=True)
+
+    q["node_similarity_event_types"] = node_similarity_event_types
 
     return _rotate_checked_window(q)
 
@@ -3729,5 +3816,86 @@ def oracle_sql() -> dict[str, str]:
                LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS component
         FROM nodes n LEFT JOIN mutual m ON m.u = n.node
         GROUP BY n.node
+    """
+    base["cypher_patcomp_nation_rich"] = """
+        SELECT n_name AS nation,
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_nationkey = n_nationkey
+                       AND c_acctbal > 5000) AS INTEGER) AS n_rich
+        FROM nation ORDER BY n_name
+    """
+    base["closeness_containment"] = """
+        WITH nat AS (SELECT n_regionkey AS rk, COUNT(*) AS c
+                     FROM nation GROUP BY 1),
+        cus AS (SELECT n_regionkey AS rk, COUNT(*) AS c
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1),
+        sup AS (SELECT n_regionkey AS rk, COUNT(*) AS c
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY 1),
+        ord AS (SELECT n_regionkey AS rk, COUNT(*) AS c
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1)
+        SELECT 'urn:region:' || r_regionkey AS node_uri,
+               COALESCE(nat.c, 0) + COALESCE(cus.c, 0)
+                 + COALESCE(sup.c, 0) + COALESCE(ord.c, 0) AS n_reached,
+               COALESCE(nat.c, 0)
+                 + 2 * (COALESCE(cus.c, 0) + COALESCE(sup.c, 0))
+                 + 3 * COALESCE(ord.c, 0) AS sum_hops,
+               CAST(COALESCE(nat.c, 0) + COALESCE(cus.c, 0)
+                    + COALESCE(sup.c, 0) + COALESCE(ord.c, 0) AS DOUBLE)
+                 / (COALESCE(nat.c, 0)
+                    + 2 * (COALESCE(cus.c, 0) + COALESCE(sup.c, 0))
+                    + 3 * COALESCE(ord.c, 0)) AS closeness
+        FROM region
+        LEFT JOIN nat ON nat.rk = r_regionkey
+        LEFT JOIN cus ON cus.rk = r_regionkey
+        LEFT JOIN sup ON sup.rk = r_regionkey
+        LEFT JOIN ord ON ord.rk = r_regionkey
+    """
+    base["betweenness_containment"] = """
+        WITH opc AS (SELECT o_custkey AS ck, COUNT(*) AS c
+                     FROM orders GROUP BY 1),
+        cpn AS (SELECT c_nationkey AS nk, COUNT(*) AS c
+                FROM customer GROUP BY 1),
+        spn AS (SELECT s_nationkey AS nk, COUNT(*) AS c
+                FROM supplier GROUP BY 1),
+        opn AS (SELECT c_nationkey AS nk, COUNT(*) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1)
+        SELECT 'urn:nation:' || n_nationkey AS node_uri,
+               CAST(COALESCE(cpn.c, 0) + COALESCE(spn.c, 0)
+                    + COALESCE(opn.c, 0) AS DOUBLE) AS betweenness
+        FROM nation
+        LEFT JOIN cpn ON cpn.nk = n_nationkey
+        LEFT JOIN spn ON spn.nk = n_nationkey
+        LEFT JOIN opn ON opn.nk = n_nationkey
+        UNION ALL
+        SELECT 'urn:customer:' || c_custkey,
+               CAST(COALESCE(opc.c, 0) AS DOUBLE)
+        FROM customer LEFT JOIN opc ON opc.ck = c_custkey
+        UNION ALL
+        SELECT 'urn:supplier:' || s_suppkey, 0.0 FROM supplier
+        UNION ALL
+        SELECT 'urn:orders:' || o_orderkey, 0.0 FROM orders
+        UNION ALL
+        SELECT 'urn:region:' || r_regionkey, 0.0 FROM region
+    """
+    base["node_similarity_event_types"] = """
+        WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+                    FROM events),
+        deg AS (SELECT t, COUNT(*) AS d FROM tu GROUP BY t),
+        common AS (
+            SELECT x.t AS a, y.t AS b, COUNT(*) AS n_common
+            FROM tu x JOIN tu y ON x.u = y.u AND x.t < y.t
+            GROUP BY 1, 2
+        )
+        SELECT a, b, n_common,
+               CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) AS jaccard
+        FROM common
+        JOIN deg da ON da.t = a
+        JOIN deg db ON db.t = b
     """
     return base
