@@ -88,6 +88,17 @@ issue):
   (uncorrelated subquery): later clauses post-process its output
   rows — the post-UNION-aggregation shape. Output columns arrive as
   piped values; a returned node variable flattens to its id.
+- Mid-query ``CALL { [WITH imports] ... RETURN ... }``: the
+  correlated form (leading WITH of bare variables / ``WITH *``, the
+  Neo4j import rule) compiles against the DISTINCT imported keys and
+  joins back — aggregating bodies group per invocation and LEFT-join
+  with Neo4j's empty-invocation fills (count/sum 0, collect [],
+  others null); non-aggregating bodies join INNER (zero rows
+  eliminate the outer row). Import keys thread through intermediate
+  WITHs automatically; a returned node/rel variable keeps its kind.
+  Per-invocation ORDER/SKIP/LIMIT and aggregates nested in
+  expressions are rejected (clear errors), as is UNION inside the
+  mid-query form. The uncorrelated form runs once and cross-joins.
 
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
@@ -418,10 +429,28 @@ class _Parser:
                     break
             elif t.text == "call":
                 if clauses:
-                    raise CypherSyntaxError(
-                        "CALL must be the first clause in this subset "
-                        f"(position {t.pos})"
-                    )
+                    # mid-query CALL { subquery }: correlated (leading
+                    # import WITH) or uncorrelated (compiled once,
+                    # cross-joined)
+                    _no_write(t)
+                    self._next()
+                    self._expect("op", "{")
+                    sub = self._parse_single()
+                    self._expect("op", "}")
+                    if any(cl[0] in _WRITE_KINDS for cl in sub.clauses):
+                        raise CypherSyntaxError(
+                            "write clauses inside CALL { } are not "
+                            "supported in this subset"
+                        )
+                    if not (
+                        sub.clauses[-1][0] == "project"
+                        and sub.clauses[-1][1].is_return
+                    ):
+                        raise CypherSyntaxError(
+                            "a CALL { } subquery must end with RETURN"
+                        )
+                    clauses.append(("callsub_mid", sub))
+                    continue
                 self._next()
                 if self._accept("op", "{"):
                     # CALL { query [UNION [ALL] query ...] }: an
@@ -2461,6 +2490,157 @@ def _bind_patcomp(
     return tmp
 
 
+def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
+    """Mid-query ``CALL { [WITH imports] ... RETURN ... }``.
+
+    Correlated form (leading WITH of bare variables — the Neo4j
+    import rule): the body compiles against the DISTINCT imported
+    keys, the import keys ride the RETURN projection as extra items,
+    and one join brings the result back per outer row. Aggregating
+    bodies implicitly group by the import keys (exactly Neo4j's
+    per-invocation aggregation) and join back LEFT with count->0 /
+    collect->[] fills, so a key with no matches keeps its outer row —
+    non-aggregating bodies join INNER (zero subquery rows eliminate
+    the outer row, Cypher cardinality). Uncorrelated form: compiled
+    once on a fresh state and cross-joined (one evaluation, not one
+    per row)."""
+    clauses = list(sub.clauses)
+    imports: list = []
+    correlated = False
+    if clauses and clauses[0][0] == "project" and not clauses[0][1].is_return:
+        p0 = clauses[0][1]
+        bare = all(
+            it.expr[0] == "var" and it.alias in (None, it.expr[1])
+            for it in p0.items
+        )
+        plain = (
+            not p0.distinct and not p0.order and p0.skip is None
+            and p0.limit is None and p0.post_where is None
+        )
+        if (p0.star or bare) and plain:
+            correlated = True
+            if p0.star:
+                imports = [
+                    v for v, k in c.kinds.items()
+                    if not v.startswith("__") and k not in ("path", "pathlen")
+                ]
+            else:
+                imports = [it.expr[1] for it in p0.items]
+            for v in imports:
+                if v not in c.kinds:
+                    raise CypherSyntaxError(
+                        f"CALL {{ WITH {v} }}: variable {v!r} is not bound "
+                        "in the outer query"
+                    )
+                if c.kinds[v] in ("path", "pathlen"):
+                    raise CypherSyntaxError(
+                        f"CALL {{ }} cannot import path variable {v!r}"
+                    )
+            clauses = clauses[1:]
+            if not imports:
+                raise CypherSyntaxError(
+                    "CALL { WITH ... }: nothing to import"
+                )
+    if not correlated:
+        # uncorrelated: one evaluation, cross join (broadcast-eligible)
+        out = _compile_query(c.graph, CypherQuery(clauses), True, c.params)
+        for name in out.columns:
+            if name in c.kinds:
+                raise CypherSyntaxError(
+                    f"CALL {{ }} returns {name!r}, which is already bound "
+                    "in the outer query — alias it"
+                )
+            c.kinds[name] = "value"
+        c.cur = (
+            out if c.cur is None else c.cur.crossJoin(out)
+        )
+        return
+    c2 = _Compile(c.graph, allow_cartesian=True, params=c.params)
+    c2.anon = c.anon
+    c2.kinds = {v: c.kinds[v] for v in imports}
+    c2.cur = c.cur.select(*imports).dropDuplicates()
+    *mid, last = clauses
+    for cl2 in mid:
+        if cl2[0] == "project":
+            p = cl2[1]
+            if p.order or p.skip is not None or p.limit is not None:
+                raise CypherSyntaxError(
+                    "ORDER BY/SKIP/LIMIT in a correlated CALL { } "
+                    "subquery are per-invocation in Cypher — not in "
+                    "this subset"
+                )
+            # thread the import keys through every intermediate WITH
+            # (per-invocation scope: the key joins the implicit
+            # grouping when the WITH aggregates)
+            if not p.star:
+                have = {
+                    it.alias if it.alias is not None else it.text
+                    for it in p.items
+                }
+                for v in imports:
+                    if v not in have:
+                        p.items.append(ReturnItem(("var", v), v, v))
+        apply_read_clause(c2, cl2)
+    proj = last[1]
+    if proj.order or proj.skip is not None or proj.limit is not None:
+        raise CypherSyntaxError(
+            "ORDER BY/SKIP/LIMIT in a correlated CALL { } subquery are "
+            "per-invocation in Cypher — not in this subset (move them "
+            "after the CALL, or aggregate with collect())"
+        )
+    aggregating = any(_has_agg(it.expr) for it in proj.items)
+    names_out: list = []
+    for it in proj.items:
+        name = it.alias if it.alias is not None else it.text
+        if name in imports or name in c.kinds:
+            raise CypherSyntaxError(
+                f"CALL {{ }} returns {name!r}, which is already bound in "
+                "the outer query — alias it"
+            )
+        names_out.append(name)
+        if _has_agg(it.expr) and (
+            it.expr[0] != "call" or it.expr[1] not in _AGG_FUNCS
+        ):
+            raise CypherSyntaxError(
+                f"CALL {{ }} item {it.text!r}: aggregates nested inside "
+                "expressions are not in this subset (alias the bare "
+                "aggregate in the subquery, compute the expression after "
+                "the CALL)"
+            )
+    hidden = [ReturnItem(("var", v), v, v) for v in imports]
+    proj2 = Projection(
+        items=hidden + list(proj.items),
+        distinct=proj.distinct,
+        order=[],
+        skip=None,
+        limit=None,
+        is_return=True,
+    )
+    out, _names = _apply_projection(c2, proj2)
+    c.anon = c2.anon
+    if aggregating:
+        # Neo4j fills for an empty invocation: count/sum -> 0,
+        # collect -> [], min/max/avg/stat -> null
+        joined = c.cur.join(out, on=imports, how="left")
+        for it, name in zip(proj.items, names_out):
+            fn = it.expr[1] if it.expr[0] == "call" else None
+            if fn in ("count", "sum"):
+                fill = F.lit(0).cast(out.schema[name].dataType)
+            elif fn == "collect":
+                fill = F.array().cast(out.schema[name].dataType)
+            else:
+                continue
+            joined = joined.withColumn(name, F.coalesce(_qcol(name), fill))
+        c.cur = joined
+    else:
+        c.cur = c.cur.join(out, on=imports, how="inner")
+    for it, name in zip(proj.items, names_out):
+        if it.expr[0] == "var":
+            c.kinds[name] = c2.kinds.get(it.expr[1], "value")
+        else:
+            c.kinds[name] = "value"
+
+
 def _rewrite_subqueries(c: _Compile, expr):
     """Replace EXISTS{}/COUNT{} subquery expressions (and pattern
     predicates at non-top-level positions) in an expression tree with
@@ -2656,6 +2836,9 @@ def apply_read_clause(c: _Compile, cl: tuple) -> DataFrame | None:
         c.cur = _union_frames(frames, cl[2])
         for col in c.cur.columns:
             c.kinds[col] = "value"
+        return None
+    if kind == "callsub_mid":
+        _bind_mid_subquery(c, cl[1])
         return None
     if kind == "match":
         _compile_match(c, cl[1], cl[2])

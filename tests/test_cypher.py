@@ -1531,11 +1531,14 @@ def test_call_subquery_then_where_and_limit(graph):
     assert got == [tuple(w) for w in want]
 
 
-def test_call_subquery_must_lead(graph):
-    with pytest.raises(CypherSyntaxError, match="first clause"):
+def test_call_procedure_must_lead(graph):
+    """Mid-query CALL is the { subquery } form only — a mid-query
+    procedure call is rejected (subset rule; leading procedures
+    work)."""
+    with pytest.raises(CypherSyntaxError):
         cypher(
             graph,
-            "MATCH (n:Nation) CALL { MATCH (m) RETURN m } RETURN n",
+            "MATCH (n:Nation) CALL db.labels() RETURN n.n_name AS x",
         )
 
 
@@ -2020,4 +2023,155 @@ def test_map_projection_duplicate_key_rejected(graph):
         cypher(
             graph,
             "MATCH (n:Nation) RETURN n {.n_name, n_name: 'x'} AS m",
+        )
+
+
+def test_call_subquery_correlated_aggregate_fills(graph):
+    """Correlated CALL { WITH n ... RETURN count(...) }: per-invocation
+    aggregation grouped by the imported key; nations with no match
+    keep their row with count 0 (Neo4j empty-invocation fill)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) RETURN count(s) AS sups } "
+            "RETURN n.n_name AS nation, sups ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  (SELECT COUNT(*) FROM supplier
+                   WHERE s_nationkey = n_nationkey) AS sups
+           FROM nation ORDER BY n_name"""
+    )
+    assert got == want
+    assert any(w[1] == 0 for w in want)  # the fill case is exercised
+
+
+def test_call_subquery_non_aggregate_inner_join(graph):
+    """A non-aggregating subquery with zero rows eliminates the outer
+    row (Cypher cardinality)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) RETURN s.s_name AS sup } "
+            "RETURN n.n_name AS nation, sup ORDER BY nation, sup",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, s_name FROM nation
+           JOIN supplier ON s_nationkey = n_nationkey
+           ORDER BY n_name, s_name"""
+    )
+    assert got == want
+
+
+def test_call_subquery_piped_node_hops_after(graph):
+    """A returned node variable keeps its kind: the outer query can
+    keep hopping from it."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) "
+            "CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n } "
+            "MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "RETURN r.r_name AS region, count(c) AS custs ORDER BY region",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, COUNT(*) FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           GROUP BY r_name ORDER BY r_name"""
+    )
+    assert got == want
+
+
+def test_call_subquery_uncorrelated_mid_query(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) "
+            "CALL { MATCH (n:Nation) RETURN count(n) AS n_nations } "
+            "RETURN r.r_name AS region, n_nations ORDER BY region",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, (SELECT COUNT(*) FROM nation) AS n_nations
+           FROM region ORDER BY r_name"""
+    )
+    assert got == want
+
+
+def test_call_subquery_with_star_import(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) "
+            "CALL { WITH * MATCH (n:Nation)-[:IN_REGION]->(r) "
+            "  RETURN count(n) AS nats } "
+            "RETURN r.r_name AS region, nats ORDER BY region",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, (SELECT COUNT(*) FROM nation
+                           WHERE n_regionkey = r_regionkey) AS nats
+           FROM region ORDER BY r_name"""
+    )
+    assert got == want
+
+
+def test_call_subquery_collect_fill_and_intermediate_with(graph):
+    """collect() fills [] for empty invocations; the body may contain
+    its own WITH pipeline."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) WHERE n.n_name IN ['NATION_0', 'NATION_1'] "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  WITH s WHERE s.s_acctbal > -1000 "
+            "  RETURN collect(s.s_name) AS sups } "
+            "RETURN n.n_name AS nation, size(sups) AS n_sups ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  CAST((SELECT COUNT(*) FROM supplier
+                        WHERE s_nationkey = n_nationkey
+                          AND s_acctbal > -1000) AS INTEGER) AS n_sups
+           FROM nation WHERE n_name IN ('NATION_0', 'NATION_1')
+           ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_call_subquery_errors(graph):
+    with pytest.raises(CypherSyntaxError, match="per-invocation"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) CALL { WITH n "
+            "MATCH (c:Customer)-[:IN_NATION]->(n) RETURN c LIMIT 1 } "
+            "RETURN n.n_name AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="already bound"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) CALL { WITH n "
+            "MATCH (c:Customer)-[:IN_NATION]->(n) RETURN n } "
+            "RETURN n.n_name AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="not bound"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) CALL { WITH z MATCH (z)-->(c) RETURN c } "
+            "RETURN n.n_name AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="must end with RETURN|expected a clause keyword"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) CALL { MATCH (c:Customer) } RETURN n.n_name AS x",
         )
