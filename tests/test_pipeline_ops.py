@@ -1726,3 +1726,78 @@ def test_decode_media_gate_mentions_real_png_path(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(NotImplementedError, match="decode_png"):
         decode_media(attach_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# training-mixture construction (operators/mixing.py)
+# ---------------------------------------------------------------------------
+
+
+def _unit_hash_py(doc_id, epoch):
+    return ((doc_id + 1) * 2654435761 + epoch * 97003) % 2147483647 / 2147483647
+
+
+def test_mixture_rates_and_epochs(spark):
+    from pidb_rdf_spark.operators.mixing import mix_sources, mixture_rates
+
+    docs = spark.createDataFrame(
+        [(i, "a", 100) for i in range(50)]
+        + [(1000 + i, "b", 100) for i in range(50)],
+        "doc_id long, source string, n_chars long",
+    )
+    weights = {"a": 3.0, "b": 1.0}
+    rates = {s: r for s, _a, _t, r in mixture_rates(docs, weights, 7500)}
+    assert rates["a"] == pytest.approx(1.125)
+    assert rates["b"] == pytest.approx(0.375)
+
+    got = mix_sources(docs, weights, 7500).collect()
+    a_rows = [(r["doc_id"], r["epoch"]) for r in got if r["source"] == "a"]
+    b_rows = [(r["doc_id"], r["epoch"]) for r in got if r["source"] == "b"]
+    # source a: one full epoch 0 + fractional epoch 1 at 0.125
+    assert {(i, 0) for i in range(50)} <= set(a_rows)
+    want_a1 = {
+        (i, 1) for i in range(50) if _unit_hash_py(i, 1) < 1.125 - 1
+    }
+    assert {x for x in a_rows if x[1] == 1} == want_a1
+    # source b: fractional epoch 0 at 0.375, no full epochs
+    want_b = {
+        (1000 + i, 0)
+        for i in range(50)
+        if _unit_hash_py(1000 + i, 0) < 0.375
+    }
+    assert set(b_rows) == want_b
+    # a doc never repeats within an epoch
+    assert len(got) == len({(r["doc_id"], r["epoch"]) for r in got})
+
+
+def test_mixture_temperature_flattens(spark):
+    from pidb_rdf_spark.operators.mixing import mixture_rates
+
+    docs = spark.createDataFrame(
+        [(i, "a", 100) for i in range(10)]
+        + [(100 + i, "b", 100) for i in range(10)],
+        "doc_id long, source string, n_chars long",
+    )
+    # T=2 takes sqrt of the weights: 9:1 -> 3:1
+    rates = {
+        s: r
+        for s, _a, _t, r in mixture_rates(
+            docs, {"a": 9.0, "b": 1.0}, 4000, temperature=2.0
+        )
+    }
+    assert rates["a"] / rates["b"] == pytest.approx(3.0)
+
+
+def test_mixture_excludes_zero_weight_and_validates(spark):
+    from pidb_rdf_spark.operators.mixing import mix_sources, mixture_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = mix_sources(docs, {"a": 1.0, "b": 0.0}, 100)
+    assert {r["source"] for r in got.collect()} == {"a"}
+    with pytest.raises(ValueError, match="positive"):
+        mixture_rates(docs, {"a": 1.0}, -5)
+    with pytest.raises(ValueError, match="no source"):
+        mixture_rates(docs, {"zzz": 1.0}, 100)
