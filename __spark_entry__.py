@@ -2008,6 +2008,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node_similarity_event_types"] = node_similarity_event_types
 
+    def mixture_budget_sample(spark, sf_dir):
+        """Training-mixture construction (operators/mixing.py): equal
+        weights over the 20 sources, 300k-char budget — at sf0.01
+        every source upsamples (1 full epoch + a fractional one), at
+        sf0.1 every source downsamples; both paths are one broadcast
+        rate join + explode + exact-integer-hash filter. The oracle
+        replays the identical arithmetic (shares and rates are single
+        divisions of exact aggregates — bit-equal across engines)."""
+        from pidb_rdf_spark.operators.mixing import mix_sources
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        weights = {f"src{i}": 1.0 for i in range(20)}
+        mixed = mix_sources(docs, weights, budget_tokens=300_000.0)
+        return mixed.select("doc_id", "source", "epoch")
+
+    q["mixture_budget_sample"] = mixture_budget_sample
+
     return _rotate_checked_window(q)
 
 
@@ -3897,5 +3914,32 @@ def oracle_sql() -> dict[str, str]:
         FROM common
         JOIN deg da ON da.t = a
         JOIN deg db ON db.t = b
+    """
+    base["mixture_budget_sample"] = """
+        WITH avail AS (
+            SELECT source, SUM(n_chars) AS a FROM documents GROUP BY source
+        ),
+        nsrc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM avail),
+        r AS (
+            SELECT source, a,
+                   (300000.0 * (1.0 / nsrc.n)) / a AS rate
+            FROM avail, nsrc
+        ),
+        e AS (
+            SELECT source, CAST(FLOOR(rate) AS INTEGER) AS nf,
+                   rate - FLOOR(rate) AS frac
+            FROM r
+        ),
+        expanded AS (
+            SELECT d.doc_id, d.source, ep.epoch, e.nf, e.frac
+            FROM documents d
+            JOIN e USING (source),
+            LATERAL UNNEST(generate_series(0, e.nf)) AS ep(epoch)
+        )
+        SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+        FROM expanded
+        WHERE epoch < nf
+           OR CAST(((doc_id + 1) * 2654435761 + epoch * 97003)
+                   % 2147483647 AS DOUBLE) / 2147483647.0 < frac
     """
     return base
