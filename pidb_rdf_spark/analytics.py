@@ -818,6 +818,13 @@ def closeness_centrality(
             break
         state = state.unionAll(reached).localCheckpoint(eager=True)
         frontier = reached
+    else:
+        raise RuntimeError(
+            "closeness_centrality: the BFS frontier was still growing "
+            f"after max_iter={max_iter} rounds — a truncated sum would "
+            "silently understate every distance; raise max_iter above "
+            "the graph's diameter"
+        )
     per = (
         state.filter(F.col("hops") > 0)
         .groupBy("origin")
@@ -907,6 +914,13 @@ def betweenness_centrality(
         state = state.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
         depth = lvl
+    else:
+        raise RuntimeError(
+            "betweenness_centrality: the BFS frontier was still growing "
+            f"after max_iter={max_iter} rounds — truncated levels would "
+            "corrupt every dependency; raise max_iter above the graph's "
+            "diameter"
+        )
     # -- backward: delta accumulates from the deepest level up
     delta = state.select(
         "origin", "node", "lvl", "sigma", F.lit(0.0).alias("delta")

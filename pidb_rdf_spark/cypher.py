@@ -434,7 +434,13 @@ class _Parser:
                     # cross-joined)
                     _no_write(t)
                     self._next()
-                    self._expect("op", "{")
+                    if not self._at("op", "{"):
+                        raise CypherSyntaxError(
+                            "mid-query CALL must open a { subquery } — "
+                            "procedure calls must be the first clause "
+                            f"(position {t.pos})"
+                        )
+                    self._next()
                     sub = self._parse_single()
                     self._expect("op", "}")
                     if any(cl[0] in _WRITE_KINDS for cl in sub.clauses):
@@ -2582,6 +2588,12 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
                         p.items.append(ReturnItem(("var", v), v, v))
         apply_read_clause(c2, cl2)
     proj = last[1]
+    if proj.star:
+        raise CypherSyntaxError(
+            "RETURN * inside a correlated CALL { } subquery is not in "
+            "this subset — name the returned items explicitly (Neo4j "
+            "rejects re-returning the imported variables anyway)"
+        )
     if proj.order or proj.skip is not None or proj.limit is not None:
         raise CypherSyntaxError(
             "ORDER BY/SKIP/LIMIT in a correlated CALL { } subquery are "

@@ -567,3 +567,20 @@ def test_node_similarity_max_degree_drops_hub_candidates(spark):
     row = {(r["a"], r["b"]): r for r in got}[(1, 2)]
     assert row["n_common"] == 2  # {8, 9}
     assert row["jaccard"] == pytest.approx(2 / (2 + 2 - 2))
+
+
+def test_centrality_max_iter_exhaustion_raises(spark):
+    """A frontier still growing at max_iter raises instead of
+    silently truncating distances/dependencies."""
+    from pidb_rdf_spark.analytics import (
+        betweenness_centrality,
+        closeness_centrality,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        closeness_centrality(chain, max_iter=2).collect()
+    with pytest.raises(RuntimeError, match="max_iter"):
+        betweenness_centrality(chain, max_iter=2).collect()

@@ -2175,3 +2175,13 @@ def test_call_subquery_errors(graph):
             graph,
             "MATCH (n:Nation) CALL { MATCH (c:Customer) } RETURN n.n_name AS x",
         )
+
+
+def test_call_subquery_return_star_rejected(graph):
+    with pytest.raises(CypherSyntaxError, match="RETURN \\* inside"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) CALL { WITH n "
+            "MATCH (c:Customer)-[:IN_NATION]->(n) RETURN * } "
+            "RETURN n.n_name AS x",
+        )
