@@ -278,3 +278,41 @@ def test_cypher_plan_is_jvm_only_with_broadcasts(spark):
     assert s["python_evals"] == 0
     assert s["broadcast_hash_joins"] >= 2
     assert s["sort_merge_joins"] == 0
+
+
+def test_mixture_broadcasts_rate_table_no_python(spark):
+    """mix_sources: the per-source rate table joins in broadcast
+    (never a shuffle of the corpus on source) and the whole pipeline
+    stays JVM-side."""
+    from pidb_rdf_spark.operators.mixing import mix_sources
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mix_sources(
+        docs, {f"src{i}": 1.0 for i in range(20)}, 100_000.0
+    )
+    s = plan_summary(out)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    assert s["python_evals"] == 0
+
+
+def test_pattern_comprehension_single_aggregate_join(spark):
+    """A pattern comprehension compiles to exactly one collect_list
+    aggregation joined back — not one job per outer row, and no
+    Python."""
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.graph import graphify
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    df = cypher(
+        g,
+        "MATCH (n:Nation) RETURN n.n_name AS nation, "
+        "size([(c:Customer)-[:IN_NATION]->(n) | c.c_name]) AS deg",
+    )
+    s = plan_summary(df)
+    # one partial+final pair for the collect_list, none hidden in
+    # Python. (The list-frame rejoin may plan as a sort-merge join in
+    # the static plan — correct when the collected frame is large;
+    # AQE demotes it to broadcast at runtime on dimension-sized data.)
+    assert s["python_evals"] == 0
+    assert s["hash_aggregates"] >= 1
