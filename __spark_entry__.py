@@ -2025,6 +2025,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_budget_sample"] = mixture_budget_sample
 
+    def interval_join_events(spark, sf_dir):
+        """Interval (time-range) join (streaming/events.py
+        interval_join): every view -> purchase correlation within 30
+        minutes per user. One equi-shuffle per side on user_id, the
+        range predicate rides the join — the same code runs as a
+        watermarked stream-stream join with interval-bounded state
+        (stream≡batch pinned in tests/test_streaming.py)."""
+        from pidb_rdf_spark.streaming.events import interval_join
+
+        ev = _events(spark, sf_dir)
+        views = ev.filter(F.col("event_type") == "view")
+        buys = ev.filter(F.col("event_type") == "purchase")
+        out = interval_join(
+            views, buys, on="user_id", upper="30 minutes",
+            right_cols=["event_id"],
+        )
+        return out.select(
+            F.col("event_id").alias("view_id"),
+            F.col("event_id_r").alias("purchase_id"),
+        )
+
+    q["interval_join_events"] = interval_join_events
+
     return _rotate_checked_window(q)
 
 
@@ -3941,5 +3964,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE epoch < nf
            OR CAST(((doc_id + 1) * 2654435761 + epoch * 97003)
                    % 2147483647 AS DOUBLE) / 2147483647.0 < frac
+    """
+    base["interval_join_events"] = """
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        FROM events v JOIN events p ON v.user_id = p.user_id
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
     """
     return base

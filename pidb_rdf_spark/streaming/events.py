@@ -452,3 +452,44 @@ def rollup_counts(
         ).localCheckpoint(eager=False)
         out = out.unionByName(cur.select(F.lit(unit).alias("level"), "*"))
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval (time-range) join: every (left, right) pair with the
+    same ``on`` key and ``left_ts + lower <= right_ts <= left_ts +
+    upper`` — the event-correlation primitive (view -> purchase
+    within an hour, request -> error within a minute, ...).
+
+    The SAME code runs in batch and in Structured Streaming: an
+    equi-join on the key plus a time-range residual is exactly the
+    shape Spark's stream-stream join supports — with watermarks on
+    BOTH inputs the range bound makes join state evictable (Spark
+    drops buffered rows once the watermark passes ``upper``), so
+    state is bounded by the interval width, not the stream length.
+    Batch: one shuffle per side on the key, the range predicate
+    stays a post-join filter (never a cartesian).
+
+    Right-side columns are renamed with ``suffix`` (key joins once;
+    ``right_cols`` selects a subset before the join — column-pruned
+    scans at 100 TB).
+    """
+    r = right if right_cols is None else right.select(on, right_ts, *right_cols)
+    ren = {c: c + suffix for c in r.columns if c != on}
+    for old, new in ren.items():
+        r = r.withColumnRenamed(old, new)
+    rts = right_ts + suffix if right_ts in ren else right_ts
+    cond = (
+        (F.col(rts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(r, on=on).filter(cond)

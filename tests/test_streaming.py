@@ -540,3 +540,78 @@ def test_user_stats_stream_half_cent_rounding_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM halfcent").collect()
     }
     assert got == batch
+
+
+def test_interval_join_batch_semantics(spark):
+    from pidb_rdf_spark.streaming.events import interval_join
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:30:00", 7, "purchase"),   # in [0, 1h]
+        (3, "2024-01-01 11:00:00", 7, "purchase"),   # boundary: included
+        (4, "2024-01-01 11:00:01", 7, "purchase"),   # past upper
+        (5, "2024-01-01 09:59:59", 7, "purchase"),   # before lower
+        (6, "2024-01-01 10:10:00", 8, "purchase"),   # other key
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    got = sorted(
+        r["event_id_r"]
+        for r in interval_join(
+            views, buys, on="user_id", right_cols=["event_id"]
+        ).collect()
+    )
+    assert got == [2, 3]
+
+
+def test_interval_join_stream_equals_batch(spark, events, tmp_path):
+    """The same interval_join code runs as a watermarked stream-stream
+    join (state evictable: the range bound caps buffering)."""
+    from pidb_rdf_spark.streaming.events import interval_join
+
+    src = str(tmp_path / "ev")
+    # watermarks need TIMESTAMP (the parquet column is NTZ)
+    events.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    batch_ev = spark.read.parquet(src)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    bl, br = split(batch_ev)
+    want = sorted(
+        (r["event_id"], r["event_id_r"])
+        for r in interval_join(
+            bl, br, on="user_id", upper="30 minutes",
+            right_cols=["event_id"],
+        ).collect()
+    )
+
+    stream = spark.readStream.schema(batch_ev.schema).parquet(src)
+    sl, sr = split(stream)
+    joined = interval_join(
+        sl.withWatermark("ts", "0 seconds"),
+        sr.withWatermark("ts", "0 seconds"),
+        on="user_id",
+        upper="30 minutes",
+        right_cols=["event_id"],
+    )
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT * FROM ivj").collect()
+    )
+    assert got == want and len(want) > 0
