@@ -181,11 +181,17 @@ _DEFER_TO_TAIL = [
     # closeness_containment + betweenness_containment (multi-source
     # BFS closeness / sampled-Brandes betweenness over the reversed
     # containment DAG, per-level unrolled oracles), and
-    # node_similarity_event_types (common-neighbor Jaccard) — the r9
-    # rotation just needs to move them into the window. Also added in
-    # the third session, pytest-proven only: Cypher map projections
-    # (n {.k, .*, key: e}) and the FOREACH write clause (write path —
-    # no SQL-expressible output, 7 round-trip tests).
+    # node_similarity_event_types (common-neighbor Jaccard),
+    # mixture_budget_sample (training-mixture construction with an
+    # exact replayed oracle) and interval_join_events (time-range
+    # join; stream-stream twin pinned in tests) and cms_user_counts
+    # (Count-Min sketch, collisions replayed exactly) — the r9 rotation
+    # just needs to move them into the window. Also added in the
+    # third session, pytest-proven only: Cypher map projections
+    # (n {.k, .*, key: e}), the FOREACH write clause (write path —
+    # no SQL-expressible output, 7 round-trip tests), and mid-query
+    # correlated CALL { WITH imports ... } subqueries (10 oracle
+    # tests in tests/test_cypher.py).
     # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
     # window (contract rule 3); the r7-proven window rotates out.
     # Every entry below has a green row in CORRECTNESS_r07.json and
@@ -2047,6 +2053,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["interval_join_events"] = interval_join_events
+
+    def cms_user_counts(spark, sf_dir):
+        """Count-Min sketch (operators/sketch.py cms_build/cms_query):
+        per-user event-count estimates through a 256x4 sketch — small
+        width forces collisions, and because the bucket hashes are the
+        deterministic md5 contract even the OVER-estimates replay
+        bit-for-bit in the oracle. The only shuffle is sketch-sized;
+        the probe join broadcasts the sketch."""
+        from pidb_rdf_spark.operators.sketch import cms_build, cms_query
+
+        ev = _events(spark, sf_dir)
+        sk = cms_build(ev, "user_id", width=256, depth=4)
+        return cms_query(sk, ev, "user_id", width=256, depth=4)
+
+    q["cms_user_counts"] = cms_user_counts
 
     return _rotate_checked_window(q)
 
@@ -3970,5 +3991,28 @@ def oracle_sql() -> dict[str, str]:
         FROM events v JOIN events p ON v.user_id = p.user_id
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """
+    base["cms_user_counts"] = """
+        WITH sk AS (
+            SELECT d,
+                   ('0x' || substr(md5(user_id::VARCHAR || ':' || d), 1, 13))
+                       ::BIGINT % 256 AS bucket,
+                   COUNT(*) AS cnt
+            FROM events, UNNEST([0, 1, 2, 3]) u(d)
+            GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT DISTINCT user_id FROM events
+        ),
+        keyed AS (
+            SELECT user_id, d,
+                   ('0x' || substr(md5(user_id::VARCHAR || ':' || d), 1, 13))
+                       ::BIGINT % 256 AS bucket
+            FROM probes, UNNEST([0, 1, 2, 3]) u(d)
+        )
+        SELECT k.user_id, MIN(COALESCE(sk.cnt, 0)) AS est
+        FROM keyed k
+        LEFT JOIN sk ON sk.d = k.d AND sk.bucket = k.bucket
+        GROUP BY k.user_id
     """
     return base

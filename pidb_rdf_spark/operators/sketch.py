@@ -91,3 +91,72 @@ def approx_distinct(
     return grouped.agg(
         F.approx_count_distinct(col, rsd).alias("distinct_approx")
     )
+
+
+def _cms_pairs(col: Column, width: int, depth: int) -> Column:
+    """Per-row (d, bucket) pairs for every CMS row — bucket_d =
+    md5(value ':' d) mod width, the Bloom positions' determinism
+    contract (replays bit-for-bit in any engine with md5 + hex)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    md5_prefix_long(
+                        F.concat(col.cast("string"), F.lit(f":{d}")), 52
+                    )
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch of a column's value frequencies: a
+    (d, bucket, cnt) frame of at most depth x width rows — the
+    mergeable bounded-memory frequency summary (union two sketches
+    and re-sum to merge; state never grows with distinct values).
+
+    Scale shape: one explode to depth rows per input row (all
+    codegen), one map-side-combinable aggregation — the ONLY shuffle
+    is sketch-sized. Estimates are upward-biased only (classic CMS
+    guarantee: est >= true, est <= true + eps*N with prob 1-delta for
+    width=e/eps, depth=ln(1/delta)), and because the bucket hashes
+    are the deterministic md5 contract, even the over-estimates
+    replay exactly in a SQL oracle."""
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    return (
+        df.select(F.explode(_cms_pairs(F.col(col), width, depth)).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimates for a probe set: (col, est) with
+    est = min over rows d of sketch[d][bucket_d(value)], 0 when a
+    bucket was never touched. The sketch side is sketch-sized —
+    broadcast — so probing never reshuffles the corpus. width/depth
+    must match the build call."""
+    keyed = (
+        probes.select(F.col(col))
+        .dropDuplicates()
+        .select(col, F.explode(_cms_pairs(F.col(col), width, depth)).alias("p"))
+        .select(col, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    )
+    return (
+        keyed.join(F.broadcast(sketch), on=["d", "bucket"], how="left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

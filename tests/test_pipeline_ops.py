@@ -1801,3 +1801,74 @@ def test_mixture_excludes_zero_weight_and_validates(spark):
         mixture_rates(docs, {"a": 1.0}, -5)
     with pytest.raises(ValueError, match="no source"):
         mixture_rates(docs, {"zzz": 1.0}, 100)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimates_dominate_and_converge(spark):
+    from pidb_rdf_spark.operators.sketch import cms_build, cms_query
+
+    rows = [(v,) for v in ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"]]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {"a": 50, "b": 30, "c": 5, "d": 1}
+    # tiny width forces collisions: estimates must still DOMINATE
+    tiny = cms_query(cms_build(df, "k", width=2, depth=2), df, "k",
+                     width=2, depth=2)
+    for r in tiny.collect():
+        assert r["est"] >= exact[r["k"]]
+    # ample width: estimates are exact
+    wide = cms_query(cms_build(df, "k", width=1024, depth=4), df, "k",
+                     width=1024, depth=4)
+    assert {r["k"]: r["est"] for r in wide.collect()} == exact
+
+
+def test_cms_merge_by_union_resum(spark):
+    from pyspark.sql import functions as F_
+
+    from pidb_rdf_spark.operators.sketch import cms_build, cms_query
+
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)], "k string")
+    b = spark.createDataFrame([("x",)] * 6, "k string")
+    merged = (
+        cms_build(a, "k", width=64, depth=3)
+        .unionAll(cms_build(b, "k", width=64, depth=3))
+        .groupBy("d", "bucket")
+        .agg(F_.sum("cnt").alias("cnt"))
+    )
+    got = {
+        r["k"]: r["est"]
+        for r in cms_query(
+            merged, a.unionAll(b), "k", width=64, depth=3
+        ).collect()
+    }
+    assert got == {"x": 10, "y": 1}
+
+
+def test_cms_matches_duckdb_bit_math(spark):
+    """The bucket hash replays bit-for-bit in DuckDB — the property
+    the oracle relies on (same contract as the Bloom positions)."""
+    import duckdb
+
+    from pidb_rdf_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "v long")
+    got = sorted(
+        map(tuple, cms_build(df, "v", width=32, depth=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                """
+        SELECT d, ('0x' || substr(md5(v::VARCHAR || ':' || d), 1, 13))::BIGINT
+               % 32 AS bucket, COUNT(*) AS cnt
+        FROM range(97) t(v), UNNEST([0, 1]) u(d)
+        GROUP BY 1, 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
