@@ -2373,6 +2373,10 @@ def _expr_vars(e, acc: set) -> None:
         if e[0] in ("var", "prop"):
             acc.add(e[1])
             return
+        if e[0] == "mapproj":  # n {...}: the projected var is a use
+            acc.add(e[1])
+            _expr_vars(e[2], acc)
+            return
         parts = e[1:]
     else:
         parts = e
@@ -2483,7 +2487,22 @@ def _bind_patcomp(
     vcol = c.fresh("v")
     tmp = c.fresh("lst")
     proj = c2.cur.withColumn(vcol, _to_col(c2, mapexpr))
-    agg = F.array_sort(F.collect_list(vcol)).alias(tmp)
+    lst_col = F.collect_list(vcol)
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    if orderable(proj.schema[vcol].dataType):
+        lst_col = F.array_sort(lst_col)  # pin the unspecified order
+    # (map-valued elements are unorderable in Spark — their list
+    # order stays unspecified, as in Cypher)
+    agg = lst_col.alias(tmp)
     if shared:
         lst = proj.groupBy(*shared).agg(agg)
         empty = F.array().cast(lst.schema[tmp].dataType)
@@ -2549,7 +2568,9 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
                 )
     if not correlated:
         # uncorrelated: one evaluation, cross join (broadcast-eligible)
-        out = _compile_query(c.graph, CypherQuery(clauses), True, c.params)
+        out = _compile_query(
+            c.graph, CypherQuery(clauses), c.allow_cartesian, c.params
+        )
         for name in out.columns:
             if name in c.kinds:
                 raise CypherSyntaxError(
@@ -2630,9 +2651,12 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
     )
     out, _names = _apply_projection(c2, proj2)
     c.anon = c2.anon
-    if aggregating:
-        # Neo4j fills for an empty invocation: count/sum -> 0,
-        # collect -> [], min/max/avg/stat -> null
+    all_agg = aggregating and all(_has_agg(it.expr) for it in proj.items)
+    if all_agg:
+        # aggregate-only body: Neo4j's global aggregation emits one
+        # row even for an empty invocation — left join with the
+        # empty-input fills (count/sum -> 0, collect -> [],
+        # min/max/avg/stat -> null)
         joined = c.cur.join(out, on=imports, how="left")
         for it, name in zip(proj.items, names_out):
             fn = it.expr[1] if it.expr[0] == "call" else None
@@ -2645,6 +2669,9 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
             joined = joined.withColumn(name, F.coalesce(_qcol(name), fill))
         c.cur = joined
     else:
+        # non-aggregating, or grouped aggregation (non-aggregate items
+        # present): zero subquery rows produce zero groups, so the
+        # outer row is eliminated — Cypher cardinality
         c.cur = c.cur.join(out, on=imports, how="inner")
     for it, name in zip(proj.items, names_out):
         if it.expr[0] == "var":

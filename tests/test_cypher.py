@@ -2185,3 +2185,45 @@ def test_call_subquery_return_star_rejected(graph):
             "MATCH (c:Customer)-[:IN_NATION]->(n) RETURN * } "
             "RETURN n.n_name AS x",
         )
+
+
+def test_call_subquery_grouped_aggregation_drops_empty(graph):
+    """A body mixing grouping keys with aggregates is a GROUPED
+    aggregation per invocation: zero subquery rows -> zero groups ->
+    the outer row is eliminated (unlike the aggregate-only body,
+    which fills)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN s.s_name AS sup, count(*) AS k } "
+            "RETURN n.n_name AS nation, sup, k ORDER BY nation, sup",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, s_name, CAST(1 AS BIGINT) FROM nation
+           JOIN supplier ON s_nationkey = n_nationkey
+           ORDER BY n_name, s_name"""
+    )
+    assert got == want  # nations without suppliers absent
+
+
+def test_pattern_comprehension_with_map_projection_element(graph):
+    """A map projection as the comprehension's map expression — the
+    projected var must correlate (exercises the _expr_vars mapproj
+    branch)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) WHERE r.r_name = 'ASIA' "
+            "RETURN size([(n:Nation)-[:IN_REGION]->(r) "
+            "| n {.n_name}]) AS cnt",
+        )
+    )
+    want = oracle(
+        """SELECT CAST((SELECT COUNT(*) FROM nation
+                        JOIN region ON n_regionkey = r_regionkey
+                        WHERE r_name = 'ASIA') AS INTEGER)"""
+    )
+    assert got == want
