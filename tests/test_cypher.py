@@ -1923,6 +1923,8 @@ def test_parser_fuzz_no_crash():
         "{k: 1}", "CASE", "WHEN", "THEN", "END", "UNION", "ALL",
         "CALL", "db.labels()", "YIELD", "$param", "AND", "OR", "NOT",
         "=~", "STARTS WITH", "IS NULL", "nodes(p)", "length(p)",
+        "FOREACH", "(x IN [1, 2] |", "|", "[(a)-[:T]->(b) | a.x]",
+        "n {.k, y: 1}", "{.*}", "CALL { WITH n", "RETURN n }",
     ])
 
     @given(st.lists(fragments, min_size=1, max_size=12))
