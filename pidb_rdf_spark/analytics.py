@@ -921,15 +921,20 @@ def betweenness_centrality(
             "corrupt every dependency; raise max_iter above the graph's "
             "diameter"
         )
-    # -- backward: delta accumulates from the deepest level up
-    delta = state.select(
-        "origin", "node", "lvl", "sigma", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
+    # -- backward: each (origin, node)'s delta is a function of the
+    # level ABOVE it only, so it is computed exactly once — process
+    # one level frame at a time (per-round work ∝ that level's size,
+    # never the whole state: the shape that survives deep graphs)
+    upper = (
+        state.filter(F.col("lvl") == depth)
+        .withColumn("delta", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    parts = [upper]
     for lvl in range(depth - 1, -1, -1):
-        lower = delta.filter(F.col("lvl") == lvl)
-        upper = delta.filter(F.col("lvl") == lvl + 1)
+        cur = state.filter(F.col("lvl") == lvl)
         contrib = (
-            lower.select("origin", F.col("node").alias("src"), "lvl", "sigma", "delta")
+            cur.select("origin", F.col("node").alias("src"), "sigma")
             .join(edges, on="src")
             .join(
                 upper.select(
@@ -948,12 +953,16 @@ def betweenness_centrality(
                 ).alias("acc")
             )
         )
-        delta = (
-            delta.join(contrib, on=["origin", "node"], how="left")
-            .withColumn("delta", F.col("delta") + F.coalesce("acc", F.lit(0.0)))
+        upper = (
+            cur.join(contrib, on=["origin", "node"], how="left")
+            .withColumn("delta", F.coalesce("acc", F.lit(0.0)))
             .drop("acc")
             .localCheckpoint(eager=True)
         )
+        parts.append(upper)
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionAll(p)
     per_node = (
         delta.filter(F.col("node") != F.col("origin"))
         .groupBy("node")
