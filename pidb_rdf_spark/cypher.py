@@ -73,6 +73,13 @@ issue):
   (the COUNT{} shape); unmatched rows get ``[]``; element order is
   pinned ascending (Cypher leaves it unspecified); aggregates inside
   are rejected.
+- Inline pattern predicates ``(n:L WHERE e)`` / ``[r:T WHERE e]``
+  (Neo4j 5): hoisted into the clause WHERE — inside OPTIONAL MATCH
+  they filter before the left join, as part of the match. Rejected
+  on variable-length segments and in CREATE/MERGE patterns.
+- Label alternation ``(n:A|B)``: OR within the group, AND across
+  ``:`` groups; read-only syntax (CREATE/MERGE reject it). Numeric
+  literals accept scientific notation (``1e9``).
 - Map projections ``n {.k, .*, key: expr}`` compiled to
   ``map<string,string>`` (values stringified — the ``properties()``
   storage convention); explicit entries win over the ``.*`` spread;
@@ -140,7 +147,7 @@ class CypherCartesianWarning(UserWarning):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<num>\d+\.\d+|\d+)
+  | (?P<num>(?:\d+\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
@@ -208,6 +215,14 @@ class NodePat:
     var: str | None
     labels: list[str]
     props: dict
+    # label alternation groups from ``:A|B`` (each inner list is an
+    # OR; groups AND with each other and with ``labels``) — read-only
+    # syntax, rejected by CREATE/MERGE
+    label_alts: list = field(default_factory=list)
+    # inline pattern predicate ``(n:L WHERE expr)`` — hoisted into the
+    # clause WHERE at compile time (Neo4j 5 semantics: part of the
+    # match, so inside OPTIONAL MATCH it filters before the left join)
+    where: tuple | None = None
 
 
 @dataclass
@@ -218,6 +233,7 @@ class RelPat:
     min_len: int = 1
     max_len: int | None = 1  # None = unbounded (*)
     props: dict = field(default_factory=dict)
+    where: tuple | None = None  # inline ``[r:T WHERE expr]``
 
 
 @dataclass
@@ -323,6 +339,15 @@ class _Parser:
         if self._at(kind, text):
             return self._next()
         return None
+
+
+    def _int_tok(self, t: _Tok) -> int:
+        try:
+            return int(t.text)
+        except ValueError:
+            raise CypherSyntaxError(
+                f"expected an integer, got {t.text!r} at position {t.pos}"
+            ) from None
 
     def _expect_name_like(self) -> _Tok:
         """An identifier position that may collide with a keyword
@@ -713,12 +738,12 @@ class _Parser:
             if self._at("param"):
                 skip = ("param", self._next().text[1:])
             else:
-                skip = int(self._expect("num").text)
+                skip = self._int_tok(self._expect("num"))
         if self._accept("kw", "limit"):
             if self._at("param"):
                 limit = ("param", self._next().text[1:])
             else:
-                limit = int(self._expect("num").text)
+                limit = self._int_tok(self._expect("num"))
         post_where = None
         if not is_return and self._accept("kw", "where"):
             post_where = self._expr()
@@ -741,8 +766,16 @@ class _Parser:
         if t is not None and t.kind == "name":
             var = self._next().text
         labels: list[str] = []
+        label_alts: list = []
         while self._accept("op", ":"):
-            labels.append(self._expect_name_like().text)
+            group = [self._expect_name_like().text]
+            while self._accept("op", "|"):
+                self._accept("op", ":")  # tolerate  :A|:B
+                group.append(self._expect_name_like().text)
+            if len(group) == 1:
+                labels.append(group[0])
+            else:
+                label_alts.append(group)
         props: dict = {}
         if self._accept("op", "{"):
             # values are full expressions: MATCH restricts them to
@@ -755,8 +788,11 @@ class _Parser:
                 if not self._accept("op", ","):
                     break
             self._expect("op", "}")
+        where = None
+        if self._accept("kw", "where"):
+            where = self._expr()
         self._expect("op", ")")
-        return NodePat(var, labels, props)
+        return NodePat(var, labels, props, label_alts, where)
 
     def _rel_pat(self) -> RelPat:
         # '<-[' ... ']-'  |  '-[' ... ']->'  |  '-[' ... ']-'
@@ -779,14 +815,14 @@ class _Parser:
             if self._accept("op", "*"):
                 max_len = None
                 if self._at("num"):
-                    min_len = int(self._next().text)
+                    min_len = self._int_tok(self._next())
                     max_len = min_len
                     if self._accept("op", ".."):
                         # ``*n..m`` bounded; ``*n..`` open-ended
-                        max_len = int(self._next().text) if self._at("num") else None
+                        max_len = self._int_tok(self._next()) if self._at("num") else None
                 elif self._accept("op", ".."):
                     min_len = 1
-                    max_len = int(self._expect("num").text)
+                    max_len = self._int_tok(self._expect("num"))
                 else:
                     min_len = 1
             if self._accept("op", "{"):
@@ -799,7 +835,13 @@ class _Parser:
                     if not self._accept("op", ","):
                         break
                 self._expect("op", "}")
+            if self._accept("kw", "where"):
+                rel_where = self._expr()
+            else:
+                rel_where = None
             self._expect("op", "]")
+        else:
+            rel_where = None
         if incoming:
             self._expect("op", "-")
             direction = "in"
@@ -817,14 +859,19 @@ class _Parser:
             raise CypherSyntaxError(
                 "a variable-length relationship cannot carry a property map"
             )
-        return RelPat(var, types, direction, min_len, max_len, props)
+        if (min_len, max_len) != (1, 1) and rel_where is not None:
+            raise CypherSyntaxError(
+                "a variable-length relationship cannot carry an inline "
+                "WHERE in this subset"
+            )
+        return RelPat(var, types, direction, min_len, max_len, props, rel_where)
 
     def _literal(self):
         t = self._next()
         if t.kind == "param":
             return ("param", t.text[1:])
         if t.kind == "num":
-            return ("lit", float(t.text) if "." in t.text else int(t.text))
+            return ("lit", float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text))
         if t.kind == "str":
             body = t.text[1:-1]
             return ("lit", re.sub(r"\\(.)", r"\1", body))
@@ -978,7 +1025,7 @@ class _Parser:
         if t.kind == "param":
             return ("param", t.text[1:])
         if t.kind == "num":
-            return ("lit", float(t.text) if "." in t.text else int(t.text))
+            return ("lit", float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text))
         if t.kind == "str":
             return ("lit", re.sub(r"\\(.)", r"\1", t.text[1:-1]))
         if t.kind == "kw" and t.text in ("true", "false"):
@@ -1187,6 +1234,11 @@ def _node_frame(
     nd = g.nodes
     for lab in pat.labels:
         nd = nd.filter(F.array_contains(F.col("labels"), lab))
+    for group in pat.label_alts:  # :A|B — any label of the group
+        cond = F.array_contains(F.col("labels"), group[0])
+        for lab in group[1:]:
+            cond = cond | F.array_contains(F.col("labels"), lab)
+        nd = nd.filter(cond)
     for k, v in pat.props.items():
         nd = nd.filter(g.node_prop(k) == F.lit(_pat_value(v, params)))
     return nd.select(F.col("id").alias(var))
@@ -1200,7 +1252,7 @@ def _bind_node(c: _Compile, pat: NodePat) -> str:
         if c.kinds[var] != "node":
             raise CypherSyntaxError(f"variable {var!r} bound as both node and relationship")
         # already bound: apply any extra label/prop constraints as a semi-join
-        if pat.labels or pat.props:
+        if pat.labels or pat.label_alts or pat.props:
             keep = _node_frame(g, pat, var, c.params)
             c.cur = c.cur.join(keep, on=var, how="leftsemi")
         return var
@@ -1337,7 +1389,7 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
             hop = pairs.select(F.col(here).alias(prev), F.col(there).alias(nxt))
             c.cur = c.cur.join(hop, on=prev)
             c.kinds[nxt] = "node"
-        if pat_next.labels or pat_next.props:
+        if pat_next.labels or pat_next.label_alts or pat_next.props:
             c.cur = c.cur.join(_node_frame(g, pat_next, nxt, c.params), on=nxt, how="leftsemi")
         return nxt
 
@@ -1380,7 +1432,7 @@ def _bind_rel(c: _Compile, rel: RelPat, prev: str, pat_next: NodePat) -> str:
     else:
         c.kinds[nxt] = "node"
         c.cur = c.cur.join(hop, on=prev)
-    if pat_next.labels or pat_next.props:
+    if pat_next.labels or pat_next.label_alts or pat_next.props:
         keep = _node_frame(c.graph, pat_next, nxt, c.params)
         c.cur = c.cur.join(keep, on=nxt, how="leftsemi")
     return nxt
@@ -1488,7 +1540,7 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
         )
         c.cur = c.cur.join(hopf, on=a)
         c.kinds[nxt] = "node"
-    if b_pat.labels or b_pat.props:
+    if b_pat.labels or b_pat.label_alts or b_pat.props:
         c.cur = c.cur.join(
             _node_frame(g, b_pat, nxt, c.params), on=nxt, how="leftsemi"
         )
@@ -2141,6 +2193,9 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
             "shortestPath / named paths are not supported inside "
             "OPTIONAL MATCH in this subset"
         )
+    inline = _hoist_inline_where(c, pats)
+    if inline is not None:
+        where = inline if where is None else ("and", where, inline)
     shared = [v for v in dict.fromkeys(_pattern_vars(pats)) if v in c.kinds]
     if not shared:
         raise CypherSyntaxError(
@@ -2739,7 +2794,39 @@ def _bind_named_path(c: _Compile, np: NamedPath) -> None:
     )
 
 
+def _hoist_inline_where(c: _Compile, pats: list) -> tuple | None:
+    """Inline pattern predicates ``(n:L WHERE e)`` / ``[r:T WHERE e]``
+    conjoin into the clause WHERE (Neo4j 5 semantics: part of the
+    match — inside OPTIONAL MATCH they filter before the left join).
+    Anonymous elements carrying one get a compiler variable so the
+    predicate can resolve them."""
+    conj = None
+    for pat in pats:
+        if isinstance(pat, (ShortestPat, NamedPath)):
+            inner = pat.pattern
+            if any(
+                getattr(el, "where", None) is not None
+                for el in list(inner.nodes) + list(inner.rels)
+            ):
+                raise CypherSyntaxError(
+                    "inline WHERE inside shortestPath()/named-path "
+                    "patterns is not in this subset"
+                )
+            continue
+        for el in list(pat.nodes) + list(pat.rels):
+            if el.where is None:
+                continue
+            if el.var is None:
+                el.var = c.fresh("n" if isinstance(el, NodePat) else "r")
+            conj = el.where if conj is None else ("and", conj, el.where)
+            el.where = None  # hoisted exactly once
+    return conj
+
+
 def _compile_match(c: _Compile, pats: list, where: tuple | None) -> None:
+    inline = _hoist_inline_where(c, pats)
+    if inline is not None:
+        where = inline if where is None else ("and", where, inline)
     for pat in pats:
         inner = (
             pat.pattern if isinstance(pat, (ShortestPat, NamedPath)) else pat

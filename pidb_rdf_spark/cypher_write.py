@@ -176,6 +176,17 @@ def _apply_create(
     on_create = on_create or []
     on_match = on_match or []
     for pat in pats:
+        for el in list(pat.nodes) + list(pat.rels):
+            if getattr(el, "where", None) is not None:
+                raise CypherSyntaxError(
+                    "inline WHERE is a match predicate — not allowed in "
+                    "CREATE/MERGE patterns"
+                )
+            if getattr(el, "label_alts", None):
+                raise CypherSyntaxError(
+                    "label alternation (:A|B) is read-only syntax — a "
+                    "CREATE/MERGE node needs concrete labels"
+                )
         bound = [
             n.var is not None and n.var in c.kinds for n in pat.nodes
         ]

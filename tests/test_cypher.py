@@ -2229,3 +2229,108 @@ def test_pattern_comprehension_with_map_projection_element(graph):
                         WHERE r_name = 'ASIA') AS INTEGER)"""
     )
     assert got == want
+
+
+def test_inline_node_where_equals_clause_where(graph):
+    """Neo4j 5 inline pattern predicate: (n:L WHERE e) behaves as the
+    clause WHERE."""
+    inline = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer WHERE c.c_acctbal > 9000)-[:IN_NATION]->(n) "
+            "RETURN c.c_name AS name, n.n_name AS nation ORDER BY name",
+        )
+    )
+    clause = rows(
+        cypher(
+            graph,
+            "MATCH (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal > 9000 "
+            "RETURN c.c_name AS name, n.n_name AS nation ORDER BY name",
+        )
+    )
+    assert inline == clause and len(inline) > 0
+
+
+def test_inline_rel_where(spark):
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark,
+        spark.createDataFrame(
+            [(1, ["P"], {}), (2, ["P"], {}), (3, ["P"], {})],
+            "id long, labels array<string>, props map<string,string>",
+        ),
+        spark.createDataFrame(
+            [(10, 1, 2, "T", {"w": "5"}), (11, 1, 3, "T", {"w": "9"})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    got = rows(
+        cypher(
+            g,
+            "MATCH (a)-[r:T WHERE r.w = '9']->(b) RETURN id(b) AS b",
+        )
+    )
+    assert got == [(3,)]
+
+
+def test_inline_where_in_optional_match_filters_before_left_join(graph):
+    """The inline predicate is part of the match: unmatched rows stay
+    with NULL, they are not eliminated."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "OPTIONAL MATCH (s:Supplier WHERE s.s_acctbal > 1e9)"
+            "-[:IN_NATION]->(n) "
+            "RETURN n.n_name AS nation, s.s_name AS sup ORDER BY nation",
+        )
+    )
+    want = oracle("SELECT n_name, NULL FROM nation ORDER BY n_name")
+    assert got == want
+
+
+def test_label_alternation_matches_either(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (x:Customer|Supplier)-[:IN_NATION]->(n:Nation) "
+            "WHERE n.n_name = 'NATION_3' RETURN count(x) AS k",
+        )
+    )
+    want = oracle(
+        """SELECT (SELECT COUNT(*) FROM customer JOIN nation
+                   ON c_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+                + (SELECT COUNT(*) FROM supplier JOIN nation
+                   ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')"""
+    )
+    assert got == want
+
+
+def test_label_alternation_and_inline_where_rejected_in_create(spark):
+    from pidb_rdf_spark.cypher_write import cypher_write
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark,
+        spark.createDataFrame(
+            [(1, ["P"], {})],
+            "id long, labels array<string>, props map<string,string>",
+        ),
+        spark.createDataFrame(
+            [],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    with pytest.raises(CypherSyntaxError, match="read-only"):
+        cypher_write(g, "CREATE (n:A|B {k: 1})")
+    with pytest.raises(CypherSyntaxError, match="match predicate"):
+        cypher_write(g, "CREATE (n:A WHERE n.k = 1)")
+
+
+def test_inline_where_varlength_rejected(graph):
+    with pytest.raises(CypherSyntaxError, match="variable-length"):
+        cypher(
+            graph,
+            "MATCH (a)-[:IN_NATION*1..2 WHERE true]->(b) RETURN id(a) AS x",
+        )
