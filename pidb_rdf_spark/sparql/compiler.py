@@ -1386,6 +1386,9 @@ class SparqlCompiler:
         col = self._expr_col(agg.arg, df)
         if agg.distinct and agg.func == "SUM":
             return F.sum_distinct(col)
+        if agg.distinct and agg.func == "AVG":
+            # both operands ignore NULLs, exactly like avg
+            return F.sum_distinct(col) / F.count_distinct(col)
         if agg.func == "GROUP_CONCAT":
             # W3C leaves concatenation order undefined; we sort for
             # deterministic (oracle-comparable) output

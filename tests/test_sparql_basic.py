@@ -410,3 +410,19 @@ def test_projecting_unbound_var_yields_null(graph):
     df = sparql(graph, "SELECT ?name ?never WHERE { ?c v:c_name ?name } LIMIT 5")
     assert df.columns == ["name", "never"]
     assert df.filter(F.col("never").isNotNull()).count() == 0
+
+
+def test_avg_distinct(graph):
+    """AVG(DISTINCT) averages the distinct value set (was silently
+    compiled as plain AVG)."""
+    got = sparql(
+        graph,
+        'SELECT (AVG(DISTINCT ?q) AS ?a) (AVG(?q) AS ?plain) WHERE { '
+        '?l v:label "Lineitem" . ?l v:l_quantity ?q }',
+    ).collect()[0]
+    want = oracle(
+        "SELECT AVG(DISTINCT l_quantity), AVG(l_quantity) FROM lineitem"
+    )[0]
+    assert got["a"] == pytest.approx(want[0])
+    assert got["plain"] == pytest.approx(want[1])
+    assert got["a"] != pytest.approx(want[1])  # the two really differ
