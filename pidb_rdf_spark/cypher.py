@@ -59,7 +59,10 @@ issue):
   MATCH/UNWIND clauses join against the piped frame, and a piped
   node/relationship variable keeps its identity (hops and property
   reads still work on it).
-- ``UNWIND list AS x`` over list literals and collected lists.
+- ``UNWIND list AS x`` over list literals and collected lists;
+  ``{k: expr}`` map literals compile to STRUCTs, so
+  ``UNWIND [{id: 1}, {id: 2}] AS row ... row.id`` works without
+  $parameters (duplicate keys rejected).
 - List expressions: ``range(a, b[, step])``, comprehensions
   ``[x IN list WHERE p | e]``, predicates
   ``any/all/none/single(x IN list WHERE p)``, and
@@ -965,6 +968,26 @@ class _Parser:
     def _primary(self) -> tuple:
         if self._at("kw", "case"):
             return self._case_expr()
+        if self._at("op", "{"):
+            # map literal {k: expr, ...} — compiled to a STRUCT so
+            # field access (row.k) and UNWIND-over-literal-maps work
+            self._next()
+            entries: list[tuple] = []
+            if not self._at("op", "}"):
+                while True:
+                    k = self._expect_name_like().text
+                    self._expect("op", ":")
+                    entries.append((k, self._expr()))
+                    if not self._accept("op", ","):
+                        break
+            self._expect("op", "}")
+            if not entries:
+                raise CypherSyntaxError(
+                    "an empty map literal has no struct type — add a key"
+                )
+            if len({k for k, _ in entries}) != len(entries):
+                raise CypherSyntaxError("duplicate key in map literal")
+            return ("maplit", entries)
         if self._accept("op", "("):
             e = self._expr()
             self._expect("op", ")")
@@ -1792,6 +1815,10 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return -_to_col(c, expr[1])
     if op == "listlit":
         return F.array(*[_to_col(c, e) for e in expr[1]])
+    if op == "maplit":
+        return F.struct(
+            *[_to_col(c, e).alias(k) for k, e in expr[1]]
+        )
     if op == "mapproj":
         # map projection n {.k, .*, key: expr} -> map<string,string>
         # (values stringified — the properties() storage convention)

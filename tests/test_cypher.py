@@ -2334,3 +2334,23 @@ def test_inline_where_varlength_rejected(graph):
             graph,
             "MATCH (a)-[:IN_NATION*1..2 WHERE true]->(b) RETURN id(a) AS x",
         )
+
+
+def test_map_literal_and_unwind_over_literal_maps(graph):
+    """{k: v} map literals compile to structs, so field access and
+    UNWIND-over-literal-maps work without $parameters."""
+    got = rows(
+        cypher(
+            graph,
+            "UNWIND [{id: 1, name: 'a'}, {id: 2, name: 'b'}] AS row "
+            "RETURN row.id AS i, row.name AS n ORDER BY i",
+        )
+    )
+    assert got == [(1, "a"), (2, "b")]
+    got = rows(cypher(graph, "RETURN {x: 1 + 1, y: 'z'} AS m"))
+    assert got[0][0].asDict() == {"x": 2, "y": "z"}
+
+
+def test_map_literal_duplicate_key_rejected(graph):
+    with pytest.raises(CypherSyntaxError, match="duplicate key"):
+        cypher(graph, "RETURN {a: 1, a: 2} AS m")
