@@ -185,7 +185,8 @@ _DEFER_TO_TAIL = [
     # mixture_budget_sample (training-mixture construction with an
     # exact replayed oracle) and interval_join_events (time-range
     # join; stream-stream twin pinned in tests) and cms_user_counts
-    # (Count-Min sketch, collisions replayed exactly) — the r9 rotation
+    # (Count-Min sketch, collisions replayed exactly) and
+    # profile_orders_table (one-pass per-column validation profile) — the r9 rotation
     # just needs to move them into the window. Also added in the
     # third session, pytest-proven only: Cypher map projections
     # (n {.k, .*, key: e}), the FOREACH write clause (write path —
@@ -2068,6 +2069,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cms_query(sk, ev, "user_id", width=256, depth=4)
 
     q["cms_user_counts"] = cms_user_counts
+
+    def profile_orders_table(spark, sf_dir):
+        """Table profiler (operators/profile.py): per-column row/null/
+        distinct counts in ONE aggregation pass — the pre/post-
+        transform validation step. exact_distinct=True here so the
+        oracle replays COUNT(DISTINCT) exactly; the default HLL++
+        tier is the 100 TB path (pinned by a tolerance test)."""
+        from pidb_rdf_spark.operators.profile import profile_table
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        return profile_table(orders, cols=cols, exact_distinct=True).select(
+            "column", "n_rows", "n_null", "n_distinct"
+        )
+
+    q["profile_orders_table"] = profile_orders_table
 
     return _rotate_checked_window(q)
 
@@ -4014,5 +4031,19 @@ def oracle_sql() -> dict[str, str]:
         FROM keyed k
         LEFT JOIN sk ON sk.d = k.d AND sk.bucket = k.bucket
         GROUP BY k.user_id
+    """
+    base["profile_orders_table"] = """
+        SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_orderkey) AS n_null,
+               COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice) FROM orders
     """
     return base

@@ -1872,3 +1872,48 @@ def test_cms_matches_duckdb_bit_math(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# table profiling (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_exact(spark):
+    from pidb_rdf_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "x long, s string",
+    )
+    got = {
+        r["column"]: (r["dtype"], r["n_rows"], r["n_null"], r["n_distinct"])
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
+    assert got == {
+        "x": ("bigint", 4, 1, 3),
+        "s": ("string", 4, 1, 2),
+    }
+
+
+def test_profile_table_subset_order_and_errors(spark):
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    rows_ = profile_table(df, cols=["c", "a"], exact_distinct=True).collect()
+    assert [r["column"] for r in rows_] == ["c", "a"]
+    with _pytest.raises(ValueError, match="no such column"):
+        profile_table(df, cols=["zz"])
+
+
+def test_profile_table_approx_within_tolerance(spark):
+    from pidb_rdf_spark.operators.profile import profile_table
+
+    df = spark.range(10_000).select(F.col("id"), (F.col("id") % 37).alias("m"))
+    got = {
+        r["column"]: r["n_distinct"] for r in profile_table(df).collect()
+    }
+    assert abs(got["id"] - 10_000) / 10_000 < 0.1
+    assert abs(got["m"] - 37) <= 4
