@@ -2086,6 +2086,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["profile_orders_table"] = profile_orders_table
 
+    def hits_containment(spark, sf_dir):
+        """Kleinberg HITS (analytics.hits) over the containment graph
+        (the pagerank_containment edge set): 10 synchronous L2-
+        normalized iterations. Same fp-noise-immune projection as
+        pagerank: floor(score*1e6) buckets; the oracle replays all 10
+        iterations unrolled in SQL (_hits_sql) with the identical
+        per-value op sequence — only SUM association differs, ~1e-15,
+        six orders under the bucket width."""
+        from pidb_rdf_spark.analytics import hits
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+        hs = hits(cont, n_iter=10)
+        return (
+            hs.join(
+                g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+                on="node",
+            )
+            .select(
+                "node_uri",
+                F.floor(F.col("hub") * 1e6).cast("long").alias("hub_bucket"),
+                F.floor(F.col("authority") * 1e6)
+                .cast("long")
+                .alias("auth_bucket"),
+            )
+        )
+
+    q["hits_containment"] = hits_containment
+
     return _rotate_checked_window(q)
 
 
@@ -2232,6 +2261,73 @@ def _lpa_sql(n_iter: int = 5) -> str:
 WITH {",".join(ctes)}
 SELECT node, community FROM lab{n_iter}
 """
+
+
+def _hits_sql(n_iter: int = 10) -> str:
+    """All ``n_iter`` HITS iterations unrolled in DuckDB SQL,
+    mirroring ``analytics.hits`` step-for-step (per half-step: grouped
+    sum over the transpose, 0-fill on the full node set, L2 norm as a
+    one-row cross join, ``CASE WHEN nrm > 0`` guard). Emits the same
+    floor(score*1e6) buckets as the Spark entry."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src,
+         'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+         'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+         'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        # absent rows are implicit zeros (no effect on L2 norms or
+        # propagation) — the full-node 0-fill happens once at the end,
+        # mirroring analytics.hits
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.hub) AS v
+  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"an{i} AS MATERIALIZED (SELECT SQRT(SUM(v * v)) AS nrm FROM ar{i})"
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS authority
+  FROM ar{i} CROSS JOIN an{i}
+)"""
+        )
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.authority) AS v
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+)"""
+        )
+        ctes.append(
+            f"hn{i} AS MATERIALIZED (SELECT SQRT(SUM(v * v)) AS nrm FROM hr{i})"
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS hub
+  FROM hr{i} CROSS JOIN hn{i}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT n.node AS node_uri,
+       CAST(FLOOR(COALESCE(h.hub, 0.0) * 1e6) AS BIGINT) AS hub_bucket,
+       CAST(FLOOR(COALESCE(a.authority, 0.0) * 1e6) AS BIGINT) AS auth_bucket
+FROM nodes n
+LEFT JOIN h{n_iter} h ON h.node = n.node
+LEFT JOIN a{n_iter} a ON a.node = n.node
+"""
+    )
 
 
 def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
@@ -4032,6 +4128,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN sk ON sk.d = k.d AND sk.bucket = k.bucket
         GROUP BY k.user_id
     """
+    base["hits_containment"] = _hits_sql(10)
     base["profile_orders_table"] = """
         SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
                COUNT(*) - COUNT(o_orderkey) AS n_null,

@@ -1050,3 +1050,78 @@ def node_similarity(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def hits(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, hub, authority) — Kleinberg's HITS, synchronous power
+    iterations with L2 normalization each half-step (the textbook
+    formulation, so an unrolled SQL oracle can replay it).
+
+    Per iteration: authority = normalize(A^T h) is one equi-join +
+    one aggregation; hub = normalize(A a) the same; each L2 norm is
+    a one-row aggregate folded back as a broadcast cross join (the
+    PageRank dangling-mass shape — no driver round-trip). State is
+    2 x |V| doubles, checkpointed per round."""
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        # rows absent from ``raw`` are implicit zeros: they change
+        # neither the L2 norm nor the next half-step's propagation,
+        # so the full-node 0-fill happens ONCE at the end, not per
+        # round (halves the per-iteration join count)
+        norm = raw.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm")
+        )
+        return raw.crossJoin(norm).select(
+            "node",
+            F.when(F.col("__norm") > 0, F.col(col) / F.col("__norm"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(1.0).alias("authority"))
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(
+                hub.select(F.col("node").alias("src"), "hub"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _normalized(a_raw, "authority")
+        h_raw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "authority"),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        # one checkpoint per full iteration: auth's lineage hangs off
+        # the previous round's checkpointed hub, so it stays shallow
+        hub = _normalized(h_raw, "hub").localCheckpoint(eager=True)
+    return (
+        nodes.join(hub, on="node", how="left")
+        .join(auth, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

@@ -584,3 +584,46 @@ def test_centrality_max_iter_exhaustion_raises(spark):
         closeness_centrality(chain, max_iter=2).collect()
     with pytest.raises(RuntimeError, match="max_iter"):
         betweenness_centrality(chain, max_iter=2).collect()
+
+
+def test_hits_vs_dense_reference(spark):
+    import numpy as np
+
+    from pidb_rdf_spark.analytics import hits
+
+    e = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]
+    nodes = sorted({x for p in e for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in e:
+        A[idx[a], idx[b]] = 1
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(10):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(spark.createDataFrame(e, ["src", "dst"])).collect()
+    }
+    for n in nodes:
+        assert got[n][0] == pytest.approx(h[idx[n]], rel=1e-9), n
+        assert got[n][1] == pytest.approx(a[idx[n]], rel=1e-9), n
+
+
+def test_hits_hub_authority_split(spark):
+    """A pure bipartite pointer graph: sources are pure hubs (zero
+    authority), sinks pure authorities (zero hub)."""
+    from pidb_rdf_spark.analytics import hits
+
+    e = [(1, 10), (1, 11), (2, 10), (2, 11)]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(spark.createDataFrame(e, ["src", "dst"])).collect()
+    }
+    for n in (1, 2):
+        assert got[n][0] > 0 and got[n][1] == 0.0
+    for n in (10, 11):
+        assert got[n][0] == 0.0 and got[n][1] > 0
