@@ -186,7 +186,8 @@ _DEFER_TO_TAIL = [
     # exact replayed oracle) and interval_join_events (time-range
     # join; stream-stream twin pinned in tests) and cms_user_counts
     # (Count-Min sketch, collisions replayed exactly) and
-    # profile_orders_table (one-pass per-column validation profile) — the r9 rotation
+    # profile_orders_table (one-pass per-column validation profile)
+    # and hits_containment (HITS hubs/authorities, unrolled oracle) — the r9 rotation
     # just needs to move them into the window. Also added in the
     # third session, pytest-proven only: Cypher map projections
     # (n {.k, .*, key: e}), the FOREACH write clause (write path —
