@@ -2354,3 +2354,77 @@ def test_map_literal_and_unwind_over_literal_maps(graph):
 def test_map_literal_duplicate_key_rejected(graph):
     with pytest.raises(CypherSyntaxError, match="duplicate key"):
         cypher(graph, "RETURN {a: 1, a: 2} AS m")
+
+
+def test_var_length_property_vs_bruteforce(spark):
+    """Property net over the var-length compiler: on random small
+    multigraphs, MATCH (a)-[:T*lo..hi]->(b) must equal the distinct
+    (start, end) pairs of edge-unique paths with lo <= length <= hi
+    (the class of bug the r7 advisory found — min_len handling,
+    rebinding, uniqueness)."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    def brute(edges, lo, hi, nodes):
+        adj = defaultdict(list)
+        for eid, s, d in edges:
+            adj[s].append((eid, d))
+        out = set()
+
+        def walk(start, cur, used, depth):
+            if lo <= depth <= hi:
+                out.add((start, cur))
+            if depth == hi:
+                return
+            for eid, nxt in adj[cur]:
+                if eid not in used:
+                    walk(start, nxt, used | {eid}, depth + 1)
+
+        for n in nodes:
+            walk(n, n, frozenset(), 0)
+        return {(a, b) for a, b in out if True}
+
+    edge_strat = st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 4)),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(
+        edge_strat,
+        st.integers(1, 3),
+        st.integers(0, 2),
+    )
+    @settings(max_examples=15, deadline=None)
+    def run(pairs_list, lo, extra):
+        hi = lo + extra
+        nodes = sorted({x for p in pairs_list for x in p})
+        edges = [(100 + i, s, d) for i, (s, d) in enumerate(pairs_list)]
+        g = PropertyGraph(
+            spark,
+            spark.createDataFrame(
+                [(n, ["P"], {}) for n in nodes],
+                "id long, labels array<string>, props map<string,string>",
+            ),
+            spark.createDataFrame(
+                [(eid, s, d, "T", {}) for eid, s, d in edges],
+                "id long, src long, dst long, predicate string, "
+                "props map<string,string>",
+            ),
+        )
+        got = {
+            (r["a"], r["b"])
+            for r in cypher(
+                g,
+                f"MATCH (a)-[:T*{lo}..{hi}]->(b) "
+                "RETURN id(a) AS a, id(b) AS b",
+            ).collect()
+        }
+        want = brute(edges, lo, hi, nodes)
+        assert got == want, (pairs_list, lo, hi)
+
+    run()
