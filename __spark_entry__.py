@@ -187,7 +187,8 @@ _DEFER_TO_TAIL = [
     # join; stream-stream twin pinned in tests) and cms_user_counts
     # (Count-Min sketch, collisions replayed exactly) and
     # profile_orders_table (one-pass per-column validation profile)
-    # and hits_containment (HITS hubs/authorities, unrolled oracle) — the r9 rotation
+    # and hits_containment (HITS hubs/authorities, unrolled oracle)
+    # and sequence_detect_events (CEP-lite contiguous patterns) — the r9 rotation
     # just needs to move them into the window. Also added in the
     # third session, pytest-proven only: Cypher map projections
     # (n {.k, .*, key: e}), the FOREACH write clause (write path —
@@ -2115,6 +2116,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["hits_containment"] = hits_containment
+
+    def sequence_detect_events(spark, sf_dir):
+        """CEP-lite sequence detection (streaming/events.py
+        detect_sequence): contiguous view->purchase runs per user
+        within 30 minutes — one shuffle on the key, the pattern walks
+        the timeline with lead() (O(events), never a self-join).
+        Oracle: the identical LEAD window in DuckDB."""
+        from pidb_rdf_spark.streaming.events import detect_sequence
+
+        ev = _events(spark, sf_dir)
+        return detect_sequence(
+            ev, ["view", "purchase"], within="30 minutes"
+        )
+
+    q["sequence_detect_events"] = sequence_detect_events
 
     return _rotate_checked_window(q)
 
@@ -4130,6 +4146,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY k.user_id
     """
     base["hits_containment"] = _hits_sql(10)
+    base["sequence_detect_events"] = """
+        WITH w AS (
+            SELECT user_id, ts, event_type, event_id,
+                   LEAD(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+                   LEAD(ts, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS ts1,
+                   LEAD(event_id, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS id1
+            FROM events
+        )
+        SELECT user_id, ts AS start_ts, ts1 AS end_ts,
+               event_id AS id_0, id1 AS id_1
+        FROM w
+        WHERE event_type = 'view' AND t1 = 'purchase'
+          AND ts1 <= ts + INTERVAL 30 MINUTE
+    """
     base["profile_orders_table"] = """
         SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
                COUNT(*) - COUNT(o_orderkey) AS n_null,

@@ -493,3 +493,48 @@ def interval_join(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(r, on=on).filter(cond)
+
+
+def detect_sequence(
+    events: DataFrame,
+    pattern: list[str],
+    within: str = "1 hour",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP-lite: CONTIGUOUS occurrences of ``pattern`` (a list of
+    event types) in each key's timeline, with the whole run inside
+    ``within`` (first event to last). Returns one row per match with
+    the matched ids (``id_0..``), ``start_ts`` and ``end_ts``.
+
+    Contiguity means no OTHER event of the same key interleaves —
+    the strict-sequence semantics (document-order n-grams over the
+    event stream). One shuffle on the key; the pattern walks the
+    per-key timeline with ``lead()`` — no self-joins, so cost is
+    O(events), not O(events^k).
+    """
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two event types")
+    w = Window.partitionBy(by).orderBy(ts_col, id_col)
+    df = events.select(by, ts_col, type_col, id_col)
+    for i in range(1, len(pattern)):
+        df = df.withColumn(f"__t{i}", F.lead(type_col, i).over(w))
+        df = df.withColumn(f"__ts{i}", F.lead(ts_col, i).over(w))
+        df = df.withColumn(f"__id{i}", F.lead(id_col, i).over(w))
+    k = len(pattern) - 1
+    cond = F.col(type_col) == pattern[0]
+    for i in range(1, len(pattern)):
+        cond = cond & (F.col(f"__t{i}") == pattern[i])
+    cond = cond & (
+        F.col(f"__ts{k}") <= F.col(ts_col) + F.expr(f"INTERVAL {within}")
+    )
+    out = df.filter(cond).select(
+        by,
+        F.col(ts_col).alias("start_ts"),
+        F.col(f"__ts{k}").alias("end_ts"),
+        F.col(id_col).alias("id_0"),
+        *[F.col(f"__id{i}").alias(f"id_{i}") for i in range(1, len(pattern))],
+    )
+    return out

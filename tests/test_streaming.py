@@ -615,3 +615,50 @@ def test_interval_join_stream_equals_batch(spark, events, tmp_path):
         for r in spark.sql("SELECT * FROM ivj").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_detect_sequence_contiguous_and_window(spark):
+    from pidb_rdf_spark.streaming.events import detect_sequence
+
+    rows_ = [
+        # user 7: view->click->buy contiguous, inside 1h
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:10:00", 7, "click"),
+        (3, "2024-01-01 10:20:00", 7, "buy"),
+        # user 8: interleaved event breaks contiguity
+        (4, "2024-01-01 10:00:00", 8, "view"),
+        (5, "2024-01-01 10:05:00", 8, "error"),
+        (6, "2024-01-01 10:10:00", 8, "click"),
+        (7, "2024-01-01 10:20:00", 8, "buy"),
+        # user 9: right types but outside the window
+        (8, "2024-01-01 10:00:00", 9, "view"),
+        (9, "2024-01-01 10:30:00", 9, "click"),
+        (10, "2024-01-01 11:30:00", 9, "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows_, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = detect_sequence(ev, ["view", "click", "buy"], within="1 hour").collect()
+    assert len(got) == 1
+    m = got[0]
+    assert m["user_id"] == 7 and (m["id_0"], m["id_1"], m["id_2"]) == (1, 2, 3)
+
+
+def test_detect_sequence_overlapping_matches_and_errors(spark):
+    from pidb_rdf_spark.streaming.events import detect_sequence
+
+    rows_ = [
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (2, "2024-01-01 10:01:00", 1, "a"),
+        (3, "2024-01-01 10:02:00", 1, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows_, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = detect_sequence(ev, ["a", "a"]).collect()
+    # overlapping matches both count: (1,2) and (2,3)
+    assert sorted((m["id_0"], m["id_1"]) for m in got) == [(1, 2), (2, 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        detect_sequence(ev, ["a"])
