@@ -485,6 +485,12 @@ def interval_join(
     """
     r = right if right_cols is None else right.select(on, right_ts, *right_cols)
     ren = {c: c + suffix for c in r.columns if c != on}
+    clash = sorted(set(ren.values()) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"interval_join: left side already has column(s) {clash} — "
+            "pick a different suffix"
+        )
     for old, new in ren.items():
         r = r.withColumnRenamed(old, new)
     rts = right_ts + suffix if right_ts in ren else right_ts

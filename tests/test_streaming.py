@@ -662,3 +662,17 @@ def test_detect_sequence_overlapping_matches_and_errors(spark):
 
     with _pytest.raises(ValueError, match="at least two"):
         detect_sequence(ev, ["a"])
+
+
+def test_interval_join_suffix_clash_raises(spark):
+    from pidb_rdf_spark.streaming.events import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = ev.withColumn("ts_r", F.col("ts"))  # pre-existing collision
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different suffix"):
+        interval_join(left, ev, on="user_id")
