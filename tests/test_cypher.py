@@ -2428,3 +2428,37 @@ def test_var_length_property_vs_bruteforce(spark):
         assert got == want, (pairs_list, lo, hi)
 
     run()
+
+
+def test_inline_where_inside_pattern_comprehension(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS nation, "
+            "size([(c:Customer WHERE c.c_acctbal > 9000)-[:IN_NATION]->(n) "
+            "| c.c_name]) AS rich ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  CAST((SELECT COUNT(*) FROM customer
+                        WHERE c_nationkey = n_nationkey
+                          AND c_acctbal > 9000) AS INTEGER)
+           FROM nation ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_label_alternation_on_rebound_variable(graph):
+    """Re-binding a variable with an alternation applies it as a
+    semi-join constraint."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (x:Customer)-[:IN_NATION]->(n:Nation), (x:Customer|Supplier) "
+            "RETURN count(*) AS k",
+        )
+    )
+    want = oracle("SELECT COUNT(*) FROM customer")
+    assert got == want

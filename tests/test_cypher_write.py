@@ -612,3 +612,12 @@ def test_foreach_scalar_element_not_a_set_target(wg):
 def test_foreach_empty_body_rejected(wg):
     with pytest.raises(CypherSyntaxError, match="at least one write"):
         cypher_write(wg, "FOREACH (x IN [1, 2] | )")
+
+
+def test_foreach_merge_body_idempotent(wg):
+    g2 = cypher_write(
+        wg, "FOREACH (x IN [1, 2, 1] | MERGE (n:Tag {name: 'hot'}))"
+    )
+    assert (
+        g2.nodes.filter(F.array_contains("labels", "Tag")).count() == 1
+    )  # MERGE inside FOREACH stays idempotent across elements
