@@ -65,3 +65,61 @@ def profile_table(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema=schema)
+
+
+def profile_diff(
+    before: DataFrame,
+    after: DataFrame,
+    null_frac_tol: float = 0.01,
+    distinct_rel_tol: float = 0.10,
+) -> DataFrame:
+    """Drift report between two ``profile_table`` outputs: one row
+    per column with the before/after metrics and a ``drift`` flag —
+    dtype changes, added/removed columns, null-fraction movement
+    beyond ``null_frac_tol`` (absolute), or distinct-count movement
+    beyond ``distinct_rel_tol`` (relative). The standard pre/post
+    transform gate: fail the pipeline when ``drift`` is set on a
+    column you did not mean to touch.
+
+    Both inputs are profile frames (schema-bounded), so every join
+    here is broadcast-trivial at any corpus size."""
+    b = before.select(
+        "column",
+        F.col("dtype").alias("dtype_before"),
+        F.col("n_rows").alias("rows_before"),
+        F.col("n_null").alias("null_before"),
+        F.col("n_distinct").alias("distinct_before"),
+    )
+    a = after.select(
+        "column",
+        F.col("dtype").alias("dtype_after"),
+        F.col("n_rows").alias("rows_after"),
+        F.col("n_null").alias("null_after"),
+        F.col("n_distinct").alias("distinct_after"),
+    )
+    j = b.join(a, on="column", how="full_outer")
+    nf_b = F.col("null_before") / F.nullif(F.col("rows_before"), F.lit(0))
+    nf_a = F.col("null_after") / F.nullif(F.col("rows_after"), F.lit(0))
+    rel = F.abs(F.col("distinct_after") - F.col("distinct_before")) / F.nullif(
+        F.greatest("distinct_before", "distinct_after"), F.lit(0)
+    )
+    drift = (
+        F.col("dtype_before").isNull()  # column added
+        | F.col("dtype_after").isNull()  # column removed
+        | (F.col("dtype_before") != F.col("dtype_after"))
+        | (F.abs(F.coalesce(nf_a, F.lit(0.0)) - F.coalesce(nf_b, F.lit(0.0)))
+           > null_frac_tol)
+        | (F.coalesce(rel, F.lit(0.0)) > distinct_rel_tol)
+    )
+    return j.select(
+        "column",
+        "dtype_before",
+        "dtype_after",
+        "rows_before",
+        "rows_after",
+        "null_before",
+        "null_after",
+        "distinct_before",
+        "distinct_after",
+        drift.alias("drift"),
+    )

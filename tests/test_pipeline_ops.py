@@ -1917,3 +1917,38 @@ def test_profile_table_approx_within_tolerance(spark):
     }
     assert abs(got["id"] - 10_000) / 10_000 < 0.1
     assert abs(got["m"] - 37) <= 4
+
+
+def test_profile_diff_flags_drift(spark):
+    from pidb_rdf_spark.operators.profile import profile_diff, profile_table
+
+    before = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "id long, s string"
+    )
+    # drop the s column's variety, null out 20% of ids, add a column
+    after = spark.createDataFrame(
+        [(i if i % 5 else None, "x", 1.5) for i in range(100)],
+        "id long, s string, extra double",
+    )
+    d = {
+        r["column"]: r["drift"]
+        for r in profile_diff(
+            profile_table(before, exact_distinct=True),
+            profile_table(after, exact_distinct=True),
+        ).collect()
+    }
+    assert d["id"] is True      # null fraction moved 0 -> 0.2
+    assert d["s"] is False      # unchanged
+    assert d["extra"] is True   # column added
+
+
+def test_profile_diff_dtype_change(spark):
+    from pidb_rdf_spark.operators.profile import profile_diff, profile_table
+
+    b = spark.createDataFrame([(1,)], "v long")
+    a = spark.createDataFrame([("1",)], "v string")
+    row = profile_diff(
+        profile_table(b, exact_distinct=True),
+        profile_table(a, exact_distinct=True),
+    ).collect()[0]
+    assert row["drift"] is True
