@@ -4113,8 +4113,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
         FROM expanded
         WHERE epoch < nf
-           OR CAST(((doc_id + 1) * 2654435761 + epoch * 97003)
-                   % 2147483647 AS DOUBLE) / 2147483647.0 < frac
+           OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                       || CAST(epoch AS VARCHAR)), 1, 13))
+                   AS BIGINT) / 4503599627370496.0 < frac
     """
     base["interval_join_events"] = """
         SELECT v.event_id AS view_id, p.event_id AS purchase_id

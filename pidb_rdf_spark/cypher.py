@@ -2680,12 +2680,22 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
                 )
             # thread the import keys through every intermediate WITH
             # (per-invocation scope: the key joins the implicit
-            # grouping when the WITH aggregates)
+            # grouping when the WITH aggregates). A WITH that REBINDS
+            # an import name to a different expression would corrupt
+            # the correlation join-back (outer ids vs rebound values)
+            # — Neo4j rejects such queries too, so raise.
             if not p.star:
-                have = {
-                    it.alias if it.alias is not None else it.text
-                    for it in p.items
-                }
+                have = set()
+                for it in p.items:
+                    name = it.alias if it.alias is not None else it.text
+                    if name in imports and it.expr != ("var", name):
+                        raise CypherSyntaxError(
+                            f"WITH inside a correlated CALL {{ }} rebinds "
+                            f"imported variable {name!r} — alias the "
+                            "expression to a new name (rebinding the "
+                            "import would corrupt the correlation join)"
+                        )
+                    have.add(name)
                 for v in imports:
                     if v not in have:
                         p.items.append(ReturnItem(("var", v), v, v))

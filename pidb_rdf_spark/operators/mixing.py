@@ -14,13 +14,15 @@ per-source rate table + one ``explode(sequence(...))`` for epoch
 replication + one filter on a deterministic integer hash — no
 shuffle beyond the aggregate, no Python in the row path.
 
-Determinism: the fractional sample keeps row (id, epoch) iff
-``((id+1) * 2654435761 + epoch * 97003) mod 2147483647 / 2147483647
-< frac`` — pure integer arithmetic plus one double division, so the
-same rows are chosen on every engine and at any partitioning (the
-property the curation family's ``hash_sample`` established; rerunning
-with a larger budget keeps a superset of each epoch's rows only when
-rates do not cross epoch boundaries — document for users).
+Determinism: the fractional sample keeps row (id, epoch) iff the
+first 52 bits of ``md5(id ':' epoch)`` divided by 2^52 fall below
+``frac`` — the repo-wide md5 hash contract (``hashing.
+md5_prefix_long``), exact in a double on every engine and at any
+partitioning, and safe for ids of ANY magnitude (the earlier
+multiplicative hash overflowed int64 under ANSI mode for ids >=
+~3.5e9). Rerunning with a larger budget keeps a superset of each
+epoch's rows only when rates do not cross epoch boundaries —
+document for users.
 """
 
 from __future__ import annotations
@@ -28,19 +30,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_KNUTH = 2654435761
-_EPOCH_SALT = 97003
-_MOD = 2147483647
+from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+_UNIT_DIV = float(1 << 52)
 
 
 def unit_hash(id_col, epoch_col):
-    """Deterministic uniform-ish value in [0, 1) from (id, epoch) —
-    exact integer arithmetic, one final double division."""
-    h = (
-        (F.col(id_col) + F.lit(1)) * F.lit(_KNUTH)
-        + F.col(epoch_col) * F.lit(_EPOCH_SALT)
-    ) % F.lit(_MOD)
-    return h / F.lit(float(_MOD))
+    """Deterministic uniform value in [0, 1) from (id, epoch): first
+    52 md5 bits of ``id ':' epoch`` over 2^52 — overflow-proof at any
+    id magnitude and bit-replayable in any engine with md5 + hex."""
+    h = md5_prefix_long(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col(epoch_col).cast("string"),
+        ),
+        52,
+    )
+    return h.cast("double") / F.lit(_UNIT_DIV)
 
 
 def mixture_rates(
@@ -60,10 +67,12 @@ def mixture_rates(
         raise ValueError("budget_tokens must be positive")
     if temperature <= 0:
         raise ValueError("temperature must be positive")
+    # coalesce: an all-NULL token column must read as 0 available
+    # (excluded below), not None (which would TypeError in the > 0)
     avail = {
         r["s"]: r["a"]
         for r in docs.groupBy(F.col(source_col).alias("s"))
-        .agg(F.sum(token_col).alias("a"))
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("a"))
         .collect()
     }
     keep = sorted(

@@ -127,11 +127,17 @@ def cms_build(
     guarantee: est >= true, est <= true + eps*N with prob 1-delta for
     width=e/eps, depth=ln(1/delta)), and because the bucket hashes
     are the deterministic md5 contract, even the over-estimates
-    replay exactly in a SQL oracle."""
+    replay exactly in a SQL oracle. NULL values are not counted
+    (and ``cms_query`` skips NULL probes) — a NULL bucket could
+    never be matched by an equi-join probe."""
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2 and depth >= 1")
+    # NULL values are NOT counted: they would hash to NULL buckets
+    # that no equi-join probe can ever match, silently breaking the
+    # est >= true guarantee and leaving dead rows in the sketch.
     return (
-        df.select(F.explode(_cms_pairs(F.col(col), width, depth)).alias("p"))
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(_cms_pairs(F.col(col), width, depth)).alias("p"))
         .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -151,6 +157,7 @@ def cms_query(
     must match the build call."""
     keyed = (
         probes.select(F.col(col))
+        .filter(F.col(col).isNotNull())
         .dropDuplicates()
         .select(col, F.explode(_cms_pairs(F.col(col), width, depth)).alias("p"))
         .select(col, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))

@@ -491,8 +491,14 @@ def interval_join(
             f"interval_join: left side already has column(s) {clash} — "
             "pick a different suffix"
         )
-    for old, new in ren.items():
-        r = r.withColumnRenamed(old, new)
+    # rename via ONE select, not sequential withColumnRenamed calls:
+    # if the right frame has both 'x' and 'x_r', sequential renames
+    # would first duplicate 'x_r' and then mislabel both — a single
+    # select maps each column independently ('x'->'x_r',
+    # 'x_r'->'x_r_r', no aliasing hazard). The only possible duplicate
+    # target is the join key itself, which the left-side clash check
+    # above already rejects (the key is always a left column).
+    r = r.select(*[F.col(c).alias(ren.get(c, c)) for c in r.columns])
     rts = right_ts + suffix if right_ts in ren else right_ts
     cond = (
         (F.col(rts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))

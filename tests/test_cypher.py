@@ -2462,3 +2462,40 @@ def test_label_alternation_on_rebound_variable(graph):
     )
     want = oracle("SELECT COUNT(*) FROM customer")
     assert got == want
+
+
+def test_call_subquery_with_rebinding_import_rejected(graph):
+    """ADVICE r8: an intermediate WITH that rebinds the imported
+    variable would corrupt the correlation join-back — reject it
+    (Neo4j also rejects such queries)."""
+    with pytest.raises(CypherSyntaxError, match="rebinds"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n WITH n.n_name AS n "
+            "  RETURN count(n) AS c } "
+            "RETURN c",
+        )
+
+
+def test_call_subquery_with_passthrough_import_still_ok(graph):
+    """The identity pass-through `WITH n, ...` must stay legal."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  WITH n, s.s_acctbal AS bal WHERE bal > 0 "
+            "  RETURN count(bal) AS pos_sups } "
+            "RETURN n.n_name AS nation, pos_sups ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  (SELECT COUNT(*) FROM supplier
+                   WHERE s_nationkey = n_nationkey AND s_acctbal > 0)
+                  AS pos_sups
+           FROM nation ORDER BY n_name"""
+    )
+    assert got == want

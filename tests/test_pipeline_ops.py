@@ -1734,7 +1734,10 @@ def test_decode_media_gate_mentions_real_png_path(spark):
 
 
 def _unit_hash_py(doc_id, epoch):
-    return ((doc_id + 1) * 2654435761 + epoch * 97003) % 2147483647 / 2147483647
+    import hashlib
+
+    h = hashlib.md5(f"{doc_id}:{epoch}".encode()).hexdigest()
+    return int(h[:13], 16) / float(1 << 52)
 
 
 def test_mixture_rates_and_epochs(spark):
@@ -1952,3 +1955,52 @@ def test_profile_diff_dtype_change(spark):
         profile_table(a, exact_distinct=True),
     ).collect()[0]
     assert row["drift"] is True
+
+
+# ---------------------------------------------------------------------------
+# round-9 advice regressions
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_survives_huge_doc_ids(spark):
+    """ADVICE r8: the old multiplicative unit hash overflowed int64
+    under ANSI mode for ids >= ~3.5e9; the md5 contract must not."""
+    from pidb_rdf_spark.operators.mixing import mix_sources
+
+    big = 4_000_000_000
+    docs = spark.createDataFrame(
+        [(big + i, "a", 100) for i in range(40)],
+        "doc_id long, source string, n_chars long",
+    )
+    # rate 0.5: fractional epoch 0 only — must select the md5 subset
+    got = {r["doc_id"] for r in mix_sources(docs, {"a": 1.0}, 2000).collect()}
+    want = {big + i for i in range(40) if _unit_hash_py(big + i, 0) < 0.5}
+    assert got == want
+    assert 0 < len(got) < 40
+
+
+def test_mixture_rates_null_token_sum_excluded(spark):
+    """ADVICE r8: an all-NULL token column must exclude the source
+    cleanly (available=0), not TypeError on None > 0."""
+    from pidb_rdf_spark.operators.mixing import mixture_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", None)],
+        "doc_id long, source string, n_chars long",
+    )
+    rates = mixture_rates(docs, {"a": 1.0, "b": 1.0}, 100)
+    assert [r[0] for r in rates] == ["a"]
+
+
+def test_cms_null_values_skipped(spark):
+    """ADVICE r8: NULLs must not enter the sketch (dead buckets) and
+    NULL probes must not return est=0 rows that violate est>=true."""
+    from pidb_rdf_spark.operators.sketch import cms_build, cms_query
+
+    df = spark.createDataFrame(
+        [("x",), (None,), ("x",), (None,)], "v string"
+    )
+    sk = cms_build(df, "v", width=16, depth=2)
+    assert sk.filter(F.col("bucket").isNull()).count() == 0
+    est = cms_query(sk, df, "v", width=16, depth=2).collect()
+    assert len(est) == 1 and est[0]["v"] == "x" and est[0]["est"] >= 2

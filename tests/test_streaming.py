@@ -676,3 +676,41 @@ def test_interval_join_suffix_clash_raises(spark):
 
     with _pytest.raises(ValueError, match="different suffix"):
         interval_join(left, ev, on="user_id")
+
+
+def test_interval_join_right_side_self_clash(spark):
+    """ADVICE r8: a right frame whose columns collide with the
+    suffixed key must be rejected instead of silently duplicating a
+    name; non-key self-suffix pairs now rename correctly via one
+    select."""
+    from pidb_rdf_spark.streaming.events import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # right has both 'event_id' and 'event_id_r': single-select rename
+    # keeps them distinct (event_id_r / event_id_r_r) — no mislabel
+    right = ev.withColumn("event_id_r", F.col("event_id") + 100)
+    left = ev.select(
+        F.col("event_id").alias("lid"), "ts", "user_id"
+    )
+    out = interval_join(left, right, on="user_id")
+    assert sorted(out.columns) == sorted(
+        ["lid", "ts", "user_id", "event_id_r", "event_id_r_r", "ts_r"]
+    )
+    row = out.collect()[0]
+    assert row["event_id_r"] == 1 and row["event_id_r_r"] == 101
+    # a suffixed name colliding with the join key itself still raises
+    # (the key is always a left column, so the left-side check fires):
+    # on='x_r', right column 'x' would rename to 'x_r' — duplicate
+    bad_right = spark.createDataFrame(
+        [(7, 1)], "x_r long, x long"
+    ).withColumn("ts", F.lit("2024-01-01 10:00:00").cast("timestamp"))
+    bad_left = spark.createDataFrame(
+        [(7,)], "x_r long"
+    ).withColumn("ts", F.lit("2024-01-01 10:00:00").cast("timestamp"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different suffix"):
+        interval_join(bad_left, bad_right, on="x_r")
