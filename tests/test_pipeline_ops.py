@@ -2004,3 +2004,93 @@ def test_cms_null_values_skipped(spark):
     assert sk.filter(F.col("bucket").isNull()).count() == 0
     est = cms_query(sk, df, "v", width=16, depth=2).collect()
     assert len(est) == 1 and est[0]["v"] == "x" and est[0]["est"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV/PCM sample decode (operators/multimodal.py decode_wav)
+# ---------------------------------------------------------------------------
+
+
+def _wav_blob(samples, channels=1, rate=8000, bits=16, tag=1):
+    """Build a RIFF/WAVE blob from float samples in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if bits == 16 and tag == 1:
+        data = (a * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    elif bits == 8 and tag == 1:
+        data = ((a * 128.0) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 24 and tag == 1:
+        v = (a * float(1 << 23)).clip(-(1 << 23), (1 << 23) - 1).astype("<i4")
+        data = b"".join(int(x).to_bytes(3, "little", signed=True) for x in v)
+    elif bits == 32 and tag == 3:
+        data = a.astype("<f4").tobytes()
+    else:
+        raise AssertionError("unsupported fixture combo")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_pcm16_exact_rms(spark):
+    import math
+
+    from pidb_rdf_spark.operators.multimodal import decode_wav
+
+    # stereo: L = +0.5 constant, R = -0.25 constant, 100 frames
+    inter = []
+    for _ in range(100):
+        inter += [0.5, -0.25]
+    blob = _wav_blob(inter, channels=2, rate=4000)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    row = decode_wav(df).collect()[0]
+    assert (row["channels"], row["sample_rate"], row["n_frames"]) == (2, 4000, 100)
+    assert row["duration_s"] == pytest.approx(0.025)
+    assert row["channel_rms"][0] == pytest.approx(0.5, abs=1e-3)
+    assert row["channel_rms"][1] == pytest.approx(0.25, abs=1e-3)
+    assert row["peak"] == pytest.approx(0.5, abs=1e-3)
+
+
+def test_decode_wav_all_sample_formats(spark):
+    from pidb_rdf_spark.operators.multimodal import decode_wav, wav_decode
+
+    sig = [0.0, 0.5, -0.5, 0.25]
+    blobs = [
+        (8, _wav_blob(sig, bits=8)),
+        (16, _wav_blob(sig, bits=16)),
+        (24, _wav_blob(sig, bits=24)),
+        (32, _wav_blob(sig, bits=32, tag=3)),
+    ]
+    for bits, blob in blobs:
+        ch, sr, a = wav_decode(blob)
+        assert (ch, sr, a.shape) == (1, 8000, (4, 1)), bits
+        tol = 1e-2 if bits == 8 else 1e-6
+        assert abs(a[1, 0] - 0.5) < tol and abs(a[2, 0] + 0.5) < tol
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (_bits, b) in enumerate(blobs)]
+        + [(99, bytearray(b"not audio"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_wav(df).collect()}
+    assert len(rows) == 5
+    assert all(rows[i]["n_frames"] == 4 for i in range(4))
+    assert rows[99]["channels"] is None  # undecodable row kept, NULLs
+
+
+def test_decode_wav_rejects_compressed_tag(spark):
+    import struct
+
+    from pidb_rdf_spark.operators.multimodal import wav_decode
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # MP3 tag
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="codec"):
+        wav_decode(blob)
