@@ -1229,3 +1229,43 @@ def test_turtle_parser_never_hangs_on_noise():
             assert len(r) == 6 and isinstance(r[3], bool)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# rdflib fallback engine (gated — most tests skip when rdflib absent)
+# ---------------------------------------------------------------------------
+
+
+def test_rdflib_engine_gate_message(spark, tmp_path):
+    """Without rdflib installed the fallback must fail fast with
+    install guidance, driver-side (not mid-job on executors)."""
+    import importlib.util
+
+    if importlib.util.find_spec("rdflib") is not None:
+        pytest.skip("rdflib present — gate not reachable")
+    from pidb_rdf_spark.sources.rdf_reader import read_rdf_with_rdflib
+
+    p = tmp_path / "x.ttl"
+    p.write_text("<urn:a> <urn:b> <urn:c> .")
+    with pytest.raises(ImportError, match="rdflib"):
+        read_rdf_with_rdflib(spark, str(p), "Turtle")
+
+
+def test_rdflib_engine_matches_native(spark, tmp_path):
+    pytest.importorskip("rdflib")
+    from pidb_rdf_spark.sources.rdf_reader import (
+        read_rdf,
+        read_rdf_with_rdflib,
+    )
+
+    ttl = (
+        "@prefix ex: <http://e.org/> .\n"
+        'ex:a ex:knows ex:b ; ex:name "Ann"@en ; ex:age 41 .\n'
+    )
+    p = tmp_path / "f.ttl"
+    p.write_text(ttl)
+    native = {tuple(r) for r in read_rdf(spark, str(p), "Turtle").collect()}
+    viardf = {
+        tuple(r) for r in read_rdf_with_rdflib(spark, str(p), "Turtle").collect()
+    }
+    assert native == viardf
