@@ -152,128 +152,108 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # ivf_topk_exact, triangle_count_dups and bfs_hops_containment are
 # deferred to make room (see their notes in the list).
 _DEFER_TO_TAIL = [
-    # -- r9 TODO (for the next rotation): the late-r8 Cypher surfaces
-    # shipped WITHOUT driver entries because the r8 window is exactly
-    # full (46 returning + inference trio + cypher_with_having_expand
-    # = 50, and new entries are never deferred). When rotating for
-    # r9, add in-window entries for: shortestPath() (multi-source BFS
-    # MATCH pattern), MERGE ON CREATE/ON MATCH SET (write path),
-    # =~ regex / properties() / keys() / collect(DISTINCT), and the
-    # list library (comprehensions, any/all/none/single, reduce,
-    # range), UNION [ALL] / leading CALL {subquery}, CALL db.* schema
-    # procedures, SET += maps, date() casts, and statistical
-    # aggregates (stDev/percentileCont/...) — all currently proven by DuckDB-oracle pytest tests in
-    # tests/test_cypher.py and tests/test_cypher_write.py.
-    # Also from the second late-r8 session: named paths
-    # (nodes()/relationships()/length()), EXISTS{}/COUNT{} subquery
-    # expressions (deep/composable pattern predicates), RETURN */
-    # WITH *, SET n = {map} replacement, UNWIND $batch bulk ingest
-    # with row expressions in CREATE, the math/left/right scalar
-    # functions, and analytics.kcore / label_propagation / modularity.
-    # NINE of these already have PRE-STAGED driver entries + DuckDB
-    # oracles declared at the END of queries() (past position 50, so
-    # the full r8 window is untouched): cypher_count_subquery,
-    # cypher_named_path_stats, kcore_dup_graph (unrolled-peel oracle
-    # _kcore_sql), label_prop_dup_communities (unrolled _lpa_sql),
-    # scc_event_transitions (recursive-CTE mutual-reachability
-    # oracle), and from the third late-r8 session:
-    # cypher_patcomp_nation_rich (pattern comprehensions),
-    # closeness_containment + betweenness_containment (multi-source
-    # BFS closeness / sampled-Brandes betweenness over the reversed
-    # containment DAG, per-level unrolled oracles), and
-    # node_similarity_event_types (common-neighbor Jaccard),
-    # mixture_budget_sample (training-mixture construction with an
-    # exact replayed oracle) and interval_join_events (time-range
-    # join; stream-stream twin pinned in tests) and cms_user_counts
-    # (Count-Min sketch, collisions replayed exactly) and
-    # profile_orders_table (one-pass per-column validation profile)
-    # and hits_containment (HITS hubs/authorities, unrolled oracle)
-    # and sequence_detect_events (CEP-lite contiguous patterns) — the r9 rotation
-    # just needs to move them into the window. Also added in the
-    # third session, pytest-proven only: Cypher map projections
-    # (n {.k, .*, key: e}), the FOREACH write clause (write path —
-    # no SQL-expressible output, 7 round-trip tests), and mid-query
-    # correlated CALL { WITH imports ... } subqueries (10 oracle
-    # tests in tests/test_cypher.py).
-    # -- r8 rotation: the 46 entries deferred in r7 ALL return to the
-    # window (contract rule 3); the r7-proven window rotates out.
-    # Every entry below has a green row in CORRECTNESS_r07.json and
-    # its function-level code path is untouched by the r8 diff, with
-    # the documented exceptions justified inline. The r8 diff touches:
-    #   * cypher.py / cypher_write.py (WITH/UNWIND/writes + the five
-    #     ADVICE fixes) — the NEW in-window entry
-    #     cypher_with_having_expand exercises the changed front-end
-    #     (parser, MATCH compile, WITH aggregate+HAVING, re-expansion,
-    #     ORDER BY); cypher_filter_topk / cypher_nation_order_stats
-    #     (green r7) defer one round with their compile path covered
-    #     in-window by that entry + 37 DuckDB-oracle pytest tests
-    #     (tests/test_cypher.py) and 16 write round-trips.
-    #   * inference.py (plan-keyed closure LRU) — the three reasoner
-    #     entries nodes_with_label_inferred / nodes_linked_to_inferred
-    #     / rels_inferred are KEPT IN-WINDOW (their compute path
-    #     changed: shared combined hierarchy + plan-keyed cache).
-    #   * mutation.py (_resolve_where DataFrame form + add_edges_frame)
-    #     — additive; existing Column-form callers unchanged, proven
-    #     by test_mutation_mapping.py (26 tests) + the import entries.
-    #   * sources/rdf_reader.py (full-spec Turtle shapes) — Turtle/
-    #     TriG parse paths are pytest-covered (49 tests incl. the new
-    #     corpus); no driver entry consumes Turtle directly.
-    #   * operators/multimodal.py decode_png (new function) +
-    #     decode_media's gate MESSAGE — media_features (stub path,
-    #     code unchanged), frame_sample and media_header_probe
-    #     (untouched functions) defer with green r7 rows.
-    #   * operators/dedup.py ngram_jaccard_pairs (r8 perf: shingles
-    #     hashed to longs before the PPJoin shuffles; isolated 16.4
-    #     -> 12.3 s) — its entry ngram_jaccard_dedup is IN-window
-    #     this round (one of the 46 returning); char_shingles itself
-    #     and every minhash/semantic path are untouched.
-    "label_scan_prop_seek",
-    "group_count",
-    "count_distinct",
+    # -- r9 rotation. Window arithmetic is now structurally over-
+    # subscribed: 116 entries, 50-row window, and this round owes
+    # (a) the 47 r8-deferred returners (contract rule 3), (b) the
+    # 15 late-r8 pre-staged entries that have NEVER had a driver row
+    # (past position 50 in r8), and (c) 4 new r9 entries (never
+    # deferred) = 66 > 50. Priority order applied: never-proven (15)
+    # > new (4) > returning (47), so 31 of the 47 return and 16
+    # defer a SECOND round - each chosen for an in-window or fresh-r8
+    # sibling on the same function-level code path, justified inline
+    # below; ALL 16 must be first into the r10 window (they will be
+    # the only entries whose newest green row is then 3 rounds old).
+    # r9 diff coverage: mixing.py/sketch.py/events.interval_join/
+    # cypher.py (the five ADVICE fixes + 4 new Cypher surfaces) are
+    # ALL exercised in-window by mixture_budget_sample,
+    # cms_user_counts, interval_join_events, and the 8 cypher_*
+    # entries; the correlated-CALL WITH-rebinding fix is additionally
+    # pinned by 12 pytest oracle tests. decode_wav/rdflib-engine are
+    # additive (no entry consumes them; pytest-proven).
+    # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
+    # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
     "union_names",
+    # FILTER EXISTS semi-join: not_exists_anti (r8 green) proves the shared compiler.py:1032 group-compile; only the join type differs
     "exists_semi",
+    # compile-tail DISTINCT: the tail (project/distinct/order/limit) runs in every in-window SPARQL entry
     "distinct_projection",
-    "dsl_two_hop_group",
-    "gremlin_repeat_until",
+    # dsl.py match step: gremlin_repeat_until + dsl_two_hop_group stay in-window on the same traversal core
     "gremlin_match",
+    # one-line spark.sql dispatch (graph.py:307), unchanged since r2; any regression would break every test fixture
     "sql_passthrough",
-    "closure_reachability",  # calls transitive_closure directly — that function is untouched by the r8 cache-keying diff
-    "lineitem_pricing_summary",
-    "lineitem_three_hop_volume",
+    # calls transitive_closure directly - untouched since r7, and the CLOSURE_COMPUTES contract tests pin it; the three reasoner entries above it have fresh r8 rows
+    "closure_reachability",
+    # VALUES clause: inline-table compile untouched since r4, pytest oracle in test_sparql_forms.py
     "sparql_values",
-    "path_seq_region",
+    # property-path inverse/alternation: path_seq_region returns in-window on the same path-compile core; path_plus/path_optional have fresh r8 rows
     "path_inverse_alt_members",
-    "subselect_nation_order_counts",
-    "group_concat_nations",
+    # ASK form: a LIMIT-1 wrapper over the in-window BGP compile, untouched since r3
     "ask_exists",
-    "construct_derived_edges",
-    "connected_components_regions",
-    "bfs_hops_containment",
-    "near_dup_doc_clusters",
-    "pagerank_containment",
-    "triangle_count_dups",
-    "decontam_overlap",
-    "minhash_lsh_dedup",
-    "ivf_topk_exact",
-    "embedding_near_dup_lsh",
-    "semantic_index_query",
+    # GROUP_CONCAT aggregate: the aggregate compile path re-proves in-window via group_count/count_distinct; function untouched since r4
+    "group_concat_nations",
+    # text.py: three siblings (text_quality, token_counts, repetition_signals_docs) stay in-window on the same zero-shuffle built-in pattern; function untouched since r4
     "lang_id",
-    "text_quality",
-    "token_counts",
+    # text.py: same justification as lang_id
     "doc_fingerprint",
-    "repetition_signals_docs",
-    "media_header_probe",
+    # ranking.py: bm25_search_docs stays in-window and consumes the same tf/df scaffolding
     "tfidf_top_terms_docs",
-    "bm25_search_docs",
-    "media_features",
+    # multimodal.py sample_frames untouched by the r9 decode_wav addition; media_header_probe + media_features stay in-window for the file
     "frame_sample",
+    # events.py windowed agg untouched by the r9 interval_join rename fix; sessionize_events + stream_dedup_events + interval_join_events + sequence_detect_events all in-window for the file
     "windowed_event_counts",
-    "sessionize_events",
-    "stream_dedup_events",
-    "substring_dup_docs",
-    "cypher_filter_topk",
-    "cypher_nation_order_stats",
+    # -- the 50 entries proven green in CORRECTNESS_r08 rotate out
+    # (code paths untouched by the r9 diff except as noted above).
+    "bgp_three_hop",
+    "filter_order_limit",
+    "agg_full",
+    "not_exists_anti",
+    "nodes_with_label_inferred",
+    "nodes_linked_to_inferred",
+    "rels_inferred",
+    "running_window_orders",
+    "quantiles_order_prices",
+    "topk_orders_per_segment",
+    "sparql_bind",
+    "sparql_minus",
+    "path_plus_reachability",
+    "path_optional_hop",
+    "connected_components_star",
+    "exact_dedup_docs",
+    "ngram_jaccard_dedup",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "cosine_topk",
+    "quantize_embeddings",
+    "ivf_topk_probe2",
+    "ivf_topk_indexed",
+    "pq_codes",
+    "pq_topk_adc",
+    "ivfpq_topk",
+    "boilerplate_lines",
+    "strip_boilerplate",
+    "gopher_quality_docs",
+    "line_dedup_docs",
+    "salted_join_lineitem",
+    "semantic_dedup_embeddings",
+    "semantic_decontam_embeddings",
+    "pii_scrub_docs",
+    "unigram_quality_docs",
+    "chunk_documents",
+    "stratified_sample_docs",
+    "pack_docs_stream",
+    "sessionize_stream",
+    "asof_join_events",
+    "user_stats_events",
+    "kmeans_assign",
+    "bloom_membership",
+    "json_props_extract",
+    "curation_pipeline",
+    "rollup_event_counts",
+    "kmv_distinct_users",
+    "sssp_region_orders",
+    "minhash_index_query",
+    "cypher_with_having_expand",
 ]
 
 
@@ -2131,6 +2111,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sequence_detect_events"] = sequence_detect_events
+
+    # ==================================================================
+    # r9 additions — consolidated driver entries for the late-r8
+    # Cypher surfaces the r8 window could not fit (each entry
+    # exercises several TODO-list items at once; all were already
+    # pytest-oracle-proven in tests/test_cypher.py).
+    # ==================================================================
+
+    def cypher_shortest_path(spark, sf_dir):
+        """shortestPath() (cypher.py): undirected multi-source BFS
+        from the ASIA region over the containment edge types —
+        nations at 1 hop, their customers/suppliers at 2. Compiles to
+        the iterative frontier expansion (one shuffle per level, min
+        over arrival level), not per-pair path enumeration. Oracle:
+        level-unrolled UNION (diameter 2 by construction)."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH p = shortestPath("
+            "(r:Region {r_name: 'ASIA'})-[:IN_REGION|IN_NATION*]-(x)) "
+            "RETURN x.uri AS node_uri, length(p) AS hops",
+        )
+
+    q["cypher_shortest_path"] = cypher_shortest_path
+
+    def cypher_regex_collect(spark, sf_dir):
+        """=~ anchored regex + collect(DISTINCT) (cypher.py): market
+        segments per double-digit-teen nation. collect() materializes
+        sorted (array_sort on collect_list DISTINCT) so the array is
+        deterministic across engines and partitionings."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        out = cypher(
+            g,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "WHERE n.n_name =~ 'NATION_1[0-9]' "
+            "RETURN n.n_name AS nation, "
+            "collect(DISTINCT c.c_mktsegment) AS segments, "
+            "count(*) AS custs",
+        )
+        # driver canon hashes atomic cells only: flatten the (sorted,
+        # deterministic) array to one delimited string
+        return out.withColumn("segments", F.array_join("segments", "|"))
+
+    q["cypher_regex_collect"] = cypher_regex_collect
+
+    def cypher_list_library(spark, sf_dir):
+        """The Cypher list library (cypher.py): UNWIND range() +
+        list comprehension with WHERE and map + reduce() + any() —
+        all compile to JVM-side higher-order functions (filter/
+        transform/aggregate/exists), zero Python in the row path."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        out = cypher(
+            g,
+            "UNWIND range(1, 12) AS x "
+            "WITH x WHERE x % 3 <> 0 "
+            "RETURN x, "
+            "[y IN range(1, x) WHERE x % y = 0] AS divisors, "
+            "reduce(s = 0, y IN range(1, x) | s + y) AS tri, "
+            "any(y IN range(1, x) WHERE y * y = x) AS has_sqrt",
+        )
+        return out.withColumn(
+            "divisors",
+            F.expr("array_join(transform(divisors, y -> cast(y as string)), ',')"),
+        )
+
+    q["cypher_list_library"] = cypher_list_library
+
+    def cypher_union_stats(spark, sf_dir):
+        """UNION ALL of independently-aggregated branches + the
+        statistical aggregates (stDev sample, percentileDisc):
+        per-nation account-balance spread for customers vs suppliers.
+        stDev is rounded to 1 decimal in BOTH engines (cross-engine
+        summation-order noise is ~1e-9 relative; the round pins the
+        hash). percentileDisc picks an actual member value — exact."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "RETURN 'cust' AS kind, n.n_name AS grp, "
+            "round(stDev(c.c_acctbal), 1) AS sd, "
+            "percentileDisc(c.c_acctbal, 0.5) AS med "
+            "UNION ALL "
+            "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) "
+            "RETURN 'supp' AS kind, n.n_name AS grp, "
+            "round(stDev(s.s_acctbal), 1) AS sd, "
+            "percentileDisc(s.s_acctbal, 0.5) AS med",
+        )
+
+    q["cypher_union_stats"] = cypher_union_stats
 
     return _rotate_checked_window(q)
 
@@ -4177,5 +4254,53 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
                COUNT(DISTINCT o_totalprice) FROM orders
+    """
+    # -- r9 consolidated Cypher-surface entries ------------------------
+    base["cypher_shortest_path"] = """
+        SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS node_uri,
+               CAST(1 AS BIGINT) AS hops
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        UNION ALL
+        SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), 2
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+        UNION ALL
+        SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), 2
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+    """
+    base["cypher_regex_collect"] = """
+        SELECT n_name AS nation,
+               array_to_string(list(DISTINCT c_mktsegment
+                                    ORDER BY c_mktsegment), '|') AS segments,
+               COUNT(*) AS custs
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE regexp_full_match(n_name, 'NATION_1[0-9]')
+        GROUP BY n_name
+    """
+    base["cypher_list_library"] = """
+        SELECT x,
+               array_to_string(list_transform(
+                   list_filter(range(1, x + 1), y -> x % y = 0),
+                   y -> CAST(y AS VARCHAR)), ',') AS divisors,
+               CAST(x * (x + 1) / 2 AS BIGINT) AS tri,
+               len(list_filter(range(1, x + 1), y -> y * y = x)) > 0
+                   AS has_sqrt
+        FROM generate_series(1, 12) g(x)
+        WHERE x % 3 <> 0
+    """
+    base["cypher_union_stats"] = """
+        SELECT 'cust' AS kind, n_name AS grp,
+               ROUND(STDDEV_SAMP(c_acctbal), 1) AS sd,
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS med
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'supp', n_name,
+               ROUND(STDDEV_SAMP(s_acctbal), 1),
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s_acctbal)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
     """
     return base
