@@ -2209,6 +2209,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cypher_union_stats"] = cypher_union_stats
 
+    # -- pre-staged for r10 (window is exactly full this round; same
+    # -- precedent as the late-r8 batch — move in at the next rotation)
+
+    def shuffle_shard_docs(spark, sf_dir):
+        """Deterministic global shuffle + sharding (operators/
+        mixing.py deterministic_shuffle): the corpus -> training-shard
+        step. shard and within-shard position are pure md5 functions
+        of the doc id, so the permutation replays bit-identically in
+        the oracle; ONE shuffle (hash partition by shard + local
+        sort), never a global order."""
+        from pidb_rdf_spark.operators.mixing import deterministic_shuffle
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return deterministic_shuffle(docs, n_shards=8).select(
+            "doc_id", "shard", "seq"
+        )
+
+    q["shuffle_shard_docs"] = shuffle_shard_docs
+
     return _rotate_checked_window(q)
 
 
@@ -4302,5 +4321,18 @@ def oracle_sql() -> dict[str, str]:
                PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s_acctbal)
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """
+    base["shuffle_shard_docs"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('shuffle:'
+                        || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+            FROM documents
+        )
+        SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                   AS BIGINT) AS seq
+        FROM h
     """
     return base

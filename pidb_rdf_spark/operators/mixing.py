@@ -132,3 +132,43 @@ def mix_sources(
         )
         .drop("__nfull", "__frac")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the step that turns
+    a curated corpus into training shards (the Pile / Dolma layout):
+    every row gets a ``shard`` in [0, n_shards) and a dense ``seq``
+    position within its shard, both pure functions of (salt, id).
+
+    The order is a uniform random permutation (md5 of the id), yet
+    fully reproducible: the same corpus + salt yields byte-identical
+    shards on any engine, at any partitioning, on reruns — no
+    ``rand()``, no ``zipWithIndex`` driver coupling, no global sort.
+
+    Scale shape: ONE shuffle (the window's hash partition on
+    ``shard``) and a per-shard local sort — never a total order over
+    the corpus. n_shards controls downstream file count; at 100 TB
+    pick n_shards >> executor count and write with
+    ``.repartition('shard').sortWithinPartitions('seq')`` so each
+    task streams one shard. Re-salting gives a fresh epoch
+    permutation (``salt='epoch0'``, ``'epoch1'``, ...) without
+    touching the data."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = md5_prefix_long(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 52
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("seq", F.row_number().over(w).cast("long") - 1)
+        .drop("__h")
+    )

@@ -2094,3 +2094,41 @@ def test_decode_wav_rejects_compressed_tag(spark):
     blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(ValueError, match="codec"):
         wav_decode(blob)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle / sharding (operators/mixing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_shuffle_contract(spark):
+    import hashlib
+
+    from pidb_rdf_spark.operators.mixing import deterministic_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(200)], "doc_id long, text string"
+    )
+    got = deterministic_shuffle(docs, n_shards=4).collect()
+    # pure function of (salt, id): replay in python
+    def hpos(i, salt="shuffle"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13], 16)
+
+    want_shard = {i: hpos(i) % 4 for i in range(200)}
+    assert {r["doc_id"]: r["shard"] for r in got} == want_shard
+    # seq is dense 0..n-1 per shard, ordered by the hash
+    for s in range(4):
+        rows = sorted(
+            (r for r in got if r["shard"] == s), key=lambda r: r["seq"]
+        )
+        assert [r["seq"] for r in rows] == list(range(len(rows)))
+        hashes = [hpos(r["doc_id"]) for r in rows]
+        assert hashes == sorted(hashes)
+    # stable under repartitioning of the input
+    again = deterministic_shuffle(docs.repartition(13), n_shards=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # a different salt is a different permutation
+    other = deterministic_shuffle(docs, n_shards=4, salt="epoch1").collect()
+    assert {r["doc_id"]: r["shard"] for r in other} != want_shard
+    with pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(docs, 0)
