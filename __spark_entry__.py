@@ -2228,6 +2228,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shuffle_shard_docs"] = shuffle_shard_docs
 
+    def corpus_diff_snapshots(spark, sf_dir):
+        """Corpus snapshot diff (operators/curation.py corpus_diff):
+        two deterministic views of the documents table stand in for
+        crawl refreshes (old drops id%5==4, new drops id%7==0 and
+        edits id%11==0). Ids and md5 prefixes are the ONLY shuffled
+        columns; the oracle replays the same set algebra."""
+        from pidb_rdf_spark.operators.curation import corpus_diff
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = docs.filter(F.col("doc_id") % 5 != 4)
+        new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        return corpus_diff(old, new)
+
+    q["corpus_diff_snapshots"] = corpus_diff_snapshots
+
     return _rotate_checked_window(q)
 
 
@@ -4334,5 +4354,15 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
                    AS BIGINT) AS seq
         FROM h
+    """
+    base["corpus_diff_snapshots"] = """
+        SELECT doc_id, 'removed' AS change FROM documents
+        WHERE doc_id % 5 <> 4 AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 'added' FROM documents
+        WHERE doc_id % 5 = 4 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, 'changed' FROM documents
+        WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 0 AND doc_id % 11 = 0
     """
     return base

@@ -101,3 +101,40 @@ def pack_token_stream(
         F.floor(F.col("start_offset") / budget).cast("long").alias("chunk_start"),
         F.floor((F.col("end_offset") - 1) / budget).cast("long").alias("chunk_end"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per id that
+    is ``added`` (only in ``new``), ``removed`` (only in ``old``) or
+    ``changed`` (in both, content md5 differs) — the dataset-
+    versioning primitive (audit what a crawl refresh actually did;
+    feed ONLY added+changed docs to incremental dedup/index updates
+    instead of reprocessing the corpus).
+
+    Scale shape: both sides reduce to (id, md5) BEFORE the join —
+    the shuffle carries two narrow columns, never the payloads — then
+    one full-outer equi-join on the id; unchanged rows are filtered
+    out. Content equality by md5, the engine's cross-checkable hash
+    family (a 128-bit collision is below hardware-error rates)."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("__ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("__hn")
+    )
+    joined = o.join(n, on="id", how="full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("__ho").isNull(), F.lit("added"))
+            .when(F.col("__hn").isNull(), F.lit("removed"))
+            .when(F.col("__ho") != F.col("__hn"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(F.col("id").alias(id_col), "change")
+    )

@@ -2132,3 +2132,18 @@ def test_deterministic_shuffle_contract(spark):
     assert {r["doc_id"]: r["shard"] for r in other} != want_shard
     with pytest.raises(ValueError, match="n_shards"):
         deterministic_shuffle(docs, 0)
+
+
+def test_corpus_diff_added_removed_changed(spark):
+    from pidb_rdf_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["change"]) for r in corpus_diff(old, new).collect()}
+    assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+    # identical snapshots diff to empty
+    assert corpus_diff(old, old).count() == 0
