@@ -27,8 +27,10 @@ issue):
   subset limit).
 - ``p = shortestPath((a)-[:T*..m]->(b))`` MATCH patterns, compiled
   to a multi-source semi-naive BFS keyed by origin; ``length(p)``
-  reads the hop count (the only path observation in this subset;
-  ``allShortestPaths`` is rejected as equivalent under it). Lower
+  reads the hop count (the only path observation in this subset).
+  ``allShortestPaths`` (r9) additionally tracks the Brandes
+  forward-pass path count and emits each pair that many times —
+  Neo4j's bag multiplicity without enumerating the paths. Lower
   bound must be 0 or 1, as in Neo4j.
 - ``OPTIONAL MATCH`` blocks (left-join semantics: unmatched rows
   keep NULL for every block-introduced variable; a block-local
@@ -251,10 +253,15 @@ class Pattern:
 class ShortestPat:
     """``p = shortestPath((a)-[:T*..m]->(b))`` — the inner pattern has
     exactly two nodes and one relationship; ``path_var`` binds the
-    hop count, observable through ``length(p)``."""
+    hop count, observable through ``length(p)``. With ``all_paths``
+    (``allShortestPaths``) each (origin, node) pair carries its
+    shortest-path COUNT and emits that many rows (Neo4j bag
+    semantics; the paths themselves stay unobservable — length(p) is
+    identical across them)."""
 
     path_var: str
     pattern: Pattern
+    all_paths: bool = False
 
 
 @dataclass
@@ -690,12 +697,7 @@ class _Parser:
         pvar = self._next().text
         self._next()  # =
         fn = self._next()
-        if fn.text.lower() == "allshortestpaths":
-            raise CypherSyntaxError(
-                "allShortestPaths is not supported in this subset — with "
-                "length(p) as the only path observation, shortestPath is "
-                f"equivalent (position {fn.pos})"
-            )
+        all_paths = fn.text.lower() == "allshortestpaths"
         self._expect("op", "(")
         pat = self._pattern()
         self._expect("op", ")")
@@ -713,7 +715,7 @@ class _Parser:
                 "a relationship property map inside shortestPath is not "
                 "supported in this subset"
             )
-        return ShortestPat(pvar, pat)
+        return ShortestPat(pvar, pat, all_paths=all_paths)
 
     def _projection(self, is_return: bool) -> Projection:
         distinct = self._accept("kw", "distinct") is not None
@@ -1507,6 +1509,11 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
         edges = fwd
     # the loop re-scans the edge set every round: pin it once
     edges = edges.localCheckpoint(eager=True)
+    # sigma = number of distinct shortest paths to the node (Brandes'
+    # forward-pass recurrence: new arrivals sum their frontier
+    # predecessors' counts; parallel edges count as distinct paths).
+    # Plain shortestPath ignores it; allShortestPaths emits each pair
+    # sigma times (bag semantics).
     dist = (
         c.cur.select(F.col(a).alias("origin"))
         .dropDuplicates()
@@ -1514,6 +1521,7 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
             "origin",
             F.col("origin").alias("node"),
             F.lit(0).cast("long").alias("hops"),
+            F.lit(1).cast("long").alias("sigma"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1521,17 +1529,21 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
     limit = rel.max_len if rel.max_len is not None else 50
     for hop in range(1, limit + 1):
         reached = (
-            frontier.select("origin", F.col("node").alias("src"))
+            frontier.select("origin", F.col("node").alias("src"), "sigma")
             .join(edges, on="src")
-            .select("origin", F.col("dst").alias("node"))
-            .dropDuplicates()
+            .select("origin", F.col("dst").alias("node"), "sigma")
+            .groupBy("origin", "node")
+            .agg(F.sum("sigma").alias("sigma"))
             .join(
                 dist.select("origin", "node"),
                 on=["origin", "node"],
                 how="leftanti",
             )
             .select(
-                "origin", "node", F.lit(hop).cast("long").alias("hops")
+                "origin",
+                "node",
+                F.lit(hop).cast("long").alias("hops"),
+                "sigma",
             )
             .localCheckpoint(eager=True)
         )
@@ -1541,12 +1553,15 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
         frontier = reached
     if rel.min_len >= 1:
         dist = dist.filter(F.col("hops") >= 1)
+    sig = c.fresh("sig") if sp.all_paths else None
+    extra = [F.col("sigma").alias(sig)] if sp.all_paths else []
     if b_bound:
         tmp = c.fresh("j")
         hopf = dist.select(
             F.col("origin").alias(a),
             F.col("node").alias(tmp),
             F.col("hops").alias(sp.path_var),
+            *extra,
         )
         c.cur = (
             c.cur.join(hopf, on=a)
@@ -1560,6 +1575,7 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
             F.col("origin").alias(a),
             F.col("node").alias(nxt),
             F.col("hops").alias(sp.path_var),
+            *extra,
         )
         c.cur = c.cur.join(hopf, on=a)
         c.kinds[nxt] = "node"
@@ -1567,6 +1583,13 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
         c.cur = c.cur.join(
             _node_frame(g, b_pat, nxt, c.params), on=nxt, how="leftsemi"
         )
+    if sp.all_paths:
+        # bag multiplicity AFTER the endpoint filters (never explode
+        # rows a label/prop constraint is about to drop)
+        c.cur = c.cur.withColumn(
+            "__asp",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col(sig))),
+        ).drop("__asp", sig)
     c.kinds[sp.path_var] = "pathlen"
 
 

@@ -1053,12 +1053,87 @@ def test_shortest_path_oracle_customer_region(graph):
     assert got == [tuple(w) for w in want]
 
 
-def test_shortest_path_rejections(chain_graph):
-    with pytest.raises(CypherSyntaxError):
+def test_all_shortest_paths_multiplicity(spark):
+    """allShortestPaths (r9): each pair appears once per distinct
+    shortest path — the diamond has TWO 2-hop routes 1->4."""
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(i, f"urn:n{i}", ["P"], {"name": f"n{i}"}) for i in range(1, 6)],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [
+                (10, 1, 2, "T", {}),
+                (11, 1, 3, "T", {}),
+                (12, 2, 4, "T", {}),
+                (13, 3, 4, "T", {}),
+                (14, 4, 5, "T", {}),
+            ],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    got = rows(
+        cypher(
+            g,
+            "MATCH p = allShortestPaths((a:P {name: 'n1'})-[:T*]->(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    # n2/n3: one 1-hop path each; n4: TWO 2-hop paths; n5: two 3-hop
+    assert got == [
+        ("n2", 1), ("n3", 1), ("n4", 2), ("n4", 2), ("n5", 3), ("n5", 3)
+    ]
+    # plain shortestPath keeps one row per pair
+    got1 = rows(
+        cypher(
+            g,
+            "MATCH p = shortestPath((a:P {name: 'n1'})-[:T*]->(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    assert got1 == [("n2", 1), ("n3", 1), ("n4", 2), ("n5", 3)]
+    # aggregate over the bag: count(*) = number of shortest paths
+    gotc = rows(
+        cypher(
+            g,
+            "MATCH p = allShortestPaths("
+            "(a:P {name: 'n1'})-[:T*]->(b:P {name: 'n5'})) "
+            "RETURN count(*) AS n_paths, min(length(p)) AS hops",
+        )
+    )
+    assert gotc == [(2, 3)]
+
+
+def test_all_shortest_paths_brute_force_oracle(chain_graph):
+    """Multiplicities on the chain+shortcut graph match explicit path
+    enumeration (every minimal-length route counted once)."""
+    # chain 1->2->3->4->5 with shortcut 1->3: from 1, every target has
+    # exactly ONE shortest route (the shortcut strictly dominates)
+    got = rows(
         cypher(
             chain_graph,
-            "MATCH p = allShortestPaths((a:P)-[:T*]->(b)) RETURN length(p) AS h",
+            "MATCH p = allShortestPaths((a:P {name: 'n1'})-[:T*]->(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
         )
+    )
+    assert got == [("n2", 1), ("n3", 1), ("n4", 2), ("n5", 3)]
+    # undirected from n3: n2 is reachable in 1 hop two ways? no —
+    # 3<-2 only (3->2 does not exist; the 1->3 shortcut gives a
+    # second 2-hop route to n1... n1 at 1 hop via the shortcut)
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH p = allShortestPaths((a:P {name: 'n3'})-[:T*]-(b)) "
+            "RETURN b.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    assert got == [("n1", 1), ("n2", 1), ("n4", 1), ("n5", 2)]
+
+
+def test_shortest_path_rejections(chain_graph):
     with pytest.raises(CypherSyntaxError):
         cypher(
             chain_graph,

@@ -316,3 +316,40 @@ def test_pattern_comprehension_single_aggregate_join(spark):
     # AQE demotes it to broadcast at runtime on dimension-sized data.)
     assert s["python_evals"] == 0
     assert s["hash_aggregates"] >= 1
+
+
+def test_deterministic_shuffle_single_exchange(spark):
+    """deterministic_shuffle: exactly ONE shuffle (the window's hash
+    partition on shard) and no Python in the row path — the md5
+    shard/seq math is codegen."""
+    from pidb_rdf_spark.operators.mixing import deterministic_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = deterministic_shuffle(docs, n_shards=8)
+    s = plan_summary(out)
+    assert s["exchanges"] == 1
+    assert s["python_evals"] == 0
+
+
+def test_corpus_diff_shuffles_hashes_not_payloads(spark):
+    """corpus_diff: both sides reduce to (id, md5) before the join —
+    every scan/exchange schema is two narrow columns, the text
+    payload never moves."""
+    from pidb_rdf_spark.operators.curation import corpus_diff
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus_diff(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+    s = plan_summary(out)
+    assert s["python_evals"] == 0
+    # projection reached the scans: only (doc_id, text) read
+    assert all(w <= 2 for w in s["scan_widths"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no full-width text column crosses an exchange: the join keys
+    # and md5 projections are the only shuffled attributes
+    import re
+
+    for seg in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in seg
