@@ -2730,11 +2730,19 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
             "this subset — name the returned items explicitly (Neo4j "
             "rejects re-returning the imported variables anyway)"
         )
-    if proj.order or proj.skip is not None or proj.limit is not None:
+    # per-invocation ORDER BY/SKIP/LIMIT compile to a window over the
+    # import keys (row_number per invocation) — the idiomatic
+    # top-k-per-key CALL subquery. Subset rules, enforced below after
+    # names are known: sort keys must be returned item names, and
+    # SKIP/LIMIT need an ORDER BY (an unordered per-invocation LIMIT
+    # would pick nondeterministic rows — Neo4j tolerates that,
+    # this engine's determinism contract does not).
+    inv_order, inv_skip, inv_limit = proj.order, proj.skip, proj.limit
+    if (inv_skip is not None or inv_limit is not None) and not inv_order:
         raise CypherSyntaxError(
-            "ORDER BY/SKIP/LIMIT in a correlated CALL { } subquery are "
-            "per-invocation in Cypher — not in this subset (move them "
-            "after the CALL, or aggregate with collect())"
+            "SKIP/LIMIT in a correlated CALL { } subquery are "
+            "per-invocation and need an ORDER BY (otherwise the kept "
+            "rows would be nondeterministic)"
         )
     aggregating = any(_has_agg(it.expr) for it in proj.items)
     names_out: list = []
@@ -2766,7 +2774,41 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
     )
     out, _names = _apply_projection(c2, proj2)
     c.anon = c2.anon
+    if inv_order or inv_skip is not None or inv_limit is not None:
+        from pyspark.sql import Window
+
+        sort_cols = []
+        for _e, etext, asc in inv_order:
+            if etext not in names_out:
+                raise CypherSyntaxError(
+                    f"ORDER BY {etext!r} in a correlated CALL {{ }} "
+                    "subquery must name a returned item (alias the "
+                    "expression in RETURN first)"
+                )
+            colx = _qcol(etext)
+            sort_cols.append(colx.asc() if asc else colx.desc())
+        w = Window.partitionBy(*[_qcol(v) for v in imports]).orderBy(
+            *sort_cols
+        )
+        lo = _int_param(inv_skip, c.params, "SKIP") if inv_skip is not None else 0
+        cond = F.col("__rn") > F.lit(lo)
+        if inv_limit is not None:
+            hi = lo + _int_param(inv_limit, c.params, "LIMIT")
+            cond = cond & (F.col("__rn") <= F.lit(hi))
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(cond)
+            .drop("__rn")
+        )
+        inv_dropped_rows = lo >= 1
+    else:
+        inv_dropped_rows = False
     all_agg = aggregating and all(_has_agg(it.expr) for it in proj.items)
+    if all_agg and inv_dropped_rows:
+        # per-invocation SKIP >= 1 drops every invocation's single
+        # aggregate row — including the empty-invocation fill row —
+        # so the fill path below would wrongly resurrect them
+        all_agg = False
     if all_agg:
         # aggregate-only body: Neo4j's global aggregation emits one
         # row even for an empty invocation — left join with the

@@ -2574,3 +2574,109 @@ def test_call_subquery_with_passthrough_import_still_ok(graph):
            FROM nation ORDER BY n_name"""
     )
     assert got == want
+
+
+def test_call_subquery_per_invocation_topk(graph):
+    """r9: ORDER BY + LIMIT inside a correlated CALL { } compile to a
+    row_number window over the import keys — top-2 suppliers by
+    balance per nation, nations with no suppliers eliminated."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN s.s_name AS sup, s.s_acctbal AS bal "
+            "  ORDER BY bal DESC, sup LIMIT 2 } "
+            "RETURN n.n_name AS nation, sup, bal "
+            "ORDER BY nation, bal DESC, sup",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, s_name, s_acctbal FROM (
+               SELECT n_name, s_name, s_acctbal,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_name) AS rn
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           ) WHERE rn <= 2
+           ORDER BY n_name, s_acctbal DESC, s_name"""
+    )
+    assert got == [tuple(w) for w in want]
+    assert len(got) > 0
+
+
+def test_call_subquery_per_invocation_skip(graph):
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN s.s_name AS sup ORDER BY sup SKIP 1 } "
+            "RETURN n.n_name AS nation, sup ORDER BY nation, sup",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, s_name FROM (
+               SELECT n_name, s_name, ROW_NUMBER() OVER (
+                   PARTITION BY s_nationkey ORDER BY s_name) AS rn
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           ) WHERE rn > 1 ORDER BY n_name, s_name"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_call_subquery_agg_limit_keeps_empty_fill(graph):
+    """Aggregate-only body + LIMIT 1: the count-0 fill row for
+    nations without suppliers survives (Neo4j keeps it — LIMIT 1 of
+    one row)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN count(s) AS sups ORDER BY sups LIMIT 1 } "
+            "RETURN n.n_name AS nation, sups ORDER BY nation",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, (SELECT COUNT(*) FROM supplier
+                           WHERE s_nationkey = n_nationkey) AS sups
+           FROM nation ORDER BY n_name"""
+    )
+    assert got == [tuple(w) for w in want]
+    assert any(w[1] == 0 for w in want)
+    # ...but SKIP 1 drops every invocation's single aggregate row,
+    # fills included: zero rows survive
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n "
+            "  MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN count(s) AS sups ORDER BY sups SKIP 1 } "
+            "RETURN n.n_name AS nation, sups",
+        )
+    )
+    assert got == []
+
+
+def test_call_subquery_order_limit_rejections(graph):
+    with pytest.raises(CypherSyntaxError, match="need an ORDER BY"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN s.s_name AS sup LIMIT 2 } "
+            "RETURN sup",
+        )
+    with pytest.raises(CypherSyntaxError, match="must name a returned"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "CALL { WITH n MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "  RETURN s.s_name AS sup ORDER BY s.s_acctbal LIMIT 2 } "
+            "RETURN sup",
+        )
