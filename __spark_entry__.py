@@ -2248,6 +2248,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_diff_snapshots"] = corpus_diff_snapshots
 
+    def simhash_index_query(spark, sf_dir):
+        """Incremental SimHash dedup (dedup.py save_simhash_index /
+        simhash_query_index — completes the incremental-dedup quartet
+        with Bloom/MinHash/semantic-IVF): index docs with id%5!=0
+        once, probe the id%5==0 batch. The corpus is read from the
+        stored bucket/signature parquet, never re-hashed; pigeonhole
+        banding keeps recall exact, so the oracle is the bipartite
+        Hamming join over replayed signatures."""
+        from pidb_rdf_spark.operators.dedup import (
+            save_simhash_index,
+            simhash_query_index,
+        )
+
+        docs = _docs(spark, sf_dir)
+        # index ONCE per (session, sf) — same contract/precedent as
+        # minhash_index_query: re-indexing per bench rep would time
+        # the wrong thing
+        base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"/root/repo/spark-warehouse/simhash_index_entry_{base}"
+        key = ("simhash", id(spark), sf_dir)
+        if key not in _MH_INDEX_BUILT:
+            save_simhash_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+            _MH_INDEX_BUILT.add(key)
+        return simhash_query_index(
+            spark, path, docs.filter(F.col("doc_id") % 5 == 0)
+        )
+
+    q["simhash_index_query"] = simhash_index_query
+
     return _rotate_checked_window(q)
 
 
@@ -2283,7 +2312,7 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     """
 
 
-def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+def _simhash_sig_ctes(bits: int) -> str:
     votes = ",\n               ".join(
         f"SUM(CAST(((h >> {i}) & 1) * 2 - 1 AS BIGINT)) AS v{i}" for i in range(bits)
     )
@@ -2305,10 +2334,28 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
             FROM (SELECT doc_id, unnest(f) AS feat FROM feats)
         ),
         votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
-        sig AS (SELECT doc_id, {sig} AS s FROM votes)
+        sig AS (SELECT doc_id, {sig} AS s FROM votes)"""
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    return f"""{_simhash_sig_ctes(bits)}
         SELECT x.doc_id AS a, y.doc_id AS b,
                CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
         FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+    """
+
+
+def _simhash_index_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Bipartite twin of ``_simhash_sql``: batch (doc_id%5==0) probed
+    against the indexed corpus (doc_id%5!=0) — replays
+    ``simhash_query_index`` exactly (pigeonhole recall is exact, so
+    the bucket join adds nothing the Hamming filter doesn't)."""
+    return f"""{_simhash_sig_ctes(bits)}
+        SELECT x.doc_id AS query_id, y.doc_id AS match_id,
+               CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+        FROM sig x JOIN sig y
+          ON x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
         WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
     """
 
@@ -4355,6 +4402,7 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS seq
         FROM h
     """
+    base["simhash_index_query"] = _simhash_index_sql(60, 3)
     base["corpus_diff_snapshots"] = """
         SELECT doc_id, 'removed' AS change FROM documents
         WHERE doc_id % 5 <> 4 AND doc_id % 7 = 0

@@ -18,7 +18,9 @@ from pidb_rdf_spark.operators.dedup import (
     semantic_dedup,
     semantic_dup_pairs,
     semantic_query_index,
+    save_simhash_index,
     simhash_pairs,
+    simhash_query_index,
 )
 from pidb_rdf_spark.operators.join import salted_join
 from pidb_rdf_spark.operators.lm import unigram_model, unigram_quality
@@ -98,7 +100,9 @@ __all__ = [
     "save_minhash_index",
     "minhash_query_index",
     "ngram_jaccard_pairs",
+    "save_simhash_index",
     "simhash_pairs",
+    "simhash_query_index",
     "embedding_near_dup_pairs",
     "semantic_dedup",
     "semantic_dup_pairs",

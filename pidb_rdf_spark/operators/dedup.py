@@ -424,22 +424,15 @@ def simhash(
     return hashes.select("id", sig_udf(F.col("hs")).alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bits: int = 60,
-    max_hamming: int = 3,
+def _simhash_chunks(
+    sig: DataFrame, bits: int, max_hamming: int
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ max_hamming, found by
-    pigeonhole banding: split the signature into ``max_hamming + 1``
-    chunks; any pair within the distance budget must share ≥1 chunk
-    value, so candidates come from equi-joins on (chunk_idx, chunk
-    value) — **exact recall**, linear candidate generation."""
-    sig = simhash(df, id_col, text_col, bits)
+    """(id, simhash, chunk, cval) pigeonhole bands of a signature
+    frame: ``max_hamming + 1`` chunks — any pair within the Hamming
+    budget must share at least one chunk value (exact recall)."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    chunks = sig.select(
+    return sig.select(
         "id",
         "simhash",
         F.explode(
@@ -456,8 +449,27 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select(
-        "id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cval").alias("cval")
+        "id",
+        "simhash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.cval").alias("cval"),
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming, found by
+    pigeonhole banding: split the signature into ``max_hamming + 1``
+    chunks; any pair within the distance budget must share ≥1 chunk
+    value, so candidates come from equi-joins on (chunk_idx, chunk
+    value) — **exact recall**, linear candidate generation."""
+    sig = simhash(df, id_col, text_col, bits)
+    chunks = _simhash_chunks(sig, bits, max_hamming)
     l = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "cval")
     r = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "cval")
     cands = (
@@ -932,4 +944,77 @@ def minhash_query_index(
     out = _verify_with_sets(cands, sets_new, sets_idx, threshold)
     return out.select(
         F.col("a").alias("query_id"), F.col("b").alias("match_id"), "jaccard"
+    )
+
+
+def save_simhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> None:
+    """Persist the corpus half of SimHash near-dup search: the
+    (id, chunk, cval) pigeonhole bucket table plus the (id, simhash)
+    signature table (the verify side), with a parameter sidecar —
+    completing the incremental-dedup quartet (exact Bloom, MinHash,
+    semantic IVF, and now SimHash). Index the corpus ONCE; each new
+    batch hashes at its own size and equi-joins the stored buckets —
+    the corpus is read, never re-hashed."""
+    import json
+    import os
+
+    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    _simhash_chunks(sig, bits, max_hamming).select(
+        "id", "chunk", "cval"
+    ).write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"bits": bits, "max_hamming": max_hamming}, f)
+
+
+def simhash_query_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup matches of ``new_docs`` against a saved SimHash index:
+    (query_id, match_id, hamming) with hamming <= the indexed budget.
+    Exact recall at the stored ``max_hamming`` (pigeonhole guarantee);
+    new-doc ids must be disjoint from indexed ids. Work scales with
+    the new batch + matched buckets, never the corpus."""
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    sig_new = simhash(new_docs, id_col, text_col, meta["bits"]).localCheckpoint(
+        eager=False
+    )
+    bk_new = _simhash_chunks(sig_new, meta["bits"], meta["max_hamming"])
+    buckets = spark.read.parquet(f"{path}/buckets")
+    cands = (
+        bk_new.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "cval")
+        .join(buckets.select(F.col("id").alias("b"), "chunk", "cval"), on=["chunk", "cval"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "sig_a")
+        .distinct()
+    )
+    sigs_idx = spark.read.parquet(f"{path}/sigs")
+    return (
+        cands.join(
+            sigs_idx.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b")),
+            on="b",
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= meta["max_hamming"])
+        .select(
+            F.col("a").alias("query_id"),
+            F.col("b").alias("match_id"),
+            "hamming",
+        )
     )

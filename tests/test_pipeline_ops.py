@@ -2147,3 +2147,45 @@ def test_corpus_diff_added_removed_changed(spark):
     assert got == {(1, "removed"), (3, "changed"), (4, "added")}
     # identical snapshots diff to empty
     assert corpus_diff(old, old).count() == 0
+
+
+def test_simhash_index_query_equals_batch_pairs(spark, docs, tmp_path):
+    """SimHash index (r9): querying a held-out batch against the
+    saved index finds exactly the cross pairs the one-shot batch
+    search finds between the two groups, at identical hamming."""
+    from pidb_rdf_spark.operators import (
+        save_simhash_index,
+        simhash_pairs,
+        simhash_query_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "sh_index")
+    save_simhash_index(corpus, path)
+    got = {
+        (r["query_id"], r["match_id"], r["hamming"])
+        for r in simhash_query_index(spark, path, batch).collect()
+    }
+    want = set()
+    for r in simhash_pairs(docs).collect():
+        if r["a"] % 5 == 0 and r["b"] % 5 != 0:
+            want.add((r["a"], r["b"], r["hamming"]))
+        elif r["b"] % 5 == 0 and r["a"] % 5 != 0:
+            want.add((r["b"], r["a"], r["hamming"]))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_simhash_index_query_no_corpus_rehash(spark, docs, tmp_path):
+    """Query-time plan reads the stored parquet: only the NEW batch
+    flows through the signature stage (one ArrowEval, not two)."""
+    from pidb_rdf_spark.operators import save_simhash_index, simhash_query_index
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "sh_index2")
+    save_simhash_index(corpus, path)
+    out = simhash_query_index(spark, path, docs.filter(F.col("doc_id") % 5 == 0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "parquet" in plan.lower()
