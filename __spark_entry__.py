@@ -2277,6 +2277,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_index_query"] = simhash_index_query
 
+    def constraints_orders(spark, sf_dir):
+        """Declarative data-quality gate (profile.py
+        check_constraints): not-null + range + in_set + unique + FK
+        rules over orders in ONE row-level aggregation pass (+ one
+        hash-agg for unique, one left-anti for the FK). Output is
+        rules-sized; the oracle replays each rule as a SQL count."""
+        from pidb_rdf_spark.operators.profile import check_constraints
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return check_constraints(
+            orders,
+            [
+                {"kind": "not_null", "col": "o_custkey"},
+                {"kind": "range", "col": "o_totalprice", "min": 0.0,
+                 "max": 100_000.0},
+                {"kind": "in_set", "col": "o_orderstatus",
+                 "values": ["F", "O", "P"]},
+                {"kind": "unique", "col": "o_orderkey"},
+                {"kind": "fk", "col": "o_custkey", "ref": customer,
+                 "ref_col": "c_custkey"},
+            ],
+        )
+
+    q["constraints_orders"] = constraints_orders
+
     return _rotate_checked_window(q)
 
 
@@ -4403,6 +4429,48 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
     base["simhash_index_query"] = _simhash_index_sql(60, 3)
+    base["constraints_orders"] = """
+        WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders)
+        SELECT 'not_null' AS rule, 'o_custkey' AS column,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   / (SELECT total FROM n) AS frac_violations
+        FROM orders
+        UNION ALL
+        SELECT 'range', 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0 OR o_totalprice > 100000)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_totalprice IS NOT NULL
+                         AND (o_totalprice < 0 OR o_totalprice > 100000)
+                        THEN 1 ELSE 0 END) / (SELECT total FROM n)
+        FROM orders
+        UNION ALL
+        SELECT 'in_set', 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) / (SELECT total FROM n)
+        FROM orders
+        UNION ALL
+        SELECT 'unique', 'o_orderkey',
+               CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+               COALESCE(SUM(c - 1), 0) / CAST(SUM(c) AS DOUBLE)
+        FROM (SELECT COUNT(*) AS c FROM orders
+              WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'fk', 'o_custkey',
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE)
+        FROM (SELECT o_custkey, c_custkey
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+              WHERE o_custkey IS NOT NULL)
+    """
     base["corpus_diff_snapshots"] = """
         SELECT doc_id, 'removed' AS change FROM documents
         WHERE doc_id % 5 <> 4 AND doc_id % 7 = 0

@@ -123,3 +123,112 @@ def profile_diff(
         "distinct_after",
         drift.alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint checks (expectations)
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_KINDS = ("not_null", "unique", "range", "in_set", "regex", "fk")
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality gate: evaluate every rule in ONE pass
+    and return (rule, column, n_violations, frac_violations) — the
+    expectations step (Great-Expectations/dbt-test shape) a pipeline
+    runs between transforms.
+
+    Rules (dicts): ``{"kind": "not_null", "col": c}``;
+    ``{"kind": "range", "col": c, "min": lo, "max": hi}`` (either
+    bound optional; NULLs don't violate range — compose with
+    not_null); ``{"kind": "in_set", "col": c, "values": [...]}``;
+    ``{"kind": "regex", "col": c, "pattern": p}`` (full match);
+    ``{"kind": "unique", "col": c}``; ``{"kind": "fk", "col": c,
+    "ref": DataFrame, "ref_col": r}``.
+
+    Scale shape: all row-level rules (not_null/range/in_set/regex)
+    fold into ONE aggregation over ONE scan — adding a rule adds a
+    column expression, not a pass. ``unique`` adds one hash-aggregate
+    shuffle per column; ``fk`` one left-anti join against the
+    (deduplicated, usually broadcastable) reference keys. Output is
+    rules-sized."""
+    spark = df.sparkSession
+    aggs = []
+    row_rules = []
+    outs = []
+    total = F.count(F.lit(1)).alias("__n")
+    for i, r in enumerate(rules):
+        kind = r.get("kind")
+        if kind not in _CONSTRAINT_KINDS:
+            raise ValueError(
+                f"unknown constraint kind {kind!r} (one of {_CONSTRAINT_KINDS})"
+            )
+        c = F.col(r["col"])
+        if kind == "not_null":
+            viol = c.isNull()
+        elif kind == "range":
+            if "min" not in r and "max" not in r:
+                raise ValueError("range rule needs min and/or max")
+            viol = F.lit(False)
+            if "min" in r:
+                viol = viol | (c < F.lit(r["min"]))
+            if "max" in r:
+                viol = viol | (c > F.lit(r["max"]))
+            viol = c.isNotNull() & viol
+        elif kind == "in_set":
+            viol = c.isNotNull() & ~c.isin(list(r["values"]))
+        elif kind == "regex":
+            viol = c.isNotNull() & ~c.cast("string").rlike(
+                "^(?:" + r["pattern"] + ")$"
+            )
+        else:
+            continue  # unique/fk handled below
+        row_rules.append((i, r))
+        aggs.append(
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        )
+    out_schema = (
+        "rule string, column string, n_violations long, frac_violations double"
+    )
+    if aggs:
+        row0 = df.agg(total, *aggs).collect()[0]
+        n = row0["__n"] or 0
+        for i, r in row_rules:
+            v = row0[f"__v{i}"]
+            outs.append((r["kind"], r["col"], v, v / n if n else 0.0))
+    for r in rules:
+        if r["kind"] == "unique":
+            # violations = rows beyond the first of each duplicated value
+            dup = (
+                df.filter(F.col(r["col"]).isNotNull())
+                .groupBy(r["col"])
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("__c") > 1, F.col("__c") - 1)),
+                        F.lit(0),
+                    ).alias("__d"),
+                    F.coalesce(F.sum("__c"), F.lit(0)).alias("__t"),
+                )
+                .collect()[0]
+            )
+            outs.append(
+                (
+                    "unique",
+                    r["col"],
+                    dup["__d"],
+                    dup["__d"] / dup["__t"] if dup["__t"] else 0.0,
+                )
+            )
+        elif r["kind"] == "fk":
+            refk = r["ref"].select(
+                F.col(r["ref_col"]).alias(r["col"])
+            ).dropDuplicates()
+            orphan = (
+                df.filter(F.col(r["col"]).isNotNull())
+                .join(refk, on=r["col"], how="left_anti")
+                .count()
+            )
+            n = df.filter(F.col(r["col"]).isNotNull()).count()
+            outs.append(("fk", r["col"], orphan, orphan / n if n else 0.0))
+    return spark.createDataFrame(outs, out_schema)

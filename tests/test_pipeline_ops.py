@@ -2189,3 +2189,44 @@ def test_simhash_index_query_no_corpus_rehash(spark, docs, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") <= 1
     assert "parquet" in plan.lower()
+
+
+def test_check_constraints_all_kinds(spark):
+    from pidb_rdf_spark.operators.profile import check_constraints
+
+    ref = spark.createDataFrame([(1,), (2,)], "k long")
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 5, 1),
+            (2, None, 50, 2),
+            (2, "bad", -1, 3),
+            (None, "c@y.io", 5, 9),
+        ],
+        "id long, email string, score long, fk long",
+    )
+    got = {
+        (r["rule"], r["column"]): (r["n_violations"], round(r["frac_violations"], 4))
+        for r in check_constraints(
+            df,
+            [
+                {"kind": "not_null", "col": "id"},
+                {"kind": "range", "col": "score", "min": 0, "max": 10},
+                {"kind": "regex", "col": "email", "pattern": r"[^@]+@[^@]+\.[a-z]+"},
+                {"kind": "in_set", "col": "score", "values": [5, 50]},
+                {"kind": "unique", "col": "id"},
+                {"kind": "fk", "col": "fk", "ref": ref, "ref_col": "k"},
+            ],
+        ).collect()
+    }
+    assert got[("not_null", "id")] == (1, 0.25)
+    assert got[("range", "score")] == (2, 0.5)       # 50 and -1
+    assert got[("regex", "email")] == (1, 0.25)      # 'bad'; NULL exempt
+    assert got[("in_set", "score")] == (1, 0.25)     # -1
+    assert got[("unique", "id")] == (1, round(1 / 3, 4))  # one extra '2'
+    assert got[("fk", "fk")] == (2, 0.5)             # 3 and 9 orphaned
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown constraint"):
+        check_constraints(df, [{"kind": "nope", "col": "id"}])
+    with _pytest.raises(ValueError, match="min and/or max"):
+        check_constraints(df, [{"kind": "range", "col": "id"}])
