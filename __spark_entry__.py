@@ -2303,6 +2303,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["constraints_orders"] = constraints_orders
 
+    def zorder_events_key(spark, sf_dir):
+        """Z-order (Morton) clustering key (operators/layout.py):
+        interleave user_id and event_id bits — the multi-column
+        data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER shape).
+        Pure codegen bit math (5 shift/mask rounds per column); the
+        oracle replays the identical magic-mask sequence, and the
+        range-partition layout itself is pinned in tests (per-chunk
+        min/max tighten on BOTH columns)."""
+        from pidb_rdf_spark.operators.layout import zorder_key
+
+        ev = _events(spark, sf_dir)
+        return ev.select(
+            "event_id", zorder_key(["user_id", "event_id"]).alias("z")
+        )
+
+    q["zorder_events_key"] = zorder_events_key
+
     return _rotate_checked_window(q)
 
 
@@ -4429,6 +4446,24 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
     base["simhash_index_query"] = _simhash_index_sql(60, 3)
+
+    def _spread(col: str) -> str:
+        x = f"({col} & 4294967295)"
+        for sh, mask in [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]:
+            x = f"(({x} | ({x} << {sh})) & {mask})"
+        return x
+
+    base["zorder_events_key"] = f"""
+        SELECT event_id,
+               ({_spread('user_id')} | ({_spread('event_id')} << 1)) AS z
+        FROM events
+    """
     base["constraints_orders"] = """
         WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders)
         SELECT 'not_null' AS rule, 'o_custkey' AS column,

@@ -1,0 +1,90 @@
+"""Storage-layout operators: Z-order (Morton) clustering for
+multi-column data skipping.
+
+No reference analog (the reference's layout is its native store);
+this is the warehouse-side step that makes 100 TB scans cheap: sort
+by an interleaved-bit key and parquet row-group min/max stats become
+tight on EVERY participating column at once, so selective filters on
+any of them prune row groups at the scan (the Delta/Iceberg OPTIMIZE
+ZORDER BY idea, expressed as plain DataFrame ops).
+
+Scale shape: the key is pure codegen bit math (the classic
+spread-bits magic-mask sequence — 5 shift/mask ops per column, no
+Python, no UDF); the layout write is ONE range repartition on the
+key + a per-partition local sort. Range boundaries come from Spark's
+built-in reservoir sampling of the key column (the same mechanism
+every ORDER BY uses), so there is no driver-side histogram to build.
+
+Determinism: the interleave is exact integer math on the raw column
+values — replayable bit-for-bit in any engine with 64-bit shifts,
+which is what lets the SQL oracle check the key itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# magic masks that spread a 32-bit value's bits to even positions of
+# a 64-bit lane: x = abcd -> a0b0c0d0 (Morton encoding building block)
+_SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def spread_bits(col: Column) -> Column:
+    """Spread the low 32 bits of ``col`` to the even bit positions of
+    a 64-bit value (0babcd -> 0b0a0b0c0d): five shift+mask rounds,
+    all whole-stage codegen."""
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    for sh, mask in _SPREAD_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(cols: list[Column | str]) -> Column:
+    """64-bit Z-order (Morton) key interleaving the low 32 bits of
+    two columns, or the low 21 bits of three (3x21=63). Columns must
+    be non-negative integers in range (cast/normalize first — e.g.
+    ``xxhash64 & mask`` for strings, epoch seconds for timestamps);
+    out-of-range bits are masked off, never an error."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if len(cols) == 2:
+        a, b = (c.cast("long") for c in cols)
+        return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
+    if len(cols) == 3:
+        out = F.lit(0).cast("long")
+        for idx, c in enumerate(cols):
+            x = c.cast("long").bitwiseAND(F.lit((1 << 21) - 1))
+            # 21-bit spread to every 3rd position: plain per-bit OR
+            # chain (63 codegen ops — constant, still JVM-side)
+            sp = F.lit(0).cast("long")
+            for bit in range(21):
+                sp = sp.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(x, bit).bitwiseAND(F.lit(1)),
+                        bit * 3,
+                    )
+                )
+            out = out.bitwiseOR(F.shiftleft(sp, idx))
+        return out
+    raise ValueError("zorder_key takes exactly 2 or 3 columns")
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], n_files: int = 64
+) -> DataFrame:
+    """Cluster ``df`` for multi-column data skipping: add ``__z`` =
+    the Morton key, range-partition into ``n_files`` output chunks
+    and sort within each — writing the result gives parquet files
+    whose min/max stats are tight on every ``cols`` member. ONE
+    shuffle (the range exchange); the local sort never spills past a
+    file's worth of rows."""
+    if n_files < 1:
+        raise ValueError("n_files must be >= 1")
+    keyed = df.withColumn("__z", zorder_key(cols))
+    return keyed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z")

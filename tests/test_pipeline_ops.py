@@ -2230,3 +2230,72 @@ def test_check_constraints_all_kinds(spark):
         check_constraints(df, [{"kind": "nope", "col": "id"}])
     with _pytest.raises(ValueError, match="min and/or max"):
         check_constraints(df, [{"kind": "range", "col": "id"}])
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def _morton2_py(a, b):
+    z = 0
+    for bit in range(32):
+        z |= ((a >> bit) & 1) << (2 * bit)
+        z |= ((b >> bit) & 1) << (2 * bit + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    from pidb_rdf_spark.operators.layout import zorder_key
+
+    rows = [(i, (i * 7919) % 100_000, (i * 104729) % 100_000) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", zorder_key(["x", "y"]).alias("z")).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == _morton2_py(x, y), (i, x, y)
+
+
+def test_zorder_key_three_columns(spark):
+    from pidb_rdf_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(1, 1, 0, 0), (2, 0, 1, 0), (3, 0, 0, 1)],
+                               "id long, a long, b long, c long")
+    got = {r["id"]: r["z"] for r in df.select(
+        "id", zorder_key(["a", "b", "c"]).alias("z")).collect()}
+    assert got == {1: 1, 2: 2, 3: 4}  # bit 0 of each col -> positions 0/1/2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2 or 3"):
+        zorder_key(["a"])
+
+
+def test_zorder_layout_tightens_both_column_ranges(spark):
+    """The point of Z-order: per-chunk min/max spans shrink on BOTH
+    dimensions vs a single-column sort (which leaves the other
+    column's span at ~full width in every chunk)."""
+    from pidb_rdf_spark.operators.layout import zorder_layout
+
+    n, chunks = 4096, 16
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1024, (i * 104729) % 1024) for i in range(n)],
+        "id long, x long, y long",
+    )
+
+    def mean_y_span(frame):
+        import statistics
+
+        spans = [
+            (r["mx"] - r["mn"])
+            for r in frame.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .agg(F.min("y").alias("mn"), F.max("y").alias("mx"))
+            .collect()
+        ]
+        return statistics.mean(spans)
+
+    zordered = zorder_layout(df, ["x", "y"], n_files=chunks)
+    xsorted = df.repartitionByRange(chunks, "x").sortWithinPartitions("x")
+    assert mean_y_span(zordered) < 0.6 * mean_y_span(xsorted)
