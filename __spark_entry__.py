@@ -2320,6 +2320,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_events_key"] = zorder_events_key
 
+    def funnel_events(spark, sf_dir):
+        """Conversion funnel (streaming/events.py funnel): view ->
+        click -> purchase within 2 hours, anchored earliest-match
+        semantics (min aggregates only — deterministic, no ordering
+        races). One filtered min-aggregate per step + narrow joins;
+        the oracle replays the same per-step MIN chain."""
+        from pidb_rdf_spark.streaming.events import funnel
+
+        ev = _events(spark, sf_dir)
+        return funnel(
+            ev, ["view", "click", "purchase"], within="2 hours"
+        )
+
+    q["funnel_events"] = funnel_events
+
     return _rotate_checked_window(q)
 
 
@@ -4463,6 +4478,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                ({_spread('user_id')} | ({_spread('event_id')} << 1)) AS z
         FROM events
+    """
+    base["funnel_events"] = """
+        WITH anchor AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s1 AS (
+            SELECT a.user_id, a.t1, MIN(e.ts) AS t2
+            FROM anchor a JOIN events e
+              ON e.user_id = a.user_id AND e.event_type = 'click'
+             AND e.ts >= a.t1 AND e.ts <= a.t1 + INTERVAL 2 HOUR
+            GROUP BY a.user_id, a.t1
+        ),
+        s2 AS (
+            SELECT s.user_id, MIN(e.ts) AS t3
+            FROM s1 s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             AND e.ts >= s.t2 AND e.ts <= s.t1 + INTERVAL 2 HOUR
+            GROUP BY s.user_id
+        ),
+        c AS (
+            SELECT (SELECT COUNT(*) FROM anchor) AS n0,
+                   (SELECT COUNT(*) FROM s1) AS n1,
+                   (SELECT COUNT(*) FROM s2) AS n2
+        )
+        SELECT 0 AS step_idx, 'view' AS step, n0 AS n_converted,
+               CASE WHEN n0 > 0 THEN 1.0 ELSE 0.0 END AS conversion FROM c
+        UNION ALL
+        SELECT 1, 'click', n1,
+               CASE WHEN n0 > 0 THEN n1 / CAST(n0 AS DOUBLE) ELSE 0.0 END
+        FROM c
+        UNION ALL
+        SELECT 2, 'purchase', n2,
+               CASE WHEN n0 > 0 THEN n2 / CAST(n0 AS DOUBLE) ELSE 0.0 END
+        FROM c
     """
     base["constraints_orders"] = """
         WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders)

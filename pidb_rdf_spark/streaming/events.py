@@ -550,3 +550,62 @@ def detect_sequence(
         *[F.col(f"__id{i}").alias(f"id_{i}") for i in range(1, len(pattern))],
     )
     return out
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "1 hour",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion funnel over ``steps`` (ordered event types): per
+    step, how many keys reached it — anchored earliest-match
+    semantics (the standard product-analytics definition): a key's
+    funnel starts at its FIRST step-1 event; each later step matches
+    the EARLIEST qualifying event at-or-after the previous step's
+    match; the whole run must finish within ``within`` of the anchor.
+
+    Returns (step_idx, step, n_converted, conversion) with
+    conversion = n_converted / step-1 count — deterministic (min
+    aggregates only, no ordering races), so a SQL oracle replays it.
+
+    Scale shape: one filtered min-aggregate per step (len(steps)
+    hash aggregates over the SAME scan lineage, each keyed on the
+    funnel key) + len(steps)-1 narrow joins on (key, prev_ts) —
+    never a self-join over raw events, never a window over the full
+    timeline. Steps are few (a funnel is 3-7 stages); cost is
+    O(steps x events-of-that-type)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(by).alias("k"), F.col(ts_col).alias("t"), F.col(type_col).alias("e")
+    )
+    anchor = (
+        ev.filter(F.col("e") == steps[0])
+        .groupBy("k")
+        .agg(F.min("t").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {within}")
+    cur = anchor.select("k", "t1", F.col("t1").alias("tprev"))
+    counts = [("0", steps[0], anchor.count())]
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("e") == s)
+            .join(cur.select("k", "t1", "tprev"), on="k")
+            .filter((F.col("t") >= F.col("tprev")) & (F.col("t") <= deadline))
+            .groupBy("k", "t1")
+            .agg(F.min("t").alias("tprev"))
+        )
+        cur = nxt
+        counts.append((str(i), s, nxt.count()))
+    base = counts[0][2]
+    return spark.createDataFrame(
+        [
+            (int(idx), step, int(n), (n / base) if base else 0.0)
+            for idx, step, n in counts
+        ],
+        "step_idx int, step string, n_converted long, conversion double",
+    )

@@ -714,3 +714,39 @@ def test_interval_join_right_side_self_clash(spark):
 
     with _pytest.raises(ValueError, match="different suffix"):
         interval_join(bad_left, bad_right, on="x_r")
+
+
+def test_funnel_anchored_earliest_match(spark):
+    from pidb_rdf_spark.streaming.events import funnel
+
+    rows = [
+        # u1 converts fully: view 10:00 -> click 10:10 -> buy 10:20
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:10:00", "click"),
+        (1, "2024-01-01 10:20:00", "buy"),
+        # u2 clicks BEFORE its first view: click must not count
+        (2, "2024-01-01 09:50:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3 converts to click only outside the window
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 11:30:00", "click"),
+        # u4 same-timestamp chain counts (>= semantics)
+        (4, "2024-01-01 10:00:00", "view"),
+        (4, "2024-01-01 10:00:00", "click"),
+        # u5 never views
+        (5, "2024-01-01 10:00:00", "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["step"]: (r["step_idx"], r["n_converted"], round(r["conversion"], 4))
+        for r in funnel(ev, ["view", "click", "buy"], within="1 hour").collect()
+    }
+    assert got["view"] == (0, 4, 1.0)     # u1-u4 have views
+    assert got["click"] == (1, 2, 0.5)    # u1, u4
+    assert got["buy"] == (2, 1, 0.25)     # u1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two steps"):
+        funnel(ev, ["view"])
