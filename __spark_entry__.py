@@ -2210,7 +2210,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cypher_union_stats"] = cypher_union_stats
 
     # -- pre-staged for r10 (window is exactly full this round; same
-    # -- precedent as the late-r8 batch — move in at the next rotation)
+    # -- precedent as the late-r8 batch — move in at the next
+    # -- rotation): shuffle_shard_docs, corpus_diff_snapshots,
+    # -- simhash_index_query, constraints_orders, zorder_events_key,
+    # -- funnel_events. All six are oracle-checked locally
+    # -- (tools/check_correctness.py) and pytest-proven at birth.
+    # -- r10 rotation debt, priority order: (1) the 16 double-deferred
+    # -- entries at the top of _DEFER_TO_TAIL (their newest green will
+    # -- be 3 rounds old), (2) these six, (3) the 50 r8-proven.
 
     def shuffle_shard_docs(spark, sf_dir):
         """Deterministic global shuffle + sharding (operators/
