@@ -34,7 +34,10 @@ issue):
   bound must be 0 or 1, as in Neo4j.
 - ``OPTIONAL MATCH`` blocks (left-join semantics: unmatched rows
   keep NULL for every block-introduced variable; a block-local
-  ``WHERE`` filters inside the match, before the left join).
+  ``WHERE`` filters inside the match, before the left join). r9:
+  ``OPTIONAL MATCH p = shortestPath(...)`` — left-join reachability,
+  ``length(p)`` is NULL where no path exists (the clause's only
+  pattern in this subset).
 - ``WHERE`` with comparisons, ``AND/OR/NOT``, ``IS [NOT] NULL``,
   ``IN [...]``, ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``,
   ``=~`` full-string regex (literal/$parameter pattern), and
@@ -2238,12 +2241,18 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
     keep their mandatory columns and take NULL for every
     block-introduced variable (Neo4j semantics; the block-local WHERE
     filters INSIDE the match, before the left join)."""
-    if any(isinstance(p, (ShortestPat, NamedPath)) for p in pats):
+    if any(isinstance(p, NamedPath) for p in pats):
         raise CypherSyntaxError(
-            "shortestPath / named paths are not supported inside "
-            "OPTIONAL MATCH in this subset"
+            "named paths are not supported inside OPTIONAL MATCH in "
+            "this subset"
         )
-    inline = _hoist_inline_where(c, pats)
+    is_sp = any(isinstance(p, ShortestPat) for p in pats)
+    if is_sp and len(pats) != 1:
+        raise CypherSyntaxError(
+            "shortestPath inside OPTIONAL MATCH must be the only "
+            "pattern of the clause in this subset"
+        )
+    inline = _hoist_inline_where(c, pats) if not is_sp else None
     if inline is not None:
         where = inline if where is None else ("and", where, inline)
     shared = [v for v in dict.fromkeys(_pattern_vars(pats)) if v in c.kinds]
@@ -2256,11 +2265,17 @@ def _bind_optional_match(c: _Compile, pats: list, where: tuple | None) -> None:
     c2.anon = c.anon
     c2.kinds = {v: c.kinds[v] for v in shared}
     c2.cur = c.cur.select(*shared).dropDuplicates()
-    for pat in pats:
-        prev = _bind_node(c2, pat.nodes[0])
-        for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
-            prev = _bind_rel(c2, rel, prev, nxt_pat)
-    _apply_rel_uniqueness(c2)
+    if is_sp:
+        # OPTIONAL reachability: run the BFS over the distinct shared
+        # origins, then LEFT-join — unreached rows keep NULL for the
+        # path length and the far endpoint (Neo4j: p is null)
+        _bind_shortest(c2, pats[0])
+    else:
+        for pat in pats:
+            prev = _bind_node(c2, pat.nodes[0])
+            for rel, nxt_pat in zip(pat.rels, pat.nodes[1:]):
+                prev = _bind_rel(c2, rel, prev, nxt_pat)
+        _apply_rel_uniqueness(c2)
     if where is not None:
         pre_kinds = set(c2.kinds)
         where = _rewrite_subqueries(c2, where)

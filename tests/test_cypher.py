@@ -1145,11 +1145,12 @@ def test_shortest_path_rejections(chain_graph):
             chain_graph,
             "MATCH p = shortestPath((a:P)-[:T*]->(b)) RETURN p AS p",
         )
-    with pytest.raises(CypherSyntaxError):
+    with pytest.raises(CypherSyntaxError, match="only"):
+        # shortestPath must be the clause's only pattern under OPTIONAL
         cypher(
             chain_graph,
-            "MATCH (a:P) OPTIONAL MATCH p = shortestPath((a)-[:T*]->(b)) "
-            "RETURN length(p) AS h",
+            "MATCH (a:P) OPTIONAL MATCH p = shortestPath((a)-[:T*]->(b)), "
+            "(a)-[:T]->(c) RETURN length(p) AS h",
         )
     with pytest.raises(CypherSyntaxError):
         # relationship variable inside shortestPath
@@ -2680,3 +2681,30 @@ def test_call_subquery_order_limit_rejections(graph):
             "  RETURN s.s_name AS sup ORDER BY s.s_acctbal LIMIT 2 } "
             "RETURN sup",
         )
+
+
+def test_optional_match_shortest_path(chain_graph):
+    """r9: OPTIONAL MATCH shortestPath = left-join reachability —
+    node n5 (a sink) keeps its row with NULL length."""
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH (a:P) "
+            "OPTIONAL MATCH p = shortestPath((a)-[:T*]->(b:P {name: 'n5'})) "
+            "RETURN a.name AS name, length(p) AS hops ORDER BY name",
+        )
+    )
+    assert got == [
+        ("n1", 3), ("n2", 3), ("n3", 2), ("n4", 1), ("n5", None)
+    ]
+    # unbound far endpoint: every (a, b) reachable pair, sinks kept
+    got = rows(
+        cypher(
+            chain_graph,
+            "MATCH (a:P) "
+            "OPTIONAL MATCH p = shortestPath((a)-[:T*]->(b)) "
+            "RETURN a.name AS name, count(b) AS n_reached "
+            "ORDER BY name",
+        )
+    )
+    assert got == [("n1", 4), ("n2", 3), ("n3", 2), ("n4", 1), ("n5", 0)]
