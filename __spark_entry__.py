@@ -2342,6 +2342,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_events"] = funnel_events
 
+    def ktruss_dup_graph(spark, sf_dir):
+        """3-truss of the near-dup pair graph (analytics.ktruss):
+        edges inside at least one triangle — the edge-cohesion
+        backbone (strictly stronger than 2-core). Wedge-join support
+        counting per peel round, never triangle enumeration. Oracle:
+        the peel unrolled in DuckDB (_ktruss_sql); clique-family dup
+        graphs converge well inside the unroll budget."""
+        from pidb_rdf_spark.analytics import ktruss
+
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return ktruss(pairs, 3, src="a", dst="b")
+
+    q["ktruss_dup_graph"] = ktruss_dup_graph
+
     return _rotate_checked_window(q)
 
 
@@ -2472,6 +2486,38 @@ def _kcore_sql(k: int = 2, rounds: int = 10) -> str:
     return f"""
 WITH {",".join(ctes)}
 SELECT DISTINCT u AS node FROM sym{rounds}
+"""
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
+    """The k-truss edge peel unrolled in DuckDB SQL, mirroring
+    ``analytics.ktruss`` round-for-round over the near-dup pair
+    graph: per round, keep edges whose common-neighbor count in the
+    surviving edge set is >= k-2. ``rounds`` must exceed the peeling
+    depth (clique-family dup graphs converge in 1-2 rounds; an
+    unconverged unroll shows as a hash mismatch, never silently)."""
+    ctes = [
+        f"pr AS MATERIALIZED (SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, "
+        "GREATEST(a, b) AS b FROM pr WHERE a <> b)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""adj{i} AS MATERIALIZED (
+  SELECT a AS x, b AS n FROM e{i} UNION ALL SELECT b, a FROM e{i}
+)"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN adj{i} s1 ON s1.x = e.a
+  JOIN adj{i} s2 ON s2.x = e.b AND s2.n = s1.n
+  GROUP BY e.a, e.b HAVING COUNT(*) >= {k - 2}
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT a, b FROM e{rounds}
 """
 
 
@@ -4486,6 +4532,7 @@ def oracle_sql() -> dict[str, str]:
                ({_spread('user_id')} | ({_spread('event_id')} << 1)) AS z
         FROM events
     """
+    base["ktruss_dup_graph"] = _ktruss_sql(3, 8)
     base["funnel_events"] = """
         WITH anchor AS (
             SELECT user_id, MIN(ts) AS t1 FROM events

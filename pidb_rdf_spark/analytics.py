@@ -1125,3 +1125,60 @@ def hits(
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def ktruss(
+    pairs: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(a, b) canonical edges of the k-truss: the maximal subgraph in
+    which every edge participates in >= k-2 triangles — the
+    EDGE-level cohesion filter (strictly stronger than the (k-1)-core;
+    the standard community-backbone extraction over a near-dup or
+    co-occurrence graph).
+
+    Plan: iterative edge peel. Per round, each edge's support =
+    common-neighbor count, computed as two equi-joins against the
+    symmetric adjacency (edges x avg-degree join rows, the same wedge
+    shape ``triangle_count`` uses — never per-triangle enumeration);
+    edges below support k-2 drop; converge when a round drops
+    nothing. Rounds = peeling depth (small on clique-family graphs);
+    an exhausted ``max_rounds`` RAISES (house rule: never silently
+    return a superset). Lineage truncated per round."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (k=2 is just the edge set)")
+    e = (
+        _sym(pairs, src, dst)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+            e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+        )
+        sup = (
+            e.join(adj.withColumnsRenamed({"x": "a", "n": "w"}), on="a")
+            .join(
+                adj.withColumnsRenamed({"x": "b", "n": "w"}),
+                on=["b", "w"],
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("__sup"))
+        )
+        kept = (
+            e.join(sup.filter(F.col("__sup") >= k - 2), on=["a", "b"], how="leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        if kept.count() == e.count():
+            return kept
+        e = kept
+        if e.isEmpty():
+            return e
+    raise RuntimeError(
+        f"ktruss did not converge within max_rounds={max_rounds} — "
+        "raise the budget (result would be a superset, not returned)"
+    )

@@ -627,3 +627,36 @@ def test_hits_hub_authority_split(spark):
         assert got[n][0] > 0 and got[n][1] == 0.0
     for n in (10, 11):
         assert got[n][0] == 0.0 and got[n][1] > 0
+
+
+def test_ktruss_semantics(spark):
+    """3-truss keeps exactly the edges in >=1 triangle; a clique
+    minus nothing survives 4-truss while a lone triangle does not."""
+    from pidb_rdf_spark.analytics import ktruss
+
+    # K4 on 1-4, a triangle 5-6-7, and a dangling edge 7-8
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (5, 7), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    t3 = {(r["a"], r["b"]) for r in ktruss(df, 3).collect()}
+    assert t3 == set(edges) - {(7, 8)}
+    t4 = {(r["a"], r["b"]) for r in ktruss(df, 4).collect()}
+    # the triangle's edges have support 1 < 2: only K4 survives
+    assert t4 == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert ktruss(df, 5).count() == 0  # K4 edges have support 2 < 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss(df, 2)
+
+
+def test_ktruss_cascading_peel(spark):
+    """Removing one edge can strip a whole chain of triangles: the
+    triangle fan 0-(1,2),(2,3),(3,4) peels completely at k=4."""
+    from pidb_rdf_spark.analytics import ktruss
+
+    fan = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(fan, "src long, dst long")
+    assert ktruss(df, 4).count() == 0
+    t3 = {(r["a"], r["b"]) for r in ktruss(df, 3).collect()}
+    assert t3 == set(fan)
