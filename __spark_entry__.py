@@ -2356,6 +2356,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ktruss_dup_graph"] = ktruss_dup_graph
 
+    def leakage_free_split_docs(spark, sf_dir):
+        """Leakage-free train/val split (curation.leakage_free_split):
+        near-dup components (over verified MinHash pairs) assigned to
+        one side atomically by the md5 of their canonical member —
+        the eval-inflation guard an i.i.d. split lacks. Components
+        run over the LSH-sized pair set; the corpus joins (id, group)
+        once, split decision is a codegen hash. Oracle: recursive-CTE
+        components + the same md5 bit math."""
+        from pidb_rdf_spark.operators.curation import leakage_free_split
+
+        docs = _docs(spark, sf_dir)
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return leakage_free_split(docs, pairs, val_fraction=0.25).select(
+            "doc_id", "split_group", "split"
+        )
+
+    q["leakage_free_split_docs"] = leakage_free_split_docs
+
     return _rotate_checked_window(q)
 
 
@@ -4533,6 +4551,34 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     base["ktruss_dup_graph"] = _ktruss_sql(3, 8)
+    base["leakage_free_split_docs"] = f"""
+        WITH RECURSIVE pr AS (
+            SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp
+        ),
+        sym(u, v) AS (
+            SELECT a, b FROM pr UNION SELECT b, a FROM pr
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            WHERE s.v <> r.u
+        ),
+        comp AS (
+            SELECT u AS doc_id, LEAST(u, MIN(v)) AS grp
+            FROM reach GROUP BY u
+        ),
+        g AS (
+            SELECT d.doc_id, COALESCE(c.grp, d.doc_id) AS split_group
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, split_group,
+               CASE WHEN CAST(('0x' || substr(md5('split'
+                        || CAST(split_group AS VARCHAR)), 1, 8)) AS BIGINT)
+                         < {int(0.25 * (1 << 32))}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM g
+    """
     base["funnel_events"] = """
         WITH anchor AS (
             SELECT user_id, MIN(ts) AS t1 FROM events

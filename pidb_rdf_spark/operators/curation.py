@@ -138,3 +138,49 @@ def corpus_diff(
         .filter(F.col("change").isNotNull())
         .select(F.col("id").alias(id_col), "change")
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    val_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: connected components over ``dup_pairs`` group
+    transitive duplicates, and the WHOLE component goes to one side,
+    decided by the md5 hash of its canonical (minimum) member id.
+    Splitting docs i.i.d. instead silently places a near-copy of a
+    validation document in train — the classic eval-inflation bug
+    this operator exists to prevent.
+
+    Returns every input column plus ``split_group`` (the component
+    canonical) and ``split`` ('train' | 'val'). Deterministic and
+    growth-stable the same way ``hash_sample`` is: adding documents
+    never flips an existing component that keeps its canonical, and
+    rerunning is byte-identical.
+
+    Scale shape: components over the (sparse) verified pair set —
+    LSH-sized, not corpus-sized — then ONE broadcast-friendly join of
+    (id, group) back to the corpus; the split decision is a codegen
+    hash filter. The corpus is scanned once and shuffled never."""
+    if not 0.0 <= val_fraction <= 1.0:
+        raise ValueError("val_fraction must be in [0, 1]")
+    from pidb_rdf_spark.analytics import near_dup_clusters
+
+    groups = near_dup_clusters(dup_pairs, a=a, b=b).withColumnsRenamed(
+        {"id": id_col, "cluster": "split_group"}
+    )
+    thr = int(val_fraction * _BUCKETS)
+    out = docs.join(groups, on=id_col, how="left").withColumn(
+        "split_group", F.coalesce(F.col("split_group"), F.col(id_col))
+    )
+    return out.withColumn(
+        "split",
+        F.when(
+            _hash_bucket(F.col("split_group"), salt) < F.lit(thr), "val"
+        ).otherwise("train"),
+    )

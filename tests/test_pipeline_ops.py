@@ -2299,3 +2299,33 @@ def test_zorder_layout_tightens_both_column_ranges(spark):
     zordered = zorder_layout(df, ["x", "y"], n_files=chunks)
     xsorted = df.repartitionByRange(chunks, "x").sortWithinPartitions("x")
     assert mean_y_span(zordered) < 0.6 * mean_y_span(xsorted)
+
+
+def test_leakage_free_split_components_stay_together(spark):
+    import hashlib
+
+    from pidb_rdf_spark.operators.curation import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # dup chains: (0,1),(1,2) one family; (10,11) another
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a long, b long"
+    )
+    got = leakage_free_split(docs, pairs, val_fraction=0.3).collect()
+    by_id = {r["doc_id"]: (r["split_group"], r["split"]) for r in got}
+    # transitive family shares group AND side
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    assert by_id[0][0] == 0 and by_id[10][0] == 10
+    # singletons: group = own id, side = md5 decision
+    def side(g):
+        h = int(hashlib.md5(f"split{g}".encode()).hexdigest()[:8], 16)
+        return "val" if h < int(0.3 * (1 << 32)) else "train"
+
+    for i in range(100):
+        assert by_id[i][1] == side(by_id[i][0]), i
+    # both sides are populated at 30%
+    sides = {s for _g, s in by_id.values()}
+    assert sides == {"train", "val"}
