@@ -2374,6 +2374,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["leakage_free_split_docs"] = leakage_free_split_docs
 
+    def random_walks_containment(spark, sf_dir):
+        """Deterministic random walks (analytics.random_walks — the
+        DeepWalk/node2vec corpus sampler) over the undirected
+        containment graph with explicit numeric ids (so the oracle
+        replays every step's md5 % degree choice). Ranked-edge-table
+        design: each step is one narrow join, never per-node neighbor
+        arrays."""
+        from pidb_rdf_spark.analytics import random_walks
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        edges = (
+            nation.select(
+                (F.col("n_nationkey") + 100).cast("long").alias("src"),
+                F.col("n_regionkey").cast("long").alias("dst"),
+            )
+            .unionAll(
+                customer.select(
+                    (F.col("c_custkey") + 10000).cast("long").alias("src"),
+                    (F.col("c_nationkey") + 100).cast("long").alias("dst"),
+                )
+            )
+            .unionAll(
+                supplier.select(
+                    (F.col("s_suppkey") + 20000).cast("long").alias("src"),
+                    (F.col("s_nationkey") + 100).cast("long").alias("dst"),
+                )
+            )
+        )
+        return random_walks(
+            edges, walk_len=3, n_walks=2, directed=False
+        )
+
+    q["random_walks_containment"] = random_walks_containment
+
     return _rotate_checked_window(q)
 
 
@@ -4551,6 +4587,55 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     base["ktruss_dup_graph"] = _ktruss_sql(3, 8)
+    walk_steps = []
+    for s in (1, 2, 3):
+        walk_steps.append(f"""
+        w{s} AS (
+            SELECT f.start, f.walk, r.nbr AS node
+            FROM w{s - 1} f
+            JOIN deg d ON d.cur = f.node
+            JOIN rk r ON r.cur = f.node
+             AND r.rk = CAST(('0x' || substr(md5('walk:'
+                     || CAST(f.start AS VARCHAR) || ':'
+                     || CAST(f.walk AS VARCHAR) || ':{s}'), 1, 13))
+                     AS BIGINT) % d.deg + 1
+        )""")
+    base["random_walks_containment"] = f"""
+        WITH raw AS (
+            SELECT n_nationkey + 100 AS src,
+                   CAST(n_regionkey AS BIGINT) AS dst FROM nation
+            UNION ALL
+            SELECT c_custkey + 10000, c_nationkey + 100 FROM customer
+            UNION ALL
+            SELECT s_suppkey + 20000, s_nationkey + 100 FROM supplier
+        ),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+            ) WHERE src <> dst
+        ),
+        rk AS (
+            SELECT src AS cur, dst AS nbr,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk
+            FROM sym
+        ),
+        deg AS (SELECT cur, MAX(rk) AS deg FROM rk GROUP BY cur),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM sym
+            UNION SELECT DISTINCT dst FROM sym
+        ),
+        w0 AS (
+            SELECT node AS start, w.walk, node
+            FROM nodes, (SELECT 0 AS walk UNION ALL SELECT 1) w
+        ),{",".join(walk_steps)}
+        SELECT start, walk, CAST(0 AS INTEGER) AS step, node FROM w0
+        UNION ALL
+        SELECT start, walk, 1, node FROM w1
+        UNION ALL
+        SELECT start, walk, 2, node FROM w2
+        UNION ALL
+        SELECT start, walk, 3, node FROM w3
+    """
     base["leakage_free_split_docs"] = f"""
         WITH RECURSIVE pr AS (
             SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp

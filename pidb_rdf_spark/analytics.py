@@ -23,7 +23,7 @@ Scale shape shared by every loop below:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1182,3 +1182,89 @@ def ktruss(
         f"ktruss did not converge within max_rounds={max_rounds} — "
         "raise the budget (result would be a superset, not returned)"
     )
+
+
+def random_walks(
+    pairs: DataFrame,
+    walk_len: int = 5,
+    n_walks: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "walk",
+    directed: bool = True,
+) -> DataFrame:
+    """Deterministic random walks — the DeepWalk/node2vec corpus
+    sampler: ``n_walks`` walks of up to ``walk_len`` steps from every
+    node; step s of walk (start, w) moves to neighbor index
+    ``md5(salt:start:w:s) mod degree`` in the (sorted) adjacency —
+    NO RNG state, so the same walks come out on any engine, any
+    partitioning, any rerun (and a SQL oracle replays them). Walks
+    stop early at sinks. Output: (start, walk, step, node) rows,
+    step 0 = the start itself.
+
+    Scale shape: adjacency becomes a RANKED EDGE TABLE (node, rank,
+    neighbor — one row_number window over edges), never per-node
+    neighbor arrays (a hub's array would be degree-sized; the rank
+    table stays row-shaped and co-partitions with the walk frontier).
+    Each step is ONE join of the frontier against (degree, rank) on
+    the current node — walk_len narrow joins total, frontier size
+    ≤ nodes x n_walks throughout."""
+    if walk_len < 1 or n_walks < 1:
+        raise ValueError("walk_len and n_walks must be >= 1")
+    e = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        if directed
+        else _sym(pairs, src, dst)
+    )
+    rk = e.select(
+        F.col("src").alias("cur"),
+        F.col("dst").alias("nbr"),
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rk"),
+    ).localCheckpoint(eager=True)
+    deg = rk.groupBy("cur").agg(F.max("rk").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+        F.col("node").alias("node"),
+    ).localCheckpoint(eager=True)
+    out = frontier.select(
+        "start", "walk", F.lit(0).cast("int").alias("step"), "node"
+    )
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    for s in range(1, walk_len + 1):
+        h = md5_prefix_long(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("start").cast("string"),
+                F.lit(":"),
+                F.col("walk").cast("string"),
+                F.lit(f":{s}"),
+            ),
+            52,
+        )
+        frontier = (
+            frontier.withColumnRenamed("node", "cur")
+            .join(deg, on="cur")  # sinks drop out: the walk ends
+            .withColumn("rk", (h % F.col("deg") + 1).cast("int"))
+            .join(rk, on=["cur", "rk"])
+            .select("start", "walk", F.col("nbr").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionAll(
+            frontier.select(
+                "start", "walk", F.lit(s).cast("int").alias("step"), "node"
+            )
+        )
+    return out

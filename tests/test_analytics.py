@@ -660,3 +660,42 @@ def test_ktruss_cascading_peel(spark):
     assert ktruss(df, 4).count() == 0
     t3 = {(r["a"], r["b"]) for r in ktruss(df, 3).collect()}
     assert t3 == set(fan)
+
+
+def test_random_walks_deterministic_and_replayable(spark):
+    import hashlib
+
+    from pidb_rdf_spark.analytics import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)]  # 4 is a sink
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = random_walks(df, walk_len=4, n_walks=2).collect()
+    walks = {}
+    for r in got:
+        walks.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+
+    adj = {1: [2, 3], 2: [3], 3: [1, 4]}
+
+    def replay(start, w):
+        path = {0: start}
+        cur = start
+        for s in range(1, 5):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = int(
+                hashlib.md5(f"walk:{start}:{w}:{s}".encode()).hexdigest()[:13],
+                16,
+            )
+            cur = sorted(nbrs)[h % len(nbrs)]
+            path[s] = cur
+        return path
+
+    for start in (1, 2, 3, 4):
+        for w in (0, 1):
+            assert walks[(start, w)] == replay(start, w), (start, w)
+    # walks from the sink are just the start row
+    assert walks[(4, 0)] == {0: 4}
+    # stable under input repartitioning
+    again = random_walks(df.repartition(7), walk_len=4, n_walks=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
