@@ -2213,7 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- precedent as the late-r8 batch — move in at the next
     # -- rotation): shuffle_shard_docs, corpus_diff_snapshots,
     # -- simhash_index_query, constraints_orders, zorder_events_key,
-    # -- funnel_events. All six are oracle-checked locally
+    # -- funnel_events, ktruss_dup_graph, leakage_free_split_docs,
+    # -- random_walks_containment. All nine are oracle-checked locally
     # -- (tools/check_correctness.py) and pytest-proven at birth.
     # -- r10 rotation debt, priority order: (1) the 16 double-deferred
     # -- entries at the top of _DEFER_TO_TAIL (their newest green will

@@ -1269,3 +1269,59 @@ def test_rdflib_engine_matches_native(spark, tmp_path):
         tuple(r) for r in read_rdf_with_rdflib(spark, str(p), "Turtle").collect()
     }
     assert native == viardf
+
+
+# ---------------------------------------------------------------------------
+# Neo4j admin-import CSV reader (sources/neo4j_csv.py, r9)
+# ---------------------------------------------------------------------------
+
+
+def test_neo4j_csv_roundtrip_through_cypher(spark, tmp_path):
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.sources.neo4j_csv import read_neo4j_csv
+
+    (tmp_path / "nodes.csv").write_text(
+        "name:ID,:LABEL,born:int,city\n"
+        "alice,Person;Admin,1984,berlin\n"
+        "bob,Person,1990,\n"
+        "acme,Company,,nyc\n"
+    )
+    (tmp_path / "rels.csv").write_text(
+        ":START_ID,:END_ID,:TYPE,since\n"
+        "alice,acme,WORKS_AT,2019\n"
+        "bob,acme,WORKS_AT,2021\n"
+        "alice,bob,KNOWS,\n"
+    )
+    g = read_neo4j_csv(
+        spark, str(tmp_path / "nodes.csv"), str(tmp_path / "rels.csv")
+    )
+    assert g.nodes.count() == 3 and g.edges.count() == 3
+    alice = g.nodes.filter(F.col("uri") == "urn:neo4j:alice").first()
+    assert sorted(alice["labels"]) == ["Admin", "Person"]
+    assert alice["props"] == {"born": "1984", "city": "berlin"}
+    bob = g.nodes.filter(F.col("uri") == "urn:neo4j:bob").first()
+    assert "city" not in bob["props"]  # NULL props dropped
+    # the loaded graph is queryable through the Cypher front-end
+    got = cypher(
+        g,
+        "MATCH (p:Person)-[r:WORKS_AT]->(c:Company) "
+        "RETURN p.city AS city, r.since AS since ORDER BY since",
+    ).collect()
+    assert [(r["city"], r["since"]) for r in got] == [
+        ("berlin", "2019"), (None, "2021")
+    ]
+
+
+def test_neo4j_csv_header_validation(spark, tmp_path):
+    from pidb_rdf_spark.sources.neo4j_csv import read_neo4j_csv
+
+    (tmp_path / "bad.csv").write_text("name,city\nx,y\n")
+    with pytest.raises(ValueError, match=":ID"):
+        read_neo4j_csv(spark, str(tmp_path / "bad.csv"))
+    (tmp_path / "n.csv").write_text("name:ID\nx\n")
+    (tmp_path / "badr.csv").write_text(":START_ID,:END_ID\nx,y\n")
+    with pytest.raises(ValueError, match=":TYPE"):
+        read_neo4j_csv(spark, str(tmp_path / "n.csv"), str(tmp_path / "badr.csv"))
+    # nodes-only load works
+    g = read_neo4j_csv(spark, str(tmp_path / "n.csv"))
+    assert g.nodes.count() == 1 and g.edges.count() == 0
