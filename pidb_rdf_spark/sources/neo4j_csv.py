@@ -124,3 +124,55 @@ def read_neo4j_csv(
         eprops_map.alias("props"),
     )
     return PropertyGraph(spark=spark, nodes=nodes, edges=edges)
+
+
+def write_neo4j_csv(
+    graph: PropertyGraph, nodes_path: str, rels_path: str
+) -> None:
+    """Export a PropertyGraph as a `neo4j-admin database import` CSV
+    pair — the reverse migration (this engine -> Neo4j). ``uri`` is
+    the ``:ID``; labels join with ``;``; the props map flattens to
+    one column per distinct key (bounded by the engine's schema cap,
+    the namespace-registry class of collect). Edge endpoints resolve
+    id -> uri through two joins against the node table.
+
+    Written with Spark's parallel CSV writer (one directory per
+    table, splittable parts) — `neo4j-admin` accepts multiple files
+    per table, so no single-stream choke point."""
+    nodes, edges = graph.nodes, graph.edges
+    nkeys = sorted(
+        r[0]
+        for r in nodes.select(
+            F.explode(F.map_keys("props")).alias("k")
+        ).distinct().collect()
+    )
+    out_n = nodes.select(
+        F.col("uri").alias("name:ID"),
+        F.array_join("labels", ";").alias(":LABEL"),
+        *[F.col("props")[k].alias(k) for k in nkeys],
+    )
+    out_n.write.mode("overwrite").option("header", True).csv(nodes_path)
+    ekeys = sorted(
+        r[0]
+        for r in edges.select(
+            F.explode(F.map_keys("props")).alias("k")
+        ).distinct().collect()
+    )
+    uri_of = nodes.select("id", "uri")
+    out_e = (
+        edges.join(
+            uri_of.withColumnsRenamed({"id": "src", "uri": ":START_ID"}),
+            on="src",
+        )
+        .join(
+            uri_of.withColumnsRenamed({"id": "dst", "uri": ":END_ID"}),
+            on="dst",
+        )
+        .select(
+            ":START_ID",
+            ":END_ID",
+            F.col("predicate").alias(":TYPE"),
+            *[F.col("props")[k].alias(k) for k in ekeys],
+        )
+    )
+    out_e.write.mode("overwrite").option("header", True).csv(rels_path)

@@ -1325,3 +1325,37 @@ def test_neo4j_csv_header_validation(spark, tmp_path):
     # nodes-only load works
     g = read_neo4j_csv(spark, str(tmp_path / "n.csv"))
     assert g.nodes.count() == 1 and g.edges.count() == 0
+
+
+def test_neo4j_csv_export_reimport_roundtrip(spark, tmp_path):
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.sources.neo4j_csv import (
+        read_neo4j_csv,
+        write_neo4j_csv,
+    )
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [
+                (1, "urn:x:a", ["P", "Q"], {"k": "1"}),
+                (2, "urn:x:b", ["P"], {"m": "2"}),
+            ],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(9, 1, 2, "T", {"w": "5"})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    np_, rp = str(tmp_path / "n"), str(tmp_path / "r")
+    write_neo4j_csv(g, np_, rp)
+    g2 = read_neo4j_csv(spark, np_ + "/*.csv", rp + "/*.csv", id_space="x2")
+    assert g2.nodes.count() == 2 and g2.edges.count() == 1
+    a = g2.nodes.filter(F.col("uri") == "urn:x2:urn:x:a").first()
+    assert sorted(a["labels"]) == ["P", "Q"] and a["props"] == {"k": "1"}
+    e = g2.edges.first()
+    assert e["predicate"] == "T" and e["props"] == {"w": "5"}
+    # endpoints resolved consistently
+    src_uri = g2.nodes.filter(F.col("id") == e["src"]).first()["uri"]
+    assert src_uri == "urn:x2:urn:x:a"
