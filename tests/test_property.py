@@ -225,3 +225,61 @@ def test_star_components_match_union_find(spark, pairs):
         for r in connected_components(df).collect()
     }
     assert got_star == got_minlabel
+
+
+def _py_ktruss(pairs, k):
+    edges = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+        if kept == edges:
+            return edges
+        edges = kept
+
+
+@SLOW
+@given(pairs=edges_strategy, k=st.integers(3, 5))
+def test_ktruss_matches_python_oracle(spark, pairs, k):
+    from pidb_rdf_spark.analytics import ktruss
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+    got = {(r["a"], r["b"]) for r in ktruss(df, k).collect()}
+    assert got == _py_ktruss(pairs, k)
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(0, 1_000_000), min_size=1, max_size=40,
+                 unique=True),
+    n_shards=st.integers(1, 7),
+)
+def test_deterministic_shuffle_matches_python(spark, ids, n_shards):
+    import hashlib
+
+    from pidb_rdf_spark.operators.mixing import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq"])
+        for r in deterministic_shuffle(df, n_shards).collect()
+    }
+    def h(i):
+        return int(hashlib.md5(f"shuffle:{i}".encode()).hexdigest()[:13], 16)
+
+    by_shard = {}
+    for i in ids:
+        by_shard.setdefault(h(i) % n_shards, []).append(i)
+    want = {}
+    for s, members in by_shard.items():
+        for seq, i in enumerate(sorted(members, key=lambda x: (h(x), x))):
+            want[i] = (s, seq)
+    assert got == want
