@@ -1,7 +1,20 @@
 from pidb_rdf_spark.operators.curation import (
+    corpus_diff,
     hash_sample,
+    leakage_free_split,
     pack_token_stream,
     stratified_hash_sample,
+)
+from pidb_rdf_spark.operators.layout import zorder_key, zorder_layout
+from pidb_rdf_spark.operators.mixing import (
+    deterministic_shuffle,
+    mix_sources,
+    mixture_rates,
+)
+from pidb_rdf_spark.operators.profile import (
+    check_constraints,
+    profile_diff,
+    profile_table,
 )
 from pidb_rdf_spark.operators.decontam import (
     contaminated_ids,
@@ -80,7 +93,17 @@ from pidb_rdf_spark.operators.text import (
 from pidb_rdf_spark.operators.window import topk_per_group
 
 __all__ = [
+    "check_constraints",
+    "corpus_diff",
+    "deterministic_shuffle",
     "hash_sample",
+    "leakage_free_split",
+    "mix_sources",
+    "mixture_rates",
+    "profile_diff",
+    "profile_table",
+    "zorder_key",
+    "zorder_layout",
     "stratified_hash_sample",
     "chunk_documents",
     "pii_scrub",
