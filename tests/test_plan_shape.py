@@ -333,23 +333,27 @@ def test_deterministic_shuffle_single_exchange(spark):
 
 def test_corpus_diff_shuffles_hashes_not_payloads(spark):
     """corpus_diff: both sides reduce to (id, md5) before the join —
-    every scan/exchange schema is two narrow columns, the text
-    payload never moves."""
+    every scan/exchange schema is two narrow columns, the payload
+    never moves. (Uses part.parquet: no fixture caches it, so the
+    parquet ReadSchema stays observable — same precedent as
+    test_filter_pushdown_and_column_pruning.)"""
     from pidb_rdf_spark.operators.curation import corpus_diff
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     out = corpus_diff(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 3 == 0),
+        part.filter(F.col("p_partkey") % 2 == 0),
+        part.filter(F.col("p_partkey") % 3 == 0),
+        id_col="p_partkey",
+        content_col="p_name",
     )
     s = plan_summary(out)
     assert s["python_evals"] == 0
-    # projection reached the scans: only (doc_id, text) read
+    # projection reached the scans: only (p_partkey, p_name) read
     assert all(w <= 2 for w in s["scan_widths"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # no full-width text column crosses an exchange: the join keys
+    # no full-width payload column crosses an exchange: the join keys
     # and md5 projections are the only shuffled attributes
     import re
 
     for seg in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in seg
+        assert "p_name" not in seg
