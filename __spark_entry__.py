@@ -2214,7 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- rotation): shuffle_shard_docs, corpus_diff_snapshots,
     # -- simhash_index_query, constraints_orders, zorder_events_key,
     # -- funnel_events, ktruss_dup_graph, leakage_free_split_docs,
-    # -- random_walks_containment. All nine are oracle-checked locally
+    # -- random_walks_containment, jl_project_embeddings. All ten are
+    # -- oracle-checked locally
     # -- (tools/check_correctness.py) and pytest-proven at birth.
     # -- r10 rotation debt, priority order: (1) the 16 double-deferred
     # -- entries at the top of _DEFER_TO_TAIL (their newest green will
@@ -2410,6 +2411,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["random_walks_containment"] = random_walks_containment
+
+    def jl_project_embeddings(spark, sf_dir):
+        """Sparse-JL random projection (quantize.random_projection):
+        64 -> 16 dims with the deterministic Achlioptas matrix (md5
+        entries — every engine builds the same matrix), one broadcast
+        + one BLAS matmul per Arrow batch, zero shuffle. Exploded to
+        (vec_id, dim, val) rows so the oracle compares scalar cells;
+        the oracle rebuilds the matrix and replays the matmul."""
+        from pidb_rdf_spark.operators.quantize import random_projection
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = random_projection(emb, out_dim=16)
+        ex = out.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        # round: BLAS vs SQL summation order differs in the last bits;
+        # 6 decimals is 9 orders above the drift at these magnitudes
+        return ex.withColumn("val", F.round("val", 6))
+
+    q["jl_project_embeddings"] = jl_project_embeddings
 
     return _rotate_checked_window(q)
 
@@ -4588,6 +4609,26 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     base["ktruss_dup_graph"] = _ktruss_sql(3, 8)
+    base["jl_project_embeddings"] = """
+        WITH m AS (
+            SELECT i.i, j.j,
+                   CASE CAST(('0x' || substr(md5('jl:' || CAST(i.i AS VARCHAR)
+                             || ':' || CAST(j.j AS VARCHAR)), 1, 13))
+                             AS BIGINT) % 6
+                        WHEN 0 THEN sqrt(3.0 / 16)
+                        WHEN 1 THEN -sqrt(3.0 / 16)
+                        ELSE 0.0 END AS v
+            FROM generate_series(0, 15) i(i), generate_series(0, 63) j(j)
+        ),
+        e AS (
+            SELECT vec_id, j.j,
+                   CAST(embedding[j.j + 1] AS DOUBLE) AS x
+            FROM embeddings, generate_series(0, 63) j(j)
+        )
+        SELECT e.vec_id, m.i AS dim, ROUND(SUM(m.v * e.x), 6) AS val
+        FROM e JOIN m ON m.j = e.j
+        GROUP BY e.vec_id, m.i
+    """
     walk_steps = []
     for s in (1, 2, 3):
         walk_steps.append(f"""

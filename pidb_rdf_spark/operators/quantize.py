@@ -306,3 +306,86 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# random projection (sparse Johnson-Lindenstrauss) dimensionality cut
+# ---------------------------------------------------------------------------
+
+
+def jl_matrix(in_dim: int, out_dim: int, salt: str = "jl"):
+    """Deterministic Achlioptas sparse-JL matrix (out_dim x in_dim):
+    entry(i, j) is +s / 0 / -s with probability 1/6, 2/3, 1/6 where
+    s = sqrt(3 / out_dim) — decided by md5(salt:i:j), so every
+    engine, executor, and rerun builds the SAME matrix (no RNG
+    state). Driver-side but bounded by dims, never by data — the
+    k-means-centroid class of small state."""
+    import hashlib
+
+    import numpy as np
+
+    s = (3.0 / out_dim) ** 0.5
+    m = np.zeros((out_dim, in_dim))
+    for i in range(out_dim):
+        for j in range(in_dim):
+            h = int(
+                hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:13], 16
+            ) % 6
+            if h == 0:
+                m[i, j] = s
+            elif h == 1:
+                m[i, j] = -s
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project the
+    embedding column to ``out_dim`` with the deterministic sparse
+    Achlioptas matrix — the standard pre-ANN shrink (pairwise
+    distances preserved within 1±eps for out_dim ~ 8 ln n / eps²),
+    cutting every downstream shuffle/broadcast by in_dim/out_dim.
+
+    Scale shape: the matrix broadcasts (out_dim x in_dim floats);
+    each Arrow batch does ONE BLAS matmul inside ``mapInPandas`` —
+    no shuffle, no per-row Python. Deterministic end to end, so the
+    projected values replay exactly in a SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("random_projection: empty input")
+    in_dim = first["d"]
+    if not 1 <= out_dim <= in_dim:
+        raise ValueError("need 1 <= out_dim <= in_dim")
+    m = jl_matrix(in_dim, out_dim, salt)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = vecs @ m.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(map(list, out))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(project, schema)

@@ -2329,3 +2329,35 @@ def test_leakage_free_split_components_stay_together(spark):
     # both sides are populated at 30%
     sides = {s for _g, s in by_id.values()}
     assert sides == {"train", "val"}
+
+
+def test_random_projection_exact_replay_and_distance_preservation(spark, emb):
+    import numpy as np
+
+    from pidb_rdf_spark.operators.quantize import jl_matrix, random_projection
+
+    sample = emb.limit(60)
+    rows = sample.collect()
+    in_dim = len(rows[0]["embedding"])
+    out = random_projection(sample, out_dim=16)
+    got = {r["vec_id"]: np.array(r["embedding"]) for r in out.collect()}
+    m = jl_matrix(in_dim, 16)
+    for r in rows:
+        want = np.asarray(r["embedding"], dtype=np.float64) @ m.T
+        assert np.allclose(got[r["vec_id"]], want), r["vec_id"]
+    # JL property (loose): relative pairwise-distance distortion is
+    # bounded on average for this out_dim
+    ids = [r["vec_id"] for r in rows[:20]]
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows[:20]}
+    dists = []
+    for i in range(0, 18, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(got[a] - got[b])
+        if d0 > 0:
+            dists.append(d1 / d0)
+    assert 0.5 < sum(dists) / len(dists) < 1.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(sample, out_dim=0)
