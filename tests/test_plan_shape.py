@@ -357,3 +357,29 @@ def test_corpus_diff_shuffles_hashes_not_payloads(spark):
 
     for seg in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "p_name" not in seg
+
+
+def test_explain_query_surfaces(spark):
+    from pidb_rdf_spark.explain import explain_df, explain_query
+    from pidb_rdf_spark.graph import graphify
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    s = explain_query(
+        g,
+        'SELECT ?n WHERE { ?c v:label "Customer" . ?c v:c_name ?n }',
+        dialect="sparql",
+    )
+    assert "ReadSchema" in s or "InMemory" in s  # formatted scan detail
+    c = explain_query(
+        g,
+        "MATCH (n:Nation) WHERE n.n_nationkey < 5 RETURN n.n_name AS x",
+        dialect="cypher",
+        mode="simple",
+    )
+    assert "Physical Plan" in c or "Filter" in c
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dialect"):
+        explain_query(g, "X", dialect="gremlin")
+    with _pytest.raises(ValueError, match="mode"):
+        explain_df(g.nodes, mode="fancy")
