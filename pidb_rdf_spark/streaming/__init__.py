@@ -1,6 +1,9 @@
 from pidb_rdf_spark.streaming.events import (
     asof_join,
     dedup_stream,
+    detect_sequence,
+    funnel,
+    interval_join,
     rollup_counts,
     sessionize,
     sessionize_stream,
@@ -13,6 +16,9 @@ from pidb_rdf_spark.streaming.rdf_stream import stream_import_triples
 __all__ = [
     "asof_join",
     "dedup_stream",
+    "detect_sequence",
+    "funnel",
+    "interval_join",
     "rollup_counts",
     "sessionize",
     "sessionize_stream",
