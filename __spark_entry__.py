@@ -2214,8 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- rotation): shuffle_shard_docs, corpus_diff_snapshots,
     # -- simhash_index_query, constraints_orders, zorder_events_key,
     # -- funnel_events, ktruss_dup_graph, leakage_free_split_docs,
-    # -- random_walks_containment, jl_project_embeddings. All ten are
-    # -- oracle-checked locally
+    # -- random_walks_containment, jl_project_embeddings,
+    # -- blocklist_filter_docs. All eleven are oracle-checked locally
     # -- (tools/check_correctness.py) and pytest-proven at birth.
     # -- r10 rotation debt, priority order: (1) the 16 double-deferred
     # -- entries at the top of _DEFER_TO_TAIL (their newest green will
@@ -2431,6 +2431,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ex.withColumn("val", F.round("val", 6))
 
     q["jl_project_embeddings"] = jl_project_embeddings
+
+    def blocklist_filter_docs(spark, sf_dir):
+        """Wordlist/blocklist filtering (text.blocklist_hits — the
+        C4/Dolma toxicity-list step): hit counts + fraction + strict
+        pass flag against a fixture wordlist. The term set is an
+        expression literal (wordlist-sized); one higher-order filter
+        over the token array — zero shuffle, zero Python."""
+        from pidb_rdf_spark.operators.text import blocklist_hits
+
+        docs = _docs(spark, sf_dir)
+        return blocklist_hits(
+            docs, ["the", "shard", "0"], max_frac=0.05
+        ).select("doc_id", "n_blocked", "blocked_frac", "blocklist_ok")
+
+    q["blocklist_filter_docs"] = blocklist_filter_docs
 
     return _rotate_checked_window(q)
 
@@ -4609,6 +4624,21 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     base["ktruss_dup_graph"] = _ktruss_sql(3, 8)
+    base["blocklist_filter_docs"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(toks,
+                    x -> list_contains(['0', 'shard', 'the'], x)))
+                    AS BIGINT) AS n_blocked,
+               len(list_filter(toks,
+                    x -> list_contains(['0', 'shard', 'the'], x)))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) AS blocked_frac,
+               len(list_filter(toks,
+                    x -> list_contains(['0', 'shard', 'the'], x)))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) <= 0.05
+                   AS blocklist_ok
+        FROM t
+    """
     base["jl_project_embeddings"] = """
         WITH m AS (
             SELECT i.i, j.j,

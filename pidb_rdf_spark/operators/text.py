@@ -433,3 +433,41 @@ def line_dedup_global(
             ).alias("n_lines_removed"),
         )
     )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    max_frac: float = 0.0,
+) -> DataFrame:
+    """Wordlist filtering — the toxicity / NSFW / spam blocklist step
+    every production corpus pipeline runs (C4 used the "List of
+    Dirty, Naughty ..." wordlist; Gopher and Dolma keep variants).
+    Adds ``n_blocked`` (token occurrences whose lowercase form is in
+    ``terms``), ``blocked_frac`` (of all tokens) and ``blocklist_ok``
+    (frac <= ``max_frac``; the default 0.0 is the strict C4 rule —
+    any hit fails).
+
+    Scale shape: the term set folds into the projection as a literal
+    array (wordlists are 1e2-1e4 terms — expression-sized, broadcast
+    with the plan itself); the count is one ``filter`` higher-order
+    function over the token array. Zero shuffle, zero Python, same
+    scan-stage contract as the rest of text.py. Matching is exact on
+    whitespace tokens (lowercased) — substring/obfuscation matching
+    is a different operator (see winnow.py for verbatim spans)."""
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    if any(" " in t or t == "" for t in terms):
+        raise ValueError("terms are single whitespace-tokens (no spaces)")
+    tset = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    toks = tokens(F.col(text_col))
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(tset, t)))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    return df.withColumns(
+        {
+            "n_blocked": n_blocked.cast("long"),
+            "blocked_frac": n_blocked / n_tok,
+            "blocklist_ok": (n_blocked / n_tok) <= F.lit(float(max_frac)),
+        }
+    )

@@ -2361,3 +2361,37 @@ def test_random_projection_exact_replay_and_distance_preservation(spark, emb):
 
     with _pytest.raises(ValueError, match="out_dim"):
         random_projection(sample, out_dim=0)
+
+
+def test_blocklist_hits_counts_and_flag(spark):
+    from pidb_rdf_spark.operators.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "one BAD word"),
+            (3, "bad bad worse bad"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_blocked"], round(r["blocked_frac"], 4), r["blocklist_ok"])
+        for r in blocklist_hits(df, ["bad", "worse"]).collect()
+    }
+    assert got[1] == (0, 0.0, True)
+    assert got[2] == (1, round(1 / 3, 4), False)   # case-insensitive
+    assert got[3] == (4, 1.0, False)
+    assert got[4] == (0, 0.0, True)                # empty text safe
+    # tolerance threshold
+    lax = {
+        r["doc_id"]: r["blocklist_ok"]
+        for r in blocklist_hits(df, ["bad"], max_frac=0.4).collect()
+    }
+    assert lax[2] is True and lax[3] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        blocklist_hits(df, [])
+    with _pytest.raises(ValueError, match="whitespace"):
+        blocklist_hits(df, ["two words"])
