@@ -283,3 +283,60 @@ def test_deterministic_shuffle_matches_python(spark, ids, n_shards):
         for seq, i in enumerate(sorted(members, key=lambda x: (h(x), x))):
             want[i] = (s, seq)
     assert got == want
+
+
+def _py_funnel(rows, steps, within_s):
+    import datetime as dt
+
+    by_user = {}
+    for u, ts, e in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    counts = [0] * len(steps)
+    for u, evs in by_user.items():
+        evs.sort()
+        t1 = min((t for t, e in evs if e == steps[0]), default=None)
+        if t1 is None:
+            continue
+        counts[0] += 1
+        deadline = t1 + dt.timedelta(seconds=within_s)
+        tprev = t1
+        for i, s in enumerate(steps[1:], start=1):
+            ti = min(
+                (t for t, e in evs if e == s and tprev <= t <= deadline),
+                default=None,
+            )
+            if ti is None:
+                break
+            counts[i] += 1
+            tprev = ti
+    return counts
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(1, 6),                      # user
+            st.integers(0, 7200),                   # offset seconds
+            st.sampled_from(["a", "b", "c", "x"]),  # event type
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_python_oracle(spark, data):
+    import datetime as dt
+
+    from pidb_rdf_spark.streaming.events import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(seconds=off), e) for u, off, e in data]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step_idx"]: r["n_converted"]
+        for r in funnel(df, ["a", "b", "c"], within="1 hour").collect()
+    }
+    want = _py_funnel(rows, ["a", "b", "c"], 3600)
+    assert [got[i] for i in range(3)] == want
