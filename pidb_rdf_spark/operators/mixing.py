@@ -172,3 +172,30 @@ def deterministic_shuffle(
         .withColumn("seq", F.row_number().over(w).cast("long") - 1)
         .drop("__h")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> None:
+    """Materialize the training-data layout: ``deterministic_shuffle``
+    then write parquet partitioned by ``shard``, rows sorted by
+    ``seq`` within each file — a data loader streams shard
+    directories in order and replays the exact global permutation.
+
+    ONE shuffle end to end (repartition by the shard column feeds
+    both the directory partitioning and the local sort); rerunning
+    with the same salt is byte-stable, re-salting lays out a fresh
+    epoch. At 100 TB pick n_shards so a shard ~ the loader's unit of
+    parallelism (thousands) — parquet files per directory stay 1."""
+    out = deterministic_shuffle(df, n_shards, id_col, salt)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "seq")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -2395,3 +2395,33 @@ def test_blocklist_hits_counts_and_flag(spark):
         blocklist_hits(df, [])
     with _pytest.raises(ValueError, match="whitespace"):
         blocklist_hits(df, ["two words"])
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from pidb_rdf_spark.operators.mixing import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # the written permutation equals the operator's output exactly
+    want = {
+        (r["doc_id"], r["shard"], r["seq"])
+        for r in deterministic_shuffle(docs, 4).collect()
+    }
+    got = {(r["doc_id"], r["shard"], r["seq"]) for r in back.collect()}
+    assert got == want
+    # within one shard file, rows are physically seq-ordered
+    one = spark.read.parquet(path + "/shard=0").collect()
+    seqs = [r["seq"] for r in one]
+    assert seqs == sorted(seqs)
