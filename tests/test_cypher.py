@@ -2001,6 +2001,11 @@ def test_parser_fuzz_no_crash():
         "=~", "STARTS WITH", "IS NULL", "nodes(p)", "length(p)",
         "FOREACH", "(x IN [1, 2] |", "|", "[(a)-[:T]->(b) | a.x]",
         "n {.k, y: 1}", "{.*}", "CALL { WITH n", "RETURN n }",
+        # r9 surfaces
+        "allShortestPaths", "OPTIONAL MATCH p = shortestPath",
+        "ORDER BY x LIMIT 2 }", "SKIP 2 }", "reduce(s = 0, y IN xs | s + y)",
+        "any(y IN xs WHERE y > 1)", "percentileDisc(n.x, 0.5)",
+        "stDev(n.x)", "round(n.x, 1)",
     ])
 
     @given(st.lists(fragments, min_size=1, max_size=12))
