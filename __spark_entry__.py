@@ -170,6 +170,34 @@ _DEFER_TO_TAIL = [
     # entries; the correlated-CALL WITH-rebinding fix is additionally
     # pinned by 12 pytest oracle tests. decode_wav/rdflib-engine are
     # additive (no entry consumes them; pytest-proven).
+    # Late-r9 rebalance: the session after the rotation added 11 MORE
+    # new entries (shuffle_shard_docs .. blocklist_filter_docs), which
+    # pushed the in-window count to 61 > 50. Never-proven entries
+    # outrank returning ones, so 11 additional r7-green returners
+    # defer below (justified inline); the front is now exactly 20
+    # returners + 30 never-proven = 50. r10 window obligation: the 16
+    # double-deferred below PLUS these 11 are first into the r10
+    # window (27 entries whose newest green row will then be 3 rounds
+    # old), before any r9-green entry returns.
+    # aggregate compile (compiler.py:345,1392) re-proven in-window by lineitem_pricing_summary + subselect_nation_order_counts + cypher_nation_order_stats; functions untouched by the r9 diff
+    "group_count",
+    "count_distinct",
+    # dsl.py untouched in r9; dsl_two_hop_group stays in-window on the same traversal core
+    "gremlin_repeat_until",
+    # decontam.py untouched since r6; r7-green; pytest oracle coverage in test_decontam.py
+    "decontam_overlap",
+    # text.py's r9 diff APPENDS blocklist_filter (own new in-window entry); these three functions untouched since r4
+    "text_quality",
+    "token_counts",
+    "repetition_signals_docs",
+    # multimodal.py's r9 diff APPENDS decode_wav only; media_header_probe stays in-window for the file
+    "media_features",
+    # events.py's r9 diff = funnel append + interval_join rename fix; dedup_stream untouched; sessionize_events + interval_join_events + sequence_detect_events + funnel_events in-window for the file
+    "stream_dedup_events",
+    # winnow.py untouched since r7; r7-green with an sf1 probe row in SCALE.md
+    "substring_dup_docs",
+    # dedup.py's r9 diff APPENDS the persisted SimHash index (own in-window entry simhash_index_query); this function untouched since its r7 guard fix
+    "semantic_index_query",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
