@@ -46,7 +46,12 @@ issue):
   semi/anti join each (the SPARQL FILTER EXISTS shape); anywhere
   deeper (under OR, CASE, in RETURN items) they become per-row
   match-count columns (one left join). ``COUNT { ... }`` subquery
-  expressions give the match count directly, 0 when unmatched.
+  expressions give the match count directly, 0 when unmatched;
+  ``COLLECT { ... RETURN [DISTINCT] expr }`` (Neo4j 5.6) gives the
+  per-row list of subquery values (``[]`` when unmatched, ascending
+  order pinned, ``collect_set`` under DISTINCT) — the multi-pattern
+  generalization of a pattern comprehension, one aggregate-and-join
+  per expression.
 - ``RETURN [DISTINCT]`` of properties, variables (their ids),
   arithmetic, ``*`` (every bound variable, optionally with extra
   items — ``RETURN *, count(*) AS n``; also ``WITH *``),
@@ -1062,10 +1067,14 @@ class _Parser:
             return ("lit", None)
         if t.kind == "name":
             name = t.text
-            if name.lower() in ("exists", "count") and self._at("op", "{"):
-                # EXISTS { ... } / COUNT { ... } subquery expressions
+            if name.lower() in ("exists", "count", "collect") and self._at("op", "{"):
+                # EXISTS { ... } / COUNT { ... } / COLLECT { ... RETURN e }
+                # subquery expressions
                 self._next()
-                pats, where = self._subquery_block()
+                if name.lower() == "collect":
+                    pats, where, mape, dist = self._subquery_block(collect=True)
+                    return ("collect_sub", pats, where, mape, dist)
+                pats, where, _, _ = self._subquery_block()
                 kind = "exists_sub" if name.lower() == "exists" else "count_sub"
                 return (kind, pats, where)
             if name.lower() == "exists" and self._at("op", "("):
@@ -1144,10 +1153,13 @@ class _Parser:
             f"unexpected {t.text!r} at position {t.pos}"
         )
 
-    def _subquery_block(self) -> tuple:
+    def _subquery_block(self, collect: bool = False) -> tuple:
         """``{ [MATCH] pattern[, ...] [WHERE expr] }`` — the body of an
         EXISTS/COUNT subquery expression (the pattern-comprehension
-        subset: plain fixed/variable-length patterns, no nested WITH)."""
+        subset: plain fixed/variable-length patterns, no nested WITH).
+        With ``collect=True`` (a ``COLLECT { ... }`` expression,
+        Neo4j 5.6) a trailing ``RETURN [DISTINCT] expr`` is required —
+        exactly one item, no alias (the list element expression)."""
         self._accept("kw", "match")
         pats = [self._pattern()]
         while self._accept("op", ","):
@@ -1155,8 +1167,23 @@ class _Parser:
         where = None
         if self._accept("kw", "where"):
             where = self._expr()
+        mape, dist = None, False
+        if collect:
+            t = self._peek()
+            pos = t.pos if t else len(self.text)
+            if not self._accept("kw", "return"):
+                raise CypherSyntaxError(
+                    f"COLLECT {{ }} needs a RETURN (position {pos})"
+                )
+            dist = bool(self._accept("kw", "distinct"))
+            mape = self._expr()
+            if self._at("op", ","):
+                raise CypherSyntaxError(
+                    "COLLECT { } returns exactly one item "
+                    f"(position {self._peek().pos})"
+                )
         self._expect("op", "}")
-        return pats, where
+        return pats, where, mape, dist
 
     def _case_expr(self) -> tuple:
         """Generic ``CASE WHEN p THEN v ... [ELSE v] END`` and simple
@@ -1941,10 +1968,10 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
                 f"aggregate {expr[1]}() is only allowed in RETURN/WITH items"
             )
         return _scalar_call(c, expr[1], expr[2], lambda e: _to_col(c, e))
-    if op in ("exists_pat", "exists_sub", "count_sub"):
+    if op in ("exists_pat", "exists_sub", "count_sub", "collect_sub"):
         raise CypherSyntaxError(
-            "pattern predicates and EXISTS{}/COUNT{} subqueries are "
-            "not supported in this clause position"
+            "pattern predicates and EXISTS{}/COUNT{}/COLLECT{} subqueries "
+            "are not supported in this clause position"
         )
     raise CypherSyntaxError(f"unsupported expression {op!r}")
 
@@ -2594,12 +2621,31 @@ def _bind_patcomp(
     ``collect_list`` aggregate joins back (unmatched rows get ``[]``).
     Element order is pinned to ascending sort (Cypher leaves it
     unspecified); NULL map values are dropped by ``collect_list``."""
+    return _bind_collect_like(c, [pat], where, mapexpr, distinct=False,
+                              what="a pattern comprehension")
+
+
+def _bind_collect_like(
+    c: _Compile,
+    pats: list,
+    where: tuple | None,
+    mapexpr: tuple,
+    distinct: bool,
+    what: str,
+) -> str:
+    """Shared binder for pattern comprehensions and ``COLLECT { ...
+    RETURN [DISTINCT] expr }`` subquery expressions (Neo4j 5.6) —
+    COLLECT{} is the multi-pattern form of the same plan: compile the
+    subquery against the DISTINCT shared keys, evaluate the element
+    expression inside it, aggregate one list per key
+    (``collect_set`` under DISTINCT), and left-join it back with
+    ``[]`` fills."""
     if _has_agg(mapexpr) or (where is not None and _has_agg(where)):
         raise CypherSyntaxError(
-            "aggregates are not allowed inside a pattern comprehension"
+            f"aggregates are not allowed inside {what}"
         )
-    shared = _sub_shared(c, [pat], where, mapexpr)
-    c2 = _sub_compile(c, [pat], where, shared)
+    shared = _sub_shared(c, pats, where, mapexpr)
+    c2 = _sub_compile(c, pats, where, shared)
     mapexpr = _rewrite_subqueries(c2, mapexpr)
     needed: set = set()
     _collect_props(mapexpr, needed)
@@ -2607,7 +2653,7 @@ def _bind_patcomp(
     vcol = c.fresh("v")
     tmp = c.fresh("lst")
     proj = c2.cur.withColumn(vcol, _to_col(c2, mapexpr))
-    lst_col = F.collect_list(vcol)
+    lst_col = F.collect_set(vcol) if distinct else F.collect_list(vcol)
 
     def orderable(dt) -> bool:
         if isinstance(dt, T.MapType):
@@ -2875,6 +2921,10 @@ def _rewrite_subqueries(c: _Compile, expr):
                 return ("cmp", ">", ("var", cnt), ("lit", 0))
             if e[0] == "patcomp":
                 return ("var", _bind_patcomp(c, e[1], e[2], e[3]))
+            if e[0] == "collect_sub":
+                return ("var", _bind_collect_like(
+                    c, e[1], e[2], e[3], e[4], what="a COLLECT { } subquery"
+                ))
         return tuple(
             walk(x) if isinstance(x, (tuple, list)) else x for x in e
         )

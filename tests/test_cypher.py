@@ -2713,3 +2713,119 @@ def test_optional_match_shortest_path(chain_graph):
         )
     )
     assert got == [("n1", 4), ("n2", 3), ("n3", 2), ("n4", 1), ("n5", 0)]
+
+
+# ---------------------------------------------------------------------------
+# COLLECT { } subquery expressions (Neo4j 5.6)
+# ---------------------------------------------------------------------------
+
+
+def test_collect_subquery_correlated(graph):
+    """Per-nation list of rich customers; [] where none, ascending
+    order pinned (the pattern-comprehension convention)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS name, "
+            "COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > 9000 RETURN c.c_name } AS rich "
+            "ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  coalesce((SELECT list(c_name ORDER BY c_name)
+                            FROM customer
+                            WHERE c_nationkey = n_nationkey
+                              AND c_acctbal > 9000), []) AS rich
+           FROM nation ORDER BY n_name"""
+    )
+    assert [(n, list(r)) for n, r in got] == [(n, list(r)) for n, r in want]
+    assert any(len(r) == 0 for _, r in got)  # empty fills exercised
+
+
+def test_collect_subquery_distinct(graph):
+    """COLLECT { ... RETURN DISTINCT e } = collect_set (compare as
+    sets — DISTINCT order is unspecified)."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS name, "
+            "COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "RETURN DISTINCT c.c_mktsegment } AS segs "
+            "ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name,
+                  coalesce((SELECT list(DISTINCT c_mktsegment)
+                            FROM customer
+                            WHERE c_nationkey = n_nationkey), []) AS segs
+           FROM nation ORDER BY n_name"""
+    )
+    assert [(n, sorted(s)) for n, s in got] == [
+        (n, sorted(s)) for n, s in want
+    ]
+
+
+def test_collect_subquery_uncorrelated_and_size(graph):
+    """Uncorrelated body evaluates once (cross join); size() composes."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (r:Region) "
+            "RETURN r.r_name AS name, "
+            "size(COLLECT { MATCH (n:Nation) RETURN n.n_name }) AS k "
+            "ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT r_name, (SELECT COUNT(*) FROM nation) FROM region
+           ORDER BY r_name"""
+    )
+    assert got == want
+
+
+def test_collect_subquery_multi_pattern_in_with(graph):
+    """Multi-pattern body (the shape pattern comprehensions cannot
+    express) + WITH pipeline consumption."""
+    got = rows(
+        cypher(
+            graph,
+            "MATCH (n:Nation) "
+            "WITH n.n_name AS name, "
+            "COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n), "
+            "(o:Orders)-[:PLACED_BY]->(c) "
+            "WHERE o.o_totalprice > 300000 RETURN o.o_orderkey } AS big "
+            "WHERE size(big) > 0 "
+            "RETURN name, size(big) AS n_big ORDER BY name",
+        )
+    )
+    want = oracle(
+        """SELECT n_name, COUNT(*) FROM nation
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           WHERE o_totalprice > 300000
+           GROUP BY n_name ORDER BY n_name"""
+    )
+    assert got == want
+
+
+def test_collect_subquery_errors(graph):
+    with pytest.raises(CypherSyntaxError, match="needs a RETURN"):
+        cypher(graph, "RETURN COLLECT { MATCH (n:Nation) } AS x")
+    with pytest.raises(CypherSyntaxError, match="exactly one item"):
+        cypher(
+            graph,
+            "RETURN COLLECT { MATCH (n:Nation) "
+            "RETURN n.n_name, n.n_nationkey } AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="aggregates are not"):
+        cypher(
+            graph,
+            "MATCH (n:Nation) RETURN COLLECT { "
+            "MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "RETURN count(c) } AS x",
+        )
