@@ -65,7 +65,11 @@ from pidb_rdf_spark.operators.semistructured import (
     json_extract_fields,
     json_kv_explode,
 )
-from pidb_rdf_spark.operators.sketch import approx_distinct, kmv_distinct
+from pidb_rdf_spark.operators.sketch import (
+    approx_distinct,
+    heavy_hitters,
+    kmv_distinct,
+)
 from pidb_rdf_spark.operators.winnow import (
     substring_dup_pairs,
     winnow_fingerprints,
@@ -143,6 +147,7 @@ __all__ = [
     "json_extract_fields",
     "json_kv_explode",
     "approx_distinct",
+    "heavy_hitters",
     "kmv_distinct",
     "winnow_fingerprints",
     "substring_dup_pairs",

@@ -26,10 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pidb_rdf_spark.operators.hashing import md5_prefix_long
 
-__all__ = ["approx_distinct", "kmv_distinct"]
+__all__ = ["approx_distinct", "kmv_distinct", "heavy_hitters"]
 
 # 52 bits: the largest md5 prefix whose integer value is exact in a
 # double, so hash/2^52 is an exact dyadic in [0,1) and every engine
@@ -166,4 +167,119 @@ def cms_query(
         keyed.join(F.broadcast(sketch), on=["d", "bucket"], how="left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def _mg_insert(sketch: dict, item, w: int, capacity: int) -> int:
+    """Weighted Misra-Gries insert. Returns the mass discarded by
+    decrements (0 when the item merged or a slot was free). Each
+    decrement event subtracts d from every counter AND from the
+    incoming weight — d*(capacity+1) total mass per event — so the
+    summed discards are <= N/(capacity+1), the classic MG error
+    bound, with at most two passes per insert (the first decrement
+    frees a slot or exhausts w)."""
+    discarded = 0
+    while True:
+        if item in sketch:
+            sketch[item] += w
+            return discarded
+        if len(sketch) < capacity:
+            sketch[item] = w
+            return discarded
+        d = min(min(sketch.values()), w)
+        for key in list(sketch):
+            nv = sketch[key] - d
+            if nv:
+                sketch[key] = nv
+            else:
+                del sketch[key]
+        w -= d
+        discarded += d * (capacity + 1)
+        if not w:
+            return discarded
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 256
+) -> DataFrame:
+    """Exact global top-``k`` most frequent values of ``col``, found
+    WITHOUT shuffling the full distinct-key space: a per-partition
+    weighted Misra-Gries summary (bounded at ``capacity`` counters,
+    Arrow-batched ``value_counts`` feeding the sketch) nominates
+    candidates, then only the candidate rows are re-counted exactly.
+
+    Output: (``col``, ``cnt`` exact count, ``guaranteed``) ordered by
+    cnt DESC then value, LIMIT k. ``guaranteed`` is the a-priori MG
+    bound ``cnt > N/(capacity+1)``: every value above that threshold
+    provably survives some partition's sketch (pigeonhole over the
+    per-partition bounds), so when ALL k output rows are guaranteed
+    the top-k is provably the exact answer; below it the flag is
+    conservative — the result is still exact whenever the candidate
+    set covers the tail (always true when the column's distinct count
+    is <= capacity). NULL values are not counted (the ``cms_build``
+    convention).
+
+    Scale shape (100 TB): pass 1 reads ONE column, keeps
+    O(capacity) state per partition, and emits capacity+1 rows per
+    partition — no shuffle; the sketch union is localCheckpointed so
+    its two consumers (candidates, total-N) cost one upstream
+    execution. Pass 2 re-reads the column, broadcast-semi-joins the
+    tiny candidate set, and aggregates ONLY candidate rows — the
+    shuffle carries at most capacity * n_partitions keys instead of
+    every distinct value. The alternative (groupBy the raw column)
+    shuffles the full key space, which at 100 TB of high-cardinality
+    keys is the bottleneck this operator exists to avoid.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if capacity < k:
+        raise ValueError("capacity must be >= k")
+    src = df.select(F.col(col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    item_type = src.schema["item"].dataType
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        sketch: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            total += int(vc.sum())
+            for item, w in vc.items():
+                _mg_insert(sketch, item, int(w), capacity)
+        out = [(it, int(w)) for it, w in sketch.items()]
+        out.append((None, total))  # the partition's row count
+        yield pd.DataFrame(out, columns=["item", "w"])
+
+    sk_schema = T.StructType(
+        [
+            T.StructField("item", item_type),
+            T.StructField("w", T.LongType()),
+        ]
+    )
+    # capacity+1 rows per partition; checkpoint so candidates and
+    # total-N don't each re-run the scan
+    sketches = src.mapInPandas(mg_partition, schema=sk_schema)
+    sketches = sketches.localCheckpoint(eager=False)
+    cand = sketches.filter(F.col("item").isNotNull()).select("item").distinct()
+    total_n = sketches.filter(F.col("item").isNull()).agg(
+        F.sum("w").alias("n")
+    )
+    exact = (
+        src.join(F.broadcast(cand), on="item", how="left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total_n))
+        .withColumn(
+            "guaranteed",
+            F.col("cnt") > F.col("n") / F.lit(float(capacity + 1)),
+        )
+        .drop("n")
+        .orderBy(F.col("cnt").desc(), F.col("item"))
+        .limit(k)
+        .withColumnRenamed("item", col)
     )

@@ -2425,3 +2425,95 @@ def test_write_training_shards_layout(spark, tmp_path):
     one = spark.read.parquet(path + "/shard=0").collect()
     seqs = [r["seq"] for r in one]
     assert seqs == sorted(seqs)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters: Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def test_mg_insert_bounds():
+    """Pure-python MG invariants on an adversarial weighted stream:
+    estimates never overcount, undercount respects the discarded-mass
+    bound, and every above-threshold item survives."""
+    import random
+
+    from pidb_rdf_spark.operators.sketch import _mg_insert
+
+    rng = random.Random(7)
+    for cap in (4, 16, 64):
+        sketch, discarded = {}, 0
+        truth = {}
+        # zipf-ish head + long uniform tail + adversarial burst
+        stream = (
+            [(f"h{i}", rng.randint(50, 80)) for i in range(3) for _ in range(20)]
+            + [(f"t{rng.randint(0, 500)}", rng.randint(1, 3)) for _ in range(2000)]
+            + [("burst", 5000)]
+        )
+        rng.shuffle(stream)
+        for item, w in stream:
+            truth[item] = truth.get(item, 0) + w
+            discarded += _mg_insert(sketch, item, w, cap)
+        n = sum(truth.values())
+        assert len(sketch) <= cap
+        max_under = discarded / (cap + 1)
+        assert discarded <= n  # the mass accounting closes
+        for item, true_cnt in truth.items():
+            est = sketch.get(item, 0)
+            assert est <= true_cnt  # MG never overcounts
+            assert true_cnt - est <= max_under + 1e-9
+            if true_cnt > n / (cap + 1):  # the survival guarantee
+                assert item in sketch, (cap, item, true_cnt, n)
+
+
+def test_heavy_hitters_exact_on_planted_heads(spark):
+    """2000-key tail + planted heads, capacity far below the distinct
+    count: all guaranteed rows must equal the exact oracle ranks."""
+    import random
+    from collections import Counter
+
+    from pidb_rdf_spark.operators import heavy_hitters
+
+    rng = random.Random(11)
+    vals = ["head_a"] * 3000 + ["head_b"] * 2500 + ["head_c"] * 2000
+    vals += [f"tail_{rng.randint(0, 1999)}" for _ in range(4000)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "item string"
+    ).repartition(8)
+    got = heavy_hitters(df, "item", k=3, capacity=32).collect()
+    truth = Counter(vals)
+    want = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert all(r.guaranteed for r in got)
+    assert [(r.item, r.cnt) for r in got] == want
+
+
+def test_heavy_hitters_exact_when_distinct_fits(spark):
+    """distinct <= capacity: MG never decrements, so the answer is
+    the exact top-k for ANY distribution (uniform worst case)."""
+    from collections import Counter
+
+    vals = [i % 37 for i in range(1110)]  # near-uniform ints
+    from pidb_rdf_spark.operators import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in vals], "item int").repartition(5)
+    got = heavy_hitters(df, "item", k=10, capacity=64).collect()
+    truth = Counter(vals)
+    want = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [(r.item, r.cnt) for r in got] == want
+
+
+def test_heavy_hitters_ignores_nulls_and_validates(spark):
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",), (None,)], "item string"
+    )
+    got = heavy_hitters(df, "item", k=5, capacity=8).collect()
+    assert [(r.item, r.cnt) for r in got] == [("a", 2), ("b", 1)]
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "item", k=0)
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "item", k=9, capacity=8)
