@@ -198,6 +198,10 @@ _DEFER_TO_TAIL = [
     "substring_dup_docs",
     # dedup.py's r9 diff APPENDS the persisted SimHash index (own in-window entry simhash_index_query); this function untouched since its r7 guard fix
     "semantic_index_query",
+    # displaced by the new heavy_hitter_tokens entry: analytics.py power-iteration scaffolding re-proven in-window by hits_containment (same iterate-normalize core); function untouched since r7
+    "pagerank_containment",
+    # displaced by the new cypher_collect_subquery entry: analytics.py triangle counting re-proven in-window by ktruss_dup_graph (k-truss IS support counting over the same wedge join); function untouched since r7
+    "triangle_count_dups",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2474,6 +2478,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "n_blocked", "blocked_frac", "blocklist_ok")
 
     q["blocklist_filter_docs"] = blocklist_filter_docs
+
+    def heavy_hitter_tokens(spark, sf_dir):
+        """Distributed exact top-k frequent tokens
+        (sketch.heavy_hitters): per-partition weighted Misra-Gries
+        candidate generation (bounded memory, NO shuffle of the
+        distinct-key space) + exact recount of candidates only via a
+        broadcast semi-join — the 100 TB vocabulary-mining shape.
+        ``guaranteed`` is the a-priori MG bound cnt > N/(capacity+1);
+        the oracle recomputes the full exact answer, so a green row
+        proves the candidate set covered the true top-k."""
+        from pidb_rdf_spark.operators.sketch import heavy_hitters
+
+        docs = _docs(spark, sf_dir)
+        toks = docs.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        ).filter(F.length("tok") > 0)
+        return heavy_hitters(toks, "tok", k=25, capacity=64)
+
+    q["heavy_hitter_tokens"] = heavy_hitter_tokens
+
+    def cypher_collect_subquery(spark, sf_dir):
+        """COLLECT { } subquery expressions (Neo4j 5.6, r9): per-row
+        collected lists from multi-pattern correlated subqueries —
+        one collect aggregate + left join each, [] fills, ascending
+        order pinned. Lists are array_join-ed to strings because the
+        driver's canonicalization cannot hash array cells."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        df = cypher(
+            g,
+            "MATCH (n:Nation) "
+            "RETURN n.n_name AS nation, "
+            "size(COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+            "WHERE c.c_acctbal > 5000 RETURN c.c_name }) AS n_rich, "
+            "COLLECT { MATCH (s:Supplier)-[:IN_NATION]->(n) "
+            "RETURN s.s_name } AS sups "
+            "ORDER BY nation",
+        )
+        return df.select(
+            "nation",
+            "n_rich",
+            F.array_join("sups", ",").alias("sups"),
+        )
+
+    q["cypher_collect_subquery"] = cypher_collect_subquery
 
     return _rotate_checked_window(q)
 
@@ -4850,5 +4900,26 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, 'changed' FROM documents
         WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 0 AND doc_id % 11 = 0
+    """
+    base["heavy_hitter_tokens"] = r"""
+        WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                   FROM documents),
+             c AS (SELECT tok, count(*) AS cnt FROM t
+                   WHERE len(tok) > 0 GROUP BY tok),
+             n AS (SELECT count(*) AS n FROM t WHERE len(tok) > 0)
+        SELECT tok, cnt, cnt > n / 65.0 AS guaranteed
+        FROM c, n
+        ORDER BY cnt DESC, tok LIMIT 25
+    """
+    base["cypher_collect_subquery"] = """
+        SELECT n_name AS nation,
+               (SELECT count(*) FROM customer
+                WHERE c_nationkey = n_nationkey
+                  AND c_acctbal > 5000) AS n_rich,
+               coalesce((SELECT string_agg(s_name, ',' ORDER BY s_name)
+                         FROM supplier
+                         WHERE s_nationkey = n_nationkey), '') AS sups
+        FROM nation
+        ORDER BY n_name
     """
     return base
