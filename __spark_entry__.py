@@ -202,6 +202,8 @@ _DEFER_TO_TAIL = [
     "pagerank_containment",
     # displaced by the new cypher_collect_subquery entry: analytics.py triangle counting re-proven in-window by ktruss_dup_graph (k-truss IS support counting over the same wedge join); function untouched since r7
     "triangle_count_dups",
+    # displaced by the new cohort_retention_events entry: the multi-source semi-naive BFS core is re-proven in-window by cypher_shortest_path and closeness_containment (same frontier fixpoint); function untouched since r7
+    "bfs_hops_containment",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2524,6 +2526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cypher_collect_subquery"] = cypher_collect_subquery
+
+    def cohort_retention_events(spark, sf_dir):
+        """Cohort retention matrix (events.cohort_retention, day
+        grain): users cohorted by first-event day, per-cell active
+        counts + retention fraction. ONE shuffle on user_id
+        (min + collect_set ride the same aggregate); the cell
+        aggregate is matrix-sized; cohort sizes join back broadcast."""
+        from pidb_rdf_spark.streaming import cohort_retention
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cohort_retention(ev, period="day")
+
+    q["cohort_retention_events"] = cohort_retention_events
 
     return _rotate_checked_window(q)
 
@@ -4900,6 +4915,22 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, 'changed' FROM documents
         WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 0 AND doc_id % 11 = 0
+    """
+    base["cohort_retention_events"] = """
+        WITH peru AS (SELECT user_id,
+                             min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+                      FROM events GROUP BY user_id),
+             act AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('day', ts) AS DATE) AS p
+                     FROM events),
+             j AS (SELECT p.cohort,
+                          CAST(datediff('day', p.cohort, a.p) AS INT)
+                              AS period_offset,
+                          count(*) AS n_active
+                   FROM act a JOIN peru p USING(user_id) GROUP BY 1, 2)
+        SELECT j.cohort, j.period_offset, j.n_active,
+               round(j.n_active / CAST(z.n_active AS DOUBLE), 6) AS retention
+        FROM j JOIN j z ON z.cohort = j.cohort AND z.period_offset = 0
     """
     base["heavy_hitter_tokens"] = r"""
         WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok

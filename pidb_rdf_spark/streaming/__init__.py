@@ -2,6 +2,7 @@ from pidb_rdf_spark.streaming.events import (
     asof_join,
     dedup_stream,
     detect_sequence,
+    cohort_retention,
     funnel,
     interval_join,
     rollup_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "asof_join",
     "dedup_stream",
     "detect_sequence",
+    "cohort_retention",
     "funnel",
     "interval_join",
     "rollup_counts",

@@ -609,3 +609,62 @@ def funnel(
         ],
         "step_idx int, step string, n_converted long, conversion double",
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each (cohort, period_offset) cell counts the
+    cohort's users active in that period, with ``retention`` =
+    n_active / cohort size (the offset-0 count — every user is
+    active in their own cohort period by construction, so the
+    denominator row always exists).
+
+    Output: (cohort date, period_offset int, n_active, retention
+    rounded to 6 decimals), one row per non-empty cell.
+
+    Scale shape: ONE shuffle on the user key — min(first period) and
+    collect_set(distinct periods) ride the same map-side-combinable
+    aggregate; per-user state is bounded by the number of periods in
+    the timeline (e.g. 52 rows/user/year at week grain), NOT by event
+    count. The explode emits user x active-period rows (the matrix's
+    input mass, already deduplicated), and the final (cohort, offset)
+    aggregate is matrix-sized. Cohort sizes join back broadcast. A
+    windowed formulation (rank over user) would shuffle raw events;
+    this never does."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day, week or month")
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(p).alias("cohort"), F.collect_set(p).alias("ps")
+    )
+    act = per_user.select("cohort", F.explode("ps").alias("p"))
+    if period == "month":
+        off = F.months_between(F.col("p"), F.col("cohort")).cast("int")
+    else:
+        days = F.datediff(F.col("p"), F.col("cohort"))
+        off = (
+            F.floor(days / F.lit(7)).cast("int")
+            if period == "week"
+            else days.cast("int")
+        )
+    cells = (
+        act.select("cohort", off.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cells.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("__n0")
+    )
+    return (
+        cells.join(F.broadcast(sizes), on="cohort")
+        .withColumn(
+            "retention",
+            F.round(F.col("n_active") / F.col("__n0"), 6),
+        )
+        .drop("__n0")
+    )

@@ -750,3 +750,98 @@ def test_funnel_anchored_earliest_match(spark):
 
     with _pytest.raises(ValueError, match="two steps"):
         funnel(ev, ["view"])
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def _retention_oracle(rows, period_days):
+    """Brute-force cohort matrix from (user, date) activity rows."""
+    from collections import defaultdict
+
+    first = {}
+    active = defaultdict(set)
+    for u, d in rows:
+        bucket = d - __import__("datetime").timedelta(
+            days=(d.toordinal() - 1) % period_days
+        )
+        first[u] = min(first.get(u, bucket), bucket)
+        active[u].add(bucket)
+    cells = defaultdict(int)
+    for u, buckets in active.items():
+        for b in buckets:
+            off = (b - first[u]).days // period_days
+            cells[(first[u], off)] += 1
+    return {
+        k: (n, round(n / cells[(k[0], 0)], 6)) for k, n in cells.items()
+    }
+
+
+def test_cohort_retention_crafted_weekly(spark):
+    """Three cohorts with churn and a re-activation gap (offset 2
+    skipped by u3): cells and fractions match the brute-force
+    oracle, and empty cells are absent."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)  # a Monday: week buckets align
+    ev = []
+    # u1,u2 start week 0; u1 active weeks 0,1,3; u2 only week 0
+    for (u, weeks) in ((1, [0, 1, 3]), (2, [0]), (3, [1, 2, 4]), (4, [1, 2])):
+        for w in weeks:
+            ev.append((u, base + dt.timedelta(days=7 * w, hours=u)))
+            ev.append((u, base + dt.timedelta(days=7 * w + 3)))  # dup in week
+    df = spark.createDataFrame(
+        [(u, t) for u, t in ev], "user_id long, ts timestamp"
+    )
+    from pidb_rdf_spark.streaming import cohort_retention
+
+    got = {
+        (r.cohort, r.period_offset): (r.n_active, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    want = _retention_oracle(
+        [(u, t.date()) for u, t in ev], period_days=7
+    )
+    assert got == want
+    c0 = dt.date(2024, 1, 1)
+    c1 = dt.date(2024, 1, 8)
+    assert got[(c0, 0)] == (2, 1.0)  # u1, u2
+    assert got[(c0, 1)] == (1, 0.5)  # u1 only
+    assert (c0, 2) not in got  # empty cell absent
+    assert got[(c1, 0)] == (2, 1.0)  # u3, u4 cohort week 1
+    assert got[(c1, 3)] == (1, 0.5)  # u3 re-activates at offset 3
+
+
+def test_cohort_retention_day_and_month_grain(spark):
+    import datetime as dt
+
+    from pidb_rdf_spark.streaming import cohort_retention
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5)),
+        (1, dt.datetime(2024, 1, 7)),
+        (1, dt.datetime(2024, 3, 2)),
+        (2, dt.datetime(2024, 2, 20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort, r.period_offset): r.n_active
+        for r in cohort_retention(df, period="month").collect()
+    }
+    assert got == {
+        (dt.date(2024, 1, 1), 0): 1,
+        (dt.date(2024, 1, 1), 2): 1,
+        (dt.date(2024, 2, 1), 0): 1,
+    }
+    got_d = {
+        (r.cohort, r.period_offset): r.n_active
+        for r in cohort_retention(df, period="day").collect()
+    }
+    assert got_d[(dt.date(2024, 1, 5), 2)] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period="hour")
