@@ -204,6 +204,8 @@ _DEFER_TO_TAIL = [
     "triangle_count_dups",
     # displaced by the new cohort_retention_events entry: the multi-source semi-naive BFS core is re-proven in-window by cypher_shortest_path and closeness_containment (same frontier fixpoint); function untouched since r7
     "bfs_hops_containment",
+    # displaced by the new modularity_regions entry: the LSH-pairs -> components composition is re-proven in-window by minhash_lsh_dedup + connected_components_regions/_star (its two halves); function untouched since r7
+    "near_dup_doc_clusters",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2539,6 +2541,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cohort_retention(ev, period="day")
 
     q["cohort_retention_events"] = cohort_retention_events
+
+    def modularity_regions(spark, sf_dir):
+        """Newman modularity decomposition (analytics.modularity_table)
+        of the REGION partition over the containment graph: per-region
+        intra-edge counts, degree sums and Q contributions. Two
+        community-sized aggregations off one deduplicated edge frame;
+        contributions rounded to 6 decimals for the cross-engine
+        compare (both operands are exact small-integer ratios)."""
+        from pidb_rdf_spark.analytics import modularity_table
+
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+        # the shifted-key containment edge set (the random_walks
+        # entry's scheme, mirrored verbatim in the oracle)
+        cont = (
+            nat.select(
+                (F.col("n_nationkey") + 100).alias("src"),
+                F.col("n_regionkey").cast("long").alias("dst"),
+            )
+            .unionAll(
+                cust.select(
+                    (F.col("c_custkey") + 10000).alias("src"),
+                    (F.col("c_nationkey") + 100).cast("long").alias("dst"),
+                )
+            )
+            .unionAll(
+                sup.select(
+                    (F.col("s_suppkey") + 20000).alias("src"),
+                    (F.col("s_nationkey") + 100).cast("long").alias("dst"),
+                )
+            )
+        )
+        asg = (
+            nat.select(
+                (F.col("n_nationkey") + 100).alias("node"),
+                F.col("n_regionkey").cast("long").alias("community"),
+            )
+            .unionAll(
+                cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+                    (F.col("c_custkey") + 10000).alias("node"),
+                    F.col("n_regionkey").cast("long").alias("community"),
+                )
+            )
+            .unionAll(
+                sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(
+                    (F.col("s_suppkey") + 20000).alias("node"),
+                    F.col("n_regionkey").cast("long").alias("community"),
+                )
+            )
+            .unionAll(
+                reg.select(
+                    F.col("r_regionkey").cast("long").alias("node"),
+                    F.col("r_regionkey").cast("long").alias("community"),
+                )
+            )
+        )
+        return modularity_table(cont, asg).withColumn(
+            "contribution", F.round("contribution", 6)
+        )
+
+    q["modularity_regions"] = modularity_regions
 
     return _rotate_checked_window(q)
 
@@ -4931,6 +4996,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.cohort, j.period_offset, j.n_active,
                round(j.n_active / CAST(z.n_active AS DOUBLE), 6) AS retention
         FROM j JOIN j z ON z.cohort = j.cohort AND z.period_offset = 0
+    """
+    base["modularity_regions"] = """
+        WITH e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM (
+                SELECT n_nationkey + 100 AS src,
+                       CAST(n_regionkey AS BIGINT) AS dst FROM nation
+                UNION ALL
+                SELECT c_custkey + 10000, c_nationkey + 100 FROM customer
+                UNION ALL
+                SELECT s_suppkey + 20000, s_nationkey + 100 FROM supplier
+            ) WHERE src <> dst
+        ),
+        mm AS (SELECT count(*) AS m FROM e),
+        asg AS (
+            SELECT n_nationkey + 100 AS node,
+                   CAST(n_regionkey AS BIGINT) AS community FROM nation
+            UNION ALL
+            SELECT c_custkey + 10000, CAST(n_regionkey AS BIGINT)
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT s_suppkey + 20000, CAST(n_regionkey AS BIGINT)
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            UNION ALL
+            SELECT CAST(r_regionkey AS BIGINT),
+                   CAST(r_regionkey AS BIGINT) FROM region
+        ),
+        intra AS (
+            SELECT a1.community, count(*) AS e_c
+            FROM e JOIN asg a1 ON a1.node = e.u
+                   JOIN asg a2 ON a2.node = e.v
+            WHERE a1.community = a2.community GROUP BY 1
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        ),
+        dsum AS (
+            SELECT community, sum(deg) AS d_c
+            FROM deg JOIN asg USING (node) GROUP BY 1
+        )
+        SELECT dsum.community, coalesce(e_c, 0) AS e_c, d_c,
+               round(coalesce(e_c, 0) / CAST(mm.m AS DOUBLE)
+                     - pow(d_c / (2.0 * mm.m), 2), 6) AS contribution
+        FROM dsum LEFT JOIN intra USING (community) CROSS JOIN mm
     """
     base["heavy_hitter_tokens"] = r"""
         WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok

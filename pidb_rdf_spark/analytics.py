@@ -585,6 +585,29 @@ def modularity(
     Plan: two broadcast-sized aggregations (per-community edge and
     degree sums) folded into one driver scalar — the metric is a
     single float, so the final collect is one row."""
+    per_c = modularity_table(pairs, assignment, src=src, dst=dst)
+    row = per_c.select(F.sum("contribution").alias("q")).first()
+    return float(row["q"] or 0.0)
+
+
+def modularity_table(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community modularity decomposition: (community, e_c
+    intra-community edge count, d_c degree sum, contribution
+    e_c/m − (d_c/2m)², full precision). Summing
+    ``contribution`` gives Newman Q — :func:`modularity` does exactly
+    that — and the per-community rows localize WHERE the structure
+    (or its absence) lives, which is what one actually inspects when
+    a clustering underperforms.
+
+    Plan shape: the deduplicated undirected edge list is computed
+    once (localCheckpoint) and feeds the edge total m, the
+    intra-edge aggregate and the degree aggregate; community sums
+    are community-cardinality-sized. Empty graph -> empty frame."""
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -595,12 +618,16 @@ def modularity(
         .localCheckpoint(eager=True)
     )
     m = e.count()
-    if m == 0:
-        return 0.0
     asg = assignment.select(
         F.col(assignment.columns[0]).alias("node"),
         F.col(assignment.columns[1]).alias("community"),
     ).dropDuplicates(["node"])
+    if m == 0:
+        ctype = asg.schema["community"].dataType.simpleString()
+        return e.sparkSession.createDataFrame(
+            [],
+            f"community {ctype}, e_c long, d_c long, contribution double",
+        )
     tagged = (
         e.join(asg.withColumnRenamed("node", "u"), on="u")
         .withColumnRenamed("community", "cu")
@@ -623,17 +650,15 @@ def modularity(
         .groupBy("community")
         .agg(F.sum("deg").alias("d_c"))
     )
-    row = (
-        dsum.join(intra, on="community", how="left")
-        .select(
-            F.sum(
-                F.coalesce(F.col("e_c"), F.lit(0)) / F.lit(float(m))
-                - (F.col("d_c") / F.lit(2.0 * m)) ** 2
-            ).alias("q")
-        )
-        .first()
+    return dsum.join(intra, on="community", how="left").select(
+        "community",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "d_c",
+        (
+            F.coalesce(F.col("e_c"), F.lit(0)) / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) ** 2
+        ).alias("contribution"),
     )
-    return float(row["q"] or 0.0)
 
 
 def _partition_min_propagate(

@@ -699,3 +699,37 @@ def test_random_walks_deterministic_and_replayable(spark):
     # stable under input repartitioning
     again = random_walks(df.repartition(7), walk_len=4, n_walks=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_modularity_table_decomposition(spark):
+    """The per-community table behind Q: e_c/d_c/contribution for the
+    two-triangle bridge graph, plus the empty-graph empty frame."""
+    from pidb_rdf_spark.analytics import modularity_table
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)],
+        ["node", "community"],
+    )
+    got = {
+        r.community: (r.e_c, r.d_c, r.contribution)
+        for r in modularity_table(pairs, asg).collect()
+    }
+    # m=7, each side: 3 intra edges, degree sum 7
+    want_contrib = 3 / 7 - (7 / 14) ** 2
+    assert set(got) == {1, 2}
+    for c in (1, 2):
+        assert got[c][0] == 3 and got[c][1] == 7
+        assert got[c][2] == pytest.approx(want_contrib)
+    # a community with zero intra edges still gets its row (e_c=0)
+    lonely = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6)],
+        ["node", "community"],
+    )
+    rows = modularity_table(pairs, lonely).collect()
+    assert all(r.e_c == 0 for r in rows) and len(rows) == 6
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert modularity_table(empty, asg).count() == 0
