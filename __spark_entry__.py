@@ -206,6 +206,8 @@ _DEFER_TO_TAIL = [
     "bfs_hops_containment",
     # displaced by the new modularity_regions entry: the LSH-pairs -> components composition is re-proven in-window by minhash_lsh_dedup + connected_components_regions/_star (its two halves); function untouched since r7
     "near_dup_doc_clusters",
+    # displaced by the new weighted_sample_docs entry: the MATCH/WHERE/ORDER/LIMIT compile tail is exercised in-window by all eight (now nine) cypher_* entries; only the specific query text differs
+    "cypher_filter_topk",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2605,6 +2607,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["modularity_regions"] = modularity_regions
 
+    def weighted_sample_docs(spark, sf_dir):
+        """Deterministic weighted sampling without replacement
+        (curation.weighted_sample, Efraimidis-Spirakis A-ES): 40
+        documents drawn with probability proportional to n_chars from
+        md5-derived exponential keys — the quality-weighted corpus
+        selection step. Zero shuffle (TakeOrdered top-n); the oracle
+        replays the identical draw arithmetic."""
+        from pidb_rdf_spark.operators import weighted_sample
+
+        docs = _docs(spark, sf_dir)
+        return weighted_sample(docs, "doc_id", "n_chars", n=40)
+
+    q["weighted_sample_docs"] = weighted_sample_docs
+
     return _rotate_checked_window(q)
 
 
@@ -4996,6 +5012,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.cohort, j.period_offset, j.n_active,
                round(j.n_active / CAST(z.n_active AS DOUBLE), 6) AS retention
         FROM j JOIN j z ON z.cohort = j.cohort AND z.period_offset = 0
+    """
+    base["weighted_sample_docs"] = """
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   -ln((CAST(('0x' || substr(md5('wsample:'
+                              || CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) + 1) / 4503599627370497.0)
+                   / CAST(n_chars AS DOUBLE) AS score
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, n_chars, round(score, 6) AS sample_score
+        FROM s ORDER BY round(score, 9), doc_id LIMIT 40
     """
     base["modularity_regions"] = """
         WITH e AS (

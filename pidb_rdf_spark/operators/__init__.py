@@ -4,6 +4,7 @@ from pidb_rdf_spark.operators.curation import (
     leakage_free_split,
     pack_token_stream,
     stratified_hash_sample,
+    weighted_sample,
 )
 from pidb_rdf_spark.operators.layout import zorder_key, zorder_layout
 from pidb_rdf_spark.operators.mixing import (
@@ -109,6 +110,7 @@ __all__ = [
     "zorder_key",
     "zorder_layout",
     "stratified_hash_sample",
+    "weighted_sample",
     "chunk_documents",
     "pii_scrub",
     "pack_token_stream",

@@ -184,3 +184,61 @@ def leakage_free_split(
             _hash_bucket(F.col("split_group"), salt) < F.lit(thr), "val"
         ).otherwise("train"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``n`` rows, inclusion
+    probability proportional to ``weight_col`` — the quality-weighted
+    corpus-selection step (sample high-scoring documents harder
+    without ever dropping the tail to zero).
+
+    Efraimidis-Spirakis A-ES: each row draws an exponential key
+    ``-ln(u)/w`` from a DETERMINISTIC md5 unit uniform u (the
+    engine's cross-checkable hash family, salted), and the n SMALLEST
+    keys win — provably equivalent to sequential weighted draws
+    without replacement, yet stable under reruns, repartitioning and
+    engine choice, so a SQL oracle replays the exact sample. Ties
+    (and the rounding of the emitted score) break by key value.
+
+    Rows with NULL or non-positive weight are excluded — they have no
+    defined draw probability.
+
+    Output: (``key_col``, ``weight_col``, ``sample_score`` rounded to
+    6 decimals), the n winners.
+
+    Scale shape: one narrow projection (hash + ln, all JVM
+    codegen), then a global top-n via ORDER BY + LIMIT — Spark
+    executes that as TakeOrdered (per-partition heaps merged on the
+    driver), so nothing shuffles and driver memory is O(n); use a
+    per-stratum variant (window rank) only when n itself exceeds
+    driver scale."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    w = F.col(weight_col).cast("double")
+    # (h+1)/(2^52+1): exact dyadic-ish rational in (0,1), never 0 —
+    # ln is finite — and identical in any engine with md5 + conv
+    u = (
+        md5_prefix_long(
+            F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")), 52
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 52) + 1))
+    score = -F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col),
+            F.col(weight_col),
+            F.round(score, 6).alias("sample_score"),
+        )
+        .orderBy(F.round(score, 9), F.col(key_col))
+        .limit(n)
+    )

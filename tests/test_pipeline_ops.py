@@ -2517,3 +2517,69 @@ def test_heavy_hitters_ignores_nulls_and_validates(spark):
         heavy_hitters(df, "item", k=0)
     with _pytest.raises(ValueError):
         heavy_hitters(df, "item", k=9, capacity=8)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample: deterministic Efraimidis-Spirakis
+# ---------------------------------------------------------------------------
+
+
+def _es_oracle(rows, salt, n):
+    """hashlib replay of the A-ES draw: smallest -ln(u)/w keys."""
+    import hashlib
+    import math
+
+    scored = []
+    for key, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = int(
+            hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 1) / float((1 << 52) + 1)
+        scored.append((round(-math.log(u) / w, 9), key, w))
+    scored.sort()
+    return [(k, w) for _, k, w in scored[:n]]
+
+
+def test_weighted_sample_exact_replay(spark):
+    """The Spark sample IS the hashlib oracle's sample — bit-level
+    determinism across engines (two salts, with nulls and zero
+    weights excluded)."""
+    from pidb_rdf_spark.operators import weighted_sample
+
+    rows = [(f"d{i}", float(1 + (i * 7) % 13)) for i in range(200)]
+    rows += [("null_w", None), ("zero_w", 0.0), ("neg_w", -2.0)]
+    df = spark.createDataFrame(rows, "doc_id string, quality double")
+    for salt in ("s1", "s2"):
+        got = [
+            (r.doc_id, r.quality)
+            for r in weighted_sample(
+                df, "doc_id", "quality", n=25, salt=salt
+            ).collect()
+        ]
+        assert got == _es_oracle(rows, salt, 25)
+        assert all(k not in ("null_w", "zero_w", "neg_w") for k, _ in got)
+
+
+def test_weighted_sample_inclusion_proportional_to_weight():
+    """Statistical contract, checked on the hashlib twin (no Spark
+    round-trips): an item with 9x the weight wins the n=1 draw ~90%
+    of the time over 500 salts."""
+    rows = [("heavy", 9.0), ("light", 1.0)]
+    wins = sum(
+        1
+        for i in range(500)
+        if _es_oracle(rows, f"salt{i}", 1)[0][0] == "heavy"
+    )
+    assert 420 <= wins <= 480  # binomial(500, .9): +-4 sigma
+
+
+def test_weighted_sample_validates(spark):
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import weighted_sample
+
+    df = spark.createDataFrame([("a", 1.0)], "doc_id string, w double")
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", n=0)
