@@ -2006,6 +2006,8 @@ def test_parser_fuzz_no_crash():
         "ORDER BY x LIMIT 2 }", "SKIP 2 }", "reduce(s = 0, y IN xs | s + y)",
         "any(y IN xs WHERE y > 1)", "percentileDisc(n.x, 0.5)",
         "stDev(n.x)", "round(n.x, 1)",
+        # late-r9 surfaces
+        "COLLECT {", "RETURN DISTINCT n.x }", "RETURN n.x }",
     ])
 
     @given(st.lists(fragments, min_size=1, max_size=12))
