@@ -208,6 +208,8 @@ _DEFER_TO_TAIL = [
     "near_dup_doc_clusters",
     # displaced by the new weighted_sample_docs entry: the MATCH/WHERE/ORDER/LIMIT compile tail is exercised in-window by all eight (now nine) cypher_* entries; only the specific query text differs
     "cypher_filter_topk",
+    # displaced by the new quantile_band_orders entry: events.py is the round's best-covered file in-window (interval_join, sequence_detect, funnel, cohort_retention); sessionize untouched since r5, stream twin pinned in tests
+    "sessionize_events",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2621,6 +2623,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample_docs"] = weighted_sample_docs
 
+    def quantile_band_orders(spark, sf_dir):
+        """Per-group quantile-band outlier trim
+        (curation.quantile_band_filter, exact tier): keep orders in
+        the [0.1, 0.9] percent_rank band of o_totalprice per
+        o_orderpriority — ties share a rank so equal values stay or
+        go together. The approx_percentile tier (bounded mergeable
+        sketch + broadcast range filter, no sort) is the 100 TB path,
+        pinned by tests."""
+        from pidb_rdf_spark.operators import quantile_band_filter
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return quantile_band_filter(
+            orders, "o_totalprice", by="o_orderpriority",
+            lower=0.1, upper=0.9,
+        ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    q["quantile_band_orders"] = quantile_band_orders
+
     return _rotate_checked_window(q)
 
 
@@ -5012,6 +5032,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.cohort, j.period_offset, j.n_active,
                round(j.n_active / CAST(z.n_active AS DOUBLE), 6) AS retention
         FROM j JOIN j z ON z.cohort = j.cohort AND z.period_offset = 0
+    """
+    base["quantile_band_orders"] = """
+        WITH r AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice) AS pr
+            FROM orders WHERE o_totalprice IS NOT NULL
+        )
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM r WHERE pr >= 0.1 AND pr <= 0.9
     """
     base["weighted_sample_docs"] = """
         WITH s AS (

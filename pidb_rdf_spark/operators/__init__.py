@@ -3,6 +3,7 @@ from pidb_rdf_spark.operators.curation import (
     hash_sample,
     leakage_free_split,
     pack_token_stream,
+    quantile_band_filter,
     stratified_hash_sample,
     weighted_sample,
 )
@@ -114,6 +115,7 @@ __all__ = [
     "chunk_documents",
     "pii_scrub",
     "pack_token_stream",
+    "quantile_band_filter",
     "topk_per_group",
     "salted_join",
     "bloom_build",

@@ -242,3 +242,66 @@ def weighted_sample(
         .orderBy(F.round(score, 9), F.col(key_col))
         .limit(n)
     )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the per-group
+    [``lower``, ``upper``] quantile band — the outlier-trimming
+    curation step ("drop the shortest 5% and longest 5% of documents
+    per language" before training). NULL values never pass.
+
+    Two tiers, the repo's standing pattern:
+
+    - exact (default): ``percent_rank`` over the group — a full
+      sort per group, deterministic (ties share a rank, so equal
+      values are kept or dropped together), SQL-oracle-replayable.
+      With ``by=None`` this is ONE global sort: correct, but the
+      small-data tier.
+    - ``approx=True`` — THE 100 TB tier: one
+      ``approx_percentile`` aggregate (bounded mergeable state,
+      map-side combinable) computes per-group value bounds, which
+      broadcast-join back as a codegen range filter. Two scans, no
+      sort, no full-group shuffle; boundary rows within the sketch's
+      rank error may differ from the exact tier (inclusive value
+      comparison against the estimated bounds).
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError("need 0 <= lower <= upper <= 1")
+    v = F.col(value_col)
+    if approx:
+        agg = F.percentile_approx(
+            value_col, [float(lower), float(upper)], 10000
+        ).alias("__b")
+        if by is None:
+            b = df.agg(agg)
+            out = df.crossJoin(F.broadcast(b))
+        else:
+            b = df.groupBy(by).agg(agg)
+            out = df.join(F.broadcast(b), on=by)
+        return (
+            out.filter(
+                v.isNotNull()
+                & (v >= F.col("__b")[0])
+                & (v <= F.col("__b")[1])
+            ).drop("__b")
+        )
+    w = (
+        Window.partitionBy(by) if by is not None else Window.partitionBy()
+    ).orderBy(v)
+    pr = F.percent_rank().over(w)
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("__pr", pr)
+        .filter(
+            (F.col("__pr") >= F.lit(float(lower)))
+            & (F.col("__pr") <= F.lit(float(upper)))
+        )
+        .drop("__pr")
+    )

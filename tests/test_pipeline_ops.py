@@ -2583,3 +2583,68 @@ def test_weighted_sample_validates(spark):
     df = spark.createDataFrame([("a", 1.0)], "doc_id string, w double")
     with _pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", n=0)
+
+
+# ---------------------------------------------------------------------------
+# quantile_band_filter
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_band_filter_exact_per_group(spark):
+    """Exact tier vs a numpy-free python oracle: percent_rank band
+    per group, ties kept or dropped together, NULLs never pass."""
+    rows = []
+    for g, n in (("a", 20), ("b", 7)):
+        rows += [(g, float(i % 10)) for i in range(n)]  # ties galore
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "lang string, quality double")
+    from pidb_rdf_spark.operators import quantile_band_filter
+
+    got = sorted(
+        (r.lang, r.quality)
+        for r in quantile_band_filter(
+            df, "quality", by="lang", lower=0.2, upper=0.8
+        ).collect()
+    )
+
+    def oracle():
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for g, v in rows:
+            if v is not None:
+                groups[g].append(v)
+        keep = []
+        for g, vs in groups.items():
+            vs.sort()
+            n = len(vs)
+            for v in vs:
+                pr = sum(1 for x in vs if x < v) / (n - 1)
+                if 0.2 <= pr <= 0.8:
+                    keep.append((g, v))
+        return sorted(keep)
+
+    assert got == oracle()
+    assert all(v is not None for _, v in got)
+
+
+def test_quantile_band_filter_approx_tier(spark):
+    """Approx tier: bounds from approx_percentile, inclusive value
+    filter; on data where the quantiles are unambiguous it matches
+    the exact band."""
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(4)
+    from pidb_rdf_spark.operators import quantile_band_filter
+
+    got = sorted(
+        r.x
+        for r in quantile_band_filter(
+            df, "x", lower=0.1, upper=0.9, approx=True
+        ).collect()
+    )
+    assert got[0] >= 9.0 and got[-1] <= 91.0  # sketch is near-exact here
+    assert len(got) >= 79
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_band_filter(df, "x", lower=0.9, upper=0.1)
