@@ -2648,3 +2648,83 @@ def test_quantile_band_filter_approx_tier(spark):
 
     with _pytest.raises(ValueError):
         quantile_band_filter(df, "x", lower=0.9, upper=0.1)
+
+
+# ---------------------------------------------------------------------------
+# resize_png / audio_features: real decode-stage transforms
+# ---------------------------------------------------------------------------
+
+
+def test_resize_png_nearest_neighbor_exact(spark):
+    """4x4 grayscale with distinct cell values -> 2x2 NN resize must
+    pick the center-aligned sources exactly (indices 1 and 3)."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import resize_png
+
+    px = bytes(range(16))  # 4x4, value = y*4 + x
+    png = _make_png(4, 4, px, color_type=0)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not a png"))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in resize_png(df, 2, 2).collect()}
+    got = np.frombuffer(bytes(rows[1].pixels), dtype=np.uint8).reshape(2, 2)
+    # src index = floor((i + 0.5) * 4 / 2) = 1, 3
+    assert got.tolist() == [[5, 7], [13, 15]]
+    assert rows[1].channel_means == [float(got.mean())]
+    assert rows[2].pixels is None  # undecodable keeps its id row
+
+
+def test_resize_png_upscale_rgb(spark):
+    import numpy as np
+
+    from pidb_rdf_spark.operators import resize_png
+
+    # 1x2 RGB: left red, right blue -> 2x4 upscale replicates columns
+    px = bytes([255, 0, 0, 0, 0, 255])
+    png = _make_png(2, 1, px, color_type=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, content binary"
+    )
+    r = resize_png(df, 4, 2).collect()[0]
+    a = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(2, 4, 3)
+    assert a[:, :2].tolist() == [[[255, 0, 0]] * 2] * 2
+    assert a[:, 2:].tolist() == [[[0, 0, 255]] * 2] * 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_png(df, 0, 2)
+
+
+def test_audio_features_sine_analytics(spark):
+    """440 Hz sine at 8 kHz: ZCR = 2*440/8000 crossings/frame and
+    spectral centroid ~= 440 Hz (energy in one rFFT bin); a stereo
+    blob with silence on channel 1 gets rms 0 there."""
+    import math
+
+    import numpy as np
+
+    from pidb_rdf_spark.operators import audio_features
+
+    sr, n, f = 8000, 8000, 440.0
+    t = np.arange(n) / sr
+    sine = 0.5 * np.sin(2 * math.pi * f * t)
+    stereo = np.zeros(2 * n)
+    stereo[0::2] = sine  # interleaved: ch0 sine, ch1 silence
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_blob(sine, rate=sr))),
+            (2, bytearray(_wav_blob(stereo, channels=2, rate=sr))),
+            (3, bytearray(b"RIFFjunk")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {(r.media_id, r.channel): r for r in audio_features(df).collect()}
+    s = rows[(1, 0)]
+    assert s.rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
+    assert s.zero_crossing_rate == pytest.approx(2 * f / sr, rel=0.01)
+    assert s.spectral_centroid_hz == pytest.approx(f, rel=0.01)
+    assert rows[(2, 0)].spectral_centroid_hz == pytest.approx(f, rel=0.01)
+    assert rows[(2, 1)].rms == 0.0
+    assert rows[(3, None)].rms is None  # undecodable row kept
