@@ -88,3 +88,49 @@ def zorder_layout(
         raise ValueError("n_files must be >= 1")
     keyed = df.withColumn("__z", zorder_key(cols))
     return keyed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table hash-bucketed (and by
+    default sorted) by ``key`` — the co-located-join layout: two
+    tables bucketed by the same key into the same bucket count join
+    WITHOUT ANY EXCHANGE, because matching keys are already in
+    matching files. At 100 TB this converts every recurring
+    fact-to-fact join on the bucket key from the cluster's biggest
+    shuffle into a zero-movement zip of file pairs (the classic
+    warehouse trick Spark exposes via ``bucketBy`` + the session
+    catalog; on a real cluster the metastore makes the layout
+    permanent). ``sort=True`` additionally enables sort-merge joins
+    with no Sort node.
+
+    ``n_buckets`` bounds join parallelism — size it to the target
+    cluster (buckets >= executors) at write time."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the final physical
+    plan — the plan-shape metric the bucketing layout exists to drive
+    to zero (and a cheap regression probe for any operator's claimed
+    shuffle count). Triggers AQE final-plan resolution via a count
+    when needed so the number reflects what actually ran."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    if "AdaptiveSparkPlan isFinalPlan=false" in plan:
+        df.count()  # resolve AQE so the final plan is inspectable
+        plan = qe.executedPlan().toString()
+    import re as _re
+
+    return len(_re.findall(r"\bExchange\b|\bShuffleExchange", plan))

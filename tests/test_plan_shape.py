@@ -383,3 +383,52 @@ def test_explain_query_surfaces(spark):
         explain_query(g, "X", dialect="gremlin")
     with _pytest.raises(ValueError, match="mode"):
         explain_df(g.nodes, mode="fancy")
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located joins: the zero-exchange layout
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key into the same bucket count
+    join with ZERO Exchange operators; the identical unbucketed join
+    shuffles both sides. This is the layout contract write_bucketed
+    exists for."""
+    from pidb_rdf_spark.operators import count_exchanges, write_bucketed
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 500).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    # broadcast would bypass the exchange question entirely: disable
+    with_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "bkt_left", "k", n_buckets=8)
+        write_bucketed(right, "bkt_right", "k", n_buckets=8)
+        bl, br = spark.table("bkt_left"), spark.table("bkt_right")
+        joined = bl.join(br, on="k")
+        assert count_exchanges(joined) == 0
+        # same join without the layout: both sides shuffle
+        plain = left.join(right, on="k")
+        assert count_exchanges(plain) >= 2
+        # and the layout changes nothing about the answer
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_threshold)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_write_bucketed_validates(spark):
+    import pytest
+
+    from pidb_rdf_spark.operators import write_bucketed
+
+    with pytest.raises(ValueError):
+        write_bucketed(spark.range(3), "t", "id", n_buckets=0)
