@@ -210,6 +210,8 @@ _DEFER_TO_TAIL = [
     "cypher_filter_topk",
     # displaced by the new quantile_band_orders entry: events.py is the round's best-covered file in-window (interval_join, sequence_detect, funnel, cohort_retention); sessionize untouched since r5, stream twin pinned in tests
     "sessionize_events",
+    # displaced by the new skew_report_lineitem entry: the CONSTRUCT tail is a projection over the same BGP compile the in-window lineitem/path/subselect SPARQL entries prove; untouched since r4, pytest round-trips in test_sparql_forms.py
+    "construct_derived_edges",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2641,6 +2643,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantile_band_orders"] = quantile_band_orders
 
+    def skew_report_lineitem(spark, sf_dir):
+        """Join-key skew diagnostic (profile.skew_report, exact tier):
+        top-10 heaviest l_suppkey values + the summary row
+        (top1/topk shares, avg per key, skew_ratio — the salt/AQE
+        decision numbers). The approx tier (MG candidates + HLL, no
+        full-key shuffle) is the 100 TB path, pinned by tests."""
+        from pidb_rdf_spark.operators import skew_report
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return skew_report(li, "l_suppkey", top_k=10)
+
+    q["skew_report_lineitem"] = skew_report_lineitem
+
     return _rotate_checked_window(q)
 
 
@@ -5032,6 +5047,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.cohort, j.period_offset, j.n_active,
                round(j.n_active / CAST(z.n_active AS DOUBLE), 6) AS retention
         FROM j JOIN j z ON z.cohort = j.cohort AND z.period_offset = 0
+    """
+    base["skew_report_lineitem"] = """
+        WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                          count(*) AS cnt
+                   FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                          count(*) AS n_distinct FROM c),
+             tk AS (SELECT key, cnt,
+                           CAST(row_number() OVER (ORDER BY cnt DESC, key)
+                                AS INT) AS rank
+                    FROM c ORDER BY cnt DESC, key LIMIT 10),
+             pk AS (SELECT key, cnt, rank,
+                           round(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+                           round(CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT)
+                                 / CAST(n_rows AS DOUBLE), 6)
+                               AS running_share,
+                           n_rows, n_distinct,
+                           round(n_rows / CAST(n_distinct AS DOUBLE), 6)
+                               AS avg_per_key,
+                           round(CAST(cnt AS DOUBLE) * n_distinct / n_rows, 6)
+                               AS skew_ratio
+                    FROM tk, t)
+        SELECT * FROM pk
+        UNION ALL
+        SELECT NULL, NULL, NULL,
+               max(CASE WHEN rank = 1 THEN share END),
+               max(running_share), max(n_rows), max(n_distinct),
+               max(avg_per_key),
+               max(CASE WHEN rank = 1 THEN skew_ratio END)
+        FROM pk
     """
     base["quantile_band_orders"] = """
         WITH r AS (

@@ -19,6 +19,7 @@ form a SQL oracle can replay exactly).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -232,3 +233,125 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             n = df.filter(F.col(r["col"]).isNotNull()).count()
             outs.append(("fk", r["col"], orphan, orphan / n if n else 0.0))
     return spark.createDataFrame(outs, out_schema)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    approx: bool = False,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Join-key skew diagnostic — the "does this key need salting /
+    AQE skew-join?" decision in one small frame:
+
+    one summary row (``key`` NULL): n_rows (non-null), n_distinct,
+    avg_per_key, top1_share and topk_share (fraction of all rows
+    carried by the heaviest and the ``top_k`` heaviest keys), plus
+    skew_ratio = top1_cnt / avg_per_key — the number one compares
+    against the per-partition capacity before a shuffle on this key;
+    and one row per top-``top_k`` key: its count, its share, and its
+    rank's running share. NULL keys are excluded (they broadcast to
+    one partition in a shuffle anyway — a skew of their own; their
+    count is visible as profile_table's n_null).
+
+    Tiers: exact (default) groups the full key space — the
+    SQL-replayable form; ``approx=True`` is the 100 TB tier — the
+    heavy keys come from the Misra-Gries candidate pass
+    (`sketch.heavy_hitters`, exact recounts, no full-key shuffle) and
+    n_distinct from HyperLogLog++, so nothing in the job shuffles
+    more than candidate rows.
+
+    Output columns: (key string, cnt, rank, share, running_share,
+    n_rows, n_distinct, avg_per_key, skew_ratio) — the summary row
+    repeats the scalars with key/cnt/rank NULL.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    src = df.filter(F.col(key_col).isNotNull())
+    if approx:
+        from pidb_rdf_spark.operators.sketch import heavy_hitters
+
+        top = heavy_hitters(src, key_col, k=top_k, capacity=capacity).drop(
+            "guaranteed"
+        )
+        totals = src.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct(key_col).alias("n_distinct"),
+        )
+    else:
+        counts = src.groupBy(F.col(key_col)).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        top = counts.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(
+            top_k
+        )
+        totals = counts.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    top = top.select(
+        F.col(key_col).cast("string").alias("key"), "cnt"
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("key"))
+        ),
+    )
+    joined = top.crossJoin(F.broadcast(totals))
+    per_key = joined.select(
+        "key",
+        "cnt",
+        "rank",
+        F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+        F.round(
+            F.sum("cnt").over(
+                Window.orderBy("rank").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            / F.col("n_rows"),
+            6,
+        ).alias("running_share"),
+        "n_rows",
+        "n_distinct",
+        F.round(F.col("n_rows") / F.col("n_distinct"), 6).alias(
+            "avg_per_key"
+        ),
+        # cast-first: an int64 cnt * n_distinct product overflows at
+        # 100 TB key cardinalities (the mixing.py overflow lesson)
+        F.round(
+            F.col("cnt").cast("double")
+            * F.col("n_distinct")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+    )
+    summary = (
+        per_key.orderBy("rank")
+        .limit(top_k)
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("share"))).alias(
+                "top1_share"
+            ),
+            F.max("running_share").alias("topk_share"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.max("avg_per_key").alias("avg_per_key"),
+            F.max(F.when(F.col("rank") == 1, F.col("skew_ratio"))).alias(
+                "skew_ratio"
+            ),
+        )
+        .select(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("int").alias("rank"),
+            F.col("top1_share").alias("share"),
+            F.col("topk_share").alias("running_share"),
+            "n_rows",
+            "n_distinct",
+            "avg_per_key",
+            "skew_ratio",
+        )
+    )
+    return per_key.unionByName(summary)

@@ -2728,3 +2728,59 @@ def test_audio_features_sine_analytics(spark):
     assert rows[(2, 0)].spectral_centroid_hz == pytest.approx(f, rel=0.01)
     assert rows[(2, 1)].rms == 0.0
     assert rows[(3, None)].rms is None  # undecodable row kept
+
+
+# ---------------------------------------------------------------------------
+# skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_exact_vs_oracle(spark):
+    """Planted 40% hot key: per-key rows and the summary row match a
+    python oracle; NULL keys excluded."""
+    rows = (
+        [("hot",)] * 40 + [("warm",)] * 20
+        + [(f"cold{i}",) for i in range(40)] + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    from pidb_rdf_spark.operators import skew_report
+
+    got = skew_report(df, "k", top_k=3).orderBy(
+        F.col("rank").asc_nulls_last()
+    ).collect()
+    per_key = [r for r in got if r.key is not None]
+    summ = [r for r in got if r.key is None][0]
+    assert [(r.key, r.cnt, r.rank) for r in per_key] == [
+        ("hot", 40, 1), ("warm", 20, 2), ("cold0", 1, 3)
+    ]
+    n, d = 100, 42
+    assert per_key[0].share == round(40 / n, 6)
+    assert per_key[2].running_share == round(61 / n, 6)
+    assert summ.n_rows == n and summ.n_distinct == d
+    assert summ.share == round(40 / n, 6)  # top1_share
+    assert summ.running_share == round(61 / n, 6)  # topk_share
+    assert summ.skew_ratio == round(40.0 * d / n, 6)
+
+
+def test_skew_report_approx_tier_matches_heads(spark):
+    """Approx tier: MG candidates + exact recount give the same heavy
+    keys and counts; only n_distinct is the HLL estimate."""
+    rows = [("hot",)] * 500 + [(f"c{i % 200}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    from pidb_rdf_spark.operators import skew_report
+
+    exact = {
+        r.key: (r.cnt, r.share)
+        for r in skew_report(df, "k", top_k=2).collect()
+        if r.key
+    }
+    approx = {
+        r.key: (r.cnt, r.share)
+        for r in skew_report(df, "k", top_k=2, approx=True).collect()
+        if r.key
+    }
+    assert exact == approx  # counts are exact in both tiers
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_report(df, "k", top_k=0)
