@@ -471,3 +471,88 @@ def blocklist_hits(
             "blocklist_ok": (n_blocked / n_tok) <= F.lit(float(max_frac)),
         }
     )
+
+
+def _extract_html_text(html: str) -> str:
+    """Plain text from one HTML document via the stdlib parser:
+    script/style/template/noscript subtrees drop, block-level tags
+    break lines, entities unescape, whitespace collapses per line,
+    blank lines squeeze. Malformed markup never raises — the stdlib
+    parser is recovering by design."""
+    from html.parser import HTMLParser
+
+    _SKIP = {"script", "style", "template", "noscript"}
+    _BLOCK = {
+        "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+        "h1", "h2", "h3", "h4", "h5", "h6", "section", "article",
+        "header", "footer", "blockquote", "pre", "hr", "nav", "aside",
+        "figure", "figcaption", "form", "dl", "dt", "dd",
+    }
+
+    class _P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP:
+                self.skip += 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP and self.skip:
+                self.skip -= 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.skip and data:
+                self.parts.append(data)
+
+    p = _P()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # recovering parser; keep whatever was extracted
+    lines = []
+    for ln in "".join(p.parts).split("\n"):
+        ln = " ".join(ln.split())
+        if ln:
+            lines.append(ln)
+    return "\n".join(lines)
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str = "plain_text"
+) -> DataFrame:
+    """HTML -> plain-text extraction for web-corpus ingestion: drops
+    script/style subtrees, turns block elements into line breaks,
+    unescapes entities, collapses whitespace — the pre-quality-filter
+    step every crawled corpus runs. Stdlib ``html.parser`` only (a
+    recovering parser: malformed markup degrades, never raises).
+    NULL input -> NULL output.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage (HTML
+    parsing is inherently per-document sequential work, but it is
+    embarrassingly parallel across documents and Arrow moves the
+    strings in batches); no shuffle; output is strictly smaller than
+    input."""
+    import pandas as pd
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` string"
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if t is None else _extract_html_text(t)
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -2784,3 +2784,51 @@ def test_skew_report_approx_tier_matches_heads(spark):
 
     with _pytest.raises(ValueError):
         skew_report(df, "k", top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# strip_html
+# ---------------------------------------------------------------------------
+
+
+def test_extract_html_text_pure():
+    from pidb_rdf_spark.operators.text import _extract_html_text
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Header</h1><p>One &amp; two.</p>"
+        "<div>Three<br>four</div>"
+        "<ul><li>a</li><li>b</li></ul>"
+        "<noscript>hidden</noscript>"
+        "<p>spaced   out</p></body></html>"
+    )
+    got = _extract_html_text(html)
+    assert got.split("\n") == [
+        "T", "Header", "One & two.", "Three", "four", "a", "b",
+        "spaced out",
+    ]
+    # script/style/noscript content is gone
+    assert "not text" not in got and "color" not in got
+    # malformed markup degrades, never raises
+    assert _extract_html_text("<p>ok <b>bold") == "ok bold"
+    assert _extract_html_text("<<<>>&bogus; plain") != ""
+
+
+def test_strip_html_dataframe(spark):
+    from pidb_rdf_spark.operators import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p><script>x</script>"),
+            (2, None),
+            (3, "plain text, no markup"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.plain_text for r in strip_html(df).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] is None
+    assert got[3] == "plain text, no markup"
+    # original columns survive
+    assert set(strip_html(df).columns) == {"doc_id", "text", "plain_text"}
