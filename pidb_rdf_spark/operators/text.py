@@ -556,3 +556,91 @@ def strip_html(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def _bpe_word(word: str, ranks: dict, cache: dict) -> list:
+    """Merge-loop BPE for one word (Sennrich subword-nmt semantics):
+    start from characters + a '</w>' end marker, repeatedly merge the
+    adjacent pair with the LOWEST merge rank until none applies.
+    ``cache`` memoizes per distinct word — corpora are zipfian, so the
+    hit rate is the point."""
+    got = cache.get(word)
+    if got is not None:
+        return got
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    cache[word] = syms
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    lowercase: bool = True,
+    emit_tokens: bool = False,
+) -> DataFrame:
+    """Apply a FIXED subword-BPE merge table to a text column — the
+    budget-deciding tokenization a training pipeline runs (sequence
+    packing, mixture token budgets and per-doc costs all count THESE
+    tokens, not whitespace words). ``merges`` is the ordered list of
+    (left, right) merge pairs, rank = position (the subword-nmt /
+    GPT-2 merges.txt shape, minus the byte-level remap). Output adds
+    ``n_bpe_tokens`` (and ``bpe_tokens`` when ``emit_tokens`` — mind
+    the driver-hash caveat on array columns).
+
+    Scale shape: the merge table broadcasts inside the mapInPandas
+    closure (vocab-sized); per-partition processing memoizes by
+    distinct word, so zipfian corpora pay the merge loop once per
+    TYPE, not per token; no shuffle. NULL text -> NULL count.
+    """
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("duplicate merge pair in merges")
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, `n_bpe_tokens` bigint"
+    if emit_tokens:
+        schema += ", `bpe_tokens` array<string>"
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            counts = []
+            toks_out = [] if emit_tokens else None
+            for t in pdf[text_col]:
+                if t is None:
+                    counts.append(None)
+                    if emit_tokens:
+                        toks_out.append(None)
+                    continue
+                words = (t.lower() if lowercase else t).split()
+                n = 0
+                toks = [] if emit_tokens else None
+                for w in words:
+                    syms = _bpe_word(w, ranks, cache)
+                    n += len(syms)
+                    if emit_tokens:
+                        toks.extend(syms)
+                counts.append(n)
+                if emit_tokens:
+                    toks_out.append(toks)
+            pdf["n_bpe_tokens"] = pd.array(counts, dtype="Int64")
+            if emit_tokens:
+                pdf["bpe_tokens"] = toks_out
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -2832,3 +2832,81 @@ def test_strip_html_dataframe(spark):
     assert got[3] == "plain text, no markup"
     # original columns survive
     assert set(strip_html(df).columns) == {"doc_id", "text", "plain_text"}
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_word_merge_order():
+    """Merges apply by RANK, not left-to-right: with ranks
+    (e,s)<(s,t), 'test' becomes t + es + t</w> at step limits."""
+    from pidb_rdf_spark.operators.text import _bpe_word
+
+    ranks = {("e", "s"): 0, ("s", "t"): 1, ("t", "es"): 2,
+             ("t", "</w>"): 3, ("tes", "t</w>"): 4}
+    got = _bpe_word("test", ranks, {})
+    # e+s -> es; t+es -> tes; t+</w> -> t</w>; tes+t</w> -> test</w>
+    assert got == ["test</w>"]
+    assert _bpe_word("set", ranks, {}) == ["s", "e", "t</w>"]
+    # unknown word: plain characters + end marker
+    assert _bpe_word("xy", ranks, {}) == ["x", "y", "</w>"]
+
+
+def test_bpe_encode_counts_and_tokens(spark):
+    from pidb_rdf_spark.operators import bpe_encode
+
+    merges = [("e", "s"), ("s", "t"), ("t", "es"), ("t", "</w>"),
+              ("tes", "t</w>")]
+    df = spark.createDataFrame(
+        [(1, "Test test SET"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bpe_encode(
+        df, merges, emit_tokens=True
+    ).collect()}
+    # 'test' -> 1 token twice, 'set' -> 3 tokens
+    assert got[1].n_bpe_tokens == 5
+    assert got[1].bpe_tokens == [
+        "test</w>", "test</w>", "s", "e", "t</w>"
+    ]
+    assert got[2].n_bpe_tokens is None
+    assert got[3].n_bpe_tokens == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_encode(df, merges + [("e", "s")])
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    """Random words + random merge table: distributed counts equal a
+    pure-python replay (the determinism contract)."""
+    import random
+
+    from pidb_rdf_spark.operators import bpe_encode
+    from pidb_rdf_spark.operators.text import _bpe_word
+
+    rng = random.Random(3)
+    alpha = "abcd"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+             for _ in range(300)]
+    pairs = set()
+    while len(pairs) < 30:
+        pairs.add((rng.choice(alpha), rng.choice(alpha)))
+        pairs.add((rng.choice(alpha) + rng.choice(alpha), rng.choice(alpha)))
+    merges = sorted(pairs)
+    rng.shuffle(merges)
+    docs = [" ".join(words[i::7]) for i in range(7)]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    ).repartition(4)
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = {
+        i: sum(len(_bpe_word(w, ranks, {})) for w in d.split())
+        for i, d in enumerate(docs)
+    }
+    got = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, merges).collect()
+    }
+    assert got == want
