@@ -2632,6 +2632,7 @@ def _bind_collect_like(
     mapexpr: tuple,
     distinct: bool,
     what: str,
+    size_only: bool = False,
 ) -> str:
     """Shared binder for pattern comprehensions and ``COLLECT { ...
     RETURN [DISTINCT] expr }`` subquery expressions (Neo4j 5.6) —
@@ -2651,8 +2652,26 @@ def _bind_collect_like(
     _collect_props(mapexpr, needed)
     _materialize_props(c2, needed)
     vcol = c.fresh("v")
-    tmp = c.fresh("lst")
     proj = c2.cur.withColumn(vcol, _to_col(c2, mapexpr))
+    if size_only:
+        # size(COLLECT{...}) never needs the list: count the non-NULL
+        # elements (collect_list drops NULLs, so count(expr) — and
+        # count DISTINCT under RETURN DISTINCT — is exactly its size)
+        # per key instead of shipping list mass through the join.
+        tmp = c.fresh("cnt")
+        agg_col = (
+            F.countDistinct(vcol) if distinct else F.count(vcol)
+        ).alias(tmp)
+        if shared:
+            cnt = proj.groupBy(*shared).agg(agg_col)
+            c.cur = c.cur.join(cnt, on=shared, how="left").withColumn(
+                tmp, F.coalesce(F.col(tmp), F.lit(0))
+            )
+        else:
+            c.cur = c.cur.crossJoin(proj.agg(agg_col))
+        c.kinds[tmp] = "value"
+        return tmp
+    tmp = c.fresh("lst")
     lst_col = F.collect_set(vcol) if distinct else F.collect_list(vcol)
 
     def orderable(dt) -> bool:
@@ -2924,6 +2943,20 @@ def _rewrite_subqueries(c: _Compile, expr):
             if e[0] == "collect_sub":
                 return ("var", _bind_collect_like(
                     c, e[1], e[2], e[3], e[4], what="a COLLECT { } subquery"
+                ))
+            if (
+                e[0] == "call"
+                and e[1] == "size"
+                and len(e[2]) == 1
+                and isinstance(e[2][0], tuple)
+                and e[2][0]
+                and e[2][0][0] == "collect_sub"
+            ):
+                # size(COLLECT{...}) -> count aggregate, no list mass
+                sub = e[2][0]
+                return ("var", _bind_collect_like(
+                    c, sub[1], sub[2], sub[3], sub[4],
+                    what="a COLLECT { } subquery", size_only=True,
                 ))
         return tuple(
             walk(x) if isinstance(x, (tuple, list)) else x for x in e

@@ -2831,3 +2831,45 @@ def test_collect_subquery_errors(graph):
             "MATCH (c:Customer)-[:IN_NATION]->(n) "
             "RETURN count(c) } AS x",
         )
+
+
+def test_collect_subquery_size_rewrite(graph):
+    """size(COLLECT{...}) compiles to a count aggregate — the
+    optimized plan carries NO collect_list/collect_set — and its
+    NULL-element semantics still match the list's size (collect
+    drops NULLs, so the CASE below counts only the > 9000 rows)."""
+    q = (
+        "MATCH (n:Nation) "
+        "RETURN n.n_name AS name, "
+        "size(COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "RETURN CASE WHEN c.c_acctbal > 9000 THEN c.c_name END }) AS k "
+        "ORDER BY name"
+    )
+    df = cypher(graph, q)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan and "collect_set" not in plan
+    got = rows(df)
+    want = oracle(
+        """SELECT n_name,
+                  (SELECT COUNT(*) FROM customer
+                   WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+           FROM nation ORDER BY n_name"""
+    )
+    assert got == want
+    # DISTINCT variant: count distinct non-null elements
+    qd = (
+        "MATCH (n:Nation) "
+        "RETURN n.n_name AS name, "
+        "size(COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "RETURN DISTINCT c.c_mktsegment }) AS k ORDER BY name"
+    )
+    dfd = cypher(graph, qd)
+    pland = dfd._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" not in pland
+    wantd = oracle(
+        """SELECT n_name,
+                  (SELECT COUNT(DISTINCT c_mktsegment) FROM customer
+                   WHERE c_nationkey = n_nationkey)
+           FROM nation ORDER BY n_name"""
+    )
+    assert rows(dfd) == wantd
