@@ -2950,13 +2950,18 @@ def _rewrite_subqueries(c: _Compile, expr):
                 and len(e[2]) == 1
                 and isinstance(e[2][0], tuple)
                 and e[2][0]
-                and e[2][0][0] == "collect_sub"
+                and e[2][0][0] in ("collect_sub", "patcomp")
             ):
-                # size(COLLECT{...}) -> count aggregate, no list mass
+                # size(COLLECT{...}) / size([pattern comprehension])
+                # -> count aggregate, no list mass
                 sub = e[2][0]
+                if sub[0] == "collect_sub":
+                    pats, where_, mape, dist = sub[1], sub[2], sub[3], sub[4]
+                else:
+                    pats, where_, mape, dist = [sub[1]], sub[2], sub[3], False
                 return ("var", _bind_collect_like(
-                    c, sub[1], sub[2], sub[3], sub[4],
-                    what="a COLLECT { } subquery", size_only=True,
+                    c, pats, where_, mape, dist,
+                    what="a collected-list expression", size_only=True,
                 ))
         return tuple(
             walk(x) if isinstance(x, (tuple, list)) else x for x in e

@@ -2873,3 +2873,24 @@ def test_collect_subquery_size_rewrite(graph):
            FROM nation ORDER BY n_name"""
     )
     assert rows(dfd) == wantd
+
+
+def test_patcomp_size_rewrite(graph):
+    """size([pattern comprehension]) takes the same count-aggregate
+    shortcut as size(COLLECT{}) — no list in the plan."""
+    q = (
+        "MATCH (n:Nation) "
+        "RETURN n.n_name AS name, "
+        "size([(c:Customer)-[:IN_NATION]->(n) "
+        "WHERE c.c_acctbal > 9000 | c.c_name]) AS k ORDER BY name"
+    )
+    df = cypher(graph, q)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    want = oracle(
+        """SELECT n_name,
+                  (SELECT COUNT(*) FROM customer
+                   WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+           FROM nation ORDER BY n_name"""
+    )
+    assert rows(df) == want
