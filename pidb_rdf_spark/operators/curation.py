@@ -192,6 +192,7 @@ def weighted_sample(
     weight_col: str,
     n: int,
     salt: str = "wsample",
+    by: str | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement of ``n`` rows, inclusion
     probability proportional to ``weight_col`` — the quality-weighted
@@ -212,12 +213,17 @@ def weighted_sample(
     Output: (``key_col``, ``weight_col``, ``sample_score`` rounded to
     6 decimals), the n winners.
 
+    With ``by``, the draw runs independently PER GROUP (n winners in
+    each stratum — "sample 1000 docs per language, quality-weighted"),
+    and the group column rides along in the output.
+
     Scale shape: one narrow projection (hash + ln, all JVM
     codegen), then a global top-n via ORDER BY + LIMIT — Spark
     executes that as TakeOrdered (per-partition heaps merged on the
-    driver), so nothing shuffles and driver memory is O(n); use a
-    per-stratum variant (window rank) only when n itself exceeds
-    driver scale."""
+    driver), so nothing shuffles and driver memory is O(n). The
+    ``by`` form is one shuffle on the group key + a per-group
+    row_number window (never driver-sized), the right tier when
+    n x groups exceeds driver scale."""
     if n < 1:
         raise ValueError("n must be >= 1")
     from pidb_rdf_spark.operators.hashing import md5_prefix_long
@@ -232,9 +238,24 @@ def weighted_sample(
         + F.lit(1.0)
     ) / F.lit(float((1 << 52) + 1))
     score = -F.log(u) / w
+    kept = df.filter(w.isNotNull() & (w > 0))
+    if by is not None:
+        ranked = kept.select(
+            F.col(by),
+            F.col(key_col),
+            F.col(weight_col),
+            F.round(score, 6).alias("sample_score"),
+            F.row_number()
+            .over(
+                Window.partitionBy(by).orderBy(
+                    F.round(score, 9), F.col(key_col)
+                )
+            )
+            .alias("__rn"),
+        )
+        return ranked.filter(F.col("__rn") <= n).drop("__rn")
     return (
-        df.filter(w.isNotNull() & (w > 0))
-        .select(
+        kept.select(
             F.col(key_col),
             F.col(weight_col),
             F.round(score, 6).alias("sample_score"),

@@ -2910,3 +2910,23 @@ def test_bpe_encode_matches_python_twin(spark):
         r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, merges).collect()
     }
     assert got == want
+
+
+def test_weighted_sample_per_group(spark):
+    """by= draws n winners independently per stratum; each group's
+    winners replay the hashlib oracle restricted to that group."""
+    from pidb_rdf_spark.operators import weighted_sample
+
+    rows = [
+        (f"d{i}", float(1 + i % 5), "en" if i % 3 else "fr")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, q double, lang string")
+    got = {}
+    for r in weighted_sample(
+        df, "doc_id", "q", n=7, salt="g1", by="lang"
+    ).collect():
+        got.setdefault(r.lang, []).append((r.doc_id, r.q))
+    for lang in ("en", "fr"):
+        grp = [(d, q) for d, q, lg in rows if lg == lang]
+        assert sorted(got[lang]) == sorted(_es_oracle(grp, "g1", 7))
