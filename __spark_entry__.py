@@ -216,6 +216,8 @@ _DEFER_TO_TAIL = [
     "sessionize_events",
     # displaced by the new skew_report_lineitem entry: the CONSTRUCT tail is a projection over the same BGP compile the in-window lineitem/path/subselect SPARQL entries prove; untouched since r4, pytest round-trips in test_sparql_forms.py
     "construct_derived_edges",
+    # displaced by the new skipgram_pairs_walks entry: the label-scan + PushedFilters seek path runs inside EVERY in-window entry's scan and is plan-pinned in test_plan_shape.py; function untouched since r2
+    "label_scan_prop_seek",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2660,6 +2662,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skew_report_lineitem"] = skew_report_lineitem
 
+    def skipgram_pairs_walks(spark, sf_dir):
+        """Skip-gram (center, context, offset) training pairs
+        (analytics.skipgram_pairs) from the deterministic DeepWalk
+        walks of random_walks_containment — the step between walk
+        sampling and embedding training. NO self-join: one window
+        sort per walk + window lead() taps; the oracle replays the
+        walks and the leads."""
+        from pidb_rdf_spark.analytics import skipgram_pairs
+
+        walks = q["random_walks_containment"](spark, sf_dir)
+        return skipgram_pairs(walks, window=2)
+
+    q["skipgram_pairs_walks"] = skipgram_pairs_walks
+
     return _rotate_checked_window(q)
 
 
@@ -4920,6 +4936,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT start, walk, 2, node FROM w2
         UNION ALL
         SELECT start, walk, 3, node FROM w3
+    """
+    base["skipgram_pairs_walks"] = f"""
+        WITH walks AS ({base['random_walks_containment']}),
+        t1 AS (SELECT start, walk, node AS center, 1 AS off,
+                      lead(node, 1) OVER (PARTITION BY start, walk
+                                          ORDER BY step) AS ctx
+               FROM walks),
+        t2 AS (SELECT start, walk, node AS center, 2 AS off,
+                      lead(node, 2) OVER (PARTITION BY start, walk
+                                          ORDER BY step) AS ctx
+               FROM walks),
+        tap AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+        flt AS (SELECT * FROM tap WHERE ctx IS NOT NULL)
+        SELECT start, walk, center, ctx AS context, off AS offset FROM flt
+        UNION ALL
+        SELECT start, walk, ctx, center, -off FROM flt
     """
     base["leakage_free_split_docs"] = f"""
         WITH RECURSIVE pr AS (

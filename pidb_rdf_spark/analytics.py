@@ -1293,3 +1293,66 @@ def random_walks(
             )
         )
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    start: str = "start",
+    walk: str = "walk",
+    step: str = "step",
+    node: str = "node",
+) -> DataFrame:
+    """(center, context, offset) skip-gram training pairs from a
+    :func:`random_walks` frame — the DeepWalk/node2vec corpus step
+    between walk sampling and embedding training. For every walk
+    position, each neighbor within ``window`` steps (both directions)
+    becomes a context row; offset is signed (context step − center
+    step), so downstream distance weighting stays possible.
+
+    Scale shape: NO self-join — one window sort per walk and
+    ``window`` ``lead()`` taps; each lead-k pair is emitted in both
+    directions by construction (the backward pair of (i, i+k) is
+    (i+k, i)), so the output is exactly the skip-gram bag. Output
+    mass is ≤ 2 * window * walk rows — linear in the corpus.
+    Walks are deterministic, so the pairs replay in a SQL oracle."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.partitionBy(start, walk).orderBy(F.col(step))
+    taps = walks.select(
+        F.col(start).alias("start"),
+        F.col(walk).alias("walk"),
+        F.col(node).alias("center"),
+        *[
+            F.lead(node, k).over(w).alias(f"__c{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    tapped = taps.select(
+        "start",
+        "walk",
+        "center",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("off"),
+                        F.col(f"__c{k}").alias("ctx"),
+                    )
+                    for k in range(1, window + 1)
+                ]
+            )
+        ).alias("p"),
+    ).filter(F.col("p.ctx").isNotNull())
+    fwd = tapped.select(
+        "start", "walk", "center",
+        F.col("p.ctx").alias("context"),
+        F.col("p.off").alias("offset"),
+    )
+    bwd = tapped.select(
+        "start", "walk",
+        F.col("p.ctx").alias("center"),
+        F.col("center").alias("context"),
+        (-F.col("p.off")).alias("offset"),
+    )
+    return fwd.unionAll(bwd)

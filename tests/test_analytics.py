@@ -733,3 +733,37 @@ def test_modularity_table_decomposition(spark):
     assert all(r.e_c == 0 for r in rows) and len(rows) == 6
     empty = spark.createDataFrame([], "src long, dst long")
     assert modularity_table(empty, asg).count() == 0
+
+
+def test_skipgram_pairs_window(spark):
+    """Skip-gram pairs from crafted walks vs a brute-force oracle:
+    both directions, signed offsets, walk boundaries respected,
+    short walks produce fewer pairs."""
+    from pidb_rdf_spark.analytics import skipgram_pairs
+
+    walks = [
+        (1, 0, [10, 11, 12, 13]),
+        (1, 1, [10, 12]),
+        (2, 0, [20]),
+    ]
+    rows = [
+        (s, w, i, n) for s, w, seq in walks for i, n in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "start long, walk long, step int, node long")
+    got = sorted(
+        (r.start, r.walk, r.center, r.context, r.offset)
+        for r in skipgram_pairs(df, window=2).collect()
+    )
+    want = []
+    for s, w, seq in walks:
+        for i, ctr in enumerate(seq):
+            for j, ctx in enumerate(seq):
+                if i != j and abs(i - j) <= 2:
+                    want.append((s, w, ctr, ctx, j - i))
+    assert got == sorted(want)
+    # single-node walk contributes nothing
+    assert not [g for g in got if g[0] == 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
