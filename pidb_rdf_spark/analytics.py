@@ -1356,3 +1356,74 @@ def skipgram_pairs(
         (-F.col("p.off")).alias("offset"),
     )
     return fwd.unionAll(bwd)
+
+
+def negative_samples(
+    pairs: DataFrame,
+    k: int = 5,
+    salt: str = "neg",
+    center: str = "center",
+    context: str = "context",
+    hash_cols: list | None = None,
+) -> DataFrame:
+    """``k`` deterministic uniform negative nodes per skip-gram pair
+    row — the word2vec/node2vec negative-sampling step. Draw i of a
+    row is the node at rank ``md5(salt:<hash_cols>:i) mod n`` in the
+    sorted distinct-node table (nodes = everything appearing as
+    center or context), so the corpus replays bit-for-bit in any
+    engine — no RNG state, stable under repartitioning. Accidental
+    collisions with the row's own center/context are filtered (the
+    word2vec convention), so a row may carry fewer than ``k``
+    negatives (probability ~2k/n).
+
+    ``hash_cols`` (default: every column of ``pairs``) feeds the
+    draw hash — include walk/occurrence ids so repeated (center,
+    context) bag entries draw independent negatives.
+
+    Scale shape: the ranked node table is ONE distinct + row_number
+    pass (vocabulary-sized); pairs explode x k and take ONE equi-join
+    against it on the drawn rank — never a range join, never a
+    driver-side vocab. Output: pairs' columns + (neg_i, negative)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    hash_cols = list(hash_cols) if hash_cols is not None else list(pairs.columns)
+    nodes = (
+        pairs.select(F.col(center).alias("__nn"))
+        .unionAll(pairs.select(F.col(context).alias("__nn")))
+        .dropDuplicates()
+    )
+    ranked = nodes.select(
+        F.col("__nn"),
+        F.row_number().over(Window.orderBy(F.col("__nn"))).alias("__rk"),
+    )
+    n_frame = ranked.agg(F.max("__rk").alias("__n"))
+    key = F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in hash_cols]
+    )
+    ex = (
+        pairs.select("*", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_i"))
+        .crossJoin(F.broadcast(n_frame))
+        .withColumn(
+            "__rk",
+            (
+                md5_prefix_long(
+                    F.concat(key, F.lit(":"), F.col("neg_i").cast("string")),
+                    52,
+                )
+                % F.col("__n")
+                + F.lit(1)
+            ).cast("int"),
+        )
+        .drop("__n")
+    )
+    out = (
+        ex.join(ranked, on="__rk")
+        .withColumnRenamed("__nn", "negative")
+        .drop("__rk")
+    )
+    return out.filter(
+        (F.col("negative") != F.col(center))
+        & (F.col("negative") != F.col(context))
+    )

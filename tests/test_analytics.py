@@ -767,3 +767,44 @@ def test_skipgram_pairs_window(spark):
 
     with _pytest.raises(ValueError):
         skipgram_pairs(df, window=0)
+
+
+def test_negative_samples_deterministic_and_filtered(spark):
+    """Negatives replay a hashlib twin (uniform rank draw over the
+    sorted vocab), and the row's own center/context never appear."""
+    import hashlib
+
+    from pidb_rdf_spark.analytics import negative_samples, skipgram_pairs
+
+    rows = [
+        (s_, 0, i, 10 + (s_ * 3 + i) % 12)
+        for s_ in range(1, 5)
+        for i in range(4)
+    ]
+    walks = spark.createDataFrame(
+        rows, "start long, walk long, step int, node long"
+    )
+    pairs = skipgram_pairs(walks, window=1)
+    got = negative_samples(pairs, k=3, salt="t").collect()
+    vocab = sorted({n for *_, n in rows})
+
+    def draw(r, i):
+        key = f"t:{r.start}:{r.walk}:{r.center}:{r.context}:{r.offset}:{i}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+        return vocab[h % len(vocab)]
+
+    by_row = {}
+    for r in got:
+        assert r.negative != r.center and r.negative != r.context
+        assert r.negative == draw(r, r.neg_i)
+        by_row.setdefault((r.start, r.walk, r.center, r.context, r.offset), 0)
+        by_row[(r.start, r.walk, r.center, r.context, r.offset)] += 1
+    # every pair row yielded at most k and at least k - collisions
+    assert all(1 <= v <= 3 for v in by_row.values())
+    # with a 12-node vocab, a full 3-draw wipe of a row is ~0.4%;
+    # allow at most one wiped row out of 24
+    assert len(by_row) >= pairs.count() - 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_samples(pairs, k=0)
