@@ -1386,6 +1386,9 @@ def negative_samples(
     driver-side vocab. Output: pairs' columns + (neg_i, negative)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    clash = {"neg_i", "negative", "__rk", "__n", "__nn"} & set(pairs.columns)
+    if clash:
+        raise ValueError(f"pairs already has reserved column(s): {sorted(clash)}")
     from pidb_rdf_spark.operators.hashing import md5_prefix_long
 
     hash_cols = list(hash_cols) if hash_cols is not None else list(pairs.columns)
