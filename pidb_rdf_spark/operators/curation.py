@@ -295,6 +295,9 @@ def quantile_band_filter(
     """
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError("need 0 <= lower <= upper <= 1")
+    clash = {"__b", "__pr"} & set(df.columns)
+    if clash:
+        raise ValueError(f"df already has reserved column(s): {sorted(clash)}")
     v = F.col(value_col)
     if approx:
         agg = F.percentile_approx(
