@@ -656,6 +656,9 @@ def cohort_retention(
         act.select("cohort", off.alias("period_offset"))
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
+        # matrix-sized; checkpoint so the sizes branch and the join
+        # don't each replay the raw scan + user shuffle
+        .localCheckpoint(eager=False)
     )
     sizes = cells.filter(F.col("period_offset") == 0).select(
         "cohort", F.col("n_active").alias("__n0")

@@ -432,3 +432,30 @@ def test_write_bucketed_validates(spark):
 
     with pytest.raises(ValueError):
         write_bucketed(spark.range(3), "t", "id", n_buckets=0)
+
+
+def test_new_operator_shuffle_claims(spark):
+    """Pin the documented shuffle shapes of the late-r9 operators via
+    count_exchanges (final AQE plans): weighted_sample's global top-n
+    is exchange-free (TakeOrdered), and cohort_retention stays within
+    its claimed budget (user-key aggregate + matrix-sized cell
+    aggregate + the broadcast size join)."""
+    import datetime as dt
+
+    from pidb_rdf_spark.operators import count_exchanges, weighted_sample
+    from pidb_rdf_spark.streaming import cohort_retention
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", float(1 + i % 9)) for i in range(500)],
+        "doc_id string, w double",
+    )
+    assert count_exchanges(weighted_sample(docs, "doc_id", "w", n=10)) == 0
+
+    ev = spark.createDataFrame(
+        [
+            (i % 40, dt.datetime(2024, 1, 1 + (i * 7) % 28))
+            for i in range(600)
+        ],
+        "user_id long, ts timestamp",
+    ).repartition(4)
+    assert count_exchanges(cohort_retention(ev)) <= 3
