@@ -279,10 +279,19 @@ def skew_report(
             F.count(F.lit(1)).alias("n_rows"),
             F.approx_count_distinct(key_col).alias("n_distinct"),
         )
+        # top is <= top_k rows but its lineage is the two-scan MG
+        # pipeline; checkpoint so the summary branch below does not
+        # replay it
+        top = top.localCheckpoint(eager=False)
     else:
         counts = src.groupBy(F.col(key_col)).agg(
             F.count(F.lit(1)).alias("cnt")
         )
+        # key-cardinality-sized; checkpoint so the top-k, totals and
+        # summary branches share ONE key aggregation (at 100 TB key
+        # cardinalities prefer approx=True, which never materializes
+        # the key space at all)
+        counts = counts.localCheckpoint(eager=False)
         top = counts.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(
             top_k
         )
@@ -299,6 +308,8 @@ def skew_report(
         ),
     )
     joined = top.crossJoin(F.broadcast(totals))
+    # per_key is <= top_k rows and feeds both the output and the
+    # summary aggregate — materialize once
     per_key = joined.select(
         "key",
         "cnt",
@@ -326,7 +337,7 @@ def skew_report(
             / F.col("n_rows"),
             6,
         ).alias("skew_ratio"),
-    )
+    ).localCheckpoint(eager=False)
     summary = (
         per_key.orderBy("rank")
         .limit(top_k)
