@@ -56,21 +56,70 @@ _NT_LINE = (
 _NT_LITERAL = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$'
 
 
+_UCHAR = r"\\(?:u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
+_UCHAR_G = r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
+
+
+def _uchar_rebuild(out, post):
+    """Decode ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric escapes entirely
+    JVM-side: split the string on UCHAR tokens, decode each token's
+    hex as a big-endian UTF-32 code point (``decode(unhex(...),
+    'UTF-32')`` — full astral-plane support, no Python), and
+    interleave. ``post`` runs on the ORIGINAL-text parts only, so a
+    decoded character can never be re-interpreted by a later escape
+    pass (e.g. ``\\u005C`` yields a literal backslash that stays
+    literal, per spec's single-pass escape processing). The rlike
+    guard keeps escape-free rows (the overwhelming hot path) on one
+    regex probe."""
+    toks = F.regexp_extract_all(out, F.lit(_UCHAR_G), 1)
+    parts = F.transform(F.split(out, _UCHAR), post)
+    decoded = F.transform(
+        toks,
+        lambda t: F.decode(
+            F.unhex(F.lpad(t.substr(F.lit(2), F.lit(8)), 8, "0")), "UTF-32"
+        ),
+    )
+    rebuilt = F.concat(
+        F.element_at(parts, 1),
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(toks)),
+            F.lit(""),
+            lambda acc, i: F.concat(
+                acc, F.element_at(decoded, i), F.element_at(parts, i + 1)
+            ),
+        ),
+    )
+    return F.when(out.rlike(_UCHAR), rebuilt).otherwise(post(out))
+
+
+def _unescape_iri(col):
+    """IRIREF unescape: UCHAR only (the sole escape the N-Triples
+    grammar permits inside ``<...>``)."""
+    return _uchar_rebuild(col, lambda p: p)
+
+
 def _unescape(col):
-    """N-Triples string unescape: \\" \\\\ \\n \\t \\r.
+    """N-Triples string unescape: \\" \\\\ \\n \\t \\r and the
+    numeric ``\\uXXXX`` / ``\\UXXXXXXXX`` forms (canonical N-Triples
+    emits EVERY non-ASCII character that way, so skipping them would
+    corrupt any real-world dump).
 
     ``\\\\`` must be consumed FIRST (via a sentinel) so the backslash
     of an escaped backslash can't pair with a following ``n``/``t``/
     ``r`` — otherwise the valid literal ``C:\\\\new`` (meaning
-    ``C:\\new``) would decode as ``C:\\`` + newline + ``ew``."""
+    ``C:\\new``) would decode as ``C:\\`` + newline + ``ew``. The
+    sentinel restores INSIDE the UCHAR rebuild's part lambda, so a
+    UCHAR that decodes to a backslash (or to the sentinel byte) can
+    neither fake an escape nor collide with the restore."""
     sentinel = "\x00"
     out = F.regexp_replace(col, r"\\\\", sentinel)
     out = F.regexp_replace(out, r'\\"', '"')
     out = F.regexp_replace(out, r"\\n", "\n")
     out = F.regexp_replace(out, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
-    out = F.regexp_replace(out, sentinel, r"\\")
-    return out
+    return _uchar_rebuild(
+        out, lambda p: F.regexp_replace(p, sentinel, r"\\")
+    )
 
 
 _PY_ESCAPE_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
@@ -147,9 +196,11 @@ def parse_nquads_lines(lines: DataFrame) -> DataFrame:
         F.expr("substring(o_raw, 2, length(o_raw) - 2)"),
     ).otherwise(F.col("o_raw"))
     return stmt.select(
-        s.alias("subject"),
-        F.col("predicate"),
-        F.when(is_literal, _unescape(lex)).otherwise(obj_iri).alias("object"),
+        _unescape_iri(s).alias("subject"),
+        _unescape_iri(F.col("predicate")).alias("predicate"),
+        F.when(is_literal, _unescape(lex))
+        .otherwise(_unescape_iri(obj_iri))
+        .alias("object"),
         is_literal.alias("is_literal"),
         F.when(is_literal & (dtype != ""), dtype).alias("datatype"),
         F.when(is_literal & (lang != ""), lang).alias("lang"),
@@ -181,9 +232,11 @@ def parse_ntriples_lines(lines: DataFrame) -> DataFrame:
     ).otherwise(F.col("o_raw"))  # bnode
 
     return stmt.select(
-        s.alias("subject"),
-        F.col("predicate"),
-        F.when(is_literal, _unescape(lex)).otherwise(obj_iri).alias("object"),
+        _unescape_iri(s).alias("subject"),
+        _unescape_iri(F.col("predicate")).alias("predicate"),
+        F.when(is_literal, _unescape(lex))
+        .otherwise(_unescape_iri(obj_iri))
+        .alias("object"),
         is_literal.alias("is_literal"),
         F.when(is_literal & (dtype != ""), dtype).alias("datatype"),
         F.when(is_literal & (lang != ""), lang).alias("lang"),

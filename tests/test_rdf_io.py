@@ -1359,3 +1359,53 @@ def test_neo4j_csv_export_reimport_roundtrip(spark, tmp_path):
     # endpoints resolved consistently
     src_uri = g2.nodes.filter(F.col("id") == e["src"]).first()["uri"]
     assert src_uri == "urn:x2:urn:x:a"
+
+
+def test_read_ntriples_gzip(spark, tmp_path):
+    """.nt.gz input parses transparently (Hadoop codec path) — the
+    shape multi-TB public RDF dumps actually ship in. Splittability
+    caveat lives in SCALE.md: one gz member = one task, so corpora
+    should ship as many files."""
+    import gzip
+
+    nt = (
+        '<urn:a> <urn:p> <urn:b> .\n'
+        '<urn:a> <urn:name> "gz \\u00e9l\\u00e8ve" .\n'
+    )
+    p = tmp_path / "part-0.nt.gz"
+    p.write_bytes(gzip.compress(nt.encode()))
+    from pidb_rdf_spark.sources.rdf_reader import read_ntriples
+
+    rows = sorted(
+        (r.subject, r.predicate, r.object)
+        for r in read_ntriples(spark, str(p)).collect()
+    )
+    assert rows == [
+        ("urn:a", "urn:name", "gz élève"),
+        ("urn:a", "urn:p", "urn:b"),
+    ]
+
+
+def test_ntriples_uchar_escapes(spark, tmp_path):
+    """Spec UCHAR decoding on the line-parallel path: \\uXXXX and
+    \\UXXXXXXXX in literals AND IRIs (canonical N-Triples emits all
+    non-ASCII this way); \\u005C decodes to a literal backslash that
+    is NOT re-interpreted (single-pass escape processing); an escaped
+    backslash can never fake a UCHAR."""
+    nt = (
+        '<urn:caf\\u00e9> <urn:p> "caf\\u00e9 \\U0001F600" .\n'
+        '<urn:a> <urn:p> "slash \\u005Cn not newline" .\n'
+        '<urn:a> <urn:p> "literal \\\\u0041 backslash-u" .\n'
+    )
+    p = tmp_path / "uchar.nt"
+    p.write_text(nt)
+    from pidb_rdf_spark.sources.rdf_reader import read_ntriples
+
+    rows = sorted(
+        (r.subject, r.object) for r in read_ntriples(spark, str(p)).collect()
+    )
+    assert rows == [
+        ("urn:a", "literal \\u0041 backslash-u"),
+        ("urn:a", "slash \\n not newline"),
+        ("urn:café", "café 😀"),
+    ]
