@@ -644,3 +644,93 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+) -> list:
+    """LEARN a subword-BPE merge table from a corpus (Sennrich
+    subword-nmt training): repeatedly merge the most frequent
+    adjacent symbol pair, weighted by word frequency. Returns the
+    ordered merge list — feed it to :func:`bpe_encode`.
+
+    Deterministic: ties on pair count break lexicographically, so the
+    same corpus always yields the same table on any engine or
+    partitioning (pinned against a pure-python twin in tests).
+
+    Scale shape: the corpus collapses to the WORD-TYPE table first
+    (one groupBy over tokenized words — the only corpus-sized
+    shuffle); every merge round then runs on the vocabulary:
+    one explode-pairs + sum aggregate (vocabulary-sized, map-side
+    combinable), one 1-row argmax collect, and one Arrow pass that
+    applies the merge to the symbol arrays. Rounds stop early when
+    no pair reaches ``min_pair_count`` (the subword-nmt floor).
+    N merges = N vocab-sized rounds; the corpus is never rescanned."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    import pandas as pd
+
+    toks = df.select(
+        F.explode(
+            F.split(
+                F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+                r"\s+",
+            )
+        ).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)  # vocabulary-sized
+    )
+    merges: list = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+            "freq",
+        ).groupBy("p").agg(F.sum("freq").alias("cnt"))
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("p.a"), F.col("p.b")
+        ).first()
+        if best is None or best["cnt"] < min_pair_count:
+            break
+        a, b = best["p"]["a"], best["p"]["b"]
+        merges.append((a, b))
+        ab = a + b
+
+        def apply_merge(batches, a=a, b=b, ab=ab):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    i = 0
+                    while i < len(syms) - 1:
+                        if syms[i] == a and syms[i + 1] == b:
+                            syms[i : i + 2] = [ab]
+                        else:
+                            i += 1
+                    out.append(syms)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        vocab = vocab.mapInPandas(
+            apply_merge, schema="syms array<string>, freq long"
+        ).localCheckpoint(eager=True)
+    return merges

@@ -2930,3 +2930,80 @@ def test_weighted_sample_per_group(spark):
     for lang in ("en", "fr"):
         grp = [(d, q) for d, q, lg in rows if lg == lang]
         assert sorted(got[lang]) == sorted(_es_oracle(grp, "g1", 7))
+
+
+def _bpe_train_twin(texts, n_merges, min_pair_count=2):
+    """Pure-python subword-nmt trainer (lexicographic tie-break)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        nv = Counter()
+        for syms, f in vocab.items():
+            syms = list(syms)
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+            nv[tuple(syms)] += f
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """Distributed training replays the subword-nmt twin exactly
+    (same merges, same order), and the learned table round-trips
+    through bpe_encode."""
+    import random
+
+    from pidb_rdf_spark.operators import bpe_encode, bpe_train
+
+    rng = random.Random(17)
+    words = ["low", "lower", "lowest", "newer", "new", "wider"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(20)) for _ in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    merges = bpe_train(df, n_merges=12)
+    assert merges == _bpe_train_twin(texts, 12)
+    assert len(merges) >= 8  # the corpus supports many merges
+    # the learned table drives the encoder: frequent whole words
+    # collapse to few tokens
+    enc = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, merges).collect()
+    }
+    assert all(v > 0 for v in enc.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
+
+
+def test_bpe_train_min_pair_floor(spark):
+    """Training stops when no pair reaches min_pair_count."""
+    from pidb_rdf_spark.operators import bpe_train
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "id long, text string")
+    merges = bpe_train(df, n_merges=50, min_pair_count=2)
+    assert merges == []  # every pair occurs once
+    merges1 = bpe_train(df, n_merges=3, min_pair_count=1)
+    assert len(merges1) == 3
