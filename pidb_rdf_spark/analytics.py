@@ -357,11 +357,20 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power iterations with
     uniform teleport and dangling-mass redistribution; Σrank = 1 every
     round. Fixed iteration count (not an epsilon test) keeps the
-    result deterministic and the loop bounded."""
+    result deterministic and the loop bounded.
+
+    ``personalize``: a one-column frame of seed nodes switches to
+    PERSONALIZED PageRank — teleport and dangling mass return to the
+    seed set (uniformly over it) instead of all nodes, so rank
+    measures proximity to the seeds (the recommender / graph-feature
+    workhorse). Seeds absent from the graph are ignored; an empty
+    effective seed set raises. The uniform path is bit-for-bit
+    unchanged (its oracle entry replays the exact float op order)."""
     edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     edges = edges.localCheckpoint(eager=True)
     nodes = (
@@ -372,7 +381,36 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    pref = None
+    if personalize is not None:
+        seeds = (
+            personalize.select(
+                F.col(personalize.columns[0]).alias("node")
+            )
+            .dropDuplicates()
+            .join(nodes, on="node")
+            .localCheckpoint(eager=True)
+        )
+        m = seeds.count()
+        if m == 0:
+            raise ValueError("no personalization seed exists in the graph")
+        pref = (
+            nodes.join(
+                seeds.select("node", F.lit(1).alias("__s")),
+                on="node",
+                how="left",
+            )
+            .select(
+                "node",
+                F.when(F.col("__s").isNotNull(), F.lit(1.0 / m))
+                .otherwise(F.lit(0.0))
+                .alias("pref"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks = pref.select("node", F.col("pref").alias("rank"))
+    else:
+        ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), on="src")
@@ -386,18 +424,24 @@ def pagerank(
         dangling = ranks.join(
             out_deg.withColumnRenamed("src", "node"), on="node", how="leftanti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
-                ).alias("rank"),
+        base = nodes.join(contrib, on="node", how="left").crossJoin(
+            F.broadcast(dangling)
+        )
+        if pref is None:
+            new_rank = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+                + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
             )
-            .localCheckpoint(eager=True)
+        else:
+            base = base.join(pref, on="node")
+            new_rank = (
+                F.lit(1.0 - damping) * F.col("pref")
+                + F.lit(damping) * F.col("_dangling") * F.col("pref")
+                + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+            )
+        ranks = base.select("node", new_rank.alias("rank")).localCheckpoint(
+            eager=True
         )
     return ranks
 

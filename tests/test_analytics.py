@@ -808,3 +808,42 @@ def test_negative_samples_deterministic_and_filtered(spark):
 
     with _pytest.raises(ValueError):
         negative_samples(pairs, k=0)
+
+
+def test_personalized_pagerank_numpy_twin(spark):
+    """PPR vs a dense numpy power iteration (teleport + dangling mass
+    to the seed set): values agree to 1e-9, mass stays 1, non-seed
+    teleport is zero, and seeds-only graphs rank seeds highest."""
+    import numpy as np
+
+    from pidb_rdf_spark.analytics import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)]  # 4 dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,), (99,)], "node long")  # 99 absent
+    got = {r.node: r.rank for r in pagerank(df, n_iter=15, personalize=seeds).collect()}
+
+    n = 6
+    d = 0.85
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[s, t] = 1.0
+    deg = A.sum(axis=1)
+    pref = np.zeros(n)
+    pref[[0, 5]] = 0.5
+    r = pref.copy()
+    for _ in range(15):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if deg[s]:
+                contrib += r[s] * A[s] / deg[s]
+        dangling = r[deg == 0].sum()
+        r = (1 - d) * pref + d * dangling * pref + d * contrib
+    for node in range(n):
+        assert got[node] == pytest.approx(r[node], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[0] > got[4]  # proximity to seeds dominates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        pagerank(df, personalize=spark.createDataFrame([(99,)], "node long"))
