@@ -218,6 +218,8 @@ _DEFER_TO_TAIL = [
     "construct_derived_edges",
     # displaced by the new skipgram_pairs_walks entry: the label-scan + PushedFilters seek path runs inside EVERY in-window entry's scan and is plan-pinned in test_plan_shape.py; function untouched since r2
     "label_scan_prop_seek",
+    # displaced by the new ppr_region_seeds entry: the min-label component fixpoint is re-proven in-window by connected_components_star (same contract, same oracle at sf0.01); function untouched since r7
+    "connected_components_regions",
     # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
     "optional_left_join",
     # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
@@ -2676,6 +2678,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_pairs_walks"] = skipgram_pairs_walks
 
+    def ppr_region_seeds(spark, sf_dir):
+        """Personalized PageRank (analytics.pagerank(personalize=...),
+        late r9) seeded on the five region nodes of the containment
+        graph — teleport + dangling mass return to the seeds, rank =
+        proximity to a region. Same fp-noise-immune floor(rank*1e6)
+        buckets as the uniform entry; the oracle unrolls all 10
+        iterations with the Spark expression's exact float order."""
+        from pidb_rdf_spark.analytics import pagerank
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(
+            F.col("predicate").isin("IN_NATION", "IN_REGION")
+        )
+        seeds = g.nodes.filter(
+            F.col("uri").startswith("urn:region:")
+        ).select("id")
+        ranks = pagerank(cont, n_iter=10, personalize=seeds)
+        return (
+            ranks.join(
+                g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+                on="node",
+            )
+            .select(
+                "node_uri",
+                F.floor(F.col("rank") * 1e6).cast("long").alias("rank_bucket"),
+            )
+        )
+
+    q["ppr_region_seeds"] = ppr_region_seeds
+
     return _rotate_checked_window(q)
 
 
@@ -2939,6 +2971,64 @@ LEFT JOIN h{n_iter} h ON h.node = n.node
 LEFT JOIN a{n_iter} a ON a.node = n.node
 """
     )
+
+
+def _ppr_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Personalized PageRank unrolled in DuckDB SQL, seeded on the
+    five region nodes — mirrors ``analytics.pagerank(personalize=...)``
+    step-for-step: pref = 1/m on seeds else 0, r0 = pref, and per
+    round ``(1.0-d)*pref + d*dm*pref + d*COALESCE(in_rank, 0)`` in
+    the Spark expression's exact association order. Same
+    floor(rank*1e6) bucket projection as the uniform entry."""
+    d = repr(damping)
+    omd = repr(1.0 - damping)
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src,
+         'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+         'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+         'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "m AS MATERIALIZED (SELECT COUNT(*) AS m FROM nodes WHERE node LIKE 'urn:region:%')",
+        "pref AS MATERIALIZED (SELECT node, CASE WHEN node LIKE 'urn:region:%' THEN 1.0 / m ELSE 0.0 END AS pref FROM nodes CROSS JOIN m)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, pref AS rank FROM pref)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank / deg.deg) AS in_rank
+  FROM e JOIN {p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT pref.node,
+         {omd} * pref + {d} * dm * pref
+           + {d} * COALESCE(in_rank, 0.0) AS rank
+  FROM pref CROSS JOIN d{i}
+  LEFT JOIN c{i} ON c{i}.node = pref.node
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT node AS node_uri,
+       CAST(floor(rank * 1e6) AS BIGINT) AS rank_bucket
+FROM r{n_iter}
+"""
 
 
 def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
@@ -4486,6 +4576,7 @@ def oracle_sql() -> dict[str, str]:
                        'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region
             """,
             "pagerank_containment": _pagerank_sql(10, 0.85),
+            "ppr_region_seeds": _ppr_sql(10, 0.85),
             "bfs_hops_containment": """
                 SELECT 'urn:region:1' AS node_uri, CAST(0 AS BIGINT) AS hops
                 UNION ALL
