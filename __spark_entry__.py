@@ -175,14 +175,15 @@ _DEFER_TO_TAIL = [
     # pushed the in-window count to 61 > 50. Never-proven entries
     # outrank returning ones, so 11 additional r7-green returners
     # defer below (justified inline). The final r9 session then added
-    # 8 more new entries (heavy_hitter_tokens, cypher_collect_subquery,
+    # 9 more new entries (heavy_hitter_tokens, cypher_collect_subquery,
     # cohort_retention_events, modularity_regions, weighted_sample_docs,
-    # quantile_band_orders, skew_report_lineitem, skipgram_pairs_walks —
-    # each displacing one more justified returner), leaving the front
-    # at 12 returners + 38 never-proven = 50. r10 window obligation:
-    # the 16 double-deferred below PLUS the 19 returners displaced this
-    # round are first into the r10 window (their newest green rows will
-    # then be 2-3 rounds old), before any r9-green entry returns.
+    # quantile_band_orders, skew_report_lineitem, skipgram_pairs_walks,
+    # ppr_region_seeds — each displacing one more justified returner),
+    # leaving the front at 11 returners + 39 never-proven = 50. r10
+    # window obligation: the 16 double-deferred below PLUS the 20
+    # returners displaced this round are first into the r10 window
+    # (their newest green rows will then be 2-3 rounds old), before
+    # any r9-green entry returns.
     # aggregate compile (compiler.py:345,1392) re-proven in-window by lineitem_pricing_summary + subselect_nation_order_counts + cypher_nation_order_stats; functions untouched by the r9 diff
     "group_count",
     "count_distinct",
