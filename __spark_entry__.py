@@ -2614,8 +2614,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
-        return modularity_table(cont, asg).withColumn(
-            "contribution", F.round("contribution", 6)
+        # Compare the EXACT integer decomposition only: q_num =
+        # 4*m*e_c - d_c^2 is a bigint identical on any engine, while
+        # the float contribution = q_num/4m^2 is subject to 1-ulp
+        # pow/rounding skew across engines (the r9 hash mismatch).
+        return modularity_table(cont, asg).select(
+            "community", "e_c", "d_c", "m", "q_num"
         )
 
     q["modularity_regions"] = modularity_regions
@@ -5270,9 +5274,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT community, sum(deg) AS d_c
             FROM deg JOIN asg USING (node) GROUP BY 1
         )
-        SELECT dsum.community, coalesce(e_c, 0) AS e_c, d_c,
-               round(coalesce(e_c, 0) / CAST(mm.m AS DOUBLE)
-                     - pow(d_c / (2.0 * mm.m), 2), 6) AS contribution
+        SELECT dsum.community, coalesce(e_c, 0) AS e_c,
+               CAST(d_c AS BIGINT) AS d_c, mm.m AS m,
+               CAST(4 * mm.m * coalesce(e_c, 0) - d_c * d_c
+                    AS BIGINT) AS q_num
         FROM dsum LEFT JOIN intra USING (community) CROSS JOIN mm
     """
     base["heavy_hitter_tokens"] = r"""

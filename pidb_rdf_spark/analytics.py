@@ -641,12 +641,19 @@ def modularity_table(
     dst: str = "dst",
 ) -> DataFrame:
     """Per-community modularity decomposition: (community, e_c
-    intra-community edge count, d_c degree sum, contribution
-    e_c/m − (d_c/2m)², full precision). Summing
-    ``contribution`` gives Newman Q — :func:`modularity` does exactly
-    that — and the per-community rows localize WHERE the structure
-    (or its absence) lives, which is what one actually inspects when
-    a clustering underperforms.
+    intra-community edge count, d_c degree sum, m total edge count,
+    q_num, contribution). Summing ``contribution`` =
+    e_c/m − (d_c/2m)² gives Newman Q — :func:`modularity` does
+    exactly that — and the per-community rows localize WHERE the
+    structure (or its absence) lives, which is what one actually
+    inspects when a clustering underperforms.
+
+    ``q_num`` = 4·m·e_c − d_c² is the EXACT integer numerator of the
+    contribution over the common denominator 4m² (contribution =
+    q_num / 4m²) — bit-identical on any engine, so cross-engine
+    comparisons should use it rather than the float (a 1-ulp ``pow``
+    difference survives rounding at boundary values; the float here
+    is computed with plain multiplication for the same reason).
 
     Plan shape: the deduplicated undirected edge list is computed
     once (localCheckpoint) and feeds the edge total m, the
@@ -670,7 +677,8 @@ def modularity_table(
         ctype = asg.schema["community"].dataType.simpleString()
         return e.sparkSession.createDataFrame(
             [],
-            f"community {ctype}, e_c long, d_c long, contribution double",
+            f"community {ctype}, e_c long, d_c long, m long,"
+            " q_num long, contribution double",
         )
     tagged = (
         e.join(asg.withColumnRenamed("node", "u"), on="u")
@@ -694,13 +702,17 @@ def modularity_table(
         .groupBy("community")
         .agg(F.sum("deg").alias("d_c"))
     )
+    ec = F.coalesce(F.col("e_c"), F.lit(0)).cast("long")
+    dc = F.col("d_c").cast("long")
     return dsum.join(intra, on="community", how="left").select(
         "community",
-        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
-        "d_c",
+        ec.alias("e_c"),
+        dc.alias("d_c"),
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(4 * m) * ec - dc * dc).alias("q_num"),
         (
-            F.coalesce(F.col("e_c"), F.lit(0)) / F.lit(float(m))
-            - (F.col("d_c") / F.lit(2.0 * m)) ** 2
+            (F.lit(4 * m) * ec - dc * dc)
+            / F.lit(4.0 * float(m) * float(m))
         ).alias("contribution"),
     )
 
@@ -1402,6 +1414,77 @@ def skipgram_pairs(
     return fwd.unionAll(bwd)
 
 
+def _ranked_local(
+    nodes: DataFrame, col: str, n_partitions: int | None
+) -> DataFrame:
+    """The lazy ranking stage of :func:`ranked_vocabulary` — kept
+    separate so tests can pin its executed plan (no SinglePartition
+    exchange) before the checkpoint hides it."""
+    spark = nodes.sparkSession
+    if n_partitions is None:
+        n_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1
+        )
+    return (
+        nodes.repartitionByRange(n_partitions, F.col(col))
+        .select(F.col(col), F.spark_partition_id().alias("__pid"))
+        .withColumn(
+            "__lrk",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(F.col(col))
+            ),
+        )
+    )
+
+
+def ranked_vocabulary(
+    nodes: DataFrame, col: str = "__nn", out: str = "__rk",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global rank 1..n of a DISTINCT-valued column WITHOUT a
+    single-partition sort — the scale-safe replacement for
+    ``row_number().over(Window.orderBy(col))``, which Spark executes
+    as ONE task holding every row (fatal on a billion-node
+    vocabulary). Two passes instead:
+
+    1. range-repartition by ``col`` (ordered, non-overlapping
+       partitions), rank locally within each partition;
+    2. per-partition row counts — a ``n_partitions``-row aggregate,
+       collected driver-side (bounded by construction: one row per
+       shuffle partition) — become cumulative offsets folded in as a
+       literal map, so global rank = offset[pid] + local rank.
+
+    Global ranks are partition-boundary-independent (ranges are
+    ordered and disjoint), so the result equals the naive window
+    bit-for-bit; the input is materialized (localCheckpoint) so the
+    count pass and the output share one set of boundaries. The plan
+    contains NO SinglePartition exchange (plan-pinned in
+    tests/test_plan_shape.py). Input must be duplicate-free in
+    ``col`` (ranks of ties would be partition-order-dependent)."""
+    local = _ranked_local(nodes, col, n_partitions).localCheckpoint(
+        eager=True
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in local.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return local.select(F.col(col), F.col("__lrk").alias(out))
+    omap = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    return local.select(
+        F.col(col),
+        (F.element_at(omap, F.col("__pid")) + F.col("__lrk"))
+        .cast("int")
+        .alias(out),
+    )
+
+
 def negative_samples(
     pairs: DataFrame,
     k: int = 5,
@@ -1424,10 +1507,13 @@ def negative_samples(
     draw hash — include walk/occurrence ids so repeated (center,
     context) bag entries draw independent negatives.
 
-    Scale shape: the ranked node table is ONE distinct + row_number
-    pass (vocabulary-sized); pairs explode x k and take ONE equi-join
-    against it on the drawn rank — never a range join, never a
-    driver-side vocab. Output: pairs' columns + (neg_i, negative)."""
+    Scale shape: the node table is ranked by
+    :func:`ranked_vocabulary` — range-partitioned two-pass ranking,
+    NO single-partition sort, no driver-side vocab (only the
+    per-partition count vector is collected, bounded by the shuffle
+    partition count); pairs explode x k and take ONE equi-join
+    against it on the drawn rank — never a range join. Output:
+    pairs' columns + (neg_i, negative)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     clash = {"neg_i", "negative", "__rk", "__n", "__nn"} & set(pairs.columns)
@@ -1441,10 +1527,7 @@ def negative_samples(
         .unionAll(pairs.select(F.col(context).alias("__nn")))
         .dropDuplicates()
     )
-    ranked = nodes.select(
-        F.col("__nn"),
-        F.row_number().over(Window.orderBy(F.col("__nn"))).alias("__rk"),
-    )
+    ranked = ranked_vocabulary(nodes, col="__nn", out="__rk")
     n_frame = ranked.agg(F.max("__rk").alias("__n"))
     key = F.concat_ws(
         ":", F.lit(salt), *[F.col(c).cast("string") for c in hash_cols]

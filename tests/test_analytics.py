@@ -715,7 +715,7 @@ def test_modularity_table_decomposition(spark):
         ["node", "community"],
     )
     got = {
-        r.community: (r.e_c, r.d_c, r.contribution)
+        r.community: (r.e_c, r.d_c, r.m, r.q_num, r.contribution)
         for r in modularity_table(pairs, asg).collect()
     }
     # m=7, each side: 3 intra edges, degree sum 7
@@ -723,7 +723,12 @@ def test_modularity_table_decomposition(spark):
     assert set(got) == {1, 2}
     for c in (1, 2):
         assert got[c][0] == 3 and got[c][1] == 7
-        assert got[c][2] == pytest.approx(want_contrib)
+        assert got[c][2] == 7
+        # exact integer numerator: 4*m*e_c - d_c^2 = 4*7*3 - 49 = 35
+        assert got[c][3] == 35
+        assert got[c][4] == pytest.approx(want_contrib)
+        # the float IS q_num / 4m^2, bit-for-bit
+        assert got[c][4] == 35 / (4 * 7 * 7)
     # a community with zero intra edges still gets its row (e_c=0)
     lonely = spark.createDataFrame(
         [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6)],
@@ -767,6 +772,35 @@ def test_skipgram_pairs_window(spark):
 
     with _pytest.raises(ValueError):
         skipgram_pairs(df, window=0)
+
+
+def test_ranked_vocabulary_matches_naive_window(spark):
+    """The two-pass range-partitioned rank equals the naive global
+    window bit-for-bit, for any partition count, including ones that
+    leave some range partitions empty."""
+    from pyspark.sql import Window
+
+    from pidb_rdf_spark.analytics import ranked_vocabulary
+
+    vals = [(v,) for v in [17, 3, 99, 42, 8, 1, 56, 23, 77, 5, 61, 34]]
+    nodes = spark.createDataFrame(vals, "__nn long").repartition(5)
+    want = {
+        (r["__nn"], r["__rk"])
+        for r in nodes.select(
+            "__nn",
+            F.row_number().over(Window.orderBy("__nn")).alias("__rk"),
+        ).collect()
+    }
+    for nparts in (1, 3, 32, 64):
+        got = {
+            (r["__nn"], r["__rk"])
+            for r in ranked_vocabulary(nodes, n_partitions=nparts).collect()
+        }
+        assert got == want, nparts
+    # empty input -> empty output with the rank column present
+    empty = spark.createDataFrame([], "__nn long")
+    out = ranked_vocabulary(empty)
+    assert out.columns == ["__nn", "__rk"] and out.count() == 0
 
 
 def test_negative_samples_deterministic_and_filtered(spark):

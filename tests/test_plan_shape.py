@@ -434,6 +434,26 @@ def test_write_bucketed_validates(spark):
         write_bucketed(spark.range(3), "t", "id", n_buckets=0)
 
 
+def test_ranked_vocabulary_no_single_partition(spark):
+    """The vocabulary ranking stage must never funnel the node table
+    through one task (VERDICT r9 #3): the executed plan of
+    ranked_vocabulary contains range/hash exchanges only — NO
+    SinglePartition exchange anywhere."""
+    from pidb_rdf_spark.analytics import _ranked_local, ranked_vocabulary
+
+    nodes = spark.createDataFrame(
+        [(i * 7 % 1000,) for i in range(400)], "__nn long"
+    ).dropDuplicates()
+    stage = _ranked_local(nodes, "__nn", None)
+    plan = stage._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # the public wrapper (checkpoint + offset fold) also stays clean
+    ranked = ranked_vocabulary(nodes)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_new_operator_shuffle_claims(spark):
     """Pin the documented shuffle shapes of the late-r9 operators via
     count_exchanges (final AQE plans): weighted_sample's global top-n
