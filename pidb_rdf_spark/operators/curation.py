@@ -276,15 +276,18 @@ def quantile_band_filter(
     """Keep rows whose ``value_col`` lies inside the per-group
     [``lower``, ``upper``] quantile band — the outlier-trimming
     curation step ("drop the shortest 5% and longest 5% of documents
-    per language" before training). NULL values never pass.
+    per language" before training). NULL values never pass, and —
+    when ``by`` is given — neither do rows whose GROUP KEY is NULL
+    (both tiers agree: an unknown group has no meaningful band).
 
     Two tiers, the repo's standing pattern:
 
     - exact (default): ``percent_rank`` over the group — a full
       sort per group, deterministic (ties share a rank, so equal
       values are kept or dropped together), SQL-oracle-replayable.
-      With ``by=None`` this is ONE global sort: correct, but the
-      small-data tier.
+      With ``by=None`` this is ONE global sort — a single task holds
+      the whole table, so it warns (the approx tier is the 100 TB
+      path, exactly like the Cypher cartesian guard).
     - ``approx=True`` — THE 100 TB tier: one
       ``approx_percentile`` aggregate (bounded mergeable state,
       map-side combinable) computes per-group value bounds, which
@@ -299,6 +302,20 @@ def quantile_band_filter(
     if clash:
         raise ValueError(f"df already has reserved column(s): {sorted(clash)}")
     v = F.col(value_col)
+    if by is not None:
+        # both tiers drop NULL-keyed rows identically (the approx
+        # tier's inner join would drop them anyway; the exact tier's
+        # window would otherwise band-filter the NULL group)
+        df = df.filter(F.col(by).isNotNull())
+    elif not approx:
+        import warnings
+
+        warnings.warn(
+            "quantile_band_filter(by=None, approx=False) sorts the"
+            " whole table in ONE task (global percent_rank); use"
+            " approx=True at scale",
+            stacklevel=2,
+        )
     if approx:
         agg = F.percentile_approx(
             value_col, [float(lower), float(upper)], 10000

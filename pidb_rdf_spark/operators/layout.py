@@ -124,13 +124,18 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of Exchange (shuffle) operators in the final physical
     plan — the plan-shape metric the bucketing layout exists to drive
     to zero (and a cheap regression probe for any operator's claimed
-    shuffle count). Triggers AQE final-plan resolution via a count
-    when needed so the number reflects what actually ran."""
+    shuffle count). Under AQE the captured QueryExecution must be
+    EXECUTED to finalize: ``df.collect()`` runs this very plan and
+    flips ``isFinalPlan=true`` on it, whereas ``df.count()`` builds a
+    NEW QueryExecution and leaves the inspected one at its initial
+    (pre-AQE-replan) shape — the exchange count would then reflect a
+    plan that never ran."""
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     if "AdaptiveSparkPlan isFinalPlan=false" in plan:
-        df.count()  # resolve AQE so the final plan is inspectable
+        df.collect()  # executes THIS QueryExecution -> finalizes it
         plan = qe.executedPlan().toString()
+        assert "isFinalPlan=false" not in plan, "AQE plan not finalized"
     import re as _re
 
     return len(_re.findall(r"\bExchange\b|\bShuffleExchange", plan))

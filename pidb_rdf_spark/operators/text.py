@@ -542,6 +542,9 @@ def strip_html(
     input."""
     import pandas as pd
 
+    if out_col in df.columns:
+        raise ValueError(f"df already has reserved column: {out_col!r}")
+
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in df.schema.fields)
     schema = f"{fields}, `{out_col}` string"
@@ -605,6 +608,12 @@ def bpe_encode(
     """
     import pandas as pd
 
+    clash = {"n_bpe_tokens"} | ({"bpe_tokens"} if emit_tokens else set())
+    clash &= set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df already has reserved column(s): {sorted(clash)}"
+        )
     ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
     if len(ranks) != len(merges):
         raise ValueError("duplicate merge pair in merges")

@@ -2628,6 +2628,46 @@ def test_quantile_band_filter_exact_per_group(spark):
     assert all(v is not None for _, v in got)
 
 
+def test_quantile_band_filter_null_group_keys_both_tiers(spark):
+    """Rows whose GROUP KEY is NULL are dropped identically by both
+    tiers (ADVICE r9: the approx tier's inner join dropped them while
+    the exact tier's window banded the NULL group)."""
+    from pidb_rdf_spark.operators import quantile_band_filter
+
+    rows = [("a", float(i)) for i in range(1, 21)]
+    rows += [(None, 5.0), (None, 500.0)]
+    df = spark.createDataFrame(rows, "lang string, quality double")
+    exact = quantile_band_filter(
+        df, "quality", by="lang", lower=0.0, upper=1.0
+    ).collect()
+    approx = quantile_band_filter(
+        df, "quality", by="lang", lower=0.0, upper=1.0, approx=True
+    ).collect()
+    assert all(r.lang is not None for r in exact)
+    assert all(r.lang is not None for r in approx)
+    assert len(exact) == len(approx) == 20
+
+
+def test_quantile_band_filter_global_exact_warns(spark):
+    """by=None + approx=False is a single-task global sort -> warns
+    (the approx tier is the scale path), mirroring the Cypher
+    cartesian guard."""
+    import warnings
+
+    from pidb_rdf_spark.operators import quantile_band_filter
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = quantile_band_filter(df, "x", lower=0.0, upper=1.0)
+        assert any("ONE task" in str(x.message) for x in w)
+    assert out.count() == 10
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        quantile_band_filter(df, "x", lower=0.0, upper=1.0, approx=True)
+        assert not any("ONE task" in str(x.message) for x in w)
+
+
 def test_quantile_band_filter_approx_tier(spark):
     """Approx tier: bounds from approx_percentile, inclusive value
     filter; on data where the quantiles are unambiguous it matches
@@ -2877,6 +2917,35 @@ def test_bpe_encode_counts_and_tokens(spark):
 
     with _pytest.raises(ValueError):
         bpe_encode(df, merges + [("e", "s")])
+
+
+def test_text_output_column_clash_guards(spark):
+    """strip_html / bpe_encode raise on inputs that already carry
+    their output columns (the reserved-column convention the sibling
+    ops follow), instead of yielding a duplicate-name schema."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import bpe_encode, strip_html
+
+    df = spark.createDataFrame(
+        [(1, "<p>x</p>", "y")], "doc_id long, text string, plain_text string"
+    )
+    with _pytest.raises(ValueError, match="plain_text"):
+        strip_html(df)
+    assert strip_html(df, out_col="clean").columns[-1] == "clean"
+    df2 = spark.createDataFrame(
+        [(1, "a b", 7)], "doc_id long, text string, n_bpe_tokens long"
+    )
+    with _pytest.raises(ValueError, match="n_bpe_tokens"):
+        bpe_encode(df2, [("a", "b")])
+    df3 = spark.createDataFrame(
+        [(1, "a b", ["x"])],
+        "doc_id long, text string, bpe_tokens array<string>",
+    )
+    with _pytest.raises(ValueError, match="bpe_tokens"):
+        bpe_encode(df3, [("a", "b")], emit_tokens=True)
+    # without emit_tokens an existing bpe_tokens column is NOT reserved
+    assert "n_bpe_tokens" in bpe_encode(df3, [("a", "b")]).columns
 
 
 def test_bpe_encode_matches_python_twin(spark):
