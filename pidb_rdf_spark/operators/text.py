@@ -655,12 +655,50 @@ def bpe_encode(
     return df.mapInPandas(run, schema)
 
 
+def _bpe_train_local(word_freqs: list, n_merges: int, min_pair_count: int) -> list:
+    """Driver-side merge training over the (word, freq) TYPE table —
+    the same argmax/tie-break/floor semantics as the distributed
+    rounds (parity-pinned in tests), at in-memory loop speed."""
+    vocab: dict = {}
+    for w, f in word_freqs:
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + f
+    merges: list = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        nv: dict = {}
+        for syms, f in vocab.items():
+            syms = list(syms)
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+            key = tuple(syms)
+            nv[key] = nv.get(key, 0) + f
+        vocab = nv
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
     min_pair_count: int = 2,
+    driver_cap: int = 1_000_000,
 ) -> list:
     """LEARN a subword-BPE merge table from a corpus (Sennrich
     subword-nmt training): repeatedly merge the most frequent
@@ -671,14 +709,26 @@ def bpe_train(
     same corpus always yields the same table on any engine or
     partitioning (pinned against a pure-python twin in tests).
 
-    Scale shape: the corpus collapses to the WORD-TYPE table first
-    (one groupBy over tokenized words — the only corpus-sized
-    shuffle); every merge round then runs on the vocabulary:
-    one explode-pairs + sum aggregate (vocabulary-sized, map-side
-    combinable), one 1-row argmax collect, and one Arrow pass that
-    applies the merge to the symbol arrays. Rounds stop early when
-    no pair reaches ``min_pair_count`` (the subword-nmt floor).
-    N merges = N vocab-sized rounds; the corpus is never rescanned."""
+    Two tiers (VERDICT r9 #5). The corpus ALWAYS collapses to the
+    WORD-TYPE table first (one groupBy over tokenized words — the
+    only corpus-sized shuffle); even a 100 TB corpus usually has a
+    type table of a few million rows, so:
+
+    - driver tier (default): when a limit-probe shows the type table
+      fits under ``driver_cap`` rows, it is collected once and the
+      merge loop runs driver-side in pure Python — 32k merges cost
+      32k in-memory rounds, not 32k Spark jobs of scheduler
+      overhead. Identical output to the distributed tier
+      (parity-pinned).
+    - distributed tier (``driver_cap=0`` or probe overflow): every
+      merge round runs on the distributed vocabulary — one
+      explode-pairs + sum aggregate (vocabulary-sized, map-side
+      combinable), one 1-row argmax collect, one Arrow pass applying
+      the merge. N merges = N vocab-sized rounds; the corpus is
+      never rescanned.
+
+    Rounds stop early when no pair reaches ``min_pair_count`` (the
+    subword-nmt floor)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     import pandas as pd
@@ -691,9 +741,17 @@ def bpe_train(
             )
         ).alias("w")
     ).filter(F.length("w") > 0)
+    word_freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    if driver_cap > 0:
+        probe = word_freq.limit(driver_cap + 1).count()
+        if probe <= driver_cap:
+            return _bpe_train_local(
+                [(r["w"], r["freq"]) for r in word_freq.collect()],
+                n_merges,
+                min_pair_count,
+            )
     vocab = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        word_freq
         .select(
             F.concat(
                 F.split(F.col("w"), ""), F.array(F.lit("</w>"))

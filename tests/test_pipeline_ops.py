@@ -3052,8 +3052,13 @@ def test_bpe_train_matches_python_twin(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     ).repartition(4)
-    merges = bpe_train(df, n_merges=12)
+    merges = bpe_train(df, n_merges=12)  # driver tier (type table fits)
     assert merges == _bpe_train_twin(texts, 12)
+    # tier parity: forcing the distributed rounds (driver_cap=0) and
+    # an overflow-probe fallback (cap smaller than the type count)
+    # must both yield the identical table
+    assert bpe_train(df, n_merges=12, driver_cap=0) == merges
+    assert bpe_train(df, n_merges=12, driver_cap=3) == merges
     assert len(merges) >= 8  # the corpus supports many merges
     # the learned table drives the encoder: frequent whole words
     # collapse to few tokens
