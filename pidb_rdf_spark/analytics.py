@@ -1133,6 +1133,84 @@ def node_similarity(
     )
 
 
+def link_prediction(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    exclude_existing: bool = True,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Classic link-prediction scores for candidate node pairs of the
+    undirected simple graph of ``pairs`` (a < b, at least one common
+    neighbor): ``n_common`` (common-neighbors count),
+    ``pref_attachment`` = deg(a)·deg(b) (both exact integers),
+    ``adamic_adar`` = Σ_z 1/ln(deg(z)) and ``resource_alloc`` =
+    Σ_z 1/deg(z) over common neighbors z — the standard
+    neighborhood-based predictors (Liben-Nowell & Kleinberg 2003).
+    ``exclude_existing`` keeps only NON-adjacent pairs (the actual
+    prediction targets).
+
+    Scale shape: candidates come from the common-neighbor wedge join
+    only (the :func:`node_similarity` shape — never all pairs); the
+    per-z scores join z's degree BEFORE aggregation, so one
+    vocabulary-sized join + one candidate-keyed aggregate.
+    ``max_degree`` caps hub explosion in candidate generation (pairs
+    connected only through hotter hubs are dropped — documented
+    recall trade, same as node_similarity); every common neighbor z
+    has deg(z) >= 2 by construction, so 1/ln(deg) is finite. The
+    integer scores are engine-exact; the float sums are
+    order-sensitive (use the ints for cross-engine comparison)."""
+    nbrs = _sym(pairs, src, dst).select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).localCheckpoint(eager=True)
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    gen = nbrs
+    if max_degree is not None:
+        nbr_deg = nbrs.groupBy("nbr").agg(F.count(F.lit(1)).alias("nd"))
+        gen = nbrs.join(
+            nbr_deg.filter(F.col("nd") <= max_degree).select("nbr"),
+            on="nbr",
+            how="leftsemi",
+        )
+    wedges = (
+        gen.select(F.col("node").alias("a"), "nbr")
+        .join(gen.select(F.col("node").alias("b"), "nbr"), on="nbr")
+        .filter(F.col("a") < F.col("b"))
+        .join(
+            deg.select(F.col("node").alias("nbr"), F.col("deg").alias("zd")),
+            on="nbr",
+        )
+    )
+    scores = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.lit(1.0) / F.log(F.col("zd"))).alias("adamic_adar"),
+        F.sum(F.lit(1.0) / F.col("zd")).alias("resource_alloc"),
+    )
+    if exclude_existing:
+        existing = nbrs.select(
+            F.col("node").alias("a"), F.col("nbr").alias("b")
+        )
+        scores = scores.join(existing, on=["a", "b"], how="leftanti")
+    return (
+        scores.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            on="a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            on="b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("da") * F.col("db")).alias("pref_attachment"),
+            "adamic_adar",
+            "resource_alloc",
+        )
+    )
+
+
 def hits(
     pairs: DataFrame,
     src: str = "src",

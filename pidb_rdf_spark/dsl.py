@@ -361,6 +361,215 @@ class Traversal:
         )
         return self._with(out)
 
+    # ---- long-tail steps (TinkerPop sack / local / subgraph / tree /
+    # simplePath / cyclicPath — the remaining GraphTraversal families
+    # the reference exposes via Neo4jGraph.java:61) ----------------------
+
+    def with_sack(self, initial) -> "Traversal":
+        """TinkerPop ``withSack(initial)``: attach a per-traverser
+        accumulator. Column bookkeeping only — the sack is one extra
+        column carried through every subsequent join, never a
+        shuffle of its own."""
+        if "__sack" in self.df.columns:
+            raise ValueError("traversal already carries a sack")
+        return self._with(self.df.withColumn("__sack", F.lit(initial)))
+
+    def sack_by(self, key: str, op: str = "sum") -> "Traversal":
+        """TinkerPop ``sack(op).by(key)``: fold the CURRENT element's
+        property into each traverser's sack (``sum``/``mult``/
+        ``min``/``max``/``assign``). Works on node and edge
+        frontiers; one hash join against the element table (the same
+        join ``values()`` pays), NULL properties leave the sack
+        unchanged."""
+        if "__sack" not in self.df.columns:
+            raise ValueError("sack_by(): call with_sack(initial) first")
+        if self.on_edges:
+            e = self.g.edges
+            col = F.col(key) if key in e.columns else F.col("props").getItem(key)
+            side = e.select(F.col("id").alias(CUR), col.cast("double").alias("__sv"))
+        else:
+            side = self.g.nodes.select(
+                F.col("id").alias(CUR),
+                self.g.node_prop(key).cast("double").alias("__sv"),
+            )
+        joined = self.df.join(side, on=CUR, how="left")
+        s, v = F.col("__sack"), F.col("__sv")
+        if op == "sum":
+            newsack = s + F.coalesce(v, F.lit(0.0))
+        elif op == "mult":
+            newsack = s * F.coalesce(v, F.lit(1.0))
+        elif op == "min":
+            newsack = F.least(s, F.coalesce(v, s))
+        elif op == "max":
+            newsack = F.greatest(s, F.coalesce(v, s))
+        elif op == "assign":
+            newsack = F.coalesce(v, s)
+        else:
+            raise ValueError(f"unknown sack op: {op!r}")
+        return self._with(
+            joined.withColumn("__sack", newsack).drop("__sv")
+        )
+
+    def sack_df(self, *keys: str) -> DataFrame:
+        """Terminal ``sack()``: one row per traverser with its sack
+        value, plus the requested properties of the current element
+        (so path costs stay joined to what they cost)."""
+        if "__sack" not in self.df.columns:
+            raise ValueError("sack_df(): call with_sack(initial) first")
+        if not keys:
+            return self.df.select(F.col("__sack").alias("sack"))
+        if self.on_edges:
+            e = self.g.edges.withColumnRenamed("id", CUR)
+            src = self.df.join(e, on=CUR, how="inner")
+            cols = [
+                (F.col(k) if k in e.columns else F.col("props").getItem(k)).alias(k)
+                for k in keys
+            ]
+        else:
+            src = self._frontier_nodes()
+            cols = [self.g.node_prop(k).alias(k) for k in keys]
+        return src.select(*cols, F.col("__sack").alias("sack"))
+
+    def local(
+        self,
+        body,
+        order_key: str | None = None,
+        asc: bool = True,
+        limit: int | None = None,
+        dedup: bool = False,
+    ) -> "Traversal":
+        """TinkerPop ``local(body)`` for its dominant uses: run
+        ``body`` with traverser identity pinned, then apply
+        ``dedup``/``order().by(order_key)``/``limit`` WITHIN each
+        incoming traverser's results instead of globally (per-vertex
+        top-k neighbors, first-edge-per-node, ...).
+
+        Set-oriented: identity is one materialized row id (same
+        device as ``coalesce_``), the body runs ONCE over the whole
+        frontier, and the per-traverser order/limit is a
+        row_number window partitioned by traverser id — exactly the
+        per-group top-k plan ``operators/window.py`` uses, so the
+        sort is per-partition-group, never global. Ordering ties
+        break on element id (deterministic across partitionings)."""
+        src = self.df.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        b = body(Traversal(self.g, src, self.on_edges))
+        df = b.df
+        if dedup:
+            df = df.dropDuplicates(["__tid", CUR])
+        if order_key is not None or limit is not None:
+            from pyspark.sql import Window
+
+            if order_key is not None:
+                if b.on_edges:
+                    e = self.g.edges
+                    col = (
+                        F.col(order_key)
+                        if order_key in e.columns
+                        else F.col("props").getItem(order_key)
+                    )
+                    side = e.select(
+                        F.col("id").alias(CUR), col.alias("__ok")
+                    )
+                else:
+                    side = self.g.nodes.select(
+                        F.col("id").alias(CUR),
+                        self.g.node_prop(order_key).alias("__ok"),
+                    )
+                df = df.join(side, on=CUR, how="left")
+                key = F.col("__ok").asc() if asc else F.col("__ok").desc()
+                order = [key, F.col(CUR).asc()]
+            else:
+                order = [F.col(CUR).asc()]
+            w = Window.partitionBy("__tid").orderBy(*order)
+            df = df.withColumn("__rn", F.row_number().over(w))
+            if limit is not None:
+                df = df.filter(F.col("__rn") <= limit)
+            df = df.drop("__rn", "__ok")
+        return self._with(df.drop("__tid"), on_edges=b.on_edges)
+
+    def subgraph(self) -> PropertyGraph:
+        """TinkerPop ``subgraph()`` side-effect: materialize the
+        edge-induced subgraph of the CURRENT EDGE frontier — the
+        frontier's edges plus their endpoint vertices, as a fully
+        queryable :class:`PropertyGraph` (every surface — DSL,
+        SPARQL, Cypher — runs on the result). Two semi-joins; node
+        and edge payloads are never copied, just filtered."""
+        if not self.on_edges:
+            raise ValueError(
+                "subgraph(): frontier must hold edges (use out_e/in_e/"
+                "both_e or E())"
+            )
+        eids = self.df.select(F.col(CUR).alias("id")).dropDuplicates()
+        sub_edges = self.g.edges.join(eids, on="id", how="leftsemi")
+        ends = (
+            sub_edges.select(F.col("src").alias("id"))
+            .unionAll(sub_edges.select(F.col("dst").alias("id")))
+            .dropDuplicates()
+        )
+        sub_nodes = self.g.nodes.join(ends, on="id", how="leftsemi")
+        return PropertyGraph(
+            spark=self.g.spark,
+            nodes=sub_nodes,
+            edges=sub_edges,
+            namespaces=self.g.namespaces,
+            variables=dict(self.g.variables),
+        )
+
+    def tree(self) -> DataFrame:
+        """TinkerPop ``tree()``: the traversal tree as rows —
+        ``(depth, parent, child, n_traversers)``, where depth is the
+        child's position along the recorded path (root = depth 0's
+        parent). Derived entirely from the ``__path`` arrays (one
+        posexplode + aggregate, no extra graph joins); requires
+        ``with_path()``."""
+        if "__path" not in self.df.columns:
+            raise ValueError("tree(): call with_path() before traversing")
+        steps = self.df.select(
+            F.posexplode(
+                F.zip_with(
+                    F.slice(F.col("__path"), 1, F.size("__path") - 1),
+                    F.slice(F.col("__path"), 2, F.size("__path") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("parent"), b.alias("child")
+                    ),
+                )
+            ).alias("__pos", "__pc")
+        )
+        return (
+            steps.select(
+                (F.col("__pos") + 1).alias("depth"),
+                F.col("__pc.parent").alias("parent"),
+                F.col("__pc.child").alias("child"),
+            )
+            .groupBy("depth", "parent", "child")
+            .agg(F.count("*").alias("n_traversers"))
+        )
+
+    def simple_path(self) -> "Traversal":
+        """TinkerPop ``simplePath()``: keep traversers whose recorded
+        path never revisits an element. Pure column arithmetic on the
+        ``__path`` array (size vs distinct size) — no joins."""
+        if "__path" not in self.df.columns:
+            raise ValueError("simple_path(): call with_path() first")
+        return self._with(
+            self.df.filter(
+                F.size(F.array_distinct("__path")) == F.size("__path")
+            )
+        )
+
+    def cyclic_path(self) -> "Traversal":
+        """TinkerPop ``cyclicPath()``: the complement of
+        :meth:`simple_path` — keep traversers that revisited."""
+        if "__path" not in self.df.columns:
+            raise ValueError("cyclic_path(): call with_path() first")
+        return self._with(
+            self.df.filter(
+                F.size(F.array_distinct("__path")) < F.size("__path")
+            )
+        )
+
     def group_values(self, key: str, value: str) -> DataFrame:
         """TinkerPop ``group().by(key).by(values(value).fold())``:
         one row per ``key`` property value with the sorted list of

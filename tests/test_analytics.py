@@ -774,6 +774,63 @@ def test_skipgram_pairs_window(spark):
         skipgram_pairs(df, window=0)
 
 
+def test_link_prediction_python_twin(spark):
+    """All four predictors vs a brute-force python replay on a mixed
+    graph (hub + triangle + pendant), both with and without
+    exclude_existing."""
+    import math
+
+    from pidb_rdf_spark.analytics import link_prediction
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def twin(exclude):
+        out = {}
+        for a in adj:
+            for b in adj:
+                if a >= b or (exclude and b in adj[a]):
+                    continue
+                common = adj[a] & adj[b]
+                if not common:
+                    continue
+                out[(a, b)] = (
+                    len(common),
+                    len(adj[a]) * len(adj[b]),
+                    sum(1.0 / math.log(len(adj[z])) for z in common),
+                    sum(1.0 / len(adj[z]) for z in common),
+                )
+        return out
+
+    for exclude in (True, False):
+        got = {
+            (r.a, r.b): (
+                r.n_common,
+                r.pref_attachment,
+                r.adamic_adar,
+                r.resource_alloc,
+            )
+            for r in link_prediction(df, exclude_existing=exclude).collect()
+        }
+        want = twin(exclude)
+        assert set(got) == set(want), exclude
+        for k, (nc, pa, aa, ra) in want.items():
+            assert got[k][0] == nc and got[k][1] == pa
+            assert got[k][2] == pytest.approx(aa)
+            assert got[k][3] == pytest.approx(ra)
+    # existing edges are excluded by default: (1,2) share 3 but are adjacent
+    got = {
+        (r.a, r.b)
+        for r in link_prediction(df).collect()
+    }
+    assert (1, 2) not in got and (2, 4) in got
+
+
 def test_ranked_vocabulary_matches_naive_window(spark):
     """The two-pass range-partitioned rank equals the naive global
     window bit-for-bit, for any partition count, including ones that

@@ -413,3 +413,212 @@ def test_match_requires_labels(graph):
 
     with pytest.raises(ValueError, match="as_"):
         traversal(graph).V().match_(lambda x: x.out("IN_NATION"))
+
+
+# ---------------------------------------------------------------------------
+# long-tail steps: sack / local / subgraph / tree / simplePath / cyclicPath
+# ---------------------------------------------------------------------------
+
+
+def test_sack_sum_path_cost(graph):
+    """withSack(0).sack(sum).by(prop) accumulates along the traversal:
+    customer acctbal + order totalprice per PLACED_BY traverser."""
+    got = sorted(
+        (r["o_orderkey"], round(r["sack"], 2))
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .with_sack(0.0)
+        .sack_by("c_acctbal")
+        .in_("PLACED_BY")
+        .sack_by("o_totalprice")
+        .sack_df("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        (r[0], round(r[1], 2))
+        for r in oracle(
+            "SELECT o_orderkey, c_acctbal + o_totalprice"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+        )
+    )
+    assert got == want
+
+
+def test_sack_ops_and_guards(graph):
+    import pytest
+
+    t = traversal(graph).V().has_label("Region")
+    with pytest.raises(ValueError, match="with_sack"):
+        t.sack_by("r_regionkey")
+    with pytest.raises(ValueError, match="with_sack"):
+        t.sack_df()
+    s = t.with_sack(2.0)
+    with pytest.raises(ValueError, match="already carries"):
+        s.with_sack(0.0)
+    with pytest.raises(ValueError, match="unknown sack op"):
+        s.sack_by("r_regionkey", op="xor")
+    # assign overwrites, mult multiplies
+    vals = sorted(
+        r["sack"] for r in s.sack_by("r_regionkey", op="assign").sack_df().collect()
+    )
+    assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
+    vals = sorted(
+        r["sack"] for r in s.sack_by("r_regionkey", op="mult").sack_df().collect()
+    )
+    assert vals == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_local_topk_per_traverser(graph):
+    """local(in().hasLabel(Customer)) with order/limit applies the
+    limit PER incoming nation, not globally (the defining local()
+    semantics)."""
+    got = sorted(
+        r["c_name"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Nation")
+        .local(
+            lambda t: t.in_("IN_NATION").has_label("Customer"),
+            order_key="c_acctbal",
+            asc=False,
+            limit=1,
+        )
+        .values("c_name")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in oracle(
+            """
+            SELECT c_name FROM (
+              SELECT c_name, row_number() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer
+            ) WHERE rn = 1
+            """
+        )
+    )
+    assert got == want
+
+
+def test_local_dedup_per_traverser(graph):
+    """local(..., dedup=True) de-duplicates within each traverser:
+    nation -> its customers -> back out to the nation collapses to
+    one result per nation, not one per customer."""
+    t = traversal(graph).V().has_label("Nation")
+    fanned = t.local(
+        lambda x: x.in_("IN_NATION").has_label("Customer").out("IN_NATION")
+    )
+    collapsed = t.local(
+        lambda x: x.in_("IN_NATION").has_label("Customer").out("IN_NATION"),
+        dedup=True,
+    )
+    n_customers = oracle("SELECT count(*) FROM customer")[0][0]
+    n_nations_with = oracle(
+        "SELECT count(DISTINCT c_nationkey) FROM customer"
+    )[0][0]
+    assert fanned.count().collect()[0]["count"] == n_customers
+    assert collapsed.count().collect()[0]["count"] == n_nations_with
+
+
+def test_subgraph_is_queryable(graph):
+    """subgraph() materializes the edge-induced subgraph as a real
+    PropertyGraph: label counts match the oracle and the result
+    answers further traversals."""
+    import pytest
+
+    sg = (
+        traversal(graph)
+        .V()
+        .has_label("Orders")
+        .has("o_totalprice", P.gt(200000.0))
+        .out_e("PLACED_BY")
+        .subgraph()
+    )
+    got = {
+        r["label"]: r["n"]
+        for r in sg.nodes.select(F.explode("labels").alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_orders = oracle(
+        "SELECT count(*) FROM orders WHERE o_totalprice > 200000"
+    )[0][0]
+    n_cust = oracle(
+        "SELECT count(DISTINCT o_custkey) FROM orders"
+        " WHERE o_totalprice > 200000"
+    )[0][0]
+    assert got == {"Orders": n_orders, "Customer": n_cust}
+    assert sg.edges.count() == n_orders
+    # the subgraph is a first-class graph: traverse it
+    back = (
+        traversal(sg).V().has_label("Customer").in_("PLACED_BY").count()
+    ).collect()[0]["count"]
+    assert back == n_orders
+    with pytest.raises(ValueError, match="edges"):
+        traversal(graph).V().subgraph()
+
+
+def test_tree_counts(graph):
+    """tree() aggregates the recorded paths into (depth, parent,
+    child, n_traversers): region->nation edges count every downstream
+    traverser, leaf edges count once."""
+    import pytest
+
+    t = (
+        traversal(graph)
+        .V()
+        .has_label("Region")
+        .with_path()
+        .in_("IN_REGION")
+        .in_("IN_NATION")
+    )
+    rows = t.tree().collect()
+    d1 = {(r.parent, r.child): r.n_traversers for r in rows if r.depth == 1}
+    d2 = [r.n_traversers for r in rows if r.depth == 2]
+    # depth-1 (region -> nation) counts = customers+suppliers of the nation
+    want = {
+        (rk, nk): n
+        for rk, nk, n in oracle(
+            """
+            SELECT n_regionkey, n_nationkey,
+                   (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+                 + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+            FROM nation
+            """
+        )
+    }
+    want = {(rk, nk + 100): n for (rk, nk), n in want.items() if n > 0}
+    assert d1 == want
+    assert d2 and all(n == 1 for n in d2)
+    with pytest.raises(ValueError, match="with_path"):
+        traversal(graph).V().tree()
+
+
+def test_simple_and_cyclic_path(graph):
+    """simplePath keeps non-revisiting traversers, cyclicPath the
+    complement: customer -> nation -> IN_NATION-neighbors returns to
+    the start exactly once per customer."""
+    import pytest
+
+    t = (
+        traversal(graph)
+        .V()
+        .has_label("Customer")
+        .with_path()
+        .out("IN_NATION")
+        .in_("IN_NATION")
+    )
+    total = t.count().collect()[0]["count"]
+    n_cyclic = t.cyclic_path().count().collect()[0]["count"]
+    n_simple = t.simple_path().count().collect()[0]["count"]
+    n_customers = oracle("SELECT count(*) FROM customer")[0][0]
+    assert n_cyclic == n_customers  # each path revisits only its start
+    assert n_simple + n_cyclic == total
+    with pytest.raises(ValueError, match="with_path"):
+        traversal(graph).V().simple_path()
+    with pytest.raises(ValueError, match="with_path"):
+        traversal(graph).V().cyclic_path()
