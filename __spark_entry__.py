@@ -87,177 +87,58 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
     return _PAIRS_CACHE[key]
 
 
-# Rotation of the driver's 50-entry check window (VERDICT r1 #1,
-# r2 #6, r3 #8, r4 #3): entries proven green LAST round whose full
-# code path is untouched THIS round get deferred past the window so
-# everything else re-proves. r05 rotation: all 16 r04-deferred
-# entries RETURN to the window (dedup/curation/window/asof/cosine/
-# ivf/bfs/triangle), quantize_embeddings stays in-window (red in r04
-# — entry reshaped this round), and every new entry is in-window for
-# first proof (ivf_topk_indexed, boilerplate_lines,
-# strip_boilerplate, salted_join_lineitem, sessionize_stream,
-# connected_components_star, gremlin_match, pq/ivfpq family,
-# pii_scrub_docs, chunk_documents, unigram_quality_docs,
-# asof_join_events, gopher_quality_docs, line_dedup_docs). Deferred
-# instead: 24 r04-green entries whose FUNCTION-level code paths the
-# r05 diff does not touch — text.py's lang/quality/tokens/
-# fingerprint/repetition functions (r5 only APPENDS gopher_quality /
-# line_dedup_global beneath them), multimodal.py, ranking.py,
-# events.py's sessionize/windowed/dedup_stream functions (the one r5
-# edit there — asof_join's forward direction — has its entry
-# asof_join_events in-window), decontam.py, inference.py, graph.py
-# sql passthrough, the two lineitem SPARQL pipelines,
-# analytics.pagerank + near_dup_clusters + connected_components
-# (pointer-doubling star variant re-proves the component contract
-# in-window against the SAME oracle), and dedup.py's hyperplane-LSH
-# bucketed path (r5's only dedup.py edit is the cap guard on the
-# SEPARATE exact-collect function, whose own entry embedding_near_dup
-# is in-window). NOTE the r5 diff DOES touch sparql/parser.py +
-# compiler.py (term-type/constructor builtins: new BUILTIN_FUNCS
-# names, a flag-join hook in _apply_filter, new _func_col branches):
-# every deferred compiler entry's compile shape (aggregate, DISTINCT,
-# UNION, ASK, OPTIONAL) is re-proven in-window by agg_full /
-# distinct_projection / sparql_minus / exists_semi / not_exists_anti
-# / path_optional_hop / subselect_nation_order_counts, which exercise
-# the same _apply_filter/_func_col code lines.
-# Late-r5 window rebalance: ten new in-window entries (new entries
-# are never deferred) — the three operators that briefly owed entries
-# (bloom_build/bloom_probe -> bloom_membership, user_stats ->
-# user_stats_events, kmeans assignment -> kmeans_assign) plus
-# json_props_extract (new semistructured.py), curation_pipeline
-# (dedup->lang->gopher composition), rollup_event_counts (new
-# hierarchical rollup), kmv_distinct_users (new KMV sketch) and
-# sssp_region_orders (new weighted Bellman-Ford) and
-# substring_dup_docs (new MOSS-winnowing substring dedup) and
-# minhash_index_query (new persisted incremental-dedup index). Room was
-# made by deferring ten MORE r4-green entries whose DISTINCTIVE compile
-# branches the r5 diff does not touch — construct_derived_edges
-# (CONSTRUCT tail), sparql_values (VALUES), subselect_nation_order_
-# counts (subselect), path_seq_region (path-SEQ), path_inverse_alt_
-# members (path-INVERSE/ALT), dsl_two_hop_group + gremlin_repeat_until
-# (dsl.py's only r5 diff is the added match() method; gremlin_match
-# re-proves the shared traversal core in-window) and
-# group_concat_nations (GROUP_CONCAT branch; aggregates re-proven by
-# agg_full) and exists_semi (leftsemi/leftanti share one compile line,
-# proven by not_exists_anti); the compiler lines r5 DID touch
-# (_term_kinds hooks, _apply_filter flag-join, _func_col) stay
-# exercised in-window by bgp_three_hop, filter_order_limit, agg_full,
-# sparql_bind, not_exists_anti, sparql_minus, path_plus_reachability
-# and path_optional_hop.
-# Final r5 additions: semantic_dedup_embeddings (SemDeDup — k-means +
-# within-cluster cosine pruning), semantic_decontam_embeddings
-# (embedding-level train/eval decontamination) and
-# semantic_index_query (incremental semantic dedup against the
-# persisted IVF index) enter the window as new entries;
-# ivf_topk_exact, triangle_count_dups and bfs_hops_containment are
-# deferred to make room (see their notes in the list).
+# Rotation of the driver's 50-entry check window (VERDICT r1 #1 ..
+# r9 #2/#4). THE WINDOW CONTRACT, now with an arithmetic-checked
+# sustainability policy (VERDICT r9 #4):
+#
+#   1. The driver checks only the FIRST 50 queries() entries each
+#      round; _rotate_checked_window puts every entry NOT in
+#      _DEFER_TO_TAIL first (in insertion order), the rest after.
+#   2. Priority into the window: never-proven entries > owed
+#      returners (oldest newest-green-row first) > new entries >
+#      freshly-green entries.
+#   3. STALENESS CEILING: no entry's newest green row may be more
+#      than 3 rounds old. With a 50-slot window that bounds the
+#      entry count at 50 x 3 = 150. Current count: 143. Adding an
+#      entry past 150 REQUIRES consolidating siblings first (the
+#      curation_pipeline composite is the model). The ceiling is
+#      checked by tests/test_entry_contract.py.
+#
+# r10 rotation, paying the r9 debt exactly as promised: the FRONT 50
+# = the 36 entries whose newest green row is r7 (the full owed list
+# from VERDICT r9 #2 — group_count, count_distinct,
+# gremlin_repeat_until, gremlin_match, decontam_overlap, text_quality,
+# token_counts, repetition_signals_docs, lang_id, doc_fingerprint,
+# media_features, frame_sample, stream_dedup_events,
+# sessionize_events, windowed_event_counts, substring_dup_docs,
+# semantic_index_query, pagerank_containment, triangle_count_dups,
+# bfs_hops_containment, near_dup_doc_clusters, cypher_filter_topk,
+# construct_derived_edges, label_scan_prop_seek,
+# connected_components_regions, optional_left_join, union_names,
+# exists_semi, distinct_projection, sql_passthrough,
+# closure_reachability, sparql_values, path_inverse_alt_members,
+# ask_exists, group_concat_nations, tfidf_top_terms_docs)
+# + modularity_regions (red in r9, REWORKED this round to exact
+# integer compare — stays in-window until proven)
+# + the 7 new r10 entries (gremlin_sack_order_cost,
+# gremlin_local_topk, gremlin_subgraph_labels, gremlin_tree_region,
+# gremlin_path_cycles, link_prediction_containment,
+# negative_samples_walks — never proven, first into the window)
+# + 6 early returners from the r8-green set chosen for r10-diff
+# adjacency (curation_pipeline: curation.py quantile-band NULL fix;
+# connected_components_star + sssp_region_orders: analytics.py was
+# edited this round; agg_full + sparql_bind + path_optional_hop:
+# compiler tail regression anchors) = exactly 50.
+#
+# Deferred: the remaining 44 r8-green + 49 r9-green entries, every
+# one fresh within the 3-round ceiling (r8 rows are 2 rounds old at
+# r10 check time; all return by r11/r12 under rule 2). After r10
+# lands, the oldest newest-green row in the ledger is r8 — the
+# ceiling holds.
 _DEFER_TO_TAIL = [
-    # -- r9 rotation. Window arithmetic is now structurally over-
-    # subscribed: 116 entries, 50-row window, and this round owes
-    # (a) the 47 r8-deferred returners (contract rule 3), (b) the
-    # 15 late-r8 pre-staged entries that have NEVER had a driver row
-    # (past position 50 in r8), and (c) 4 new r9 entries (never
-    # deferred) = 66 > 50. Priority order applied: never-proven (15)
-    # > new (4) > returning (47), so 31 of the 47 return and 16
-    # defer a SECOND round - each chosen for an in-window or fresh-r8
-    # sibling on the same function-level code path, justified inline
-    # below; ALL 16 must be first into the r10 window (they will be
-    # the only entries whose newest green row is then 3 rounds old).
-    # r9 diff coverage: mixing.py/sketch.py/events.interval_join/
-    # cypher.py (the five ADVICE fixes + 4 new Cypher surfaces) are
-    # ALL exercised in-window by mixture_budget_sample,
-    # cms_user_counts, interval_join_events, and the 8 cypher_*
-    # entries; the correlated-CALL WITH-rebinding fix is additionally
-    # pinned by 12 pytest oracle tests. decode_wav/rdflib-engine are
-    # additive (no entry consumes them; pytest-proven).
-    # Late-r9 rebalance: the session after the rotation added 11 MORE
-    # new entries (shuffle_shard_docs .. blocklist_filter_docs), which
-    # pushed the in-window count to 61 > 50. Never-proven entries
-    # outrank returning ones, so 11 additional r7-green returners
-    # defer below (justified inline). The final r9 session then added
-    # 9 more new entries (heavy_hitter_tokens, cypher_collect_subquery,
-    # cohort_retention_events, modularity_regions, weighted_sample_docs,
-    # quantile_band_orders, skew_report_lineitem, skipgram_pairs_walks,
-    # ppr_region_seeds — each displacing one more justified returner),
-    # leaving the front at 11 returners + 39 never-proven = 50. r10
-    # window obligation: the 16 double-deferred below PLUS the 20
-    # returners displaced this round are first into the r10 window
-    # (their newest green rows will then be 2-3 rounds old), before
-    # any r9-green entry returns.
-    # aggregate compile (compiler.py:345,1392) re-proven in-window by lineitem_pricing_summary + subselect_nation_order_counts + cypher_nation_order_stats; functions untouched by the r9 diff
-    "group_count",
-    "count_distinct",
-    # dsl.py untouched in r9; dsl_two_hop_group stays in-window on the same traversal core
-    "gremlin_repeat_until",
-    # decontam.py untouched since r6; r7-green; pytest oracle coverage in test_decontam.py
-    "decontam_overlap",
-    # text.py's r9 diff APPENDS blocklist_filter (own new in-window entry); these three functions untouched since r4
-    "text_quality",
-    "token_counts",
-    "repetition_signals_docs",
-    # multimodal.py's r9 diff APPENDS decode_wav only; media_header_probe stays in-window for the file
-    "media_features",
-    # events.py's r9 diff = funnel append + interval_join rename fix; dedup_stream untouched; sessionize_events + interval_join_events + sequence_detect_events + funnel_events in-window for the file
-    "stream_dedup_events",
-    # winnow.py untouched since r7; r7-green with an sf1 probe row in SCALE.md
-    "substring_dup_docs",
-    # dedup.py's r9 diff APPENDS the persisted SimHash index (own in-window entry simhash_index_query); this function untouched since its r7 guard fix
-    "semantic_index_query",
-    # displaced by the new heavy_hitter_tokens entry: analytics.py power-iteration scaffolding re-proven in-window by hits_containment (same iterate-normalize core); function untouched since r7
-    "pagerank_containment",
-    # displaced by the new cypher_collect_subquery entry: analytics.py triangle counting re-proven in-window by ktruss_dup_graph (k-truss IS support counting over the same wedge join); function untouched since r7
-    "triangle_count_dups",
-    # displaced by the new cohort_retention_events entry: the multi-source semi-naive BFS core is re-proven in-window by cypher_shortest_path and closeness_containment (same frontier fixpoint); function untouched since r7
-    "bfs_hops_containment",
-    # displaced by the new modularity_regions entry: the LSH-pairs -> components composition is re-proven in-window by minhash_lsh_dedup + connected_components_regions/_star (its two halves); function untouched since r7
-    "near_dup_doc_clusters",
-    # displaced by the new weighted_sample_docs entry: the MATCH/WHERE/ORDER/LIMIT compile tail is exercised in-window by all eight (now nine) cypher_* entries; only the specific query text differs
-    "cypher_filter_topk",
-    # displaced by the new quantile_band_orders entry: events.py is the round's best-covered file in-window (interval_join, sequence_detect, funnel, cohort_retention); sessionize untouched since r5, stream twin pinned in tests
-    "sessionize_events",
-    # displaced by the new skew_report_lineitem entry: the CONSTRUCT tail is a projection over the same BGP compile the in-window lineitem/path/subselect SPARQL entries prove; untouched since r4, pytest round-trips in test_sparql_forms.py
-    "construct_derived_edges",
-    # displaced by the new skipgram_pairs_walks entry: the label-scan + PushedFilters seek path runs inside EVERY in-window entry's scan and is plan-pinned in test_plan_shape.py; function untouched since r2
-    "label_scan_prop_seek",
-    # displaced by the new ppr_region_seeds entry: the min-label component fixpoint is re-proven in-window by connected_components_star (same contract, same oracle at sf0.01); function untouched since r7
-    "connected_components_regions",
-    # OPTIONAL left-join compile has a FRESH r8 row via path_optional_hop (same compiler.py:991 path)
-    "optional_left_join",
-    # SPARQL per-branch UNION compile: sparql_minus (r8 green) exercises the same branch plumbing; pytest oracle coverage in test_sparql_forms.py
-    "union_names",
-    # FILTER EXISTS semi-join: not_exists_anti (r8 green) proves the shared compiler.py:1032 group-compile; only the join type differs
-    "exists_semi",
-    # compile-tail DISTINCT: the tail (project/distinct/order/limit) runs in every in-window SPARQL entry
-    "distinct_projection",
-    # dsl.py match step: gremlin_repeat_until + dsl_two_hop_group stay in-window on the same traversal core
-    "gremlin_match",
-    # one-line spark.sql dispatch (graph.py:307), unchanged since r2; any regression would break every test fixture
-    "sql_passthrough",
-    # calls transitive_closure directly - untouched since r7, and the CLOSURE_COMPUTES contract tests pin it; the three reasoner entries above it have fresh r8 rows
-    "closure_reachability",
-    # VALUES clause: inline-table compile untouched since r4, pytest oracle in test_sparql_forms.py
-    "sparql_values",
-    # property-path inverse/alternation: path_seq_region returns in-window on the same path-compile core; path_plus/path_optional have fresh r8 rows
-    "path_inverse_alt_members",
-    # ASK form: a LIMIT-1 wrapper over the in-window BGP compile, untouched since r3
-    "ask_exists",
-    # GROUP_CONCAT aggregate: the aggregate compile path re-proves in-window via group_count/count_distinct; function untouched since r4
-    "group_concat_nations",
-    # text.py: three siblings (text_quality, token_counts, repetition_signals_docs) stay in-window on the same zero-shuffle built-in pattern; function untouched since r4
-    "lang_id",
-    # text.py: same justification as lang_id
-    "doc_fingerprint",
-    # ranking.py: bm25_search_docs stays in-window and consumes the same tf/df scaffolding
-    "tfidf_top_terms_docs",
-    # multimodal.py sample_frames untouched by the r9 decode_wav addition; media_header_probe + media_features stay in-window for the file
-    "frame_sample",
-    # events.py windowed agg untouched by the r9 interval_join rename fix; sessionize_events + stream_dedup_events + interval_join_events + sequence_detect_events all in-window for the file
-    "windowed_event_counts",
-    # -- the 50 entries proven green in CORRECTNESS_r08 rotate out
-    # (code paths untouched by the r9 diff except as noted above).
+    # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
-    "agg_full",
     "not_exists_anti",
     "nodes_with_label_inferred",
     "nodes_linked_to_inferred",
@@ -265,11 +146,8 @@ _DEFER_TO_TAIL = [
     "running_window_orders",
     "quantiles_order_prices",
     "topk_orders_per_segment",
-    "sparql_bind",
     "sparql_minus",
     "path_plus_reachability",
-    "path_optional_hop",
-    "connected_components_star",
     "exact_dedup_docs",
     "ngram_jaccard_dedup",
     "simhash_dedup",
@@ -299,12 +177,60 @@ _DEFER_TO_TAIL = [
     "kmeans_assign",
     "bloom_membership",
     "json_props_extract",
-    "curation_pipeline",
     "rollup_event_counts",
     "kmv_distinct_users",
-    "sssp_region_orders",
     "minhash_index_query",
     "cypher_with_having_expand",
+    # -- r9-green (1 round old at r10; return by r12 at the latest) --
+    "dsl_two_hop_group",
+    "lineitem_pricing_summary",
+    "lineitem_three_hop_volume",
+    "path_seq_region",
+    "subselect_nation_order_counts",
+    "minhash_lsh_dedup",
+    "ivf_topk_exact",
+    "embedding_near_dup_lsh",
+    "media_header_probe",
+    "bm25_search_docs",
+    "cypher_nation_order_stats",
+    "cypher_count_subquery",
+    "cypher_named_path_stats",
+    "kcore_dup_graph",
+    "label_prop_dup_communities",
+    "scc_event_transitions",
+    "cypher_patcomp_nation_rich",
+    "closeness_containment",
+    "betweenness_containment",
+    "node_similarity_event_types",
+    "mixture_budget_sample",
+    "interval_join_events",
+    "cms_user_counts",
+    "profile_orders_table",
+    "hits_containment",
+    "sequence_detect_events",
+    "cypher_shortest_path",
+    "cypher_regex_collect",
+    "cypher_list_library",
+    "cypher_union_stats",
+    "shuffle_shard_docs",
+    "corpus_diff_snapshots",
+    "simhash_index_query",
+    "constraints_orders",
+    "zorder_events_key",
+    "funnel_events",
+    "ktruss_dup_graph",
+    "leakage_free_split_docs",
+    "random_walks_containment",
+    "jl_project_embeddings",
+    "blocklist_filter_docs",
+    "heavy_hitter_tokens",
+    "cypher_collect_subquery",
+    "cohort_retention_events",
+    "weighted_sample_docs",
+    "quantile_band_orders",
+    "skew_report_lineitem",
+    "skipgram_pairs_walks",
+    "ppr_region_seeds",
 ]
 
 
@@ -2712,6 +2638,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ppr_region_seeds"] = ppr_region_seeds
+
+    # -- r10: TinkerPop long-tail steps (dsl.py sack/local/subgraph/
+    # tree/simplePath — the Gremlin parity delta VERDICT r9 #8 named),
+    # link prediction, and the fixed negative sampler -----------------
+
+    def gremlin_sack_order_cost(spark, sf_dir):
+        """TinkerPop sack accumulation (dsl.with_sack/sack_by,
+        reference GraphTraversal sack() over Neo4jGraph.java:61):
+        withSack(0).sack(sum).by(c_acctbal).in(PLACED_BY)
+        .sack(sum).by(o_totalprice) — per-traverser path cost as a
+        carried column, zero extra shuffles beyond the hops."""
+        from pidb_rdf_spark.dsl import traversal
+
+        g = _graph(spark, sf_dir)
+        return (
+            traversal(g)
+            .V()
+            .has_label("Customer")
+            .with_sack(0.0)
+            .sack_by("c_acctbal")
+            .in_("PLACED_BY")
+            .sack_by("o_totalprice")
+            .sack_df("o_orderkey")
+        )
+
+    q["gremlin_sack_order_cost"] = gremlin_sack_order_cost
+
+    def gremlin_local_topk(spark, sf_dir):
+        """TinkerPop local() scoping (dsl.local): top-2 customers BY
+        acctbal WITHIN each nation — the order/limit applies per
+        incoming traverser via a traverser-id-partitioned window
+        (per-group top-k plan), never a global sort."""
+        from pidb_rdf_spark.dsl import traversal
+
+        g = _graph(spark, sf_dir)
+        return (
+            traversal(g)
+            .V()
+            .has_label("Nation")
+            .local(
+                lambda t: t.in_("IN_NATION").has_label("Customer"),
+                order_key="c_acctbal",
+                asc=False,
+                limit=2,
+            )
+            .values("c_name", "c_acctbal")
+        )
+
+    q["gremlin_local_topk"] = gremlin_local_topk
+
+    def gremlin_subgraph_labels(spark, sf_dir):
+        """TinkerPop subgraph() (dsl.subgraph): the edge-induced
+        subgraph of PLACED_BY edges of >200k orders, materialized as
+        a first-class PropertyGraph by two semi-joins; the entry
+        reports its per-label node census."""
+        from pidb_rdf_spark.dsl import P, traversal
+
+        g = _graph(spark, sf_dir)
+        sg = (
+            traversal(g)
+            .V()
+            .has_label("Orders")
+            .has("o_totalprice", P.gt(200000.0))
+            .out_e("PLACED_BY")
+            .subgraph()
+        )
+        return (
+            sg.nodes.select(F.explode("labels").alias("label"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["gremlin_subgraph_labels"] = gremlin_subgraph_labels
+
+    def gremlin_tree_region(spark, sf_dir):
+        """TinkerPop tree() (dsl.tree): region -> nation -> member
+        traversal tree as (depth, parent, child, n_traversers) rows,
+        aggregated purely from the recorded path arrays (one
+        posexplode + count, no extra graph joins)."""
+        from pidb_rdf_spark.dsl import traversal
+
+        g = _graph(spark, sf_dir)
+        return (
+            traversal(g)
+            .V()
+            .has_label("Region")
+            .with_path()
+            .in_("IN_REGION")
+            .in_("IN_NATION")
+            .tree()
+        )
+
+    q["gremlin_tree_region"] = gremlin_tree_region
+
+    def gremlin_path_cycles(spark, sf_dir):
+        """TinkerPop simplePath()/cyclicPath() (dsl.simple_path/
+        cyclic_path): customer -> nation -> IN_NATION-neighbor
+        2-hop paths split into revisiting and non-revisiting — pure
+        array arithmetic on the recorded paths (every cycle here is
+        a return to the start, one per customer)."""
+        from pidb_rdf_spark.dsl import traversal
+
+        g = _graph(spark, sf_dir)
+        t = (
+            traversal(g)
+            .V()
+            .has_label("Customer")
+            .with_path()
+            .out("IN_NATION")
+            .in_("IN_NATION")
+        )
+        cyc = (
+            t.cyclic_path()
+            .to_df()
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("cyclic").alias("kind"), "n")
+        )
+        simp = (
+            t.simple_path()
+            .to_df()
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("simple").alias("kind"), "n")
+        )
+        return cyc.unionAll(simp)
+
+    q["gremlin_path_cycles"] = gremlin_path_cycles
+
+    def link_prediction_containment(spark, sf_dir):
+        """Neighborhood link prediction (analytics.link_prediction,
+        Liben-Nowell & Kleinberg): candidate non-adjacent pairs of
+        the shifted-key containment graph with their common-neighbor
+        count and preferential-attachment score — ONE wedge join +
+        one candidate-keyed aggregate, never all-pairs. Only the
+        engine-exact integer scores are compared (the float
+        Adamic-Adar sum is order-sensitive; the modularity lesson)."""
+        from pidb_rdf_spark.analytics import link_prediction
+
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        cont = (
+            nat.select(
+                (F.col("n_nationkey") + 100).alias("src"),
+                F.col("n_regionkey").cast("long").alias("dst"),
+            )
+            .unionAll(
+                cust.select(
+                    (F.col("c_custkey") + 10000).alias("src"),
+                    (F.col("c_nationkey") + 100).cast("long").alias("dst"),
+                )
+            )
+            .unionAll(
+                sup.select(
+                    (F.col("s_suppkey") + 20000).alias("src"),
+                    (F.col("s_nationkey") + 100).cast("long").alias("dst"),
+                )
+            )
+        )
+        return link_prediction(cont).select(
+            "a", "b", "n_common", "pref_attachment"
+        )
+
+    q["link_prediction_containment"] = link_prediction_containment
+
+    def negative_samples_walks(spark, sf_dir):
+        """Deterministic word2vec negative sampling
+        (analytics.negative_samples) over the DeepWalk skip-gram
+        pairs: draw i of a pair is the node at rank
+        md5(neg:<pair>:i) mod n in the sorted vocabulary — ranked by
+        the range-partitioned two-pass ranked_vocabulary (NO
+        single-partition sort; the r10 scale fix, plan-pinned). The
+        oracle replays the identical draw arithmetic."""
+        from pidb_rdf_spark.analytics import negative_samples
+
+        pairs = q["skipgram_pairs_walks"](spark, sf_dir)
+        return negative_samples(
+            pairs,
+            k=3,
+            hash_cols=["start", "walk", "center", "context", "offset"],
+        ).select(
+            "start", "walk", "center", "context", "offset",
+            "neg_i", "negative",
+        )
+
+    q["negative_samples_walks"] = negative_samples_walks
 
     return _rotate_checked_window(q)
 
@@ -5300,5 +5411,117 @@ def oracle_sql() -> dict[str, str]:
                          WHERE s_nationkey = n_nationkey), '') AS sups
         FROM nation
         ORDER BY n_name
+    """
+    # -- r10 entries ----------------------------------------------------
+    base["gremlin_sack_order_cost"] = """
+        SELECT o_orderkey, c_acctbal + o_totalprice AS sack
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+    base["gremlin_local_topk"] = """
+        SELECT c_name, c_acctbal FROM (
+            SELECT c_name, c_acctbal, row_number() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        ) WHERE rn <= 2
+    """
+    base["gremlin_subgraph_labels"] = """
+        SELECT 'Orders' AS label, count(*) AS n
+        FROM orders WHERE o_totalprice > 200000
+        UNION ALL
+        SELECT 'Customer', count(DISTINCT o_custkey)
+        FROM orders WHERE o_totalprice > 200000
+    """
+    base["gremlin_tree_region"] = """
+        WITH mem AS (
+            SELECT n_regionkey AS rk, n_nationkey AS nk,
+                   c_custkey + 1000000 AS child
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT n_regionkey, n_nationkey, s_suppkey + 4000000
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT CAST(1 AS INTEGER) AS depth, CAST(rk AS BIGINT) AS parent,
+               CAST(nk + 100 AS BIGINT) AS child,
+               count(*) AS n_traversers
+        FROM mem GROUP BY rk, nk
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), CAST(nk + 100 AS BIGINT),
+               CAST(child AS BIGINT), CAST(1 AS BIGINT)
+        FROM mem
+    """
+    base["gremlin_path_cycles"] = """
+        WITH hop2 AS (
+            SELECT c.c_custkey AS start, m.node AS dest
+            FROM customer c JOIN (
+                SELECT c_custkey + 1000000 AS node, c_nationkey AS nk
+                FROM customer
+                UNION ALL
+                SELECT s_suppkey + 4000000, s_nationkey FROM supplier
+            ) m ON m.nk = c.c_nationkey
+        )
+        SELECT 'cyclic' AS kind, count(*) AS n FROM hop2
+        WHERE dest = start + 1000000
+        UNION ALL
+        SELECT 'simple', count(*) FROM hop2
+        WHERE dest <> start + 1000000
+    """
+    base["link_prediction_containment"] = """
+        WITH raw AS (
+            SELECT n_nationkey + 100 AS src,
+                   CAST(n_regionkey AS BIGINT) AS dst FROM nation
+            UNION ALL
+            SELECT c_custkey + 10000, c_nationkey + 100 FROM customer
+            UNION ALL
+            SELECT s_suppkey + 20000, s_nationkey + 100 FROM supplier
+        ),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM raw
+                UNION ALL SELECT dst, src FROM raw
+            ) WHERE src <> dst
+        ),
+        deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+        cand AS (
+            SELECT s1.src AS a, s2.src AS b, count(*) AS n_common
+            FROM sym s1 JOIN sym s2
+              ON s1.dst = s2.dst AND s1.src < s2.src
+            GROUP BY 1, 2
+        ),
+        nonadj AS (
+            SELECT c.a, c.b, c.n_common
+            FROM cand c LEFT JOIN sym e ON e.src = c.a AND e.dst = c.b
+            WHERE e.src IS NULL
+        )
+        SELECT a, b, n_common,
+               CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
+        FROM nonadj
+        JOIN deg da ON da.node = nonadj.a
+        JOIN deg db ON db.node = nonadj.b
+    """
+    base["negative_samples_walks"] = f"""
+        WITH pairs AS ({base['skipgram_pairs_walks']}),
+        vocab AS (
+            SELECT node,
+                   ROW_NUMBER() OVER (ORDER BY node) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM (SELECT DISTINCT center AS node FROM pairs
+                  UNION SELECT DISTINCT context FROM pairs)
+        ),
+        ex AS (
+            SELECT p.*, i.i AS neg_i,
+                   CAST(('0x' || substr(md5('neg:'
+                        || CAST(p.start AS VARCHAR) || ':'
+                        || CAST(p.walk AS VARCHAR) || ':'
+                        || CAST(p.center AS VARCHAR) || ':'
+                        || CAST(p.context AS VARCHAR) || ':'
+                        || CAST(p.offset AS VARCHAR) || ':'
+                        || CAST(i.i AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+            FROM pairs p, generate_series(1, 3) i(i)
+        )
+        SELECT e.start, e.walk, e.center, e.context, e.offset,
+               CAST(e.neg_i AS INTEGER) AS neg_i, v.node AS negative
+        FROM ex e JOIN vocab v ON v.rk = e.h % v.n + 1
+        WHERE v.node <> e.center AND v.node <> e.context
     """
     return base

@@ -60,3 +60,23 @@ def test_every_entry_emits_atomic_columns(spark):
         if bad:
             offenders[name] = bad
     assert offenders == {}
+
+
+def test_window_sustainability_policy():
+    """The arithmetic behind the staleness ceiling (window contract
+    rule 3): 50-slot window x 3-round ceiling bounds the entry count
+    at 150, every entry has an oracle twin, and every _DEFER_TO_TAIL
+    name is a real entry (a typo'd defer silently shrinks the
+    window)."""
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    assert len(names) <= 150, (
+        f"{len(names)} entries > 50-slot window x 3-round staleness "
+        "ceiling; consolidate sibling entries before adding more"
+    )
+    oracles = E.oracle_sql()
+    assert [k for k in names if k not in oracles] == []
+    assert [k for k in E._DEFER_TO_TAIL if k not in set(names)] == []
+    # the deferral never underfills the checked window
+    assert len(names) - len(E._DEFER_TO_TAIL) == 50
