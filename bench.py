@@ -50,6 +50,8 @@ QUERY_TIERS = {
     "cosine_topk": "baseline",           # brute-force ANN
     "embedding_near_dup": "baseline",    # brute-force cosine pairs
     "ivf_topk_exact": "baseline",        # IVF with exhaustive probe
+    "link_prediction_containment": "baseline",  # uncapped common-nbr
+    # (quadratic OUTPUT in hub degree; max_degree is the scale path)
     "minhash_lsh_dedup": "scale-path",
     "simhash_dedup": "scale-path",
     "embedding_near_dup_lsh": "scale-path",
