@@ -613,6 +613,30 @@ class Traversal:
             )
         )
 
+    def sample(self, n: int, salt: str = "sample") -> "Traversal":
+        """TinkerPop ``sample(n)``, deterministic: keep the ``n``
+        traversers with the smallest md5(salt, element id, row tag) —
+        a uniform-looking but replayable draw (the repo's standing
+        md5 contract; TinkerPop's RNG sample cannot be oracle-checked).
+        Executes as TakeOrdered — no global sort materialization."""
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+        key = F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col(CUR).cast("string"),
+            *[
+                F.col(c).cast("string")
+                for c in self.df.columns
+                if c != CUR and not c.startswith("__")
+            ],
+        )
+        return self._with(
+            self.df.orderBy(md5_prefix_long(key, 52)).limit(n)
+        )
+
     def group_values(self, key: str, value: str) -> DataFrame:
         """TinkerPop ``group().by(key).by(values(value).fold())``:
         one row per ``key`` property value with the sorted list of

@@ -622,3 +622,22 @@ def test_simple_and_cyclic_path(graph):
         traversal(graph).V().simple_path()
     with pytest.raises(ValueError, match="with_path"):
         traversal(graph).V().cyclic_path()
+
+
+def test_sample_deterministic(graph):
+    """sample(n) draws the md5-smallest n traversers: replayable
+    across runs and partitionings, size-correct, subset of the
+    frontier."""
+    import pytest
+
+    t = traversal(graph).V().has_label("Customer")
+    a = sorted(r["id"] for r in t.sample(10).id_().collect())
+    b = sorted(r["id"] for r in t.sample(10).id_().collect())
+    assert a == b and len(a) == 10
+    allc = {r["id"] for r in t.id_().collect()}
+    assert set(a) <= allc
+    # a different salt draws a different subset (overwhelmingly)
+    c = sorted(r["id"] for r in t.sample(10, salt="other").id_().collect())
+    assert c != a
+    with pytest.raises(ValueError):
+        t.sample(0)
