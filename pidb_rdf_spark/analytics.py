@@ -1133,6 +1133,312 @@ def node_similarity(
     )
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize an iterative-loop state frame with BOTH plan
+    truncation and sane statistics: persist -> count -> localCheckpoint
+    -> unpersist. Each half matters for a loop whose round r+1 plan
+    references round r's frame several times:
+
+    - WITHOUT the checkpoint, the analyzed logical tree multiplies
+      per round (k references x r rounds = k^r nodes) until plan
+      strings alone OOM the driver (observed: AdaptiveSparkPlanExec
+      explainString at 8g heap).
+    - WITHOUT the cache hop, localCheckpoint copies the PLAN's stats
+      onto the LogicalRDD, and join-stats are BigInt PRODUCTS of the
+      children — round r+1's checkpoint stats are round r's raised to
+      the #joins power, and by round ~8 the optimizer spends minutes
+      in Toom-Cook BigInteger multiplies (jstack-verified under
+      LogicalRDD.rewriteStatsAndConstraints).
+
+    Checkpointing THROUGH InMemoryRelation truncates the lineage AND
+    stamps the real cached byte count as the stats — small and
+    non-compounding."""
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
+def _louvain_moves(
+    edges: DataFrame, labels: DataFrame, two_m: float, n_rounds: int
+) -> DataFrame:
+    """The Louvain local-move phase, synchronous and deterministic:
+    each round every node considers its neighbor communities (plus
+    its own) and takes the one maximizing the modularity gain
+    proxy k_u(c) − deg_u·tot(c)/2m (Blondel et al. 2008 eq. 2 with
+    the constant terms dropped), ties broken by the SMALLEST
+    community id; a node moves only on strictly positive advantage
+    over staying. Two guards break the synchronous-swap cycles that
+    plague parallel Louvain (adjacent nodes trading communities
+    forever): the MINIMUM-LABEL rule (Lu, Halappanavar &
+    Kalyanaraman 2015 — a singleton may move to another singleton
+    only toward the smaller community id, so the lower-id one waits
+    and absorbs) and TWO-CLASS alternation (each round only the
+    xxhash-parity half of the nodes is move-eligible — the
+    graph-coloring trick at its cheapest, deterministic under any
+    partitioning). Residual cycles on adversarial symmetric
+    structures are bounded by ``n_rounds`` (the caveat
+    label_propagation also documents); convergence = two consecutive
+    quiet rounds (one per class). ``edges`` is the symmetric
+    weighted edge list (src, dst, w); ``labels`` is
+    (node, community).
+
+    Plan per round: degree/tot aggregates (community-cardinality-
+    sized, broadcast-friendly), one join to tag neighbor communities,
+    one (node, community) weight aggregate, one max_by reduction —
+    every shuffle keyed on node id, no per-node arrays."""
+    # degree INCLUDES self-loop weight (a contracted supernode's
+    # degree is the sum of its members' degrees — that is exactly the
+    # doubled internal weight the symmetric list folds into its self
+    # edge); k_u(c) EXCLUDES self-edges (a node's own loop moves with
+    # it, contributing identically to Q wherever it sits, so counting
+    # it on the stay side would bias every supernode toward staying)
+    labels = _pin(labels)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("deg")
+    ).localCheckpoint(eager=True)
+    ext = edges.filter(F.col("src") != F.col("dst"))
+    quiet = 0
+    for r in range(n_rounds):
+        tot = (
+            labels.join(deg, on="node")
+            .groupBy("community")
+            .agg(F.sum("deg").alias("tot"), F.count("*").alias("csize"))
+        )
+        # weight from u into each neighbor community c: k_u(c)
+        k_uc = (
+            ext.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "community", "c"
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"), "c")
+            .agg(F.sum("w").alias("k"))
+        )
+        # guarantee a row for the CURRENT community (k=0 when u has no
+        # direct edge into it) so the stay-gain baseline always exists
+        # and the move test compares true gains, never a 0.0 stand-in
+        k_uc = (
+            k_uc.unionByName(
+                labels.select(
+                    "node",
+                    F.col("community").alias("c"),
+                    F.lit(0.0).alias("k"),
+                )
+            )
+            .groupBy("node", "c")
+            .agg(F.max("k").alias("k"))
+        )
+        # candidate gain of joining c (tot excludes u when u in c, so
+        # subtract u's own degree from its current community's total)
+        cand = (
+            k_uc.join(labels, on="node")
+            .join(deg, on="node")
+            .join(
+                tot.select(
+                    F.col("community").alias("c"),
+                    "tot",
+                    F.col("csize").alias("tsize"),
+                ),
+                on="c",
+            )
+            .join(
+                tot.select("community", F.col("csize").alias("cursize")),
+                on="community",
+            )
+            .select(
+                "node",
+                "c",
+                (
+                    F.col("k")
+                    - F.col("deg")
+                    * (
+                        F.col("tot")
+                        - F.when(
+                            F.col("c") == F.col("community"), F.col("deg")
+                        ).otherwise(F.lit(0.0))
+                    )
+                    / F.lit(two_m)
+                ).alias("gain"),
+                (F.col("c") == F.col("community")).alias("is_cur"),
+                # minimum-label anti-swap rule: a singleton may move to
+                # another singleton only toward the SMALLER id
+                (
+                    (F.col("c") == F.col("community"))
+                    | (F.col("cursize") > 1)
+                    | (F.col("tsize") > 1)
+                    | (F.col("c") < F.col("community"))
+                ).alias("allowed"),
+            )
+        )
+        # stay unless some ALLOWED community strictly beats the
+        # current one; ties among improvers break to the smallest id
+        best = (
+            cand.filter(F.col("allowed"))
+            .groupBy("node")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("gain"),
+                        (-F.col("c")).alias("__nc"),
+                        F.col("c"),
+                    ),
+                    F.struct(F.col("gain"), (-F.col("c")).alias("__nc")),
+                ).alias("b"),
+                F.max(
+                    F.when(F.col("is_cur"), F.col("gain"))
+                ).alias("cur_gain"),
+            )
+            .select(
+                "node",
+                F.when(
+                    (
+                        F.col("b.gain")
+                        > F.coalesce(F.col("cur_gain"), F.lit(0.0))
+                    )
+                    & (
+                        F.pmod(
+                            F.xxhash64(F.col("node").cast("string")),
+                            F.lit(2),
+                        )
+                        == F.lit(r % 2)
+                    ),
+                    F.col("b.c"),
+                ).alias("moved"),
+            )
+        )
+        new = _pin(
+            labels.join(best, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("moved"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+        )
+        settled = (
+            new.join(labels.withColumnRenamed("community", "__old"), on="node")
+            .filter(F.col("community") != F.col("__old"))
+            .isEmpty()
+        )
+        labels = new
+        if settled:
+            quiet += 1
+            if quiet >= 2:  # both alternation classes settled
+                break
+        else:
+            quiet = 0
+    return labels
+
+
+def louvain(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    levels: int = 2,
+    n_rounds: int = 10,
+) -> DataFrame:
+    """(node, community) by Louvain-style modularity optimization
+    (Blondel et al. 2008), deterministic: ``levels`` passes of the
+    synchronous local-move phase (:func:`_louvain_moves` —
+    modularity-gain argmax per node, smallest-id tie-break, bounded
+    rounds, move only on strict improvement) each followed by graph
+    COARSENING (communities contract to super-nodes, parallel edge
+    weights sum, self-loops kept so supernode degrees equal their
+    members' degree sums — the standard Louvain contraction). The one
+    documented deviation from the sequential original: moves are
+    synchronous with the two anti-swap guards (see
+    :func:`_louvain_moves`) — the distributed-Louvain norm, since
+    sequential sweeps don't parallelize. Quality is pinned in tests
+    via :func:`modularity` on the ORIGINAL graph. Community ids are
+    canonical min member ids, so output is
+    partitioning-independent.
+
+    Scale shape: each level's graph is community-cardinality-sized —
+    the classic Louvain contraction that makes level 2+ nearly free;
+    all shuffles are keyed on node/community ids, the assignment
+    mapping back through levels is one hash join per level. Fixed
+    bounds everywhere (synchronous moves have no convergence
+    guarantee; the early-exit fires when a round moves nothing)."""
+    e = (
+        _sym(pairs, src, dst)
+        .select("src", "dst", F.lit(1.0).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return e.sparkSession.createDataFrame(
+            [], "node long, community long"
+        )
+    return _louvain_levels(e, levels, n_rounds)
+
+
+def _louvain_levels(e: DataFrame, levels: int, n_rounds: int) -> DataFrame:
+    """The level loop of :func:`louvain`."""
+    two_m = float(
+        e.agg(F.sum("w").alias("s")).first()["s"]
+    )  # symmetric list already counts each edge twice
+    nodes = e.select(F.col("src").alias("node")).dropDuplicates()
+    assign = nodes.select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=True)
+    for _ in range(levels):
+        moved = _louvain_moves(
+            e, assign.select(F.col("community").alias("node")).dropDuplicates()
+            .select("node", F.col("node").alias("community")),
+            two_m,
+            n_rounds,
+        )
+        # canonicalize community ids to the min super-node member
+        canon = moved.groupBy("community").agg(F.min("node").alias("__c"))
+        lab = moved.join(canon, on="community").select(
+            "node", F.col("__c").alias("community")
+        )
+        # map the full assignment through this level's result
+        assign = (
+            assign.join(
+                lab.select(
+                    F.col("node").alias("community"),
+                    F.col("community").alias("__new"),
+                ),
+                on="community",
+            )
+            .select("node", F.col("__new").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        # coarsen: contract communities, sum parallel weights. Self
+        # loops are KEPT — the symmetric list counts every internal
+        # edge twice, so the self-loop carries exactly the doubled
+        # internal weight that makes a supernode's degree equal the
+        # sum of its members' degrees (without it, level-2 gains are
+        # computed against starved degrees and distinct communities
+        # spuriously merge — the resolution contract the ring-of-
+        # cliques test pins)
+        contracted = (
+            e.join(
+                lab.select(
+                    F.col("node").alias("src"), F.col("community").alias("cs")
+                ),
+                on="src",
+            )
+            .join(
+                lab.select(
+                    F.col("node").alias("dst"), F.col("community").alias("cd")
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no inter-community edges remain to optimize
+        if contracted.filter(F.col("src") != F.col("dst")).isEmpty():
+            break
+        e = contracted
+    return assign
+
+
 def link_prediction(
     pairs: DataFrame,
     src: str = "src",

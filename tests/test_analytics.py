@@ -774,6 +774,62 @@ def test_skipgram_pairs_window(spark):
         skipgram_pairs(df, window=0)
 
 
+def test_louvain_ring_of_cliques(spark):
+    """The canonical Louvain fixture: a ring of 4 5-cliques joined by
+    single bridges — level-1 moves must recover exactly the cliques
+    (4 cliques is far under the sqrt(2m) resolution limit, so level 2
+    must NOT merge them), and the assignment scores the modularity of
+    the known-optimal partition."""
+    from pidb_rdf_spark.analytics import louvain, modularity
+
+    edges = []
+    for c in range(4):
+        base = c * 5
+        edges += [
+            (base + i, base + j) for i in range(5) for j in range(i + 1, 5)
+        ]
+    edges += [(4, 5), (9, 10), (14, 15), (19, 0)]  # ring bridges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in louvain(df).collect()}
+    assert len(got) == 20
+    groups = {}
+    for n, c in got.items():
+        groups.setdefault(c, set()).add(n)
+    assert sorted(map(tuple, map(sorted, groups.values()))) == [
+        tuple(range(0, 5)),
+        tuple(range(5, 10)),
+        tuple(range(10, 15)),
+        tuple(range(15, 20)),
+    ]
+    asg = spark.createDataFrame(
+        [(n, c) for n, c in got.items()], "node long, community long"
+    )
+    q = modularity(df, asg)
+    # exact: 4 communities, e_c=10, d_c=20 internal + 2 bridge ends
+    assert q == pytest.approx(4 * (10 / 44 - (22 / 88) ** 2))
+    # deterministic under repartitioning
+    again = {
+        r.node: r.community for r in louvain(df.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_louvain_two_cliques_and_empty(spark):
+    """Bridge graph: the two triangles are the optimal partition;
+    empty input yields an empty typed frame."""
+    from pidb_rdf_spark.analytics import louvain
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    got = {r.node: r.community for r in louvain(pairs).collect()}
+    assert {got[1], got[2], got[3]} == {1} and {got[4], got[5], got[6]} == {4}
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = louvain(empty)
+    assert out.columns == ["node", "community"] and out.count() == 0
+
+
 def test_link_prediction_python_twin(spark):
     """All four predictors vs a brute-force python replay on a mixed
     graph (hub + triangle + pendant), both with and without
