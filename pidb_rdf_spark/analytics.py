@@ -1339,9 +1339,13 @@ def louvain(
     dst: str = "dst",
     levels: int = 2,
     n_rounds: int = 10,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, community) by Louvain-style modularity optimization
-    (Blondel et al. 2008), deterministic: ``levels`` passes of the
+    (Blondel et al. 2008), deterministic. ``weight`` names an edge
+    weight column for the weighted form (parallel edge weights sum;
+    without it the simple unweighted graph is used): ``levels``
+    passes of the
     synchronous local-move phase (:func:`_louvain_moves` —
     modularity-gain argmax per node, smallest-id tie-break, bounded
     rounds, move only on strict improvement) each followed by graph
@@ -1362,11 +1366,32 @@ def louvain(
     mapping back through levels is one hash join per level. Fixed
     bounds everywhere (synchronous moves have no convergence
     guarantee; the early-exit fires when a round moves nothing)."""
-    e = (
-        _sym(pairs, src, dst)
-        .select("src", "dst", F.lit(1.0).alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        e = _sym(pairs, src, dst).select(
+            "src", "dst", F.lit(1.0).alias("w")
+        )
+    else:
+        # weighted form: symmetric view with PARALLEL EDGE WEIGHTS
+        # SUMMED (multigraph semantics; the unweighted path instead
+        # dedups to the simple graph), self-loops dropped
+        fwd = pairs.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        e = (
+            fwd.unionAll(
+                fwd.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "w",
+                )
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    e = e.localCheckpoint(eager=True)
     if e.isEmpty():
         return e.sparkSession.createDataFrame(
             [], "node long, community long"

@@ -830,6 +830,26 @@ def test_louvain_two_cliques_and_empty(spark):
     assert out.columns == ["node", "community"] and out.count() == 0
 
 
+def test_louvain_weighted(spark):
+    """Edge weights steer the partition: a 6-cycle with two heavy
+    antipodal triples splits on the weights where the unweighted
+    graph has no preference; parallel edge weights sum."""
+    from pidb_rdf_spark.analytics import louvain
+
+    # cycle 1-2-3-4-5-6-1; heavy within {1,2,3} and {4,5,6},
+    # feather-light on the two bridges (3,4) and (6,1)
+    rows = [
+        (1, 2, 10.0), (2, 3, 10.0), (4, 5, 10.0), (5, 6, 10.0),
+        (3, 4, 0.1), (6, 1, 0.1),
+        # a parallel copy of one heavy edge: weights must SUM
+        (1, 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, wt double")
+    got = {r.node: r.community for r in louvain(df, weight="wt").collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[4], got[5], got[6]} == {4}
+
+
 def test_link_prediction_python_twin(spark):
     """All four predictors vs a brute-force python replay on a mixed
     graph (hub + triangle + pendant), both with and without
