@@ -358,11 +358,20 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     personalize: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power iterations with
     uniform teleport and dangling-mass redistribution; Σrank = 1 every
     round. Fixed iteration count (not an epsilon test) keeps the
     result deterministic and the loop bounded.
+
+    ``weight`` names an edge-weight column for WEIGHTED PageRank:
+    a node's rank splits over its out-edges proportionally to weight
+    (w/Σw_out instead of 1/out-degree). Zero/negative-weight edges
+    are dropped up front (they carry no mass; a node whose every
+    out-edge is dropped becomes dangling). The unweighted path is
+    bit-for-bit untouched — its oracle entries replay the exact
+    float op order.
 
     ``personalize``: a one-column frame of seed nodes switches to
     PERSONALIZED PageRank — teleport and dangling mass return to the
@@ -371,7 +380,14 @@ def pagerank(
     workhorse). Seeds absent from the graph are ignored; an empty
     effective seed set raises. The uniform path is bit-for-bit
     unchanged (its oracle entry replays the exact float op order)."""
-    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if weight is None:
+        edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        edges = pairs.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        ).filter(F.col("w") > 0)
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -380,7 +396,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if weight is None:
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    else:
+        out_deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
     pref = None
     if personalize is not None:
         seeds = (
@@ -412,11 +431,16 @@ def pagerank(
     else:
         ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(n_iter):
+        share = (
+            F.col("rank") / F.col("deg")
+            if weight is None
+            else F.col("rank") * F.col("w") / F.col("deg")
+        )
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), on="src")
             .join(out_deg, on="src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_rank"))
+            .agg(F.sum(share).alias("in_rank"))
         )
         # dangling mass as a broadcast 1-row aggregate folded into the
         # same job (a per-round .first() here doubled the job count and

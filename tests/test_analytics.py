@@ -830,6 +830,57 @@ def test_louvain_two_cliques_and_empty(spark):
     assert out.columns == ["node", "community"] and out.count() == 0
 
 
+def test_pagerank_weighted_numpy_twin(spark):
+    """Weighted PageRank vs a dense numpy power iteration (rank
+    splits w/sum_w_out; dangling + teleport as in the uniform path);
+    zero-weight edges are dropped, all-ones weights reproduce the
+    unweighted ranks."""
+    import numpy as np
+
+    from pidb_rdf_spark.analytics import pagerank
+
+    edges = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+        (3, 4, 4.0), (4, 1, 0.0),  # zero weight -> dropped, 4 dangles
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+    got = {
+        r.node: r.rank for r in pagerank(df, weight="wt", n_iter=10).collect()
+    }
+
+    ids = [1, 2, 3, 4]
+    W = np.zeros((4, 4))
+    for s, d, w in edges:
+        if w > 0:
+            W[ids.index(s), ids.index(d)] = w
+    P = np.zeros_like(W)
+    for i in range(4):
+        tot = W[i].sum()
+        if tot > 0:
+            P[i] = W[i] / tot
+    r = np.full(4, 0.25)
+    for _ in range(10):
+        dangling = r[P.sum(axis=1) == 0].sum()
+        r = 0.15 / 4 + 0.85 * (dangling / 4 + P.T @ r)
+    for i, nid in enumerate(ids):
+        assert got[nid] == pytest.approx(r[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0)
+
+    # all-ones weights over the SAME effective edge set (the zero-
+    # weight row is dropped on both sides) reproduce unweighted ranks
+    kept = [(s, d) for s, d, w in edges if w > 0]
+    ones = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in kept], "src long, dst long, wt double"
+    )
+    w1 = {r_.node: r_.rank for r_ in pagerank(ones, weight="wt").collect()}
+    plain = pagerank(
+        spark.createDataFrame(kept, "src long, dst long")
+    )
+    w0 = {r_.node: r_.rank for r_ in plain.collect()}
+    for k in w0:
+        assert w1[k] == pytest.approx(w0[k], abs=1e-12)
+
+
 def test_louvain_weighted(spark):
     """Edge weights steer the partition: a 6-cycle with two heavy
     antipodal triples splits on the weights where the unweighted
