@@ -1918,6 +1918,150 @@ def ranked_vocabulary(
     )
 
 
+def node2vec_walks(
+    pairs: DataFrame,
+    walk_len: int = 5,
+    n_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "n2v",
+    directed: bool = True,
+) -> DataFrame:
+    """Deterministic node2vec-biased walks (Grover & Leskovec 2016):
+    like :func:`random_walks` but step s ≥ 2 weights each candidate
+    x from cur by its relation to the PREVIOUS node — 1/``p`` for
+    returning (x = prev), 1 for staying near (x adjacent to prev),
+    1/``q`` for exploring outward. Low p ⇒ backtracking (BFS-like
+    neighborhoods), low q ⇒ outward drift (DFS-like). Step 1 is
+    uniform (no prev yet), exactly node2vec's convention.
+
+    Determinism contract: candidates keep the ranked-adjacency order;
+    the draw is the first candidate whose cumulative weight exceeds
+    u·total with u = md5(salt:start:walk:s)/2^52 — a fixed-order
+    cumsum of exact dyadic weights, so walks replay bit-for-bit on
+    any engine/partitioning (pinned against a pure-python twin).
+
+    Scale shape: per step, ONE join of the frontier against the
+    ranked edge table on the current node (candidate rows =
+    Σ deg(cur) — the intrinsic node2vec cost of inspecting every
+    candidate's relation to prev), one left semi-ish join against the
+    edge set keyed (prev, candidate) for the adjacency class, and one
+    per-(start,walk) window for the cumsum pick (partition size =
+    deg(cur), never global). No per-node arrays, no alias tables."""
+    if walk_len < 1 or n_walks < 1:
+        raise ValueError("walk_len and n_walks must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    e = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        if directed
+        else _sym(pairs, src, dst)
+    )
+    rk = e.select(
+        F.col("src").alias("cur"),
+        F.col("dst").alias("nbr"),
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rk"),
+    ).localCheckpoint(eager=True)
+    deg = rk.groupBy("cur").agg(F.max("rk").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    start = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+        F.col("node").alias("node"),
+    ).localCheckpoint(eager=True)
+    out = start.select(
+        "start", "walk", F.lit(0).cast("int").alias("step"), "node"
+    )
+
+    def draw_hash(s: int) -> Column:
+        return md5_prefix_long(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("start").cast("string"),
+                F.lit(":"),
+                F.col("walk").cast("string"),
+                F.lit(f":{s}"),
+            ),
+            52,
+        )
+
+    # step 1: uniform over cur's neighbors (no prev yet)
+    frontier = (
+        start.withColumnRenamed("node", "cur")
+        .join(deg, on="cur")
+        .withColumn("rk", (draw_hash(1) % F.col("deg") + 1).cast("int"))
+        .join(rk, on=["cur", "rk"])
+        .select(
+            "start", "walk", F.col("cur").alias("prev"),
+            F.col("nbr").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if frontier.isEmpty():
+        return out
+    out = out.unionAll(
+        frontier.select(
+            "start", "walk", F.lit(1).cast("int").alias("step"), "node"
+        )
+    )
+    prev_adj = rk.select(
+        F.col("cur").alias("prev"), F.col("nbr").alias("nbr"),
+        F.lit(1).alias("__adj"),
+    )
+    for s in range(2, walk_len + 1):
+        cand = frontier.withColumnRenamed("node", "cur").join(
+            rk, on="cur"
+        )  # sinks drop out: the walk ends
+        cand = cand.join(prev_adj, on=["prev", "nbr"], how="left").withColumn(
+            "__wt",
+            F.when(F.col("nbr") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("__adj").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q)),
+        )
+        w = Window.partitionBy("start", "walk")
+        wo = w.orderBy("rk")
+        u = (draw_hash(s) / F.lit(float(1 << 52))).alias("__u")
+        picked = (
+            cand.withColumn("__cum", F.sum("__wt").over(wo))
+            # the lower bound is the LAGGED cumsum (bit-identical
+            # floats), never cum - wt re-derived (a float round there
+            # could pick zero or two candidates at a boundary)
+            .withColumn(
+                "__lo", F.coalesce(F.lag("__cum").over(wo), F.lit(0.0))
+            )
+            .withColumn("__tot", F.sum("__wt").over(w))
+            .withColumn("__u", u)
+            .filter(
+                (F.col("__cum") > F.col("__u") * F.col("__tot"))
+                & (F.col("__lo") <= F.col("__u") * F.col("__tot"))
+            )
+        )
+        frontier = picked.select(
+            "start", "walk", F.col("cur").alias("prev"),
+            F.col("nbr").alias("node"),
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        out = out.unionAll(
+            frontier.select(
+                "start", "walk", F.lit(s).cast("int").alias("step"), "node"
+            )
+        )
+    return out
+
+
 def negative_samples(
     pairs: DataFrame,
     k: int = 5,

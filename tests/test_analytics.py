@@ -830,6 +830,99 @@ def test_louvain_two_cliques_and_empty(spark):
     assert out.columns == ["node", "community"] and out.count() == 0
 
 
+def test_node2vec_walks_python_twin(spark):
+    """Biased walks replay a pure-python node2vec twin exactly (same
+    ranked adjacency, same md5 draws, same fixed-order float cumsum),
+    across p/q settings and partitionings; p=q=1 still differs from
+    random_walks only in draw mechanism, not in structural validity
+    (every consecutive pair is an edge)."""
+    import hashlib
+
+    from pidb_rdf_spark.analytics import node2vec_walks
+
+    edges = [
+        (1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1),
+        (1, 4), (2, 4), (4, 2), (3, 5), (5, 3), (5, 6),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for s_, d_ in edges:
+        if s_ != d_:
+            adj.setdefault(s_, set()).add(d_)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    def h52(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+
+    def twin(p, q, walk_len, n_walks):
+        rows = []
+        nodes = sorted({n for s_, d_ in edges for n in (s_, d_)})
+        for start in nodes:
+            for w in range(n_walks):
+                rows.append((start, w, 0, start))
+                cur, prev = start, None
+                for s_ in range(1, walk_len + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    if prev is None:
+                        nxt = nbrs[h52(f"n2v:{start}:{w}:{s_}") % len(nbrs)]
+                    else:
+                        wts = []
+                        for x in nbrs:
+                            if x == prev:
+                                wts.append(1.0 / p)
+                            elif x in adj.get(prev, ()):
+                                wts.append(1.0)
+                            else:
+                                wts.append(1.0 / q)
+                        u = h52(f"n2v:{start}:{w}:{s_}") / float(1 << 52)
+                        tot = 0.0
+                        for wt in wts:
+                            tot = tot + wt
+                        cum, nxt = 0.0, None
+                        for x, wt in zip(nbrs, wts):
+                            lo = cum
+                            cum = cum + wt
+                            if cum > u * tot and lo <= u * tot:
+                                nxt = x
+                                break
+                        assert nxt is not None
+                    rows.append((start, w, s_, nxt))
+                    prev, cur = cur, nxt
+        return sorted(rows)
+
+    for p, q in ((0.25, 4.0), (4.0, 0.25), (1.0, 1.0)):
+        got = sorted(
+            (r.start, r.walk, r.step, r.node)
+            for r in node2vec_walks(
+                df, walk_len=4, n_walks=2, p=p, q=q
+            ).collect()
+        )
+        assert got == twin(p, q, 4, 2), (p, q)
+    # partitioning-independence
+    again = sorted(
+        (r.start, r.walk, r.step, r.node)
+        for r in node2vec_walks(
+            df.repartition(7), walk_len=4, n_walks=2, p=0.25, q=4.0
+        ).collect()
+    )
+    assert again == twin(0.25, 4.0, 4, 2)
+    # structural validity: consecutive nodes are always edges
+    walks = {}
+    for st, w, s_, nd in again:
+        walks.setdefault((st, w), {})[s_] = nd
+    for steps in walks.values():
+        for s_ in range(1, max(steps)):
+            if s_ + 1 in steps:
+                assert steps[s_ + 1] in adj[steps[s_]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, p=0.0)
+
+
 def test_pagerank_weighted_numpy_twin(spark):
     """Weighted PageRank vs a dense numpy power iteration (rank
     splits w/sum_w_out; dangling + teleport as in the uniform path);
