@@ -593,12 +593,16 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 5,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, community) by synchronous label propagation over the
     undirected graph: every node starts in its own community (its own
     id); each round it adopts the most frequent label among its
     neighbors, ties broken by the SMALLEST label — fully
-    deterministic, unlike classic asynchronous LPA. A fixed round
+    deterministic, unlike classic asynchronous LPA. ``weight`` names
+    an edge-weight column for weighted LPA (each round adopts the
+    label with the largest incident WEIGHT sum; parallel edge weights
+    sum, zero/negative-weight edges drop). A fixed round
     count keeps the loop bounded (LPA has no convergence guarantee;
     5 rounds is the conventional cut). Known synchronous-LPA caveat
     (GraphFrames documents the same): bipartite/star regions can
@@ -609,7 +613,27 @@ def label_propagation(
     count-aggregation per (node, label), one max_by tie-broken
     reduction — all shuffles keyed on node id. No arrays are
     collected per node (safe for power-law degrees at scale)."""
-    edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
+    if weight is None:
+        edges = _sym(pairs, src, dst).withColumn("__w", F.lit(1.0))
+    else:
+        fwd = pairs.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("__w"),
+        ).filter(F.col("__w") > 0)
+        edges = (
+            fwd.unionAll(
+                fwd.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "__w",
+                )
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
@@ -622,7 +646,7 @@ def label_propagation(
                 labels.withColumnRenamed("node", "dst"), on="dst"
             )
             .groupBy(F.col("src").alias("node"), F.col("community"))
-            .agg(F.count("*").alias("__n"))
+            .agg(F.sum("__w").alias("__n"))
         )
         # most frequent neighbor label; ties -> smallest label
         # (two aggregations keyed on node — works for any id type)

@@ -830,6 +830,47 @@ def test_louvain_two_cliques_and_empty(spark):
     assert out.columns == ["node", "community"] and out.count() == 0
 
 
+def test_label_propagation_weighted(spark):
+    """Weighted LPA adopts the label with the largest incident weight
+    sum: a path a-b-c where (a,b) is heavy pulls b to a's label even
+    though counts tie; unweighted output is unchanged (sum of 1.0
+    replays count exactly)."""
+    from pidb_rdf_spark.analytics import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 3, 1.0)], "src long, dst long, wt double"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, weight="wt", n_iter=1).collect()
+    }
+    assert got[2] == 1  # heavy edge wins over the count tie with 3
+    unw = {
+        r.node: r.community
+        for r in label_propagation(df, n_iter=1).collect()
+    }
+    assert unw[2] == 1  # unweighted: count tie -> smallest label (1)
+    # make the weights overturn the tie-break: heavy edge to node 3
+    rev = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 10.0)], "src long, dst long, wt double"
+    )
+    got_rev = {
+        r.node: r.community
+        for r in label_propagation(rev, weight="wt", n_iter=1).collect()
+    }
+    assert got_rev[2] == 3  # weight beats the smallest-label tie rule
+    plainw = {
+        r.node: r.community
+        for r in label_propagation(
+            df.withColumn("wt", F.lit(1.0)), weight="wt"
+        ).collect()
+    }
+    plain = {
+        r.node: r.community for r in label_propagation(df).collect()
+    }
+    assert plainw == plain
+
+
 def test_node2vec_walks_python_twin(spark):
     """Biased walks replay a pure-python node2vec twin exactly (same
     ranked adjacency, same md5 draws, same fixed-order float cumsum),
