@@ -76,24 +76,70 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_array(text_col: str, k: int):
+    """Column expr: the distinct character-k-gram set of ``text_col``
+    as one array, built JVM-side (transform over a sequence)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+            f" i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
 def char_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:
     """Distinct character k-gram shingles, one row per (id, shingle).
 
-    The shingle array is built JVM-side (transform over a sequence —
-    no Python, no explode until the set is deduped)."""
+    The exploded form — what the PPJoin prefix filter needs (it ranks
+    shingles by global frequency, an inherently row-per-shingle
+    computation). The MinHash path uses :func:`shingle_hash_sets`
+    instead: same set, kept as one array row per doc, never exploded."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
-                    f" i -> substring({text_col}, i, {k}))"
-                )
-            )
-        ).alias("shingle"),
+        F.explode(_shingle_array(text_col, k)).alias("shingle"),
     )
+
+
+def shingle_hash_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(id, harr array<long>, n_sh): each doc's distinct-shingle set
+    hashed to xxhash64 longs, built entirely JVM-side with NO explode
+    and NO shuffle — one narrow map over the doc table.
+
+    This is the MinHash-side twin of :func:`char_shingles`: the
+    earlier pipeline exploded ~270 shingle rows per doc only to
+    ``groupBy(id).collect_list`` them straight back twice (signature
+    input + verify-side sets), paying two full-corpus shuffles for a
+    round trip. Hash values equal ``xxhash64(shingle-string)`` so the
+    verify arithmetic and the persisted-index format are unchanged.
+    Per-doc memory is the same as before (the set always materialized
+    per doc inside collect_list); NULL texts drop, matching the
+    exploded form where they produce no rows.
+
+    Small-input parallelism gate: with no shuffle, the shingle
+    transform AND the downstream Arrow signature kernel inherit the
+    scan's partitioning — a sub-core-count scan (one small file)
+    would run the whole CPU-bound stage on a few threads (measured
+    3× slower end-to-end at sf0.1, where the doc table is ONE
+    parquet partition). Inputs narrower than the core count get
+    round-robined up to it; a real corpus scan already carries far
+    more partitions than cores, so at scale the gate never fires and
+    the path stays shuffle-free."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    cores = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < cores:
+        base = base.repartition(cores)
+    return base.select(
+        "id",
+        F.transform(
+            _shingle_array("__text", k), lambda s: F.xxhash64(s)
+        ).alias("harr"),
+    ).withColumn("n_sh", F.size("harr").cast("long"))
 
 
 def ngram_jaccard_pairs(
@@ -245,28 +291,14 @@ def _verify_with_sets(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
-    shingles: DataFrame, num_perm: int = 128
-) -> DataFrame:
-    """MinHash signatures via universal hashing: one base hash per
-    shingle, then ``num_perm`` affine permutations
-    ``(a_j·h + b_j) mod p`` reduced with per-group MIN — a single
-    shuffle keyed on doc id, map-side partial aggregation does most
-    of the work. Returns (id, sig: array<long>[num_perm]).
-
-    Base hash is xxhash64 (native, no digest allocation): unlike
-    SimHash, nothing downstream recomputes these hashes — LSH output
-    is exact-Jaccard-verified — so cross-engine reproducibility of
-    the hash itself buys nothing here and md5 would only cost time."""
+def _minhash_perm_constants(num_perm: int):
+    """Deterministic affine-permutation constants (a_j, b_j) derived
+    from md5 of the permutation index — same draw everywhere, so
+    signatures are reproducible across sessions and engines."""
     import hashlib
 
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    h = (F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE31))).alias("h")
-    base = shingles.select("id", h)
-    # deterministic permutation constants derived from md5 of the index
     A = np.array(
         [
             int.from_bytes(hashlib.md5(f"a{j}".encode()).digest()[:4], "big")
@@ -284,25 +316,67 @@ def minhash_signatures(
         ],
         dtype=np.int64,
     )
+    return A, B
+
+
+def _minhash_sig_udf(num_perm: int):
+    """Arrow-batched UDF: per-doc xxhash64 array → num_perm affine
+    permutation minima ``min_j (a_j·h + b_j) mod p``. The mod-p base
+    reduction happens inside numpy (np.mod is non-negative like
+    F.pmod); h, a < 2^31 so products stay inside int64."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    A, B = _minhash_perm_constants(num_perm)
 
     def sig_of(hs):
         out = []
         for doc_hashes in hs:
-            hv = np.asarray(doc_hashes, dtype=np.int64)
-            # (num_perm, n_shingles): a_j*h + b_j mod p, min per row.
-            # h, a < 2^31 so the product stays inside int64.
+            hv = np.mod(
+                np.asarray(doc_hashes, dtype=np.int64), MERSENNE31
+            )
+            # (num_perm, n_shingles): a_j*h + b_j mod p, min per row
             perms = (A[:, None] * hv[None, :] + B[:, None]) % MERSENNE31
             out.append(perms.min(axis=1))
         return pd.Series(out)
 
     sig_of.__annotations__ = {"hs": pd.Series, "return": pd.Series}
-    sig_udf = pandas_udf(sig_of, "array<long>")
+    return pandas_udf(sig_of, "array<long>")
 
-    # one shuffle of the raw 8-byte hashes; the 128 permuted minima are
-    # a vectorized Arrow-batch matrix op (a 128-slot MIN hash-aggregate
-    # measured 3x slower than this collect_list + numpy shape)
+
+def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
+    """(id, sig) from a :func:`shingle_hash_sets` frame — ZERO
+    shuffle: the per-doc hash array feeds the vectorized signature
+    kernel directly (the exploded path below re-assembled the same
+    array with a full-corpus collect_list shuffle first)."""
+    return sets.select(
+        "id", _minhash_sig_udf(num_perm)(F.col("harr")).alias("sig")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 128
+) -> DataFrame:
+    """MinHash signatures from an EXPLODED (id, shingle) frame: one
+    collect_list shuffle keyed on doc id, then the same vectorized
+    permutation kernel. Returns (id, sig: array<long>[num_perm]).
+
+    Kept for callers that already hold the exploded form; the dedup
+    and index paths use :func:`shingle_hash_sets` +
+    ``_signatures_from_sets``, which never explodes or shuffles.
+
+    Base hash is xxhash64 (native, no digest allocation): unlike
+    SimHash, nothing downstream recomputes these hashes — LSH output
+    is exact-Jaccard-verified — so cross-engine reproducibility of
+    the hash itself buys nothing here and md5 would only cost time."""
+    base = shingles.select(
+        "id", F.xxhash64(F.col("shingle")).alias("h")
+    )
     lists = base.groupBy("id").agg(F.collect_list("h").alias("hs"))
-    return lists.select("id", sig_udf(F.col("hs")).alias("sig"))
+    return lists.select(
+        "id", _minhash_sig_udf(num_perm)(F.col("hs")).alias("sig")
+    )
 
 
 def band_keys(
@@ -358,15 +432,23 @@ def minhash_lsh_dedup(
     """Near-dup pairs by MinHash+LSH candidate generation + exact
     Jaccard verification. Output: (a, b, jaccard) with jaccard ≥
     threshold — equal to the exact all-pairs answer w.p. ~1 at the
-    default operating point, at linear (not quadratic) cost."""
-    # materialize the shingle explode once: BOTH the signature DAG and
-    # verify_pairs_jaccard's shingle-set build consume it, and without
-    # the checkpoint the ~2000-substrings-per-doc explode runs twice
-    # end-to-end (isolated re-measure r7: 7.1 s -> ~5.3 s at sf0.1)
-    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
-    sigs = minhash_signatures(sh, num_perm)
+    default operating point, at linear (not quadratic) cost.
+
+    Plan shape (r10): ONE doc-table map builds each doc's hashed
+    shingle set as an array (no explode), checkpointed because three
+    consumers read it (signatures, a-side and b-side verify); the
+    signature stage is shuffle-free, so the only shuffles left are
+    the banding equi-join and its distinct — both keyed on bucket
+    hashes, the part that genuinely needs data movement. The earlier
+    exploded pipeline paid two extra full-corpus shuffles just to
+    collect_list the same arrays back (isolated sf0.1: 5.5 s → 3.6 s)."""
+    sets = shingle_hash_sets(df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    sigs = _signatures_from_sets(sets, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    return verify_pairs_jaccard(cands, sh, threshold)
+    s = sets.select("id", F.col("harr").alias("arr"), "n_sh")
+    return _verify_with_sets(cands, s, s, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -880,16 +962,18 @@ def save_minhash_index(
     import json
     import os
 
-    # two write actions consume sh (signatures -> buckets, sets);
-    # checkpoint so the corpus-wide shingle explode runs once
-    sh = char_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
-    sigs = minhash_signatures(sh, num_perm)
+    # two write actions consume the set frame (signatures -> buckets,
+    # verify-side sets); checkpoint so the corpus shingles once
+    sets = shingle_hash_sets(df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    sigs = _signatures_from_sets(sets, num_perm)
     band_keys(sigs, bands, rows_per_band).write.mode("overwrite").parquet(
         os.path.join(path, "buckets")
     )
-    shingle_sets(sh).write.mode("overwrite").parquet(
-        os.path.join(path, "sets")
-    )
+    sets.select("id", F.col("harr").alias("arr"), "n_sh").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "sets"))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -923,10 +1007,10 @@ def minhash_query_index(
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
     # consumed twice (signatures for banding, verify-side sets)
-    sh_new = char_shingles(
+    sets_new_raw = shingle_hash_sets(
         new_docs, id_col, text_col, meta["k"]
     ).localCheckpoint(eager=False)
-    sigs_new = minhash_signatures(sh_new, meta["num_perm"])
+    sigs_new = _signatures_from_sets(sets_new_raw, meta["num_perm"])
     bk_new = band_keys(sigs_new, meta["bands"], meta["rows_per_band"])
     buckets = spark.read.parquet(f"{path}/buckets")
     cands = (
@@ -939,7 +1023,9 @@ def minhash_query_index(
         .select("a", "b")
         .distinct()
     )
-    sets_new = shingle_sets(sh_new).localCheckpoint(eager=False)
+    sets_new = sets_new_raw.select(
+        "id", F.col("harr").alias("arr"), "n_sh"
+    )
     sets_idx = spark.read.parquet(f"{path}/sets")
     out = _verify_with_sets(cands, sets_new, sets_idx, threshold)
     return out.select(
