@@ -124,16 +124,17 @@ def shingle_hash_sets(
     scan's partitioning — a sub-core-count scan (one small file)
     would run the whole CPU-bound stage on a few threads (measured
     3× slower end-to-end at sf0.1, where the doc table is ONE
-    parquet partition). Inputs narrower than the core count get
-    round-robined up to it; a real corpus scan already carries far
-    more partitions than cores, so at scale the gate never fires and
-    the path stays shuffle-free."""
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    parquet partition) — so the input goes through
+    :func:`~pidb_rdf_spark.operators.layout.ensure_min_parallelism`,
+    which at corpus scale is a no-op and keeps the path
+    shuffle-free."""
+    from pidb_rdf_spark.operators.layout import ensure_min_parallelism
+
+    base = ensure_min_parallelism(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+        )
     )
-    cores = base.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < cores:
-        base = base.repartition(cores)
     return base.select(
         "id",
         F.transform(
@@ -606,7 +607,13 @@ def embedding_near_dup_pairs(
     )
 
     if bucketed:
-        normed = with_norm(df, id_col, vec_col)
+        from pidb_rdf_spark.operators.layout import ensure_min_parallelism
+
+        # small-input parallelism gate (see shingle_hash_sets): the
+        # norm + bucket kernels are shuffle-free and inherit the
+        # scan's partitioning; a one-file corpus would run them on a
+        # single thread. No-op at real corpus scale.
+        normed = with_norm(ensure_min_parallelism(df), id_col, vec_col)
         v = with_hyperplane_buckets(normed, vec_col, n_planes, n_tables)
         # candidate generation carries ONLY ids through the join +
         # dedup shuffles (a pair that collides in several tables would

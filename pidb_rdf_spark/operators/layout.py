@@ -36,6 +36,26 @@ _SPREAD_MASKS = [
 ]
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` up to the core count IF its current plan
+    carries fewer partitions — the small-input parallelism gate for
+    shuffle-free CPU-bound map stages (vectorized shingle/signature/
+    bucket kernels).
+
+    Without a shuffle upstream, such a stage inherits the scan's
+    partitioning; a tiny input (one parquet file) would run the whole
+    kernel on one or two threads (measured 2-3× end-to-end at sf0.1
+    for both the MinHash and hyperplane-LSH pipelines). A real corpus
+    scan already carries far more partitions than cores, so at scale
+    the gate never fires and the caller's zero-shuffle plan survives
+    verbatim; when it does fire, the input is by construction small
+    enough that the repartition is noise."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def spread_bits(col: Column) -> Column:
     """Spread the low 32 bits of ``col`` to the even bit positions of
     a 64-bit value (0babcd -> 0b0a0b0c0d): five shift+mask rounds,
