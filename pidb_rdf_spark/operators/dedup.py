@@ -466,18 +466,26 @@ def simhash(
     keep the feature space discriminative on small-vocabulary
     corpora.
 
-    Physical shape: explode features → md5 JVM-side → one
-    collect_list shuffle keyed on doc id → one Arrow-batched pandas
-    UDF that computes all ``bits`` vote totals as a single numpy
-    broadcast per batch. An earlier variant ran ``bits`` separate SUM
-    aggregates instead; the generated aggregate class alone took
-    ~10 s of janino compilation before the first row moved — the
-    vectorized form is output-identical and starts immediately."""
+    Physical shape (r10): the distinct-bigram set is built and
+    md5-hashed per doc as ONE array column — a narrow shuffle-free
+    map (plus the small-input parallelism gate, see
+    ``shingle_hash_sets``) — then one Arrow-batched pandas UDF
+    computes all ``bits`` vote totals as a single numpy broadcast per
+    batch. Two earlier shapes both lost: ``bits`` separate SUM
+    aggregates spent ~10 s on janino compilation of the generated
+    aggregate class alone, and the explode → md5-per-row →
+    ``groupBy(id).collect_list`` pipeline paid a full-corpus shuffle
+    just to re-assemble the per-doc array this form builds in place
+    (time-neutral at sf0.1 — the downstream chunk join dominates
+    there — but one less corpus-wide exchange at scale).
+    Output-identical in all three."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    toks = tokens(F.col(text_col))
+    from pidb_rdf_spark.operators.layout import ensure_min_parallelism
+
+    toks = tokens(F.col("__text"))
     bigrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -486,10 +494,15 @@ def simhash(
             lambda i: F.concat_ws("_", F.get(toks, i), F.get(toks, i + 1)),
         )
     )
-    feats = df.select(
-        F.col(id_col).alias("id"), F.explode(bigrams).alias("feat")
-    ).select("id", _md5_hash(F.col("feat"), bits).alias("h"))
-    hashes = feats.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    base = ensure_min_parallelism(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+        )
+    )
+    hashes = base.select(
+        "id",
+        F.transform(bigrams, lambda f: _md5_hash(f, bits)).alias("hs"),
+    )
 
     shifts = list(range(bits))
 
@@ -550,8 +563,15 @@ def simhash_pairs(
     pigeonhole banding: split the signature into ``max_hamming + 1``
     chunks; any pair within the distance budget must share ≥1 chunk
     value, so candidates come from equi-joins on (chunk_idx, chunk
-    value) — **exact recall**, linear candidate generation."""
-    sig = simhash(df, id_col, text_col, bits)
+    value) — **exact recall**, linear candidate generation.
+
+    ``sig`` is checkpointed because both sides of the chunk self-join
+    read it: without the barrier the full signature pipeline
+    (tokenize → bigram md5 → vote kernel) executes once PER SIDE
+    (isolated sf0.1: 6.8 s → 1.3 s together with the no-explode
+    signature build). One (id, long) row per doc — the cheapest
+    possible thing to pin."""
+    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
     chunks = _simhash_chunks(sig, bits, max_hamming)
     l = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "cval")
     r = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "cval")
