@@ -87,21 +87,6 @@ def _shingle_array(text_col: str, k: int):
     )
 
 
-def char_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
-) -> DataFrame:
-    """Distinct character k-gram shingles, one row per (id, shingle).
-
-    The exploded form — what the PPJoin prefix filter needs (it ranks
-    shingles by global frequency, an inherently row-per-shingle
-    computation). The MinHash path uses :func:`shingle_hash_sets`
-    instead: same set, kept as one array row per doc, never exploded."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingle_array(text_col, k)).alias("shingle"),
-    )
-
-
 def shingle_hash_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:
@@ -109,8 +94,10 @@ def shingle_hash_sets(
     hashed to xxhash64 longs, built entirely JVM-side with NO explode
     and NO shuffle — one narrow map over the doc table.
 
-    This is the MinHash-side twin of :func:`char_shingles`: the
-    earlier pipeline exploded ~270 shingle rows per doc only to
+    THE shingle representation — every consumer (MinHash signatures,
+    PPJoin prefix ranks via a cheap explode, Jaccard verify, the
+    persisted index) derives from this frame. The earlier pipeline
+    exploded ~270 shingle rows per doc only to
     ``groupBy(id).collect_list`` them straight back twice (signature
     input + verify-side sets), paying two full-corpus shuffles for a
     round trip. Hash values equal ``xxhash64(shingle-string)`` so the
@@ -165,21 +152,23 @@ def ngram_jaccard_pairs(
     length-ratio prune (min/max ≥ t, implied by J ≥ t) further cuts
     candidates before verification."""
     t = float(threshold)
-    # materialize the shingle table once: four consumers read it
-    # (frequency ranks, doc sizes, the prefix join, verification) and
-    # would otherwise each re-run the 10M-substring explode. Shingles
-    # are hashed to xxhash64 longs UP FRONT (r8): every downstream
-    # shuffle (frequency groupBy, per-doc rank sort, prefix self-join)
-    # moves 8-byte keys instead of k-char strings; prefix filtering
-    # only needs SOME global total order, and hash order qualifies.
-    # Same 64-bit-collision caveat as the verify step (P ~ 1e-13).
-    sh = (
-        char_shingles(df, id_col, text_col, k)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint(eager=False)
+    # build each doc's hashed shingle set ONCE as an array (narrow
+    # map, no explode — see shingle_hash_sets) and derive every other
+    # representation from it: the exploded row-per-shingle frame the
+    # prefix filter needs is a cheap explode of the pinned arrays,
+    # doc sizes are F.size (no counting aggregate), and the verify
+    # step reads the arrays directly instead of re-assembling them
+    # with a full-corpus collect_list shuffle (isolated sf0.1:
+    # 15.2 s → 12.6 s). Shingles travel as xxhash64 longs everywhere
+    # (r8): shuffles move 8-byte keys, and prefix filtering only
+    # needs SOME global total order — hash order qualifies. Same
+    # 64-bit-collision caveat as the verify step (P ~ 1e-13).
+    sets = shingle_hash_sets(df, id_col, text_col, k).localCheckpoint(
+        eager=False
     )
+    sh = sets.select("id", F.explode("harr").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
+    sizes = sets.select("id", "n_sh")
     ranked = (
         sh.join(freq, on="shingle")
         .withColumn(
@@ -216,15 +205,19 @@ def ngram_jaccard_pairs(
         .select("a", "b")
         .distinct()
     )
-    return verify_pairs_jaccard(cands, sh, threshold)
+    s = sets.select("id", F.col("harr").alias("arr"), "n_sh")
+    return _verify_with_sets(cands, s, s, threshold)
 
 
-def verify_pairs_jaccard(
+def _verify_with_sets(
     candidates: DataFrame,
-    shingles: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
     threshold: float,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate (a, b) pairs.
+    """Exact-Jaccard verification of candidate (a, b) pairs against
+    (id, arr, n_sh) set frames (:func:`shingle_hash_sets` output, or
+    the persisted index's stored sets).
 
     Each side's shingle SET travels as one array column (two joins on
     the candidate list) and the intersection is a per-row JVM
@@ -235,28 +228,6 @@ def verify_pairs_jaccard(
     strings: same intersection counts absent 64-bit collisions
     (P ≈ |set|²/2⁶⁴ per doc, ~1e-13 here) at a fraction of the
     compare/shuffle cost."""
-    sets = shingle_sets(shingles).localCheckpoint(
-        eager=False
-    )  # read twice (a-side and b-side joins)
-    return _verify_with_sets(candidates, sets, sets, threshold)
-
-
-def shingle_sets(shingles: DataFrame) -> DataFrame:
-    """(id, arr, n_sh): each doc's shingle set as one xxhash64-long
-    array — the verify-side representation, also what the persisted
-    index stores so corpus shingling never reruns at query time."""
-    return shingles.groupBy("id").agg(
-        F.collect_list(F.xxhash64("shingle")).alias("arr"),
-        F.count("*").cast("long").alias("n_sh"),
-    )
-
-
-def _verify_with_sets(
-    candidates: DataFrame,
-    sets_a: DataFrame,
-    sets_b: DataFrame,
-    threshold: float,
-) -> DataFrame:
     return (
         candidates.join(
             sets_a.select(
@@ -349,35 +320,18 @@ def _minhash_sig_udf(num_perm: int):
 def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
     """(id, sig) from a :func:`shingle_hash_sets` frame — ZERO
     shuffle: the per-doc hash array feeds the vectorized signature
-    kernel directly (the exploded path below re-assembled the same
-    array with a full-corpus collect_list shuffle first)."""
-    return sets.select(
-        "id", _minhash_sig_udf(num_perm)(F.col("harr")).alias("sig")
-    )
-
-
-def minhash_signatures(
-    shingles: DataFrame, num_perm: int = 128
-) -> DataFrame:
-    """MinHash signatures from an EXPLODED (id, shingle) frame: one
-    collect_list shuffle keyed on doc id, then the same vectorized
-    permutation kernel. Returns (id, sig: array<long>[num_perm]).
-
-    Kept for callers that already hold the exploded form; the dedup
-    and index paths use :func:`shingle_hash_sets` +
-    ``_signatures_from_sets``, which never explodes or shuffles.
+    kernel directly (an earlier pipeline re-assembled the same array
+    with a full-corpus explode + collect_list shuffle first).
 
     Base hash is xxhash64 (native, no digest allocation): unlike
     SimHash, nothing downstream recomputes these hashes — LSH output
     is exact-Jaccard-verified — so cross-engine reproducibility of
     the hash itself buys nothing here and md5 would only cost time."""
-    base = shingles.select(
-        "id", F.xxhash64(F.col("shingle")).alias("h")
+    return sets.select(
+        "id", _minhash_sig_udf(num_perm)(F.col("harr")).alias("sig")
     )
-    lists = base.groupBy("id").agg(F.collect_list("h").alias("hs"))
-    return lists.select(
-        "id", _minhash_sig_udf(num_perm)(F.col("hs")).alias("sig")
-    )
+
+
 
 
 def band_keys(
