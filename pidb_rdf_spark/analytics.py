@@ -666,18 +666,25 @@ def modularity(
     assignment: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> float:
     """Newman modularity Q of a community ``assignment`` (columns
     ``node, community``) over the undirected simple graph of
     ``pairs``: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c counts
     intra-community edges, d_c sums member degrees and m is the edge
-    total. The standard quality score for a label-propagation or
-    components clustering (Q > ~0.3 reads as real structure).
+    total. ``weight`` names an edge-weight column for the weighted
+    form (Newman 2004: weight sums replace the counts). The standard
+    quality score for a label-propagation / Louvain clustering
+    (Q > ~0.3 reads as real structure) — pass the same ``weight`` you
+    gave :func:`louvain` / :func:`label_propagation` so the metric
+    scores what the algorithm optimized.
 
     Plan: two broadcast-sized aggregations (per-community edge and
     degree sums) folded into one driver scalar — the metric is a
     single float, so the final collect is one row."""
-    per_c = modularity_table(pairs, assignment, src=src, dst=dst)
+    per_c = modularity_table(
+        pairs, assignment, src=src, dst=dst, weight=weight
+    )
     row = per_c.select(F.sum("contribution").alias("q")).first()
     return float(row["q"] or 0.0)
 
@@ -687,6 +694,7 @@ def modularity_table(
     assignment: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Per-community modularity decomposition: (community, e_c
     intra-community edge count, d_c degree sum, m total edge count,
@@ -696,17 +704,28 @@ def modularity_table(
     structure (or its absence) lives, which is what one actually
     inspects when a clustering underperforms.
 
-    ``q_num`` = 4·m·e_c − d_c² is the EXACT integer numerator of the
-    contribution over the common denominator 4m² (contribution =
-    q_num / 4m²) — bit-identical on any engine, so cross-engine
-    comparisons should use it rather than the float (a 1-ulp ``pow``
-    difference survives rounding at boundary values; the float here
-    is computed with plain multiplication for the same reason).
+    Unweighted, ``q_num`` = 4·m·e_c − d_c² is the EXACT integer
+    numerator of the contribution over the common denominator 4m²
+    (contribution = q_num / 4m²) — bit-identical on any engine, so
+    cross-engine comparisons should use it rather than the float (a
+    1-ulp ``pow`` difference survives rounding at boundary values;
+    the float here is computed with plain multiplication for the same
+    reason).
+
+    ``weight`` switches to the weighted decomposition (Newman 2004):
+    e_c = intra-community weight sum, d_c = strength (weighted
+    degree) sum, m = total weight — same column NAMES, double type —
+    with parallel edge weights pre-summed and zero/negative-weight
+    edges dropped (the :func:`louvain` / :func:`label_propagation`
+    convention). The exact-integer compare property is unweighted-
+    only; weighted q_num is just 4m²·contribution as a float.
 
     Plan shape: the deduplicated undirected edge list is computed
     once (localCheckpoint) and feeds the edge total m, the
     intra-edge aggregate and the degree aggregate; community sums
     are community-cardinality-sized. Empty graph -> empty frame."""
+    if weight is not None:
+        return _modularity_table_weighted(pairs, assignment, src, dst, weight)
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -761,6 +780,75 @@ def modularity_table(
         (
             (F.lit(4 * m) * ec - dc * dc)
             / F.lit(4.0 * float(m) * float(m))
+        ).alias("contribution"),
+    )
+
+
+def _modularity_table_weighted(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+) -> DataFrame:
+    """Weighted branch of :func:`modularity_table` — same skeleton
+    (one pinned edge frame feeding the total, the intra aggregate and
+    the strength aggregate) with weight sums in place of counts."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+            F.col(weight).cast("double").alias("__w"),
+        )
+        .filter((F.col("u") != F.col("v")) & (F.col("__w") > 0))
+        .groupBy("u", "v")
+        .agg(F.sum("__w").alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    m = float(e.agg(F.sum("__w")).first()[0] or 0.0)
+    asg = assignment.select(
+        F.col(assignment.columns[0]).alias("node"),
+        F.col(assignment.columns[1]).alias("community"),
+    ).dropDuplicates(["node"])
+    if m == 0.0:
+        ctype = asg.schema["community"].dataType.simpleString()
+        return e.sparkSession.createDataFrame(
+            [],
+            f"community {ctype}, e_c double, d_c double, m double,"
+            " q_num double, contribution double",
+        )
+    tagged = (
+        e.join(asg.withColumnRenamed("node", "u"), on="u")
+        .withColumnRenamed("community", "cu")
+        .join(asg.withColumnRenamed("node", "v"), on="v")
+        .withColumnRenamed("community", "cv")
+    )
+    intra = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("__w").alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"), "__w")
+        .unionAll(e.select(F.col("v").alias("node"), "__w"))
+        .groupBy("node")
+        .agg(F.sum("__w").alias("deg"))
+    )
+    dsum = (
+        deg.join(asg, on="node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    ec = F.coalesce(F.col("e_c"), F.lit(0.0))
+    dc = F.col("d_c").cast("double")
+    return dsum.join(intra, on="community", how="left").select(
+        "community",
+        ec.alias("e_c"),
+        dc.alias("d_c"),
+        F.lit(m).alias("m"),
+        (F.lit(4.0 * m) * ec - dc * dc).alias("q_num"),
+        (
+            (F.lit(4.0 * m) * ec - dc * dc) / F.lit(4.0 * m * m)
         ).alias("contribution"),
     )
 

@@ -740,6 +740,61 @@ def test_modularity_table_decomposition(spark):
     assert modularity_table(empty, asg).count() == 0
 
 
+def test_modularity_weighted(spark):
+    """Weighted Newman Q (weight sums replace counts): two heavy
+    triangles joined by a light bridge, hand-computed; weight-1.0
+    replays the unweighted values exactly; parallel edge weights sum;
+    zero/negative weights drop; empty weighted graph -> empty frame."""
+    from pidb_rdf_spark.analytics import modularity, modularity_table
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 2.0), (2, 3, 2.0), (1, 3, 2.0),
+            (4, 5, 2.0), (5, 6, 2.0), (4, 6, 2.0),
+            (3, 4, 1.0),
+        ],
+        "src long, dst long, wt double",
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)],
+        ["node", "community"],
+    )
+    # W=13, each side: intra weight 6, strength sum 13
+    # Q = 2*(6/13 - (13/26)^2) = 11/26
+    assert modularity(pairs, asg, weight="wt") == pytest.approx(11 / 26)
+    got = {
+        r.community: (r.e_c, r.d_c, r.m)
+        for r in modularity_table(pairs, asg, weight="wt").collect()
+    }
+    assert got[1] == (6.0, 13.0, 13.0) and got[2] == (6.0, 13.0, 13.0)
+    # weight 1.0 == unweighted, value for value
+    ones = pairs.withColumn("wt", F.lit(1.0))
+    w1 = {
+        r.community: (float(r.e_c), float(r.d_c), float(r.m), r.contribution)
+        for r in modularity_table(ones, asg, weight="wt").collect()
+    }
+    unw = {
+        r.community: (float(r.e_c), float(r.d_c), float(r.m), r.contribution)
+        for r in modularity_table(pairs, asg).collect()
+    }
+    assert w1 == unw
+    # parallel edges sum; w <= 0 drops
+    dup = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (2, 3, -5.0), (1, 3, 0.0)],
+        "src long, dst long, wt double",
+    )
+    one = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 2.0)], "src long, dst long, wt double"
+    )
+    asg2 = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["node", "community"])
+    assert modularity(dup, asg2, weight="wt") == modularity(
+        one, asg2, weight="wt"
+    )
+    empty = spark.createDataFrame([], "src long, dst long, wt double")
+    out = modularity_table(empty, asg, weight="wt")
+    assert out.count() == 0 and dict(out.dtypes)["e_c"] == "double"
+
+
 def test_skipgram_pairs_window(spark):
     """Skip-gram pairs from crafted walks vs a brute-force oracle:
     both directions, signed offsets, walk boundaries respected,
