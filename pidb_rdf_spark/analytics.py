@@ -223,7 +223,16 @@ def shortest_hops(
     node. ``sources`` is a one-column DataFrame of node ids. Frontier
     expansion: each round joins ONLY the newly-settled frontier
     against the edges (semi-naive), so total work is O(edges reached),
-    not O(edges × diameter)."""
+    not O(edges × diameter).
+
+    The settled set is kept as a UNION of the per-hop frontier
+    checkpoints rather than re-materialized each round: hops never
+    change once assigned (unlike :func:`sssp`, whose distances relax),
+    so re-checkpointing the whole accumulated frame every round —
+    O(V·diameter) total writes on a big graph — buys nothing. The
+    union plan grows one cached-scan branch per hop, bounded by
+    ``max_iter``; every branch is already pinned, so no lineage
+    blow-up."""
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if directed
@@ -248,7 +257,7 @@ def shortest_hops(
         )
         if reached.isEmpty():
             break
-        dist = dist.unionAll(reached).localCheckpoint(eager=True)
+        dist = dist.unionAll(reached)
         frontier = reached
     return dist
 
@@ -1033,7 +1042,11 @@ def closeness_centrality(
         )
         if reached.isEmpty():
             break
-        state = state.unionAll(reached).localCheckpoint(eager=True)
+        # settled (origin, node, hops) rows never change — accumulate
+        # as a union of the pinned per-hop frontiers instead of
+        # re-checkpointing the whole state every round (same
+        # rationale as shortest_hops)
+        state = state.unionAll(reached)
         frontier = reached
     else:
         raise RuntimeError(
@@ -1115,6 +1128,7 @@ def betweenness_centrality(
         F.lit(1).cast("double").alias("sigma"),
     ).localCheckpoint(eager=True)
     frontier = state
+    levels = [state]  # per-level checkpoints; settled rows never change
     depth = 0
     for lvl in range(1, max_iter + 1):
         nxt = (
@@ -1128,7 +1142,11 @@ def betweenness_centrality(
         )
         if nxt.isEmpty():
             break
-        state = state.unionAll(nxt).localCheckpoint(eager=True)
+        # accumulate as a union of the pinned level frames instead of
+        # re-checkpointing the whole state each round (hops/sigma are
+        # final once settled — same rationale as shortest_hops)
+        state = state.unionAll(nxt)
+        levels.append(nxt)
         frontier = nxt
         depth = lvl
     else:
@@ -1141,15 +1159,12 @@ def betweenness_centrality(
     # -- backward: each (origin, node)'s delta is a function of the
     # level ABOVE it only, so it is computed exactly once — process
     # one level frame at a time (per-round work ∝ that level's size,
-    # never the whole state: the shape that survives deep graphs)
-    upper = (
-        state.filter(F.col("lvl") == depth)
-        .withColumn("delta", F.lit(0.0))
-        .localCheckpoint(eager=True)
-    )
+    # never the whole state: the shape that survives deep graphs);
+    # the per-level frames are already in hand from the forward pass
+    upper = levels[depth].withColumn("delta", F.lit(0.0))
     parts = [upper]
     for lvl in range(depth - 1, -1, -1):
-        cur = state.filter(F.col("lvl") == lvl)
+        cur = levels[lvl]
         contrib = (
             cur.select("origin", F.col("node").alias("src"), "sigma")
             .join(edges, on="src")
