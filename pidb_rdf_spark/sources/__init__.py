@@ -5,6 +5,11 @@ from pidb_rdf_spark.sources.rdf_reader import (
     read_nquads,
     parse_rdf_snippet,
 )
+from pidb_rdf_spark.sources.graphson import (
+    graphson_documents,
+    read_graphson,
+    write_graphson,
+)
 from pidb_rdf_spark.sources.rdf_writer import (
     export_nquads,
     export_ntriples,
@@ -18,6 +23,9 @@ __all__ = [
     "export_ntriples",
     "export_trig",
     "graph_to_triples",
+    "graphson_documents",
+    "read_graphson",
+    "write_graphson",
     "parse_rdf_snippet",
     "read_nquads",
     "read_ntriples",

@@ -1409,3 +1409,124 @@ def test_ntriples_uchar_escapes(spark, tmp_path):
         ("urn:a", "slash \\n not newline"),
         ("urn:café", "café 😀"),
     ]
+
+
+def test_graphson_roundtrip(spark, tmp_path):
+    """GraphSON adjacency export → import preserves the graph:
+    uris, multi-labels (``::`` join), node/edge props, endpoints —
+    including a vertex with no out-edges (outE {}) and an isolated
+    vertex. Edge ids regenerate from (src uri, dst uri, predicate)."""
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.sources import read_graphson, write_graphson
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [
+                (1, "urn:x:a", ["P", "Q"], {"k": "1"}),
+                (2, "urn:x:b", ["P"], {"m": "2"}),
+                (3, "urn:x:c", [], {}),
+            ],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(9, 1, 2, "T", {"w": "5"}), (10, 1, 2, "U", {})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    path = str(tmp_path / "gson")
+    write_graphson(g, path)
+    g2 = read_graphson(spark, path)
+    assert g2.nodes.count() == 3 and g2.edges.count() == 2
+    nodes = {r["uri"]: r for r in g2.nodes.collect()}
+    assert sorted(nodes["urn:x:a"]["labels"]) == ["P", "Q"]
+    assert nodes["urn:x:a"]["props"] == {"k": "1"}
+    assert nodes["urn:x:c"]["labels"] == [] and nodes["urn:x:c"]["props"] == {}
+    uri_of = {r["id"]: r["uri"] for r in g2.nodes.collect()}
+    edges = {
+        (uri_of[r["src"]], uri_of[r["dst"]], r["predicate"]): r["props"]
+        for r in g2.edges.collect()
+    }
+    assert edges == {
+        ("urn:x:a", "urn:x:b", "T"): {"w": "5"},
+        ("urn:x:a", "urn:x:b", "U"): {},
+    }
+
+
+def test_graphson_document_shape(spark):
+    """The emitted line is the TinkerPop adjacency shape: id/label/
+    outE/properties keys, per-predicate edge arrays with inV, and
+    single-element [{"value": ...}] vertex-property wrappers."""
+    import json
+
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.sources import graphson_documents
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:x:a", ["P"], {"k": "1"}), (2, "urn:x:b", [], {})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(9, 1, 2, "T", {"w": "5"})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    docs = {
+        json.loads(r["value"])["id"]: json.loads(r["value"])
+        for r in graphson_documents(g).collect()
+    }
+    a = docs["urn:x:a"]
+    assert a["label"] == "P"
+    assert a["properties"] == {"k": [{"value": "1"}]}
+    assert a["outE"] == {
+        "T": [{"id": "9", "inV": "urn:x:b", "properties": {"w": "5"}}]
+    }
+    assert docs["urn:x:b"]["outE"] == {} and docs["urn:x:b"]["label"] == ""
+
+
+def test_graphson_rejects_malformed(spark, tmp_path):
+    import pytest
+
+    from pidb_rdf_spark.sources import read_graphson
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": "urn:x:a", "label": "", "outE": {}, "properties": {}}\n'
+        "this is not json\n"
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        read_graphson(spark, str(p))
+
+
+def test_graphson_roundtrip_sf0001_graph(spark, tmp_path):
+    """Whole-graph fidelity on the real sf0.001 graphify output:
+    node uri/label multiset and edge (src, predicate, dst) multiset
+    survive the hop exactly."""
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sources import read_graphson, write_graphson
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "gson_full")
+    write_graphson(g, path)
+    g2 = read_graphson(spark, path)
+    want_n = sorted(
+        (r["uri"], "::".join(r["labels"])) for r in g.nodes.collect()
+    )
+    got_n = sorted(
+        (r["uri"], "::".join(r["labels"])) for r in g2.nodes.collect()
+    )
+    assert want_n == got_n
+    uri1 = {r["id"]: r["uri"] for r in g.nodes.collect()}
+    uri2 = {r["id"]: r["uri"] for r in g2.nodes.collect()}
+    want_e = sorted(
+        (uri1[r["src"]], r["predicate"], uri1[r["dst"]])
+        for r in g.edges.collect()
+    )
+    got_e = sorted(
+        (uri2[r["src"]], r["predicate"], uri2[r["dst"]])
+        for r in g2.edges.collect()
+    )
+    assert want_e == got_e
