@@ -771,6 +771,81 @@ class Traversal:
     def limit(self, n: int) -> "Traversal":
         return self._with(self.df.limit(n))
 
+    def range_(self, low: int, high: int) -> "Traversal":
+        """Traversers [low, high) — TinkerPop ``range()``. TinkerPop
+        leaves stream order undefined; here the slice is taken over
+        element-id order so the answer is deterministic and
+        engine-replayable. Physical shape: sort + offset + limit —
+        Spark executes the bounded sort as TakeOrdered (no global
+        single-partition sort materializes)."""
+        if not 0 <= low < high:
+            raise ValueError("range_ needs 0 <= low < high")
+        return self._with(
+            self.df.orderBy(F.col(CUR).asc()).offset(low).limit(high - low)
+        )
+
+    def skip(self, n: int) -> "Traversal":
+        """Drop the first ``n`` traversers in element-id order
+        (TinkerPop ``skip()``) — same determinism note as
+        :meth:`range_`. An unbounded offset implies a full sort; pair
+        with ``limit`` (or use ``range_``) on large frontiers."""
+        return self._with(self.df.orderBy(F.col(CUR).asc()).offset(n))
+
+    def tail(self, n: int) -> "Traversal":
+        """Last ``n`` traversers in element-id order (TinkerPop
+        ``tail()``): the id-descending top-n re-sorted ascending —
+        two TakeOrdered-class bounded sorts, never a global sort."""
+        last = self.df.orderBy(F.col(CUR).desc()).limit(n)
+        return self._with(last.orderBy(F.col(CUR).asc()))
+
+    def coin(self, p: float) -> "Traversal":
+        """Keep each traverser with probability ``p`` (TinkerPop
+        ``coin()``), DETERMINISTICALLY: the draw is the md5 unit hash
+        of the element id (the repo-wide replayable-sampling
+        contract), so the same graph + p always keeps the same
+        elements, on any engine, under any partitioning — unlike
+        TinkerPop's RNG coin, which this engine deliberately does not
+        reproduce (a nondeterministic operator cannot be
+        oracle-checked)."""
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("coin needs 0 <= p <= 1")
+        from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+        unit = md5_prefix_long(F.col(CUR), 52).cast("double") / F.lit(
+            float(1 << 52)
+        )
+        return self._with(self.df.filter(unit < F.lit(float(p))))
+
+    def fold(self) -> DataFrame:
+        """All current traverser ids as ONE array row (TinkerPop
+        ``fold()``), sorted for determinism. Same caveat as any
+        fold: the whole frontier lands in one row — bound the
+        frontier first (this mirrors TinkerPop, where fold()
+        materializes the full stream in one traverser)."""
+        return self.df.agg(
+            F.array_sort(F.collect_list(CUR)).alias("folded")
+        )
+
+    # ---- numeric terminals over a property (sum/mean/min/max) ---------
+
+    def _value_agg(self, key: str, agg, name: str) -> DataFrame:
+        vals = self.values(key).select(F.col(key).cast("double").alias("__v"))
+        return vals.agg(agg(F.col("__v")).alias(name))
+
+    def sum_(self, key: str) -> DataFrame:
+        """TinkerPop ``values(key).sum()`` — one map-side-combinable
+        aggregate; NULL/non-numeric values drop (cast semantics)."""
+        return self._value_agg(key, F.sum, "sum")
+
+    def mean_(self, key: str) -> DataFrame:
+        return self._value_agg(key, F.avg, "mean")
+
+    def min_(self, key: str) -> DataFrame:
+        return self._value_agg(key, F.min, "min")
+
+    def max_(self, key: str) -> DataFrame:
+        return self._value_agg(key, F.max, "max")
+
     def to_df(self) -> DataFrame:
         return self.df
 

@@ -641,3 +641,58 @@ def test_sample_deterministic(graph):
     assert c != a
     with pytest.raises(ValueError):
         t.sample(0)
+
+
+def test_range_skip_tail_deterministic_slices(graph):
+    """range_/skip/tail slice the id-ordered traverser stream:
+    contiguous, disjoint where expected, and consistent with each
+    other (tail(n) == the last n of the id-sorted frontier)."""
+    import pytest
+
+    t = traversal(graph).V().has_label("Customer")
+    all_ids = sorted(r["id"] for r in t.id_().collect())
+    r_ = sorted(r["id"] for r in t.range_(5, 15).id_().collect())
+    assert r_ == all_ids[5:15]
+    s = sorted(r["id"] for r in t.skip(140).id_().collect())
+    assert s == all_ids[140:]
+    tl = sorted(r["id"] for r in t.tail(7).id_().collect())
+    assert tl == all_ids[-7:]
+    with pytest.raises(ValueError):
+        t.range_(5, 5)
+
+
+def test_coin_deterministic(graph):
+    """coin(p) keeps the md5-unit-hash < p subset: replayable,
+    monotone in p (coin(.2) ⊆ coin(.6)), empty at 0, total at 1."""
+    import pytest
+
+    t = traversal(graph).V().has_label("Customer")
+    a = {r["id"] for r in t.coin(0.3).id_().collect()}
+    b = {r["id"] for r in t.coin(0.3).id_().collect()}
+    assert a == b
+    big = {r["id"] for r in t.coin(0.8).id_().collect()}
+    assert a <= big
+    assert t.coin(0.0).id_().count() == 0
+    assert t.coin(1.0).id_().count() == t.id_().count()
+    # roughly proportional (150 customers; generous band)
+    assert 15 <= len(a) <= 75
+    with pytest.raises(ValueError):
+        t.coin(1.5)
+
+
+def test_fold_and_numeric_terminals(graph, spark):
+    """fold() returns ONE sorted array of the frontier; sum_/mean_/
+    min_/max_ match the direct aggregate over the same property."""
+    t = traversal(graph).V().has_label("Customer")
+    folded = t.fold().first()["folded"]
+    assert folded == sorted(r["id"] for r in t.id_().collect())
+    vals = [
+        float(r["c_acctbal"])
+        for r in t.values("c_acctbal").collect()
+        if r["c_acctbal"] is not None
+    ]
+    # summation ORDER differs between engines — compare to tolerance
+    assert abs(t.sum_("c_acctbal").first()["sum"] - sum(vals)) < 1e-6
+    assert abs(t.mean_("c_acctbal").first()["mean"] - sum(vals) / len(vals)) < 1e-9
+    assert t.min_("c_acctbal").first()["min"] == min(vals)
+    assert t.max_("c_acctbal").first()["max"] == max(vals)
