@@ -5,6 +5,10 @@ from pidb_rdf_spark.sources.rdf_reader import (
     read_nquads,
     parse_rdf_snippet,
 )
+from pidb_rdf_spark.sources.graphml import (
+    read_graphml,
+    write_graphml,
+)
 from pidb_rdf_spark.sources.graphson import (
     graphson_documents,
     read_graphson,
@@ -24,7 +28,9 @@ __all__ = [
     "export_trig",
     "graph_to_triples",
     "graphson_documents",
+    "read_graphml",
     "read_graphson",
+    "write_graphml",
     "write_graphson",
     "parse_rdf_snippet",
     "read_nquads",

@@ -1530,3 +1530,75 @@ def test_graphson_roundtrip_sf0001_graph(spark, tmp_path):
         for r in g2.edges.collect()
     )
     assert want_e == got_e
+
+
+def test_graphml_roundtrip_with_escaping(spark, tmp_path):
+    """GraphML single-file export → line-scan import: uris, labels,
+    props and endpoints survive, including XML-hostile characters
+    (& < > \") in values and multi-labels."""
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.sources import read_graphml, write_graphml
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [
+                (1, "urn:x:a", ["P", "Q"], {"k": 'v&<>"1'}),
+                (2, "urn:x:b", [], {}),
+            ],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(9, 1, 2, "T", {"w": "a&b"})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    p = str(tmp_path / "g.graphml")
+    write_graphml(g, p)
+    text = open(p).read()
+    assert text.startswith('<?xml version="1.0"')
+    assert "&amp;" in text and "&lt;" in text  # escaped, not raw
+    g2 = read_graphml(spark, p)
+    nodes = {r["uri"]: r for r in g2.nodes.collect()}
+    assert sorted(nodes["urn:x:a"]["labels"]) == ["P", "Q"]
+    assert nodes["urn:x:a"]["props"] == {"k": 'v&<>"1'}
+    assert nodes["urn:x:b"]["labels"] == [] and nodes["urn:x:b"]["props"] == {}
+    e = g2.edges.first()
+    assert e["predicate"] == "T" and e["props"] == {"w": "a&b"}
+    uri_of = {r["id"]: r["uri"] for r in g2.nodes.collect()}
+    assert (uri_of[e["src"]], uri_of[e["dst"]]) == ("urn:x:a", "urn:x:b")
+
+
+def test_graphml_max_elements_guard(spark, tmp_path):
+    import pytest
+
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sources import write_graphml
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="GraphSON instead"):
+        write_graphml(g, str(tmp_path / "x.graphml"), max_elements=10)
+
+
+def test_graphml_roundtrip_sf0001_graph(spark, tmp_path):
+    """Whole-graph fidelity through the XML hop, same assertion as
+    the GraphSON twin."""
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sources import read_graphml, write_graphml
+
+    g = graphify(spark, "/root/testdata/sf0.001")
+    p = str(tmp_path / "full.graphml")
+    write_graphml(g, p)
+    g2 = read_graphml(spark, p)
+    assert g2.nodes.count() == g.nodes.count()
+    uri1 = {r["id"]: r["uri"] for r in g.nodes.collect()}
+    uri2 = {r["id"]: r["uri"] for r in g2.nodes.collect()}
+    want_e = sorted(
+        (uri1[r["src"]], r["predicate"], uri1[r["dst"]])
+        for r in g.edges.collect()
+    )
+    got_e = sorted(
+        (uri2[r["src"]], r["predicate"], uri2[r["dst"]])
+        for r in g2.edges.collect()
+    )
+    assert want_e == got_e
