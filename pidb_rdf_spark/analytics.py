@@ -597,6 +597,87 @@ def kcore(
     return edges.select(F.col("src").alias("node")).dropDuplicates()
 
 
+def core_numbers(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(node, coreness) for every node of the undirected simple graph
+    of ``pairs``: coreness = the largest k such that the node belongs
+    to the k-core — the per-node refinement of :func:`kcore` (one
+    call yields every core membership at once: ``coreness >= k`` IS
+    the k-core). The standard graph-degeneracy profile used to rank
+    how deeply embedded a document/account sits in a near-dup or
+    interaction graph.
+
+    Algorithm: ascending-threshold peel. At stage k, nodes with
+    degree < k peel (to a per-stage fixpoint); EVERY node that
+    vanishes during stage k — peeled directly or isolated because
+    its last neighbors peeled — has coreness k-1, captured as a set
+    difference of the surviving node sets, so no node can fall
+    through unassigned. Nodes never appearing in ``pairs`` are not in
+    the edge-induced node set and get no row (coreness 0 by
+    convention — prepend them with a left join if needed).
+
+    Plan shape per round: one degree aggregation + two semi-joins,
+    id-keyed, lineage truncated — identical to :func:`kcore`; total
+    rounds = Σ per-stage peel depth, bounded by ``max_rounds`` and
+    RAISING on exhaustion (a truncated peel would mislabel every
+    remaining node, so silent truncation is not an option)."""
+    edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
+    survivors = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    out: list[DataFrame] = []
+    k = 2
+    rounds = 0
+    while not edges.limit(1).isEmpty():
+        # peel at threshold k to a fixpoint
+        while True:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"core_numbers: peel budget exhausted after "
+                    f"max_rounds={max_rounds} rounds (adversarial "
+                    f"long-chain graphs peel O(n) rounds — raise "
+                    f"max_rounds)"
+                )
+            rounds += 1
+            deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+            keep = deg.filter(F.col("__deg") >= k).select("src")
+            if deg.filter(F.col("__deg") < k).limit(1).isEmpty():
+                break
+            keep = keep.localCheckpoint(eager=True)
+            edges = (
+                edges.join(keep, on="src", how="leftsemi")
+                .join(
+                    keep.withColumnRenamed("src", "dst"),
+                    on="dst",
+                    how="leftsemi",
+                )
+                .localCheckpoint(eager=True)
+            )
+        now = (
+            edges.select(F.col("src").alias("node"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        gone = survivors.join(now, on="node", how="leftanti").select(
+            "node", F.lit(k - 1).cast("long").alias("coreness")
+        )
+        out.append(gone.localCheckpoint(eager=True))
+        survivors = now
+        k += 1
+    acc = out[0] if out else survivors.select(
+        "node", F.lit(0).cast("long").alias("coreness")
+    ).limit(0)
+    for p in out[1:]:
+        acc = acc.unionAll(p)
+    return acc
+
+
 def label_propagation(
     pairs: DataFrame,
     src: str = "src",

@@ -1254,3 +1254,37 @@ def test_personalized_pagerank_numpy_twin(spark):
 
     with _pytest.raises(ValueError, match="seed"):
         pagerank(df, personalize=spark.createDataFrame([(99,)], "node long"))
+
+
+def test_core_numbers(spark):
+    """Coreness on hand-checkable fixtures: a path is all-1, a
+    triangle with a tail splits 2/1, K4 with a pendant splits 3/1,
+    and {coreness >= k} equals kcore(k) on a mixed graph — plus the
+    isolated-by-peeling case (a node whose neighbors all peel must
+    still get a row) and the empty graph."""
+    from pidb_rdf_spark.analytics import core_numbers, kcore
+
+    def run(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.coreness for r in core_numbers(df).collect()}
+
+    assert run([(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+    # triangle 1-2-3 with tail 3-4
+    assert run([(1, 2), (2, 3), (1, 3), (3, 4)]) == {1: 2, 2: 2, 3: 2, 4: 1}
+    # K4 {1,2,3,4} + pendant 5
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = run(k4 + [(4, 5)])
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1}
+    # star: hub 1 with 5 leaves — everyone coreness 1 (leaves peel,
+    # isolating the hub, which must still be assigned)
+    assert run([(1, i) for i in range(2, 7)]) == {i: 1 for i in range(1, 7)}
+    # consistency with kcore on a mixed graph
+    mixed = k4 + [(4, 5), (5, 6), (6, 7), (2, 6)]
+    df = spark.createDataFrame(mixed, ["src", "dst"])
+    cn = {r.node: r.coreness for r in core_numbers(df).collect()}
+    for k in (1, 2, 3):
+        want = {r.node for r in kcore(df, k).collect()}
+        assert {n for n, c in cn.items() if c >= k} == want
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = core_numbers(empty)
+    assert out.columns == ["node", "coreness"] and out.count() == 0
