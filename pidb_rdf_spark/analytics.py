@@ -2136,6 +2136,7 @@ def node2vec_walks(
     dst: str = "dst",
     salt: str = "n2v",
     directed: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """Deterministic node2vec-biased walks (Grover & Leskovec 2016):
     like :func:`random_walks` but step s ≥ 2 weights each candidate
@@ -2145,11 +2146,21 @@ def node2vec_walks(
     neighborhoods), low q ⇒ outward drift (DFS-like). Step 1 is
     uniform (no prev yet), exactly node2vec's convention.
 
+    ``weight`` names an edge-weight column (the paper's weighted
+    form: transition weight = w(cur, x) · bias). Parallel edge
+    weights sum, zero/negative-weight edges drop — the family-wide
+    convention. The weighted step 1 draws proportional to w via the
+    same cumsum mechanism; the UNWEIGHTED step-1 draw stays the
+    modular rank pick, so existing unweighted corpora (and the
+    pinned twin/oracle) replay unchanged.
+
     Determinism contract: candidates keep the ranked-adjacency order;
     the draw is the first candidate whose cumulative weight exceeds
     u·total with u = md5(salt:start:walk:s)/2^52 — a fixed-order
-    cumsum of exact dyadic weights, so walks replay bit-for-bit on
-    any engine/partitioning (pinned against a pure-python twin).
+    cumsum (exact dyadic bias weights; weighted form multiplies the
+    input weights in the same fixed order), so walks replay
+    bit-for-bit on any engine/partitioning (pinned against
+    pure-python twins, weighted and unweighted).
 
     Scale shape: per step, ONE join of the frontier against the
     ranked edge table on the current node (candidate rows =
@@ -2164,16 +2175,31 @@ def node2vec_walks(
         raise ValueError("p and q must be > 0")
     from pidb_rdf_spark.operators.hashing import md5_prefix_long
 
-    e = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-        if directed
-        else _sym(pairs, src, dst)
-    )
+    if weight is None:
+        e = (
+            pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            if directed
+            else _sym(pairs, src, dst)
+        ).withColumn("__w", F.lit(1.0))
+    else:
+        base = pairs.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("__w"),
+        ).filter((F.col("__w") > 0) & (F.col("src") != F.col("dst")))
+        if not directed:
+            base = base.unionAll(
+                base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+                )
+            )
+        e = base.groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
     rk = e.select(
         F.col("src").alias("cur"),
         F.col("dst").alias("nbr"),
+        "__w",
         F.row_number()
         .over(Window.partitionBy("src").orderBy("dst"))
         .alias("rk"),
@@ -2205,18 +2231,42 @@ def node2vec_walks(
             52,
         )
 
-    # step 1: uniform over cur's neighbors (no prev yet)
-    frontier = (
-        start.withColumnRenamed("node", "cur")
-        .join(deg, on="cur")
-        .withColumn("rk", (draw_hash(1) % F.col("deg") + 1).cast("int"))
-        .join(rk, on=["cur", "rk"])
-        .select(
-            "start", "walk", F.col("cur").alias("prev"),
-            F.col("nbr").alias("node"),
+    def _cumsum_pick(cand: DataFrame, s: int, wt_col: str) -> DataFrame:
+        """First candidate (ranked-adjacency order) whose cumulative
+        weight exceeds u·total. The lower bound is the LAGGED cumsum
+        (bit-identical floats), never cum - wt re-derived (a float
+        round there could pick zero or two candidates at a boundary)."""
+        w = Window.partitionBy("start", "walk")
+        wo = w.orderBy("rk")
+        u = (draw_hash(s) / F.lit(float(1 << 52))).alias("__u")
+        return (
+            cand.withColumn("__cum", F.sum(wt_col).over(wo))
+            .withColumn(
+                "__lo", F.coalesce(F.lag("__cum").over(wo), F.lit(0.0))
+            )
+            .withColumn("__tot", F.sum(wt_col).over(w))
+            .withColumn("__u", u)
+            .filter(
+                (F.col("__cum") > F.col("__u") * F.col("__tot"))
+                & (F.col("__lo") <= F.col("__u") * F.col("__tot"))
+            )
         )
-        .localCheckpoint(eager=True)
-    )
+
+    # step 1: no prev yet — uniform modular rank pick (unweighted;
+    # the pinned twin/oracle contract) or w-proportional cumsum
+    step1 = start.withColumnRenamed("node", "cur")
+    if weight is None:
+        step1 = (
+            step1.join(deg, on="cur")
+            .withColumn("rk", (draw_hash(1) % F.col("deg") + 1).cast("int"))
+            .join(rk, on=["cur", "rk"])
+        )
+    else:
+        step1 = _cumsum_pick(step1.join(rk, on="cur"), 1, "__w")
+    frontier = step1.select(
+        "start", "walk", F.col("cur").alias("prev"),
+        F.col("nbr").alias("node"),
+    ).localCheckpoint(eager=True)
     if frontier.isEmpty():
         return out
     out = out.unionAll(
@@ -2232,30 +2282,18 @@ def node2vec_walks(
         cand = frontier.withColumnRenamed("node", "cur").join(
             rk, on="cur"
         )  # sinks drop out: the walk ends
-        cand = cand.join(prev_adj, on=["prev", "nbr"], how="left").withColumn(
-            "__wt",
+        bias = (
             F.when(F.col("nbr") == F.col("prev"), F.lit(1.0 / p))
             .when(F.col("__adj").isNotNull(), F.lit(1.0))
-            .otherwise(F.lit(1.0 / q)),
+            .otherwise(F.lit(1.0 / q))
         )
-        w = Window.partitionBy("start", "walk")
-        wo = w.orderBy("rk")
-        u = (draw_hash(s) / F.lit(float(1 << 52))).alias("__u")
-        picked = (
-            cand.withColumn("__cum", F.sum("__wt").over(wo))
-            # the lower bound is the LAGGED cumsum (bit-identical
-            # floats), never cum - wt re-derived (a float round there
-            # could pick zero or two candidates at a boundary)
-            .withColumn(
-                "__lo", F.coalesce(F.lag("__cum").over(wo), F.lit(0.0))
-            )
-            .withColumn("__tot", F.sum("__wt").over(w))
-            .withColumn("__u", u)
-            .filter(
-                (F.col("__cum") > F.col("__u") * F.col("__tot"))
-                & (F.col("__lo") <= F.col("__u") * F.col("__tot"))
-            )
+        cand = cand.join(prev_adj, on=["prev", "nbr"], how="left").withColumn(
+            # unweighted: __w is literal 1.0, so __wt == bias bitwise
+            # (IEEE 1.0·x is exact) and the pinned draws replay
+            "__wt",
+            F.col("__w") * bias,
         )
+        picked = _cumsum_pick(cand, s, "__wt")
         frontier = picked.select(
             "start", "walk", F.col("cur").alias("prev"),
             F.col("nbr").alias("node"),

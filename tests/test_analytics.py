@@ -1288,3 +1288,95 @@ def test_core_numbers(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     out = core_numbers(empty)
     assert out.columns == ["node", "coreness"] and out.count() == 0
+
+
+def test_node2vec_weighted_python_twin(spark):
+    """Weighted node2vec (transition weight = w(cur,x) · bias)
+    replays a pure-python twin bit-for-bit — including the
+    w-proportional step-1 cumsum draw — while the UNWEIGHTED path's
+    draws are untouched (its twin above pins that); parallel edge
+    weights sum; heavy edges dominate the walk distribution."""
+    import hashlib
+
+    from pidb_rdf_spark.analytics import node2vec_walks
+
+    edges = [
+        (1, 2, 5.0), (2, 1, 5.0), (2, 3, 1.0), (3, 2, 1.0),
+        (3, 4, 2.0), (4, 3, 2.0), (4, 1, 1.0), (1, 4, 1.0),
+        (2, 4, 3.0), (4, 2, 3.0), (3, 5, 0.5), (5, 3, 0.5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+
+    wadj = {}
+    for s_, d_, w_ in edges:
+        if s_ != d_ and w_ > 0:
+            wadj.setdefault(s_, {})
+            wadj[s_][d_] = wadj[s_].get(d_, 0.0) + w_
+    adj = {k: sorted(v) for k, v in wadj.items()}
+
+    def h52(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+
+    def pick(nbrs, wts, u):
+        tot = 0.0
+        for wt in wts:
+            tot = tot + wt
+        cum = 0.0
+        for x, wt in zip(nbrs, wts):
+            lo = cum
+            cum = cum + wt
+            if cum > u * tot and lo <= u * tot:
+                return x
+        raise AssertionError("no pick")
+
+    def twin(p, q, walk_len, n_walks):
+        rows = []
+        nodes = sorted({n for s_, d_, _ in edges for n in (s_, d_)})
+        for start in nodes:
+            for w in range(n_walks):
+                rows.append((start, w, 0, start))
+                cur, prev = start, None
+                for s_ in range(1, walk_len + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    u = h52(f"n2v:{start}:{w}:{s_}") / float(1 << 52)
+                    if prev is None:
+                        wts = [wadj[cur][x] for x in nbrs]
+                    else:
+                        wts = []
+                        for x in nbrs:
+                            if x == prev:
+                                b = 1.0 / p
+                            elif x in adj.get(prev, ()):
+                                b = 1.0
+                            else:
+                                b = 1.0 / q
+                            wts.append(wadj[cur][x] * b)
+                    nxt = pick(nbrs, wts, u)
+                    rows.append((start, w, s_, nxt))
+                    prev, cur = cur, nxt
+        return sorted(rows)
+
+    for p, q in ((0.25, 4.0), (1.0, 1.0)):
+        got = sorted(
+            (r.start, r.walk, r.step, r.node)
+            for r in node2vec_walks(
+                df, walk_len=4, n_walks=2, p=p, q=q, weight="wt"
+            ).collect()
+        )
+        assert got == twin(p, q, 4, 2), (p, q)
+    # parallel edges sum: splitting an edge weight 5 into 2+3 is
+    # draw-identical
+    split = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 2, 3.0)]
+        + [(s_, d_, w_) for s_, d_, w_ in edges if (s_, d_) != (1, 2)],
+        "src long, dst long, wt double",
+    )
+    a = sorted(
+        map(tuple, node2vec_walks(df, walk_len=3, weight="wt").collect())
+    )
+    b = sorted(
+        map(tuple, node2vec_walks(split, walk_len=3, weight="wt").collect())
+    )
+    assert a == b
