@@ -1914,6 +1914,7 @@ def random_walks(
     dst: str = "dst",
     salt: str = "walk",
     directed: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """Deterministic random walks — the DeepWalk/node2vec corpus
     sampler: ``n_walks`` walks of up to ``walk_len`` steps from every
@@ -1924,6 +1925,17 @@ def random_walks(
     stop early at sinks. Output: (start, walk, step, node) rows,
     step 0 = the start itself.
 
+    ``weight`` switches to weight-proportional steps: the draw
+    becomes the fixed-order cumsum pick over the ranked adjacency
+    (first neighbor whose cumulative weight exceeds u·total,
+    u = the same md5 draw / 2^52 — the :func:`node2vec_walks`
+    mechanism), parallel edge weights sum, zero/negative drop. The
+    unweighted draw expression is untouched, so the pinned oracle
+    replays unchanged. The weighted step inspects every neighbor of
+    each walker (a candidate join, deg(cur) rows per walker) where
+    the unweighted step is a rank point-join — the inherent cost of
+    weighted sampling without per-node alias tables.
+
     Scale shape: adjacency becomes a RANKED EDGE TABLE (node, rank,
     neighbor — one row_number window over edges), never per-node
     neighbor arrays (a hub's array would be degree-sized; the rank
@@ -1933,16 +1945,31 @@ def random_walks(
     ≤ nodes x n_walks throughout."""
     if walk_len < 1 or n_walks < 1:
         raise ValueError("walk_len and n_walks must be >= 1")
-    e = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-        if directed
-        else _sym(pairs, src, dst)
-    )
+    if weight is None:
+        e = (
+            pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            if directed
+            else _sym(pairs, src, dst)
+        ).withColumn("__w", F.lit(1.0))
+    else:
+        base = pairs.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("__w"),
+        ).filter((F.col("__w") > 0) & (F.col("src") != F.col("dst")))
+        if not directed:
+            base = base.unionAll(
+                base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+                )
+            )
+        e = base.groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
     rk = e.select(
         F.col("src").alias("cur"),
         F.col("dst").alias("nbr"),
+        "__w",
         F.row_number()
         .over(Window.partitionBy("src").orderBy("dst"))
         .alias("rk"),
@@ -1974,14 +2001,38 @@ def random_walks(
             ),
             52,
         )
-        frontier = (
-            frontier.withColumnRenamed("node", "cur")
-            .join(deg, on="cur")  # sinks drop out: the walk ends
-            .withColumn("rk", (h % F.col("deg") + 1).cast("int"))
-            .join(rk, on=["cur", "rk"])
-            .select("start", "walk", F.col("nbr").alias("node"))
-            .localCheckpoint(eager=True)
-        )
+        if weight is None:
+            frontier = (
+                frontier.withColumnRenamed("node", "cur")
+                .join(deg, on="cur")  # sinks drop out: the walk ends
+                .withColumn("rk", (h % F.col("deg") + 1).cast("int"))
+                .join(rk, on=["cur", "rk"])
+                .select("start", "walk", F.col("nbr").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            cand = frontier.withColumnRenamed("node", "cur").join(
+                rk, on="cur"
+            )  # sinks drop out: the walk ends
+            w_all = Window.partitionBy("start", "walk")
+            wo = w_all.orderBy("rk")
+            picked = (
+                cand.withColumn("__cum", F.sum("__w").over(wo))
+                # lagged cumsum as the lower bound — same boundary
+                # rule as node2vec_walks
+                .withColumn(
+                    "__lo", F.coalesce(F.lag("__cum").over(wo), F.lit(0.0))
+                )
+                .withColumn("__tot", F.sum("__w").over(w_all))
+                .withColumn("__u", h / F.lit(float(1 << 52)))
+                .filter(
+                    (F.col("__cum") > F.col("__u") * F.col("__tot"))
+                    & (F.col("__lo") <= F.col("__u") * F.col("__tot"))
+                )
+            )
+            frontier = picked.select(
+                "start", "walk", F.col("nbr").alias("node")
+            ).localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
         out = out.unionAll(

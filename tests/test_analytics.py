@@ -1380,3 +1380,68 @@ def test_node2vec_weighted_python_twin(spark):
         map(tuple, node2vec_walks(split, walk_len=3, weight="wt").collect())
     )
     assert a == b
+
+
+def test_random_walks_weighted_python_twin(spark):
+    """Weight-proportional DeepWalk steps replay a pure-python twin
+    (same md5 draws, same fixed-order cumsum); the unweighted draw
+    (md5 mod degree) is a different, untouched mechanism — pinned by
+    its own twin and oracle entry; parallel weights sum."""
+    import hashlib
+
+    from pidb_rdf_spark.analytics import random_walks
+
+    edges = [
+        (1, 2, 4.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0),
+        (3, 4, 0.5), (4, 1, 1.0), (2, 4, 3.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+    wadj = {}
+    for s_, d_, w_ in edges:
+        wadj.setdefault(s_, {})
+        wadj[s_][d_] = wadj[s_].get(d_, 0.0) + w_
+    adj = {k: sorted(v) for k, v in wadj.items()}
+
+    def h52(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+
+    def twin(walk_len, n_walks):
+        rows = []
+        nodes = sorted({n for s_, d_, _ in edges for n in (s_, d_)})
+        for start in nodes:
+            for w in range(n_walks):
+                rows.append((start, w, 0, start))
+                cur = start
+                for s_ in range(1, walk_len + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    u = h52(f"walk:{start}:{w}:{s_}") / float(1 << 52)
+                    tot = 0.0
+                    for x in nbrs:
+                        tot = tot + wadj[cur][x]
+                    cum, nxt = 0.0, None
+                    for x in nbrs:
+                        lo = cum
+                        cum = cum + wadj[cur][x]
+                        if cum > u * tot and lo <= u * tot:
+                            nxt = x
+                            break
+                    rows.append((start, w, s_, nxt))
+                    cur = nxt
+        return sorted(rows)
+
+    got = sorted(
+        (r.start, r.walk, r.step, r.node)
+        for r in random_walks(df, walk_len=4, n_walks=3, weight="wt").collect()
+    )
+    assert got == twin(4, 3)
+    # parallel-edge split is draw-identical
+    split = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 2, 3.0)]
+        + [(s_, d_, w_) for s_, d_, w_ in edges if (s_, d_) != (1, 2)],
+        "src long, dst long, wt double",
+    )
+    a = sorted(map(tuple, random_walks(df, walk_len=3, weight="wt").collect()))
+    b = sorted(map(tuple, random_walks(split, walk_len=3, weight="wt").collect()))
+    assert a == b
