@@ -1779,21 +1779,42 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 10,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, hub, authority) — Kleinberg's HITS, synchronous power
     iterations with L2 normalization each half-step (the textbook
     formulation, so an unrolled SQL oracle can replay it).
+    ``weight`` names an edge-weight column for the weighted form
+    (each propagated score multiplies by w; parallel edge weights
+    sum, zero/negative drop — the family convention). Unweighted,
+    ``__w`` is the exact literal 1.0, so every addend is bitwise what
+    it was before the weighted form existed and the pinned oracle
+    replays unchanged.
 
     Per iteration: authority = normalize(A^T h) is one equi-join +
     one aggregation; hub = normalize(A a) the same; each L2 norm is
     a one-row aggregate folded back as a broadcast cross join (the
     PageRank dangling-mass shape — no driver round-trip). State is
     2 x |V| doubles, checkpointed per round."""
-    edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        edges = (
+            pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .dropDuplicates()
+            .withColumn("__w", F.lit(1.0))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        edges = (
+            pairs.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("__w"),
+            )
+            .filter(F.col("__w") > 0)
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+            .localCheckpoint(eager=True)
+        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -1824,7 +1845,7 @@ def hits(
                 hub.select(F.col("node").alias("src"), "hub"), on="src"
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("authority"))
+            .agg(F.sum(F.col("__w") * F.col("hub")).alias("authority"))
         )
         auth = _normalized(a_raw, "authority")
         h_raw = (
@@ -1833,7 +1854,7 @@ def hits(
                 on="dst",
             )
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("hub"))
+            .agg(F.sum(F.col("__w") * F.col("authority")).alias("hub"))
         )
         # one checkpoint per full iteration: auth's lineage hangs off
         # the previous round's checkpointed hub, so it stays shallow

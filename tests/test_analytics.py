@@ -1445,3 +1445,51 @@ def test_random_walks_weighted_python_twin(spark):
     a = sorted(map(tuple, random_walks(df, walk_len=3, weight="wt").collect()))
     b = sorted(map(tuple, random_walks(split, walk_len=3, weight="wt").collect()))
     assert a == b
+
+
+def test_hits_weighted_numpy_twin(spark):
+    """Weighted HITS matches a dense numpy power iteration (w-scaled
+    adjacency, L2-normalized half-steps); weight-1.0 replays the
+    unweighted values; parallel edge weights sum."""
+    import numpy as np
+
+    from pidb_rdf_spark.analytics import hits
+
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (4, 2, 0.5), (3, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+    nodes = sorted({n for s_, d_, _ in edges for n in (s_, d_)})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s_, d_, w_ in edges:
+        A[idx[s_], idx[d_]] += w_
+    h = np.ones(len(nodes))
+    for _ in range(10):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(df, weight="wt").collect()
+    }
+    for n in nodes:
+        assert got[n][0] == pytest.approx(h[idx[n]], abs=1e-9)
+        assert got[n][1] == pytest.approx(a[idx[n]], abs=1e-9)
+    # weight 1.0 == unweighted; parallel (2,3) weights 1+1 == one 2.0
+    ones = {
+        r.node: (r.hub, r.authority)
+        for r in hits(df.withColumn("wt", F.lit(1.0)), weight="wt").collect()
+    }
+    unw = {
+        r.node: (r.hub, r.authority) for r in hits(df).collect()
+    }
+    assert ones == unw
+    dup = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 1.0), (2, 3, 1.0),
+         (4, 2, 0.5), (3, 1, 1.0)],
+        "src long, dst long, wt double",
+    )
+    a2 = {r.node: (r.hub, r.authority) for r in hits(dup, weight="wt").collect()}
+    b2 = {r.node: (r.hub, r.authority) for r in hits(df, weight="wt").collect()}
+    for n in nodes:
+        assert a2[n] == pytest.approx(b2[n])
