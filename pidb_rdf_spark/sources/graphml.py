@@ -34,10 +34,16 @@ _FOOTER = "</graph>\n</graphml>\n"
 
 
 def _xml_escape(col: Column) -> Column:
+    # newline/CR become character references (valid XML, and required
+    # here: the one-element-per-line layout is what keeps the reader
+    # a splittable line scan — a literal newline inside a value would
+    # tear its element across lines)
     out = F.regexp_replace(col, "&", "&amp;")
     out = F.regexp_replace(out, "<", "&lt;")
     out = F.regexp_replace(out, ">", "&gt;")
-    return F.regexp_replace(out, '"', "&quot;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    out = F.regexp_replace(out, "\n", "&#10;")
+    return F.regexp_replace(out, "\r", "&#13;")
 
 
 def _data_entries(props: Column) -> Column:
@@ -160,6 +166,8 @@ def _unescape(col: Column) -> Column:
     out = F.regexp_replace(col, "&lt;", "<")
     out = F.regexp_replace(out, "&gt;", ">")
     out = F.regexp_replace(out, "&quot;", '"')
+    out = F.regexp_replace(out, "&#10;", "\n")
+    out = F.regexp_replace(out, "&#13;", "\r")
     return F.regexp_replace(out, "&amp;", "&")
 
 

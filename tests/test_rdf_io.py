@@ -1543,7 +1543,7 @@ def test_graphml_roundtrip_with_escaping(spark, tmp_path):
         spark=spark,
         nodes=spark.createDataFrame(
             [
-                (1, "urn:x:a", ["P", "Q"], {"k": 'v&<>"1'}),
+                (1, "urn:x:a", ["P", "Q"], {"k": 'v&<>"1\ntwo', "r": "a&#10;b"}),
                 (2, "urn:x:b", [], {}),
             ],
             "id long, uri string, labels array<string>, props map<string,string>",
@@ -1558,10 +1558,16 @@ def test_graphml_roundtrip_with_escaping(spark, tmp_path):
     text = open(p).read()
     assert text.startswith('<?xml version="1.0"')
     assert "&amp;" in text and "&lt;" in text  # escaped, not raw
+    # a newline INSIDE a value must not tear the element line
+    assert all(
+        line.count("<node") <= 1 and not line.startswith("two")
+        for line in text.splitlines()
+    )
     g2 = read_graphml(spark, p)
     nodes = {r["uri"]: r for r in g2.nodes.collect()}
     assert sorted(nodes["urn:x:a"]["labels"]) == ["P", "Q"]
-    assert nodes["urn:x:a"]["props"] == {"k": 'v&<>"1'}
+    # newline round-trips; a value that LOOKS like an entity survives
+    assert nodes["urn:x:a"]["props"] == {"k": 'v&<>"1\ntwo', "r": "a&#10;b"}
     assert nodes["urn:x:b"]["labels"] == [] and nodes["urn:x:b"]["props"] == {}
     e = g2.edges.first()
     assert e["predicate"] == "T" and e["props"] == {"w": "a&b"}
