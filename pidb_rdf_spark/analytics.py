@@ -1076,11 +1076,20 @@ def closeness_centrality(
     dst: str = "dst",
     directed: bool = False,
     max_iter: int = 50,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, n_reached, sum_hops, closeness, harmonic) per source
     node: closeness = n_reached / sum_hops over the nodes it reaches
     (0.0 for isolated nodes), harmonic = sum(1/hops) — the variant
     that stays well-defined across disconnected graphs.
+
+    ``weight`` names an edge-weight column for the weighted form:
+    distances become minimum path COSTS (per-origin semi-naive
+    Bellman-Ford — the :func:`sssp` relaxation keyed by origin) and
+    ``sum_hops`` carries the cost sums as doubles under the same
+    column names. Weight conventions for a DISTANCE metric: parallel
+    edges take the CHEAPEST weight (min — unlike the flow-style
+    operators, where parallel weights sum), zero/negative drop.
 
     One multi-source BFS keyed by origin: state rows are
     (origin, node, hops), each round joins only the last frontier
@@ -1090,6 +1099,77 @@ def closeness_centrality(
     ``sources`` (the estimate is unbiased under uniform sampling,
     scale by N/|sources| if an absolute total is needed).
     """
+    if weight is not None:
+        w_base = pairs.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("__w"),
+        ).filter((F.col("__w") > 0) & (F.col("src") != F.col("dst")))
+        if not directed:
+            w_base = w_base.unionAll(
+                w_base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "__w"
+                )
+            )
+        w_edges = (
+            w_base.groupBy("src", "dst")
+            .agg(F.min("__w").alias("__w"))
+            .localCheckpoint(eager=True)
+        )
+        if sources is None:
+            sources = w_edges.select(F.col("src").alias("node")).unionAll(
+                w_edges.select(F.col("dst").alias("node"))
+            )
+        origins = (
+            sources.select(F.col(sources.columns[0]).alias("origin"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        state = origins.select(
+            "origin",
+            F.col("origin").alias("node"),
+            F.lit(0.0).alias("hops"),
+        ).localCheckpoint(eager=True)
+        frontier = state
+        for _ in range(max_iter):
+            cand = (
+                frontier.select("origin", F.col("node").alias("src"), "hops")
+                .join(w_edges, on="src")
+                .groupBy("origin", F.col("dst").alias("node"))
+                .agg(F.min(F.col("hops") + F.col("__w")).alias("__new"))
+            )
+            improved = (
+                cand.join(
+                    state.withColumnRenamed("hops", "__old"),
+                    on=["origin", "node"],
+                    how="left",
+                )
+                .filter(
+                    F.col("__old").isNull() | (F.col("__new") < F.col("__old"))
+                )
+                .select("origin", "node", F.col("__new").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            # distances RELAX (unlike the BFS hop states), so the
+            # merged state re-pins each round — the sssp shape
+            state = (
+                state.unionAll(improved)
+                .groupBy("origin", "node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        else:
+            raise RuntimeError(
+                "closeness_centrality: distances were still relaxing "
+                f"after max_iter={max_iter} rounds — a truncated "
+                "Bellman-Ford would overstate every unfinished "
+                "distance; raise max_iter (positive-weight graphs "
+                "settle within their unweighted diameter in rounds)"
+            )
+        return _closeness_from_state(origins, state)
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates()
@@ -1136,6 +1216,13 @@ def closeness_centrality(
             "silently understate every distance; raise max_iter above "
             "the graph's diameter"
         )
+    return _closeness_from_state(origins, state)
+
+
+def _closeness_from_state(origins: DataFrame, state: DataFrame) -> DataFrame:
+    """Fold (origin, node, hops) distance state into the closeness
+    output frame — shared by the BFS (long hops) and weighted
+    Bellman-Ford (double costs) branches."""
     per = (
         state.filter(F.col("hops") > 0)
         .groupBy("origin")

@@ -1493,3 +1493,66 @@ def test_hits_weighted_numpy_twin(spark):
     b2 = {r.node: (r.hub, r.authority) for r in hits(df, weight="wt").collect()}
     for n in nodes:
         assert a2[n] == pytest.approx(b2[n])
+
+
+def test_closeness_weighted_dijkstra_twin(spark):
+    """Weighted closeness/harmonic matches a pure-python Dijkstra per
+    origin; parallel edges take the CHEAPEST weight (the distance
+    convention); all-1.0 weights reproduce the BFS values; the
+    relaxation budget RAISES when exhausted mid-relax."""
+    import heapq
+
+    from pidb_rdf_spark.analytics import closeness_centrality
+
+    edges = [
+        (1, 2, 4.0), (1, 2, 1.5), (2, 3, 1.0), (1, 3, 5.0),
+        (3, 4, 2.0), (5, 6, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+
+    wadj = {}
+    for s_, d_, w_ in edges:
+        for a, b in ((s_, d_), (d_, s_)):  # undirected
+            wadj.setdefault(a, {})
+            wadj[a][b] = min(wadj[a].get(b, float("inf")), w_)
+
+    def dijkstra(origin):
+        dist = {origin: 0.0}
+        pq = [(0.0, origin)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w_ in wadj.get(u, {}).items():
+                nd = d + w_
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return {k: v for k, v in dist.items() if k != origin}
+
+    got = {
+        r.node: (r.n_reached, r.sum_hops, r.closeness, r.harmonic)
+        for r in closeness_centrality(df, weight="wt").collect()
+    }
+    for origin in (1, 2, 3, 4, 5, 6):
+        d = dijkstra(origin)
+        assert got[origin][0] == len(d)
+        assert got[origin][1] == pytest.approx(sum(d.values()))
+        assert got[origin][2] == pytest.approx(len(d) / sum(d.values()))
+        assert got[origin][3] == pytest.approx(sum(1.0 / v for v in d.values()))
+    # parallel (1,2) pair: the 1.5 edge must win over the 4.0 one
+    assert dijkstra(1)[2] == 1.5
+    # all-weights-1.0 == unweighted BFS values
+    ones = {
+        r.node: (r.n_reached, float(r.sum_hops), r.harmonic)
+        for r in closeness_centrality(
+            df.withColumn("wt", F.lit(1.0)), weight="wt"
+        ).collect()
+    }
+    bfs = {
+        r.node: (r.n_reached, float(r.sum_hops), r.harmonic)
+        for r in closeness_centrality(df).collect()
+    }
+    assert ones == bfs
+    with pytest.raises(RuntimeError, match="still relaxing"):
+        closeness_centrality(df, weight="wt", max_iter=1)
