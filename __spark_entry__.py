@@ -99,7 +99,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 143. Adding an
+#      entry count at 50 x 3 = 150. Current count: 144. Adding an
 #      entry past 150 REQUIRES consolidating siblings first (the
 #      curation_pipeline composite is the model). The ceiling is
 #      checked by tests/test_entry_contract.py.
@@ -130,12 +130,17 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # edited this round; agg_full + sparql_bind + path_optional_hop:
 # compiler tail regression anchors) = exactly 50.
 #
-# Deferred: the remaining 44 r8-green + 49 r9-green entries, every
+# Deferred: core_numbers_dup_graph (BORN DEFERRED late r10 — the
+# window was full and locked after the debt payment; never-proven,
+# locally validated vs its oracle at birth, enters the r11 window
+# FIRST under rule 2) + the remaining 44 r8-green + 49 r9-green entries, every
 # one fresh within the 3-round ceiling (r8 rows are 2 rounds old at
 # r10 check time; all return by r11/r12 under rule 2). After r10
 # lands, the oldest newest-green row in the ledger is r8 — the
 # ceiling holds.
 _DEFER_TO_TAIL = [
+    # -- born-deferred late-r10 entry (never-proven; r11 window FIRST)
+    "core_numbers_dup_graph",
     # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
@@ -1853,6 +1858,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcore_dup_graph"] = kcore_dup_graph
 
+    def core_numbers_dup_graph(spark, sf_dir):
+        """Per-node coreness of the near-dup pair graph
+        (analytics.core_numbers): how deeply each document sits in
+        its dup family — the one-call refinement of kcore_dup_graph
+        (coreness >= k IS the k-core). Oracle: the ascending peel
+        unrolled in DuckDB SQL (_core_numbers_sql) with survivor set
+        differences per stage. NOTE: registered in _DEFER_TO_TAIL at
+        birth (late r10, the 50-slot window was full and locked) —
+        never-proven, so it enters the r11 window FIRST under
+        rotation rule 2."""
+        from pidb_rdf_spark.analytics import core_numbers
+
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return core_numbers(pairs, src="a", dst="b")
+
+    q["core_numbers_dup_graph"] = core_numbers_dup_graph
+
     def label_prop_dup_communities(spark, sf_dir):
         """Deterministic synchronous label propagation over the
         near-dup pair graph (analytics.label_propagation). Oracle:
@@ -2987,6 +3009,49 @@ def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
 WITH {",".join(ctes)}
 SELECT a, b FROM e{rounds}
 """
+
+
+def _core_numbers_sql(max_k: int = 4, rounds: int = 10) -> str:
+    """The ascending-threshold coreness peel unrolled in DuckDB SQL,
+    mirroring ``analytics.core_numbers`` stage-for-stage over the
+    near-dup pair graph: stage k peels degree < k to a fixpoint
+    (``rounds`` must exceed each stage's peeling depth, as in
+    ``_kcore_sql``), and the nodes that vanished during stage k —
+    including ones isolated BY the peel — get coreness k-1 via a
+    survivor set difference. A graph whose degeneracy exceeds
+    ``max_k - 1`` leaves survivors unassigned, which shows as a row
+    mismatch — never silently."""
+    ctes = [
+        f"pr AS MATERIALIZED (SELECT a, b FROM ({_jaccard_pairs_sql(0.8)}) jp)",
+        "s0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr)",
+        "surv1 AS MATERIALIZED (SELECT DISTINCT u FROM s0)",
+    ]
+    cur, prev_surv = "s0", "surv1"
+    selects = []
+    for k in range(2, max_k + 1):
+        for i in range(rounds):
+            nm = f"k{k}r{i}"
+            ctes.append(
+                f"keep_{nm} AS MATERIALIZED (SELECT u FROM {cur}"
+                f" GROUP BY u HAVING COUNT(*) >= {k})"
+            )
+            ctes.append(
+                f"""e_{nm} AS MATERIALIZED (
+  SELECT s.u, s.v FROM {cur} s
+  JOIN keep_{nm} x ON s.u = x.u JOIN keep_{nm} y ON s.v = y.u
+)"""
+            )
+            cur = f"e_{nm}"
+        surv = f"surv{k}"
+        ctes.append(
+            f"{surv} AS MATERIALIZED (SELECT DISTINCT u FROM {cur})"
+        )
+        selects.append(
+            f"SELECT u AS node, CAST({k - 1} AS BIGINT) AS coreness"
+            f" FROM {prev_surv} WHERE u NOT IN (SELECT u FROM {surv})"
+        )
+        prev_surv = surv
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
 def _lpa_sql(n_iter: int = 5) -> str:
@@ -4779,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY r_name ORDER BY r_name
     """
     base["kcore_dup_graph"] = _kcore_sql(2, 10)
+    base["core_numbers_dup_graph"] = _core_numbers_sql(4, 10)
     base["label_prop_dup_communities"] = _lpa_sql(5)
     base["scc_event_transitions"] = """
         WITH RECURSIVE seq AS MATERIALIZED (
