@@ -99,7 +99,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 144. Adding an
+#      entry count at 50 x 3 = 150. Current count: 145. Adding an
 #      entry past 150 REQUIRES consolidating siblings first (the
 #      curation_pipeline composite is the model). The ceiling is
 #      checked by tests/test_entry_contract.py.
@@ -130,7 +130,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # edited this round; agg_full + sparql_bind + path_optional_hop:
 # compiler tail regression anchors) = exactly 50.
 #
-# Deferred: core_numbers_dup_graph (BORN DEFERRED late r10 — the
+# Deferred: core_numbers_dup_graph + eigenvector_containment (BORN
+# DEFERRED late r10 — the
 # window was full and locked after the debt payment; never-proven,
 # locally validated vs its oracle at birth, enters the r11 window
 # FIRST under rule 2) + the remaining 44 r8-green + 49 r9-green entries, every
@@ -139,8 +140,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # lands, the oldest newest-green row in the ledger is r8 — the
 # ceiling holds.
 _DEFER_TO_TAIL = [
-    # -- born-deferred late-r10 entry (never-proven; r11 window FIRST)
+    # -- born-deferred late-r10 entries (never-proven; r11 window FIRST)
     "core_numbers_dup_graph",
+    "eigenvector_containment",
     # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
@@ -1875,6 +1877,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["core_numbers_dup_graph"] = core_numbers_dup_graph
 
+    def eigenvector_containment(spark, sf_dir):
+        """Eigenvector centrality (analytics.eigenvector_centrality)
+        over the UNDIRECTED containment graph: 20 L2-normalized power
+        iterations; floor(score*1e6) buckets (the HITS fp-noise
+        projection); oracle unrolls all 20 iterations
+        (_eig_sql). BORN DEFERRED like core_numbers_dup_graph —
+        the r10 window is locked; enters the r11 window first."""
+        from pidb_rdf_spark.analytics import eigenvector_centrality
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+        sc = eigenvector_centrality(cont, n_iter=20, directed=False)
+        return (
+            sc.join(
+                g.nodes.withColumnsRenamed({"id": "node", "uri": "node_uri"}),
+                on="node",
+            )
+            .select(
+                "node_uri",
+                F.floor(F.col("score") * 1e6).cast("long").alias("score_bucket"),
+            )
+        )
+
+    q["eigenvector_containment"] = eigenvector_containment
+
     def label_prop_dup_communities(spark, sf_dir):
         """Deterministic synchronous label propagation over the
         near-dup pair graph (analytics.label_propagation). Oracle:
@@ -3085,6 +3112,56 @@ def _lpa_sql(n_iter: int = 5) -> str:
 WITH {",".join(ctes)}
 SELECT node, community FROM lab{n_iter}
 """
+
+
+def _eig_sql(n_iter: int = 20) -> str:
+    """All ``n_iter`` eigenvector-centrality power iterations
+    unrolled in DuckDB SQL, mirroring
+    ``analytics.eigenvector_centrality`` step-for-step over the
+    SYMMETRIZED containment graph (grouped neighbor-score sum, L2
+    norm as a one-row cross join, ``CASE WHEN nrm > 0`` guard).
+    Emits the same floor(score*1e6) buckets as the Spark entry —
+    SUM association differs ~1e-15, six orders under the bucket
+    width (the ``_hits_sql`` precedent)."""
+    ctes = [
+        """ed AS MATERIALIZED (
+  SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src,
+         'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+         'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+         'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+)""",
+        "e AS MATERIALIZED (SELECT src, dst FROM ed"
+        " UNION SELECT dst, src FROM ed)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)",
+        "s0 AS MATERIALIZED (SELECT node, 1.0 AS score FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(s.score) AS v
+  FROM e JOIN s{i - 1} s ON s.node = e.src GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT SQRT(SUM(v * v)) AS nrm FROM r{i})"
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS score
+  FROM r{i} CROSS JOIN n{i}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT n.node AS node_uri,
+       CAST(FLOOR(COALESCE(s.score, 0.0) * 1e6) AS BIGINT) AS score_bucket
+FROM nodes n LEFT JOIN s{n_iter} s ON s.node = n.node
+"""
+    )
 
 
 def _hits_sql(n_iter: int = 10) -> str:
@@ -4845,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
     """
     base["kcore_dup_graph"] = _kcore_sql(2, 10)
     base["core_numbers_dup_graph"] = _core_numbers_sql(4, 10)
+    base["eigenvector_containment"] = _eig_sql(20)
     base["label_prop_dup_communities"] = _lpa_sql(5)
     base["scc_event_transitions"] = """
         WITH RECURSIVE seq AS MATERIALIZED (

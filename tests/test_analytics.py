@@ -1556,3 +1556,59 @@ def test_closeness_weighted_dijkstra_twin(spark):
     assert ones == bfs
     with pytest.raises(RuntimeError, match="still relaxing"):
         closeness_centrality(df, weight="wt", max_iter=1)
+
+
+def test_eigenvector_centrality_numpy_twin(spark):
+    """Eigenvector centrality matches a dense numpy power iteration
+    (same round count, same L2-normalized half-steps), unweighted and
+    weighted, directed and undirected; a sink-only node scores 0; the
+    path graph's center dominates."""
+    import numpy as np
+
+    from pidb_rdf_spark.analytics import eigenvector_centrality
+
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 3.0), (1, 3, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+    nodes = sorted({n for s_, d_, _ in edges for n in (s_, d_)})
+    idx = {n: i for i, n in enumerate(nodes)}
+
+    def twin(weighted, directed, n_iter=20):
+        A = np.zeros((len(nodes), len(nodes)))
+        for s_, d_, w_ in edges:
+            w_ = w_ if weighted else 1.0
+            A[idx[s_], idx[d_]] += w_
+            if not directed:
+                A[idx[d_], idx[s_]] += w_
+        v = np.ones(len(nodes))
+        for _ in range(n_iter):
+            v = A.T @ v
+            n = np.linalg.norm(v)
+            v = v / n if n > 0 else v
+        return v
+
+    for weighted in (False, True):
+        for directed in (False, True):
+            kw = {"weight": "wt"} if weighted else {}
+            got = {
+                r.node: r.score
+                for r in eigenvector_centrality(
+                    df, directed=directed, **kw
+                ).collect()
+            }
+            want = twin(weighted, directed)
+            for n in nodes:
+                assert got[n] == pytest.approx(want[idx[n]], abs=1e-9), (
+                    weighted, directed, n,
+                )
+    # directed: node 1 has no in-edges -> exactly 0
+    d1 = {
+        r.node: r.score
+        for r in eigenvector_centrality(df, directed=True).collect()
+    }
+    assert d1[1] == 0.0
+    # undirected path center outranks the ends
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    u = {r.node: r.score for r in eigenvector_centrality(path).collect()}
+    assert u[3] > u[1] and u[3] > u[5]
