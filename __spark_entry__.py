@@ -99,7 +99,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 145. Adding an
+#      entry count at 50 x 3 = 150. Current count: 146. Adding an
 #      entry past 150 REQUIRES consolidating siblings first (the
 #      curation_pipeline composite is the model). The ceiling is
 #      checked by tests/test_entry_contract.py.
@@ -130,7 +130,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # edited this round; agg_full + sparql_bind + path_optional_hop:
 # compiler tail regression anchors) = exactly 50.
 #
-# Deferred: core_numbers_dup_graph + eigenvector_containment (BORN
+# Deferred: core_numbers_dup_graph + eigenvector_containment +
+# assortativity_containment (BORN
 # DEFERRED late r10 — the
 # window was full and locked after the debt payment; never-proven,
 # locally validated vs its oracle at birth, enters the r11 window
@@ -143,6 +144,7 @@ _DEFER_TO_TAIL = [
     # -- born-deferred late-r10 entries (never-proven; r11 window FIRST)
     "core_numbers_dup_graph",
     "eigenvector_containment",
+    "assortativity_containment",
     # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
@@ -1901,6 +1903,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["eigenvector_containment"] = eigenvector_containment
+
+    def assortativity_containment(spark, sf_dir):
+        """Newman degree assortativity of the undirected containment
+        graph (analytics.degree_assortativity) — strongly negative
+        (membership stars: hubs attach to leaves). One degree
+        aggregate + two joins + a 1-row moment aggregate;
+        floor(r*1e6) bucket for the cross-engine compare (the HITS
+        projection; only SUM association differs, ~1e-15). BORN
+        DEFERRED with its late-r10 siblings — the r10 window is
+        locked; enters the r11 window first."""
+        from pidb_rdf_spark.analytics import degree_assortativity
+
+        g = _graph(spark, sf_dir)
+        cont = g.edges.filter(F.col("predicate").isin("IN_NATION", "IN_REGION"))
+        out = degree_assortativity(cont)
+        return out.select(
+            "n_edges",
+            F.floor(F.col("assortativity") * 1e6)
+            .cast("long")
+            .alias("assort_bucket"),
+        )
+
+    q["assortativity_containment"] = assortativity_containment
 
     def label_prop_dup_communities(spark, sf_dir):
         """Deterministic synchronous label propagation over the
@@ -4923,6 +4948,43 @@ def oracle_sql() -> dict[str, str]:
     base["kcore_dup_graph"] = _kcore_sql(2, 10)
     base["core_numbers_dup_graph"] = _core_numbers_sql(4, 10)
     base["eigenvector_containment"] = _eig_sql(20)
+    base["assortativity_containment"] = """
+        WITH ed AS MATERIALIZED (
+            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS s,
+                   'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS d
+            FROM customer
+            UNION ALL
+            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                   'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+            UNION ALL
+            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        e AS MATERIALIZED (
+            SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v
+            FROM ed WHERE s <> d
+        ),
+        deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS DOUBLE) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        ),
+        sym2 AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+        ),
+        scored AS MATERIALIZED (
+            SELECT du.deg AS du, dv.deg AS dv
+            FROM sym2 JOIN deg du ON du.node = sym2.u
+                      JOIN deg dv ON dv.node = sym2.v
+        )
+        SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+               CAST(FLOOR(
+                   CASE WHEN stddev_pop(du) > 0 AND stddev_pop(dv) > 0
+                        THEN covar_pop(du, dv)
+                             / (stddev_pop(du) * stddev_pop(dv))
+                   END * 1e6) AS BIGINT) AS assort_bucket
+        FROM scored
+    """
     base["label_prop_dup_communities"] = _lpa_sql(5)
     base["scc_event_transitions"] = """
         WITH RECURSIVE seq AS MATERIALIZED (

@@ -1861,6 +1861,63 @@ def link_prediction(
     )
 
 
+def degree_assortativity(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row (n_edges, assortativity): Newman's degree
+    assortativity coefficient — the Pearson correlation of endpoint
+    degrees over the DIRECTED-pair expansion of the undirected simple
+    graph (each edge contributes both (deg_u, deg_v) and
+    (deg_v, deg_u), the standard symmetric convention, so r is
+    exchange-invariant). r > 0 = hubs attach to hubs (social-network
+    shape), r < 0 = hubs attach to leaves (star/dependency shape) —
+    the one-number profile that tells you whether hub-cap mitigations
+    (max_degree in node_similarity / link_prediction) will bite.
+
+    Plan: one degree aggregate + two id-keyed joins + one 1-row
+    correlation aggregate (map-side combinable). Returns NULL
+    assortativity when degrees have zero variance (a regular graph —
+    undefined, mirroring the corr() convention)."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("double").alias("deg"))
+    )
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    scored = (
+        both.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}), on="u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}), on="v")
+    )
+    # corr() under ANSI throws DIVIDE_BY_ZERO on zero variance; build
+    # the Pearson ratio from pop moments with an explicit guard (the
+    # n factors cancel, so this equals corr where corr is defined)
+    agg = scored.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.covar_pop("du", "dv").alias("__cov"),
+        F.stddev_pop("du").alias("__su"),
+        F.stddev_pop("dv").alias("__sv"),
+    )
+    return agg.select(
+        "n_edges",
+        F.when(
+            (F.col("__su") > 0) & (F.col("__sv") > 0),
+            F.col("__cov") / (F.col("__su") * F.col("__sv")),
+        ).alias("assortativity"),
+    )
+
+
 def eigenvector_centrality(
     pairs: DataFrame,
     src: str = "src",

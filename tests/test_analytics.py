@@ -1612,3 +1612,40 @@ def test_eigenvector_centrality_numpy_twin(spark):
     )
     u = {r.node: r.score for r in eigenvector_centrality(path).collect()}
     assert u[3] > u[1] and u[3] > u[5]
+
+
+def test_degree_assortativity(spark):
+    """Star graph -> strongly disassortative (r = -1 for a pure
+    star); a regular graph (cycle) -> NULL (zero degree variance);
+    matches a numpy Pearson on a mixed fixture; duplicate/reversed
+    edges don't change r."""
+    import numpy as np
+
+    from pidb_rdf_spark.analytics import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).first()
+    assert r["n_edges"] == 5 and r["assortativity"] == pytest.approx(-1.0)
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    assert degree_assortativity(cycle).first()["assortativity"] is None
+    mixed = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (3, 5)]
+    df = spark.createDataFrame(mixed, "src long, dst long")
+    deg = {}
+    for a, b in mixed:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in mixed] + [deg[b] for a, b in mixed]
+    ys = [deg[b] for a, b in mixed] + [deg[a] for a, b in mixed]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    got = degree_assortativity(df).first()
+    assert got["n_edges"] == 6 and got["assortativity"] == pytest.approx(want)
+    noisy = spark.createDataFrame(
+        mixed + [(2, 1), (1, 2)], "src long, dst long"
+    )
+    assert degree_assortativity(noisy).first()["assortativity"] == (
+        pytest.approx(want)
+    )
