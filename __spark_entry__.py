@@ -99,7 +99,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 146. Adding an
+#      entry count at 50 x 3 = 150. Current count: 147. Adding an
 #      entry past 150 REQUIRES consolidating siblings first (the
 #      curation_pipeline composite is the model). The ceiling is
 #      checked by tests/test_entry_contract.py.
@@ -131,7 +131,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # compiler tail regression anchors) = exactly 50.
 #
 # Deferred: core_numbers_dup_graph + eigenvector_containment +
-# assortativity_containment (BORN
+# assortativity_containment + local_clustering_dups (BORN
 # DEFERRED late r10 — the
 # window was full and locked after the debt payment; never-proven,
 # locally validated vs its oracle at birth, enters the r11 window
@@ -145,6 +145,7 @@ _DEFER_TO_TAIL = [
     "core_numbers_dup_graph",
     "eigenvector_containment",
     "assortativity_containment",
+    "local_clustering_dups",
     # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
@@ -1926,6 +1927,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["assortativity_containment"] = assortativity_containment
+
+    def local_clustering_dups(spark, sf_dir):
+        """Per-node local clustering coefficient of the near-dup pair
+        graph (analytics.local_clustering): how clique-like each dup
+        family is around each member — 1.0 flags template families
+        whose members all match each other. The lcc float is one
+        division of two small exact integers (IEEE-deterministic), so
+        the oracle compares it directly. BORN DEFERRED with its
+        late-r10 siblings; enters the r11 window first."""
+        from pidb_rdf_spark.analytics import local_clustering
+
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return local_clustering(pairs, src="a", dst="b")
+
+    q["local_clustering_dups"] = local_clustering_dups
 
     def label_prop_dup_communities(spark, sf_dir):
         """Deterministic synchronous label propagation over the
@@ -4984,6 +5000,33 @@ def oracle_sql() -> dict[str, str]:
                              / (stddev_pop(du) * stddev_pop(dv))
                    END * 1e6) AS BIGINT) AS assort_bucket
         FROM scored
+    """
+    base["local_clustering_dups"] = f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+            FROM ({_jaccard_pairs_sql(0.8)}) jp WHERE a <> b
+        ),
+        tri AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT unnest([e1.u, e1.v, e2.v]) AS node
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ) GROUP BY node
+        ),
+        deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        )
+        SELECT d.node,
+               COALESCE(t.triangles, 0) AS triangles,
+               d.degree,
+               CASE WHEN d.degree >= 2
+                    THEN 2.0 * COALESCE(t.triangles, 0)
+                         / (d.degree * (d.degree - 1))
+                    ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN tri t ON t.node = d.node
     """
     base["label_prop_dup_communities"] = _lpa_sql(5)
     base["scc_event_transitions"] = """

@@ -554,6 +554,56 @@ def triangle_count(
     )
 
 
+def local_clustering(
+    pairs: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, triangles, degree, lcc): each node's local clustering
+    coefficient over the undirected simple graph — lcc = 2·t /
+    (d·(d−1)), the fraction of its neighbor pairs that are themselves
+    connected (how clique-like the node's neighborhood is; the
+    Watts-Strogatz per-node statistic). Degree < 2 ⇒ 0.0 (the
+    NetworkX convention — no neighbor pairs to close).
+
+    Plan: :func:`triangle_count`'s wedge-close joins + one degree
+    aggregate + a left join (zero-triangle nodes keep their row).
+    The lcc float is ONE division of two small exact integers —
+    IEEE-deterministic, so cross-engine oracles compare it directly,
+    no bucketing needed. Same Σdeg² wedge-skew note as
+    triangle_count."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_count(e, src="u", dst="v")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
 def kcore(
     pairs: DataFrame,
     k: int,

@@ -1649,3 +1649,33 @@ def test_degree_assortativity(spark):
     assert degree_assortativity(noisy).first()["assortativity"] == (
         pytest.approx(want)
     )
+
+
+def test_local_clustering(spark):
+    """LCC on hand-checked graphs: K4 members are 1.0; the pendant's
+    attachment node drops to 2·3/(4·3) = 0.5; a pendant (degree 1)
+    is 0.0 but keeps its row; a path is all-0.0; duplicate/reversed
+    edges don't inflate."""
+    from pidb_rdf_spark.analytics import local_clustering
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+    got = {r.node: (r.triangles, r.degree, r.lcc) for r in local_clustering(df).collect()}
+    # nodes 1-3: degree 3 in K4, 3 triangles -> 2*3/(3*2) = 1.0
+    for n in (1, 2, 3):
+        assert got[n] == (3, 3, 1.0)
+    # node 4: degree 4 (K4 + pendant), still 3 triangles -> 6/12 = 0.5
+    assert got[4] == (3, 4, 0.5)
+    # pendant: degree 1 -> 0.0, zero triangles, row present
+    assert got[5] == (0, 1, 0.0)
+    # path graph: middle node has both neighbors unconnected -> 0.0
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    p = {r.node: r.lcc for r in local_clustering(path).collect()}
+    assert p == {1: 0.0, 2: 0.0, 3: 0.0}
+    noisy = spark.createDataFrame(
+        k4 + [(4, 5), (2, 1), (1, 2)], "src long, dst long"
+    )
+    assert {
+        r.node: (r.triangles, r.degree, r.lcc)
+        for r in local_clustering(noisy).collect()
+    } == got
