@@ -2631,11 +2631,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         # Compare the EXACT integer decomposition only: q_num =
-        # 4*m*e_c - d_c^2 is a bigint identical on any engine, while
-        # the float contribution = q_num/4m^2 is subject to 1-ulp
-        # pow/rounding skew across engines (the r9 hash mismatch).
+        # 4*m*e_c - d_c^2 is exact on any engine, while the float
+        # contribution = q_num/4m^2 is subject to 1-ulp pow/rounding
+        # skew across engines (the r9 hash mismatch). The operator
+        # carries q_num as decimal(38,0) (overflow-proof at 100 TB
+        # edge counts); cast to long here — exact at sf0.01 — so the
+        # driver compares plain bigints on both sides.
         return modularity_table(cont, asg).select(
-            "community", "e_c", "d_c", "m", "q_num"
+            "community",
+            "e_c",
+            "d_c",
+            "m",
+            F.col("q_num").cast("long").alias("q_num"),
         )
 
     q["modularity_regions"] = modularity_regions

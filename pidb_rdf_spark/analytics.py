@@ -674,7 +674,12 @@ def core_numbers(
     id-keyed, lineage truncated — identical to :func:`kcore`; total
     rounds = Σ per-stage peel depth, bounded by ``max_rounds`` and
     RAISING on exhaustion (a truncated peel would mislabel every
-    remaining node, so silent truncation is not an option)."""
+    remaining node, so silent truncation is not an option). Rounds
+    are only charged when something actually peels: once a stage
+    reaches its fixpoint, the threshold JUMPS to the surviving
+    minimum degree + 1 (every threshold in between peels nothing, so
+    a dense region — e.g. a template family forming a near-clique —
+    costs O(peel depth) rounds, not O(degeneracy))."""
     edges = _sym(pairs, src, dst).localCheckpoint(eager=True)
     survivors = (
         edges.select(F.col("src").alias("node"))
@@ -685,20 +690,24 @@ def core_numbers(
     k = 2
     rounds = 0
     while not edges.limit(1).isEmpty():
-        # peel at threshold k to a fixpoint
+        # peel at threshold k to a fixpoint; the same degree frame
+        # that drives the peel yields the min surviving degree, which
+        # tells us the next threshold with any work to do
         while True:
+            deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+            min_deg = deg.agg(F.min("__deg").alias("m")).first()["m"]
+            if min_deg is None or min_deg >= k:
+                next_k = (min_deg or k) + 1
+                break
             if rounds >= max_rounds:
                 raise RuntimeError(
                     f"core_numbers: peel budget exhausted after "
-                    f"max_rounds={max_rounds} rounds (adversarial "
-                    f"long-chain graphs peel O(n) rounds — raise "
-                    f"max_rounds)"
+                    f"max_rounds={max_rounds} peeling rounds "
+                    f"(adversarial long-chain graphs peel O(n) rounds "
+                    f"— raise max_rounds)"
                 )
             rounds += 1
-            deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
             keep = deg.filter(F.col("__deg") >= k).select("src")
-            if deg.filter(F.col("__deg") < k).limit(1).isEmpty():
-                break
             keep = keep.localCheckpoint(eager=True)
             edges = (
                 edges.join(keep, on="src", how="leftsemi")
@@ -719,7 +728,7 @@ def core_numbers(
         )
         out.append(gone.localCheckpoint(eager=True))
         survivors = now
-        k += 1
+        k = next_k
     acc = out[0] if out else survivors.select(
         "node", F.lit(0).cast("long").alias("coreness")
     ).limit(0)
@@ -885,7 +894,7 @@ def modularity_table(
         return e.sparkSession.createDataFrame(
             [],
             f"community {ctype}, e_c long, d_c long, m long,"
-            " q_num long, contribution double",
+            " q_num decimal(38,0), contribution double",
         )
     tagged = (
         e.join(asg.withColumnRenamed("node", "u"), on="u")
@@ -911,14 +920,23 @@ def modularity_table(
     )
     ec = F.coalesce(F.col("e_c"), F.lit(0)).cast("long")
     dc = F.col("d_c").cast("long")
+    # q_num = 4*m*e_c - d_c^2 in decimal(38,0): int64 overflows once
+    # m exceeds ~1.5e9 edges (4m^2 > 2^63), which a 100 TB-scale
+    # graph reaches routinely; decimal keeps the value EXACT to 38
+    # digits (m up to ~1e13 edges), preserving the bit-identical
+    # cross-engine compare this column exists for
+    q_num = (
+        F.lit(4 * m).cast("decimal(19,0)") * ec.cast("decimal(19,0)")
+        - dc.cast("decimal(19,0)") * dc.cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
     return dsum.join(intra, on="community", how="left").select(
         "community",
         ec.alias("e_c"),
         dc.alias("d_c"),
         F.lit(m).cast("long").alias("m"),
-        (F.lit(4 * m) * ec - dc * dc).alias("q_num"),
+        q_num.alias("q_num"),
         (
-            (F.lit(4 * m) * ec - dc * dc)
+            q_num.cast("double")
             / F.lit(4.0 * float(m) * float(m))
         ).alias("contribution"),
     )
@@ -1216,8 +1234,9 @@ def closeness_centrality(
                 "closeness_centrality: distances were still relaxing "
                 f"after max_iter={max_iter} rounds — a truncated "
                 "Bellman-Ford would overstate every unfinished "
-                "distance; raise max_iter (positive-weight graphs "
-                "settle within their unweighted diameter in rounds)"
+                "distance; raise max_iter (rounds needed = the max "
+                "EDGE COUNT of any minimum-cost path, which can reach "
+                "V-1 when many cheap hops undercut a direct edge)"
             )
         return _closeness_from_state(origins, state)
     edges = (
@@ -1644,17 +1663,16 @@ def _louvain_moves(
         )
         # stay unless some ALLOWED community strictly beats the
         # current one; ties among improvers break to the smallest id
+        # argmax by (gain desc, c asc): min_by over (-gain, c) keeps
+        # the smallest-id tie-break working for ANY orderable id type
+        # (negating c itself would crash on string community ids)
         best = (
             cand.filter(F.col("allowed"))
             .groupBy("node")
             .agg(
-                F.max_by(
-                    F.struct(
-                        F.col("gain"),
-                        (-F.col("c")).alias("__nc"),
-                        F.col("c"),
-                    ),
-                    F.struct(F.col("gain"), (-F.col("c")).alias("__nc")),
+                F.min_by(
+                    F.struct(F.col("gain"), F.col("c")),
+                    F.struct((-F.col("gain")).alias("__ng"), F.col("c")),
                 ).alias("b"),
                 F.max(
                     F.when(F.col("is_cur"), F.col("gain"))
@@ -1762,9 +1780,11 @@ def louvain(
         )
     e = e.localCheckpoint(eager=True)
     if e.isEmpty():
-        return e.sparkSession.createDataFrame(
-            [], "node long, community long"
-        )
+        # typed empty frame: node/community carry the INPUT id type
+        # (string doc ids are first-class here, as in the LPA family)
+        return e.select(
+            F.col("src").alias("node"), F.col("src").alias("community")
+        ).limit(0)
     return _louvain_levels(e, levels, n_rounds)
 
 

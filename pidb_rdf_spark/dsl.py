@@ -510,7 +510,14 @@ class Traversal:
                         self.g.node_prop(order_key).alias("__ok"),
                     )
                 df = df.join(side, on=CUR, how="left")
-                key = F.col("__ok").asc() if asc else F.col("__ok").desc()
+                # elements MISSING the order property rank LAST either
+                # direction (Spark's asc default is NULLS FIRST, which
+                # would hand them the per-traverser top-k slots)
+                key = (
+                    F.col("__ok").asc_nulls_last()
+                    if asc
+                    else F.col("__ok").desc_nulls_last()
+                )
                 order = [key, F.col(CUR).asc()]
             else:
                 order = [F.col(CUR).asc()]
@@ -623,6 +630,12 @@ class Traversal:
             raise ValueError("n must be >= 1")
         from pidb_rdf_spark.operators.hashing import md5_prefix_long
 
+        # the draw key covers EVERY deterministic column — including
+        # __path/__sack state, so two traversers at the same element
+        # with different histories get distinct keys and the limit
+        # boundary never depends on partition order. __tid is the one
+        # exclusion: monotonically_increasing_id values vary with
+        # partitioning, and hashing them would break replayability.
         key = F.concat_ws(
             ":",
             F.lit(salt),
@@ -630,7 +643,7 @@ class Traversal:
             *[
                 F.col(c).cast("string")
                 for c in self.df.columns
-                if c != CUR and not c.startswith("__")
+                if c != CUR and c != "__tid"
             ],
         )
         return self._with(

@@ -145,15 +145,17 @@ def count_exchanges(df: DataFrame) -> int:
     plan — the plan-shape metric the bucketing layout exists to drive
     to zero (and a cheap regression probe for any operator's claimed
     shuffle count). Under AQE the captured QueryExecution must be
-    EXECUTED to finalize: ``df.collect()`` runs this very plan and
-    flips ``isFinalPlan=true`` on it, whereas ``df.count()`` builds a
-    NEW QueryExecution and leaves the inspected one at its initial
-    (pre-AQE-replan) shape — the exchange count would then reflect a
-    plan that never ran."""
+    EXECUTED to finalize: ``qe.toRdd().count()`` runs THIS
+    QueryExecution's physical plan and flips ``isFinalPlan=true`` on
+    it, whereas ``df.count()`` builds a NEW QueryExecution and leaves
+    the inspected one at its initial (pre-AQE-replan) shape — the
+    exchange count would then reflect a plan that never ran. The RDD
+    count stays JVM-side (no rows reach the driver), so probing a
+    corpus-scale frame is safe where ``df.collect()`` would OOM."""
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     if "AdaptiveSparkPlan isFinalPlan=false" in plan:
-        df.collect()  # executes THIS QueryExecution -> finalizes it
+        qe.toRdd().count()  # executes THIS QueryExecution, JVM-side
         plan = qe.executedPlan().toString()
         assert "isFinalPlan=false" not in plan, "AQE plan not finalized"
     import re as _re

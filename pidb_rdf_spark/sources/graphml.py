@@ -33,6 +33,19 @@ _HEADER = (
 _FOOTER = "</graph>\n</graphml>\n"
 
 
+def _py_xml_escape(s: str) -> str:
+    """Driver-side twin of :func:`_xml_escape` for the ``<key>``
+    header declarations (attribute values must escape like data)."""
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("\n", "&#10;")
+        .replace("\r", "&#13;")
+    )
+
+
 def _xml_escape(col: Column) -> Column:
     # newline/CR become character references (valid XML, and required
     # here: the one-element-per-line layout is what keeps the reader
@@ -96,6 +109,16 @@ def write_graphml(
         .distinct()
         .collect()
     )
+    reserved = {"labelV", "labelE"}.intersection(nkeys) | {
+        "labelV",
+        "labelE",
+    }.intersection(ekeys)
+    if reserved:
+        raise ValueError(
+            f"write_graphml: property key(s) {sorted(reserved)} collide "
+            f"with the reserved TinkerPop label pseudo-keys — rename "
+            f"them before export (the reader could not tell them apart)"
+        )
     node_lines = nodes.select(
         F.concat(
             F.lit('<node id="'),
@@ -103,7 +126,14 @@ def write_graphml(
             F.lit('"><data key="labelV">'),
             _xml_escape(F.array_join("labels", "::")),
             F.lit("</data>"),
-            _data_entries(F.col("props")),
+            # NULL props map (nullable column off a user join/load)
+            # must not null the whole concat — same coalesce the edge
+            # path applies
+            _data_entries(
+                F.coalesce(
+                    F.col("props"), F.create_map().cast("map<string,string>")
+                )
+            ),
             F.lit("</node>"),
         ).alias("line")
     )
@@ -142,13 +172,15 @@ def write_graphml(
             ' attr.type="string"/>\n'
         )
         for k in nkeys:
+            ek = _py_xml_escape(k)
             f.write(
-                f'<key id="{k}" for="node" attr.name="{k}"'
+                f'<key id="{ek}" for="node" attr.name="{ek}"'
                 ' attr.type="string"/>\n'
             )
         for k in ekeys:
+            ek = _py_xml_escape(k)
             f.write(
-                f'<key id="{k}" for="edge" attr.name="{k}"'
+                f'<key id="{ek}" for="edge" attr.name="{ek}"'
                 ' attr.type="string"/>\n'
             )
         f.write('<graph id="G" edgedefault="directed">\n')

@@ -130,9 +130,16 @@ def read_graphson(spark: SparkSession, path: str) -> PropertyGraph:
         F.length(F.coalesce(F.col("label"), F.lit(""))) > 0,
         F.split("label", "::"),
     ).otherwise(F.array().cast("array<string>"))
-    props = F.transform_values(
-        F.coalesce(F.col("properties"), F.create_map().cast(_VPROPS)),
-        lambda _k, v: F.element_at(v, 1)["value"],
+    # F.get (0-indexed) returns NULL on an empty value array, where
+    # element_at(v, 1) raises INVALID_ARRAY_INDEX under ANSI — a
+    # foreign document with "properties": {"k": []} degrades to an
+    # absent property instead of failing the whole load
+    props = F.map_filter(
+        F.transform_values(
+            F.coalesce(F.col("properties"), F.create_map().cast(_VPROPS)),
+            lambda _k, v: F.get(v, 0)["value"],
+        ),
+        lambda _k, v: v.isNotNull(),
     )
     nodes = raw.select(
         F.xxhash64("id").alias("id"),

@@ -885,6 +885,27 @@ def test_louvain_two_cliques_and_empty(spark):
     assert out.columns == ["node", "community"] and out.count() == 0
 
 
+def test_louvain_string_ids(spark):
+    """String node ids are first-class (the LPA family contract):
+    the tie-break argmax is min_by over (-gain, c) — negating the
+    community id itself would crash on strings under ANSI — and the
+    empty-input frame carries the INPUT id type."""
+    from pidb_rdf_spark.analytics import louvain
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+        ["src", "dst"],
+    )
+    got = {r.node: r.community for r in louvain(pairs).collect()}
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"]} == {"x"}
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = louvain(empty)
+    assert out.schema["community"].dataType.simpleString() == "string"
+    assert out.count() == 0
+
+
 def test_label_propagation_weighted(spark):
     """Weighted LPA adopts the label with the largest incident weight
     sum: a path a-b-c where (a,b) is heavy pulls b to a's label even
@@ -1288,6 +1309,26 @@ def test_core_numbers(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     out = core_numbers(empty)
     assert out.columns == ["node", "coreness"] and out.count() == 0
+
+
+def test_core_numbers_dense_clique_within_default_budget(spark):
+    """A dense near-clique region (degeneracy >> peel depth — the
+    template-family shape the dup graph actually produces) completes
+    inside the DEFAULT round budget: thresholds with no work JUMP to
+    the surviving minimum degree instead of burning one round each,
+    so a K60 costs O(1) peeling rounds, not 59."""
+    import itertools
+
+    from pidb_rdf_spark.analytics import core_numbers
+
+    k60 = list(itertools.combinations(range(60), 2))
+    chain = [(100 + i, 101 + i) for i in range(4)] + [(0, 100)]
+    df = spark.createDataFrame(k60 + chain, ["src", "dst"])
+    # max_rounds far below the degeneracy: only ~3 actual peel rounds
+    # happen (chain peels at k=2, clique dissolves at k=60)
+    got = {r.node: r.coreness for r in core_numbers(df, max_rounds=10).collect()}
+    assert all(got[i] == 59 for i in range(60))
+    assert all(got[100 + i] == 1 for i in range(5))
 
 
 def test_node2vec_weighted_python_twin(spark):

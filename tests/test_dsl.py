@@ -643,6 +643,52 @@ def test_sample_deterministic(graph):
         t.sample(0)
 
 
+def test_local_asc_ranks_missing_property_last(spark):
+    """local(order_key=..., asc=True): elements WITHOUT the order
+    property rank last — Spark's NULLS FIRST asc default would
+    otherwise hand them the per-traverser top-k slots (TinkerPop's
+    order().by() never ranks missing-property elements first)."""
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "urn:1", ["P"], {}),
+            (2, "urn:2", ["C"], {"bal": "5"}),
+            (3, "urn:3", ["C"], {"bal": "1"}),
+            (4, "urn:4", ["C"], {}),
+        ],
+        "id long, uri string, labels array<string>,"
+        " props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(20, 1, 2, "HAS", None), (21, 1, 3, "HAS", None),
+         (22, 1, 4, "HAS", None)],
+        "id long, src long, dst long, predicate string,"
+        " props map<string,string>",
+    )
+    g = PropertyGraph(spark=spark, nodes=nodes, edges=edges)
+    got = sorted(
+        r[0]
+        for r in traversal(g)
+        .V()
+        .has_label("P")
+        .local(lambda t: t.out("HAS"), order_key="bal", asc=True, limit=2)
+        .uri()
+        .collect()
+    )
+    assert got == ["urn:2", "urn:3"]  # urn:4 (no bal) must not win a slot
+
+
+def test_sample_with_path_state_deterministic(graph):
+    """sample() after with_path(): traverser history (the __path
+    column) is part of the draw key, so duplicate traversers at the
+    same element get distinct keys and the draw replays exactly."""
+    t = traversal(graph).V().has_label("Customer").with_path().out("IN_NATION")
+    a = sorted(map(tuple, t.sample(5).uri().collect()))
+    b = sorted(map(tuple, t.sample(5).uri().collect()))
+    assert a == b and len(a) == 5
+
+
 def test_range_skip_tail_deterministic_slices(graph):
     """range_/skip/tail slice the id-ordered traverser stream:
     contiguous, disjoint where expected, and consistent with each

@@ -1575,6 +1575,75 @@ def test_graphml_roundtrip_with_escaping(spark, tmp_path):
     assert (uri_of[e["src"]], uri_of[e["dst"]]) == ("urn:x:a", "urn:x:b")
 
 
+def test_graphml_null_props_and_hostile_key(spark, tmp_path):
+    """A NULL props map (nullable column off a user join/load) must
+    not null the node's whole element line, and an XML-hostile
+    PROPERTY KEY must be escaped in the <key> header declarations
+    (not just in <data> bodies) so the file stays well-formed;
+    reserved TinkerPop pseudo-keys (labelV/labelE) raise."""
+    import xml.dom.minidom
+
+    import pytest
+
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.sources import read_graphml, write_graphml
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [
+                (1, "urn:a", ["L"], {'a"b&<c>': "v1"}),
+                (2, "urn:b", ["L"], None),
+            ],
+            "id long, uri string, labels array<string>,"
+            " props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(9, 1, 2, "T", None)],
+            "id long, src long, dst long, predicate string,"
+            " props map<string,string>",
+        ),
+    )
+    p = str(tmp_path / "g.graphml")
+    write_graphml(g, p)
+    xml.dom.minidom.parse(p)  # well-formed despite the hostile key
+    g2 = read_graphml(spark, p)
+    back = {r["uri"]: dict(r["props"]) for r in g2.nodes.collect()}
+    assert back == {"urn:a": {'a"b&<c>': "v1"}, "urn:b": {}}
+    assert g2.edges.count() == 1
+    bad = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:a", ["L"], {"labelV": "x"})],
+            "id long, uri string, labels array<string>,"
+            " props map<string,string>",
+        ),
+        edges=g.edges.limit(0),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        write_graphml(bad, str(tmp_path / "bad.graphml"))
+
+
+def test_graphson_empty_property_value_array(spark, tmp_path):
+    """A foreign adjacency-GraphSON document with an EMPTY vertex
+    property value array ("k": []) loads with the property absent —
+    element_at(…, 1) would raise INVALID_ARRAY_INDEX under ANSI."""
+    import json
+
+    from pidb_rdf_spark.sources import read_graphson
+
+    doc = {
+        "id": "urn:x",
+        "label": "L",
+        "properties": {"name": [], "kept": [{"value": "yes"}]},
+        "outE": {},
+    }
+    (tmp_path / "part-00000.json").write_text(json.dumps(doc) + "\n")
+    g = read_graphson(spark, str(tmp_path))
+    row = g.nodes.first()
+    assert dict(row["props"]) == {"kept": "yes"}
+
+
 def test_graphml_max_elements_guard(spark, tmp_path):
     import pytest
 
