@@ -690,13 +690,15 @@ def core_numbers(
     k = 2
     rounds = 0
     while not edges.limit(1).isEmpty():
-        # peel at threshold k to a fixpoint; the same degree frame
-        # that drives the peel yields the min surviving degree, which
-        # tells us the next threshold with any work to do
+        # peel at threshold k to a fixpoint; at the fixpoint the same
+        # degree frame yields the min surviving degree — the next
+        # threshold with any work to do (the cheap short-circuiting
+        # isEmpty probe stays the per-iteration test; the full min
+        # aggregate runs once per stage, not once per round)
         while True:
             deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-            min_deg = deg.agg(F.min("__deg").alias("m")).first()["m"]
-            if min_deg is None or min_deg >= k:
+            if deg.filter(F.col("__deg") < k).limit(1).isEmpty():
+                min_deg = deg.agg(F.min("__deg").alias("m")).first()["m"]
                 next_k = (min_deg or k) + 1
                 break
             if rounds >= max_rounds:
