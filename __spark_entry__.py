@@ -131,7 +131,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # compiler tail regression anchors) = exactly 50.
 #
 # Deferred: core_numbers_dup_graph + eigenvector_containment +
-# assortativity_containment + local_clustering_dups (BORN
+# assortativity_containment + local_clustering_dups +
+# url_canon_cap_docs (BORN
 # DEFERRED late r10 — the
 # window was full and locked after the debt payment; never-proven,
 # locally validated vs its oracle at birth, enters the r11 window
@@ -146,6 +147,7 @@ _DEFER_TO_TAIL = [
     "eigenvector_containment",
     "assortativity_containment",
     "local_clustering_dups",
+    "url_canon_cap_docs",
     # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
@@ -2920,6 +2922,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["negative_samples_walks"] = negative_samples_walks
+
+    def url_canon_cap_docs(spark, sf_dir):
+        """Web-crawl curation front door (operators/urls.py) as one
+        composite: canonicalize messy URLs (case, default port,
+        fragment, tracking params, param sort, trailing slash) →
+        URL-level exact dedup (min doc_id kept, group size reported)
+        → registrable-domain per-host quota cap (3 per domain,
+        deterministic md5 draw). URLs are derived from the documents
+        table (source + doc_id residues) so dup groups and domain
+        fan-out are data-driven; the oracle constructs the CANONICAL
+        form independently and replays the draw arithmetic."""
+        from pidb_rdf_spark.operators import (
+            cap_per_domain,
+            registrable_domain_col,
+            url_dedup,
+            url_normalize,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.upper("source"),
+                F.lit("-"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".COM:443/docs/"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit("/?utm_source=feed&sid="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("#sec"),
+            ).alias("url"),
+        )
+        deduped = url_dedup(url_normalize(raw), id_col="doc_id")
+        kept = cap_per_domain(
+            deduped.select(
+                F.col("keep_id").alias("doc_id"), "url_norm", "n_dups"
+            ).withColumn(
+                "domain", registrable_domain_col(F.col("url_norm"))
+            ),
+            "domain",
+            cap=3,
+        )
+        return kept.select("doc_id", "url_norm", "domain", "n_dups")
+
+    q["url_canon_cap_docs"] = url_canon_cap_docs
 
     return _rotate_checked_window(q)
 
@@ -5779,5 +5827,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(e.neg_i AS INTEGER) AS neg_i, v.node AS negative
         FROM ex e JOIN vocab v ON v.rk = e.h % v.n + 1
         WHERE v.node <> e.center AND v.node <> e.context
+    """
+
+    # url_canon_cap_docs: the oracle derives the CANONICAL url
+    # directly (independent derivation of the normalization contract:
+    # lowercase scheme/host, :443 dropped, #fragment dropped,
+    # utm_source dropped, remaining param kept, trailing slash
+    # stripped), then replays the dedup aggregate and the md5 quota
+    # draw (13-hex-char prefix order == the 52-bit numeric order
+    # md5_prefix_long uses; doc_id tiebreak both sides).
+    base["url_canon_cap_docs"] = """
+        WITH canon AS (
+            SELECT doc_id,
+                   'https://www.' || source || '-'
+                     || CAST(doc_id % 4 AS VARCHAR)
+                     || '.com/docs/' || CAST(doc_id % 40 AS VARCHAR)
+                     || '?sid=' || CAST(doc_id % 7 AS VARCHAR) AS url_norm,
+                   source || '-' || CAST(doc_id % 4 AS VARCHAR)
+                     || '.com' AS domain
+            FROM documents
+        ),
+        dedup AS (
+            SELECT url_norm, ANY_VALUE(domain) AS domain,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_dups
+            FROM canon GROUP BY url_norm
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY domain
+                ORDER BY substring(md5('domaincap:' || domain || ':'
+                           || CAST(doc_id AS VARCHAR)), 1, 13),
+                         doc_id
+            ) AS rn
+            FROM dedup
+        )
+        SELECT doc_id, url_norm, domain, n_dups
+        FROM ranked WHERE rn <= 3
     """
     return base

@@ -1,0 +1,181 @@
+"""URL canonicalization, URL-level dedup and per-domain quota caps —
+the web-crawl curation front door every large-scale corpus pipeline
+runs before any content-level dedup (CommonCrawl/CCNet derivatives
+dedup by canonical URL first because it is free compared to MinHash,
+and cap per-domain document counts so no single host dominates the
+training mixture).
+
+Everything here is whole-stage-codegen column work (regexp + array
+built-ins): ``url_normalize`` is a zero-shuffle map that runs inside
+the scan stage; ``url_dedup`` is one hash aggregate on the canonical
+URL (16-byte md5 of it at scale, same trick as ``exact_dedup``);
+``cap_per_domain`` is one window over the domain key — the only
+shuffle either op needs, keyed on the column the semantics group by.
+
+Canonical form (documented contract, applied in this order):
+
+1. trim surrounding whitespace;
+2. scheme and authority lowercased (path/query case is preserved —
+   it is significant on most servers);
+3. default ports dropped (``:80`` for http, ``:443`` for https);
+4. the fragment removed;
+5. tracking query parameters removed (``utm_*``, ``gclid``,
+   ``fbclid``, ``msclkid``, ``yclid``, ``igshid``, ``mc_cid``,
+   ``mc_eid``, ``_ga`` — the shared-link noise that fans one page
+   out into dozens of "distinct" URLs), remaining parameters SORTED
+   by raw text and re-joined (parameter order is almost never
+   significant; sorting makes equal-parameter URLs equal strings);
+6. trailing slashes stripped from the path (empty path → ``/``);
+7. optional ``strip_www``.
+
+URLs with no ``scheme://`` part normalize to NULL (not silently
+passed through — a malformed URL must never collide with a real
+canonical form); ``url_dedup`` excludes them and callers can count
+NULLs for a reject report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = (
+    r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|yclid|igshid"
+    r"|mc_cid|mc_eid|_ga)(=.*)?$"
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_normalize_col(
+    url: Column, strip_www: bool = False
+) -> Column:
+    """Column expression form of :func:`url_normalize` (composable
+    inside any projection). NULL for inputs without ``scheme://``."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    if strip_www:
+        auth = F.regexp_replace(auth, r"^www\.", "")
+    # default ports are scheme-dependent
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), auth, path, qpart),
+    )
+
+
+def url_normalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Append the canonical URL column (see the module contract).
+    Pure codegen projection — zero shuffle, runs inside the scan."""
+    if out_col in df.columns:
+        raise ValueError(f"df already has reserved column: {out_col!r}")
+    return df.withColumn(
+        out_col, url_normalize_col(F.col(url_col), strip_www=strip_www)
+    )
+
+
+def registrable_domain_col(host_or_url: Column) -> Column:
+    """Naive registrable domain: the last two dot-labels of the host
+    (port stripped; full URLs accepted — the authority is extracted
+    first). DOCUMENTED simplification: without a Public Suffix List
+    dependency, multi-label suffixes (``example.co.uk``) collapse to
+    the last two labels (``co.uk``) — fine for quota grouping, wrong
+    for ownership attribution. Single-label hosts return themselves."""
+    u = F.trim(host_or_url)
+    host = F.when(
+        u.rlike(_SCHEME_RE),
+        F.regexp_extract(F.regexp_replace(u, _SCHEME_RE, ""), r"^([^/?#]*)", 1),
+    ).otherwise(u)
+    host = F.lower(F.regexp_replace(host, r":\d+$", ""))
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(host)
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url_norm",
+) -> DataFrame:
+    """(url_norm, keep_id, n_dups) — one row per canonical URL, the
+    smallest id kept (the :func:`exact_dedup` convention). Rows with
+    NULL canonical URL (malformed inputs) are excluded. One hash
+    aggregate on the URL; at 100 TB group on ``md5(url_norm)`` to
+    shrink shuffle rows, exactly as ``exact_dedup`` documents."""
+    return (
+        df.filter(F.col(url_col).isNotNull())
+        .groupBy(F.col(url_col))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen deterministically:
+    the ``cap`` smallest ``md5(salt:domain:id)`` draws win (the repo's
+    standing replayable-sample contract — a different ``salt`` draws a
+    different subset, the same salt replays bit-for-bit on any
+    partitioning). The quota step of crawl curation: no host gets to
+    dominate the mixture however many pages it serves.
+
+    One row_number window partitioned by the domain key — the single
+    shuffle the semantics require. Skew note: a monster domain lands
+    in one task for its window sort; md5 draws are uniform, so for
+    very hot domains pre-filter with a cheap
+    ``md5 < cap/n_domain_rows``-quantile pass before the exact window
+    if profiling shows a straggler."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    draw = md5_prefix_long(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col(domain_col).cast("string"),
+            F.col(id_col).cast("string"),
+        ),
+        52,
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        draw.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

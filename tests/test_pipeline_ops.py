@@ -3081,3 +3081,115 @@ def test_bpe_train_min_pair_floor(spark):
     assert merges == []  # every pair occurs once
     merges1 = bpe_train(df, n_merges=3, min_pair_count=1)
     assert len(merges1) == 3
+
+
+def test_url_normalize_contract(spark):
+    """Canonicalization applies the documented steps: case, default
+    ports, fragment, tracking params, param sort, trailing slash;
+    malformed (scheme-less) input normalizes to NULL."""
+    from pidb_rdf_spark.operators import url_normalize
+
+    rows = [
+        (1, "  HTTPS://Example.COM:443/a/b/?utm_source=x&z=2&a=1#frag  "),
+        (2, "http://example.com:80"),
+        (3, "http://example.com:8080/path//"),
+        (4, "https://example.com/?fbclid=abc&UTM_CAMPAIGN=y"),
+        (5, "example.com/no-scheme"),
+        (6, "ftp://Host.Example.com:21/File.TXT"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in url_normalize(df).collect()}
+    assert got[1] == "https://example.com/a/b?a=1&z=2"
+    assert got[2] == "http://example.com/"
+    assert got[3] == "http://example.com:8080/path"
+    assert got[4] == "https://example.com/"  # tracking-only query drops
+    assert got[5] is None
+    # non-http(s) schemes keep their port; path case preserved
+    assert got[6] == "ftp://host.example.com:21/File.TXT"
+    # strip_www option
+    got2 = {
+        r.doc_id: r.url_norm
+        for r in url_normalize(
+            spark.createDataFrame(
+                [(1, "https://WWW.Example.com/x")], "doc_id long, url string"
+            ),
+            strip_www=True,
+        ).collect()
+    }
+    assert got2[1] == "https://example.com/x"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        url_normalize(df.withColumn("url_norm", F.lit("x")))
+
+
+def test_registrable_domain(spark):
+    """Last-two-labels grouping off hosts OR full URLs; ports strip;
+    single-label hosts return themselves (PSL simplification is
+    documented)."""
+    from pidb_rdf_spark.operators import registrable_domain_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.b.Example.com:8443/x?q=1"),
+            (2, "news.example.org"),
+            (3, "localhost:9000"),
+        ],
+        "id long, u string",
+    )
+    got = {
+        r.id: r.d
+        for r in df.select(
+            "id", registrable_domain_col(F.col("u")).alias("d")
+        ).collect()
+    }
+    assert got == {1: "example.com", 2: "example.org", 3: "localhost"}
+
+
+def test_url_dedup_and_cap_per_domain(spark):
+    """url_dedup keeps the min id per canonical URL and excludes
+    NULLs; cap_per_domain keeps exactly cap rows per domain,
+    deterministically (same salt replays on any partitioning,
+    a different salt draws differently)."""
+    from pidb_rdf_spark.operators import (
+        cap_per_domain,
+        url_dedup,
+        url_normalize,
+    )
+
+    rows = [
+        (10, "https://a.com/p?utm_source=x"),
+        (11, "https://A.COM/p/"),
+        (12, "https://a.com/q"),
+        (13, "not a url"),
+    ]
+    df = url_normalize(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    )
+    d = {r.url_norm: (r.keep_id, r.n_dups) for r in url_dedup(df).collect()}
+    assert d == {
+        "https://a.com/p": (10, 2),
+        "https://a.com/q": (12, 1),
+    }
+    big = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("d"), (F.col("id") % 3).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    kept = cap_per_domain(big, "domain", cap=5)
+    per = {
+        r.domain: r.n
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"d0.com": 5, "d1.com": 5, "d2.com": 5}
+    again = sorted(r.doc_id for r in cap_per_domain(
+        big.repartition(13), "domain", cap=5).collect())
+    assert again == sorted(r.doc_id for r in kept.collect())
+    other = sorted(r.doc_id for r in cap_per_domain(
+        big, "domain", cap=5, salt="other").collect())
+    assert other != again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_domain(big, "domain", cap=0)
