@@ -340,3 +340,79 @@ def test_funnel_matches_python_oracle(spark, data):
     }
     want = _py_funnel(rows, ["a", "b", "c"], 3600)
     assert [got[i] for i in range(3)] == want
+
+
+# --- URL canonicalization properties -------------------------------------
+
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, path, params, frag: (
+        scheme
+        + "://"
+        + ("WWW." if www else "")
+        + host
+        + (f":{port}" if port else "")
+        + "/"
+        + "/".join(path)
+        + ("/" if path else "")
+        + ("?" + "&".join(params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    www=st.booleans(),
+    host=st.sampled_from(
+        ["Example.COM", "a.b.example.org", "localhost", "X--Y.net"]
+    ),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    path=st.lists(
+        st.text(
+            alphabet="abcXYZ019._-~", min_size=1, max_size=6
+        ),
+        max_size=3,
+    ),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "Z=2", "utm_source=x", "UTM_campaign=Y",
+             "fbclid=f", "q=hello", "empty="]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from([None, "sec", "x/y?z"]),
+)
+
+
+@SLOW
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=20))
+def test_url_normalize_idempotent_and_clean(spark, urls):
+    """Canonicalization is IDEMPOTENT (normalize∘normalize ==
+    normalize — the property that makes canonical URLs safe as join/
+    dedup keys built at different pipeline stages) and the output
+    never retains a fragment, a tracking parameter, a default port,
+    or uppercase scheme/authority."""
+    from pyspark.sql import functions as F
+
+    from pidb_rdf_spark.operators import url_normalize
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    once = url_normalize(df)
+    twice = url_normalize(
+        once.select("doc_id", F.col("url_norm").alias("url"))
+    )
+    a = {r.doc_id: r.url_norm for r in once.collect()}
+    b = {r.doc_id: r.url_norm for r in twice.collect()}
+    assert a == b
+    for v in a.values():
+        assert v is not None
+        assert "#" not in v
+        assert "utm_" not in v.lower().split("?")[-1] or "?" not in v
+        assert "fbclid" not in v
+        # default ports are scheme-specific: :80 is only default for
+        # http (https://host:80 is a DIFFERENT origin and must stay)
+        assert not (v.startswith("http://") and ":80/" in v)
+        assert not (v.startswith("https://") and ":443/" in v)
+        scheme, rest = v.split("://", 1)
+        assert scheme == scheme.lower()
+        auth = rest.split("/", 1)[0]
+        assert auth == auth.lower()
