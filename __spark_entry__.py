@@ -99,10 +99,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 147. Adding an
-#      entry past 150 REQUIRES consolidating siblings first (the
-#      curation_pipeline composite is the model). The ceiling is
-#      checked by tests/test_entry_contract.py.
+#      entry count at 50 x 3 = 150. Current count: 148 (headroom 2).
+#      Adding an entry past 150 REQUIRES consolidating siblings
+#      first (the curation_pipeline composite is the model). The
+#      ceiling is checked by tests/test_entry_contract.py.
 #
 # r10 rotation, paying the r9 debt exactly as promised: the FRONT 50
 # = the 36 entries whose newest green row is r7 (the full owed list
@@ -2578,10 +2578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def modularity_regions(spark, sf_dir):
         """Newman modularity decomposition (analytics.modularity_table)
         of the REGION partition over the containment graph: per-region
-        intra-edge counts, degree sums and Q contributions. Two
-        community-sized aggregations off one deduplicated edge frame;
-        contributions rounded to 6 decimals for the cross-engine
-        compare (both operands are exact small-integer ratios)."""
+        intra-edge counts, degree sums and the EXACT integer Q
+        numerator. Two community-sized aggregations off one
+        deduplicated edge frame; the compare is integer-only — the
+        float contribution column is deliberately NOT selected (its
+        6-decimal rounding was the r9 hash mismatch)."""
         from pidb_rdf_spark.analytics import modularity_table
 
         nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -2848,6 +2849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .out("IN_NATION")
             .in_("IN_NATION")
         )
+        # DELIBERATELY NOT checkpointed before the two branches:
+        # unlike simhash_pairs (where the shared subplan is the
+        # expensive part), each branch here collapses to a count over
+        # cheap joins — measured 2.97 s recomputed vs 6.71 s with a
+        # localCheckpoint pinning the 75k-row path-array frame
+        # (materialization dominates; negative result recorded)
         cyc = (
             t.cyclic_path()
             .to_df()
@@ -5017,7 +5024,10 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY r_name ORDER BY r_name
     """
     base["kcore_dup_graph"] = _kcore_sql(2, 10)
-    base["core_numbers_dup_graph"] = _core_numbers_sql(4, 10)
+    # max_k=6 unrolls stages for degeneracy <= 5 — 2.5x the sf0.01
+    # graph's observed degeneracy of 2, so a fixture regeneration has
+    # real margin before the documented loud row-mismatch fires
+    base["core_numbers_dup_graph"] = _core_numbers_sql(6, 10)
     base["eigenvector_containment"] = _eig_sql(20)
     base["assortativity_containment"] = """
         WITH ed AS MATERIALIZED (

@@ -521,6 +521,14 @@ class Traversal:
                 order = [key, F.col(CUR).asc()]
             else:
                 order = [F.col(CUR).asc()]
+            # duplicate traversers at one element (same CUR, different
+            # carried __path/__sack state) must rank deterministically
+            # too — trail the same state tie-breaks the slice steps use
+            order += [
+                F.col(c).cast("string").asc()
+                for c in df.columns
+                if c not in (CUR, "__tid", "__ok")
+            ]
             w = Window.partitionBy("__tid").orderBy(*order)
             df = df.withColumn("__rn", F.row_number().over(w))
             if limit is not None:
@@ -772,13 +780,35 @@ class Traversal:
             F.count("*").alias("count")
         )
 
+    def _det_tiebreaks(
+        self, exclude: tuple = (), desc: bool = False
+    ) -> list:
+        """Trailing sort keys making slices/top-k deterministic when
+        the frontier holds DUPLICATE traversers at one element (same
+        id, different __path/__sack history): every deterministic
+        carried column, cast to string so arrays order consistently.
+        ``__tid`` stays out — monotonically_increasing_id values vary
+        with partitioning and would break replayability."""
+        skip = set(exclude) | {CUR, "__tid"}
+        return [
+            (
+                F.col(c).cast("string").desc()
+                if desc
+                else F.col(c).cast("string").asc()
+            )
+            for c in self.df.columns
+            if c not in skip
+        ]
+
     def order_by(self, key: str, asc: bool = True) -> "Traversal":
         frontier = self._frontier_nodes()
         col = self.g.node_prop(key)
         return self._with(
-            frontier.orderBy(col.asc() if asc else col.desc()).select(
-                CUR, *[c for c in self.df.columns if c != CUR]
-            )
+            frontier.orderBy(
+                col.asc() if asc else col.desc(),
+                F.col(CUR).asc(),
+                *self._det_tiebreaks(),
+            ).select(CUR, *[c for c in self.df.columns if c != CUR])
         )
 
     def limit(self, n: int) -> "Traversal":
@@ -787,14 +817,18 @@ class Traversal:
     def range_(self, low: int, high: int) -> "Traversal":
         """Traversers [low, high) — TinkerPop ``range()``. TinkerPop
         leaves stream order undefined; here the slice is taken over
-        element-id order so the answer is deterministic and
+        element-id order (carried traverser state as the tie-break,
+        so duplicate traversers at one element slice identically on
+        any partitioning) so the answer is deterministic and
         engine-replayable. Physical shape: sort + offset + limit —
         Spark executes the bounded sort as TakeOrdered (no global
         single-partition sort materializes)."""
         if not 0 <= low < high:
             raise ValueError("range_ needs 0 <= low < high")
         return self._with(
-            self.df.orderBy(F.col(CUR).asc()).offset(low).limit(high - low)
+            self.df.orderBy(F.col(CUR).asc(), *self._det_tiebreaks())
+            .offset(low)
+            .limit(high - low)
         )
 
     def skip(self, n: int) -> "Traversal":
@@ -802,13 +836,21 @@ class Traversal:
         (TinkerPop ``skip()``) — same determinism note as
         :meth:`range_`. An unbounded offset implies a full sort; pair
         with ``limit`` (or use ``range_``) on large frontiers."""
-        return self._with(self.df.orderBy(F.col(CUR).asc()).offset(n))
+        return self._with(
+            self.df.orderBy(F.col(CUR).asc(), *self._det_tiebreaks())
+            .offset(n)
+        )
 
     def tail(self, n: int) -> "Traversal":
         """Last ``n`` traversers in element-id order (TinkerPop
         ``tail()``): the id-descending top-n re-sorted ascending —
-        two TakeOrdered-class bounded sorts, never a global sort."""
-        last = self.df.orderBy(F.col(CUR).desc()).limit(n)
+        two TakeOrdered-class bounded sorts, never a global sort.
+        The descending pass reverses the SAME total order range_/skip
+        use (id + carried-state tie-breaks), so the three slices
+        partition the frontier consistently."""
+        last = self.df.orderBy(
+            F.col(CUR).desc(), *self._det_tiebreaks(desc=True)
+        ).limit(n)
         return self._with(last.orderBy(F.col(CUR).asc()))
 
     def coin(self, p: float) -> "Traversal":

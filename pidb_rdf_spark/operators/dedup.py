@@ -6,29 +6,40 @@ The reference engine's only dedup is edge dedup-on-insert
 ``dedup()`` (SURVEY.md §2.5 A6). Document-level near-dup detection is
 the scale extension a 100 TB training-data pipeline needs.
 
-Scale design:
+Scale design (r10 shapes):
 - **exact_dedup**: one hash-aggregate shuffle on the content key.
-- **MinHash+LSH**: the linear-time path. Signatures are computed
-  with one shuffle (groupBy doc); banding turns the quadratic
-  all-pairs problem into equi-joins on (band, band_hash) buckets —
-  only same-bucket docs are compared. Candidates are then verified
-  with the exact Jaccard join, so the output equals the exact
-  all-pairs answer with probability ~1 at the configured
-  (bands, rows) operating point (b=32, r=4 ⇒ P[detect s≥0.8] >
-  1-5e-8) while never materializing O(n²) pairs.
-- **SimHash**: zero-shuffle signature (per-row fold over token
-  hashes), Hamming-≤k pairs found by pigeonhole banding: split the
-  signature into k+1 chunks; any pair within distance k must agree
-  on ≥1 chunk, so candidates come from equi-joins on chunk values —
-  exact recall, no n² scan.
+- **MinHash+LSH**: the linear-time path. Each doc's hashed shingle
+  SET is built as one array column in place (``shingle_hash_sets`` —
+  no explode, ZERO shuffle) and feeds the vectorized signature
+  kernel directly; banding turns the quadratic all-pairs problem
+  into equi-joins on (band, band_hash) buckets — only same-bucket
+  docs are compared, and the banding join + its distinct are the
+  only shuffles in the pipeline. Candidates are then verified with
+  the exact Jaccard intersect over the same pinned set arrays, so
+  the output equals the exact all-pairs answer with probability ~1
+  at the configured (bands, rows) operating point (b=32, r=4 ⇒
+  P[detect s≥0.8] > 1-5e-8) while never materializing O(n²) pairs.
+- **SimHash**: per-doc distinct-bigram md5 array built in place
+  (no explode, zero shuffle) + one Arrow vote kernel; Hamming-≤k
+  pairs found by pigeonhole banding: split the signature into k+1
+  chunks; any pair within distance k must agree on ≥1 chunk, so
+  candidates come from equi-joins on chunk values — exact recall,
+  no n² scan.
 - **embedding near-dup**: cosine threshold pairs with optional
   random-hyperplane bucketing (see similarity.py) for the n² cut.
 
-Determinism: token/shingle hashing uses md5 (first 8 hex chars →
-32-bit int) — reproducible in any engine, so every operator here is
-verifiable against a SQL oracle. xxhash64 would be ~2× faster for
-the MinHash base hash; md5 keeps the whole pipeline cross-checkable
-and is still JVM-side vectorized.
+NULL-text rows are EXCLUDED by the set builders (deliberate r10
+change: the earlier exploded pipelines emitted a NULL-shingle row
+per NULL doc, so two contentless docs scored Jaccard 1.0 against
+each other — a meaningless match; absent content now produces no
+signature and no pairs, matching exact_dedup's content-key
+semantics).
+
+Determinism: the operators verified against SQL oracles hash with
+md5 (first hex chars → int) — reproducible in any engine. The
+MinHash BASE hash is the one exception: it is xxhash64 (faster,
+native), safe because LSH output is exact-Jaccard-VERIFIED, so no
+oracle ever needs to replay the base hash itself.
 """
 
 from __future__ import annotations
@@ -103,8 +114,12 @@ def shingle_hash_sets(
     round trip. Hash values equal ``xxhash64(shingle-string)`` so the
     verify arithmetic and the persisted-index format are unchanged.
     Per-doc memory is the same as before (the set always materialized
-    per doc inside collect_list); NULL texts drop, matching the
-    exploded form where they produce no rows.
+    per doc inside collect_list). NULL texts drop — a DELIBERATE
+    behavior change vs the exploded form, which emitted one
+    NULL-shingle row per contentless doc and therefore scored two
+    NULL-text docs as Jaccard-1.0 duplicates of each other; absent
+    content now produces no signature and no pairs (the module
+    docstring records the contract).
 
     Small-input parallelism gate: with no shuffle, the shingle
     transform AND the downstream Arrow signature kernel inherit the

@@ -741,7 +741,14 @@ def bpe_train(
             )
         ).alias("w")
     ).filter(F.length("w") > 0)
-    word_freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # pinned: BOTH tiers read this frame twice (limit-probe then
+    # collect / vocab build) — without the checkpoint the corpus
+    # scan + shuffle behind it runs once per consumer
+    word_freq = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
     if driver_cap > 0:
         probe = word_freq.limit(driver_cap + 1).count()
         if probe <= driver_cap:

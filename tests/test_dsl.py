@@ -742,3 +742,33 @@ def test_fold_and_numeric_terminals(graph, spark):
     assert abs(t.mean_("c_acctbal").first()["mean"] - sum(vals) / len(vals)) < 1e-9
     assert t.min_("c_acctbal").first()["min"] == min(vals)
     assert t.max_("c_acctbal").first()["max"] == max(vals)
+
+
+def test_slices_deterministic_with_duplicate_traversers(graph):
+    """range_/skip/tail/local() slice DUPLICATE traversers at the
+    same element (same id, different __path history) identically on
+    any partitioning: carried state is part of the total order."""
+    t = (
+        traversal(graph)
+        .V()
+        .has_label("Nation")
+        .with_path()
+        .in_("IN_NATION")
+        .out("IN_NATION")  # back to nations: many traversers per id
+    )
+    a = t.range_(3, 9).path().collect()
+    b = (
+        traversal(graph)
+        .V()
+        .has_label("Nation")
+        .with_path()
+        .in_("IN_NATION")
+        .out("IN_NATION")
+        .range_(3, 9)
+        .path()
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    tl = t.tail(5).path().collect()
+    tl2 = t.tail(5).path().collect()
+    assert sorted(map(tuple, tl)) == sorted(map(tuple, tl2))

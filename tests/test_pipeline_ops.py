@@ -3193,3 +3193,22 @@ def test_url_dedup_and_cap_per_domain(spark):
 
     with _pytest.raises(ValueError):
         cap_per_domain(big, "domain", cap=0)
+
+
+def test_dedup_null_text_produces_no_pairs(spark):
+    """Contentless (NULL-text) docs produce no signature and no pairs
+    in MinHash and SimHash — the deliberate r10 contract (the earlier
+    exploded pipelines scored two NULL docs as Jaccard-1.0 duplicates
+    of each other); empty-STRING docs still participate."""
+    from pidb_rdf_spark.operators import minhash_lsh_dedup
+    from pidb_rdf_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "the same text here"),
+         (4, "the same text here")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_dedup(df, threshold=0.8).collect()
+    assert [(r.a, r.b) for r in pairs] == [(3, 4)]
+    sigs = {r.id for r in simhash(df).collect()}
+    assert sigs == {3, 4}
