@@ -99,7 +99,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 148 (headroom 2).
+#      entry count at 50 x 3 = 150. Current count: 149 (headroom 1).
 #      Adding an entry past 150 REQUIRES consolidating siblings
 #      first (the curation_pipeline composite is the model). The
 #      ceiling is checked by tests/test_entry_contract.py.
@@ -132,7 +132,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #
 # Deferred: core_numbers_dup_graph + eigenvector_containment +
 # assortativity_containment + local_clustering_dups +
-# url_canon_cap_docs (BORN
+# url_canon_cap_docs + exact_contam_docs (BORN
 # DEFERRED late r10 — the
 # window was full and locked after the debt payment; never-proven,
 # locally validated vs its oracle at birth, enters the r11 window
@@ -148,6 +148,7 @@ _DEFER_TO_TAIL = [
     "assortativity_containment",
     "local_clustering_dups",
     "url_canon_cap_docs",
+    "exact_contam_docs",
     # -- r8-green (2 rounds old at r10; first priority for r11) ------
     "bgp_three_hop",
     "filter_order_limit",
@@ -2975,6 +2976,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("doc_id", "url_norm", "domain", "n_dups")
 
     q["url_canon_cap_docs"] = url_canon_cap_docs
+
+    def exact_contam_docs(spark, sf_dir):
+        """Exact-substring decontamination
+        (decontam.exact_contamination): every 97th doc's first 24
+        characters act as the benchmark answer strings; each training
+        doc reports how many appear verbatim (case-folded) in its
+        text. The eval side enters the plan as ONE array literal —
+        zero-shuffle contains() scan; the oracle replays the
+        derivation with a correlated contains count."""
+        from pidb_rdf_spark.operators import exact_contamination
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        evals = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.substring("text", 1, 24).alias("text")
+        )
+        return exact_contamination(docs, evals, min_len=16).select(
+            "doc_id", "n_contaminated", "contaminated"
+        )
+
+    q["exact_contam_docs"] = exact_contam_docs
 
     return _rotate_checked_window(q)
 
@@ -5874,5 +5895,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, url_norm, domain, n_dups
         FROM ranked WHERE rn <= 3
+    """
+
+    # exact_contam_docs: eval strings = lower(trim(first 24 chars))
+    # of every 97th doc, >= 16 chars after trim, distinct; per doc,
+    # count how many appear verbatim in the case-folded text
+    base["exact_contam_docs"] = """
+        WITH ev AS (
+            SELECT DISTINCT lower(trim(substring(text, 1, 24))) AS e
+            FROM documents
+            WHERE doc_id % 97 = 0
+              AND length(lower(trim(substring(text, 1, 24)))) >= 16
+        )
+        SELECT d.doc_id,
+               CAST((SELECT count(*) FROM ev
+                     WHERE contains(lower(d.text), ev.e))
+                    AS BIGINT) AS n_contaminated,
+               (SELECT count(*) FROM ev
+                WHERE contains(lower(d.text), ev.e)) > 0 AS contaminated
+        FROM documents d
     """
     return base

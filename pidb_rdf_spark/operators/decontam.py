@@ -207,3 +207,68 @@ def contaminated_ids(
         .select("train_id")
         .dropDuplicates()
     )
+
+
+def exact_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 16,
+    case_sensitive: bool = False,
+    max_eval_collect: int = 100_000,
+) -> DataFrame:
+    """Exact-substring contamination: per training doc, how many eval
+    strings appear VERBATIM inside its text. The third member of the
+    decontamination family — :func:`ngram_overlap` needs ``n`` whole
+    words and :func:`semantic_overlap` catches paraphrases, but a
+    short verbatim answer string ("42", a 3-word quote, a code
+    snippet with punctuation) slips past both; benchmark answer-key
+    leakage checks are run exactly this way.
+
+    Output: ``(id_col, n_contaminated, contaminated bool)`` — one row
+    per training doc (zero-match docs included, the usual filter
+    input). Eval strings shorter than ``min_len`` characters (after
+    trim) are EXCLUDED — tiny strings match everything and say
+    nothing; tune per benchmark.
+
+    Scale shape: the eval strings are benchmark-sized — they are
+    limit-probed against ``max_eval_collect`` (fail-fast, same
+    contract as :func:`semantic_overlap`) and enter the plan as ONE
+    array literal, so the scan side does a zero-shuffle,
+    whole-stage-codegen ``aggregate(filter(contains))`` pass per doc:
+    no join, no explode, nothing moves but the scan itself. Cost is
+    O(|doc| x n_evals) per row — the Aho-Corasick trade documented
+    honestly: at thousands of eval strings prefer ``ngram_overlap``
+    as a prefilter and run this on the flagged survivors."""
+    ev = F.trim(F.col(text_col))
+    if not case_sensitive:
+        ev = F.lower(ev)
+    rows = (
+        eval_df.select(ev.alias("__e"))
+        .filter(F.length("__e") >= min_len)
+        .dropDuplicates()
+        .limit(max_eval_collect + 1)
+        .collect()
+    )
+    if len(rows) > max_eval_collect:
+        raise ValueError(
+            f"exact_contamination builds an eval-string literal; eval "
+            f"side exceeds max_eval_collect={max_eval_collect} distinct "
+            f"strings — this side should be the benchmark set, not the "
+            f"corpus (or prefilter with ngram_overlap)"
+        )
+    evals = sorted(r["__e"] for r in rows)
+    hay = F.col(text_col)
+    if not case_sensitive:
+        hay = F.lower(hay)
+    needles = F.array(*[F.lit(s) for s in evals])
+    n_hit = F.size(
+        F.filter(needles, lambda s: F.contains(hay, s))
+    ).cast("long")
+    n_hit = F.when(F.col(text_col).isNotNull(), n_hit).otherwise(F.lit(0))
+    return train.select(
+        F.col(id_col),
+        n_hit.alias("n_contaminated"),
+        (n_hit > 0).alias("contaminated"),
+    )

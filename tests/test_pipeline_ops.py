@@ -3212,3 +3212,49 @@ def test_dedup_null_text_produces_no_pairs(spark):
     assert [(r.a, r.b) for r in pairs] == [(3, 4)]
     sigs = {r.id for r in simhash(df).collect()}
     assert sigs == {3, 4}
+
+
+def test_exact_contamination(spark):
+    """Exact-substring contamination: verbatim eval strings found
+    inside training docs (case-folded by default, verbatim under
+    case_sensitive=True); sub-min_len and NULL eval strings are
+    excluded; zero-match and NULL-text docs still get rows; the
+    benchmark-size cap fails fast."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import exact_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "The QUICK brown fox jumps over the dog"),
+            (2, "nothing to see here at all folks"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            ("the quick BROWN fox",),
+            ("short",),
+            ("  jumps over the dog  ",),
+            (None,),
+        ],
+        "text string",
+    )
+    got = {
+        r.doc_id: (r.n_contaminated, r.contaminated)
+        for r in exact_contamination(train, evals).collect()
+    }
+    assert got == {1: (2, True), 2: (0, False), 3: (0, False)}
+    cs = {
+        r.doc_id: r.n_contaminated
+        for r in exact_contamination(
+            train, evals, case_sensitive=True
+        ).collect()
+    }
+    assert cs == {1: 1, 2: 0, 3: 0}  # only the trimmed verbatim needle
+    # empty eval set (everything under min_len): all-zero rows remain
+    none = exact_contamination(train, evals, min_len=1000)
+    assert {r.n_contaminated for r in none.collect()} == {0}
+    with _pytest.raises(ValueError, match="max_eval_collect"):
+        exact_contamination(train, evals, max_eval_collect=1)
