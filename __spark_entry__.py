@@ -2667,10 +2667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def quantile_band_orders(spark, sf_dir):
         """Per-group quantile-band outlier trim
-        (curation.quantile_band_filter, exact tier): keep orders in
-        the [0.1, 0.9] percent_rank band of o_totalprice per
-        o_orderpriority — ties share a rank so equal values stay or
-        go together. The approx_percentile tier (bounded mergeable
+        (curation.quantile_band_filter, exact tier): keep orders
+        whose o_totalprice RANK INTERVAL intersects [0.1, 0.9] per
+        o_orderpriority — ties share an interval so equal values stay
+        or go together, and small groups survive (the r10 semantics
+        fix: a percent_rank band erased 1-2 row groups). The approx_percentile tier (bounded mergeable
         sketch + broadcast range filter, no sort) is the 100 TB path,
         pinned by tests."""
         from pidb_rdf_spark.operators import quantile_band_filter
@@ -4143,7 +4144,8 @@ def _scale_extension_oracles() -> dict[str, str]:
         "pii_scrub_docs": f"""
             -- sequential scrub mirrored exactly: each count is taken
             -- on the text as already scrubbed by the EARLIER rules
-            -- (emails before phones before IPs), like operators.scrub
+            -- (emails, then IPs, then phones — IPs must go before
+            -- phones so dotted quads never scrub as <PHONE>)
             WITH d AS (
                 SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -4157,27 +4159,32 @@ def _scale_extension_oracles() -> dict[str, str]:
                        regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')
                            AS text
                 FROM d
-            ), p AS (
+            ), i AS (
                 SELECT doc_id, n_email,
-                       CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
-                            AS BIGINT) AS n_phone,
-                       regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g')
+                       CAST(len(regexp_extract_all(text, '{_IPV4_RE}'))
+                            AS BIGINT) AS n_ip,
+                       regexp_replace(text, '{_IPV4_RE}', '<IP>', 'g')
                            AS text
                 FROM e
             )
             SELECT doc_id,
-                   regexp_replace(text, '{_IPV4_RE}', '<IP>', 'g') AS text,
-                   n_email, n_phone,
-                   CAST(len(regexp_extract_all(text, '{_IPV4_RE}'))
-                        AS BIGINT) AS n_ip
-            FROM p
+                   regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g')
+                       AS text,
+                   n_email,
+                   CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
+                        AS BIGINT) AS n_phone,
+                   n_ip
+            FROM i
         """,
         "chunk_documents": """
             -- windows of 16 ws-tokens advancing by 12 (overlap 4);
             -- DuckDB list slice l[a:b] is 1-based inclusive
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS toks
+                       list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           t -> t <> ''
+                       ) AS toks
                 FROM documents
             ), c AS (
                 SELECT doc_id, toks, len(toks) AS n,
@@ -5659,12 +5666,17 @@ def oracle_sql() -> dict[str, str]:
     base["quantile_band_orders"] = """
         WITH r AS (
             SELECT o_orderkey, o_orderpriority, o_totalprice,
-                   percent_rank() OVER (PARTITION BY o_orderpriority
-                                        ORDER BY o_totalprice) AS pr
+                   CAST(rank() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) - 1
+                        AS DOUBLE)
+                     / count(*) OVER (PARTITION BY o_orderpriority)
+                     AS lo,
+                   cume_dist() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) AS hi
             FROM orders WHERE o_totalprice IS NOT NULL
         )
         SELECT o_orderkey, o_orderpriority, o_totalprice
-        FROM r WHERE pr >= 0.1 AND pr <= 0.9
+        FROM r WHERE lo <= 0.9 AND hi >= 0.1
     """
     base["weighted_sample_docs"] = """
         WITH s AS (

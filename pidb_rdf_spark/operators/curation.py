@@ -32,11 +32,21 @@ def hash_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, decided per row by content-key hash
     — stable under reruns, repartitioning, and corpus growth. Narrow
-    filter, zero shuffle; the predicate reaches the scan."""
+    filter, zero shuffle; the predicate reaches the scan.
+
+    Rows with a NULL sampling key are EXCLUDED at any fraction
+    (including 1.0): the replayable-draw contract needs a key value,
+    and silently hashing NULL would drop them anyway (md5(NULL) is
+    NULL, which fails every threshold) — the exclusion is the stated
+    behavior, not an accident. Filter or fill keys upstream if
+    NULL-keyed rows must participate."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     thr = int(fraction * _BUCKETS)
-    return df.filter(_hash_bucket(F.col(key_col), salt) < F.lit(thr))
+    return df.filter(
+        F.col(key_col).isNotNull()
+        & (_hash_bucket(F.col(key_col), salt) < F.lit(thr))
+    )
 
 
 def stratified_hash_sample(
@@ -50,7 +60,7 @@ def stratified_hash_sample(
     """Per-stratum sampling rates (the standard language/domain
     rebalancing step): ``fractions`` maps stratum value -> keep rate;
     unlisted strata keep ``default``. Same hash-stable, zero-shuffle
-    decision as ``hash_sample``."""
+    decision as ``hash_sample`` — including its NULL-key exclusion."""
     thr: Column = F.lit(int(default * _BUCKETS))
     for value, frac in sorted(fractions.items()):
         if not 0.0 <= frac <= 1.0:
@@ -58,7 +68,10 @@ def stratified_hash_sample(
         thr = F.when(
             F.col(strata_col) == F.lit(value), F.lit(int(frac * _BUCKETS))
         ).otherwise(thr)
-    return df.filter(_hash_bucket(F.col(key_col), salt) < thr)
+    return df.filter(
+        F.col(key_col).isNotNull()
+        & (_hash_bucket(F.col(key_col), salt) < thr)
+    )
 
 
 def pack_token_stream(
@@ -90,6 +103,11 @@ def pack_token_stream(
             shard.alias("shard"),
             F.col(token_count_col).cast("long").alias("__n"),
         )
+        # zero/NULL-token docs occupy no stream space and get NO
+        # placement row (keeping them would emit inverted chunk
+        # ranges — chunk_end = floor((end-1)/budget) underflows when
+        # __n = 0 — and NULL-count rows would carry NULL offsets)
+        .filter(F.col("__n") > 0)
         .withColumn("end_offset", F.sum("__n").over(w))
         .withColumn("start_offset", F.col("end_offset") - F.col("__n"))
     )
@@ -120,20 +138,30 @@ def corpus_diff(
     the shuffle carries two narrow columns, never the payloads — then
     one full-outer equi-join on the id; unchanged rows are filtered
     out. Content equality by md5, the engine's cross-checkable hash
-    family (a 128-bit collision is below hardware-error rates)."""
+    family (a 128-bit collision is below hardware-error rates).
+    Presence comes from explicit per-side flags, NOT from hash
+    nullness — md5(NULL) is NULL, so a doc whose content is NULL on
+    one side would otherwise masquerade as absent and be
+    misclassified added/removed instead of changed."""
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("__ho")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(content_col)).alias("__ho"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("__hn")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(content_col)).alias("__hn"),
+        F.lit(True).alias("__in_new"),
     )
     joined = o.join(n, on="id", how="full_outer")
     return (
         joined.withColumn(
             "change",
-            F.when(F.col("__ho").isNull(), F.lit("added"))
-            .when(F.col("__hn").isNull(), F.lit("removed"))
-            .when(F.col("__ho") != F.col("__hn"), F.lit("changed")),
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(
+                ~(F.col("__ho").eqNullSafe(F.col("__hn"))), F.lit("changed")
+            ),
         )
         .filter(F.col("change").isNotNull())
         .select(F.col("id").alias(id_col), "change")
@@ -208,7 +236,10 @@ def weighted_sample(
     (and the rounding of the emitted score) break by key value.
 
     Rows with NULL or non-positive weight are excluded — they have no
-    defined draw probability.
+    defined draw probability. Rows with a NULL key are excluded too
+    (the deterministic draw needs a key value; left in, their NULL
+    score would sort nulls-first and unconditionally win the sample —
+    the same exclusion hash_sample documents).
 
     Output: (``key_col``, ``weight_col``, ``sample_score`` rounded to
     6 decimals), the n winners.
@@ -238,7 +269,9 @@ def weighted_sample(
         + F.lit(1.0)
     ) / F.lit(float((1 << 52) + 1))
     score = -F.log(u) / w
-    kept = df.filter(w.isNotNull() & (w > 0))
+    kept = df.filter(
+        w.isNotNull() & (w > 0) & F.col(key_col).isNotNull()
+    )
     if by is not None:
         ranked = kept.select(
             F.col(by),
@@ -282,12 +315,22 @@ def quantile_band_filter(
 
     Two tiers, the repo's standing pattern:
 
-    - exact (default): ``percent_rank`` over the group — a full
-      sort per group, deterministic (ties share a rank, so equal
-      values are kept or dropped together), SQL-oracle-replayable.
-      With ``by=None`` this is ONE global sort — a single task holds
-      the whole table, so it warns (the approx tier is the 100 TB
-      path, exactly like the Cypher cartesian guard).
+    - exact (default): RANK-INTERVAL semantics over a per-group sort
+      — a row whose values occupy ranks (#below, #below + #equal]
+      covers the rank interval [#below/n, (#below+#equal)/n]; it is
+      kept iff that interval INTERSECTS [lower, upper]. Ties share
+      an interval, so equal values are kept or dropped together; a
+      singleton group covers [0, 1] and is always kept, and a 2-row
+      group keeps both rows under any band that touches each half —
+      matching the approx tier, whose inclusive value-bound compare
+      also keeps small groups (a plain ``percent_rank`` band instead
+      assigns a singleton rank 0.0 and ERASES it under any
+      lower > 0 — rare-language strata would silently vanish). The
+      compare is integer-ratio arithmetic (rank counts / n), exact
+      in any engine. With ``by=None`` this is ONE global sort — a
+      single task holds the whole table, so it warns (the approx
+      tier is the 100 TB path, exactly like the Cypher cartesian
+      guard).
     - ``approx=True`` — THE 100 TB tier: one
       ``approx_percentile`` aggregate (bounded mergeable state,
       map-side combinable) computes per-group value bounds, which
@@ -336,13 +379,19 @@ def quantile_band_filter(
     w = (
         Window.partitionBy(by) if by is not None else Window.partitionBy()
     ).orderBy(v)
-    pr = F.percent_rank().over(w)
+    wg = Window.partitionBy(by) if by is not None else Window.partitionBy()
+    base = df.filter(v.isNotNull())
+    # rank interval [#below/n, (#below+#equal)/n]: #below = rank()-1
+    # (min rank among ties), upper end = cume_dist; keep on overlap
+    n = F.count(F.lit(1)).over(wg).cast("double")
+    lo_frac = (F.rank().over(w) - F.lit(1)).cast("double") / n
+    hi_frac = F.cume_dist().over(w)
     return (
-        df.filter(v.isNotNull())
-        .withColumn("__pr", pr)
+        base.withColumn("__pr", lo_frac)
+        .withColumn("__b", hi_frac)
         .filter(
-            (F.col("__pr") >= F.lit(float(lower)))
-            & (F.col("__pr") <= F.lit(float(upper)))
+            (F.col("__pr") <= F.lit(float(upper)))
+            & (F.col("__b") >= F.lit(float(lower)))
         )
-        .drop("__pr")
+        .drop("__pr", "__b")
     )

@@ -51,7 +51,15 @@ def bloom_build(
     k_hashes: int = 5,
 ) -> DataFrame:
     """Build the filter: (word, bits) rows — the sparse 32-bit-word
-    bitset with every member's ``k_hashes`` bits set."""
+    bitset with every member's ``k_hashes`` bits set. ``m_bits`` is
+    capped at 2^32: bit positions come from a 32-bit md5 prefix, so a
+    larger m would silently leave the upper bits unreachable and
+    ``bloom_fp_rate`` would over-promise."""
+    if not 0 < m_bits <= (1 << 32):
+        raise ValueError(
+            f"m_bits must be in (0, 2^32] (positions are 32-bit md5 "
+            f"prefixes); got {m_bits}"
+        )
     positions = F.array(
         *[_bit_position(F.col(col), i, m_bits) for i in range(k_hashes)]
     )

@@ -117,9 +117,13 @@ def mix_sources(
         docs, weights, budget_tokens, temperature, source_col, token_col
     )
     spark = docs.sparkSession
+    # the rate table's key column carries the INPUT source dtype
+    # (int source ids are legal — a hardcoded string schema would
+    # crash createDataFrame and mistype the equi-join)
+    stype = docs.schema[source_col].dataType.simpleString()
     rate_df = spark.createDataFrame(
         [(s, int(r // 1), r - int(r // 1)) for s, _a, _t, r in rates],
-        f"{source_col} string, __nfull int, __frac double",
+        f"{source_col} {stype}, __nfull int, __frac double",
     )
     return (
         docs.join(F.broadcast(rate_df), on=source_col)
@@ -186,8 +190,10 @@ def write_training_shards(
     ``seq`` within each file — a data loader streams shard
     directories in order and replays the exact global permutation.
 
-    ONE shuffle end to end (repartition by the shard column feeds
-    both the directory partitioning and the local sort); rerunning
+    Two shard-keyed exchanges end to end (the seq window's hash
+    partition, then the repartition that feeds the directory
+    partitioning and local sort — AQE cannot fuse them because the
+    window's partition count differs from n_shards); rerunning
     with the same salt is byte-stable, re-salting lays out a fresh
     epoch. At 100 TB pick n_shards so a shard ~ the loader's unit of
     parallelism (thousands) — parquet files per directory stay 1."""

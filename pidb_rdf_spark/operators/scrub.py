@@ -31,8 +31,8 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 _RULES = [
     ("email", EMAIL_RE, "<EMAIL>"),
-    ("phone", PHONE_RE, "<PHONE>"),
     ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
 ]
 
 
@@ -41,8 +41,11 @@ def pii_scrub(
 ) -> DataFrame:
     """Original columns with ``text_col`` scrubbed + one
     ``n_<kind>`` count column per rule (how many spans were
-    replaced). Rules apply in order; default order matters (emails
-    before IPs — an email's host part can contain a dotted quad)."""
+    replaced). Rules apply in order; default order matters twice:
+    emails before IPs (an email's host part can contain a dotted
+    quad) and IPs before PHONES (PHONE_RE's digit-group pattern
+    matches dotted quads with 3-digit octets — 192.168.100.1 must
+    scrub as <IP>, not <PHONE>)."""
     rules = _RULES if rules is None else rules
     out = df
     scrubbed = F.col(text_col)
@@ -67,11 +70,17 @@ def chunk_documents(
     n_tokens)``. Chunks are windows of ``max_tokens`` whitespace
     tokens advancing by ``max_tokens - overlap``; the final window is
     short rather than padded, and a document shorter than
-    ``max_tokens`` yields exactly one chunk."""
+    ``max_tokens`` yields exactly one chunk (an empty/whitespace-only
+    document: one EMPTY chunk with ``n_tokens = 0`` — split of an
+    empty string yields [''], which would otherwise count as one
+    token, disagreeing with ``text.token_count``'s empties-dropped
+    contract)."""
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     n = F.size(toks)
     # starts: 0, stride, 2*stride, ... while start < n (>=1 chunk)
     n_chunks = F.greatest(
@@ -79,7 +88,10 @@ def chunk_documents(
     ).cast("int")
     starts = F.sequence(F.lit(0), n_chunks - 1)
     return (
-        df.select(
+        # NULL-text docs yield NO chunks (greatest() skips NULLs, so
+        # they would otherwise emit one all-NULL placement row)
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col),
             toks.alias("__toks"),
             F.posexplode(starts).alias("chunk_id", "__ci"),

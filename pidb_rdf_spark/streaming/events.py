@@ -173,7 +173,13 @@ def asof_join(
     ``right_ts <= left_ts`` (direction='backward') or the smallest
     ``right_ts >= left_ts`` (direction='forward') within the same
     ``on`` key — SQL ASOF JOIN semantics (unmatched → NULLs), both
-    directions inclusive at equality.
+    directions inclusive at equality. SQL NULL semantics hold too:
+    right rows with a NULL key or NULL timestamp never match anything
+    (they are dropped from the right side — left in, a NULL-ts row
+    sorts nulls-first and would be carried as the running match to
+    every left row that precedes all real right rows, and NULL keys
+    would equi-match each other through the window partition); left
+    rows with a NULL key come back unmatched.
 
     Implementation: tag both sides, union, single shuffle on the key,
     carry the nearest right row with a running ``last(...,
@@ -189,7 +195,9 @@ def asof_join(
         F.col(right_ts).alias("matched_ts"),
         *[F.col(c) for c in right_value_cols],
     )
-    r = right.select(
+    r = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
@@ -219,6 +227,13 @@ def asof_join(
         l.unionByName(r)
         .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
+        # a left row with NULL ts has no as-of position: force it
+        # unmatched (under forward's descending order it would sort
+        # nulls-last and pick up the smallest-ts right row)
+        .withColumn(
+            "_match",
+            F.when(F.col("_t").isNotNull(), F.col("_match")),
+        )
     )
     out = merged.select(
         *[F.col(f"_lv.{c}").alias(c) for c in left_cols],
@@ -311,6 +326,12 @@ def user_stats_stream(
     micro-batch emits the user's UPDATED totals once (update-mode
     sink semantics); the merge step is associative, so totals are
     batch-boundary-invariant — the stream≡batch test pins that.
+    NULL values/timestamps are SKIPPED like the batch twin's
+    F.sum/F.min (NaN cast to int64 silently yields INT64_MIN — a
+    permanent state corruption, not an exception). One documented
+    divergence: a user whose every value is NULL emits sum_cents 0
+    where the batch F.sum emits NULL (the integer state cannot
+    represent "never seen").
 
     Works on batch input too (falls back to ``user_stats``), so one
     call site serves both modes.
@@ -330,23 +351,40 @@ def user_stats_stream(
             n += len(pdf)
             # HALF_UP (away from zero), matching Spark's F.round in the
             # batch twin — pandas' .round() is half-EVEN and would put
-            # exact .5-cent values (e.g. 0.125*100) one cent off batch
+            # exact .5-cent values (e.g. 0.125*100) one cent off batch.
+            # NULL values arrive as NaN in the float64 column and must
+            # be SKIPPED like the batch twin's F.sum (astype('int64')
+            # of NaN silently yields INT64_MIN — a permanent ~-9.2e18
+            # state corruption, not an exception)
             v = pdf[value_col].to_numpy() * 100
+            v = v[~np.isnan(v)]
             cents += int(
                 (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64").sum()
             )
-            lo = int(ts.min().value // 1000)
-            hi = int(ts.max().value // 1000)
-            first_us = lo if first_us is None else min(first_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
+            # NULL timestamps arrive as NaT whose .value is INT64_MIN
+            # — skip them like the batch twin's F.min/F.max
+            tmin, tmax = ts.min(), ts.max()
+            if not pd.isna(tmin):
+                lo = int(tmin.value // 1000)
+                hi = int(tmax.value // 1000)
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, cents, first_us, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "sum_cents": [cents],
-                "first_ts": [pd.Timestamp(first_us * 1000)],
-                "last_ts": [pd.Timestamp(last_us * 1000)],
+                # a user whose every event so far has NULL ts emits
+                # NaT, matching the batch twin's NULL min/max
+                "first_ts": [
+                    pd.NaT if first_us is None
+                    else pd.Timestamp(first_us * 1000)
+                ],
+                "last_ts": [
+                    pd.NaT if last_us is None
+                    else pd.Timestamp(last_us * 1000)
+                ],
             }
         )
 
@@ -589,8 +627,15 @@ def funnel(
         .agg(F.min("t").alias("t1"))
     )
     deadline = F.col("t1") + F.expr(f"INTERVAL {within}")
-    cur = anchor.select("k", "t1", F.col("t1").alias("tprev"))
-    counts = [("0", steps[0], anchor.count())]
+    # each step's frame is pinned before its count: the count action
+    # materializes the checkpoint, so step i+1 joins against step i's
+    # cached survivors instead of re-running the whole join chain
+    # (without it the per-step counts re-execute a growing lineage —
+    # O(steps^2) scans of the event table)
+    cur = anchor.select(
+        "k", "t1", F.col("t1").alias("tprev")
+    ).localCheckpoint(eager=False)
+    counts = [("0", steps[0], cur.count())]
     for i, s in enumerate(steps[1:], start=1):
         nxt = (
             ev.filter(F.col("e") == s)
@@ -598,7 +643,7 @@ def funnel(
             .filter((F.col("t") >= F.col("tprev")) & (F.col("t") <= deadline))
             .groupBy("k", "t1")
             .agg(F.min("t").alias("tprev"))
-        )
+        ).localCheckpoint(eager=False)
         cur = nxt
         counts.append((str(i), s, nxt.count()))
     base = counts[0][2]

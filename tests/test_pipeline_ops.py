@@ -2591,12 +2591,15 @@ def test_weighted_sample_validates(spark):
 
 
 def test_quantile_band_filter_exact_per_group(spark):
-    """Exact tier vs a numpy-free python oracle: percent_rank band
-    per group, ties kept or dropped together, NULLs never pass."""
+    """Exact tier vs a numpy-free python oracle: RANK-INTERVAL band
+    per group (keep iff [#below/n, (#below+#eq)/n] intersects the
+    band), ties kept or dropped together, NULLs never pass — and the
+    small-group contract: 1- and 2-row groups SURVIVE the default
+    band (a percent_rank band would erase them)."""
     rows = []
     for g, n in (("a", 20), ("b", 7)):
         rows += [(g, float(i % 10)) for i in range(n)]  # ties galore
-    rows += [("a", None)]
+    rows += [("a", None), ("solo", 42.0), ("duo", 1.0), ("duo", 2.0)]
     df = spark.createDataFrame(rows, "lang string, quality double")
     from pidb_rdf_spark.operators import quantile_band_filter
 
@@ -2616,16 +2619,20 @@ def test_quantile_band_filter_exact_per_group(spark):
                 groups[g].append(v)
         keep = []
         for g, vs in groups.items():
-            vs.sort()
             n = len(vs)
             for v in vs:
-                pr = sum(1 for x in vs if x < v) / (n - 1)
-                if 0.2 <= pr <= 0.8:
+                below = sum(1 for x in vs if x < v)
+                eq = sum(1 for x in vs if x == v)
+                if below / n <= 0.8 and (below + eq) / n >= 0.2:
                     keep.append((g, v))
         return sorted(keep)
 
     assert got == oracle()
     assert all(v is not None for _, v in got)
+    # small groups survive: the singleton covers [0,1], both duo
+    # rows cover a half that intersects [0.2, 0.8]
+    assert ("solo", 42.0) in got
+    assert ("duo", 1.0) in got and ("duo", 2.0) in got
 
 
 def test_quantile_band_filter_null_group_keys_both_tiers(spark):
@@ -3258,3 +3265,89 @@ def test_exact_contamination(spark):
     assert {r.n_contaminated for r in none.collect()} == {0}
     with _pytest.raises(ValueError, match="max_eval_collect"):
         exact_contamination(train, evals, max_eval_collect=1)
+
+
+def test_pii_scrub_ip_never_scrubs_as_phone(spark):
+    """Dotted-quad IPs with 3-digit octets match PHONE_RE's digit
+    groups, so the IP rule must run first: 192.168.100.1 scrubs as
+    <IP> with n_ip=1, n_phone=0 — while a real phone still scrubs."""
+    from pidb_rdf_spark.operators import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "server at 192.168.100.1 failed"),
+         (2, "call +1-555-123-4567 now")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_email, r.n_phone, r.n_ip)
+           for r in pii_scrub(df).collect()}
+    assert got[1] == ("server at <IP> failed", 0, 0, 1)
+    assert got[2] == ("call <PHONE> now", 0, 1, 0)
+
+
+def test_chunk_documents_empty_doc_zero_tokens(spark):
+    """Empty/whitespace-only docs yield one EMPTY chunk with
+    n_tokens=0 (split('') is [''] — must not count as one token);
+    NULL-text docs yield no chunks."""
+    from pidb_rdf_spark.operators import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, max_tokens=2, overlap=0).collect()
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens) for r in rows}
+    assert got[(1, 0)] == ("", 0) and got[(2, 0)] == ("", 0)
+    assert got[(4, 0)] == ("a b", 2) and got[(4, 1)] == ("c", 1)
+    assert not any(k[0] == 3 for k in got)
+
+
+def test_corpus_diff_null_content_is_changed(spark):
+    """A doc present in both snapshots with NULL content on one side
+    is 'changed', never 'added'/'removed' (presence comes from
+    per-side flags, not hash nullness); NULL -> NULL is unchanged."""
+    from pidb_rdf_spark.operators import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "same")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, "same"), (5, "new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 5: "added"}
+
+
+def test_sampling_null_keys_excluded(spark):
+    """hash_sample/stratified/weighted_sample EXCLUDE NULL-key rows
+    (documented): fraction=1.0 keeps every keyed row and none of the
+    NULL-keyed ones; weighted_sample winners are never NULL-keyed."""
+    from pidb_rdf_spark.operators import hash_sample, weighted_sample
+
+    df = spark.createDataFrame(
+        [(None, 1.0)] * 5 + [(float(i), 1.0) for i in range(20)],
+        "k double, w double",
+    )
+    kept = hash_sample(df, "k", 1.0).collect()
+    assert len(kept) == 20 and all(r.k is not None for r in kept)
+    win = weighted_sample(df, "k", "w", n=3).collect()
+    assert len(win) == 3 and all(r.k is not None for r in win)
+
+
+def test_pack_token_stream_zero_token_docs_no_placement(spark):
+    """Zero/NULL-token docs occupy no stream space and get no
+    placement row; offsets of later docs are unaffected."""
+    from pidb_rdf_spark.operators import pack_token_stream
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, None), (4, 7)],
+        "doc_id long, n_tokens int",
+    )
+    rows = {r.doc_id: (r.start_offset, r.end_offset, r.chunk_start,
+                       r.chunk_end)
+            for r in pack_token_stream(df, budget=4).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1] == (0, 5, 0, 1)
+    assert rows[4] == (5, 12, 1, 2)
+    assert all(ce >= cs for (_, _, cs, ce) in rows.values())

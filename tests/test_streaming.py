@@ -845,3 +845,33 @@ def test_cohort_retention_day_and_month_grain(spark):
 
     with _pytest.raises(ValueError):
         cohort_retention(df, period="hour")
+
+
+def test_asof_join_null_keys_and_timestamps(spark):
+    """SQL ASOF NULL semantics: right rows with NULL key/ts never
+    match; left rows with NULL key or NULL ts come back unmatched —
+    in BOTH directions (forward's descending sort would otherwise
+    hand NULL-ts left rows the smallest-ts right row)."""
+    from pidb_rdf_spark.streaming.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 10.0), (3, "a", None)],
+        "lid long, k string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("a", 5.0, 100), (None, 1.0, 666), ("a", None, 777)],
+        "k string, ts double, v int",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.matched_v
+            for r in asof_join(
+                left, right, on="k", right_value_cols=["v"],
+                direction=direction,
+            ).collect()
+        }
+        assert got[2] is None and got[3] is None, (direction, got)
+        if direction == "backward":
+            assert got[1] == 100
+        else:
+            assert got[1] is None  # no right row at ts >= 10
