@@ -59,7 +59,10 @@ def unigram_quality(
 ) -> DataFrame:
     """(id, n_tokens, avg_logprob, ppl_proxy) per document, scored
     against ``model`` (default: train on ``df`` itself — the
-    self-scoring configuration CCNet uses for in-corpus ranking)."""
+    self-scoring configuration CCNet uses for in-corpus ranking).
+    Documents with ZERO tokens (empty/whitespace-only/NULL text) have
+    no token rows and therefore NO output row — left-join the result
+    back to the corpus if every doc needs a score."""
     model = unigram_model(df, text_col) if model is None else model
     # total + vocab as a 1-row broadcast (no driver round-trip)
     stats = model.agg(

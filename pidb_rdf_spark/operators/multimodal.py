@@ -104,6 +104,18 @@ def decode_media(df: DataFrame, stub: bool = False) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                # NULL blobs emit an audit row (the sibling decoders'
+                # per-blob contract) instead of TypeError-ing the task
+                if content is None:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_bytes": 0,
+                            "first_byte": -1,
+                            "byte_hist": [0] * N_HIST_BUCKETS,
+                        }
+                    )
+                    continue
                 b = bytes(content)
                 hist = [0] * N_HIST_BUCKETS
                 for byte in b:
@@ -271,16 +283,25 @@ def sample_frames(
     fixed stride (stand-in for video frame extraction — same plumbing:
     one input row → N frame rows). JVM-side (substring on binary),
     no Python; output explodes to (media_id, frame_idx, frame:
-    binary)."""
+    binary). Empty and NULL blobs yield NO frame rows: the frame
+    count is guarded before sequence() — Spark's sequence(0, -1)
+    COUNTS DOWN (step defaults to -1 when start > stop, the pitfall
+    winnow._seq1 documents), which would fabricate frame rows -1 and
+    0 for a 0-byte blob, and least() SKIPS a NULL length, which would
+    explode max_frames all-NULL frames per NULL blob."""
     n_frames = F.least(
         (F.floor((F.length("content") - 1) / every_n_bytes) + 1).cast("int"),
         F.lit(max_frames),
     )
+    frames = F.when(
+        F.col("content").isNotNull() & (n_frames > 0),
+        F.sequence(F.lit(0), n_frames - 1),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(
             "media_id",
             "content",
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+            F.explode(frames).alias("frame_idx"),
         )
         .withColumn(
             "frame",
@@ -617,7 +638,12 @@ def audio_features(
                             if n > 1
                             else 0.0
                         )
-                        mag = np.abs(np.fft.rfft(x))
+                        # rfft of a zero-length signal RAISES — a
+                        # valid 0-sample WAV should feature as silence,
+                        # not fall into the malformed-blob audit path
+                        mag = (
+                            np.abs(np.fft.rfft(x)) if n else np.zeros(1)
+                        )
                         freqs = np.fft.rfftfreq(n, d=1.0 / sr)
                         msum = float(mag[1:].sum())
                         cen = (

@@ -24,19 +24,29 @@ def quantize_embeddings(
 ) -> DataFrame:
     """(id, scale, qvec): per-vector symmetric int8 quantization.
     ``x ≈ qvec[i] * scale`` with ``qvec[i] ∈ [-127, 127]``; an
-    all-zero vector quantizes to zeros with scale 0."""
+    all-zero vector quantizes to zeros with scale 0.
+
+    The scale is computed ONCE per row into its own column before the
+    per-element transform references it: higher-order-function
+    lambdas get no cross-element CSE, so inlining the array_max
+    expression into the lambda body would re-scan the whole array per
+    element — O(d²) work per row (the re-inline pitfall winnow.py
+    documents)."""
+    if "scale" in df.columns:
+        raise ValueError("df already has reserved column: 'scale'")
     v = F.col(vec_col)
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (max_abs / F.lit(127.0)).alias("scale")
+    staged = df.withColumn("scale", max_abs / F.lit(127.0))
+    sc = F.col("scale")
     qvec = F.when(
-        max_abs == 0,
+        sc == 0,
         F.transform(v, lambda x: F.lit(0).cast("int")),
     ).otherwise(
-        F.transform(v, lambda x: F.round(x / (max_abs / F.lit(127.0))).cast("int"))
+        F.transform(v, lambda x: F.round(x / sc).cast("int"))
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        scale,
+        sc.alias("scale"),
         qvec.alias("qvec"),
     )
 
@@ -93,6 +103,11 @@ def pq_train(
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_train: empty training input (the numpy kernel would "
+            "fail with a cryptic shape error)"
+        )
     M = np.array([r[0] for r in rows], dtype=np.float64)
     dim = M.shape[1]
     if dim % m:

@@ -69,11 +69,18 @@ def bm25_search(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
 
     Plan: token explode → per-doc tf ⋈ (tiny, broadcast) query-term
-    list ⋈ vocabulary df table ⋈ per-doc lengths → one aggregate per
+    list ⋈ query-term df table ⋈ per-doc lengths → one aggregate per
     doc → global top-n. The only corpus-sized shuffles are the two
-    hash aggregates; everything joined onto them is broadcast."""
+    hash aggregates (term counts, doc lengths); document frequency is
+    aggregated AFTER the query-term semi-filter and everything joined
+    on is broadcast.
+
+    The query tokenizes exactly like the corpus side (``text.tokens``:
+    lowercase, split on single spaces, empties dropped) — a query
+    split on arbitrary whitespace would produce terms the corpus
+    tokenizer never emits, silently scoring 0."""
     spark = df.sparkSession
-    q_terms = [t for t in query.lower().split() if t]
+    q_terms = [t for t in query.lower().split(" ") if t]
     if not q_terms:
         raise ValueError("empty query")
     qdf = spark.createDataFrame([(t,) for t in sorted(set(q_terms))], ["term"])
@@ -84,7 +91,12 @@ def bm25_search(
     # avgdl folded in as a broadcast 1-row aggregate: no separate
     # driver job to learn a scalar the plan can carry itself
     avgdl = doclen.agg(F.avg("dl").alias("_avgdl"))
-    docfreq = tc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # document frequency over the QUERY's terms only — the broadcast
+    # semi-filter runs before the aggregate, so the df shuffle carries
+    # a handful of terms, not the corpus vocabulary (df values for
+    # those terms are identical either way)
+    qtc = tc.join(F.broadcast(qdf), on="term")
+    docfreq = qtc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     idf = F.log(
         F.lit(1.0)
@@ -94,8 +106,8 @@ def bm25_search(
         F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
     )
     scored = (
-        tc.join(F.broadcast(qdf), on="term")
-        .join(F.broadcast(docfreq.join(qdf, on="term")), on="term")
+        qtc
+        .join(F.broadcast(docfreq), on="term")
         .join(doclen, on="id")
         .crossJoin(F.broadcast(avgdl))
         .withColumn("contrib", idf * tf_part)

@@ -61,25 +61,57 @@ def cosine_topk(
 
     Output: (query_id, rank, neighbor_id) — rank 1..k, ties broken
     by neighbor id (total order ⇒ deterministic, oracle-comparable).
-    The query side is broadcast; ranking is a window partitioned by
-    query — the shuffle moves only (query, candidate) score rows.
-    """
+    The query side is broadcast; ranking is TWO-PHASE top-k, the
+    shape the module docstring promises: a bounded per-Arrow-batch
+    selection keeps at most k candidates per (batch, query) — any
+    global top-k row is top-k within its batch — so the final exact
+    window ranks ≤ k·batches·queries rows instead of pulling EVERY
+    scored (query, candidate) row of a query into one window task
+    (the single-partition-per-query sort that breaks at corpus
+    scale). Zero-norm vectors have no cosine direction: zero-norm
+    CANDIDATES are excluded, a zero-norm QUERY returns no rows
+    (otherwise division by the zero norm product would rank garbage
+    — or raise under ANSI)."""
     c = with_norm(corpus, id_col, vec_col).select(
         F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"), F.col("norm").alias("_nnorm")
     )
     q = with_norm(queries, query_id_col, vec_col).select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"), F.col("norm").alias("_qnorm")
     )
+    prod = F.col("_qnorm") * F.col("_nnorm")
     scored = (
         c.join(F.broadcast(q), F.col("_nid") != F.col("_qid"))
         .withColumn(
             "cosine",
-            _dot(F.col("_qvec"), F.col("_nvec")) / (F.col("_qnorm") * F.col("_nnorm")),
+            F.when(
+                prod != 0,
+                _dot(F.col("_qvec"), F.col("_nvec")) / prod,
+            ),
         )
+        .filter(F.col("cosine").isNotNull())
+        .select("_qid", "_nid", "cosine")
+    )
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    nt = corpus.schema[id_col].dataType.simpleString()
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["_qid", "cosine", "_nid"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("_qid", sort=False)
+                    .head(k)
+                )
+
+    part = scored.mapInPandas(
+        _batch_topk, f"_qid {qt}, _nid {nt}, cosine double"
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("_qid").alias("query_id"),
@@ -119,7 +151,14 @@ def with_hyperplane_bucket(
 
     Pass ``dim`` when known — deriving it costs a 1-row probe job."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "with_hyperplane_bucket: cannot derive the vector "
+                "dimension from an empty frame / NULL first vector — "
+                "pass dim explicitly"
+            )
+        dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
@@ -255,6 +294,11 @@ def kmeans_centroids(
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "kmeans_centroids: empty training input (the numpy kernel "
+            "would fail with a cryptic axis error)"
+        )
     M = np.array([r[0] for r in rows], dtype=np.float64)
     return lloyd_numpy(M, n_clusters, iters)
 
@@ -264,7 +308,9 @@ def lloyd_numpy(M, n_clusters: int, iters: int) -> list[list[float]]:
     and ``quantize.pq_train`` (which slices ONE collected training
     matrix into subspaces rather than re-collecting per subspace).
     Init = first ``n_clusters`` rows; ties -> first minimum, same
-    argmin convention as ``assign_clusters``."""
+    argmin convention as ``assign_clusters``. A training matrix with
+    fewer than ``n_clusters`` rows returns that many centroids (the
+    slice is short) — callers see a smaller codebook, not a crash."""
     C = M[:n_clusters].copy()
     for _ in range(iters):
         d2 = (
@@ -352,14 +398,21 @@ def ivf_search(
         F.col("norm").alias("_qnorm"),
     )
     dot_udf = make_dot_udf()
+    # zero-norm vectors have no cosine direction: guard the division
+    # (NULL instead of garbage / an ANSI DivideByZero) and drop the
+    # unrankable rows — cosine_topk's contract
+    _prod = F.col("_qnorm") * F.col("_nnorm")
     scored = (
         c.join(F.broadcast(q), on="cluster")
         .filter(F.col("_nid") != F.col("_qid"))
         .withColumn(
             "cosine",
-            dot_udf(F.col("_qvec"), F.col("_nvec"))
-            / (F.col("_qnorm") * F.col("_nnorm")),
+            F.when(
+                _prod != 0,
+                dot_udf(F.col("_qvec"), F.col("_nvec")) / _prod,
+            ),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid").asc())
     return (
@@ -433,9 +486,16 @@ def ivf_search_indexed(
     corpus, centroids = load_ivf_index(spark, path)
     C = np.array(centroids, dtype=np.float64)
     nprobe = min(nprobe, len(centroids))
-    qv = np.array(
-        [r[0] for r in queries.select(vec_col).collect()], dtype=np.float64
-    )
+    qrows = [r[0] for r in queries.select(vec_col).collect()]
+    if not qrows:
+        # no queries probe nothing — return the typed empty result
+        # rather than letting numpy fail on a shape-(0,) matrix
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        it = corpus.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, rank int, neighbor_id {it}"
+        )
+    qv = np.array(qrows, dtype=np.float64)
     d2 = (
         (qv * qv).sum(1, keepdims=True) - 2.0 * (qv @ C.T) + (C * C).sum(1)[None, :]
     )

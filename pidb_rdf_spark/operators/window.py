@@ -77,8 +77,16 @@ def exact_quantiles_per_group(
     sketch-based percentile_approx). Exactness makes the result
     oracle-comparable; the documented scale path for heavy groups is
     ``percentile_approx`` with the same call shape."""
+    names = [f"p{round(q * 100):g}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantiles collide at integer-percent column names: "
+            f"{names} — use distinct whole-percent quantiles"
+        )
+    # round(), not int(): int truncates the IEEE product (0.29*100 =
+    # 28.999... -> 'p28' holding the 29th percentile)
     aggs = [
-        F.percentile(F.col(value_col), F.lit(q)).alias(f"p{int(q * 100)}")
-        for q in quantiles
+        F.percentile(F.col(value_col), F.lit(q)).alias(n)
+        for q, n in zip(quantiles, names)
     ]
     return df.groupBy(*group_cols).agg(*aggs)
