@@ -57,9 +57,16 @@ def build_uri(col: Column, namespaces: dict[str, str], default_ns: str = "urn:de
     """Inverse of shorten on export: ``prefix__local`` -> full IRI;
     http(s) IRIs pass through; bare names get the default vocab
     namespace (reference ``buildURI``, ``RDFEndpoint.java:317-337``,
-    regex ``^(\\w+)__(.*)$`` at :320)."""
-    prefix = F.regexp_extract(col, r"^(\w+)__(.*)$", 1)
-    local = F.regexp_extract(col, r"^(\w+)__(.*)$", 2)
+    regex ``^(\\w+)__(.*)$`` at :320). DELIBERATE divergence from
+    the reference's greedy regex: the prefix group is NON-greedy
+    (split at the FIRST ``__``), because a local name containing
+    ``__`` must stay in the local part — the greedy form swallows it
+    into the prefix, the map lookup misses, and the IRI silently
+    rebinds under the default namespace. Registered prefixes are
+    validated to contain no ``__`` (mapping.add_schema), so the
+    first-split is unambiguous."""
+    prefix = F.regexp_extract(col, r"^(\w+?)__(.*)$", 1)
+    local = F.regexp_extract(col, r"^(\w+?)__(.*)$", 2)
     pairs = []
     for ns, pfx in namespaces.items():
         pairs.extend([F.lit(pfx), F.lit(ns)])

@@ -227,12 +227,17 @@ class PropertyGraph:
             return F.col(name)
         base = F.col("props").getItem(name)
         family = self.prop_type_families().get(name)
+        # try_cast, not cast: under Spark 4 ANSI defaults a plain cast
+        # RAISES on the first unparseable value — and nodes added
+        # after import carry no type sidecar, so a later string value
+        # for a numeric-family key must read as NULL (the pre-ANSI
+        # semantics every comparison here assumes), not kill the query
         if family == "long":
-            return base.cast("long")
+            return base.try_cast("long")
         if family == "double":
-            return base.cast("double")
+            return base.try_cast("double")
         if family == "boolean":
-            return base.cast("boolean")
+            return base.try_cast("boolean")
         return base
 
     def node_prop_dtype(self, name: str):

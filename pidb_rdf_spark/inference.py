@@ -70,6 +70,7 @@ def transitive_closure(
     up = base.select(
         F.col("child").alias("__mid"), F.col("parent").alias("__anc")
     )
+    settled = False
     for _ in range(max_iter):
         new = (
             frontier.join(up, on=frontier["parent"] == up["__mid"], how="inner")
@@ -79,9 +80,20 @@ def transitive_closure(
         )
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
+            settled = True
             break
         closure = closure.unionAll(new).localCheckpoint(eager=True)
         frontier = new
+    if not settled:
+        # each round extends paths by exactly ONE base edge, so
+        # exhaustion means depth > max_iter+1 remains — a silently
+        # truncated closure would answer reachability/label queries
+        # WRONG (the core_numbers loud-failure contract)
+        raise RuntimeError(
+            f"transitive_closure: still growing after max_iter="
+            f"{max_iter} rounds (closure depth exceeds {max_iter + 1} "
+            f"— raise max_iter; each round is one frontier join)"
+        )
     if include_self:
         nodes = (
             closure.select(F.col("child").alias("n"))

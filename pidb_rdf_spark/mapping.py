@@ -43,7 +43,18 @@ def empty_mappings(spark: SparkSession) -> DataFrame:
 def add_schema(mappings: DataFrame, namespace: str, prefix: str) -> DataFrame:
     """Register a schema namespace under a prefix. Re-adding an
     existing prefix re-points it (reference MERGE semantics,
-    ``MappingUtils.java:26-31``)."""
+    ``MappingUtils.java:26-31``). Prefixes must be word characters
+    with no ``__``: the shortened form is ``prefix__local`` and
+    ``build_uri`` recovers the prefix as the text before the FIRST
+    ``__`` — a prefix containing the separator (or characters the
+    ``\\w+`` recovery regex cannot match) would corrupt every IRI
+    round-trip under it."""
+    import re
+
+    if not re.fullmatch(r"\w+", prefix) or "__" in prefix:
+        raise ValueError(
+            f"prefix must be word characters without '__': {prefix!r}"
+        )
     spark = mappings.sparkSession
     kept = mappings.filter(F.col("prefix") != prefix)
     new = spark.createDataFrame([(namespace, prefix, None, None)], MAPPINGS_SCHEMA)

@@ -164,7 +164,12 @@ def add_edges(
         raw.join(src_map, on="src_uri", how="left")
         .join(dst_map, on="dst_uri", how="left")
         .select(
-            F.xxhash64(F.concat_ws("", "src_uri", "predicate", "dst_uri")).alias("id"),
+            # \x01 separator keeps field BOUNDARIES (and matches the
+            # importer's edge-id scheme): an empty separator made
+            # ('urn:x:a','bc','d') and ('urn:x:ab','c','d') collide
+            F.xxhash64(
+                F.concat_ws("\x01", "src_uri", "predicate", "dst_uri")
+            ).alias("id"),
             F.coalesce("__src_id", F.xxhash64("src_uri")).alias("src"),
             F.coalesce("__dst_id", F.xxhash64("dst_uri")).alias("dst"),
             "predicate",
@@ -172,11 +177,18 @@ def add_edges(
         )
     )
     if dedup:
-        new = new.join(
-            graph.edges.select("src", "predicate", "dst"),
-            on=["src", "predicate", "dst"],
-            how="leftanti",
-        ).select(*[c for c in graph.edges.columns])
+        # dedup-on-insert covers the BATCH too: two identical rows in
+        # one call would otherwise both pass the anti-join and insert
+        # two edge rows sharing one content-hash id
+        new = (
+            new.dropDuplicates(["src", "predicate", "dst"])
+            .join(
+                graph.edges.select("src", "predicate", "dst"),
+                on=["src", "predicate", "dst"],
+                how="leftanti",
+            )
+            .select(*[c for c in graph.edges.columns])
+        )
     edges = graph.edges.unionByName(new)
     return PropertyGraph(
         spark=spark, nodes=graph.nodes, edges=edges,
@@ -656,9 +668,15 @@ def save_graph(
     graph: PropertyGraph, path: str, partition_edges_by: str | None = None
 ) -> None:
     """Persist nodes/edges (+ variables sidecar) with write-then-swap:
-    new tables land in ``<path>/.staging`` and are promoted with one
-    rename-level publish — the batch replacement for the reference's
-    transactions (SURVEY.md §3).
+    new tables land in ``<path>/.staging`` and are promoted with
+    per-table rename-level publishes — the batch replacement for the
+    reference's transactions (SURVEY.md §3). A graph WITHOUT
+    namespaces deletes any stale namespaces table at the target (it
+    must not resurrect a previous graph's prefix registry on load).
+    Honesty note: the swap is atomic PER TABLE (rename), not across
+    the three tables — a crash between renames can leave new nodes
+    with old edges; on an object store, wrap the three promotes in a
+    manifest commit for true all-or-nothing.
 
     ``partition_edges_by="predicate"`` is the at-scale layout: every
     predicate-filtered traversal becomes a partition-pruned scan, the
@@ -684,6 +702,13 @@ def save_graph(
 
                 shutil.rmtree(dst)
             os.rename(src, dst)
+        elif os.path.exists(dst):
+            # nothing staged for this table: remove the stale one —
+            # a namespace-less graph must not pair the new nodes with
+            # a PREVIOUS graph's prefix registry on load
+            import shutil
+
+            shutil.rmtree(dst)
     with open(os.path.join(path, "variables.json"), "w") as f:
         json.dump(graph.variables, f)
 

@@ -351,17 +351,22 @@ def remove_triples(graph: PropertyGraph, triples: DataFrame) -> PropertyGraph:
         .agg(F.collect_set("label").alias("__rm_labels"))
     )
     # --- props (value-conditional) ------------------------------------
+    # ALL stated values per (uri, key) collect into a set: DELETE DATA
+    # may name several values for one property, and which one survives
+    # a per-key dropDuplicates would be partitioning-dependent — the
+    # stored value must be tested against every stated value
     del_props = (
         lit.select(
             F.col("subject").alias("uri"),
             short(F.col("predicate")).alias("key"),
             F.col("object").alias("value"),
         )
-        .dropDuplicates(["uri", "key"])
+        .groupBy("uri", "key")
+        .agg(F.collect_set("value").alias("__vals"))
         .groupBy("uri")
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct("key", "value"))
+                F.collect_list(F.struct("key", "__vals"))
             ).alias("__rm_props")
         )
     )
@@ -380,7 +385,8 @@ def remove_triples(graph: PropertyGraph, triples: DataFrame) -> PropertyGraph:
             F.map_filter(
                 F.col("props"),
                 lambda k, v: ~F.coalesce(
-                    F.col("__rm_props").getItem(k) == v, F.lit(False)
+                    F.array_contains(F.col("__rm_props").getItem(k), v),
+                    F.lit(False),
                 ),
             ),
         )

@@ -32,15 +32,23 @@ def _header_meta(cols: list[str]):
     """Split CSV columns into (id_col, label_col, [(col, prop_name)])
     following the admin-import header syntax ``name:ID`` / ``:LABEL``
     / ``prop`` / ``prop:type``."""
+    import re
+
     id_col = label_col = None
     props = []
     for c in cols:
-        if c.endswith(":ID"):
+        # 'name:ID' and the id-space form 'name:ID(Person)' are both
+        # admin-import syntax; ':IGNORE' drops the column whether the
+        # name part is empty or not ('tmp:IGNORE' must NOT import as
+        # a property named 'tmp')
+        if re.search(r":ID(\([^)]*\))?$", c):
             id_col = c
         elif c == ":LABEL":
             label_col = c
+        elif re.search(r":IGNORE$", c):
+            continue
         elif c.startswith(":"):
-            continue  # :IGNORE and friends
+            continue  # other pseudo-columns
         else:
             props.append((c, c.split(":")[0]))  # strip any type suffix
     if id_col is None:
@@ -93,16 +101,26 @@ def read_neo4j_csv(
             "props map<string,string>",
         )
         return PropertyGraph(spark=spark, nodes=nodes, edges=edges)
+    import re
+
     rcsv = spark.read.option("header", True).csv(rels_path)
     cols = rcsv.columns
-    for need in (":START_ID", ":END_ID", ":TYPE"):
-        if need not in cols:
-            raise ValueError(f"relationships CSV needs a '{need}' column")
+
+    def _find(kind):
+        for c in cols:
+            if re.search(rf":{kind}(\([^)]*\))?$", c):
+                return c
+        raise ValueError(f"relationships CSV needs a ':{kind}' column")
+
+    start_col, end_col, type_col = (
+        _find("START_ID"), _find("END_ID"), _find("TYPE"),
+    )
     eprops = [
         (c, c.split(":")[0])
         for c in cols
-        if c not in (":START_ID", ":END_ID", ":TYPE")
+        if c not in (start_col, end_col, type_col)
         and not c.startswith(":")
+        and not re.search(r":IGNORE$", c)
     ]
     eprops_map = (
         F.map_filter(
@@ -114,13 +132,13 @@ def read_neo4j_csv(
         if eprops
         else F.create_map().cast("map<string,string>")
     )
-    s_uri = F.concat(F.lit(f"urn:{id_space}:"), F.col(":START_ID"))
-    d_uri = F.concat(F.lit(f"urn:{id_space}:"), F.col(":END_ID"))
+    s_uri = F.concat(F.lit(f"urn:{id_space}:"), F.col(start_col))
+    d_uri = F.concat(F.lit(f"urn:{id_space}:"), F.col(end_col))
     edges = rcsv.select(
-        F.xxhash64(s_uri, d_uri, F.col(":TYPE")).alias("id"),
+        F.xxhash64(s_uri, d_uri, F.col(type_col)).alias("id"),
         F.xxhash64(s_uri).alias("src"),
         F.xxhash64(d_uri).alias("dst"),
-        F.col(":TYPE").alias("predicate"),
+        F.col(type_col).alias("predicate"),
         eprops_map.alias("props"),
     )
     return PropertyGraph(spark=spark, nodes=nodes, edges=edges)
@@ -139,12 +157,17 @@ def write_neo4j_csv(
     Written with Spark's parallel CSV writer (one directory per
     table, splittable parts) — `neo4j-admin` accepts multiple files
     per table, so no single-stream choke point."""
+    from pidb_rdf_spark.graph import _capped_key_collect
+
     nodes, edges = graph.nodes, graph.edges
     nkeys = sorted(
         r[0]
-        for r in nodes.select(
-            F.explode(F.map_keys("props")).alias("k")
-        ).distinct().collect()
+        for r in _capped_key_collect(
+            nodes.select(F.explode(F.map_keys("props")).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n")),
+            "write_neo4j_csv node props",
+        )
     )
     out_n = nodes.select(
         F.col("uri").alias("name:ID"),
@@ -154,9 +177,12 @@ def write_neo4j_csv(
     out_n.write.mode("overwrite").option("header", True).csv(nodes_path)
     ekeys = sorted(
         r[0]
-        for r in edges.select(
-            F.explode(F.map_keys("props")).alias("k")
-        ).distinct().collect()
+        for r in _capped_key_collect(
+            edges.select(F.explode(F.map_keys("props")).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n")),
+            "write_neo4j_csv edge props",
+        )
     )
     uri_of = nodes.select("id", "uri")
     out_e = (

@@ -254,10 +254,17 @@ def triples_to_turtle_lines(
     def term(col):
         out = None
         # longest-namespace-first so nested namespaces prefix correctly;
-        # only local names with no [/#:] may be prefixed (Turtle PN rules)
+        # only a conservative PN_LOCAL subset may be prefixed (word
+        # chars, digits, '-', '.', not starting/ending with '.') —
+        # merely excluding [/#:] let IRI-legal-but-PN-illegal locals
+        # through (dbr:Paris_(France), names ending in '.') and every
+        # standard Turtle parser rejects the file; everything else
+        # falls back to the always-valid <full IRI> form
         for ns, pfx in sorted(namespaces.items(), key=lambda kv: -len(kv[0])):
             local = col.substr(F.lit(len(ns) + 1), F.length(col))
-            cond = col.startswith(ns) & ~local.rlike(r"[/#:]")
+            cond = col.startswith(ns) & local.rlike(
+                r"^[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
+            )
             pname = F.concat(F.lit(pfx), F.lit(":"), local)
             out = F.when(cond, pname) if out is None else out.when(cond, pname)
         fallback = subject_term(col)

@@ -404,3 +404,121 @@ def test_replace_vertex_properties_hot_columns(spark):
     g3 = replace_vertex_properties(g, F.col("uri") == "urn:a", {})
     a3 = g3.nodes.filter(F.col("uri") == "urn:a").first()
     assert dict(a3["props"]) == {} and a3["age"] is None and a3["tag"] is None
+
+
+def test_add_edges_id_boundaries_and_batch_dedup(spark):
+    """Edge ids keep field boundaries (('urn:x:a','bc','d') and
+    ('urn:x:ab','c','d') must NOT share an id) and dedup=True
+    de-duplicates WITHIN the batch, not just against stored edges."""
+    from pidb_rdf_spark.graph import PropertyGraph
+    from pidb_rdf_spark.mutation import add_edges, add_vertices
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [], "id long, uri string, labels array<string>,"
+            " props map<string,string>"
+        ),
+        edges=spark.createDataFrame(
+            [], "id long, src long, dst long, predicate string,"
+            " props map<string,string>"
+        ),
+    )
+    g = add_vertices(
+        g,
+        [{"uri": u} for u in ("urn:x:a", "urn:x:ab", "d", "urn:b")],
+    )
+    g = add_edges(
+        g,
+        [
+            {"src_uri": "urn:x:a", "predicate": "bc", "dst_uri": "d"},
+            {"src_uri": "urn:x:ab", "predicate": "c", "dst_uri": "d"},
+            {"src_uri": "urn:x:a", "predicate": "r", "dst_uri": "urn:b"},
+            {"src_uri": "urn:x:a", "predicate": "r", "dst_uri": "urn:b"},
+        ],
+    )
+    rows = g.edges.collect()
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids)) == 3  # no collision, batch deduped
+
+
+def test_prefix_validation_and_local_name_roundtrip(spark):
+    """Registered prefixes must be word chars without '__'; a local
+    name CONTAINING '__' round-trips through shorten/build (the
+    non-greedy first-split divergence from the reference's greedy
+    regex, which silently rebinds such IRIs to the default ns)."""
+    import pytest
+
+    from pidb_rdf_spark.functions.iri import build_uri, shorten_iri
+    from pidb_rdf_spark.mapping import add_schema, empty_mappings
+
+    m = empty_mappings(spark)
+    with pytest.raises(ValueError, match="prefix"):
+        add_schema(m, "http://x.org/", "bad__pfx")
+    with pytest.raises(ValueError, match="prefix"):
+        add_schema(m, "http://x.org/", "bad-pfx")
+    ns = {"http://schema.org/": "sch"}
+    df = spark.createDataFrame([("http://schema.org/a__b",)], ["iri"])
+    short = df.select(shorten_iri(F.col("iri"), ns).alias("s"))
+    assert short.first()["s"] == "sch__a__b"
+    back = short.select(build_uri(F.col("s"), ns).alias("u"))
+    assert back.first()["u"] == "http://schema.org/a__b"
+
+
+def test_transitive_closure_raises_on_exhaustion(spark):
+    """A chain deeper than max_iter+1 RAISES instead of silently
+    truncating the closure (reachability answers would be wrong)."""
+    import pytest
+
+    from pidb_rdf_spark.inference import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["child", "parent"]
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        transitive_closure(chain, max_iter=3).count()
+    ok = transitive_closure(chain, max_iter=15)
+    assert ok.count() == 10 * 11 // 2
+
+
+def test_save_graph_removes_stale_namespaces(spark, tmp_path):
+    """Saving a namespace-less graph over a path that previously had
+    namespaces must not resurrect the old prefix registry on load."""
+    from pidb_rdf_spark.mutation import load_graph, save_graph
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_reader import parse_rdf_snippet
+
+    nt = '<http://a.org/s> <http://a.org/p> "v" .'
+    g1 = import_triples(spark, parse_rdf_snippet(spark, nt, "ntriples"))
+    p = str(tmp_path / "g")
+    save_graph(g1, p)
+    assert load_graph(spark, p).namespaces is not None
+
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    bare = PropertyGraph(
+        spark=spark, nodes=g1.nodes, edges=g1.edges, namespaces=None
+    )
+    save_graph(bare, p)
+    assert load_graph(spark, p).namespaces is None
+
+
+def test_remove_triples_multi_value_delete(spark):
+    """DELETE DATA naming several values for one (subject, key)
+    removes the property when the STORED value matches ANY of them —
+    previously a nondeterministic dropDuplicates picked one."""
+    from pidb_rdf_spark.sources.importer import import_triples, remove_triples
+    from pidb_rdf_spark.sources.rdf_reader import parse_rdf_snippet
+
+    nt = '<urn:s> <urn:p> "v2" .'
+    g = import_triples(spark, parse_rdf_snippet(spark, nt, "ntriples"))
+    dels = parse_rdf_snippet(
+        spark,
+        '<urn:s> <urn:p> "v1" .\n<urn:s> <urn:p> "v2" .',
+        "ntriples",
+    )
+    out = remove_triples(g, dels)
+    props = out.nodes.filter(F.col("uri") == "urn:s").first()["props"]
+    assert "urn:p" not in dict(props) and not any(
+        "p" in k for k in dict(props)
+    )

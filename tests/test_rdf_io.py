@@ -1677,3 +1677,54 @@ def test_graphml_roundtrip_sf0001_graph(spark, tmp_path):
         for r in g2.edges.collect()
     )
     assert want_e == got_e
+
+
+def test_turtle_pn_local_illegal_chars_fall_back_to_full_iri(spark):
+    """IRI-legal but Turtle-PN_LOCAL-illegal local names (parentheses,
+    trailing dot) serialize as <full IRI>, never as an invalid
+    prefixed name like dbr:Paris_(France)."""
+    from pidb_rdf_spark.sources.rdf_writer import triples_to_turtle_lines
+
+    triples = spark.createDataFrame(
+        [
+            ("http://db.org/r/Paris_(France)", "http://db.org/r/ok",
+             "http://db.org/r/End.", False, None, None),
+        ],
+        "subject string, predicate string, object string,"
+        " is_literal boolean, lang string, datatype string",
+    )
+    text = "\n".join(
+        r[0]
+        for r in triples_to_turtle_lines(
+            triples, {"http://db.org/r/": "dbr"}
+        ).collect()
+    )
+    assert "<http://db.org/r/Paris_(France)>" in text
+    assert "dbr:Paris_(France)" not in text
+    assert "dbr:ok" in text  # legal locals still prefix
+    assert "<http://db.org/r/End.>" in text  # trailing dot: full form
+
+
+def test_neo4j_csv_ignore_and_id_space_headers(spark, tmp_path):
+    """'tmp:IGNORE' columns are dropped (not imported as a property
+    named 'tmp') and the id-space forms 'id:ID(Person)' /
+    ':START_ID(Person)' parse as their bare equivalents."""
+    from pidb_rdf_spark.sources.neo4j_csv import read_neo4j_csv
+
+    np = tmp_path / "nodes"
+    rp = tmp_path / "rels"
+    np.mkdir(); rp.mkdir()
+    (np / "n.csv").write_text(
+        "id:ID(Person),tmp:IGNORE,age:int,:LABEL\n"
+        "a,zzz,31,Person\n"
+        "b,yyy,32,Person\n"
+    )
+    (rp / "r.csv").write_text(
+        ":START_ID(Person),:END_ID(Person),:TYPE,junk:IGNORE\n"
+        "a,b,KNOWS,xxx\n"
+    )
+    g = read_neo4j_csv(spark, str(np), str(rp))
+    rows = {r.uri: dict(r.props) for r in g.nodes.collect()}
+    assert rows["urn:neo4j:a"] == {"age": "31"}  # tmp dropped
+    e = g.edges.first()
+    assert e.predicate == "KNOWS" and dict(e.props) == {}
