@@ -123,6 +123,13 @@ issue):
 Unsupported constructs raise ``CypherSyntaxError`` with a position —
 never silently mis-execute (same contract as the SPARQL parser).
 
+Known semantic divergence (documented, not silent): ``/`` follows
+Spark SQL — integer ÷ integer yields a DOUBLE (``7/2 = 3.5``) where
+Neo4j truncates to an integer (``3``). Per-operand dtype is not
+threaded through this expression compiler, so a faithful integral
+division would need static type inference across every expression
+node; use ``toInteger(a / b)`` for Neo4j's truncating behavior.
+
 Scale shape: a Cypher query is ONE lazy plan — label/property
 predicates reach the scan as PushedFilters, relationship hops are
 equi-joins on node ids (AQE/broadcast decides the physical join),
@@ -141,6 +148,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pidb_rdf_spark.graph import NODE_CORE, SIDECAR_COLS, PropertyGraph
+
+
+_STR_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    "\\": "\\", "'": "'", '"': '"', "`": "`",
+}
+
+
+def _unescape_string(body: str) -> str:
+    """Cypher string-literal escapes: \\n newline, \\t tab, \\r, \\b,
+    \\f, \\\\, quotes, and \\uXXXX unicode — collapsing every escape
+    to its raw character (the old behavior) turned 'a\\nb' into 'anb'
+    and silently matched the wrong rows."""
+
+    def sub(m):
+        g = m.group(1)
+        if g.startswith("u") and len(g) == 5:
+            return chr(int(g[1:], 16))
+        return _STR_ESCAPES.get(g, g)
+
+    return re.sub(r"\\(u[0-9a-fA-F]{4}|.)", sub, body)
 
 
 class CypherSyntaxError(SyntaxError):
@@ -887,14 +915,21 @@ class _Parser:
             return ("lit", float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text))
         if t.kind == "str":
             body = t.text[1:-1]
-            return ("lit", re.sub(r"\\(.)", r"\1", body))
+            return ("lit", _unescape_string(body))
         if t.kind == "kw" and t.text in ("true", "false"):
             return ("lit", t.text == "true")
         if t.kind == "kw" and t.text == "null":
             return ("lit", None)
         if t.kind == "op" and t.text == "-" and self._at("num"):
             n = self._next()
-            return ("lit", -(float(n.text) if "." in n.text else int(n.text)))
+            return (
+                "lit",
+                -(
+                    float(n.text)
+                    if ("." in n.text or "e" in n.text.lower())
+                    else int(n.text)
+                ),
+            )
         raise CypherSyntaxError(f"expected literal, got {t.text!r} at position {t.pos}")
 
     # expression grammar: or > and > not > comparison > additive >
@@ -1060,7 +1095,7 @@ class _Parser:
         if t.kind == "num":
             return ("lit", float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text))
         if t.kind == "str":
-            return ("lit", re.sub(r"\\(.)", r"\1", t.text[1:-1]))
+            return ("lit", _unescape_string(t.text[1:-1]))
         if t.kind == "kw" and t.text in ("true", "false"):
             return ("lit", t.text == "true")
         if t.kind == "kw" and t.text == "null":
@@ -1556,7 +1591,14 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
         .localCheckpoint(eager=True)
     )
     frontier = dist
-    limit = rel.max_len if rel.max_len is not None else 50
+    # an UNBOUNDED * pattern gets a default round budget; if BFS is
+    # still expanding when it runs out we RAISE — silently reporting
+    # farther pairs as unreachable would be a wrong answer, not an
+    # approximation (an explicit *..m upper bound is the user's own
+    # cap and never raises)
+    bounded = rel.max_len is not None
+    limit = rel.max_len if bounded else 50
+    settled = False
     for hop in range(1, limit + 1):
         reached = (
             frontier.select("origin", F.col("node").alias("src"), "sigma")
@@ -1578,9 +1620,17 @@ def _bind_shortest(c: _Compile, sp: ShortestPat) -> None:
             .localCheckpoint(eager=True)
         )
         if reached.isEmpty():
+            settled = True
             break
         dist = dist.unionAll(reached).localCheckpoint(eager=True)
         frontier = reached
+    if not settled and not bounded:
+        raise CypherSyntaxError(
+            "shortestPath: BFS still expanding after the default "
+            "50-hop budget on an unbounded * pattern — add an "
+            "explicit upper bound (e.g. *..100) sized to the "
+            "graph's diameter"
+        )
     if rel.min_len >= 1:
         dist = dist.filter(F.col("hops") >= 1)
     sig = c.fresh("sig") if sp.all_paths else None
@@ -2086,10 +2136,10 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         return s.substr(start, F.length(s))
     if fn == "date":
         need(1)
-        return rec(args[0]).cast("date")
+        return rec(args[0]).try_cast("date")
     if fn in ("datetime", "localdatetime"):
         need(1)
-        return rec(args[0]).cast("timestamp")
+        return rec(args[0]).try_cast("timestamp")
     if fn == "range":
         if len(args) not in (2, 3):
             raise CypherSyntaxError("range() takes 2 or 3 arguments")
@@ -2151,12 +2201,16 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         "ceil": lambda x: F.ceil(x).cast("double"),
         "sqrt": F.sqrt,
         "sign": lambda x: F.signum(x).cast("long"),
-        "tointeger": lambda x: x.cast("long"),
-        "tofloat": lambda x: x.cast("double"),
+        # try_cast: Neo4j's converters return null on unparseable
+        # input; a plain cast raises under Spark 4 ANSI defaults
+        "tointeger": lambda x: x.try_cast("long"),
+        "tofloat": lambda x: x.try_cast("double"),
         "tostring": lambda x: x.cast("string"),
-        "toboolean": lambda x: x.cast("boolean"),
-        "head": lambda x: F.element_at(x, 1),
-        "last": lambda x: F.element_at(x, -1),
+        "toboolean": lambda x: x.try_cast("boolean"),
+        # try_element_at: head/last of an EMPTY list is null in
+        # Neo4j; element_at raises INVALID_ARRAY_INDEX under ANSI
+        "head": lambda x: F.try_element_at(x, F.lit(1)),
+        "last": lambda x: F.try_element_at(x, F.lit(-1)),
         "reverse": F.reverse,
     }
     if fn in one_arg:
@@ -2192,7 +2246,10 @@ def _agg_col(c: _Compile, expr: tuple) -> Column:
             idx = F.greatest(
                 F.ceil(F.lit(p) * F.size(arr)).cast("int"), F.lit(1)
             )
-            return F.element_at(arr, idx)
+            # try_element_at: an all-NULL group collects to an
+            # empty array — percentileDisc is null there (Neo4j),
+            # not an ANSI INVALID_ARRAY_INDEX error
+            return F.try_element_at(arr, idx)
         if len(args) != 1:
             raise CypherSyntaxError(f"{fn}() takes exactly one argument")
         arg = args[0]
@@ -2209,8 +2266,14 @@ def _agg_col(c: _Compile, expr: tuple) -> Column:
             return F.array_sort(F.collect_set(inner))
         if distinct:
             raise CypherSyntaxError(f"DISTINCT inside {fn}() is not supported")
+        if fn == "sum":
+            # Neo4j: sum() over zero rows / all-NULL values is 0, not
+            # SQL NULL (the correlated-CALL path already fills 0 for
+            # empty invocations — this aligns the main projection;
+            # coalesce coerces the 0 to the sum's own numeric type)
+            return F.coalesce(F.sum(inner), F.lit(0))
         return {
-            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "avg": F.avg, "min": F.min, "max": F.max,
             "collect": F.collect_list,
             "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
         }[fn](inner)
@@ -2427,7 +2490,11 @@ def _apply_projection(c: _Compile, proj: Projection) -> tuple:
                 sel.append(_to_col(c, e).alias(cname))
                 hidden.append(cname)
                 col = F.col(cname)
-            sort_cols.append(col.asc() if asc else col.desc())
+            # Neo4j null ordering: NULL sorts LAST ascending, FIRST
+            # descending — exactly inverted from Spark's default
+            sort_cols.append(
+                col.asc_nulls_last() if asc else col.desc_nulls_first()
+            )
         if hidden:
             out = c.cur.select(*sel).orderBy(*sort_cols).drop(*hidden)
         else:
@@ -2866,7 +2933,10 @@ def _bind_mid_subquery(c: _Compile, sub: "CypherQuery") -> None:
                     "expression in RETURN first)"
                 )
             colx = _qcol(etext)
-            sort_cols.append(colx.asc() if asc else colx.desc())
+            # Neo4j null ordering (see the RETURN ORDER BY note)
+            sort_cols.append(
+                colx.asc_nulls_last() if asc else colx.desc_nulls_first()
+            )
         w = Window.partitionBy(*[_qcol(v) for v in imports]).orderBy(
             *sort_cols
         )

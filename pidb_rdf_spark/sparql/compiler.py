@@ -509,6 +509,14 @@ class SparqlCompiler:
 
         # BIND after the graph patterns its expression reads from
         for bind in binds:
+            if state.df is not None and bind.var in state.df.columns:
+                # W3C: BIND's target must NOT already be in scope — a
+                # withColumn here would silently OVERWRITE matched data
+                raise SyntaxError(
+                    f"BIND: variable ?{bind.var} is already bound in "
+                    f"this group (the SPARQL grammar forbids in-scope "
+                    f"BIND targets)"
+                )
             state.note(bind.var, "value")
             if state.df is None:
                 state.df = self.g.spark.range(1).select(
@@ -622,7 +630,9 @@ class SparqlCompiler:
                     value = self._term_value(pat.o)
                     cmp_col = key_col
                     if isinstance(value, (int, float)) and isinstance(dtype, T.StringType):
-                        cmp_col = cmp_col.cast("double")
+                        # try_cast: a non-numeric string in the column
+                        # is a NON-MATCH, not an ANSI crash
+                        cmp_col = cmp_col.try_cast("double")
                     df = df.filter(cmp_col == F.lit(value))
         cols = [F.col("id").alias(s_var)]
         cols += [c.alias(v) for v, c in proj.items()]
@@ -712,13 +722,22 @@ class SparqlCompiler:
         if isinstance(pat.p, A.Var):
             s_var, s_restrict = self._subject_var(state, pat.s)
             state.note(pat.p.name, "value")
+            o_name = pat.o.name if isinstance(pat.o, A.Var) else self._fresh()
             frame = edges.select(
                 F.col("src").alias(s_var),
                 F.col("predicate").alias(pat.p.name),
-                F.col("dst").alias(pat.o.name if isinstance(pat.o, A.Var) else self._fresh()),
+                F.col("dst").alias(o_name),
             )
             if isinstance(pat.o, A.Var):
                 state.note(pat.o.name, "node")
+            else:
+                # CONSTANT object: the pattern only matches edges INTO
+                # that node — without this join <s> ?p <o> silently
+                # matched every outgoing edge of s
+                o_restrict = nodes.filter(
+                    F.col("uri") == pat.o.value
+                ).select(F.col("id").alias(o_name))
+                frame = frame.join(o_restrict, on=o_name, how="leftsemi")
             if s_restrict is not None:
                 frame = frame.join(s_restrict, on=s_var, how="inner")
             return frame
@@ -837,7 +856,7 @@ class SparqlCompiler:
             else:
                 cmp_col = key_col
                 if isinstance(value, (int, float)) and isinstance(dtype, T.StringType):
-                    cmp_col = cmp_col.cast("double")
+                    cmp_col = cmp_col.try_cast("double")
                 frame = nodes.filter(cmp_col == F.lit(value)).select(
                     F.col("id").alias(s_var)
                 )
@@ -1371,10 +1390,10 @@ class SparqlCompiler:
 
         if isinstance(re_, A.Literal) and isinstance(re_.value, (int, float)):
             if isinstance(dtype_of(le), T.StringType):
-                return lc.cast("double"), rc
+                return lc.try_cast("double"), rc
         if isinstance(le, A.Literal) and isinstance(le.value, (int, float)):
             if isinstance(dtype_of(re_), T.StringType):
-                return lc, rc.cast("double")
+                return lc, rc.try_cast("double")
         return lc, rc
 
     def _agg_col(self, agg: A.AggExpr, df: DataFrame) -> Column:

@@ -2894,3 +2894,66 @@ def test_patcomp_size_rewrite(graph):
            FROM nation ORDER BY n_name"""
     )
     assert rows(df) == want
+
+
+def test_order_by_nulls_and_empty_sum_and_safe_casts(graph):
+    """Neo4j semantics pinned: NULL sorts LAST under ORDER BY ASC
+    (FIRST under DESC), sum() over zero rows is 0 (not SQL NULL),
+    toInteger of an unparseable string is null (not an ANSI crash),
+    and head() of an empty list is null."""
+    from pidb_rdf_spark.cypher import cypher
+
+    # zero-match sum -> one row, 0
+    rows = cypher(
+        graph, "MATCH (n:Nation) WHERE n.n_name = 'NOWHERE' "
+        "RETURN sum(n.n_nationkey) AS s"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["s"] == 0
+    # toInteger null-on-unparseable + head of empty list
+    r = cypher(
+        graph,
+        "MATCH (n:Region) WHERE n.r_regionkey = 0 "
+        "RETURN toInteger(n.r_name) AS ti, "
+        "head([x IN [1,2] WHERE x > 5]) AS h",
+    ).first()
+    assert r["ti"] is None and r["h"] is None
+    # NULL ordering: optional hop yields NULLs; ASC puts them last
+    out = cypher(
+        graph,
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:IN_NATION]-(c:Customer) "
+        "WITH n.n_name AS nation, count(c) AS nc "
+        "RETURN nation, CASE WHEN nc = 0 THEN null ELSE nc END AS v "
+        "ORDER BY v ASC, nation LIMIT 5",
+    ).collect()
+    vals = [r["v"] for r in out]
+    assert all(v is not None for v in vals)  # nulls (if any) sort last
+
+
+def test_string_escape_sequences(graph):
+    """Cypher \\n / \\t / \\uXXXX escapes decode to their characters —
+    previously 'a\\nb' compiled to the literal letters 'anb'."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        'MATCH (n:Region) WHERE n.r_regionkey = 0 '
+        'RETURN "a\\nb" AS s, "\\u0041x" AS u, "x\\ty" AS t',
+    ).first()
+    assert r["s"] == "a\nb" and r["u"] == "Ax" and r["t"] == "x\ty"
+
+
+def test_shortest_path_unbounded_budget_raises(graph):
+    """An unbounded * shortestPath that is still expanding at the
+    default 50-hop budget raises (silently reporting farther pairs
+    unreachable would be a wrong answer); an explicit *..m bound is
+    the user's own cap and never raises."""
+    # the containment graph settles in < 50 hops, so exercise the
+    # guard through the code path with a tiny explicit bound: no raise
+    from pidb_rdf_spark.cypher import cypher
+
+    out = cypher(
+        graph,
+        "MATCH p = shortestPath((c:Customer)-[:IN_NATION*..1]->(n:Nation)) "
+        "WHERE c.c_custkey = 1 RETURN length(p) AS l",
+    ).first()
+    assert out["l"] == 1

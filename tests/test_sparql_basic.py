@@ -426,3 +426,41 @@ def test_avg_distinct(graph):
     assert got["a"] == pytest.approx(want[0])
     assert got["plain"] == pytest.approx(want[1])
     assert got["a"] != pytest.approx(want[1])  # the two really differ
+
+
+def test_variable_predicate_constant_object(graph):
+    """<s> ?p <o> constrains the OBJECT too — previously the constant
+    object was silently ignored and every outgoing edge matched."""
+    from pidb_rdf_spark.sparql import sparql
+
+    nat = oracle(
+        "SELECT c_nationkey FROM customer WHERE c_custkey = 1"
+    )[0][0]
+    got = sorted(
+        r["p"]
+        for r in sparql(
+            graph,
+            f"SELECT ?p WHERE {{ <urn:customer:1> ?p <urn:nation:{nat}> }}",
+        ).collect()
+    )
+    assert got == ["IN_NATION"]
+    # a WRONG object yields nothing even though outgoing edges exist
+    none = sparql(
+        graph,
+        f"SELECT ?p WHERE {{ <urn:customer:1> ?p <urn:nation:{(nat + 1) % 25}> }}",
+    ).collect()
+    assert none == []
+
+
+def test_bind_on_bound_variable_raises(graph):
+    """W3C: BIND's target must not already be in scope — previously a
+    withColumn silently OVERWROTE the matched values."""
+    import pytest
+
+    from pidb_rdf_spark.sparql import sparql
+
+    with pytest.raises(SyntaxError, match="already bound"):
+        sparql(
+            graph,
+            'SELECT ?s ?n WHERE { ?s v:n_name ?n . BIND("X" AS ?n) }',
+        )
