@@ -99,109 +99,51 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 149 (headroom 1).
-#      Adding an entry past 150 REQUIRES consolidating siblings
-#      first (the curation_pipeline composite is the model). The
-#      ceiling is checked by tests/test_entry_contract.py.
+#      entry count at 50 x 3 = 150. Current count: 141 (headroom 9
+#      after the r11 consolidation, VERDICT r10 #1). Adding an entry
+#      past 150 REQUIRES consolidating siblings first (the
+#      curation_pipeline composite is the model). The ceiling is
+#      checked by tests/test_entry_contract.py.
 #
-# r10 rotation, paying the r9 debt exactly as promised: the FRONT 50
-# = the 36 entries whose newest green row is r7 (the full owed list
-# from VERDICT r9 #2 — group_count, count_distinct,
-# gremlin_repeat_until, gremlin_match, decontam_overlap, text_quality,
-# token_counts, repetition_signals_docs, lang_id, doc_fingerprint,
-# media_features, frame_sample, stream_dedup_events,
-# sessionize_events, windowed_event_counts, substring_dup_docs,
-# semantic_index_query, pagerank_containment, triangle_count_dups,
-# bfs_hops_containment, near_dup_doc_clusters, cypher_filter_topk,
-# construct_derived_edges, label_scan_prop_seek,
-# connected_components_regions, optional_left_join, union_names,
-# exists_semi, distinct_projection, sql_passthrough,
-# closure_reachability, sparql_values, path_inverse_alt_members,
-# ask_exists, group_concat_nations, tfidf_top_terms_docs)
-# + modularity_regions (red in r9, REWORKED this round to exact
-# integer compare — stays in-window until proven)
-# + the 7 new r10 entries (gremlin_sack_order_cost,
-# gremlin_local_topk, gremlin_subgraph_labels, gremlin_tree_region,
-# gremlin_path_cycles, link_prediction_containment,
-# negative_samples_walks — never proven, first into the window)
-# + 6 early returners from the r8-green set chosen for r10-diff
-# adjacency (curation_pipeline: curation.py quantile-band NULL fix;
-# connected_components_star + sssp_region_orders: analytics.py was
-# edited this round; agg_full + sparql_bind + path_optional_hop:
-# compiler tail regression anchors) = exactly 50.
+# r11 rotation, buying window headroom exactly as VERDICT r10 #1
+# prescribed. Twelve sibling entries consolidated into three
+# composites whose oracles reuse the sub-oracle SQL verbatim:
+#   ann_faiss_stack   <- ivf_topk_exact + ivf_topk_probe2 +
+#                        ivf_topk_indexed + pq_codes + pq_topk_adc +
+#                        ivfpq_topk
+#   text_metrics_suite <- lang_id + text_quality + token_counts
+#   event_stream_suite <- windowed_event_counts + sessionize_events +
+#                         stream_dedup_events
+# Entry count 149 -> 141 (12 removed, +3 composites,
+# +louvain_dup_communities — the one analytics operator that had no
+# oracle entry, VERDICT r10 #2).
 #
-# Deferred: core_numbers_dup_graph + eigenvector_containment +
-# assortativity_containment + local_clustering_dups +
-# url_canon_cap_docs + exact_contam_docs (BORN
-# DEFERRED late r10 — the
-# window was full and locked after the debt payment; never-proven,
-# locally validated vs its oracle at birth, enters the r11 window
-# FIRST under rule 2) + the remaining 44 r8-green + 49 r9-green entries, every
-# one fresh within the 3-round ceiling (r8 rows are 2 rounds old at
-# r10 check time; all return by r11/r12 under rule 2). After r10
-# lands, the oldest newest-green row in the ledger is r8 — the
-# ceiling holds.
+# The FRONT 50 = the 6 born-deferred late-r10 entries
+# (core_numbers_dup_graph, eigenvector_containment,
+# assortativity_containment, local_clustering_dups,
+# url_canon_cap_docs, exact_contam_docs — never-proven, first under
+# rule 2)
+# + the 4 new never-proven entries (ann_faiss_stack,
+# text_metrics_suite, event_stream_suite, louvain_dup_communities)
+# + the 39 remaining r8-green entries (owed: their rows turn 3
+# rounds old at r11 — the five consolidated-away IVF/PQ names left
+# this set)
+# + betweenness_containment (r9 early returner: Brandes gained the
+# weighted form this round, so the entry anchors that diff)
+# = exactly 50.
+#
+# Deferred: the remaining 47 r9-green entries (2 rounds old at r11;
+# ALL come due in r12 — 47 <= 50 with 3 slots spare) + the 44
+# r10-green entries (1 round old; due r13). After r11 lands, the
+# oldest newest-green row in the ledger is r9 — the ceiling holds.
 _DEFER_TO_TAIL = [
-    # -- born-deferred late-r10 entries (never-proven; r11 window FIRST)
-    "core_numbers_dup_graph",
-    "eigenvector_containment",
-    "assortativity_containment",
-    "local_clustering_dups",
-    "url_canon_cap_docs",
-    "exact_contam_docs",
-    # -- r8-green (2 rounds old at r10; first priority for r11) ------
-    "bgp_three_hop",
-    "filter_order_limit",
-    "not_exists_anti",
-    "nodes_with_label_inferred",
-    "nodes_linked_to_inferred",
-    "rels_inferred",
-    "running_window_orders",
-    "quantiles_order_prices",
-    "topk_orders_per_segment",
-    "sparql_minus",
-    "path_plus_reachability",
-    "exact_dedup_docs",
-    "ngram_jaccard_dedup",
-    "simhash_dedup",
-    "embedding_near_dup",
-    "cosine_topk",
-    "quantize_embeddings",
-    "ivf_topk_probe2",
-    "ivf_topk_indexed",
-    "pq_codes",
-    "pq_topk_adc",
-    "ivfpq_topk",
-    "boilerplate_lines",
-    "strip_boilerplate",
-    "gopher_quality_docs",
-    "line_dedup_docs",
-    "salted_join_lineitem",
-    "semantic_dedup_embeddings",
-    "semantic_decontam_embeddings",
-    "pii_scrub_docs",
-    "unigram_quality_docs",
-    "chunk_documents",
-    "stratified_sample_docs",
-    "pack_docs_stream",
-    "sessionize_stream",
-    "asof_join_events",
-    "user_stats_events",
-    "kmeans_assign",
-    "bloom_membership",
-    "json_props_extract",
-    "rollup_event_counts",
-    "kmv_distinct_users",
-    "minhash_index_query",
-    "cypher_with_having_expand",
-    # -- r9-green (1 round old at r10; return by r12 at the latest) --
+    # -- r9-green (2 rounds old at r11; ALL return in the r12 window) --
     "dsl_two_hop_group",
     "lineitem_pricing_summary",
     "lineitem_three_hop_volume",
     "path_seq_region",
     "subselect_nation_order_counts",
     "minhash_lsh_dedup",
-    "ivf_topk_exact",
     "embedding_near_dup_lsh",
     "media_header_probe",
     "bm25_search_docs",
@@ -213,7 +155,6 @@ _DEFER_TO_TAIL = [
     "scc_event_transitions",
     "cypher_patcomp_nation_rich",
     "closeness_containment",
-    "betweenness_containment",
     "node_similarity_event_types",
     "mixture_budget_sample",
     "interval_join_events",
@@ -244,6 +185,51 @@ _DEFER_TO_TAIL = [
     "skew_report_lineitem",
     "skipgram_pairs_walks",
     "ppr_region_seeds",
+    # -- r10-green (1 round old at r11; due in the r13 window) --------
+    "label_scan_prop_seek",
+    "group_count",
+    "count_distinct",
+    "agg_full",
+    "optional_left_join",
+    "union_names",
+    "exists_semi",
+    "distinct_projection",
+    "gremlin_repeat_until",
+    "gremlin_match",
+    "sql_passthrough",
+    "closure_reachability",
+    "sparql_bind",
+    "sparql_values",
+    "path_inverse_alt_members",
+    "path_optional_hop",
+    "group_concat_nations",
+    "ask_exists",
+    "construct_derived_edges",
+    "connected_components_regions",
+    "connected_components_star",
+    "bfs_hops_containment",
+    "near_dup_doc_clusters",
+    "pagerank_containment",
+    "triangle_count_dups",
+    "decontam_overlap",
+    "semantic_index_query",
+    "doc_fingerprint",
+    "repetition_signals_docs",
+    "tfidf_top_terms_docs",
+    "media_features",
+    "frame_sample",
+    "curation_pipeline",
+    "sssp_region_orders",
+    "substring_dup_docs",
+    "cypher_filter_topk",
+    "modularity_regions",
+    "gremlin_sack_order_cost",
+    "gremlin_local_topk",
+    "gremlin_subgraph_labels",
+    "gremlin_tree_region",
+    "gremlin_path_cycles",
+    "link_prediction_containment",
+    "negative_samples_walks",
 ]
 
 
@@ -942,47 +928,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantize_embeddings"] = quantize_embeddings_q
 
-    # -- IVF ANN, exact-probe configuration (validates the plumbing) ---
-    def ivf_topk_exact(spark, sf_dir):
-        from pidb_rdf_spark.operators import ivf_search, kmeans_centroids
-
-        emb = _emb(spark, sf_dir)
-        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        cents = kmeans_centroids(emb, n_clusters=8, iters=2)
-        # nprobe == n_clusters ⇒ exact: the oracle is plain brute force
-        return ivf_search(emb, queries_df, cents, k=5, nprobe=8).withColumn(
-            "rank", F.col("rank").cast("long")
-        )
-
-    q["ivf_topk_exact"] = ivf_topk_exact
-
-    # -- approximate scale paths. Approximate ≠ unverifiable: both are
+    # -- the faiss-style ANN stack, consolidated (r11, VERDICT r10 #1):
+    #    six sibling entries (ivf_topk_exact / ivf_topk_probe2 /
+    #    ivf_topk_indexed / pq_codes / pq_topk_adc / ivfpq_topk) shared
+    #    one embeddings scan, one k-means, one PQ training — they now
+    #    verify as ONE long-format frame, each stage tagged, every
+    #    value still individually hashed against the same unrolled
+    #    DuckDB replays. Approximate ≠ unverifiable: the pipelines are
     #    deterministic, so probe-2 gets a full replay oracle (k-means +
-    #    probing unrolled in DuckDB SQL, _ivf_probe_sql) and the LSH
-    #    path is tuned to recall=1 so the exact all-pairs SQL applies --
-    def ivf_topk_probe2(spark, sf_dir):
-        from pidb_rdf_spark.operators import ivf_search, kmeans_centroids
-
-        emb = _emb(spark, sf_dir)
-        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("query_id"), "embedding"
+    #    probing unrolled in SQL, _ivf_probe_sql), exact-probe gets
+    #    brute force, PQ/IVFPQ get _pq_sql/_ivfpq_sql.
+    def ann_faiss_stack(spark, sf_dir):
+        """Long format (stage, key_id, pos, value_id):
+        search stages (ivf_exact / ivf_probe2 / ivf_indexed / pq_adc /
+        ivfpq) map (query_id, rank, neighbor_id); the pq_codes storage
+        stage maps (vec_id, subspace, code). ivf_exact uses
+        nprobe == n_clusters so its oracle is plain brute force;
+        ivf_indexed routes through a PERSISTED cluster-partitioned
+        index (save_ivf_index -> partition pruning at the scan — the
+        100 TB shape) and must equal the in-memory probe-2 ranking."""
+        from pidb_rdf_spark.operators import (
+            ivf_search,
+            ivfpq_topk,
+            kmeans_centroids,
+            pq_encode,
+            pq_topk,
+            pq_train,
         )
-        cents = kmeans_centroids(emb, n_clusters=8, iters=2)
-        return ivf_search(emb, queries_df, cents, k=5, nprobe=2).withColumn(
-            "rank", F.col("rank").cast("long")
-        )
-
-    q["ivf_topk_probe2"] = ivf_topk_probe2
-
-    # -- IVF against a PERSISTED cluster-partitioned index -------------
-    def ivf_topk_indexed(spark, sf_dir):
-        """Same search as ivf_topk_probe2 but through a saved index
-        (save_ivf_index -> cluster-partitioned parquet -> probe =
-        partition pruning at the scan): the 100 TB shape, asserted
-        identical to the in-memory path by sharing its oracle."""
-        from pidb_rdf_spark.operators import kmeans_centroids
         from pidb_rdf_spark.operators.similarity import (
             ivf_search_indexed,
             save_ivf_index,
@@ -993,62 +965,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         cents = kmeans_centroids(emb, n_clusters=8, iters=2)
+        books = pq_train(emb, m=4, k=16, iters=2)
+        codes = pq_encode(emb, books)
         path = "/root/repo/spark-warehouse/ivf_index_entry"
         save_ivf_index(emb, path, cents)
-        return ivf_search_indexed(
-            spark, path, queries_df, k=5, nprobe=2
-        ).withColumn("rank", F.col("rank").cast("long"))
 
-    q["ivf_topk_indexed"] = ivf_topk_indexed
+        def tag(df, stage, cols=("query_id", "rank", "neighbor_id")):
+            return df.select(
+                F.lit(stage).alias("stage"),
+                F.col(cols[0]).cast("long").alias("key_id"),
+                F.col(cols[1]).cast("long").alias("pos"),
+                F.col(cols[2]).cast("long").alias("value_id"),
+            )
 
-    # -- product quantization: codes + ADC search ----------------------
-    def _pq(spark, sf_dir):
-        from pidb_rdf_spark.operators import pq_encode, pq_train
-
-        emb = _emb(spark, sf_dir)
-        books = pq_train(emb, m=4, k=16, iters=2)
-        return emb, books, pq_encode(emb, books)
-
-    def pq_codes_q(spark, sf_dir):
-        """PQ storage half: (vec_id, subspace, code) — 4 bytes per
-        64-dim vector (operators/quantize.py pq_*, the third leg of
-        the SQ8 + IVF + PQ faiss-style stack)."""
-        _, _, codes = _pq(spark, sf_dir)
-        return codes
-
-    q["pq_codes"] = pq_codes_q
-
-    def pq_topk_adc(spark, sf_dir):
-        """ADC search half: exact queries ranked against the code-
-        compressed corpus via a broadcast lookup table — only
-        (id, subspace, code) rows move, never vectors."""
-        emb, books, codes = _pq(spark, sf_dir)
-        from pidb_rdf_spark.operators import pq_topk
-
-        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        return pq_topk(codes, queries_df, books, k=5).withColumn(
-            "rank", F.col("rank").cast("long")
+        return (
+            tag(ivf_search(emb, queries_df, cents, k=5, nprobe=8), "ivf_exact")
+            .unionByName(
+                tag(
+                    ivf_search(emb, queries_df, cents, k=5, nprobe=2),
+                    "ivf_probe2",
+                )
+            )
+            .unionByName(
+                tag(
+                    ivf_search_indexed(spark, path, queries_df, k=5, nprobe=2),
+                    "ivf_indexed",
+                )
+            )
+            .unionByName(tag(codes, "pq_codes", ("vec_id", "subspace", "code")))
+            .unionByName(tag(pq_topk(codes, queries_df, books, k=5), "pq_adc"))
+            .unionByName(
+                tag(
+                    ivfpq_topk(emb, queries_df, cents, books, k=5, nprobe=2),
+                    "ivfpq",
+                )
+            )
         )
 
-    q["pq_topk_adc"] = pq_topk_adc
-
-    def ivfpq_topk_q(spark, sf_dir):
-        """The combined faiss-IVFPQ shape: coarse-cell pruning + ADC
-        ranking from codes alone (quantize.ivfpq_topk)."""
-        from pidb_rdf_spark.operators import ivfpq_topk, kmeans_centroids
-
-        emb, books, _ = _pq(spark, sf_dir)
-        coarse = kmeans_centroids(emb, n_clusters=8, iters=2)
-        queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        return ivfpq_topk(
-            emb, queries_df, coarse, books, k=5, nprobe=2
-        ).withColumn("rank", F.col("rank").cast("long"))
-
-    q["ivfpq_topk"] = ivfpq_topk_q
+    q["ann_faiss_stack"] = ann_faiss_stack
 
     # -- cross-document boilerplate chrome -----------------------------
     def _docs_with_chrome(spark, sf_dir):
@@ -1218,30 +1172,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semantic_index_query"] = semantic_index_query
 
     # -- text analysis --------------------------------------------------
-    def lang_id(spark, sf_dir):
-        from pidb_rdf_spark.operators import language_id
-
-        return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
-
-    q["lang_id"] = lang_id
-
-    def text_quality(spark, sf_dir):
-        from pidb_rdf_spark.operators import quality_score
-
-        return quality_score(_docs(spark, sf_dir)).select(
-            "doc_id", "n_chars_q", "n_tokens", "n_punct", "n_stopwords", "quality"
+    def text_metrics_suite(spark, sf_dir):
+        """Consolidated text-analysis suite (r11, VERDICT r10 #1): the
+        lang_id / text_quality / token_counts siblings are zero-shuffle
+        codegen projections over one documents scan keyed by doc_id,
+        so they verify as ONE joined frame — every operator's own
+        columns still individually hashed against the same oracles,
+        now composed by a doc_id equi-join."""
+        from pidb_rdf_spark.operators import (
+            language_id,
+            quality_score,
+            token_count,
         )
 
-    q["text_quality"] = text_quality
-
-    def token_counts(spark, sf_dir):
-        from pidb_rdf_spark.operators import token_count
-
-        return token_count(_docs(spark, sf_dir)).select(
-            "doc_id", "ws_tokens", "bpe_tokens"
+        docs = _docs(spark, sf_dir)
+        lang = language_id(docs).select("doc_id", "lang_pred")
+        qual = quality_score(docs).select(
+            "doc_id", "n_chars_q", "n_tokens", "n_punct", "n_stopwords",
+            "quality",
         )
+        toks = token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+        return lang.join(qual, "doc_id").join(toks, "doc_id")
 
-    q["token_counts"] = token_counts
+    q["text_metrics_suite"] = text_metrics_suite
 
     def doc_fingerprint(spark, sf_dir):
         from pidb_rdf_spark.operators import fingerprint
@@ -1414,32 +1367,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- event-stream operators (batch-equivalent logic; the same
     #    functions run under Structured Streaming, see tests) ----------
-    def windowed_events(spark, sf_dir):
-        from pidb_rdf_spark.streaming import windowed_event_counts
-
-        out = windowed_event_counts(_events(spark, sf_dir), window="1 hour")
-        return out.select(
-            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_cents",
+    def event_stream_suite(spark, sf_dir):
+        """Consolidated event-stream suite (r11, VERDICT r10 #1): the
+        windowed_event_counts / sessionize_events / stream_dedup_events
+        siblings verify as ONE long-format frame tagged by stage —
+        stream≡batch equivalence for each stays pinned in
+        tests/test_streaming.py. Column mapping (sentinels '' / -1
+        instead of NULLs so both engines hash mixed-typed columns
+        identically):
+          windowed:   key_s=event_type, ts1_s=window_start,
+                      n=n_events, v=sum_cents
+          sessionize: key_s=user_id, ts1_s=session_start,
+                      ts2_s=session_end, n=n_events, v=session_seq
+          dedup:      key_s=user_id, sub_s=event_type, ts1_s=ts,
+                      v=event_id (input doubled to simulate
+                      at-least-once redelivery)"""
+        from pidb_rdf_spark.streaming import (
+            dedup_stream,
+            sessionize,
+            windowed_event_counts,
         )
 
-    q["windowed_event_counts"] = windowed_events
-
-    def sessionize_events(spark, sf_dir):
-        from pidb_rdf_spark.streaming import sessionize
-
-        out = sessionize(_events(spark, sf_dir), gap="30 minutes")
-        return out.select(
-            "user_id",
-            F.col("session_seq").cast("long").alias("session_seq"),
-            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events",
+        ev = _events(spark, sf_dir)
+        tfmt = "yyyy-MM-dd HH:mm:ss"
+        w = windowed_event_counts(ev, window="1 hour").select(
+            F.lit("windowed").alias("stage"),
+            F.col("event_type").alias("key_s"),
+            F.lit("").alias("sub_s"),
+            F.date_format("window_start", tfmt).alias("ts1_s"),
+            F.lit("").alias("ts2_s"),
+            F.col("n_events").cast("long").alias("n"),
+            F.col("sum_cents").cast("long").alias("v"),
         )
+        s = sessionize(ev, gap="30 minutes").select(
+            F.lit("sessionize").alias("stage"),
+            F.col("user_id").cast("string").alias("key_s"),
+            F.lit("").alias("sub_s"),
+            F.date_format("session_start", tfmt).alias("ts1_s"),
+            F.date_format("session_end", tfmt).alias("ts2_s"),
+            F.col("n_events").cast("long").alias("n"),
+            F.col("session_seq").cast("long").alias("v"),
+        )
+        doubled = ev.unionAll(ev)  # simulated at-least-once redelivery
+        d = dedup_stream(doubled, ["event_id"]).select(
+            F.lit("dedup").alias("stage"),
+            F.col("user_id").cast("string").alias("key_s"),
+            F.col("event_type").alias("sub_s"),
+            F.date_format("ts", tfmt).alias("ts1_s"),
+            F.lit("").alias("ts2_s"),
+            F.lit(-1).cast("long").alias("n"),
+            F.col("event_id").cast("long").alias("v"),
+        )
+        return w.unionByName(s).unionByName(d)
 
-    q["sessionize_events"] = sessionize_events
+    q["event_stream_suite"] = event_stream_suite
 
     def sessionize_stream_q(spark, sf_dir):
         """session_window-based sessionization (the form that runs
@@ -1478,23 +1459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["asof_join_events"] = asof_join_events
-
-    def stream_dedup_events(spark, sf_dir):
-        # batch mode of the stream/batch-identical dedup operator
-        # (streaming path = dropDuplicatesWithinWatermark, verified
-        # stream-equals-batch in tests/test_streaming.py)
-        from pidb_rdf_spark.streaming import dedup_stream
-
-        ev = _events(spark, sf_dir)
-        doubled = ev.unionAll(ev)  # simulated at-least-once redelivery
-        return dedup_stream(doubled, ["event_id"]).select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        )
-
-    q["stream_dedup_events"] = stream_dedup_events
 
     def user_stats_events(spark, sf_dir):
         """Per-user lifetime stats — the batch twin of the
@@ -1957,6 +1921,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(pairs, src="a", dst="b", n_iter=5)
 
     q["label_prop_dup_communities"] = label_prop_dup_communities
+
+    def louvain_dup_communities(spark, sf_dir):
+        """Louvain community detection over the near-dup pair graph
+        (analytics.louvain — the flagship community operator of the
+        family whose quality metric, modularity, is entry-checked by
+        modularity_regions). Oracle: both levels x all 6 local-move
+        rounds + contraction unrolled in DuckDB SQL (_louvain_sql),
+        exact by the integer-valued-gains argument in its docstring.
+        NEW r11: enters the window never-proven."""
+        from pidb_rdf_spark.analytics import louvain
+
+        pairs = _minhash_pairs(spark, sf_dir, threshold=0.8)
+        return louvain(pairs, src="a", dst="b", levels=2, n_rounds=6)
+
+    q["louvain_dup_communities"] = louvain_dup_communities
 
     def scc_event_transitions(spark, sf_dir):
         """Strongly connected components of the per-user event-type
@@ -3236,6 +3215,119 @@ def _lpa_sql(n_iter: int = 5) -> str:
     return f"""
 WITH {",".join(ctes)}
 SELECT node, community FROM lab{n_iter}
+"""
+
+
+def _louvain_sql(
+    levels: int = 2, n_rounds: int = 6, threshold: float = 0.8
+) -> str:
+    """The ENTIRE deterministic Louvain pipeline unrolled in DuckDB
+    SQL, mirroring ``analytics.louvain`` step-for-step over the
+    near-dup pair graph: per level, ``n_rounds`` synchronous
+    local-move rounds (modularity-gain argmax with the stay-row
+    baseline, smallest-id tie-break, minimum-label + md5-parity
+    alternation anti-swap guards), then min-member canonicalization
+    and community contraction (parallel weights summed, self-loops
+    kept). The unconditional unroll is EXACT: the Spark side's
+    quiet-round / no-inter-edge early exits only skip rounds and
+    levels that provably move nothing, so replaying every round
+    reproduces the labels bit-for-bit. All quantities on the
+    unweighted graph are integer-valued doubles (sums of 1.0), so
+    every gain is the same correctly-rounded
+    ``k - deg * (tot - adj) / 2m`` in both engines and the strict
+    compares never straddle an ulp."""
+    ctes = [
+        "pr AS MATERIALIZED "
+        f"(SELECT a, b FROM ({_jaccard_pairs_sql(threshold)}) jp)",
+        # _sym: both directions, self-loops dropped, dedup; w = 1.0
+        """g0 AS MATERIALIZED (
+  SELECT DISTINCT u AS src, v AS dst, 1.0 AS w FROM (
+    SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr)
+  WHERE u <> v)""",
+        # two_m: the symmetric list counts each edge twice (computed
+        # ONCE from the level-0 graph, reused at every level)
+        "tm AS MATERIALIZED (SELECT SUM(w) AS m2 FROM g0)",
+    ]
+    for L in range(levels):
+        g, R = f"g{L}", n_rounds
+        ctes.append(
+            f"deg{L} AS MATERIALIZED (SELECT src AS node, SUM(w) AS deg "
+            f"FROM {g} GROUP BY 1)"
+        )
+        ctes.append(
+            f"lab{L}_0 AS MATERIALIZED (SELECT DISTINCT src AS node, "
+            f"src AS community FROM {g})"
+        )
+        for i in range(1, n_rounds + 1):
+            prev = f"lab{L}_{i - 1}"
+            ctes.append(f"""tot{L}_{i} AS MATERIALIZED (
+  SELECT l.community, SUM(d.deg) AS tot, COUNT(*) AS csize
+  FROM {prev} l JOIN deg{L} d ON d.node = l.node GROUP BY 1)""")
+            # k_u(c) over EXTERNAL edges + the guaranteed stay row
+            ctes.append(f"""kuc{L}_{i} AS MATERIALIZED (
+  SELECT node, c, MAX(k) AS k FROM (
+    SELECT e.src AS node, l.community AS c, SUM(e.w) AS k
+    FROM {g} e JOIN {prev} l ON l.node = e.dst
+    WHERE e.src <> e.dst GROUP BY 1, 2
+    UNION ALL
+    SELECT node, community AS c, 0.0 AS k FROM {prev}
+  ) GROUP BY 1, 2)""")
+            # candidate gains, allowed rows only (is_cur rows always
+            # pass the minimum-label rule's first disjunct)
+            ctes.append(f"""cand{L}_{i} AS MATERIALIZED (
+  SELECT k.node, k.c,
+         k.k - d.deg * (t.tot - CASE WHEN k.c = l.community THEN d.deg
+                                     ELSE 0.0 END) / tm.m2 AS gain,
+         (k.c = l.community) AS is_cur
+  FROM kuc{L}_{i} k
+  JOIN {prev} l ON l.node = k.node
+  JOIN deg{L} d ON d.node = k.node
+  JOIN tot{L}_{i} t ON t.community = k.c
+  JOIN tot{L}_{i} tc ON tc.community = l.community
+  CROSS JOIN tm
+  WHERE (k.c = l.community) OR (tc.csize > 1) OR (t.csize > 1)
+     OR (k.c < l.community))""")
+            ctes.append(f"""best{L}_{i} AS MATERIALIZED (
+  SELECT s.node, s.bc, s.bgain, g2.cur_gain
+  FROM (SELECT node, c AS bc, gain AS bgain FROM (
+          SELECT node, c, gain,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY gain DESC, c ASC) AS rn
+          FROM cand{L}_{i}) WHERE rn = 1) s
+  JOIN (SELECT node, MAX(CASE WHEN is_cur THEN gain END) AS cur_gain
+        FROM cand{L}_{i} GROUP BY node) g2 ON g2.node = s.node)""")
+            ctes.append(f"""lab{L}_{i} AS MATERIALIZED (
+  SELECT l.node,
+         CASE WHEN b.bgain > COALESCE(b.cur_gain, 0.0)
+               AND CAST('0x' || substr(md5(CAST(l.node AS VARCHAR)), 1, 1)
+                        AS BIGINT) % 2 = {(i - 1) % 2}
+              THEN b.bc ELSE l.community END AS community
+  FROM {prev} l LEFT JOIN best{L}_{i} b ON b.node = l.node)""")
+        # canonicalize to min member, map the assignment through,
+        # contract for the next level (self-loops kept)
+        ctes.append(f"""labc{L} AS MATERIALIZED (
+  SELECT l.node, c.cmin AS community
+  FROM lab{L}_{R} l JOIN (SELECT community, MIN(node) AS cmin
+                          FROM lab{L}_{R} GROUP BY 1) c
+       ON c.community = l.community)""")
+        if L == 0:
+            ctes.append(
+                "assign0 AS MATERIALIZED "
+                "(SELECT node, community FROM labc0)"
+            )
+        else:
+            ctes.append(f"""assign{L} AS MATERIALIZED (
+  SELECT a.node, lc.community
+  FROM assign{L - 1} a JOIN labc{L} lc ON lc.node = a.community)""")
+        if L + 1 < levels:
+            ctes.append(f"""g{L + 1} AS MATERIALIZED (
+  SELECT ls.community AS src, ld.community AS dst, SUM(e.w) AS w
+  FROM {g} e JOIN labc{L} ls ON ls.node = e.src
+             JOIN labc{L} ld ON ld.node = e.dst
+  GROUP BY 1, 2)""")
+    return f"""
+WITH {",".join(ctes)}
+SELECT node, community FROM assign{levels - 1}
 """
 
 
@@ -5122,6 +5214,53 @@ def oracle_sql() -> dict[str, str]:
         FROM deg d LEFT JOIN tri t ON t.node = d.node
     """
     base["label_prop_dup_communities"] = _lpa_sql(5)
+    base["louvain_dup_communities"] = _louvain_sql(levels=2, n_rounds=6)
+    # -- r11 composites (VERDICT r10 #1): each consolidates sibling
+    #    entries into one frame; the sub-oracles are reused VERBATIM
+    #    (popped out of the per-entry registry and wrapped), so the
+    #    per-operator replay logic is unchanged — only the packaging.
+    base["ann_faiss_stack"] = f"""
+        SELECT 'ivf_exact' AS stage, query_id AS key_id,
+               "rank" AS pos, neighbor_id AS value_id
+        FROM ({base.pop("ivf_topk_exact")})
+        UNION ALL
+        SELECT 'ivf_probe2', query_id, "rank", neighbor_id
+        FROM ({base.pop("ivf_topk_probe2")})
+        UNION ALL
+        SELECT 'ivf_indexed', query_id, "rank", neighbor_id
+        FROM ({base.pop("ivf_topk_indexed")})
+        UNION ALL
+        SELECT 'pq_codes', vec_id, subspace, code
+        FROM ({base.pop("pq_codes")})
+        UNION ALL
+        SELECT 'pq_adc', query_id, "rank", neighbor_id
+        FROM ({base.pop("pq_topk_adc")})
+        UNION ALL
+        SELECT 'ivfpq', query_id, "rank", neighbor_id
+        FROM ({base.pop("ivfpq_topk")})
+    """
+    base["text_metrics_suite"] = f"""
+        SELECT l.doc_id, l.lang_pred, q.n_chars_q, q.n_tokens, q.n_punct,
+               q.n_stopwords, q.quality, t.ws_tokens, t.bpe_tokens
+        FROM ({base.pop("lang_id")}) l
+        JOIN ({base.pop("text_quality")}) q ON q.doc_id = l.doc_id
+        JOIN ({base.pop("token_counts")}) t ON t.doc_id = l.doc_id
+    """
+    base["event_stream_suite"] = f"""
+        SELECT 'windowed' AS stage, event_type AS key_s, '' AS sub_s,
+               window_start AS ts1_s, '' AS ts2_s,
+               CAST(n_events AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS v
+        FROM ({base.pop("windowed_event_counts")})
+        UNION ALL
+        SELECT 'sessionize', CAST(user_id AS VARCHAR), '',
+               session_start, session_end,
+               CAST(n_events AS BIGINT), CAST(session_seq AS BIGINT)
+        FROM ({base.pop("sessionize_events")})
+        UNION ALL
+        SELECT 'dedup', CAST(user_id AS VARCHAR), event_type,
+               ts_s, '', CAST(-1 AS BIGINT), CAST(event_id AS BIGINT)
+        FROM ({base.pop("stream_dedup_events")})
+    """
     base["scc_event_transitions"] = """
         WITH RECURSIVE seq AS MATERIALIZED (
             SELECT event_type,

@@ -49,13 +49,15 @@ QUERY_TIERS = {
     "ngram_jaccard_dedup": "baseline",   # exact all-pairs Jaccard
     "cosine_topk": "baseline",           # brute-force ANN
     "embedding_near_dup": "baseline",    # brute-force cosine pairs
-    "ivf_topk_exact": "baseline",        # IVF with exhaustive probe
     "link_prediction_containment": "baseline",  # uncapped common-nbr
     # (quadratic OUTPUT in hub degree; max_degree is the scale path)
     "minhash_lsh_dedup": "scale-path",
     "simhash_dedup": "scale-path",
     "embedding_near_dup_lsh": "scale-path",
-    "ivf_topk_probe2": "scale-path",
+    # the r11 ANN composite spans both tiers: its ivf_exact stage is
+    # the exhaustive-probe verifier, the probe-2/indexed/PQ stages are
+    # the designated scale paths
+    "ann_faiss_stack": "mixed",
 }
 
 

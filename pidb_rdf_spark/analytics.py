@@ -1584,6 +1584,8 @@ def _louvain_moves(
     # edge); k_u(c) EXCLUDES self-edges (a node's own loop moves with
     # it, contributing identically to Q wherever it sits, so counting
     # it on the stay side would bias every supernode toward staying)
+    from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
     labels = _pin(labels)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("deg")
@@ -1688,10 +1690,12 @@ def _louvain_moves(
                         > F.coalesce(F.col("cur_gain"), F.lit(0.0))
                     )
                     & (
-                        F.pmod(
-                            F.xxhash64(F.col("node").cast("string")),
-                            F.lit(2),
-                        )
+                        # alternation class = md5 parity (the cross-
+                        # engine-replayable hash idiom, operators/
+                        # hashing.py): any engine with md5 replays
+                        # the class split exactly, which is what lets
+                        # the DuckDB oracle unroll the rounds
+                        F.pmod(md5_prefix_long(F.col("node"), 4), F.lit(2))
                         == F.lit(r % 2)
                     ),
                     F.col("b.c"),

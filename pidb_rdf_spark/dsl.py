@@ -805,7 +805,11 @@ class Traversal:
         col = self.g.node_prop(key)
         return self._with(
             frontier.orderBy(
-                col.asc() if asc else col.desc(),
+                # nulls LAST in both directions: elements missing the
+                # order property must not win top slots of
+                # order_by().limit() (matches the by()-modulated
+                # top-k path's asc_nulls_last/desc_nulls_last)
+                col.asc_nulls_last() if asc else col.desc_nulls_last(),
                 F.col(CUR).asc(),
                 *self._det_tiebreaks(),
             ).select(CUR, *[c for c in self.df.columns if c != CUR])

@@ -164,12 +164,13 @@ def add_edges(
         raw.join(src_map, on="src_uri", how="left")
         .join(dst_map, on="dst_uri", how="left")
         .select(
-            # \x01 separator keeps field BOUNDARIES (and matches the
-            # importer's edge-id scheme): an empty separator made
-            # ('urn:x:a','bc','d') and ('urn:x:ab','c','d') collide
-            F.xxhash64(
-                F.concat_ws("\x01", "src_uri", "predicate", "dst_uri")
-            ).alias("id"),
+            # canonical edge-id scheme shared with importer.py /
+            # neo4j_csv.py / graphson.py / graphml.py: multi-arg
+            # xxhash64(src uri, dst uri, predicate). Field boundaries
+            # are structural, so ('urn:x:a','bc','d') vs
+            # ('urn:x:ab','c','d') cannot collide, and the same
+            # logical edge hashes identically on every ingest path.
+            F.xxhash64("src_uri", "dst_uri", "predicate").alias("id"),
             F.coalesce("__src_id", F.xxhash64("src_uri")).alias("src"),
             F.coalesce("__dst_id", F.xxhash64("dst_uri")).alias("dst"),
             "predicate",

@@ -205,7 +205,12 @@ def import_triples(
         )
         .distinct()  # (src, type, dst) dedup, DirectStatementLoader.java:281-305
         .select(
-            F.xxhash64(F.concat_ws("", "s_uri", "predicate", "o_uri")).alias("id"),
+            # canonical edge-id scheme: multi-arg xxhash64 over
+            # (src uri, dst uri, predicate) — field boundaries are
+            # structural (no separator to collide on), and the SAME
+            # logical edge gets the SAME id from import, add_edges,
+            # Neo4j-CSV, GraphSON and GraphML paths
+            F.xxhash64("s_uri", "o_uri", "predicate").alias("id"),
             F.xxhash64(F.col("s_uri")).alias("src"),
             F.xxhash64(F.col("o_uri")).alias("dst"),
             F.col("predicate"),

@@ -733,7 +733,18 @@ class SparqlCompiler:
             else:
                 # CONSTANT object: the pattern only matches edges INTO
                 # that node — without this join <s> ?p <o> silently
-                # matched every outgoing edge of s
+                # matched every outgoing edge of s. A LITERAL object
+                # under a variable predicate would need a union over
+                # every value property; never-silently-mis-execute
+                # says raise until that is implemented (a uri
+                # point-filter can never match a literal).
+                if not isinstance(pat.o, A.IRI):
+                    raise SyntaxError(
+                        "variable predicate with a literal object "
+                        "(?s ?p <literal>) is not supported: only IRI "
+                        "objects match the edge table; rewrite with an "
+                        "explicit v:<prop> pattern per property"
+                    )
                 o_restrict = nodes.filter(
                     F.col("uri") == pat.o.value
                 ).select(F.col("id").alias(o_name))
