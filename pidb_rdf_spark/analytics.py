@@ -1318,6 +1318,220 @@ def _closeness_from_state(origins: DataFrame, state: DataFrame) -> DataFrame:
     )
 
 
+def _betweenness_weighted(
+    pairs: DataFrame,
+    sources: DataFrame | None,
+    src: str,
+    dst: str,
+    directed: bool,
+    max_iter: int,
+    weight: str,
+) -> DataFrame:
+    """Weighted Brandes (positive INTEGRAL weights — the sssp guard:
+    the shortest-path-DAG membership test is the exact equality
+    ``dist(u) + w == dist(v)``, which only never-misses when every
+    distance is an exact long; pre-scale fractional weights to
+    integers, e.g. cents). Weight conventions for a DISTANCE metric
+    match weighted closeness: parallel edges take the CHEAPEST weight
+    (min), zero/negative/NULL drop.
+
+    Shape: (1) per-origin semi-naive Bellman-Ford settles
+    dist(origin, node) — the sssp relaxation keyed by origin;
+    (2) ONE dense_rank window per origin turns distances into a
+    topological layering of the shortest-path DAG (every DAG
+    predecessor has a strictly smaller distance, hence a smaller
+    rank — no iterative level computation needed); (3) forward sigma
+    accumulates per rank level over the explicit DAG edges (Brandes'
+    counting); (4) the backward dependency pass descends the ranks,
+    joining each level's DAG out-edges against the ACCUMULATED
+    settled suffix (a weighted DAG successor may sit any number of
+    ranks above, not exactly one as in BFS). Every shuffle is keyed
+    on (origin, node); per-round frames are localCheckpoint-pinned.
+    Exact all-sources betweenness is O(V x E) by definition — at
+    scale pass a SAMPLE of nodes as ``sources`` (Brandes-Pich)."""
+    from pyspark.sql import types as T
+
+    wtype = pairs.schema[weight].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            "betweenness_centrality(weight=...) requires integral "
+            f"weights, got {wtype.simpleString()}; the shortest-path "
+            "DAG test dist(u) + w == dist(v) needs exact arithmetic — "
+            "scale fractional weights to integers first"
+        )
+    w_base = pairs.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).filter(
+        F.col("w").isNotNull() & (F.col("w") > 0) & (F.col("src") != F.col("dst"))
+    )
+    if not directed:
+        w_base = w_base.unionAll(
+            w_base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    edges = (
+        w_base.groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    origins = (
+        all_nodes.select(F.col("node").alias("origin"))
+        if sources is None
+        else sources.select(
+            F.col(sources.columns[0]).alias("origin")
+        ).dropDuplicates()
+    ).localCheckpoint(eager=True)
+    # -- (1) Bellman-Ford: settle dist(origin, node), semi-naive ------
+    state = origins.select(
+        "origin",
+        F.col("origin").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_iter):
+        cand = (
+            frontier.select("origin", F.col("node").alias("src"), "dist")
+            .join(edges, on="src")
+            .groupBy("origin", F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("__new"))
+        )
+        improved = (
+            cand.join(
+                state.withColumnRenamed("dist", "__old"),
+                on=["origin", "node"],
+                how="left",
+            )
+            .filter(F.col("__old").isNull() | (F.col("__new") < F.col("__old")))
+            .select("origin", "node", F.col("__new").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.unionAll(improved)
+            .groupBy("origin", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            "betweenness_centrality: distances were still relaxing "
+            f"after max_iter={max_iter} rounds — a truncated "
+            "Bellman-Ford would corrupt the shortest-path DAG; raise "
+            "max_iter (rounds needed = the max EDGE COUNT of any "
+            "minimum-cost path)"
+        )
+    # -- (2) rank = dense_rank(dist) per origin: a topological
+    #    layering of the DAG in one window shuffle (partitioned by
+    #    origin — never SinglePartition)
+    ranked = state.withColumn(
+        "rk",
+        F.dense_rank().over(
+            Window.partitionBy("origin").orderBy(F.col("dist"))
+        )
+        - 1,
+    ).localCheckpoint(eager=True)
+    max_rank = ranked.agg(F.max("rk")).first()[0] or 0
+    # explicit shortest-path DAG: u -> v iff dist(u) + w == dist(v)
+    dag = (
+        ranked.select("origin", F.col("node").alias("src"), "dist")
+        .join(edges, on="src")
+        .join(
+            ranked.select(
+                "origin",
+                F.col("node").alias("dst"),
+                F.col("dist").alias("__dd"),
+                F.col("rk").alias("__rkd"),
+            ),
+            on=["origin", "dst"],
+        )
+        .filter(F.col("dist") + F.col("w") == F.col("__dd"))
+        .select("origin", "src", "dst", F.col("__rkd").alias("rk_dst"))
+        .localCheckpoint(eager=True)
+    )
+    # -- (3) forward sigma, rank level by rank level -------------------
+    levels: list[DataFrame] = [
+        ranked.filter(F.col("rk") == 0).select(
+            "origin", "node", F.lit(1).cast("double").alias("sigma")
+        ).localCheckpoint(eager=True)
+    ]
+    settled = levels[0]
+    for r in range(1, max_rank + 1):
+        nxt = (
+            dag.filter(F.col("rk_dst") == r)
+            .join(
+                settled.select(
+                    "origin", F.col("node").alias("src"), "sigma"
+                ),
+                on=["origin", "src"],
+            )
+            .groupBy("origin", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        settled = settled.unionAll(nxt)
+    # -- (4) backward dependencies, descending ranks -------------------
+    upper = levels[max_rank].withColumn("delta", F.lit(0.0))
+    parts = [upper]
+    upperall = upper
+    for r in range(max_rank - 1, -1, -1):
+        cur = levels[r]
+        contrib = (
+            cur.select("origin", F.col("node").alias("src"), "sigma")
+            .join(dag.select("origin", "src", "dst"), on=["origin", "src"])
+            .join(
+                upperall.select(
+                    "origin",
+                    F.col("node").alias("dst"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                on=["origin", "dst"],
+            )
+            .groupBy("origin", F.col("src").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("sigma") / F.col("sigma_w"))
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("acc")
+            )
+        )
+        done = (
+            cur.join(contrib, on=["origin", "node"], how="left")
+            .withColumn("delta", F.coalesce("acc", F.lit(0.0)))
+            .drop("acc")
+            .localCheckpoint(eager=True)
+        )
+        parts.append(done)
+        upperall = upperall.unionAll(done)
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionAll(p)
+    per_node = (
+        delta.filter(F.col("node") != F.col("origin"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    scale = F.col("betweenness") / 2 if not directed else F.col("betweenness")
+    return all_nodes.join(per_node, on="node", how="left").select(
+        "node",
+        F.coalesce(scale, F.lit(0.0)).alias("betweenness"),
+    )
+
+
 def betweenness_centrality(
     pairs: DataFrame,
     sources: DataFrame | None = None,
@@ -1325,8 +1539,14 @@ def betweenness_centrality(
     dst: str = "dst",
     directed: bool = False,
     max_iter: int = 50,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, betweenness) — Brandes' algorithm as DataFrame rounds.
+
+    ``weight`` names an edge-weight column for the weighted form
+    (positive integral weights; see :func:`_betweenness_weighted` for
+    the conventions) — the unweighted plan below is bitwise-unchanged
+    when ``weight`` is None, the family convention.
 
     Forward: a multi-source BFS keyed by origin settles each node's
     level and shortest-path count sigma (sigma sums over the level-k
@@ -1342,6 +1562,10 @@ def betweenness_centrality(
     Rounds = 2 x BFS depth; each round is bounded equi-joins with
     per-round ``localCheckpoint`` lineage truncation.
     """
+    if weight is not None:
+        return _betweenness_weighted(
+            pairs, sources, src, dst, directed, max_iter, weight
+        )
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates()

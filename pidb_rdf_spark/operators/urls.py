@@ -26,7 +26,13 @@ Canonical form (documented contract, applied in this order):
    by raw text and re-joined (parameter order is almost never
    significant; sorting makes equal-parameter URLs equal strings);
 6. trailing slashes stripped from the path (empty path → ``/``);
-7. optional ``strip_www``.
+7. optional ``strip_www``;
+8. percent-encoding normalization (RFC 3986 §6.2.2): escapes of
+   UNRESERVED characters decode (``%7E`` ≡ ``~``, ``%41`` ≡ ``A``)
+   and the hex digits of every remaining escape uppercase
+   (``%3a`` ≡ ``%3A``) — applied to authority, path and query
+   before steps 2–6 so case-folding and parameter sorting see the
+   normalized text.
 
 URLs with no ``scheme://`` part normalize to NULL (not silently
 passed through — a malformed URL must never collide with a real
@@ -47,6 +53,39 @@ TRACKING_PARAM_RE = (
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
+def _pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure codegen:
+    decode percent-encoded UNRESERVED characters (ALPHA / DIGIT /
+    ``- . _ ~`` — two encodings of one URL, ``%7E`` vs ``~``, must
+    collide to one canonical form) and uppercase the hex digits of
+    every remaining escape (``%3a`` == ``%3A``). Split on ``%``,
+    rewrite each escape head inside one array transform, re-concat —
+    no Python, no shuffle; dangling ``%``/short escapes pass through
+    untouched (never silently dropped)."""
+    parts = F.split(s, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(p: Column) -> Column:
+        hex2 = F.upper(p.substr(1, 2))
+        is_hex = p.rlike("^[0-9A-Fa-f]{2}")
+        n = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((n >= 65) & (n <= 90))
+            | ((n >= 97) & (n <= 122))
+            | ((n >= 48) & (n <= 57))
+            | n.isin(45, 46, 95, 126)
+        )
+        rest_p = p.substr(F.lit(3), F.length(p))
+        return (
+            F.when(is_hex & unreserved, F.concat(F.char(n), rest_p))
+            .when(is_hex, F.concat(F.lit("%"), hex2, rest_p))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
 def url_normalize_col(
     url: Column, strip_www: bool = False
 ) -> Column:
@@ -54,7 +93,11 @@ def url_normalize_col(
     inside any projection). NULL for inputs without ``scheme://``."""
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    # percent-normalize everything after the scheme (the scheme
+    # grammar admits no escapes); decoded unreserved alphas in the
+    # authority are lowercased right after, query params are sorted
+    # AFTER normalization so equal-decoding URLs sort identically
+    rest = _pct_normalize(F.regexp_replace(u, _SCHEME_RE, ""))
     auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
     if strip_www:
         auth = F.regexp_replace(auth, r"^www\.", "")
@@ -142,6 +185,7 @@ def cap_per_domain(
     cap: int,
     id_col: str = "doc_id",
     salt: str = "domaincap",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per domain, chosen deterministically:
     the ``cap`` smallest ``md5(salt:domain:id)`` draws win (the repo's
@@ -150,17 +194,35 @@ def cap_per_domain(
     partitioning). The quota step of crawl curation: no host gets to
     dominate the mixture however many pages it serves.
 
-    One row_number window partitioned by the domain key — the single
-    shuffle the semantics require. Skew note: a monster domain lands
-    in one task for its window sort; md5 draws are uniform, so for
-    very hot domains pre-filter with a cheap
-    ``md5 < cap/n_domain_rows``-quantile pass before the exact window
-    if profiling shows a straggler."""
+    TWO-PASS hot-domain tier (the straggler fix): a monster domain
+    would otherwise sort ALL its rows in one window task — at crawl
+    scale the expected case, not a corner. Domains with more than
+    ``hot_threshold`` rows (default ``max(64 * cap, 4096)``; one
+    map-side-combinable count agg finds them, broadcast back) are
+    pre-filtered to draws below ``(4 * cap + 64) / n`` of the draw
+    space BEFORE the exact window. Output-identical to the one-pass
+    form by construction: every survivor's draw is strictly below
+    every non-survivor's, so the ``cap`` smallest survivors ARE the
+    ``cap`` smallest overall whenever at least ``cap`` rows survive —
+    and the expected survivor count of ``4 * cap + 64`` puts the
+    under-select probability below 1e-12 (Chernoff), with an explicit
+    driver-side guard that RAISES rather than silently mis-sampling
+    on that event (rerun with another ``salt``). Cold domains take
+    the plain exact window. Plan shape: two shuffles keyed on the
+    domain (count agg + window) instead of one unbounded-skew window;
+    the hot window's input is capped at ~``4 * cap + 64`` rows per
+    domain."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
     from pyspark.sql import Window
 
     from pidb_rdf_spark.operators.hashing import md5_prefix_long
+
+    for reserved in ("__n", "__rn"):
+        if reserved in df.columns:
+            raise ValueError(f"df already has reserved column: {reserved!r}")
+    if hot_threshold is None:
+        hot_threshold = max(64 * cap, 4096)
 
     draw = md5_prefix_long(
         F.concat_ws(
@@ -174,8 +236,47 @@ def cap_per_domain(
     w = Window.partitionBy(domain_col).orderBy(
         draw.asc(), F.col(id_col).asc()
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+
+    def exact_cap(part: DataFrame) -> DataFrame:
+        return (
+            part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+
+    hot = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
     )
+    if hot.isEmpty():
+        # no hot domains: the single exact window, unchanged
+        return exact_cap(df)
+    tagged = df.join(F.broadcast(hot), on=domain_col, how="left")
+    cold = tagged.filter(F.col("__n").isNull()).drop("__n")
+    # 52-bit draws are exact in a double, so the threshold compare is
+    # deterministic; survivors' draws < T < non-survivors' draws
+    thresh = (
+        F.lit(float(4 * cap + 64)) / F.col("__n") * F.lit(float(1 << 52))
+    )
+    # NO checkpoint here: the threshold filter must stay visible in
+    # the returned plan (pinned by tests — it is the proof the hot
+    # window never sorts a raw domain). The guard below re-scans the
+    # hot side once; both passes are cheap map work next to the
+    # monster-domain sort this tier exists to avoid.
+    survivors = tagged.filter(F.col("__n").isNotNull()).filter(
+        draw.cast("double") < thresh
+    )
+    short = (
+        survivors.groupBy(domain_col)
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") < cap)
+    )
+    if not short.isEmpty():
+        raise RuntimeError(
+            "cap_per_domain: a hot domain's draw pre-filter kept fewer "
+            f"than cap={cap} rows (p < 1e-12 per domain under uniform "
+            "md5 draws) — rerun with a different salt, or raise "
+            "hot_threshold to route the domain through the exact window"
+        )
+    return exact_cap(cold).unionByName(exact_cap(survivors.drop("__n")))

@@ -534,6 +534,113 @@ def test_betweenness_directed_chain(spark):
         assert got[n] == pytest.approx(want[n]), n
 
 
+def test_betweenness_weighted_dijkstra_twin(spark):
+    """Weighted betweenness matches a pure-python weighted Brandes
+    (Dijkstra distances, DAG sigma in distance order, dependency
+    accumulation in reverse); parallel edges take the CHEAPEST weight
+    (the distance convention); all-1 integral weights reproduce the
+    unweighted values; fractional weights RAISE (the sssp guard: the
+    DAG test dist(u)+w == dist(v) needs exact arithmetic); the
+    relaxation budget RAISES when exhausted mid-relax."""
+    import heapq
+
+    from pidb_rdf_spark.analytics import betweenness_centrality
+
+    # the (1,4) shortcut is heavier than 1-2-3-4, so the weighted
+    # shortest paths route through 2 and 3 where the unweighted ones
+    # took the direct edge — betweenness must shift accordingly
+    edges = [
+        (1, 2, 1), (1, 2, 5), (2, 3, 1), (3, 4, 1), (1, 4, 9),
+        (2, 5, 2), (4, 5, 1), (6, 7, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, wt long")
+
+    wadj: dict = {}
+    for s_, d_, w_ in edges:
+        for a, b in ((s_, d_), (d_, s_)):  # undirected
+            wadj.setdefault(a, {})
+            wadj[a][b] = min(wadj[a].get(b, float("inf")), w_)
+    nodes = sorted(wadj)
+
+    def brandes_weighted():
+        bc = {v: 0.0 for v in nodes}
+        for s_ in nodes:
+            dist = {s_: 0}
+            pq = [(0, s_)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w_ in wadj.get(u, {}).items():
+                    nd = d + w_
+                    if nd < dist.get(v, float("inf")):
+                        dist[v] = nd
+                        heapq.heappush(pq, (nd, v))
+            reached = sorted(dist, key=lambda x: dist[x])
+            sigma = {u: 0.0 for u in reached}
+            sigma[s_] = 1.0
+            for u in reached:
+                for v, w_ in wadj.get(u, {}).items():
+                    if dist.get(v) == dist[u] + w_:
+                        sigma[v] += sigma[u]
+            delta = {u: 0.0 for u in reached}
+            for u in reversed(reached):
+                for v, w_ in wadj.get(u, {}).items():
+                    if dist.get(v) == dist[u] + w_:
+                        delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            for u in reached:
+                if u != s_:
+                    bc[u] += delta[u]
+        return {v: b / 2 for v, b in bc.items()}
+
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(df, weight="wt").collect()
+    }
+    want = brandes_weighted()
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n]), n
+    # weighting must actually shift centrality onto the cheap route
+    assert want[2] > 0.0 and want[3] > 0.0
+    # all-1 weights == unweighted, value for value
+    ones = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            df.withColumn("wt", F.lit(1).cast("long")), weight="wt"
+        ).collect()
+    }
+    unw = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(df.select("src", "dst")).collect()
+    }
+    assert ones == unw
+    with pytest.raises(ValueError, match="integral"):
+        betweenness_centrality(
+            df.withColumn("wt", F.col("wt").cast("double")), weight="wt"
+        )
+    with pytest.raises(RuntimeError, match="still relaxing"):
+        betweenness_centrality(df, weight="wt", max_iter=1)
+
+
+def test_betweenness_weighted_directed(spark):
+    """Directed weighted chain with a heavy bypass: deltas are not
+    halved, and the bypass edge carries no shortest path."""
+    from pidb_rdf_spark.analytics import betweenness_centrality
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5)], "src long, dst long, wt long"
+    )
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            df, weight="wt", directed=True
+        ).collect()
+    }
+    # only 1->2->3 routes through 2 (the 1->3 weight-5 edge loses)
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0}
+
+
 def test_node_similarity_jaccard(spark):
     from pidb_rdf_spark.analytics import node_similarity
 

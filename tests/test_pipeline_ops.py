@@ -3202,6 +3202,81 @@ def test_url_dedup_and_cap_per_domain(spark):
         cap_per_domain(big, "domain", cap=0)
 
 
+def test_url_pct_normalization(spark):
+    """RFC 3986 §6.2.2: percent-escapes of unreserved characters
+    decode (%7E ≡ ~, %41 ≡ A), remaining escapes uppercase their hex
+    digits (%3a ≡ %3A), reserved escapes do NOT decode (%2F stays an
+    escape — decoding it would change path structure), dangling or
+    short escapes pass through untouched."""
+    from pidb_rdf_spark.operators import url_normalize
+
+    rows = [
+        (1, "https://example.com/%7Euser/"),
+        (2, "https://example.com/~user"),
+        (3, "https://example.com/a%2Fb"),     # reserved: keep escape
+        (4, "https://example.com/a%2fb"),     # ...but uppercase hex
+        (5, "https://example.com/%41%62c"),   # decode unreserved
+        (6, "https://example.com/100%"),      # dangling %
+        (7, "https://example.com/x%4"),       # short escape
+        (8, "https://EX%41MPLE.com/p"),       # decode + host lowercase
+        (9, "https://example.com/?b=%7e&a=%3c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in url_normalize(df).collect()}
+    assert got[1] == got[2] == "https://example.com/~user"
+    assert got[3] == got[4] == "https://example.com/a%2Fb"
+    assert got[5] == "https://example.com/Abc"
+    assert got[6] == "https://example.com/100%"
+    assert got[7] == "https://example.com/x%4"
+    assert got[8] == "https://example.com/p"
+    # params sort AFTER normalization; %7e decodes, %3c uppercases
+    assert got[9] == "https://example.com/?a=%3C&b=~"
+
+
+def test_cap_per_domain_two_pass(spark):
+    """The hot-domain tier is output-identical to the exact one-pass
+    window (every survivor's draw is below every non-survivor's), the
+    hot window's input is pre-filtered (plan carries the draw
+    threshold against the 52-bit space), and the result replays on
+    any partitioning."""
+    from pidb_rdf_spark.operators import cap_per_domain
+
+    big = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        # one monster domain (2901 rows) + 99 singleton domains
+        F.when(F.col("id") < 2901, F.lit("hot.com"))
+        .otherwise(F.concat(F.lit("c"), F.col("id").cast("string"),
+                            F.lit(".com")))
+        .alias("domain"),
+    )
+    one_pass = cap_per_domain(big, "domain", cap=3, hot_threshold=10**9)
+    two_pass = cap_per_domain(big, "domain", cap=3, hot_threshold=1000)
+    assert sorted(r.doc_id for r in two_pass.collect()) == sorted(
+        r.doc_id for r in one_pass.collect()
+    )
+    per = {
+        r.domain: r.n
+        for r in two_pass.groupBy("domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per["hot.com"] == 3 and len(per) == 100
+    # plan pin: the pre-filter (draw < fraction-of-2^52) sits below
+    # the hot window — the window never sorts the full hot domain
+    plan = two_pass._jdf.queryExecution().optimizedPlan().toString()
+    # 2^52 (4.503599627370496e15) appears only in the draw threshold;
+    # Catalyst folds the pre-filter into the broadcast-join condition,
+    # below the hot branch's Window
+    assert "4.503599627370496E15" in plan
+    # replays bit-for-bit on any partitioning
+    again = cap_per_domain(
+        big.repartition(17), "domain", cap=3, hot_threshold=1000
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in two_pass.collect()
+    )
+
+
 def test_dedup_null_text_produces_no_pairs(spark):
     """Contentless (NULL-text) docs produce no signature and no pairs
     in MinHash and SimHash — the deliberate r10 contract (the earlier
