@@ -106,7 +106,12 @@ def main() -> None:
 
     if only is not None:
         # isolated mode: no import benchmark, and do NOT overwrite the
-        # committed BENCH_FULL.json with a partial record
+        # full-sweep fields of the committed BENCH_FULL.json — but DO
+        # merge the fresh-JVM numbers into its "isolated" map (r10
+        # verdict #3: iterative entries need at-birth isolated records
+        # so in-sweep drift can be told apart from real regression;
+        # the map is keyed by query name, each value carries its sf so
+        # cross-sf runs never shadow each other)
         print(json.dumps({
             "metric": "isolated_queries_wall",
             "mode": "only",
@@ -116,6 +121,19 @@ def main() -> None:
             "queries": timings,
             "extras": {"reps": reps},
         }, separators=(",", ":")))
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "BENCH_FULL.json")
+        try:
+            with open(path) as f:
+                full = json.load(f)
+        except (OSError, ValueError):
+            full = {}
+        iso = full.setdefault("isolated", {})
+        sf = _sf_from_dir(SF_DIR)
+        for n, t in timings.items():
+            iso[f"{n}@sf{sf}"] = {"sec": t, "reps": reps}
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
         return
 
     # import throughput (BASELINE.md §4): run the full set-oriented RDF

@@ -672,6 +672,151 @@ class Traversal:
             ).alias("values")
         )
 
+    # ---- project() / group().by(traversal) ------------------------------
+
+    def _by_modulator(self, src: DataFrame, name: str, spec):
+        """Resolve one ``by()``-modulator against the ``__tid``-pinned
+        frontier ``src`` → a ``(__tid, <name>)`` frame. Spec forms
+        (the dominant Gremlin shapes):
+
+        - ``"prop"`` — the current element's property value;
+        - ``(body, "count")`` — ``by(sub.count())``: traverser count
+          reached by the sub-traversal (0 where it died — TinkerPop's
+          count barrier);
+        - ``(body, "fold")`` / ``(body, "fold", "prop")`` —
+          ``by(sub.values(prop).fold())``: SORTED array of reached
+          element ids (or their property values) — sorted because
+          TinkerPop's stream order is partition-dependent and this
+          engine's contract is replayability;
+        - ``(body, "min"|"max"|"sum", "prop")`` — reducing barriers
+          over reached elements' property values;
+        - ``(body, "first", "prop")`` — ``by(sub.values(prop))``
+          first-result semantics, made deterministic as the MINIMUM
+          value (TinkerPop's "first" is iteration-order luck; min is
+          the replayable choice, documented).
+
+        One sub-traversal execution per modulator over the WHOLE
+        frontier (never per-row), one grouped aggregate keyed on
+        ``__tid``, one left join back — the ``local()`` plan shape."""
+        if isinstance(spec, str):
+            if self.on_edges:
+                e = self.g.edges.withColumnRenamed("id", CUR)
+                col = (
+                    F.col(spec)
+                    if spec in e.columns
+                    else F.col("props").getItem(spec)
+                )
+                return src.join(e, on=CUR, how="left").select(
+                    "__tid", col.alias(name)
+                )
+            nodes = self.g.nodes.withColumnRenamed("id", CUR)
+            return src.join(nodes, on=CUR, how="left").select(
+                "__tid", self.g.node_prop(spec).alias(name)
+            )
+        body, terminal, *rest = spec
+        b = body(Traversal(self.g, src, self.on_edges))
+        reached = b.df
+        if terminal == "count":
+            agg = reached.groupBy("__tid").agg(
+                F.count("*").cast("long").alias(name)
+            )
+            return (
+                src.select("__tid")
+                .dropDuplicates()
+                .join(agg, on="__tid", how="left")
+                .select(
+                    "__tid", F.coalesce(name, F.lit(0).cast("long")).alias(name)
+                )
+            )
+        if rest:
+            prop = rest[0]
+            if b.on_edges:
+                e = self.g.edges.withColumnRenamed("id", CUR)
+                vcol = (
+                    F.col(prop)
+                    if prop in e.columns
+                    else F.col("props").getItem(prop)
+                )
+                vals = reached.join(e, on=CUR, how="inner").select(
+                    "__tid", vcol.alias("__v")
+                )
+            else:
+                nodes = self.g.nodes.withColumnRenamed("id", CUR)
+                vals = reached.join(nodes, on=CUR, how="inner").select(
+                    "__tid", self.g.node_prop(prop).alias("__v")
+                )
+        else:
+            vals = reached.select("__tid", F.col(CUR).alias("__v"))
+        if terminal == "fold":
+            agg_col = F.array_sort(F.collect_list("__v"))
+        elif terminal == "min" or terminal == "first":
+            agg_col = F.min("__v")
+        elif terminal == "max":
+            agg_col = F.max("__v")
+        elif terminal == "sum":
+            agg_col = F.sum("__v")
+        else:
+            raise ValueError(f"unknown by() terminal: {terminal!r}")
+        return vals.groupBy("__tid").agg(agg_col.alias(name))
+
+    def project(self, **specs) -> DataFrame:
+        """TinkerPop ``project('a','b').by(...).by(...)`` — one output
+        row per traverser with one named column per modulator (see
+        :meth:`_by_modulator` for the spec forms)::
+
+            t.project(name="c_name",
+                      n_orders=(lambda s: s.out("HAS_ORDER"), "count"))
+
+        Identity is pinned once (`__tid`), every modulator is one
+        whole-frontier sub-traversal + grouped aggregate + left join —
+        never a per-row loop. ``fold`` projections fill ``[]`` and
+        ``count`` fills 0 where the sub-traversal died; scalar
+        reducers fill NULL (TinkerPop drops those traversers instead —
+        filter on the column for that semantics)."""
+        if not specs:
+            raise ValueError("project() needs at least one named modulator")
+        src = self.df.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        out = src.select("__tid")
+        for name, spec in specs.items():
+            part = self._by_modulator(src, name, spec)
+            out = out.join(part, on="__tid", how="left")
+            if isinstance(spec, tuple) and spec[1] == "fold":
+                # a dead sub-traversal folds to [], not NULL (the
+                # TinkerPop fold barrier); typed to the join result
+                empty = F.array().cast(part.schema[name].dataType)
+                out = out.withColumn(name, F.coalesce(F.col(name), empty))
+        return out.select(*specs)
+
+    def group(self, key, value) -> DataFrame:
+        """TinkerPop ``group().by(key).by(values(value).fold())`` with
+        the KEY side accepting either a property name or a
+        ``by(traversal)`` modulator (the r10-deferred long-tail form),
+        e.g. group customers by their nation's name::
+
+            t.group((lambda s: s.out("IN_NATION"), "first", "n_name"),
+                    value="c_name")
+
+        Values are the SORTED list of the grouped elements' ``value``
+        property (sorted → deterministic across partitionings, the
+        ``group_values`` contract). One sub-traversal + one grouped
+        aggregate; NULL keys (traversers whose key traversal died)
+        group under NULL, matching SQL GROUP BY."""
+        src = self.df.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        keyed = self._by_modulator(src, "key", key)
+        nodes = self.g.nodes.withColumnRenamed("id", CUR)
+        vals = src.join(nodes, on=CUR, how="inner").select(
+            "__tid", self.g.node_prop(value).alias("__v")
+        )
+        return (
+            keyed.join(vals, on="__tid", how="inner")
+            .groupBy("key")
+            .agg(F.array_sort(F.collect_list("__v")).alias("values"))
+        )
+
     # ---- step labels / projection --------------------------------------
 
     def with_path(self) -> "Traversal":

@@ -772,3 +772,109 @@ def test_slices_deterministic_with_duplicate_traversers(graph):
     tl = t.tail(5).path().collect()
     tl2 = t.tail(5).path().collect()
     assert sorted(map(tuple, tl)) == sorted(map(tuple, tl2))
+
+
+def test_project_modulators(graph):
+    """project(): property, count-barrier (0 where the sub-traversal
+    dies), fold (sorted list, [] where it dies), and first/min — all
+    cross-checked against the DuckDB oracle."""
+    got = {
+        r["name"]: (r["n_members"], r["region"])
+        for r in traversal(graph)
+        .V()
+        .has_label("Nation")
+        .project(
+            name="n_name",
+            # IN_NATION arrives from BOTH customers and suppliers
+            n_members=(lambda s: s.in_("IN_NATION"), "count"),
+            region=(lambda s: s.out("IN_REGION"), "first", "r_name"),
+        )
+        .collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in oracle(
+            """SELECT n_name,
+                      (SELECT count(*) FROM customer
+                       WHERE c_nationkey = n_nationkey)
+                      + (SELECT count(*) FROM supplier
+                         WHERE s_nationkey = n_nationkey),
+                      (SELECT r_name FROM region
+                       WHERE r_regionkey = n_regionkey)
+               FROM nation"""
+        )
+    }
+    assert got == want
+    # fold: [] where the sub-traversal dies (regions have no outgoing
+    # IN_REGION), sorted values elsewhere
+    folded = {
+        r["name"]: r["nations"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Region")
+        .project(
+            name="r_name",
+            nations=(lambda s: s.in_("IN_REGION"), "fold", "n_name"),
+        )
+        .collect()
+    }
+    want_f = {
+        r[0]: sorted(r[1]) if r[1] is not None else []
+        for r in oracle(
+            """SELECT r_name, list(n_name) FROM region
+               LEFT JOIN nation ON n_regionkey = r_regionkey
+               GROUP BY r_name"""
+        )
+    }
+    want_f = {k: [x for x in v if x is not None] for k, v in want_f.items()}
+    assert folded == want_f
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        traversal(graph).V().project()
+    with _pytest.raises(ValueError, match="unknown by"):
+        traversal(graph).V().has_label("Region").project(
+            x=(lambda s: s, "median", "r_name")
+        ).collect()
+
+
+def test_group_by_traversal_key(graph):
+    """group().by(traversal): customers grouped by their nation's
+    name (the key comes from a sub-traversal, not a property)."""
+    got = {
+        r["key"]: r["values"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .group(
+            (lambda s: s.out("IN_NATION"), "first", "n_name"),
+            value="c_name",
+        )
+        .collect()
+    }
+    want = {}
+    for n_name, c_name in oracle(
+        """SELECT n_name, c_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ):
+        want.setdefault(n_name, []).append(c_name)
+    want = {k: sorted(v) for k, v in want.items()}
+    assert got == want
+    # property-key form still matches group_values
+    a = {
+        r["key"]: r["values"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .group("c_mktsegment", value="c_name")
+        .collect()
+    }
+    b = {
+        r["key"]: r["values"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .group_values("c_mktsegment", "c_name")
+        .collect()
+    }
+    assert a == b
