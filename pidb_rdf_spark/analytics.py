@@ -1318,6 +1318,20 @@ def _closeness_from_state(origins: DataFrame, state: DataFrame) -> DataFrame:
     )
 
 
+def _dag_rank(state: DataFrame) -> DataFrame:
+    """dense_rank(dist) - 1 per origin over settled (origin, node,
+    dist) rows — the shortest-path DAG's topological layering in ONE
+    window shuffle, partitioned by origin (never SinglePartition;
+    pinned by tests/test_plan_shape.py)."""
+    return state.withColumn(
+        "rk",
+        F.dense_rank().over(
+            Window.partitionBy("origin").orderBy(F.col("dist"))
+        )
+        - 1,
+    )
+
+
 def _betweenness_weighted(
     pairs: DataFrame,
     sources: DataFrame | None,
@@ -1435,14 +1449,8 @@ def _betweenness_weighted(
         )
     # -- (2) rank = dense_rank(dist) per origin: a topological
     #    layering of the DAG in one window shuffle (partitioned by
-    #    origin — never SinglePartition)
-    ranked = state.withColumn(
-        "rk",
-        F.dense_rank().over(
-            Window.partitionBy("origin").orderBy(F.col("dist"))
-        )
-        - 1,
-    ).localCheckpoint(eager=True)
+    #    origin — never SinglePartition; plan-pinned on _dag_rank)
+    ranked = _dag_rank(state).localCheckpoint(eager=True)
     max_rank = ranked.agg(F.max("rk")).first()[0] or 0
     # explicit shortest-path DAG: u -> v iff dist(u) + w == dist(v)
     dag = (

@@ -501,3 +501,27 @@ def test_new_operator_shuffle_claims(spark):
         "user_id long, ts timestamp",
     ).repartition(4)
     assert count_exchanges(cohort_retention(ev)) <= 3
+
+
+def test_weighted_betweenness_no_single_partition(spark):
+    """The weighted-Brandes dense_rank layering is partitioned by
+    origin (r11): a global-window rank would funnel every
+    (origin, node) distance row through one task. Pinned directly on
+    the _dag_rank stage (the full result's checkpoints truncate
+    lineage, so its tail plan alone could not prove this) AND on the
+    result tail."""
+    from pidb_rdf_spark.analytics import _dag_rank, betweenness_centrality
+
+    state = spark.createDataFrame(
+        [(i % 7, i, (i * 3) % 11) for i in range(200)],
+        "origin long, node long, dist long",
+    )
+    plan = _dag_rank(state)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(origin" in plan
+
+    edges = [(i, (i * 3 + 1) % 40, 1 + i % 3) for i in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long, wt long")
+    out = betweenness_centrality(df, weight="wt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
