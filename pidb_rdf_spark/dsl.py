@@ -803,6 +803,12 @@ class Traversal:
         ``group_values`` contract). One sub-traversal + one grouped
         aggregate; NULL keys (traversers whose key traversal died)
         group under NULL, matching SQL GROUP BY."""
+        if self.on_edges:
+            raise ValueError(
+                "group() folds node property values; on an edge "
+                "frontier the value side would silently join nothing "
+                "— hop to a node frontier (out_v/in_v) first"
+            )
         src = self.df.withColumn(
             "__tid", F.monotonically_increasing_id()
         ).localCheckpoint(eager=True)

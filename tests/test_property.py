@@ -364,15 +364,23 @@ _url_strategy = st.builds(
     ),
     port=st.sampled_from([None, 80, 443, 8080]),
     path=st.lists(
-        st.text(
-            alphabet="abcXYZ019._-~", min_size=1, max_size=6
+        st.one_of(
+            st.text(alphabet="abcXYZ019._-~", min_size=1, max_size=6),
+            # percent-escape shapes (r11): unreserved decodes,
+            # reserved keeps its escape with upper hex, dangling and
+            # short escapes pass through — idempotence must hold
+            # through all of them
+            st.sampled_from(
+                ["%7E", "%7e", "%41", "%2F", "%2f", "%25", "a%4",
+                 "100%", "%3a%3A", "x%20y"]
+            ),
         ),
         max_size=3,
     ),
     params=st.lists(
         st.sampled_from(
             ["a=1", "Z=2", "utm_source=x", "UTM_campaign=Y",
-             "fbclid=f", "q=hello", "empty="]
+             "fbclid=f", "q=hello", "empty=", "e=%7e", "f=%3c"]
         ),
         max_size=4,
         unique=True,
