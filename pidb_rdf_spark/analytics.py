@@ -1797,9 +1797,10 @@ def _louvain_moves(
     Kalyanaraman 2015 — a singleton may move to another singleton
     only toward the smaller community id, so the lower-id one waits
     and absorbs) and TWO-CLASS alternation (each round only the
-    xxhash-parity half of the nodes is move-eligible — the
+    md5-parity half of the nodes is move-eligible — the
     graph-coloring trick at its cheapest, deterministic under any
-    partitioning). Residual cycles on adversarial symmetric
+    partitioning AND replayable by any engine with md5, which is
+    what lets the DuckDB oracle unroll the rounds). Residual cycles on adversarial symmetric
     structures are bounded by ``n_rounds`` (the caveat
     label_propagation also documents); convergence = two consecutive
     quiet rounds (one per class). ``edges`` is the symmetric

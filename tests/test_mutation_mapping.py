@@ -522,3 +522,46 @@ def test_remove_triples_multi_value_delete(spark):
     assert "urn:p" not in dict(props) and not any(
         "p" in k for k in dict(props)
     )
+
+
+def test_edge_id_scheme_unified_across_paths(spark):
+    """The canonical edge-id scheme (multi-arg xxhash64 over src uri,
+    dst uri, predicate) must give the SAME id to the same logical
+    edge on every ingest path — the r10 advice found import and
+    add_edges disagreeing (concat_ws variants with and without
+    separators), which made edge point-lookups ambiguous after
+    import. Also pins that separator boundary collisions are gone:
+    ('urn:x:a','bc') vs ('urn:x:ab','c') endpoints hash differently."""
+    from pyspark.sql import functions as F
+
+    from pidb_rdf_spark.mutation import add_edges, remove_edges
+    from pidb_rdf_spark.sources.importer import import_triples
+    from pidb_rdf_spark.sources.rdf_reader import parse_rdf_snippet
+
+    nt = (
+        '<http://a.org/s> <http://a.org/linked> <http://a.org/o> .\n'
+        '<http://a.org/s> <http://a.org/name> "v" .\n'
+        '<http://a.org/o> <http://a.org/name> "w" .'
+    )
+    g = import_triples(spark, parse_rdf_snippet(spark, nt, "ntriples"))
+    [imported] = g.edges.collect()
+    # remove and re-add the same logical edge through the mutation path
+    g2 = remove_edges(g, [imported.id])
+    assert g2.edges.isEmpty()
+    g3 = add_edges(
+        g2,
+        [{"src_uri": "http://a.org/s", "predicate": imported.predicate,
+          "dst_uri": "http://a.org/o"}],
+    )
+    [readded] = g3.edges.collect()
+    assert readded.id == imported.id
+    assert (readded.src, readded.dst) == (imported.src, imported.dst)
+    # boundary-collision pin: shifting a character across the
+    # src/predicate boundary must change the id
+    a = spark.range(1).select(
+        F.xxhash64(F.lit("urn:x:a"), F.lit("bc"), F.lit("d")).alias("h")
+    ).first().h
+    b = spark.range(1).select(
+        F.xxhash64(F.lit("urn:x:ab"), F.lit("c"), F.lit("d")).alias("h")
+    ).first().h
+    assert a != b
