@@ -426,10 +426,19 @@ class SparqlCompiler:
         subselects = [e for e in group.elements if isinstance(e, A.SubSelect)]
 
         # VALUES first: inline data is maximally selective and joins
-        # into every subsequent pattern (Catalyst broadcasts it)
+        # into every subsequent pattern (Catalyst broadcasts it).
+        # Rows containing UNDEF defer to the end of the group: an
+        # UNDEF cell is compatible with ANY binding (W3C solution
+        # compatibility), which a NULL natural-join key would silently
+        # violate (NULL equals nothing) — those patterns instead apply
+        # as a union of per-bound-mask joins once the group is compiled.
+        deferred_values = []
         for val in values:
             for v in val.variables:
                 state.note(v, "value")
+            if any(cell is None for row in val.rows for cell in row):
+                deferred_values.append(val)
+                continue
             frame = self.g.spark.createDataFrame(
                 [tuple(r) for r in val.rows], val.variables
             )
@@ -503,6 +512,74 @@ class SparqlCompiler:
                 for b in branch_dfs[1:]:
                     udf_ = udf_.unionByName(b, allowMissingColumns=True)
                 state.merge(udf_)
+
+        # UNDEF-bearing VALUES deferred from the top of the group:
+        # rows grouped by their bound-variable mask, one natural join
+        # per mask (UNDEF columns simply absent, so they constrain
+        # nothing), branches unioned back with NULL for the vars a
+        # branch leaves unbound — duplicate rows within a mask keep
+        # bag semantics through the join
+        for val in deferred_values:
+            by_mask: dict[tuple, list] = {}
+            for row in val.rows:
+                mask = tuple(
+                    v for v, cell in zip(val.variables, row)
+                    if cell is not None
+                )
+                by_mask.setdefault(mask, []).append(
+                    tuple(cell for cell in row if cell is not None)
+                )
+            branch_dfs = []
+            for mask, rws in by_mask.items():
+                if not mask:
+                    # all-UNDEF rows: compatible with every solution,
+                    # one copy each (bag semantics)
+                    base = (
+                        state.df
+                        if state.df is not None
+                        else self.g.spark.range(1).select(
+                            *[
+                                F.lit(None).cast("string").alias(v)
+                                for v in val.variables
+                            ]
+                        )
+                    )
+                    branch_dfs.extend(base for _ in rws)
+                    continue
+                frame = self.g.spark.createDataFrame(rws, list(mask))
+                if state.df is None:
+                    branch_dfs.append(frame)
+                    continue
+                shared = [c for c in frame.columns if c in state.df.columns]
+                branch_dfs.append(
+                    state.df.join(frame, on=shared, how="inner")
+                    if shared
+                    else state.df.crossJoin(frame)
+                )
+            # heterogeneous-term reconciliation, as in UNION branches
+            conflicted: set[str] = set()
+            seen_types: dict[str, object] = {}
+            for b in branch_dfs:
+                for f in b.schema.fields:
+                    prior = seen_types.setdefault(f.name, f.dataType)
+                    if prior != f.dataType:
+                        conflicted.add(f.name)
+            if conflicted:
+                branch_dfs = [
+                    b.select(
+                        *[
+                            F.col(c).cast("string").alias(c)
+                            if c in conflicted
+                            else F.col(c)
+                            for c in b.columns
+                        ]
+                    )
+                    for b in branch_dfs
+                ]
+            out = branch_dfs[0]
+            for b in branch_dfs[1:]:
+                out = out.unionByName(b, allowMissingColumns=True)
+            state.df = out
 
         for opt in optionals:
             self._apply_optional(state, opt)

@@ -245,3 +245,62 @@ def test_distinct_collapses_bag(fg):
         """,
     )
     assert rows(df, "n") == [("Alice",), ("Dave",)]
+
+
+def test_values_undef_joins_as_wildcard(fg):
+    """W3C: an UNDEF cell leaves that variable unbound in the row, so
+    the row joins every solution for that variable (a one-sided
+    constraint), while bound cells restrict normally."""
+    df = sparql(
+        fg,
+        'SELECT ?n ?tag WHERE { ?p v:foaf__name ?n . '
+        'VALUES (?n ?tag) { ("Alice" "a") (UNDEF "x") } }',
+    )
+    got = rows(df, "n", "tag")
+    # ("Alice","a") matches once; (UNDEF,"x") matches all 5 names
+    assert got.count(("Alice", "a")) == 1
+    assert sorted(t for n, t in got if t == "x") == ["x"] * 5
+    assert len(got) == 6
+
+
+def test_nested_optional_left_associative(fg):
+    """Nested OPTIONAL: the inner optional only extends rows the
+    outer one produced — Eve (no knows, no age) keeps NULLs in both;
+    Dave (knows alice, no age) fills the inner but not the outer."""
+    df = sparql(
+        fg,
+        "SELECT ?n ?a ?fn WHERE { ?p v:foaf__name ?n . "
+        "OPTIONAL { ?p v:foaf__age ?a } "
+        "OPTIONAL { ?p e:foaf__knows ?f . ?f v:foaf__name ?fn } }",
+    )
+    got = rows(df, "n", "a", "fn")
+    assert ("Eve", None, None) in got
+    assert ("Dave", None, "Alice") in got
+    # Alice has age 30 and two friends: two rows, both aged
+    alice = [r for r in got if r[0] == "Alice"]
+    assert sorted(alice) == [("Alice", 30, "Bob"), ("Alice", 30, "Carol")]
+
+
+def test_filter_on_unbound_is_false(fg):
+    """W3C effective-boolean-value: a FILTER whose expression errors
+    (comparison against an unbound variable) eliminates the row — it
+    never raises and never passes the row through."""
+    df = sparql(
+        fg,
+        "SELECT ?n WHERE { ?p v:foaf__name ?n . "
+        "OPTIONAL { ?p v:foaf__age ?a } FILTER (?a > 26) }",
+    )
+    # Eve and Dave have no age: comparison is an error -> row dropped
+    assert rows(df, "n") == [("Alice",), ("Carol",)]
+
+
+def test_zero_or_one_path_over_imported(fg):
+    """`?` path: the zero-length match binds the subject itself, the
+    one-length match its knows-neighbors; bag-deduplicated per spec
+    (path evaluation is set-based for ZeroOrOnePath)."""
+    df = sparql(
+        fg,
+        f"SELECT ?n WHERE {{ <{EX}alice> e:foaf__knows? ?x . "
+        "?x v:foaf__name ?n }",
+    )
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
