@@ -1008,7 +1008,25 @@ class _Parser:
     def _unary(self) -> tuple:
         if self._accept("op", "-"):
             return ("neg", self._unary())
-        return self._primary()
+        return self._postfix(self._primary())
+
+    def _postfix(self, e: tuple) -> tuple:
+        """Subscript operators after any primary: ``xs[i]`` (0-based,
+        negative from the end; string keys read maps / dynamic
+        properties) and ``xs[lo..hi]`` slices (half-open, either
+        bound omissible, negatives from the end — Neo4j list
+        operators)."""
+        while self._at("op", "["):
+            self._next()
+            lo = None if self._at("op", "..") else self._expr()
+            if self._accept("op", ".."):
+                hi = None if self._at("op", "]") else self._expr()
+                self._expect("op", "]")
+                e = ("slice", e, lo, hi)
+            else:
+                self._expect("op", "]")
+                e = ("index", e, lo)
+        return e
 
     def _primary(self) -> tuple:
         if self._at("kw", "case"):
@@ -1845,6 +1863,51 @@ def _lambda_body(c: _Compile, var: str, body: tuple):
     return f
 
 
+def _plus_dispatch(
+    c: _Compile, ea: tuple, eb: tuple, a: Column, b: Column
+) -> Column:
+    """Neo4j ``+`` is polymorphic: string concatenation when either
+    operand is a string ("a" + 1 = "a1"), list concatenation when
+    either is a list, numeric addition otherwise. Spark columns are
+    monomorphic, so the dispatch resolves STATICALLY — from literal /
+    parameter python types, else from the bound frame's schema (one
+    driver-side analysis of the operand column; comprehension lambda
+    variables don't resolve that way and keep numeric ``+``, matching
+    the previous behavior)."""
+    from pyspark.sql import types as T
+
+    def kind(e: tuple, col: Column) -> str:
+        v = None
+        if e[0] == "lit":
+            v = e[1]
+        elif e[0] == "param":
+            v = _pat_value(e, c.params)
+        if isinstance(v, str):
+            return "s"
+        if isinstance(v, list):
+            return "l"
+        if v is not None:
+            return "n"
+        if c.cur is not None:
+            try:
+                dt = c.cur.select(col).schema[0].dataType
+            except Exception:
+                return "?"
+            if isinstance(dt, T.StringType):
+                return "s"
+            if isinstance(dt, T.ArrayType):
+                return "l"
+            return "n"
+        return "?"
+
+    ka, kb = kind(ea, a), kind(eb, b)
+    if "s" in (ka, kb):
+        return F.concat(a.cast("string"), b.cast("string"))
+    if "l" in (ka, kb):
+        return F.concat(a, b)
+    return a + b
+
+
 def _to_col(c: _Compile, expr: tuple) -> Column:
     op = expr[0]
     if op == "lit":
@@ -1913,9 +1976,37 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return _to_col(c, expr[1]).contains(_to_col(c, expr[2]))
     if op == "arith":
         a, b = _to_col(c, expr[2]), _to_col(c, expr[3])
-        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b, "%": a % b}[expr[1]]
+        if expr[1] == "+":
+            return _plus_dispatch(c, expr[2], expr[3], a, b)
+        return {"-": a - b, "*": a * b, "/": a / b, "%": a % b}[expr[1]]
     if op == "neg":
         return -_to_col(c, expr[1])
+    if op == "index":
+        base, i = _to_col(c, expr[1]), _to_col(c, expr[2])
+        key = expr[2]
+        if key[0] == "lit" and isinstance(key[1], str):
+            # map / dynamic-property access by string key
+            return F.try_element_at(base, i)
+        # Neo4j lists are 0-based, negatives count from the end;
+        # try_element_at is 1-based with the same negative convention
+        adj = F.when(i >= 0, i + 1).otherwise(i).cast("int")
+        return F.try_element_at(base, adj)
+    if op == "slice":
+        base = _to_col(c, expr[1])
+        n = F.size(base)
+
+        def norm(e, default):
+            if e is None:
+                return default
+            i = _to_col(c, e).cast("int")
+            return F.when(i < 0, F.greatest(n + i, F.lit(0))).otherwise(
+                F.least(i, n)
+            )
+
+        lo = norm(expr[2], F.lit(0))
+        hi = norm(expr[3], n)
+        # half-open [lo, hi): 1-based start, clamped non-negative length
+        return F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0)))
     if op == "listlit":
         return F.array(*[_to_col(c, e) for e in expr[1]])
     if op == "maplit":

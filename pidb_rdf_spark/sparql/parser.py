@@ -308,6 +308,12 @@ class Parser:
                     elif t.kind == "VAR":
                         self.next()
                         order_by.append((A.Var(t.text[1:]), True))
+                    elif t.kind == "OP" and t.text == "(":
+                        # grammar OrderCondition ::= ... | Constraint;
+                        # a BrackettedExpression orders ascending
+                        self.next()
+                        order_by.append((self.parse_expr(), True))
+                        self.expect("OP", ")")
                     else:
                         break
             elif self.accept("KW", "LIMIT"):

@@ -2957,3 +2957,42 @@ def test_shortest_path_unbounded_budget_raises(graph):
         "WHERE c.c_custkey = 1 RETURN length(p) AS l",
     ).first()
     assert out["l"] == 1
+
+
+def test_list_index_and_slice(graph):
+    """Neo4j list subscripts (r11): 0-based indexing, negatives from
+    the end, half-open slices with omissible bounds, out-of-range ->
+    null/clamped — all codegen (try_element_at / slice)."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "WITH [10,20,30,40] AS xs RETURN xs[0] AS a, xs[-1] AS b, "
+        "xs[1..3] AS c, xs[..2] AS d, xs[-2..] AS e, xs[9] AS f, "
+        "xs[2..99] AS g, xs[3..1] AS h",
+    ).first()
+    assert (r["a"], r["b"]) == (10, 40)
+    assert r["c"] == [20, 30] and r["d"] == [10, 20] and r["e"] == [30, 40]
+    assert r["f"] is None          # out of range -> null
+    assert r["g"] == [30, 40]      # hi clamps to len
+    assert r["h"] == []            # inverted slice -> empty
+
+
+def test_plus_polymorphic_dispatch(graph):
+    """Neo4j + is polymorphic (r11): string concatenation when either
+    side is a string ('v' + 1 = 'v1'), list concatenation for lists,
+    numeric addition otherwise — resolved statically from literals
+    and the bound frame's schema."""
+    from pidb_rdf_spark.cypher import cypher
+
+    rows = cypher(
+        graph,
+        "MATCH (r:Region) RETURN r.r_name + '!' AS a, "
+        "'v' + r.r_regionkey AS b, r.r_regionkey + 1 AS c "
+        "ORDER BY a LIMIT 2",
+    ).collect()
+    assert [r["a"] for r in rows] == ["AFRICA!", "AMERICA!"]
+    assert [r["b"] for r in rows] == ["v0", "v1"]
+    assert [r["c"] for r in rows] == [1, 2]
+    lr = cypher(graph, "WITH [1,2] AS a, [3] AS b RETURN a + b AS ab").first()
+    assert lr["ab"] == [1, 2, 3]

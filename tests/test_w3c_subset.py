@@ -304,3 +304,14 @@ def test_zero_or_one_path_over_imported(fg):
         "?x v:foaf__name ?n }",
     )
     assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
+
+
+def test_order_by_bracketted_expression(fg):
+    """Grammar OrderCondition: a bracketted expression is a valid sort
+    key (ascending) — `(0 - ?a)` orders descending by age."""
+    df = sparql(
+        fg,
+        "SELECT ?n WHERE { ?p v:foaf__age ?a . ?p v:foaf__name ?n } "
+        "ORDER BY (0 - ?a)",
+    )
+    assert [r["n"] for r in df.collect()] == ["Carol", "Alice", "Bob"]
