@@ -201,14 +201,27 @@ class Parser:
 
     def parse_construct(self) -> A.Query:
         self.expect("KW", "CONSTRUCT")
-        tmpl_group = self.parse_group()
-        template = [
-            e for e in tmpl_group.elements if isinstance(e, A.TriplePattern)
-        ]
-        if len(template) != len(tmpl_group.elements):
-            raise SyntaxError("CONSTRUCT template must contain only triples")
-        self.accept("KW", "WHERE")
-        where = self.parse_group()
+        if self.accept("KW", "WHERE"):
+            # CONSTRUCT WHERE { triples } shorthand (SPARQL 1.1 §10.2.2):
+            # the pattern doubles as the template; triples-only by spec
+            where = self.parse_group()
+            template = [
+                e for e in where.elements if isinstance(e, A.TriplePattern)
+            ]
+            if len(template) != len(where.elements):
+                raise SyntaxError(
+                    "CONSTRUCT WHERE admits only triple patterns — "
+                    "use the explicit template form for anything else"
+                )
+        else:
+            tmpl_group = self.parse_group()
+            template = [
+                e for e in tmpl_group.elements if isinstance(e, A.TriplePattern)
+            ]
+            if len(template) != len(tmpl_group.elements):
+                raise SyntaxError("CONSTRUCT template must contain only triples")
+            self.accept("KW", "WHERE")
+            where = self.parse_group()
         limit = offset = None
         order_by: list[tuple] = []
         while True:
@@ -429,20 +442,49 @@ class Parser:
         return expr
 
     def parse_triples_block(self, group: A.GroupGraphPattern) -> None:
-        subj = self.parse_term()
+        subj = self.parse_term_in_pattern(group)
+        # a bare blank-node property list `[ p o ] .` is a complete
+        # triples block by itself (its triples are already in `group`)
+        t = self.peek()
+        if t.kind == "OP" and t.text in (".", "}"):
+            self.accept("OP", ".")
+            return
+        self._parse_prop_list(group, subj)
+        self.accept("OP", ".")
+
+    def _parse_prop_list(self, group: A.GroupGraphPattern, subj) -> None:
+        """``pred obj (, obj)* (; pred obj ...)*`` — the shared body of
+        a triples block and a bracketed blank-node property list."""
         while True:
             pred = self.parse_predicate()
             while True:
-                obj = self.parse_term()
+                obj = self.parse_term_in_pattern(group)
                 group.elements.append(A.TriplePattern(subj, pred, obj))
                 if not self.accept("OP", ","):
                     break
             if not self.accept("OP", ";"):
                 break
-            # allow trailing ';' before '.' or '}'
-            if self.peek().kind == "OP" and self.peek().text in (".", "}"):
+            # allow trailing ';' before '.' / '}' / ']'
+            if self.peek().kind == "OP" and self.peek().text in (".", "}", "]"):
                 break
-        self.accept("OP", ".")
+
+    def parse_term_in_pattern(self, group: A.GroupGraphPattern):
+        """A term in subject/object position — additionally accepts a
+        blank-node property list ``[ p o ; ... ]`` (also the empty
+        ``[]``): a FRESH anonymous variable stands in for the blank
+        node (W3C blank nodes in patterns are existential variables),
+        its inner triples appended to the group. The ``__bn`` prefix
+        keeps it out of SELECT * projections."""
+        t = self.peek()
+        if t.kind == "OP" and t.text == "[":
+            self.next()
+            self._bn_counter = getattr(self, "_bn_counter", 0) + 1
+            var = A.Var(f"__bn{self._bn_counter}")
+            if not (self.peek().kind == "OP" and self.peek().text == "]"):
+                self._parse_prop_list(group, var)
+            self.expect("OP", "]")
+            return var
+        return self.parse_term()
 
     # -- property paths (SPARQL 1.1 §9 grammar, predicate position) ------
     #

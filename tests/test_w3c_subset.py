@@ -315,3 +315,25 @@ def test_order_by_bracketted_expression(fg):
         "ORDER BY (0 - ?a)",
     )
     assert [r["n"] for r in df.collect()] == ["Carol", "Alice", "Bob"]
+
+
+def test_blank_node_property_lists(fg):
+    """[ p o ; ... ] in subject and object position: a fresh
+    existential variable stands in for the blank node; SELECT *
+    never projects it."""
+    df = sparql(fg, "SELECT ?n WHERE { [ v:foaf__name ?n ; v:foaf__age ?a ] }")
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
+    df2 = sparql(fg, "SELECT ?n WHERE { ?s e:foaf__knows [ v:foaf__name ?n ] }")
+    assert rows(df2, "n") == [("Alice",), ("Bob",), ("Carol",), ("Carol",)]
+    star = sparql(fg, "SELECT * WHERE { [ v:foaf__name ?n ] }")
+    assert star.columns == ["n"]
+
+
+def test_construct_where_shorthand(fg):
+    """CONSTRUCT WHERE { triples } (§10.2.2): the pattern doubles as
+    the template; non-triple elements are rejected."""
+    df = sparql(fg, "CONSTRUCT WHERE { ?x e:foaf__knows ?y }")
+    got = rows(df, "subject", "object")
+    assert (f"{EX}alice", f"{EX}bob") in got and len(got) == 4
+    with pytest.raises(SyntaxError, match="CONSTRUCT WHERE"):
+        sparql(fg, 'CONSTRUCT WHERE { ?x e:foaf__knows ?y . FILTER(?x = ?y) }')
