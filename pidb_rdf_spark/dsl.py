@@ -126,6 +126,43 @@ class Traversal:
     def where(self, cond: Column) -> "Traversal":
         return self._with(self.df.filter(cond))
 
+    def _exists_filter(self, body, keep: bool) -> "Traversal":
+        """Shared engine of where_/not_: pin traverser identity, run
+        the sub-traversal ONCE over the whole frontier, then one
+        traverser-id semi/anti join — never a per-row loop."""
+        src = self.df.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        b = body(Traversal(self.g, src, self.on_edges))
+        hits = b.df.select("__tid").dropDuplicates()
+        how = "leftsemi" if keep else "leftanti"
+        return self._with(src.join(hits, on="__tid", how=how).drop("__tid"))
+
+    def where_(self, body) -> "Traversal":
+        """TinkerPop ``where(traversal)``: keep traversers whose
+        sub-traversal yields at least one result (e.g.
+        ``where_(lambda t: t.out("KNOWS"))``)."""
+        return self._exists_filter(body, keep=True)
+
+    def not_(self, body) -> "Traversal":
+        """TinkerPop ``not(traversal)``: drop traversers whose
+        sub-traversal yields any result — the anti twin of
+        :meth:`where_`."""
+        return self._exists_filter(body, keep=False)
+
+    def has_not(self, key: str) -> "Traversal":
+        """TinkerPop ``hasNot(key)``: keep elements MISSING the
+        property (NULL under the typed-column/props-map read)."""
+        if self.on_edges:
+            e = self.g.edges
+            col = (
+                F.col(key) if key in e.columns
+                else F.col("props").getItem(key)
+            )
+            keep = e.filter(col.isNull()).select(F.col("id").alias(CUR))
+            return self._with(self.df.join(keep, on=CUR, how="leftsemi"))
+        return self._semi(self.g.nodes.filter(self.g.node_prop(key).isNull()))
+
     # ---- traversal hops (J6-J8) ----------------------------------------
 
     def _hop(self, direction: str, labels: tuple, to_edges: bool) -> "Traversal":

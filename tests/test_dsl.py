@@ -878,3 +878,55 @@ def test_group_by_traversal_key(graph):
         .collect()
     }
     assert a == b
+
+
+def test_where_not_traversal_filters(graph):
+    """where_(traversal) keeps / not_(traversal) drops traversers by
+    sub-traversal existence; has_not keeps property-less elements —
+    all oracle-checked."""
+    # customers in nations of region 0 (where_), and the complement
+    got = sorted(
+        r["c_name"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .where_(lambda t: t.out("IN_NATION").has("n_regionkey", 0))
+        .values("c_name")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT c_name FROM customer JOIN nation ON c_nationkey=n_nationkey "
+            "WHERE n_regionkey = 0"
+        )
+    )
+    assert got == want
+    comp = sorted(
+        r["c_name"]
+        for r in traversal(graph)
+        .V()
+        .has_label("Customer")
+        .not_(lambda t: t.out("IN_NATION").has("n_regionkey", 0))
+        .values("c_name")
+        .collect()
+    )
+    want_c = sorted(
+        r[0]
+        for r in oracle(
+            "SELECT c_name FROM customer JOIN nation ON c_nationkey=n_nationkey "
+            "WHERE n_regionkey <> 0"
+        )
+    )
+    assert comp == want_c
+    # has_not: nations lack c_mktsegment; customers all have it
+    n = (
+        traversal(graph).V().has_label("Nation").has_not("c_mktsegment")
+        .count().first()["count"]
+    )
+    assert n == 25
+    c = (
+        traversal(graph).V().has_label("Customer").has_not("c_mktsegment")
+        .count().first()["count"]
+    )
+    assert c == 0
