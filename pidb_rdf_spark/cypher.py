@@ -1738,6 +1738,13 @@ def _collect_props(expr, acc: set) -> None:
                 else:  # ("kv", key, expr)
                     _collect_props(ent[2], acc)
             return
+        if expr[0] == "index" and expr[1][0] == "var":
+            # n[key] dynamic access MAY need the full property map —
+            # attached only for node/rel vars (list/map values index
+            # their own column; _materialize_props skips them)
+            acc.add((expr[1][1], "__dynprops__"))
+            _collect_props(expr[2], acc)
+            return
         parts = expr[1:]
     else:  # bare tuple grouping (e.g. a CASE (when, then) pair)
         parts = expr
@@ -1764,6 +1771,8 @@ def _materialize_props(c: _Compile, needed: set) -> None:
             # No join: the container is already a column.
             dt = c.cur.schema[var].dataType
             for p in props:
+                if p == "__dynprops__":
+                    continue  # list/map values index their own column
                 if p.startswith("__"):
                     raise CypherSyntaxError(
                         f"{var!r} is a WITH/UNWIND value, not a node "
@@ -1806,7 +1815,7 @@ def _materialize_props(c: _Compile, needed: set) -> None:
                 cols.append(
                     F.col("src" if p == "__src__" else "dst").alias(cname)
                 )
-            elif p == "__props__":
+            elif p in ("__props__", "__dynprops__"):
                 # the full property map: schemaless props merged with
                 # the typed hot columns (stringified — the map is
                 # map<string,string>, the reference's storage dtype)
@@ -1982,6 +1991,16 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
     if op == "neg":
         return -_to_col(c, expr[1])
     if op == "index":
+        base_e = expr[1]
+        if (
+            base_e[0] == "var"
+            and (base_e[1], "__dynprops__") in c.prop_cols
+            and c.kinds.get(base_e[1]) in ("node", "rel")
+        ):
+            # n[key] / r[key]: dynamic property access through the
+            # full (hot-columns-merged) property map
+            m = F.col(c.prop_cols[(base_e[1], "__dynprops__")])
+            return F.try_element_at(m, _to_col(c, expr[2]).cast("string"))
         base, i = _to_col(c, expr[1]), _to_col(c, expr[2])
         key = expr[2]
         if key[0] == "lit" and isinstance(key[1], str):

@@ -2996,3 +2996,30 @@ def test_plus_polymorphic_dispatch(graph):
     assert [r["c"] for r in rows] == [1, 2]
     lr = cypher(graph, "WITH [1,2] AS a, [3] AS b RETURN a + b AS ab").first()
     assert lr["ab"] == [1, 2, 3]
+
+
+def test_dynamic_property_access(graph):
+    """n[key] dynamic property access (r11): literal, WITH-bound and
+    $parameter keys all read through the full merged property map;
+    unknown keys yield null; list subscripts are unaffected."""
+    from pidb_rdf_spark.cypher import cypher
+
+    a = cypher(
+        graph, "MATCH (r:Region) RETURN r['r_name'] AS n ORDER BY n LIMIT 2"
+    ).collect()
+    b = cypher(
+        graph,
+        "WITH 'r_name' AS k MATCH (r:Region) RETURN r[k] AS n "
+        "ORDER BY n LIMIT 2",
+    ).collect()
+    c = cypher(
+        graph,
+        "MATCH (r:Region) RETURN r[$key] AS n ORDER BY n LIMIT 2",
+        params={"key": "r_name"},
+    ).collect()
+    assert [r["n"] for r in a] == [r["n"] for r in b] == [r["n"] for r in c] \
+        == ["AFRICA", "AMERICA"]
+    missing = cypher(
+        graph, "MATCH (r:Region) RETURN r['nope'] AS x LIMIT 1"
+    ).first()
+    assert missing["x"] is None
