@@ -224,12 +224,24 @@ def _apply_create(
                         const_props[k] = _fold_literal(e, c.params)
                     else:
                         expr_items[k] = e
-                const_props.pop("uri", None)
+                if "uri" in const_props:
+                    # N matched rows sharing ONE literal identity is a
+                    # contradiction — never silently mint N look-alike
+                    # nodes (use a row expression, or MERGE for upsert)
+                    raise CypherSyntaxError(
+                        "CREATE after MATCH/UNWIND runs once per row: a "
+                        "constant uri would give every created node the "
+                        "same identity — use a row expression "
+                        "({uri: row.uri}) or MERGE"
+                    )
+                uri_item = expr_items.pop("uri", None)
                 expr_cols = None
-                if expr_items:
+                if expr_items or uri_item is not None:
                     needed: set = set()
                     for e in expr_items.values():
                         _collect_props(e, needed)
+                    if uri_item is not None:
+                        _collect_props(uri_item, needed)
                     _materialize_props(c, needed)
                     expr_cols = {
                         k: _to_col(c, e) for k, e in expr_items.items()
@@ -237,11 +249,22 @@ def _apply_create(
                 g = M.add_vertices_frame(
                     g, c.cur, list(n.labels), const_props,
                     expr_props=expr_cols,
+                    uri_expr=(
+                        _to_col(c, uri_item) if uri_item is not None else None
+                    ),
                 )
             else:
-                g = M.add_vertices(
-                    g, [_node_row(n, f"urn:cypher:{uuid.uuid4().hex}", c.params)]
+                # bare CREATE: an explicit literal uri IS the node's
+                # identity (the MERGE-by-uri convention — silently
+                # replacing it with a random urn made a later
+                # MERGE {uri: ...} duplicate the node)
+                lits = _literal_props(n, c.params)
+                uri = (
+                    str(lits["uri"])
+                    if "uri" in lits
+                    else f"urn:cypher:{uuid.uuid4().hex}"
                 )
+                g = M.add_vertices(g, [_node_row(n, uri, c.params)])
             continue
         # relationship chain
         for rel in pat.rels:

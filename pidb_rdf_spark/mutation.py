@@ -83,6 +83,7 @@ def add_vertices_frame(
     labels: list[str],
     props: dict | None = None,
     expr_props: dict | None = None,
+    uri_expr: Column | None = None,
 ) -> PropertyGraph:
     """M1 distributed form: mint ONE new vertex per input row of
     ``rows_frame`` — Cypher ``MATCH ... CREATE (n:L {..})``
@@ -90,8 +91,10 @@ def add_vertices_frame(
     distinct nodes). ``props`` are constants; ``expr_props`` map keys
     to Columns evaluated against each input row (the bulk-ingest
     idiom ``UNWIND $batch AS row CREATE (n {k: row.k})``) — NULL
-    values are omitted, as in Cypher. Uris/ids are minted
-    executor-side via ``uuid()``; no collect."""
+    values are omitted, as in Cypher. ``uri_expr`` gives each row its
+    EXPLICIT identity (``CREATE (n {uri: row.uri})``); rows where it
+    is NULL fall back to the minted uuid uri. Without it, uris/ids
+    are minted executor-side via ``uuid()``; no collect either way."""
     props = {k: str(v) for k, v in (props or {}).items()}
     pairs = [F.lit(x) for kv in sorted(props.items()) for x in kv]
     for k in sorted(expr_props or {}):
@@ -106,8 +109,16 @@ def add_vertices_frame(
         if labels
         else F.array().cast("array<string>")
     )
+    minted = F.concat(
+        F.lit("urn:cypher:"), F.expr("replace(uuid(), '-', '')")
+    )
+    uri_col = (
+        F.coalesce(uri_expr.cast("string"), minted)
+        if uri_expr is not None
+        else minted
+    )
     new = rows_frame.select(
-        F.concat(F.lit("urn:cypher:"), F.expr("replace(uuid(), '-', '')")).alias("uri"),
+        uri_col.alias("uri"),
         pmap.alias("props"),
     ).select(
         F.xxhash64("uri").alias("id"),

@@ -621,3 +621,37 @@ def test_foreach_merge_body_idempotent(wg):
     assert (
         g2.nodes.filter(F.array_contains("labels", "Tag")).count() == 1
     )  # MERGE inside FOREACH stays idempotent across elements
+
+
+def test_create_explicit_uri_is_identity(wg):
+    """CREATE with an explicit literal uri gives the node THAT
+    identity (r11 fix — a random urn was silently substituted, so a
+    later MERGE {uri: ...} duplicated the node); per-row CREATE takes
+    row-expression uris, and a CONSTANT uri per-row raises."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.cypher_write import CypherSyntaxError, cypher_write
+
+    g = cypher_write(
+        wg, 'CREATE (n:Thing {uri: "urn:t:fixed", tag: "v"})'
+    )
+    assert g.nodes.filter(g.nodes.uri == "urn:t:fixed").count() == 1
+    before = g.nodes.count()
+    g = cypher_write(
+        g, 'MERGE (n:Thing {uri: "urn:t:fixed"}) ON MATCH SET n.seen = "y"'
+    )
+    assert g.nodes.count() == before  # matched, not duplicated
+    got = cypher(
+        g, 'MATCH (n {uri: "urn:t:fixed"}) RETURN n.seen AS s'
+    ).first()
+    assert got["s"] == "y"
+    g2 = cypher_write(
+        g,
+        "UNWIND $batch AS row CREATE (n:Doc {uri: row.u, k: row.k})",
+        params={"batch": [{"u": "urn:d:1", "k": "x"},
+                          {"u": "urn:d:2", "k": "y"}]},
+    )
+    assert g2.nodes.filter(g2.nodes.uri.startswith("urn:d:")).count() == 2
+    with _pytest.raises(CypherSyntaxError, match="constant uri"):
+        cypher_write(g, 'UNWIND [1,2] AS i CREATE (n {uri: "urn:dup"})')
