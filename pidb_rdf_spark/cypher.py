@@ -1875,15 +1875,29 @@ def _lambda_body(c: _Compile, var: str, body: tuple):
 def _plus_dispatch(
     c: _Compile, ea: tuple, eb: tuple, a: Column, b: Column
 ) -> Column:
-    """Neo4j ``+`` is polymorphic: string concatenation when either
-    operand is a string ("a" + 1 = "a1"), list concatenation when
-    either is a list, numeric addition otherwise. Spark columns are
-    monomorphic, so the dispatch resolves STATICALLY — from literal /
-    parameter python types, else from the bound frame's schema (one
-    driver-side analysis of the operand column; comprehension lambda
-    variables don't resolve that way and keep numeric ``+``, matching
-    the previous behavior)."""
+    """Neo4j ``+`` is polymorphic: list concatenation (or list+scalar
+    append) when either operand is a list, string concatenation when
+    either is a string ("a" + 1 = "a1"), numeric addition otherwise.
+    Spark columns are monomorphic, so the dispatch resolves STATICALLY
+    — from literal / parameter python types, else from the bound
+    frame's schema. One subtlety (ADVICE r11): relationship props and
+    sidecar-less node props materialize from the ``map<string,string>``
+    props store, so a StringType dtype there is NOT evidence of a
+    string VALUE — those operands are "unknown" and, when paired with
+    a known number, try_cast to the number's family (integral → long,
+    fractional → double; an unparseable stored value reads NULL, the
+    engine's uniform schemaless-numeric contract). Two unknowns keep
+    plain numeric ``+`` — the pre-polymorphic behavior."""
     from pyspark.sql import types as T
+
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def dt_kind(dt) -> str:
+        if isinstance(dt, T.StringType):
+            return "s"
+        if isinstance(dt, T.ArrayType):
+            return "l"
+        return "n"
 
     def kind(e: tuple, col: Column) -> str:
         v = None
@@ -1891,29 +1905,56 @@ def _plus_dispatch(
             v = e[1]
         elif e[0] == "param":
             v = _pat_value(e, c.params)
+        if isinstance(v, bool):
+            return "n"
         if isinstance(v, str):
             return "s"
         if isinstance(v, list):
             return "l"
         if v is not None:
             return "n"
+        if e[0] == "prop" and c.kinds.get(e[1]) in ("node", "rel"):
+            g = c.graph
+            if c.kinds[e[1]] == "node":
+                if e[2] in g.nodes.columns:  # typed hot column: schema wins
+                    return dt_kind(g.nodes.schema[e[2]].dataType)
+                fam = g.prop_type_families().get(e[2])
+                if fam in ("long", "double", "boolean"):
+                    return "n"
+                if fam == "string":
+                    return "s"
+            return "?"  # map-stored, no type evidence
         if c.cur is not None:
             try:
-                dt = c.cur.select(col).schema[0].dataType
+                return dt_kind(c.cur.select(col).schema[0].dataType)
             except Exception:
                 return "?"
-            if isinstance(dt, T.StringType):
-                return "s"
-            if isinstance(dt, T.ArrayType):
-                return "l"
-            return "n"
         return "?"
 
+    def dtype_of(col: Column):
+        if c.cur is None:
+            return None
+        try:
+            return c.cur.select(col).schema[0].dataType
+        except Exception:
+            return None
+
     ka, kb = kind(ea, a), kind(eb, b)
+    if "l" in (ka, kb):
+        # Neo4j appends a non-list operand: [1,2] + 3 = [1,2,3]
+        if ka != "l":
+            a = F.array(a)
+        if kb != "l":
+            b = F.array(b)
+        return F.concat(a, b)
     if "s" in (ka, kb):
         return F.concat(a.cast("string"), b.cast("string"))
-    if "l" in (ka, kb):
-        return F.concat(a, b)
+    if ka == "?" and kb == "n":
+        dt = dtype_of(b)
+        a = a.try_cast("long" if isinstance(dt, _INTEGRAL) else "double")
+    elif kb == "?" and ka == "n":
+        dt = dtype_of(a)
+        b = b.try_cast("long" if isinstance(dt, _INTEGRAL) else "double")
     return a + b
 
 

@@ -115,6 +115,20 @@ def _node_row(pat: NodePat, uri: str, params: dict | None = None) -> dict:
     return {"uri": uri, "labels": list(pat.labels), "props": props}
 
 
+def _require_uri_free(g: PropertyGraph, uri: str) -> None:
+    """CREATE with an explicit literal uri must not duplicate an
+    existing node: ``add_vertices`` unions, so a second row with the
+    same uri carries the identical xxhash64 id and every later
+    MATCH/MERGE on that id fans out. Raise and point at MERGE
+    (never-silently-mis-execute doctrine)."""
+    if g.nodes.filter(F.col("uri") == uri).limit(1).count() > 0:
+        raise CypherWriteError(
+            f"CREATE: a node with uri {uri!r} already exists — CREATE "
+            "never upserts; use MERGE {uri: ...} for idempotent "
+            "get-or-create"
+        )
+
+
 def _ids_frame(c: _Compile, var: str):
     if c.cur is None or var not in c.kinds:
         raise CypherSyntaxError(f"undefined variable {var!r} in write clause")
@@ -259,11 +273,16 @@ def _apply_create(
                 # replacing it with a random urn made a later
                 # MERGE {uri: ...} duplicate the node)
                 lits = _literal_props(n, c.params)
-                uri = (
-                    str(lits["uri"])
-                    if "uri" in lits
-                    else f"urn:cypher:{uuid.uuid4().hex}"
-                )
+                if "uri" in lits:
+                    uri = str(lits["uri"])
+                    # CREATE never upserts: a second CREATE of the same
+                    # uri would append a second node row with the same
+                    # xxhash64 id (add_vertices just unions), fanning
+                    # out every later join on that id — raise instead
+                    # of silently corrupting (ADVICE r11)
+                    _require_uri_free(g, uri)
+                else:
+                    uri = f"urn:cypher:{uuid.uuid4().hex}"
                 g = M.add_vertices(g, [_node_row(n, uri, c.params)])
             continue
         # relationship chain
@@ -378,10 +397,18 @@ def _apply_create(
                         )
                     uris.append(var_uris[n.var])
                     continue
-                uri = (
-                    _content_uri(n, c.params) if merge
-                    else f"urn:cypher:{uuid.uuid4().hex}"
-                )
+                # an explicit literal uri IS the node's identity in the
+                # chain branch too — CREATE (a {uri:'x'})-[:R]->(b) used
+                # to silently discard it for a random urn, so a later
+                # MERGE {uri:'x'} duplicated the node (ADVICE r11)
+                lits = _literal_props(n, c.params)
+                if merge:
+                    uri = _content_uri(n, c.params)
+                elif "uri" in lits:
+                    uri = str(lits["uri"])
+                    _require_uri_free(g, uri)
+                else:
+                    uri = f"urn:cypher:{uuid.uuid4().hex}"
                 if not merge or (
                     g.nodes.filter(F.col("uri") == uri).limit(1).count() == 0
                 ):

@@ -267,10 +267,27 @@ def cap_per_domain(
     survivors = tagged.filter(F.col("__n").isNotNull()).filter(
         draw.cast("double") < thresh
     )
+    _raise_if_underselected(hot, survivors, domain_col, cap)
+    return exact_cap(cold).unionByName(exact_cap(survivors.drop("__n")))
+
+
+def _raise_if_underselected(
+    hot: DataFrame, survivors: DataFrame, domain_col: str, cap: int
+) -> None:
+    """RAISE if any hot domain's draw pre-filter kept fewer than
+    ``cap`` rows. Anchored on the HOT list, not the survivor groups:
+    a hot domain whose pre-filter kept ZERO rows has no survivor group
+    at all, and grouping survivors alone would let it escape the raise
+    and vanish from the output (ADVICE r11) — left-join and coalesce
+    the missing count to 0 so the zero-survivor tail raises too."""
     short = (
-        survivors.groupBy(domain_col)
-        .agg(F.count("*").alias("__m"))
-        .filter(F.col("__m") < cap)
+        hot.select(domain_col)
+        .join(
+            survivors.groupBy(domain_col).agg(F.count("*").alias("__m")),
+            on=domain_col,
+            how="left",
+        )
+        .filter(F.coalesce(F.col("__m"), F.lit(0)) < cap)
     )
     if not short.isEmpty():
         raise RuntimeError(
@@ -279,4 +296,3 @@ def cap_per_domain(
             "md5 draws) — rerun with a different salt, or raise "
             "hot_threshold to route the domain through the exact window"
         )
-    return exact_cap(cold).unionByName(exact_cap(survivors.drop("__n")))

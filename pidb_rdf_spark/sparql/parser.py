@@ -443,10 +443,17 @@ class Parser:
 
     def parse_triples_block(self, group: A.GroupGraphPattern) -> None:
         subj = self.parse_term_in_pattern(group)
-        # a bare blank-node property list `[ p o ] .` is a complete
-        # triples block by itself (its triples are already in `group`)
+        # ONLY a bare blank-node property list `[ p o ] .` is a
+        # complete triples block by itself (its triples are already in
+        # `group`); a plain subject with no predicate — `{ ?s }` — is
+        # a syntax error, not an empty block (ADVICE r11: the
+        # unconditional early return silently dropped the constraint)
         t = self.peek()
         if t.kind == "OP" and t.text in (".", "}"):
+            if not self._last_term_was_bnode_list:
+                raise SyntaxError(
+                    f"expected a predicate after subject, got {t!r}"
+                )
             self.accept("OP", ".")
             return
         self._parse_prop_list(group, subj)
@@ -483,7 +490,9 @@ class Parser:
             if not (self.peek().kind == "OP" and self.peek().text == "]"):
                 self._parse_prop_list(group, var)
             self.expect("OP", "]")
+            self._last_term_was_bnode_list = True
             return var
+        self._last_term_was_bnode_list = False
         return self.parse_term()
 
     # -- property paths (SPARQL 1.1 §9 grammar, predicate position) ------

@@ -3023,3 +3023,48 @@ def test_dynamic_property_access(graph):
         graph, "MATCH (r:Region) RETURN r['nope'] AS x LIMIT 1"
     ).first()
     assert missing["x"] is None
+
+
+def test_plus_rel_prop_numeric_not_string_concat(spark):
+    """Relationship props (and sidecar-less node props) materialize as
+    strings from the map<string,string> store, so their dtype is NOT
+    evidence of a string value — r.qty + 1 must add, not concatenate
+    '51' (ADVICE r11). Unknown operands cast to the known number's
+    family: integral -> long, fractional -> double."""
+    from pidb_rdf_spark.cypher import cypher
+    from pidb_rdf_spark.graph import PropertyGraph
+
+    g = PropertyGraph(
+        spark=spark,
+        nodes=spark.createDataFrame(
+            [(1, "urn:a", ["P"], {"n": "x"}), (2, "urn:b", ["P"], {"n": "y"})],
+            "id long, uri string, labels array<string>, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [(10, 1, 2, "R", {"qty": "50"})],
+            "id long, src long, dst long, predicate string, props map<string,string>",
+        ),
+    )
+    r = cypher(
+        g,
+        "MATCH ()-[r:R]->() RETURN r.qty + 1 AS a, 1 + r.qty AS b, "
+        "r.qty + 0.5 AS c, 'v' + r.qty AS d",
+    ).first()
+    assert r["a"] == 51 and r["b"] == 51      # long family
+    assert r["c"] == 50.5                      # fractional -> double
+    assert r["d"] == "v50"                     # explicit string wins
+
+
+def test_plus_list_scalar_append(graph):
+    """Neo4j list + scalar appends (and scalar + list prepends) — the
+    non-list operand wraps in F.array() instead of failing analysis
+    (ADVICE r11)."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "WITH [1,2] AS xs RETURN xs + 3 AS a, 0 + xs AS b, xs + [4] AS c",
+    ).first()
+    assert r["a"] == [1, 2, 3]
+    assert r["b"] == [0, 1, 2]
+    assert r["c"] == [1, 2, 4]

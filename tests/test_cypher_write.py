@@ -655,3 +655,41 @@ def test_create_explicit_uri_is_identity(wg):
     assert g2.nodes.filter(g2.nodes.uri.startswith("urn:d:")).count() == 2
     with _pytest.raises(CypherSyntaxError, match="constant uri"):
         cypher_write(g, 'UNWIND [1,2] AS i CREATE (n {uri: "urn:dup"})')
+
+
+def test_create_chain_explicit_uri_is_identity(wg):
+    """The standalone-chain CREATE branch honors explicit literal uris
+    too (ADVICE r11: it minted a random urn and _node_row popped the
+    uri prop, so MERGE {uri: ...} later duplicated the node)."""
+    g = cypher_write(
+        wg,
+        'CREATE (a:Doc {uri: "urn:ch:a"})-[:REF]->(b:Doc {uri: "urn:ch:b"})',
+    )
+    assert g.nodes.filter(g.nodes.uri == "urn:ch:a").count() == 1
+    assert g.nodes.filter(g.nodes.uri == "urn:ch:b").count() == 1
+    before = g.nodes.count()
+    g = cypher_write(g, 'MERGE (a:Doc {uri: "urn:ch:a"})')
+    assert g.nodes.count() == before  # matched the chain-created node
+    # the edge connects the two explicit identities
+    got = cypher(
+        g,
+        'MATCH (a {uri: "urn:ch:a"})-[:REF]->(b) RETURN b.uri AS u',
+    ).first()
+    assert got["u"] == "urn:ch:b"
+
+
+def test_create_duplicate_explicit_uri_raises(wg):
+    """CREATE never upserts: re-creating an existing explicit uri would
+    union a second node row with the identical xxhash64 id and fan out
+    every later join — both the bare and chain branches raise and point
+    at MERGE (ADVICE r11)."""
+    g = cypher_write(wg, 'CREATE (n:Doc {uri: "urn:dup:x"})')
+    with pytest.raises(CypherWriteError, match="use MERGE"):
+        cypher_write(g, 'CREATE (n:Doc {uri: "urn:dup:x"})')
+    with pytest.raises(CypherWriteError, match="use MERGE"):
+        cypher_write(
+            g, 'CREATE (a {uri: "urn:dup:x"})-[:REF]->(b {uri: "urn:dup:y"})'
+        )
+    # existing graph uris count too
+    with pytest.raises(CypherWriteError, match="use MERGE"):
+        cypher_write(g, 'CREATE (n {uri: "urn:a"})')

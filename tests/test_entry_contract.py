@@ -80,3 +80,27 @@ def test_window_sustainability_policy():
     assert [k for k in E._DEFER_TO_TAIL if k not in set(names)] == []
     # the deferral never underfills the checked window
     assert len(names) - len(E._DEFER_TO_TAIL) == 50
+
+
+def test_bench_full_sweep_preserves_isolated_map(tmp_path):
+    """The full-sweep writer must carry BENCH_FULL.json's ``isolated``
+    map forward — the r11 sweep rebuilt the record dict from scratch
+    and silently deleted the fresh-JVM records BASELINE.md cites
+    (VERDICT r11 #1)."""
+    import json
+
+    import bench
+
+    path = str(tmp_path / "BENCH_FULL.json")
+    with open(path, "w") as f:
+        json.dump({"queries": {"old": 1.0},
+                   "isolated": {"pagerank@sf0.1": {"sec": 5.9, "reps": 3}}}, f)
+    bench.write_full_record({"metric": "m", "queries": {"new": 2.0}}, path)
+    with open(path) as f:
+        out = json.load(f)
+    assert out["queries"] == {"new": 2.0}
+    assert out["isolated"] == {"pagerank@sf0.1": {"sec": 5.9, "reps": 3}}
+    # and the committed artifact currently carries the re-seeded map
+    with open("/root/repo/BENCH_FULL.json") as f:
+        committed = json.load(f)
+    assert len(committed.get("isolated", {})) >= 12

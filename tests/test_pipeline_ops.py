@@ -3426,3 +3426,34 @@ def test_pack_token_stream_zero_token_docs_no_placement(spark):
     assert rows[1] == (0, 5, 0, 1)
     assert rows[4] == (5, 12, 1, 2)
     assert all(ce >= cs for (_, _, cs, ce) in rows.values())
+
+
+def test_cap_per_domain_guard_catches_zero_survivor_domain(spark):
+    """The under-select guard is anchored on the hot list: a hot
+    domain whose pre-filter kept ZERO rows (no survivor group at all)
+    must raise, not silently vanish from the output (ADVICE r11).
+    The tail is p ~ e^-68 with real md5 draws, so the guard helper is
+    exercised directly with crafted frames."""
+    from pidb_rdf_spark.operators.urls import _raise_if_underselected
+
+    hot = spark.createDataFrame(
+        [("gone.com", 5000), ("ok.com", 5000)], "domain string, __n long"
+    )
+    survivors = spark.createDataFrame(
+        [("ok.com", i) for i in range(10)], "domain string, doc_id long"
+    )
+    with pytest.raises(RuntimeError, match="fewer than cap"):
+        _raise_if_underselected(hot, survivors, "domain", cap=3)
+    # both domains adequately covered -> no raise
+    both = survivors.unionByName(
+        spark.createDataFrame(
+            [("gone.com", i) for i in range(10)], "domain string, doc_id long"
+        )
+    )
+    _raise_if_underselected(hot, both, "domain", cap=3)
+    # partial under-select (1 < cap survivors) still raises
+    partial = survivors.unionByName(
+        spark.createDataFrame([("gone.com", 1)], "domain string, doc_id long")
+    )
+    with pytest.raises(RuntimeError, match="fewer than cap"):
+        _raise_if_underselected(hot, partial, "domain", cap=3)

@@ -337,3 +337,19 @@ def test_construct_where_shorthand(fg):
     assert (f"{EX}alice", f"{EX}bob") in got and len(got) == 4
     with pytest.raises(SyntaxError, match="CONSTRUCT WHERE"):
         sparql(fg, 'CONSTRUCT WHERE { ?x e:foaf__knows ?y . FILTER(?x = ?y) }')
+
+
+def test_bare_subject_without_predicate_is_syntax_error(fg):
+    """Only a blank-node property list is a complete triples block by
+    itself; `{ ?s }` / `{ ?s . }` must raise, not silently parse as an
+    empty block that drops the constraint (ADVICE r11)."""
+    for q in (
+        "SELECT * WHERE { ?s }",
+        "SELECT * WHERE { ?s . }",
+        "SELECT ?n WHERE { ?p v:foaf__name ?n . ?p }",
+    ):
+        with pytest.raises(SyntaxError, match="predicate"):
+            sparql(fg, q)
+    # the legitimate bare-bnode-list block still parses
+    df = sparql(fg, "SELECT ?n WHERE { [ v:foaf__name ?n ; v:foaf__age ?a ] . }")
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
