@@ -1872,6 +1872,24 @@ def _lambda_body(c: _Compile, var: str, body: tuple):
     return f
 
 
+def _expr_uses_lambda_var(c: _Compile, e) -> bool:
+    """True if the expression tree references any currently-bound
+    comprehension lambda variable — such expressions cannot be
+    analyzed standalone (select-probing them logs ERROR-level
+    UNRESOLVED_COLUMN stack traces JVM-side)."""
+    if isinstance(e, (list,)):
+        return any(_expr_uses_lambda_var(c, x) for x in e)
+    if not isinstance(e, tuple):
+        return False
+    if e[0] == "var":
+        return e[1] in c.lambda_vars
+    return any(
+        _expr_uses_lambda_var(c, x)
+        for x in e[1:]
+        if isinstance(x, (tuple, list))
+    )
+
+
 def _plus_dispatch(
     c: _Compile, ea: tuple, eb: tuple, a: Column, b: Column
 ) -> Column:
@@ -1924,6 +1942,14 @@ def _plus_dispatch(
                 if fam == "string":
                     return "s"
             return "?"  # map-stored, no type evidence
+        # an operand referencing a comprehension lambda variable can
+        # NEVER be analyzed standalone — the try/select probe would
+        # fail with an UNRESOLVED_COLUMN the JVM logs at ERROR level
+        # before Python catches it (two stack traces per query at
+        # fleet scale trip log alerting — VERDICT r11 #6). Decide
+        # statically instead of probing.
+        if c.lambda_vars and _expr_uses_lambda_var(c, e):
+            return "?"
         if c.cur is not None:
             try:
                 return dt_kind(c.cur.select(col).schema[0].dataType)

@@ -3068,3 +3068,29 @@ def test_plus_list_scalar_append(graph):
     assert r["a"] == [1, 2, 3]
     assert r["b"] == [0, 1, 2]
     assert r["c"] == [1, 2, 4]
+
+
+def test_plus_in_lambda_no_analysis_probe(graph):
+    """+ on comprehension lambda variables keeps numeric addition and
+    must NOT select-probe the operands — an unresolved lambda variable
+    probe logs an ERROR-level UNRESOLVED_COLUMN stack trace JVM-side
+    (VERDICT r11 #6); the dispatch decides statically."""
+    from pidb_rdf_spark.cypher import _expr_uses_lambda_var, cypher
+
+    r = cypher(
+        graph,
+        "WITH [1,2,3] AS xs "
+        "RETURN [x IN xs | x + 10] AS m, "
+        "reduce(acc = 0, x IN xs | acc + x) AS s",
+    ).first()
+    assert r["m"] == [11, 12, 13] and r["s"] == 6
+
+    class _C:
+        lambda_vars = {"x": None}
+
+    c = _C()
+    assert _expr_uses_lambda_var(c, ("plus", ("var", "x"), ("lit", 1)))
+    assert not _expr_uses_lambda_var(c, ("plus", ("var", "y"), ("lit", 1)))
+    assert _expr_uses_lambda_var(
+        c, ("fn", "size", [("plus", ("lit", 1), ("var", "x"))])
+    )
