@@ -3131,18 +3131,39 @@ def test_url_normalize_contract(spark):
 
 
 def test_registrable_domain(spark):
-    """Last-two-labels grouping off hosts OR full URLs; ports strip;
-    single-label hosts return themselves (PSL simplification is
-    documented)."""
+    """Public-suffix-list registrable domains (r12): multi-label
+    suffixes group at the registrable level (example.co.uk, not
+    co.uk), wildcards and exceptions follow the publicsuffix.org
+    algorithm, unlisted TLDs take the default last-two-labels rule,
+    hosts that ARE a public suffix (or single labels) return
+    themselves; full URLs and ports still accepted."""
     from pidb_rdf_spark.operators import registrable_domain_col
 
+    cases = {
+        1: ("https://a.b.Example.com:8443/x?q=1", "example.com"),
+        2: ("news.example.org", "example.org"),
+        3: ("localhost:9000", "localhost"),
+        # multi-label ICANN suffixes (the r11 over-trim fix)
+        4: ("www.example.co.uk", "example.co.uk"),
+        5: ("EXAMPLE.CO.UK.", "example.co.uk"),
+        6: ("shop.foo.com.au", "foo.com.au"),
+        7: ("www.pref.tokyo.jp", "pref.tokyo.jp"),
+        8: ("k12-site.schools.k12.ca.us", "schools.k12.ca.us"),
+        # wildcard rule *.kawasaki.jp: the child IS a public suffix
+        9: ("foo.kawasaki.jp", "foo.kawasaki.jp"),
+        10: ("bar.foo.kawasaki.jp", "bar.foo.kawasaki.jp"),
+        # exception rule !city.kawasaki.jp beats the wildcard
+        11: ("www.city.kawasaki.jp", "city.kawasaki.jp"),
+        12: ("www.www.ck", "www.ck"),
+        # private-section hosting suffixes: per-publisher grouping
+        13: ("someblog.blogspot.com", "someblog.blogspot.com"),
+        14: ("https://user.github.io/repo", "user.github.io"),
+        # a host that IS a public suffix returns itself
+        15: ("co.uk", "co.uk"),
+        16: ("com", "com"),
+    }
     df = spark.createDataFrame(
-        [
-            (1, "https://a.b.Example.com:8443/x?q=1"),
-            (2, "news.example.org"),
-            (3, "localhost:9000"),
-        ],
-        "id long, u string",
+        [(k, v[0]) for k, v in cases.items()], "id long, u string"
     )
     got = {
         r.id: r.d
@@ -3150,7 +3171,23 @@ def test_registrable_domain(spark):
             "id", registrable_domain_col(F.col("u")).alias("d")
         ).collect()
     }
-    assert got == {1: "example.com", 2: "example.org", 3: "localhost"}
+    assert got == {k: v[1] for k, v in cases.items()}
+    # user-supplied full PSL rules override the snapshot (verbatim
+    # .dat lines: comments skipped, wildcard + exception syntax)
+    custom = ["// test rules", "zz", "two.zz", "*.wild.zz", "!ok.wild.zz"]
+    df2 = spark.createDataFrame(
+        [(1, "a.two.zz"), (2, "b.x.wild.zz"), (3, "www.ok.wild.zz"),
+         (4, "plain.zz")],
+        "id long, u string",
+    )
+    got2 = {
+        r.id: r.d
+        for r in df2.select(
+            "id", registrable_domain_col(F.col("u"), psl=custom).alias("d")
+        ).collect()
+    }
+    assert got2 == {1: "a.two.zz", 2: "b.x.wild.zz", 3: "ok.wild.zz",
+                    4: "plain.zz"}
 
 
 def test_url_dedup_and_cap_per_domain(spark):
