@@ -39,10 +39,14 @@ class Traversal:
         on_edges: bool = False,
         pristine: bool = False,
         pred: Column | None = None,
+        se: dict | None = None,
     ):
         self.g = graph
         self.df = df
         self.on_edges = on_edges  # frontier holds edge ids (E()/outE/inE)
+        # side-effect store (aggregate()/cap()): label -> (id, bulk)
+        # DataFrame snapshots; propagated through step chaining
+        self._se = se or {}
         # pristine: the frontier is still "all nodes filtered by
         # `pred`" (a fresh V() followed only by has/has_label steps).
         # Those steps then FUSE into one conjunctive filtered scan —
@@ -58,12 +62,17 @@ class Traversal:
         """Fold one more has-condition into a pristine frontier."""
         pred = cond if self._pred is None else (self._pred & cond)
         df = self.g.nodes.filter(pred).select(F.col("id").alias(CUR))
-        return Traversal(self.g, df, False, pristine=True, pred=pred)
+        return Traversal(self.g, df, False, pristine=True, pred=pred,
+                         se=self._se)
 
     # ---- internal helpers ---------------------------------------------
 
     def _with(self, df: DataFrame, on_edges: bool | None = None) -> "Traversal":
-        return Traversal(self.g, df, self.on_edges if on_edges is None else on_edges)
+        return Traversal(
+            self.g, df,
+            self.on_edges if on_edges is None else on_edges,
+            se=self._se,
+        )
 
     def _frontier_nodes(self) -> DataFrame:
         """Join the current node frontier back to the nodes table."""
@@ -162,6 +171,54 @@ class Traversal:
             keep = e.filter(col.isNull()).select(F.col("id").alias(CUR))
             return self._with(self.df.join(keep, on=CUR, how="leftsemi"))
         return self._semi(self.g.nodes.filter(self.g.node_prop(key).isNull()))
+
+    # ---- side effects / stream utilities (deep-tail steps, r12) --------
+
+    def inject(self, *ids) -> "Traversal":
+        """TinkerPop ``inject()``, restricted to ELEMENT IDS (this
+        engine's traverser is an element id, not an arbitrary object):
+        append one traverser per given id to the current frontier.
+        Labeled/as_() columns of existing rows fill NULL on the
+        injected rows (they carry no history)."""
+        if not ids:
+            return self
+        extra = self.df.sparkSession.createDataFrame(
+            [(int(i),) for i in ids], f"{CUR} long"
+        )
+        return self._with(
+            self.df.unionByName(extra, allowMissingColumns=True)
+        )
+
+    def aggregate(self, label: str) -> "Traversal":
+        """TinkerPop ``aggregate(label)`` (the eager side-effect
+        barrier): snapshot the CURRENT frontier into the side-effect
+        store under ``label`` — as ``(id, bulk)`` rows, TinkerPop's
+        BulkSet with multiplicity — and continue unchanged. Read it
+        back with :meth:`cap`. The snapshot is a lazy grouped frame
+        over the current plan (no materialization until cap() runs)."""
+        snap = self.df.groupBy(F.col(CUR).alias("id")).agg(
+            F.count("*").alias("bulk")
+        )
+        t = self._with(self.df)
+        t._se = {**self._se, label: snap}
+        return t
+
+    def cap(self, label: str) -> DataFrame:
+        """Emit the ``aggregate(label)`` collection: a ``(id, bulk)``
+        DataFrame (BulkSet semantics — element multiplicity kept)."""
+        if label not in self._se:
+            raise ValueError(
+                f"cap({label!r}): no aggregate({label!r}) step ran "
+                f"before it (have: {sorted(self._se) or 'none'})"
+            )
+        return self._se[label]
+
+    def barrier(self) -> "Traversal":
+        """TinkerPop ``barrier()`` is a semantics no-op here — every
+        step is already whole-frontier set algebra. Implemented as an
+        eager ``localCheckpoint``: the lineage-truncation hint for
+        very long chains (the iterative operators' idiom)."""
+        return self._with(self.df.localCheckpoint(eager=True))
 
     # ---- traversal hops (J6-J8) ----------------------------------------
 

@@ -930,3 +930,67 @@ def test_where_not_traversal_filters(graph):
         .count().first()["count"]
     )
     assert c == 0
+
+
+def test_inject_aggregate_cap_barrier(graph):
+    """Deep-tail steps (r12): inject() appends traversers by element
+    id, aggregate()/cap() snapshot and emit a BulkSet (multiplicity
+    kept), barrier() is a semantics no-op — all oracle-checked."""
+    import pytest as _pytest
+
+    # inject: regions plus two nation ids = 5 + 2 traversers
+    nation_ids = [
+        r["id"]
+        for r in traversal(graph).V().has_label("Nation").id_()
+        .limit(2).collect()
+    ]
+    t = traversal(graph).V().has_label("Region").inject(*nation_ids)
+    assert t.count().first()["count"] == 7
+    # injected traversers traverse like any other
+    names = sorted(
+        r["n_name"]
+        for r in traversal(graph).V().has_label("Region").limit(0)
+        .inject(*nation_ids).values("n_name").collect()
+    )
+    want = sorted(
+        r["n_name"]
+        for r in traversal(graph).V().has_id(*nation_ids)
+        .values("n_name").collect()
+    )
+    assert names == want
+
+    # aggregate/cap: nations reached from regions via in(IN_REGION)
+    # carry bulk 1; after a second hop the SNAPSHOT is unchanged
+    agg = (
+        traversal(graph).V().has_label("Region")
+        .in_("IN_REGION").aggregate("x")
+        .in_("IN_NATION")  # keeps flowing; snapshot must not move
+        .cap("x")
+    )
+    got = {(r["id"], r["bulk"]) for r in agg.collect()}
+    n_nations = traversal(graph).V().has_label("Nation").count().first()["count"]
+    assert len(got) == n_nations and all(b == 1 for _, b in got)
+    # multiplicity: both() from nations doubles nothing here, but a
+    # two-path frontier shows bulk > 1
+    agg2 = (
+        traversal(graph).V().has_label("Nation")
+        .out("IN_REGION").aggregate("r").cap("r")
+    )
+    bulks = {r["bulk"] for r in agg2.collect()}
+    assert bulks == {5}  # 25 nations / 5 regions -> bulk 5 each
+
+    with _pytest.raises(ValueError, match="no aggregate"):
+        traversal(graph).V().cap("missing")
+
+    # barrier: identical result, lineage truncated
+    a = sorted(
+        r["n_name"]
+        for r in traversal(graph).V().has_label("Region")
+        .in_("IN_REGION").barrier().values("n_name").collect()
+    )
+    b = sorted(
+        r["n_name"]
+        for r in traversal(graph).V().has_label("Region")
+        .in_("IN_REGION").values("n_name").collect()
+    )
+    assert a == b
