@@ -2231,6 +2231,44 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
         if args[0][0] != "var":
             raise CypherSyntaxError("id() takes a node or relationship variable")
         return rec(args[0])
+    if fn == "elementid":
+        # Neo4j 5 string ids; ours stringify the numeric id
+        need(1)
+        if args[0][0] != "var":
+            raise CypherSyntaxError(
+                "elementId() takes a node or relationship variable"
+            )
+        return rec(args[0]).cast("string")
+    if fn == "timestamp":
+        need(0)
+        return F.unix_millis(F.current_timestamp())
+    if fn == "randomuuid":
+        need(0)
+        return F.expr("uuid()")
+    if fn == "nullif":
+        need(2)
+        a, b = rec(args[0]), rec(args[1])
+        return F.when(a == b, F.lit(None)).otherwise(a)
+    if fn == "isempty":
+        # lists/maps by size, strings by length — Neo4j's overloads;
+        # stringness resolves statically (literal/param python type,
+        # else the bound frame's schema)
+        need(1)
+        col = rec(args[0])
+        e = args[0]
+        v = e[1] if e[0] == "lit" else (
+            _pat_value(e, c.params) if e[0] == "param" else None
+        )
+        if isinstance(v, str):
+            return F.length(col) == 0
+        if v is None and e[0] == "var" and c.cur is not None:
+            try:
+                dt = c.cur.schema[e[1]].dataType.typeName()
+            except KeyError:
+                dt = None
+            if dt == "string":
+                return F.length(col) == 0
+        return F.size(col) == 0
     if fn == "length":
         need(1)
         a = args[0]

@@ -3094,3 +3094,23 @@ def test_plus_in_lambda_no_analysis_probe(graph):
     assert _expr_uses_lambda_var(
         c, ("fn", "size", [("plus", ("lit", 1), ("var", "x"))])
     )
+
+
+def test_scalar_tail_functions(graph):
+    """r12 scalar tail: elementId() (stringified id), timestamp()
+    (epoch millis), randomUUID(), nullIf(), isEmpty() for lists and
+    strings — all JVM-side expressions."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "MATCH (n:Region) WITH n LIMIT 1 "
+        "RETURN elementId(n) AS eid, id(n) AS nid, timestamp() AS ts, "
+        "randomUUID() AS u, nullIf(1, 1) AS n1, nullIf(1, 2) AS n2, "
+        "isEmpty([]) AS e1, isEmpty([1]) AS e2, isEmpty('') AS e3",
+    ).first()
+    assert r["eid"] == str(r["nid"])
+    assert r["ts"] > 1_500_000_000_000  # epoch millis, not seconds
+    assert len(r["u"]) == 36 and r["u"].count("-") == 4
+    assert r["n1"] is None and r["n2"] == 1
+    assert r["e1"] is True and r["e2"] is False and r["e3"] is True
