@@ -3501,3 +3501,55 @@ def test_cap_per_domain_guard_catches_zero_survivor_domain(spark):
     )
     with pytest.raises(RuntimeError, match="fewer than cap"):
         _raise_if_underselected(hot, partial, "domain", cap=3)
+
+
+def test_registrable_domain_matches_python_reference(spark):
+    """Differential pin of the PSL when-cascade: ~200 generated hosts
+    (label pool x suffix tails, incl. wildcard/exception/private
+    rules and hosts that ARE suffixes) must group exactly as a
+    straightforward pure-Python implementation of the publicsuffix.org
+    algorithm over the same snapshot rules."""
+    from pidb_rdf_spark.operators import registrable_domain_col
+    from pidb_rdf_spark.operators.psl_snapshot import SNAPSHOT_RULES
+    from pidb_rdf_spark.operators.urls import _parse_psl
+
+    plain, wild, exc = _parse_psl(SNAPSHOT_RULES)
+    plain_all = {s for g in plain.values() for s in g}
+    wild_all = {s for g in wild.values() for s in g}
+    exc_all = {s for g in exc.values() for s in g}
+
+    def ref(host: str) -> str:
+        host = host.lower().rstrip(".")
+        labels = host.split(".")
+        n = len(labels)
+        pub = None
+        for k in sorted((e.count(".") + 1 for e in exc_all), reverse=True):
+            if n >= k and ".".join(labels[-k:]) in exc_all:
+                pub = k - 1
+                break
+        if pub is None:
+            pub = 1
+            for k in range(1, n + 1):
+                if ".".join(labels[-k:]) in plain_all:
+                    pub = max(pub, k)
+                if k >= 2 and ".".join(labels[-(k - 1):]) in wild_all:
+                    pub = max(pub, k)
+        return ".".join(labels[-(pub + 1):]) if n > pub else host
+
+    tails = [
+        "com", "co.uk", "uk", "kawasaki.jp", "city.kawasaki.jp", "jp",
+        "ck", "www.ck", "github.io", "io", "k12.ca.us", "ca.us", "us",
+        "tokyo.jp", "gov.pl", "example.dev", "blogspot.com",
+    ]
+    prefixes = [[], ["www"], ["a", "b"], ["city"], ["foo", "bar", "baz"]]
+    hosts = sorted({".".join(p + [t]) for t in tails for p in prefixes})
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h", registrable_domain_col(F.col("h")).alias("d")
+        ).collect()
+    }
+    want = {h: ref(h) for h in hosts}
+    diffs = {h: (got[h], want[h]) for h in hosts if got[h] != want[h]}
+    assert not diffs, diffs
