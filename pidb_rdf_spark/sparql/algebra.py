@@ -73,10 +73,15 @@ class PathMod:
 
 @dataclass(frozen=True)
 class PathNeg:
-    """``!iri`` / ``!(iri1|iri2)`` — any forward edge whose predicate
-    is none of the listed IRIs."""
+    """``!iri`` / ``!(iri1|^iri2|...)`` — negated property set. Matches
+    the union of: forward edges whose predicate is none of ``iris``,
+    and (when ``inv_iris`` is non-empty) INVERSE edges whose predicate
+    is none of ``inv_iris`` (SPARQL 1.1 §9.1 NPS with inverse
+    members). A set with only inverse members matches only inverse
+    edges; only forward members, only forward edges."""
 
-    iris: tuple  # tuple[IRI, ...]
+    iris: tuple  # tuple[IRI, ...] — forward exclusions
+    inv_iris: tuple = ()  # tuple[IRI, ...] — inverse exclusions
 
 
 Path = PathInverse | PathSeq | PathAlt | PathMod | PathNeg

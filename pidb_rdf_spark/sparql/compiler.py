@@ -1039,10 +1039,36 @@ class SparqlCompiler:
         if isinstance(path, A.PathMod):
             return self._mod_pairs(path)
         if isinstance(path, A.PathNeg):
-            names = [self._predicate_name(i.value) for i in path.iris]
-            return edges.filter(~F.col("predicate").isin(names)).select(
-                F.col("src").alias("__src"), F.col("dst").alias("__dst")
-            )
+            # NPS (§9.1): forward edges excluding the forward set,
+            # UNION inverse edges excluding the inverse set; a set
+            # with members in only one direction matches only that
+            # direction
+            parts = []
+            if path.iris or not path.inv_iris:
+                names = [self._predicate_name(i.value) for i in path.iris]
+                fwd = edges
+                if names:
+                    fwd = fwd.filter(~F.col("predicate").isin(names))
+                parts.append(
+                    fwd.select(
+                        F.col("src").alias("__src"),
+                        F.col("dst").alias("__dst"),
+                    )
+                )
+            if path.inv_iris:
+                inames = [
+                    self._predicate_name(i.value) for i in path.inv_iris
+                ]
+                parts.append(
+                    edges.filter(~F.col("predicate").isin(inames)).select(
+                        F.col("dst").alias("__src"),
+                        F.col("src").alias("__dst"),
+                    )
+                )
+            out = parts[0]
+            for p2 in parts[1:]:
+                out = out.unionAll(p2)
+            return out
         raise TypeError(f"unexpected path {path!r}")
 
     def _mod_pairs(self, mod: A.PathMod) -> DataFrame:
@@ -1259,8 +1285,20 @@ class SparqlCompiler:
         raise TypeError(f"cannot compile expression {expr!r}")
 
     def _func_col(self, call: A.FuncCall, df: DataFrame, agg_map: dict | None = None) -> Column:
-        args = [self._expr_col(a, df, agg_map) for a in call.args]
         name = call.name
+        if name in ("COALESCE", "BOUND"):
+            # W3C: an UNBOUND variable is an evaluation error that
+            # COALESCE skips past and BOUND reports as false — a
+            # variable the pattern never binds at all compiles to a
+            # typed NULL, not an AnalysisException
+            args = [
+                F.lit(None)
+                if isinstance(a, A.Var) and a.name not in df.columns
+                else self._expr_col(a, df, agg_map)
+                for a in call.args
+            ]
+        else:
+            args = [self._expr_col(a, df, agg_map) for a in call.args]
         if name == "ROUND":
             scale = call.args[1].value if len(call.args) > 1 else 0
             return F.round(args[0], int(scale))

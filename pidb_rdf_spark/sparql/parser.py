@@ -542,14 +542,23 @@ class Parser:
             return p
         if t.kind == "OP" and t.text == "!":
             self.next()
+            fwd: list = []
+            inv: list = []
+
+            def one_member():
+                if self.accept("OP", "^"):
+                    inv.append(self.parse_path_iri())
+                else:
+                    fwd.append(self.parse_path_iri())
+
             if self.accept("OP", "("):
-                iris = [self.parse_path_iri()]
+                one_member()
                 while self.accept("OP", "|"):
-                    iris.append(self.parse_path_iri())
+                    one_member()
                 self.expect("OP", ")")
             else:
-                iris = [self.parse_path_iri()]
-            return A.PathNeg(tuple(iris))
+                one_member()
+            return A.PathNeg(tuple(fwd), tuple(inv))
         return self.parse_path_iri()
 
     def parse_path_iri(self) -> A.IRI:

