@@ -2071,6 +2071,14 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         base, i = _to_col(c, expr[1]), _to_col(c, expr[2])
         key = expr[2]
         if key[0] == "lit" and isinstance(key[1], str):
+            # map literals compile to structs (heterogeneous value
+            # types), so a literal string key on one is getField;
+            # unknown keys read null as on maps
+            if base_e[0] == "maplit":
+                fields = {k for k, _ in base_e[1]}
+                if key[1] not in fields:
+                    return F.lit(None)
+                return base.getField(key[1])
             # map / dynamic-property access by string key
             return F.try_element_at(base, i)
         # Neo4j lists are 0-based, negatives count from the end;

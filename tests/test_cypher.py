@@ -3114,3 +3114,16 @@ def test_scalar_tail_functions(graph):
     assert len(r["u"]) == 36 and r["u"].count("-") == 4
     assert r["n1"] is None and r["n2"] == 1
     assert r["e1"] is True and r["e2"] is False and r["e3"] is True
+
+
+def test_map_literal_subscript(graph):
+    """Map literals compile to structs, so a literal string subscript
+    is getField (unknown keys read null, matching map access); list
+    subscripts on struct-typed bases are unaffected."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "RETURN {a: 1, b: 'x'}['b'] AS v, {a: 1}['zz'] AS missing",
+    ).first()
+    assert r["v"] == "x" and r["missing"] is None
