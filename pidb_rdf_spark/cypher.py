@@ -203,7 +203,7 @@ _KEYWORDS = {
     "ends", "with", "contains", "true", "false", "as", "optional",
     "unwind", "create", "merge", "set", "delete", "detach", "remove",
     "on", "case", "when", "then", "else", "end", "call", "yield",
-    "union", "foreach",
+    "union", "foreach", "xor",
 }
 
 _AGG_FUNCS = {
@@ -935,9 +935,16 @@ class _Parser:
     # expression grammar: or > and > not > comparison > additive >
     # multiplicative > unary > primary
     def _expr(self) -> tuple:
-        left = self._and_expr()
+        left = self._xor_expr()
         while self._accept("kw", "or"):
-            left = ("or", left, self._and_expr())
+            left = ("or", left, self._xor_expr())
+        return left
+
+    def _xor_expr(self) -> tuple:
+        # Neo4j precedence: OR < XOR < AND < NOT
+        left = self._and_expr()
+        while self._accept("kw", "xor"):
+            left = ("xor", left, self._and_expr())
         return left
 
     def _and_expr(self) -> tuple:
@@ -967,14 +974,15 @@ class _Parser:
         if self._accept("kw", "in"):
             if self._at("param"):
                 return ("in", left, [("param", self._next().text[1:])])
-            self._expect("op", "[")
-            vals = []
-            if not self._at("op", "]"):
-                vals.append(self._literal())
-                while self._accept("op", ","):
-                    vals.append(self._literal())
-            self._expect("op", "]")
-            return ("in", left, vals)
+            rhs = self._additive()
+            if rhs[0] == "listlit" and all(
+                e[0] in ("lit", "param") for e in rhs[1]
+            ):
+                # literal list: keep the isin fast path (pushdown)
+                return ("in", left, list(rhs[1]))
+            # any list-valued expression: 'Region' IN labels(n),
+            # x IN n.tags, x IN xs[1..3] — array_contains membership
+            return ("in_expr", left, rhs)
         if self._accept("kw", "starts"):
             self._expect("kw", "with")
             return ("startswith", left, self._additive())
@@ -2020,9 +2028,14 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
             "=": a == b, "<>": a != b, "<": a < b,
             "<=": a <= b, ">": a > b, ">=": a >= b,
         }[expr[1]]
+    if op == "xor":
+        # boolean inequality; NULL-propagating like Neo4j's xor
+        return _to_col(c, expr[1]) != _to_col(c, expr[2])
     if op == "isnull":
         col = _to_col(c, expr[1])
         return col.isNotNull() if expr[2] else col.isNull()
+    if op == "in_expr":
+        return F.array_contains(_to_col(c, expr[2]), _to_col(c, expr[1]))
     if op == "in":
         vals = []
         for v in expr[2]:
@@ -2699,10 +2712,23 @@ def _apply_projection(c: _Compile, proj: Projection) -> tuple:
             if etext in names:
                 col = _qcol(etext)
             elif aggregating:
-                raise CypherSyntaxError(
-                    f"ORDER BY {etext!r}: sort keys of an aggregating "
-                    "query must be projection items"
+                # Neo4j lets an aggregating query sort on a projected
+                # EXPRESSION written out verbatim (ORDER BY count(*)):
+                # match it structurally against the projection items
+                hit = next(
+                    (
+                        name
+                        for it, name in zip(proj.items, names)
+                        if it.expr == e
+                    ),
+                    None,
                 )
+                if hit is None:
+                    raise CypherSyntaxError(
+                        f"ORDER BY {etext!r}: sort keys of an aggregating "
+                        "query must be projection items"
+                    )
+                col = _qcol(hit)
             elif proj.distinct:
                 raise CypherSyntaxError(
                     f"ORDER BY {etext!r}: DISTINCT queries can only sort "

@@ -3127,3 +3127,36 @@ def test_map_literal_subscript(graph):
         "RETURN {a: 1, b: 'x'}['b'] AS v, {a: 1}['zz'] AS missing",
     ).first()
     assert r["v"] == "x" and r["missing"] is None
+
+
+def test_xor_in_expr_order_by_aggregate(graph):
+    """r12 clause tail: XOR (OR < XOR < AND precedence), IN over a
+    list-VALUED expression (labels(n), slices — not just literal
+    lists), and ORDER BY on a verbatim aggregate expression of an
+    aggregating query."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "RETURN true XOR false AS a, true XOR true AS b, "
+        "false OR true XOR true AS prec",  # OR(false, XOR(true,true))
+    ).first()
+    assert r["a"] is True and r["b"] is False and r["prec"] is False
+
+    n = cypher(
+        graph, "MATCH (n) WHERE 'Region' IN labels(n) RETURN count(*) AS c"
+    ).first()["c"]
+    want = cypher(graph, "MATCH (n:Region) RETURN count(*) AS c").first()["c"]
+    assert n == want == 5
+    s = cypher(
+        graph, "WITH [1,2,3,4] AS xs RETURN 2 IN xs[1..3] AS hit, "
+        "9 IN xs[1..3] AS miss"
+    ).first()
+    assert s["hit"] is True and s["miss"] is False
+
+    rows = cypher(
+        graph,
+        "MATCH (n:Nation) RETURN n.n_regionkey AS rk, count(*) AS c "
+        "ORDER BY count(*) DESC, rk LIMIT 2",
+    ).collect()
+    assert [r["rk"] for r in rows] == [0, 1]  # 5 each; rk tiebreak
