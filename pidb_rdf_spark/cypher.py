@@ -2373,6 +2373,57 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
     if fn == "date":
         need(1)
         return rec(args[0]).try_cast("date")
+    if fn == "duration":
+        # duration('P1DT2H') ISO-8601 literal or duration({days: 1,
+        # hours: 2}) literal map -> make_interval; folds driver-side
+        # so date/datetime + duration is native interval arithmetic
+        need(1)
+        e = args[0]
+        parts = dict.fromkeys(
+            ("years", "months", "weeks", "days", "hours",
+             "minutes", "seconds"), 0.0
+        )
+        if e[0] == "lit" and isinstance(e[1], str):
+            m = re.fullmatch(
+                r"P(?:(\d+(?:\.\d+)?)Y)?(?:(\d+(?:\.\d+)?)M)?"
+                r"(?:(\d+(?:\.\d+)?)W)?(?:(\d+(?:\.\d+)?)D)?"
+                r"(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?"
+                r"(?:(\d+(?:\.\d+)?)S)?)?",
+                e[1],
+            )
+            if m is None or e[1] == "P":
+                raise CypherSyntaxError(
+                    f"duration(): invalid ISO-8601 duration {e[1]!r}"
+                )
+            for k, v in zip(
+                ("years", "months", "weeks", "days",
+                 "hours", "minutes", "seconds"),
+                m.groups(),
+            ):
+                if v is not None:
+                    parts[k] = float(v)
+        elif e[0] == "maplit":
+            for k, ve in e[1]:
+                if k not in parts:
+                    raise CypherSyntaxError(
+                        f"duration(): unknown component {k!r}"
+                    )
+                if ve[0] != "lit":
+                    raise CypherSyntaxError(
+                        "duration() map components must be literals"
+                    )
+                parts[k] = float(ve[1])
+        else:
+            raise CypherSyntaxError(
+                "duration() takes an ISO-8601 string literal or a "
+                "literal component map"
+            )
+        return F.make_interval(
+            F.lit(int(parts["years"])), F.lit(int(parts["months"])),
+            F.lit(int(parts["weeks"])), F.lit(int(parts["days"])),
+            F.lit(int(parts["hours"])), F.lit(int(parts["minutes"])),
+            F.lit(parts["seconds"]),
+        )
     if fn in ("datetime", "localdatetime"):
         need(1)
         return rec(args[0]).try_cast("timestamp")

@@ -3160,3 +3160,28 @@ def test_xor_in_expr_order_by_aggregate(graph):
         "ORDER BY count(*) DESC, rk LIMIT 2",
     ).collect()
     assert [r["rk"] for r in rows] == [0, 1]  # 5 each; rk tiebreak
+
+
+def test_duration_temporal_arithmetic(graph):
+    """duration() (r12): ISO-8601 literals and literal component maps
+    fold to make_interval, so date/datetime +- duration is native
+    interval arithmetic (calendar-aware: leap years, month ends)."""
+    from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+
+    r = cypher(
+        graph,
+        "RETURN date('2024-01-01') + duration('P1D') AS d, "
+        "datetime('2024-01-01T00:00:00') + duration('P1DT2H30M') AS t, "
+        "date('2024-03-01') - duration({days: 1}) AS leap, "
+        "date('2024-01-31') + duration('P1M') AS feb",
+    ).first()
+    import datetime as dt
+
+    assert r["d"] == dt.date(2024, 1, 2)
+    assert r["t"] == dt.datetime(2024, 1, 2, 2, 30)
+    assert r["leap"] == dt.date(2024, 2, 29)   # calendar-aware
+    assert r["feb"] == dt.date(2024, 2, 29)    # month-end clamp
+    with pytest.raises(CypherSyntaxError, match="ISO-8601"):
+        cypher(graph, "RETURN duration('nope') AS x")
+    with pytest.raises(CypherSyntaxError, match="unknown component"):
+        cypher(graph, "RETURN duration({eons: 1}) AS x")
