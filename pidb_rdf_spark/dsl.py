@@ -1207,3 +1207,53 @@ class P:
     @staticmethod
     def between(lo, hi):
         return lambda c: (c >= F.lit(lo)) & (c < F.lit(hi))
+
+    @staticmethod
+    def without(*vs):
+        return lambda c: ~c.isin(list(vs))
+
+    @staticmethod
+    def inside(lo, hi):
+        # TinkerPop inside: exclusive both ends
+        return lambda c: (c > F.lit(lo)) & (c < F.lit(hi))
+
+    @staticmethod
+    def outside(lo, hi):
+        return lambda c: (c < F.lit(lo)) | (c > F.lit(hi))
+
+    @staticmethod
+    def eq(v):
+        return lambda c: c == F.lit(v)
+
+
+class TextP:
+    """Text predicates for has(key, TextP.containing(x)) —
+    TinkerPop's TextP."""
+
+    @staticmethod
+    def containing(s):
+        return lambda c: c.contains(s)
+
+    @staticmethod
+    def not_containing(s):
+        return lambda c: ~c.contains(s)
+
+    @staticmethod
+    def starting_with(s):
+        return lambda c: c.startswith(s)
+
+    @staticmethod
+    def not_starting_with(s):
+        return lambda c: ~c.startswith(s)
+
+    @staticmethod
+    def ending_with(s):
+        return lambda c: c.endswith(s)
+
+    @staticmethod
+    def not_ending_with(s):
+        return lambda c: ~c.endswith(s)
+
+    @staticmethod
+    def regex(pattern):
+        return lambda c: c.rlike(pattern)

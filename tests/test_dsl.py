@@ -994,3 +994,26 @@ def test_inject_aggregate_cap_barrier(graph):
         .in_("IN_REGION").values("n_name").collect()
     )
     assert a == b
+
+
+def test_predicate_tail_and_textp(graph):
+    """P.without/inside/outside/eq and the TextP text predicates —
+    all plain Column predicates that fuse into the pristine-scan
+    filter (oracle-checked counts)."""
+    from pidb_rdf_spark.dsl import P, TextP, traversal
+
+    def n(t):
+        return t.count().first()["count"]
+
+    V = lambda: traversal(graph).V().has_label("Nation")
+    assert n(V().has("n_regionkey", P.without(0, 1))) == 15
+    assert n(V().has("n_regionkey", P.inside(0, 4))) == 15   # 1,2,3
+    assert n(V().has("n_regionkey", P.outside(1, 3))) == 10  # 0,4
+    assert n(V().has("n_regionkey", P.eq(2))) == 5
+    assert n(V().has("n_name", TextP.containing("ATION_1"))) == 11
+    assert n(V().has("n_name", TextP.not_containing("ATION_1"))) == 14
+    assert n(V().has("n_name", TextP.starting_with("NATION_2"))) == 6
+    assert n(V().has("n_name", TextP.ending_with("4"))) == 3  # 4,14,24
+    assert n(V().has("n_name", TextP.regex("NATION_[0-9]$"))) == 10
+    assert n(V().has("n_name", TextP.not_starting_with("NATION"))) == 0
+    assert n(V().has("n_name", TextP.not_ending_with("4"))) == 22
