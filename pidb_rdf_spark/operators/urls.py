@@ -195,6 +195,9 @@ def registrable_domain_col(host_or_url: Column, psl=None) -> Column:
         u.rlike(_SCHEME_RE),
         F.regexp_extract(F.regexp_replace(u, _SCHEME_RE, ""), r"^([^/?#]*)", 1),
     ).otherwise(u)
+    # strip userinfo (rare but legal authority part), then port and
+    # a trailing dot
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.lower(F.regexp_replace(host, r"(:\d+|\.)$", ""))
     labels = F.split(host, r"\.")
     n = F.size(labels)

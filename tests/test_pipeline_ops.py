@@ -3168,6 +3168,8 @@ def test_registrable_domain(spark):
         # a host that IS a public suffix returns itself
         15: ("co.uk", "co.uk"),
         16: ("com", "com"),
+        # userinfo strips before label work
+        17: ("https://u:p@www.shop.example.co.uk:443/", "example.co.uk"),
     }
     df = spark.createDataFrame(
         [(k, v[0]) for k, v in cases.items()], "id long, u string"
