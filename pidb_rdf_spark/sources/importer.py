@@ -236,11 +236,17 @@ def merge_triples(graph: PropertyGraph, new_triples: DataFrame, **kwargs) -> Pro
     nodes/edges keep meaning the same IRIs (fresh namespaces continue
     the counter past existing assignments)."""
     user_ns = kwargs.pop("namespaces", None) or {}
-    existing_ns = {
-        r["namespace"]: r["prefix"]
-        for r in graph.namespaces.collect()
-        if r["namespace"]
-    }
+    existing_ns = (
+        {
+            r["namespace"]: r["prefix"]
+            for r in graph.namespaces.collect()
+            if r["namespace"]
+        }
+        if graph.namespaces is not None
+        # graphs built outside the RDF importer (graphify, manual
+        # PropertyGraph) carry no namespace registry — seed empty
+        else {}
+    )
     kwargs["namespaces"] = {**DEFAULT_NAMESPACES, **existing_ns, **user_ns}
     incoming = import_triples(graph.spark, new_triples, **kwargs)
     new_nodes = incoming.nodes.join(

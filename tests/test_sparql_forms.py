@@ -122,3 +122,27 @@ def test_describe_multiple_targets(graph):
     one = sparql(graph, "DESCRIBE <urn:region:1>").count()
     two = sparql(graph, "DESCRIBE <urn:region:1> <urn:region:2>").count()
     assert two > one
+
+
+def test_sparql_update_on_importless_graph(spark):
+    """sparql_update works on graphs built OUTSIDE the RDF importer
+    (graphify/manual PropertyGraph — no namespace registry): the
+    merge seeds an empty registry instead of crashing on None (r12)."""
+    from tests.conftest import SF_DIR
+
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sparql import sparql_update
+
+    g = graphify(spark, SF_DIR)
+    assert g.namespaces is None  # the precondition that crashed
+    g2 = sparql_update(
+        g, "INSERT DATA { <urn:x:1> <urn:p:likes> <urn:x:2> }"
+    )
+    assert g2.edges.filter("predicate like '%likes%'").count() == 1
+    g3 = sparql_update(
+        g2,
+        "DELETE { ?s <urn:p:likes> ?o } INSERT { ?o <urn:p:likedBy> ?s } "
+        "WHERE { ?s <urn:p:likes> ?o }",
+    )
+    # the probe edge flipped direction under the new predicate
+    assert g3.edges.filter("predicate like '%likedBy%'").count() >= 1
