@@ -164,6 +164,15 @@ class SparqlCompiler:
 
         frames = []
         for pat in q.template:
+            # W3C §10.2: an instantiation containing an unbound
+            # variable produces no triple — a variable the WHERE never
+            # binds at all drops this template triple entirely (the
+            # per-row NULL case is the isNotNull filter below)
+            tvars = {
+                t.name for t in (pat.s, pat.p, pat.o) if isinstance(t, A.Var)
+            }
+            if any(v not in df.columns for v in tvars):
+                continue
             s_col, _ = term_col(pat.s, True)
             p_col, _ = term_col(pat.p, False)
             o_col, o_lit = term_col(pat.o, False)
@@ -178,6 +187,12 @@ class SparqlCompiler:
                     & F.col("predicate").isNotNull()
                     & F.col("object").isNotNull()
                 )
+            )
+        if not frames:  # every template triple had an unbound var
+            return self.g.spark.createDataFrame(
+                [],
+                "subject string, predicate string, object string, "
+                "is_literal boolean",
             )
         out = frames[0]
         for fr in frames[1:]:

@@ -146,3 +146,30 @@ def test_sparql_update_on_importless_graph(spark):
     )
     # the probe edge flipped direction under the new predicate
     assert g3.edges.filter("predicate like '%likedBy%'").count() >= 1
+
+
+def test_construct_unbound_template_var_drops_triple(spark):
+    """W3C section 10.2: a template triple with a variable the WHERE
+    never binds produces no triples (not an analysis error); other
+    template triples still instantiate."""
+    from tests.conftest import SF_DIR
+
+    from pidb_rdf_spark.graph import graphify
+    from pidb_rdf_spark.sparql import sparql
+
+    g = graphify(spark, SF_DIR)
+    df = sparql(
+        g,
+        "CONSTRUCT { ?r <urn:p:name> ?n . ?r <urn:p:ghost> ?never } "
+        'WHERE { ?r v:label "Region" . ?r v:r_name ?n }',
+    )
+    assert df.count() == 5
+    assert {r["predicate"] for r in df.collect()} == {"urn:p:name"}
+    # all template triples unbound -> typed empty result
+    empty = sparql(
+        g,
+        "CONSTRUCT { ?x <urn:p:ghost> ?never } "
+        'WHERE { ?r v:label "Region" }',
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["subject", "predicate", "object", "is_literal"]
