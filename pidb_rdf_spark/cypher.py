@@ -1059,7 +1059,21 @@ class _Parser:
             if len({k for k, _ in entries}) != len(entries):
                 raise CypherSyntaxError("duplicate key in map literal")
             return ("maplit", entries)
-        if self._accept("op", "("):
+        if self._at("op", "("):
+            # maybe a bare pattern predicate (n)-[:T]->(m) — Neo4j's
+            # legacy boolean-pattern expression, equivalent to
+            # exists(pattern). Commit iff a FULL pattern with at least
+            # one relationship parses (a parenthesized expression never
+            # does: the probe fails on its contents or yields no rels)
+            save = self.i
+            try:
+                p = self._pattern()
+                if p.rels:
+                    return ("exists_pat", p)
+            except CypherSyntaxError:
+                pass
+            self.i = save
+            self._next()
             e = self._expr()
             self._expect("op", ")")
             return e

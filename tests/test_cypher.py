@@ -3185,3 +3185,42 @@ def test_duration_temporal_arithmetic(graph):
         cypher(graph, "RETURN duration('nope') AS x")
     with pytest.raises(CypherSyntaxError, match="unknown component"):
         cypher(graph, "RETURN duration({eons: 1}) AS x")
+
+
+def test_bare_pattern_predicate(graph):
+    """Neo4j's legacy bare pattern predicate in boolean position —
+    WHERE (n)-[:T]->(m) == WHERE exists((n)-[:T]->(m)) — including
+    negation and OR composition; parenthesized arithmetic is
+    unaffected (the probe backtracks)."""
+    from pidb_rdf_spark.cypher import cypher
+
+    a = cypher(
+        graph,
+        "MATCH (n:Nation) WHERE (n)-[:IN_REGION]->(:Region {r_name: "
+        "'AFRICA'}) RETURN count(*) AS c",
+    ).first()["c"]
+    b = cypher(
+        graph,
+        "MATCH (n:Nation) WHERE exists((n)-[:IN_REGION]->(:Region "
+        "{r_name: 'AFRICA'})) RETURN count(*) AS c",
+    ).first()["c"]
+    assert a == b == 5
+    neg = cypher(
+        graph,
+        "MATCH (n:Nation) WHERE NOT (n)-[:IN_REGION]->(:Region "
+        "{r_name: 'AFRICA'}) RETURN count(*) AS c",
+    ).first()["c"]
+    assert neg == 20
+    # composable under OR (rewrites to a match-count column)
+    both = cypher(
+        graph,
+        "MATCH (n:Nation) WHERE (n)-[:IN_REGION]->({r_name: 'AFRICA'})"
+        " OR n.n_regionkey = 1 RETURN count(*) AS c",
+    ).first()["c"]
+    assert both == 10
+    # parenthesized arithmetic still parses (probe backtracks)
+    r = cypher(
+        graph,
+        "WITH 3 AS a, 2 AS b RETURN (a) - (b) AS d, (a + b) * 2 AS m",
+    ).first()
+    assert r["d"] == 1 and r["m"] == 10
