@@ -1971,7 +1971,8 @@ def _plus_dispatch(
         # fleet scale trip log alerting — VERDICT r11 #6). Decide
         # statically instead of probing.
         if c.lambda_vars and _expr_uses_lambda_var(c, e):
-            return "?"
+            return "lam"  # keep plain numeric + (reduce/transform
+            # lambdas must preserve the accumulator/element type)
         if c.cur is not None:
             try:
                 return dt_kind(c.cur.select(col).schema[0].dataType)
@@ -2003,6 +2004,18 @@ def _plus_dispatch(
     elif kb == "?" and ka == "n":
         dt = dtype_of(a)
         b = b.try_cast("long" if isinstance(dt, _INTEGRAL) else "double")
+    elif ka == "?" and kb == "?":
+        # two map-stored unknowns: the uniform schemaless-numeric
+        # contract — try_cast both to double and add (plain ``+`` on
+        # the underlying string columns is an ANSI analysis error; a
+        # stored non-number reads NULL, as everywhere else). Lambda
+        # operands are kind "lam", not "?", so reduce/transform keep
+        # the accumulator/element type with plain ``+``.
+        a, b = a.try_cast("double"), b.try_cast("double")
+    elif ka == "?":
+        a = a.try_cast("double")
+    elif kb == "?":
+        b = b.try_cast("double")
     return a + b
 
 

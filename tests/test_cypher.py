@@ -3053,6 +3053,10 @@ def test_plus_rel_prop_numeric_not_string_concat(spark):
     assert r["a"] == 51 and r["b"] == 51      # long family
     assert r["c"] == 50.5                      # fractional -> double
     assert r["d"] == "v50"                     # explicit string wins
+    # two unknown operands: the uniform schemaless-numeric contract —
+    # both try_cast double (a stored non-number reads NULL)
+    two = cypher(g, "MATCH ()-[r:R]->() RETURN r.qty + r.qty AS s").first()
+    assert two["s"] == 100.0
 
 
 def test_plus_list_scalar_append(graph):
