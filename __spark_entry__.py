@@ -115,15 +115,23 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #   registrable_domains_docs (the r12 public-suffix-list registrable
 #                             domain fix, suffix arithmetic replayed
 #                             as a CASE oracle)
-# 144 <= 150; headroom 6.
+# plus three late-r12 BORN-DEFERRED entries (never-proven; first in
+# the r13 window under rule 2 — the r11 late-batch precedent):
+#   cypher_pattern_predicates (bare pattern predicates + XOR +
+#                              IN labels(n))
+#   sparql_nps_inverse        (negated property set with an inverse
+#                              member, section 9.1)
+#   cypher_temporal_orders    (duration() calendar arithmetic)
+# 147 <= 150; headroom 3.
 #
 # The FRONT 50 = the 47 r9-green returners (owed: their rows turn 3
 # rounds old at r12) + the 3 new never-proven entries = exactly 50.
 #
-# Deferred: the 44 r10-green entries (2 rounds old at r12; ALL come
-# due in r13 — 44 + any r12-born <= 50) + the 50 r11-green entries
-# (1 round old; due r14). After r12 lands, the oldest newest-green
-# row in the ledger is r10 — the ceiling holds.
+# Deferred: the 3 late-r12 born-deferred + the 44 r10-green entries
+# (2 rounds old at r12; ALL come due in r13 — 3 + 44 = 47 <= 50 with
+# 3 spare) + the 50 r11-green entries (1 round old; due r14). After
+# r12 lands, the oldest newest-green row in the ledger is r10 — the
+# ceiling holds.
 _DEFER_TO_TAIL = [
     # -- r10-green (2 rounds old at r12; ALL return in the r13
     # window) ----------------------------------------------------
@@ -171,6 +179,11 @@ _DEFER_TO_TAIL = [
     "gremlin_path_cycles",
     "link_prediction_containment",
     "negative_samples_walks",
+    # -- late-r12 born-deferred (never-proven; FIRST in the r13
+    # window under rule 2) ----------------------------------------
+    "cypher_pattern_predicates",
+    "sparql_nps_inverse",
+    "cypher_temporal_orders",
     # -- r11-green (1 round old at r12; due in the r14 window) ----
     "bgp_three_hop",
     "filter_order_limit",
@@ -3070,6 +3083,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["registrable_domains_docs"] = registrable_domains_docs
+
+    # ---- late-r12 born-deferred entries (never-proven; first in the
+    # r13 window under rule 2 — the r11 late-batch precedent) --------
+
+    def cypher_pattern_predicates(spark, sf_dir):
+        """Late-r12 Cypher boolean tail in one query: a bare pattern
+        predicate in WHERE (the legacy exists(pattern) form), XOR
+        (exactly-one-holds), and IN over a list-valued expression
+        (labels(n)). Nations where being in AFRICA XOR having an even
+        nationkey — both operands discriminate."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (n) WHERE 'Nation' IN labels(n) AND "
+            "((n)-[:IN_REGION]->({r_name: 'AFRICA'}) XOR "
+            "n.n_nationkey % 2 = 0) "
+            "RETURN n.n_name AS nation, n.n_nationkey AS nkey "
+            "ORDER BY nation",
+        )
+
+    q["cypher_pattern_predicates"] = cypher_pattern_predicates
+
+    def sparql_nps_inverse(spark, sf_dir):
+        """Negated property set with an INVERSE member (late r12,
+        SPARQL 1.1 section 9.1): per nation, !(e:PLACED_BY|^e:PLACED_BY)
+        reaches its forward non-PLACED_BY edges (the one IN_REGION hop)
+        plus its reversed in-edges (every customer and supplier in the
+        nation via IN_NATION) — counts are exact integers the oracle
+        recomputes from the base tables."""
+        from pidb_rdf_spark.sparql import sparql
+
+        g = _graph(spark, sf_dir)
+        return sparql(
+            g,
+            'SELECT ?nation (COUNT(*) AS ?c) WHERE { '
+            '?n v:label "Nation" . ?n v:n_name ?nation . '
+            "?n !(e:PLACED_BY|^e:PLACED_BY) ?x } GROUP BY ?nation",
+        )
+
+    q["sparql_nps_inverse"] = sparql_nps_inverse
+
+    def cypher_temporal_orders(spark, sf_dir):
+        """duration() temporal arithmetic (late r12): per open order,
+        a due date +30 days and an early-bird date -7 days off
+        o_orderdate — calendar-aware interval math in both engines,
+        serialized to strings so the value hash is engine-neutral."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (o:Orders) WHERE o.o_orderstatus = 'O' "
+            "WITH o.o_orderkey AS okey, date(o.o_orderdate) AS d "
+            "RETURN okey, toString(d + duration('P30D')) AS due, "
+            "toString(d - duration({days: 7})) AS early "
+            "ORDER BY okey LIMIT 200",
+        )
+
+    q["cypher_temporal_orders"] = cypher_temporal_orders
 
     return _rotate_checked_window(q)
 
@@ -6229,5 +6303,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
         FROM reg
         GROUP BY domain
+    """
+
+    # cypher_pattern_predicates: XOR = exactly one of (region is
+    # AFRICA, nationkey even); the bare pattern predicate is the
+    # region-membership side
+    base["cypher_pattern_predicates"] = """
+        SELECT n_name AS nation, n_nationkey AS nkey
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE (r_name = 'AFRICA') != (n_nationkey % 2 = 0)
+        ORDER BY nation
+    """
+
+    # sparql_nps_inverse: forward non-PLACED_BY edges of a nation =
+    # its one IN_REGION hop; inverse non-PLACED_BY edges = reversed
+    # IN_NATION in-edges (customers + suppliers of the nation)
+    base["sparql_nps_inverse"] = """
+        SELECT n_name AS nation,
+               1 + (SELECT count(*) FROM customer
+                    WHERE c_nationkey = n_nationkey)
+                 + (SELECT count(*) FROM supplier
+                    WHERE s_nationkey = n_nationkey) AS c
+        FROM nation
+    """
+
+    # cypher_temporal_orders: DuckDB date +- INTERVAL yields a DATE
+    # here; both engines serialize to 'YYYY-MM-DD' strings
+    base["cypher_temporal_orders"] = """
+        SELECT o_orderkey AS okey,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+                    AS DATE) AS VARCHAR) AS due,
+               CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY
+                    AS DATE) AS VARCHAR) AS early
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        ORDER BY okey LIMIT 200
     """
     return base
