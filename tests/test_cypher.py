@@ -3228,3 +3228,38 @@ def test_bare_pattern_predicate(graph):
         "WITH 3 AS a, 2 AS b RETURN (a) - (b) AS d, (a + b) * 2 AS m",
     ).first()
     assert r["d"] == 1 and r["m"] == 10
+
+
+def test_subscript_slice_differential_vs_python(graph):
+    """Differential sweep: xs[i] over every index in [-6, 6] and
+    xs[lo..hi] over every bound pair in [-5, 5] must match Python
+    semantics (0-based, negatives from the end, out-of-range -> null,
+    half-open clamped slices) — indices are COLUMN values here, not
+    literals, so the dynamic paths are exercised."""
+    from pidb_rdf_spark.cypher import cypher
+
+    xs = [10, 20, 30, 40]
+    got = {
+        r["i"]: r["v"]
+        for r in cypher(
+            graph,
+            "UNWIND range(-6, 6) AS i WITH [10,20,30,40] AS xs, i "
+            "RETURN i, xs[i] AS v",
+        ).collect()
+    }
+    for i in range(-6, 7):
+        want = xs[i] if -len(xs) <= i < len(xs) else None
+        assert got[i] == want, (i, got[i], want)
+
+    rows = cypher(
+        graph,
+        "UNWIND range(-5, 5) AS lo UNWIND range(-5, 5) AS hi "
+        "WITH [10,20,30,40] AS xs, lo, hi "
+        "RETURN lo, hi, xs[lo..hi] AS s",
+    ).collect()
+    def norm(b):
+        return max(len(xs) + b, 0) if b < 0 else min(b, len(xs))
+    for r in rows:
+        lo, hi = r["lo"], r["hi"]
+        want = xs[norm(lo):norm(hi)]
+        assert r["s"] == want, (lo, hi, r["s"], want)
