@@ -122,14 +122,17 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #   sparql_nps_inverse        (negated property set with an inverse
 #                              member, section 9.1)
 #   cypher_temporal_orders    (duration() calendar arithmetic)
-# 147 <= 150; headroom 3.
+#   normalize_text_docs       (Unicode NFC fold + lowercase +
+#                              whitespace collapse, nfc_normalize
+#                              oracle)
+# 148 <= 150; headroom 2.
 #
 # The FRONT 50 = the 47 r9-green returners (owed: their rows turn 3
 # rounds old at r12) + the 3 new never-proven entries = exactly 50.
 #
-# Deferred: the 3 late-r12 born-deferred + the 44 r10-green entries
-# (2 rounds old at r12; ALL come due in r13 — 3 + 44 = 47 <= 50 with
-# 3 spare) + the 50 r11-green entries (1 round old; due r14). After
+# Deferred: the 4 late-r12 born-deferred + the 44 r10-green entries
+# (2 rounds old at r12; ALL come due in r13 — 4 + 44 = 48 <= 50 with
+# 2 spare) + the 50 r11-green entries (1 round old; due r14). After
 # r12 lands, the oldest newest-green row in the ledger is r10 — the
 # ceiling holds.
 _DEFER_TO_TAIL = [
@@ -184,6 +187,7 @@ _DEFER_TO_TAIL = [
     "cypher_pattern_predicates",
     "sparql_nps_inverse",
     "cypher_temporal_orders",
+    "normalize_text_docs",
     # -- r11-green (1 round old at r12; due in the r14 window) ----
     "bgp_three_hop",
     "filter_order_limit",
@@ -3144,6 +3148,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cypher_temporal_orders"] = cypher_temporal_orders
+
+    def normalize_text_docs(spark, sf_dir):
+        """Unicode normalization (late r12, operators/text.py
+        normalize_text): document prefixes get a unicode-rich suffix
+        (decomposed e+combining-acute, fullwidth letters), then
+        NFC-fold + lowercase + whitespace-collapse — the corpus-prep
+        step before any dedup/fingerprint. One Arrow-batched pandas
+        UDF (the documented no-builtin exception) inside a zero-
+        shuffle projection; the oracle replays via DuckDB's
+        nfc_normalize."""
+        from pidb_rdf_spark.operators import normalize_text
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw = docs.select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" Café ＡＢ "),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+        )
+        return normalize_text(raw, form="NFC", lowercase=True).select(
+            "doc_id", "text_norm"
+        )
+
+    q["normalize_text_docs"] = normalize_text_docs
 
     return _rotate_checked_window(q)
 
@@ -6338,5 +6368,20 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderstatus = 'O'
         ORDER BY okey LIMIT 200
+    """
+
+    # normalize_text_docs: chr(769) = the combining acute; DuckDB's
+    # nfc_normalize folds Cafe+U+0301 to the composed form exactly as
+    # Python unicodedata does; lower() maps fullwidth A/B via utf8proc
+    # the same way Java toLowerCase does
+    base["normalize_text_docs"] = """
+        SELECT doc_id,
+               trim(regexp_replace(
+                   lower(nfc_normalize(
+                       substring(text, 1, 40) || ' Cafe' || chr(769)
+                       || ' ＡＢ ' || CAST(doc_id % 3 AS VARCHAR)
+                   )),
+                   '\s+', ' ', 'g')) AS text_norm
+        FROM documents
     """
     return base

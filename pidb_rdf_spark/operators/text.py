@@ -37,6 +37,68 @@ BPE_SPLIT_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 FNV_MOD = 2147483647  # 2^31 - 1, keeps the rolling hash in 32 bits
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Unicode-normalize a text column — the corpus-prep step every
+    dedup/fingerprint stage wants FIRST, so visually-identical strings
+    with different codepoint sequences (composed vs decomposed accents,
+    fullwidth forms under NFKC) collide instead of surviving as fake
+    distinct documents.
+
+    ``form``: NFC/NFKC/NFD/NFKD (``unicodedata.normalize`` forms; NFC
+    is DuckDB-oracle-checkable via ``nfc_normalize``, NFKC is the
+    usual training-pipeline fold). ``strip_control`` drops C0/C1
+    control characters (except tab/newline); ``collapse_whitespace``
+    folds runs of whitespace to one space and trims.
+
+    Scale shape: Unicode normalization has no Spark built-in, so this
+    is the documented exception to the no-Python rule — ONE
+    Arrow-batched pandas UDF (vectorized ``str`` ops + per-value
+    ``unicodedata.normalize``), still a zero-shuffle narrow
+    projection; the control/whitespace passes stay JVM-side regexp
+    codegen so the Python work is only the normalize call."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    if out_col in df.columns:
+        raise ValueError(f"df already has reserved column: {out_col!r}")
+
+    def _norm_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v)
+            if v is not None
+            else None
+        )
+
+    _norm = pandas_udf(_norm_batch, "string")
+    col = _norm(F.col(text_col))
+    if lowercase:
+        col = F.lower(col)
+    out = df.withColumn(out_col, col)
+    if strip_control:
+        out = out.withColumn(
+            out_col,
+            F.regexp_replace(
+                F.col(out_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
+            ),
+        )
+    if collapse_whitespace:
+        out = out.withColumn(
+            out_col, F.trim(F.regexp_replace(F.col(out_col), r"\s+", " "))
+        )
+    return out
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens of lowercased text, empties dropped."""
     return F.filter(F.split(F.lower(col), " "), lambda t: t != "")

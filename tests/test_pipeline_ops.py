@@ -3555,3 +3555,39 @@ def test_registrable_domain_matches_python_reference(spark):
     want = {h: ref(h) for h in hosts}
     diffs = {h: (got[h], want[h]) for h in hosts if got[h] != want[h]}
     assert not diffs, diffs
+
+
+def test_normalize_text_unicode_forms(spark):
+    """normalize_text (r12): composed/decomposed sequences collide
+    under NFC, fullwidth/compatibility forms fold under NFKC, control
+    chars strip (tab/newline survive as whitespace), whitespace
+    collapses, NULLs pass through; reserved out_col and bad forms
+    raise."""
+    from pidb_rdf_spark.operators import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Café  x"),        # decomposed e + acute
+            (2, "Café  x"),          # composed é
+            (3, "Ｈｉ there"),    # fullwidth "Hi" (NFKC-only)
+            (4, "a\x00b\tc\nd"),          # control + tab + newline
+            (5, None),
+        ],
+        "id long, text string",
+    )
+    nfc = {r["id"]: r["text_norm"]
+           for r in normalize_text(df, form="NFC").collect()}
+    assert nfc[1] == nfc[2] == "Café x"   # collide under NFC
+    assert nfc[3] == "Ｈｉ there"      # NFC keeps fullwidth
+    assert nfc[4] == "ab c d"                  # \x00 gone, \t\n folded
+    assert nfc[5] is None
+    nfkc = {r["id"]: r["text_norm"]
+            for r in normalize_text(df, form="NFKC",
+                                    lowercase=True).collect()}
+    assert nfkc[3] == "hi there"               # fullwidth folds + lower
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown normalization"):
+        normalize_text(df, form="NFX")
+    with _pytest.raises(ValueError, match="reserved"):
+        normalize_text(normalize_text(df), text_col="text")
