@@ -404,3 +404,153 @@ def random_projection(
             )
 
     return df.select(id_col, vec_col).mapInPandas(project, schema)
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit PCA over the embedding column -> ``{"mean", "components",
+    "eigenvalues"}`` (components: k x d rows, eigenvalue-descending).
+    The standard embedding-pipeline shrink when the spectrum matters
+    (JL preserves distances obliviously; PCA keeps the top variance
+    directions — SemDeDup-style pipelines whiten before cosine).
+
+    Scale shape: ONE distributed pass computes the d-vector sum and
+    the d x d Gram matrix as per-Arrow-batch BLAS partial sums (one
+    small row per batch, never the data); the d x d
+    eigendecomposition runs driver-side in numpy — state is d²
+    floats, corpus-size-independent (the k-means-centroid class).
+    Deterministic for a fixed partitioning (partials reduce in a
+    fixed driver-side order) and reproducible across partitionings to
+    float64 summation error (~1e-12 relative — batch boundaries
+    change WHICH values each partial sums); each component's sign is
+    canonicalized (largest-|coordinate| entry positive) so equivalent
+    fits agree exactly in orientation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    d = first["d"]
+    if not 1 <= k <= d:
+        raise ValueError("need 1 <= k <= dim")
+
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    # fixed reduction order (sorted by partial fingerprint) so the
+    # float64 sum is partitioning-independent
+    rows = sorted(rows, key=lambda r: (r["n"], r["s"][0], r["g"][0]))
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r["s"])
+        G += np.array(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T  # k x d
+    for i in range(k):  # sign canonicalization
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigenvalues": eigval[order].tolist(),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto a :func:`pca_fit` model — (x - mean) @
+    components.T, optionally whitened (divide each coordinate by
+    sqrt(eigenvalue); zero-variance directions raise rather than
+    divide by ~0). The model broadcasts (k x d floats); each Arrow
+    batch is ONE BLAS matmul inside ``mapInPandas`` — no shuffle, no
+    per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mean = np.array(model["mean"], dtype=np.float64)
+    W = np.array(model["components"], dtype=np.float64)
+    scale = None
+    if whiten:
+        ev = np.array(model["eigenvalues"], dtype=np.float64)
+        if (ev <= 1e-12).any():
+            raise ValueError(
+                "pca_project(whiten=True): a zero-variance component "
+                "cannot be whitened — drop it (smaller k) or disable "
+                "whitening"
+            )
+        scale = 1.0 / np.sqrt(ev)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = (X - mean) @ W.T
+            if scale is not None:
+                out = out * scale
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(map(list, out))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(project, schema)

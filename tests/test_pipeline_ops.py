@@ -3591,3 +3591,55 @@ def test_normalize_text_unicode_forms(spark):
         normalize_text(df, form="NFX")
     with _pytest.raises(ValueError, match="reserved"):
         normalize_text(normalize_text(df), text_col="text")
+
+
+def test_pca_fit_project_vs_numpy(spark):
+    """pca_fit/pca_project (r12): the distributed Gram-matrix pass
+    matches a numpy eigh twin (same sign canonicalization), components
+    are orthonormal with descending eigenvalues, projection and
+    whitening replay exactly, and the fit is partitioning-invariant."""
+    import numpy as np
+
+    from pidb_rdf_spark.operators import pca_fit, pca_project
+
+    rng = [(i, [float((i * 7 + j * 3) % 11) + (0.1 * ((i + j) % 5))
+                for j in range(6)]) for i in range(200)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+
+    model = pca_fit(df, k=3)
+    X = np.array([v for _, v in rng])
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    ev, vec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    comps = vec[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    assert np.allclose(model["mean"], mean)
+    assert np.allclose(model["components"], comps, atol=1e-9)
+    assert np.allclose(model["eigenvalues"], ev[order])
+    # descending spectrum, orthonormal rows
+    evs = model["eigenvalues"]
+    assert evs == sorted(evs, reverse=True)
+    W = np.array(model["components"])
+    assert np.allclose(W @ W.T, np.eye(3), atol=1e-9)
+    # projection replays numpy; whitening scales by 1/sqrt(eig)
+    got = {r["vec_id"]: r["embedding"]
+           for r in pca_project(df, model).collect()}
+    want = (X - mean) @ W.T
+    for i, (vid, _) in enumerate(rng):
+        assert np.allclose(got[vid], want[i], atol=1e-9)
+    gw = {r["vec_id"]: r["embedding"]
+          for r in pca_project(df, model, whiten=True).collect()}
+    ww = want / np.sqrt(np.array(evs))
+    assert np.allclose(gw[rng[0][0]], ww[0], atol=1e-9)
+    # across partitionings the fit reproduces to float64 summation
+    # error; sign orientation agrees exactly (canonicalized)
+    model2 = pca_fit(df.repartition(17), k=3)
+    assert np.allclose(model2["mean"], model["mean"], atol=1e-9)
+    assert np.allclose(model2["components"], model["components"],
+                       atol=1e-6)
+    assert np.allclose(model2["eigenvalues"], model["eigenvalues"],
+                       atol=1e-9)
