@@ -93,8 +93,18 @@ def normalize_text(
             ),
         )
     if collapse_whitespace:
+        # [\s\p{Z}]: Java's \s is ASCII-only — include the Unicode
+        # separator categories (NBSP, em/en spaces, line/paragraph
+        # separators) so visually-equal spacing collides; with
+        # control chars stripped first this matches Python's str \s
+        # exactly (the property test's twin)
         out = out.withColumn(
-            out_col, F.trim(F.regexp_replace(F.col(out_col), r"\s+", " "))
+            out_col,
+            F.regexp_replace(F.col(out_col), r"[\s\p{Z}]+", " "),
+        )
+        out = out.withColumn(
+            out_col,
+            F.regexp_replace(F.col(out_col), r"^ | $", ""),
         )
     return out
 

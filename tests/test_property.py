@@ -424,3 +424,47 @@ def test_url_normalize_idempotent_and_clean(spark, urls):
         assert scheme == scheme.lower()
         auth = rest.split("/", 1)[0]
         assert auth == auth.lower()
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_normalize_text_idempotent_matches_python(spark, texts):
+    """normalize_text is IDEMPOTENT (safe as a dedup key built at
+    different pipeline stages) and matches a pure-Python twin of the
+    pipeline (NFC -> control strip -> whitespace collapse) on
+    arbitrary unicode."""
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from pidb_rdf_spark.operators import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = normalize_text(df, form="NFC")
+    a = {r.id: r.text_norm for r in once.collect()}
+    twice = normalize_text(
+        once.select("id", F.col("text_norm").alias("text")), form="NFC"
+    )
+    b = {r.id: r.text_norm for r in twice.collect()}
+    assert a == b
+
+    ctrl = _re.compile("[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]")
+    for i, t in enumerate(texts):
+        want = unicodedata.normalize("NFC", t)
+        want = ctrl.sub("", want)
+        want = _re.sub(r"\s+", " ", want).strip()
+        assert a[i] == want, (i, repr(t), repr(a[i]), repr(want))
