@@ -6381,7 +6381,7 @@ def oracle_sql() -> dict[str, str]:
                        substring(text, 1, 40) || ' Cafe' || chr(769)
                        || ' ＡＢ ' || CAST(doc_id % 3 AS VARCHAR)
                    )),
-                   '\s+', ' ', 'g')) AS text_norm
+                   '[\s\p{Z}]+', ' ', 'g')) AS text_norm
         FROM documents
     """
     return base
