@@ -174,12 +174,31 @@ class Traversal:
 
     # ---- side effects / stream utilities (deep-tail steps, r12) --------
 
-    def inject(self, *ids) -> "Traversal":
+    def inject(self, *ids, edge_ids: bool = False) -> "Traversal":
         """TinkerPop ``inject()``, restricted to ELEMENT IDS (this
         engine's traverser is an element id, not an arbitrary object):
         append one traverser per given id to the current frontier.
         Labeled/as_() columns of existing rows fill NULL on the
-        injected rows (they carry no history)."""
+        injected rows (they carry no history).
+
+        The id SPACE must match the frontier (ADVICE r12): node ids
+        on a node frontier, edge ids on an edge frontier (after
+        ``outE()``/``inE()``/``bothE()``). Both are opaque longs, so a
+        mix-up would not fail — downstream joins would just silently
+        produce empty/wrong rows. Injecting into an edge frontier
+        therefore requires the explicit ``edge_ids=True`` opt-in."""
+        if self.on_edges and not edge_ids:
+            raise ValueError(
+                "inject() on an EDGE frontier: the given ids would be "
+                "interpreted as edge ids, which share the long id "
+                "space with node ids — pass edge_ids=True to confirm "
+                "they are edge ids"
+            )
+        if edge_ids and not self.on_edges:
+            raise ValueError(
+                "inject(edge_ids=True) on a NODE frontier: the "
+                "current traverser position is a node id"
+            )
         if not ids:
             return self
         extra = self.df.sparkSession.createDataFrame(

@@ -332,7 +332,7 @@ def strip_boilerplate(
     )
     out_cols = [c for c in df.columns if c != text_col]
     return (
-        df.crossJoin(boiler)
+        df.crossJoin(F.broadcast(boiler))
         .withColumn(
             "__bmap",
             F.coalesce(

@@ -3263,3 +3263,73 @@ def test_subscript_slice_differential_vs_python(graph):
         lo, hi = r["lo"], r["hi"]
         want = xs[norm(lo):norm(hi)]
         assert r["s"] == want, (lo, hi, r["s"], want)
+
+
+def test_isempty_dtype_routing(graph):
+    """ADVICE r12: isEmpty(n.stringProp) routes through length() by
+    probing the RESOLVED column's dtype (F.size on a string column is
+    an AnalysisException); statically-known non-(string/list/map)
+    operands raise as in Neo4j; isEmpty(null) is null."""
+    from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+
+    r = cypher(
+        graph,
+        "MATCH (n:Region) WHERE NOT isEmpty(n.r_name) "
+        "RETURN count(*) AS c",
+    ).first()
+    assert r["c"] == 5
+    n = cypher(graph, "RETURN isEmpty(null) AS x").first()["x"]
+    assert n is None
+    with pytest.raises(CypherSyntaxError, match="string, list or map"):
+        cypher(graph, "RETURN isEmpty(1) AS x")
+    with pytest.raises(CypherSyntaxError, match="string, list or map"):
+        cypher(graph, "MATCH (n:Region) RETURN isEmpty(id(n)) AS x")
+
+
+def test_duration_fractional_components(graph):
+    """ADVICE r12: fractional duration components spill into smaller
+    units (Neo4j DurationValue semantics) instead of int()-truncating
+    to zero — exact ratios cascade (years->months, weeks/days/hours/
+    minutes -> seconds); fractional months use Neo4j's average-month
+    constant 2629746 s."""
+    import datetime as dt
+
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "RETURN datetime('2024-01-01T00:00:00') + duration('P0.5D') AS h12, "
+        "datetime('2024-01-01T00:00:00') + duration('PT1.5H') AS m90, "
+        "datetime('2024-01-01T00:00:00') + duration({days: 1.5}) AS d15, "
+        "datetime('2024-01-01T00:00:00') + duration('P0.5M') AS halfm, "
+        "date('2024-01-01') + duration('P0.5Y') AS halfy",
+    ).first()
+    assert r["h12"] == dt.datetime(2024, 1, 1, 12, 0)
+    assert r["m90"] == dt.datetime(2024, 1, 1, 1, 30)
+    assert r["d15"] == dt.datetime(2024, 1, 2, 12, 0)
+    # 0.5 * 2629746 s = 15 d 05:14:33
+    assert r["halfm"] == dt.datetime(2024, 1, 16, 5, 14, 33)
+    assert r["halfy"] == dt.date(2024, 7, 1)  # 0.5Y -> 6 whole months
+
+
+def test_xor_non_boolean_raises(graph):
+    """ADVICE r12: XOR on statically-known non-boolean operands is a
+    type error (Neo4j), not a silent inequality; boolean expressions
+    and map-stored (unknown-typed) props keep working."""
+    from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+
+    with pytest.raises(CypherSyntaxError, match="XOR"):
+        cypher(graph, "RETURN 1 XOR 2 AS x")
+    with pytest.raises(CypherSyntaxError, match="XOR"):
+        cypher(graph, "RETURN 'a' XOR 'b' AS x")
+    with pytest.raises(CypherSyntaxError, match="XOR"):
+        cypher(graph, "MATCH (n:Nation) RETURN n.n_nationkey XOR true AS x")
+    got = cypher(
+        graph,
+        "MATCH (n:Nation) "
+        "WHERE (n.n_nationkey > 9) XOR (n.n_regionkey = 0) "
+        "RETURN count(*) AS c",
+    ).first()["c"]
+    # nationkey 10..24 (15) xor regionkey 0 (5 of 25, keys 0,5,10,15,20)
+    # -> >9 and not rk0: 10..24 minus {10,15,20} = 12; rk0 and <=9: {0,5} = 2
+    assert got == 14

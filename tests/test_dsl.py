@@ -1017,3 +1017,28 @@ def test_predicate_tail_and_textp(graph):
     assert n(V().has("n_name", TextP.regex("NATION_[0-9]$"))) == 10
     assert n(V().has("n_name", TextP.not_starting_with("NATION"))) == 0
     assert n(V().has("n_name", TextP.not_ending_with("4"))) == 22
+
+
+def test_inject_edge_frontier_guard(graph):
+    """ADVICE r12: node and edge ids share the opaque long id space,
+    so inject() into an edge frontier (after outE()) would silently
+    mix spaces — it now requires the explicit edge_ids=True opt-in,
+    and edge_ids=True on a node frontier raises symmetrically."""
+    import pytest as _pytest
+
+    t = traversal(graph).V().has_label("Region").out_e()
+    with _pytest.raises(ValueError, match="edge_ids=True"):
+        t.inject(1, 2)
+    # explicit opt-in: injected EDGE ids traverse like any other edge
+    eids = [
+        r["id"]
+        for r in traversal(graph).V().has_label("Nation").out_e()
+        .id_().limit(2).collect()
+    ]
+    n = (
+        traversal(graph).V().has_label("Region").out_e().limit(0)
+        .inject(*eids, edge_ids=True).count().first()["count"]
+    )
+    assert n == 2
+    with _pytest.raises(ValueError, match="NODE frontier"):
+        traversal(graph).V().inject(1, edge_ids=True)
