@@ -99,107 +99,49 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 #      freshly-green entries.
 #   3. STALENESS CEILING: no entry's newest green row may be more
 #      than 3 rounds old. With a 50-slot window that bounds the
-#      entry count at 50 x 3 = 150. Current count: 141 (headroom 9
-#      after the r11 consolidation, VERDICT r10 #1). Adding an entry
+#      entry count at 50 x 3 = 150. Current count: 144 (headroom 6
+#      after the r13 consolidation, VERDICT r12 #2). Adding an entry
 #      past 150 REQUIRES consolidating siblings first (the
 #      curation_pipeline composite is the model). The ceiling is
 #      checked by tests/test_entry_contract.py.
 #
-# r12 rotation (VERDICT r11 #2). Entry count 141 -> 144: three new
-# entries land in the spare slots —
-#   gremlin_modulators       (the r11 DSL modulator tail: project /
-#                             group(by-traversal) / where_ / not_ /
-#                             has_not — oracles lifted from test_dsl)
-#   cypher_list_ops          (subscripts/slices, dynamic access
-#                             n[key], polymorphic +)
-#   registrable_domains_docs (the r12 public-suffix-list registrable
-#                             domain fix, suffix arithmetic replayed
-#                             as a CASE oracle)
-# plus three late-r12 BORN-DEFERRED entries (never-proven; first in
-# the r13 window under rule 2 — the r11 late-batch precedent):
-#   cypher_pattern_predicates (bare pattern predicates + XOR +
-#                              IN labels(n))
-#   sparql_nps_inverse        (negated property set with an inverse
-#                              member, section 9.1)
-#   cypher_temporal_orders    (duration() calendar arithmetic)
-#   normalize_text_docs       (Unicode NFC fold + lowercase +
-#                              whitespace collapse, nfc_normalize
-#                              oracle)
-# 148 <= 150; headroom 2.
+# r13 rotation (VERDICT r12 #1/#2). Entry count 148 -> 144: the r14
+# crunch (all 50 r11-green owed with zero spare at 148/150) is
+# resolved by consolidating two sibling groups on the
+# ann_faiss_stack model —
+#   sparql_path_suite  <- path_seq_region + path_inverse_alt_members
+#                         + path_plus_reachability + path_optional_hop
+#                         (one long-format frame, sub-oracles UNION
+#                         ALL'd verbatim)
+#   inference_suite    <- nodes_with_label_inferred +
+#                         nodes_linked_to_inferred + rels_inferred
+# and adding pca_project_embeddings (VERDICT r12 #3 — projection
+# against a formula-pinned model; the fit stays pytest-only).
+# 144 <= 150; headroom 6.
 #
-# The FRONT 50 = the 47 r9-green returners (owed: their rows turn 3
-# rounds old at r12) + the 3 new never-proven entries = exactly 50.
+# The FRONT 50 = the 4 late-r12 born-deferred never-proven entries
+# (cypher_pattern_predicates, sparql_nps_inverse,
+# cypher_temporal_orders, normalize_text_docs) + the 3 new
+# never-proven entries (sparql_path_suite, inference_suite,
+# pca_project_embeddings) + the 42 surviving r10-green returners
+# (owed: 3 rounds old at r13) + bgp_three_hop pulled forward from
+# the r11-green cohort to fill the window = exactly 50.
 #
-# Deferred: the 4 late-r12 born-deferred + the 44 r10-green entries
-# (2 rounds old at r12; ALL come due in r13 — 4 + 44 = 48 <= 50 with
-# 2 spare) + the 50 r11-green entries (1 round old; due r14). After
-# r12 lands, the oldest newest-green row in the ledger is r10 — the
+# Deferred: the 45 remaining r11-green entries (2 rounds old at r13;
+# ALL come due in r14 — 45 <= 50 with 5 spare) + the 49 surviving
+# r12-green entries (1 round old; due r15, 49 <= 50). After r13
+# lands, the oldest newest-green row in the ledger is r11 — the
 # ceiling holds.
 _DEFER_TO_TAIL = [
-    # -- r10-green (2 rounds old at r12; ALL return in the r13
-    # window) ----------------------------------------------------
-    "label_scan_prop_seek",
-    "group_count",
-    "count_distinct",
-    "agg_full",
-    "optional_left_join",
-    "union_names",
-    "exists_semi",
-    "distinct_projection",
-    "gremlin_repeat_until",
-    "gremlin_match",
-    "sql_passthrough",
-    "closure_reachability",
-    "sparql_bind",
-    "sparql_values",
-    "path_inverse_alt_members",
-    "path_optional_hop",
-    "group_concat_nations",
-    "ask_exists",
-    "construct_derived_edges",
-    "connected_components_regions",
-    "connected_components_star",
-    "bfs_hops_containment",
-    "near_dup_doc_clusters",
-    "pagerank_containment",
-    "triangle_count_dups",
-    "decontam_overlap",
-    "semantic_index_query",
-    "doc_fingerprint",
-    "repetition_signals_docs",
-    "tfidf_top_terms_docs",
-    "media_features",
-    "frame_sample",
-    "curation_pipeline",
-    "sssp_region_orders",
-    "substring_dup_docs",
-    "cypher_filter_topk",
-    "modularity_regions",
-    "gremlin_sack_order_cost",
-    "gremlin_local_topk",
-    "gremlin_subgraph_labels",
-    "gremlin_tree_region",
-    "gremlin_path_cycles",
-    "link_prediction_containment",
-    "negative_samples_walks",
-    # -- late-r12 born-deferred (never-proven; FIRST in the r13
-    # window under rule 2) ----------------------------------------
-    "cypher_pattern_predicates",
-    "sparql_nps_inverse",
-    "cypher_temporal_orders",
-    "normalize_text_docs",
-    # -- r11-green (1 round old at r12; due in the r14 window) ----
-    "bgp_three_hop",
+    # -- r11-green (2 rounds old at r13; ALL return in the r14
+    # window, 45 after the r13 consolidation + bgp_three_hop
+    # pulled forward) ---------------------------------------------
     "filter_order_limit",
     "not_exists_anti",
-    "nodes_with_label_inferred",
-    "nodes_linked_to_inferred",
-    "rels_inferred",
     "running_window_orders",
     "quantiles_order_prices",
     "topk_orders_per_segment",
     "sparql_minus",
-    "path_plus_reachability",
     "exact_dedup_docs",
     "ngram_jaccard_dedup",
     "simhash_dedup",
@@ -239,7 +181,102 @@ _DEFER_TO_TAIL = [
     "betweenness_containment",
     "url_canon_cap_docs",
     "exact_contam_docs",
+    # -- r12-green (1 round old at r13; due in the r15 window) ----
+    "dsl_two_hop_group",
+    "lineitem_pricing_summary",
+    "lineitem_three_hop_volume",
+    "subselect_nation_order_counts",
+    "minhash_lsh_dedup",
+    "embedding_near_dup_lsh",
+    "media_header_probe",
+    "bm25_search_docs",
+    "cypher_nation_order_stats",
+    "cypher_count_subquery",
+    "cypher_named_path_stats",
+    "kcore_dup_graph",
+    "label_prop_dup_communities",
+    "scc_event_transitions",
+    "cypher_patcomp_nation_rich",
+    "closeness_containment",
+    "node_similarity_event_types",
+    "mixture_budget_sample",
+    "interval_join_events",
+    "cms_user_counts",
+    "profile_orders_table",
+    "hits_containment",
+    "sequence_detect_events",
+    "cypher_shortest_path",
+    "cypher_regex_collect",
+    "cypher_list_library",
+    "cypher_union_stats",
+    "shuffle_shard_docs",
+    "corpus_diff_snapshots",
+    "simhash_index_query",
+    "constraints_orders",
+    "zorder_events_key",
+    "funnel_events",
+    "ktruss_dup_graph",
+    "leakage_free_split_docs",
+    "random_walks_containment",
+    "jl_project_embeddings",
+    "blocklist_filter_docs",
+    "heavy_hitter_tokens",
+    "cypher_collect_subquery",
+    "cohort_retention_events",
+    "weighted_sample_docs",
+    "quantile_band_orders",
+    "skew_report_lineitem",
+    "skipgram_pairs_walks",
+    "ppr_region_seeds",
+    "gremlin_modulators",
+    "cypher_list_ops",
+    "registrable_domains_docs",
 ]
+
+
+def _pca_pinned_model(d: int = 64, k: int = 4) -> dict:
+    """Deterministic formula-pinned PCA model (VERDICT r12 #3): both
+    ``queries()['pca_project_embeddings']`` and its oracle derive
+    mean / components from this exact-in-binary arithmetic
+    (sixteenths and thirty-seconds), so the Spark projection and the
+    DuckDB replay share literals bit-for-bit. The FIT path
+    (``quantize.pca_fit``) stays pytest-verified against a numpy twin
+    — eigendecomposition is not SQL-expressible."""
+    mean = [((i * 37) % 19 - 9) / 16.0 for i in range(d)]
+    comps = [
+        [(((i * j + i + 3 * j) % 13) - 6) / 32.0 for i in range(d)]
+        for j in range(k)
+    ]
+    return {
+        "mean": mean,
+        "components": comps,
+        "eigenvalues": [float(k - j) for j in range(k)],
+    }
+
+
+def _pca_project_sql() -> str:
+    """DuckDB replay of the pinned-model PCA projection: (x - mean) .
+    w_j = x . w_j - (mean . w_j), so each component is one
+    list_dot_product against the literal w_j minus a literal constant.
+    ROUND(.., 4) + 0.0 mirrors the entry (absorbs float64
+    summation-order noise and normalizes -0.0)."""
+    m = _pca_pinned_model()
+    rows = []
+    for j, w in enumerate(m["components"]):
+        c = sum(mi * wi for mi, wi in zip(m["mean"], w))
+        wlit = "[" + ",".join(repr(x) for x in w) + "]::DOUBLE[]"
+        rows.append(f"({j}, {wlit}, {c!r})")
+    values = ",\n                ".join(rows)
+    return f"""
+        WITH comp(component, w, c) AS (VALUES
+                {values}
+        )
+        SELECT e.vec_id,
+               CAST(comp.component AS BIGINT) AS component,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      comp.w) - comp.c, 4) + 0.0 AS value
+        FROM embeddings e CROSS JOIN comp
+    """
 
 
 def _rotate_checked_window(q: dict) -> dict:
@@ -509,42 +546,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["closure_reachability"] = closure_reachability
 
-    def nodes_with_label_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pidb_rdf_spark.inference import get_nodes_with_label
-
-        g = _graph(spark, sf_dir)
-        hierarchy = _reasoner_hierarchy(spark, sf_dir)
-        return get_nodes_with_label(g, hierarchy, "Actor").select("uri").withColumnRenamed(
-            "uri", "node_uri"
+    def inference_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The three reference micro-reasoner surfaces (R1-R3,
+        MicroReasoners.java:20-22), consolidated r13 (VERDICT r12 #2):
+        getNodesWithLabel over the SLO* closure, getNodesLinkedTo over
+        SCO*, and getRels over SRO* verify as ONE long-format frame
+        (stage, a, b, c) — node-only stages fill b/c with '' so every
+        column stays atomic for the driver's pandas canon. The shared
+        hierarchy/closure computes once (the closure cache)."""
+        from pidb_rdf_spark.inference import (
+            get_nodes_linked_to,
+            get_nodes_with_label,
+            get_rels,
         )
 
-    q["nodes_with_label_inferred"] = nodes_with_label_inferred
-
-    def nodes_linked_to_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pidb_rdf_spark.inference import get_nodes_linked_to
-
         g = _graph(spark, sf_dir)
+        hierarchy = _reasoner_hierarchy(spark, sf_dir)
+        blank = F.lit("").alias
+        label = get_nodes_with_label(g, hierarchy, "Actor").select(
+            F.lit("label").alias("stage"),
+            F.col("uri").alias("a"), blank("b"), blank("c"),
+        )
         # nation uris are SCO-children of their region uri: "linked to
         # region 1" must resolve through the hierarchy to its nations
-        hierarchy = _reasoner_hierarchy(spark, sf_dir)
-        out = get_nodes_linked_to(g, hierarchy, "urn:region:1", rel="IN_NATION")
-        return out.select(F.col("uri").alias("node_uri"))
-
-    q["nodes_linked_to_inferred"] = nodes_linked_to_inferred
-
-    def rels_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pidb_rdf_spark.inference import get_rels
-
-        g = _graph(spark, sf_dir)
-        hierarchy = _reasoner_hierarchy(spark, sf_dir)
+        linked = get_nodes_linked_to(
+            g, hierarchy, "urn:region:1", rel="IN_NATION"
+        ).select(
+            F.lit("linked").alias("stage"),
+            F.col("uri").alias("a"), blank("b"), blank("c"),
+        )
         edges = get_rels(g, hierarchy, "LOCATED")
         src_uri = g.nodes.select(F.col("id").alias("src"), F.col("uri").alias("src_uri"))
         dst_uri = g.nodes.select(F.col("id").alias("dst"), F.col("uri").alias("dst_uri"))
-        return edges.join(src_uri, on="src").join(dst_uri, on="dst").select(
-            "src_uri", "predicate", "dst_uri"
+        rels = edges.join(src_uri, on="src").join(dst_uri, on="dst").select(
+            F.lit("rels").alias("stage"),
+            F.col("src_uri").alias("a"),
+            F.col("predicate").alias("b"),
+            F.col("dst_uri").alias("c"),
         )
+        return label.unionByName(linked).unionByName(rels)
 
-    q["rels_inferred"] = rels_inferred
+    q["inference_suite"] = inference_suite
 
     # -- O3: per-group limit via window (SURVEY §2.7) -------------------
     def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,32 +697,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # -- SPARQL 1.1 property paths (the query surface over the
-    #    reference's closure compute, MicroReasoners.java:20-22) --------
-    q["path_seq_region"] = _sparql_query(
-        """
-        SELECT ?cust ?region WHERE {
-          ?c v:c_name ?cust . ?c e:IN_NATION/e:IN_REGION ?r .
-          ?r v:r_name ?region .
-        } ORDER BY ?cust
-        """
-    )
-    q["path_inverse_alt_members"] = _sparql_query(
-        """
-        SELECT ?nation ?member WHERE {
-          ?n v:n_name ?nation . ?n ^e:IN_NATION ?member .
-        } ORDER BY ?nation ?member
-        """
-    )
-    q["path_plus_reachability"] = _sparql_query(
-        """
-        SELECT ?x ?anc WHERE { ?x (e:IN_NATION|e:IN_REGION)+ ?anc }
-        """
-    )
-    q["path_optional_hop"] = _sparql_query(
-        """
-        SELECT ?n ?x WHERE { ?n v:label "Nation" . ?n e:IN_REGION? ?x }
-        """
-    )
+    #    reference's closure compute, MicroReasoners.java:20-22).
+    #    Consolidated r13 (VERDICT r12 #2, the ann_faiss_stack model):
+    #    the four former sibling entries path_seq_region /
+    #    path_inverse_alt_members / path_plus_reachability /
+    #    path_optional_hop verify as ONE long-format frame
+    #    (stage, a, b) — each stage's values still individually hashed
+    #    against the same sub-oracle SQL, UNION ALL'd verbatim. -------
+    _path_subqueries = {
+        "seq": _sparql_query(
+            """
+            SELECT ?cust ?region WHERE {
+              ?c v:c_name ?cust . ?c e:IN_NATION/e:IN_REGION ?r .
+              ?r v:r_name ?region .
+            } ORDER BY ?cust
+            """
+        ),
+        "inv_alt": _sparql_query(
+            """
+            SELECT ?nation ?member WHERE {
+              ?n v:n_name ?nation . ?n ^e:IN_NATION ?member .
+            } ORDER BY ?nation ?member
+            """
+        ),
+        "plus": _sparql_query(
+            """
+            SELECT ?x ?anc WHERE { ?x (e:IN_NATION|e:IN_REGION)+ ?anc }
+            """
+        ),
+        "opt": _sparql_query(
+            """
+            SELECT ?n ?x WHERE { ?n v:label "Nation" . ?n e:IN_REGION? ?x }
+            """
+        ),
+    }
+
+    def sparql_path_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for stage, fn in _path_subqueries.items():
+            df = fn(spark, sf_dir)
+            c0, c1 = df.columns
+            part = df.select(
+                F.lit(stage).alias("stage"),
+                F.col(c0).cast("string").alias("a"),
+                F.col(c1).cast("string").alias("b"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    q["sparql_path_suite"] = sparql_path_suite
 
     # -- SPARQL 1.1 subselect + GROUP_CONCAT (standard extensions) ------
     q["subselect_nation_order_counts"] = _sparql_query(
@@ -936,6 +1001,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["quantize_embeddings"] = quantize_embeddings_q
+
+    def pca_project_embeddings(spark, sf_dir):
+        """PCA projection against a PINNED model (VERDICT r12 #3): the
+        FIT (quantize.pca_fit) is eigendecomposition, legitimately
+        un-oracle-able — but projection is a plain (x - mean) @ W.T
+        matmul, so the entry projects the corpus onto a deterministic
+        formula-pinned model and the oracle replays each component as
+        a DuckDB list_dot_product with the SAME literals (x.w_j -
+        mean.w_j). Output explodes to atomic (vec_id, component,
+        value) rows; values round to 4 decimals on both sides (+0.0
+        kills -0.0) so BLAS-vs-SQL float64 summation order (~1e-13
+        relative) can't flip a 6-sig-digit hash."""
+        from pidb_rdf_spark.operators.quantize import pca_project
+
+        out = pca_project(_emb(spark, sf_dir), _pca_pinned_model())
+        return out.select(
+            "vec_id", F.posexplode("embedding").alias("component", "value")
+        ).select(
+            "vec_id",
+            F.col("component").cast("long").alias("component"),
+            (F.round(F.col("value"), 4) + F.lit(0.0)).alias("value"),
+        )
+
+    q["pca_project_embeddings"] = pca_project_embeddings
 
     # -- the faiss-style ANN stack, consolidated (r11, VERDICT r10 #1):
     #    six sibling entries (ivf_topk_exact / ivf_topk_probe2 /
@@ -4233,6 +4322,7 @@ def _scale_extension_oracles() -> dict[str, str]:
             ) >= 0.45
         """,
         "cosine_topk": _brute_topk_sql("vec_id < 10", 10),
+        "pca_project_embeddings": _pca_project_sql(),
         "quantize_embeddings": """
             -- CAST to DOUBLE before dividing: FLOAT / DECIMAL stays in
             -- float32 in DuckDB, while Spark promotes to double.
@@ -5088,29 +5178,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT descendant, ancestor FROM clo
         """,
-        "nodes_with_label_inferred": """
-            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS node_uri FROM customer
+        # consolidated r13 (VERDICT r12 #2): the three former
+        # micro-reasoner sub-oracles (nodes_with_label_inferred /
+        # nodes_linked_to_inferred / rels_inferred) UNION ALL'd
+        # verbatim under their stage tags, '' fills where the Spark
+        # side pads node-only stages
+        "inference_suite": """
+            SELECT 'label' AS stage,
+                   'urn:customer:' || CAST(c_custkey AS VARCHAR) AS a,
+                   '' AS b, '' AS c FROM customer
             UNION ALL
-            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier
-        """,
-        "nodes_linked_to_inferred": """
-            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS node_uri
+            SELECT 'label', 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                   '', '' FROM supplier
+            UNION ALL
+            SELECT 'linked', 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+                   '', ''
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE n_regionkey = 1
             UNION ALL
-            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR)
+            SELECT 'linked', 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                   '', ''
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             WHERE n_regionkey = 1
-        """,
-        "rels_inferred": """
-            SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS src_uri,
-                   'IN_NATION' AS predicate,
-                   'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS dst_uri FROM customer
             UNION ALL
-            SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), 'IN_NATION',
+            SELECT 'rels', 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+                   'IN_NATION',
+                   'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+            UNION ALL
+            SELECT 'rels', 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                   'IN_NATION',
                    'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
             UNION ALL
-            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 'IN_REGION',
+            SELECT 'rels', 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                   'IN_REGION',
                    'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
         """,
         "running_window_orders": """
@@ -5186,45 +5286,45 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c_mktsegment <> 'BUILDING'
                 ORDER BY name
             """,
-            "path_seq_region": """
-                SELECT c_name AS cust, r_name AS region FROM customer
+            # consolidated r13 (VERDICT r12 #2): the four former
+            # path_* sub-oracles UNION ALL'd verbatim under their
+            # stage tags — every value still individually hashed
+            "sparql_path_suite": """
+                SELECT 'seq' AS stage, c_name AS a, r_name AS b FROM customer
                 JOIN nation ON c_nationkey = n_nationkey
                 JOIN region ON n_regionkey = r_regionkey
-                ORDER BY cust
-            """,
-            "path_inverse_alt_members": """
-                SELECT n_name AS nation, member FROM (
+                UNION ALL
+                SELECT 'inv_alt', n_name, member FROM (
                   SELECT n_name, 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS member
                   FROM customer JOIN nation ON c_nationkey = n_nationkey
                   UNION ALL
                   SELECT n_name, 'urn:supplier:' || CAST(s_suppkey AS VARCHAR)
                   FROM supplier JOIN nation ON s_nationkey = n_nationkey
                 )
-                ORDER BY nation, member
-            """,
-            "path_plus_reachability": """
-                WITH RECURSIVE base(child, parent) AS (
-                    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
-                           'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
-                    UNION ALL
-                    SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
-                           'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
-                    UNION ALL
-                    SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
-                           'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
-                ), clo(child, parent) AS (
-                    SELECT child, parent FROM base
-                    UNION
-                    SELECT b.child, c.parent FROM base b JOIN clo c ON b.parent = c.child
+                UNION ALL
+                SELECT 'plus', child, parent FROM (
+                  WITH RECURSIVE base(child, parent) AS (
+                      SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+                             'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+                      UNION ALL
+                      SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+                             'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+                      UNION ALL
+                      SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                             'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+                  ), clo(child, parent) AS (
+                      SELECT child, parent FROM base
+                      UNION
+                      SELECT b.child, c.parent FROM base b JOIN clo c ON b.parent = c.child
+                  )
+                  SELECT child, parent FROM clo
                 )
-                SELECT child AS x, parent AS anc FROM clo
-            """,
-            "path_optional_hop": """
-                SELECT u AS n, u AS x
+                UNION ALL
+                SELECT 'opt', u, u
                 FROM (SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS u FROM nation)
                 UNION ALL
-                SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n,
-                       'urn:region:' || CAST(n_regionkey AS VARCHAR) AS x
+                SELECT 'opt', 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                       'urn:region:' || CAST(n_regionkey AS VARCHAR)
                 FROM nation
             """,
             "subselect_nation_order_counts": """

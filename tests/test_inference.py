@@ -188,10 +188,12 @@ def test_closure_cache_bounded_lru(spark):
 
 
 def test_driver_entries_share_one_closure(spark):
-    """Bench-shaped r8 contract (verdict #5): running the three
-    reasoner driver entries back-to-back computes the hierarchy
-    fixpoint exactly ONCE — they share a combined kind-less hierarchy
-    frame and the plan-keyed closure cache."""
+    """Bench-shaped r8 contract (verdict #5): the consolidated
+    inference_suite driver entry (r13 — its three stages are the
+    former nodes_with_label_inferred / nodes_linked_to_inferred /
+    rels_inferred sibling entries) computes the hierarchy fixpoint
+    exactly ONCE across all three stages — they share a combined
+    kind-less hierarchy frame and the plan-keyed closure cache."""
     import importlib.util
 
     import pidb_rdf_spark.inference as inf
@@ -205,8 +207,8 @@ def test_driver_entries_share_one_closure(spark):
     inf.clear_closure_cache()
     start = inf.CLOSURE_COMPUTES
     sf = "/root/testdata/sf0.001"
-    n1 = q["nodes_with_label_inferred"](spark, sf).count()
-    n2 = q["nodes_linked_to_inferred"](spark, sf).count()
-    n3 = q["rels_inferred"](spark, sf).count()
-    assert n1 > 0 and n2 > 0 and n3 > 0
+    counts = dict(
+        q["inference_suite"](spark, sf).groupBy("stage").count().collect()
+    )
+    assert all(counts.get(s, 0) > 0 for s in ("label", "linked", "rels"))
     assert inf.CLOSURE_COMPUTES == start + 1
