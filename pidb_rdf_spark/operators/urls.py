@@ -146,7 +146,11 @@ def _parse_psl(rules) -> tuple[dict, dict, dict]:
     """Split PSL-syntax rules into {n_labels: frozenset} maps for
     plain rules, wildcard PARENTS (``*.ck`` stored as ``ck``) and
     exceptions. Comment/blank lines are skipped so a verbatim
-    public_suffix_list.dat readlines() works as input."""
+    public_suffix_list.dat readlines() works as input. IDN rules
+    (the list publishes them in unicode) also register a punycode
+    (``xn--``) twin so hosts arriving in either representation match
+    the same suffix; labels the stdlib idna codec rejects keep only
+    their unicode form."""
     plain: dict[int, set] = {}
     wild: dict[int, set] = {}
     exc: dict[int, set] = {}
@@ -160,7 +164,13 @@ def _parse_psl(rules) -> tuple[dict, dict, dict]:
             body, bucket = r[2:], wild
         else:
             body, bucket = r, plain
-        bucket.setdefault(body.count(".") + 1, set()).add(body)
+        n = body.count(".") + 1
+        bucket.setdefault(n, set()).add(body)
+        if not body.isascii():
+            try:
+                bucket[n].add(body.encode("idna").decode("ascii"))
+            except UnicodeError:
+                pass
     return plain, wild, exc
 
 
@@ -176,9 +186,9 @@ def registrable_domain_col(host_or_url: Column, psl=None) -> Column:
 
     ``psl``: iterable of PSL-syntax rules (``co.uk``, ``*.ck``,
     ``!www.ck``; ``//`` comments skipped) replacing the bundled
-    snapshot (:mod:`pidb_rdf_spark.operators.psl_snapshot` — a curated
-    subset of the public list; pass the full file's lines here for
-    exact coverage).
+    snapshot (:mod:`pidb_rdf_spark.operators.psl_snapshot` — the FULL
+    publicsuffix.org list since r13, ICANN + PRIVATE sections; pass a
+    newer file's lines here to override).
 
     Scale shape: pure codegen — the rule sets compile to Catalyst
     ``InSet`` membership tests on the last-k-label slices (a when

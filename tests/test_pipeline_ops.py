@@ -3643,3 +3643,37 @@ def test_pca_fit_project_vs_numpy(spark):
                        atol=1e-6)
     assert np.allclose(model2["eigenvalues"], model["eigenvalues"],
                        atol=1e-9)
+
+
+def test_registrable_domain_full_psl(spark):
+    """r13 (VERDICT r12 #4): the bundled snapshot is the FULL
+    publicsuffix.org list, so private-section suffixes absent from
+    the old curated subset (*.blogspot.<cc>-class) group per
+    publisher, and IDN rules match hosts in BOTH unicode and
+    punycode form (the idna twin)."""
+    from pidb_rdf_spark.operators import registrable_domain_col
+
+    cases = {
+        # blogspot country variants were NOT in the curated subset
+        1: ("myblog.blogspot.co.uk", "myblog.blogspot.co.uk"),
+        2: ("a.myblog.blogspot.com.ar", "myblog.blogspot.com.ar"),
+        # deep private multi-label rules from the full list
+        3: ("app.s3.dualstack.eu-west-1.amazonaws.com",
+            "app.s3.dualstack.eu-west-1.amazonaws.com"),
+        # IDN rule 公司.cn — unicode host and punycode twin group alike
+        4: ("example.公司.cn", "example.公司.cn"),
+        5: ("example.xn--55qx5d.cn", "example.xn--55qx5d.cn"),
+        6: ("www.example.xn--55qx5d.cn", "example.xn--55qx5d.cn"),
+        # sanity: a plain .com host is untouched by the bigger rule set
+        7: ("www.example.com", "example.com"),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id long, u string"
+    )
+    got = {
+        r.id: r.d
+        for r in df.select(
+            "id", registrable_domain_col(F.col("u")).alias("d")
+        ).collect()
+    }
+    assert got == {k: v[1] for k, v in cases.items()}
