@@ -3677,3 +3677,44 @@ def test_registrable_domain_full_psl(spark):
         ).collect()
     }
     assert got == {k: v[1] for k, v in cases.items()}
+
+
+def test_registrable_domain_sql_fast_path(spark):
+    """r13: with the full ~9.5k-rule PSL the cascade must build via
+    ONE F.expr parse (the Column-by-Column path creates a JVM literal
+    per rule through py4j — ~6 s of driver time per call). Pin that
+    the fast path engages for ordinary inputs, that the fallback
+    agrees with it, and that _column_sql round-trip-rejects rather
+    than misrenders."""
+    import time
+
+    from pidb_rdf_spark.operators import registrable_domain_col
+    from pidb_rdf_spark.operators.psl_snapshot import SNAPSHOT_RULES
+    from pidb_rdf_spark.operators.urls import (
+        _column_sql,
+        _parse_psl,
+        _psl_cascade_columns,
+        _psl_cascade_sql,
+    )
+
+    assert _column_sql(F.col("u")) == "u"
+    assert _column_sql(F.lower(F.col("u"))) == "lower(u)"
+
+    t0 = time.perf_counter()
+    col = registrable_domain_col(F.col("u"))
+    assert time.perf_counter() - t0 < 3.0  # the slow path measures ~6 s
+
+    # fallback parity on a small custom rule set (exercises plain,
+    # wildcard and exception tiers through both builders)
+    rules = ["co.zz", "*.wild.zz", "!ok.wild.zz"]
+    plain, wild, exc = _parse_psl(rules)
+    hosts = ["a.co.zz", "x.y.wild.zz", "www.ok.wild.zz", "plain.zz",
+             "co.zz", "single"]
+    df = spark.createDataFrame([(h,) for h in hosts], "u string")
+    fast = df.select(
+        F.expr(_psl_cascade_sql("u", plain, wild, exc)).alias("d")
+    ).collect()
+    slow = df.select(
+        _psl_cascade_columns(F.col("u"), plain, wild, exc).alias("d")
+    ).collect()
+    assert [r["d"] for r in fast] == [r["d"] for r in slow]
