@@ -133,6 +133,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8):
 # lands, the oldest newest-green row in the ledger is r11 — the
 # ceiling holds.
 _DEFER_TO_TAIL = [
+    # -- late-r13 born-deferred (never-proven; FIRST in the r14
+    # window under rule 2 — fits: 45 r11-green returners + these
+    # leave spare slots) ------------------------------------------
+    "bigram_perplexity_docs",
     # -- r11-green (2 rounds old at r13; ALL return in the r14
     # window, 45 after the r13 consolidation + bgp_three_hop
     # pulled forward) ---------------------------------------------
@@ -1345,6 +1349,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_quality(_docs(spark, sf_dir))
 
     q["unigram_quality_docs"] = unigram_quality_docs
+
+    def bigram_perplexity_docs(spark, sf_dir):
+        """Interpolated-bigram perplexity, self-scored (r13,
+        operators/lm.bigram_perplexity — the CCNet quality filter one
+        order above unigram_quality_docs): lam * ML-bigram +
+        (1 - lam) * add-alpha unigram over <s>-prefixed pairs. The
+        oracle replays tokenization, both counts and the interpolation
+        arithmetic in DuckDB; avg_logprob/ppl round on both sides
+        (+0.0 normalizes -0.0) so float64 summation order can't flip
+        the 6-sig-digit hash."""
+        from pidb_rdf_spark.operators import bigram_perplexity
+
+        out = bigram_perplexity(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id",
+            "n_bigrams",
+            (F.round(F.col("avg_logprob"), 6) + F.lit(0.0)).alias(
+                "avg_logprob"
+            ),
+            (F.round(F.col("ppl"), 2) + F.lit(0.0)).alias("ppl"),
+        )
+
+    q["bigram_perplexity_docs"] = bigram_perplexity_docs
 
     def chunk_documents_q(spark, sf_dir):
         from pidb_rdf_spark.operators import chunk_documents
@@ -4520,6 +4547,61 @@ def _scale_extension_oracles() -> dict[str, str]:
                        AS ppl_proxy
             FROM toks t JOIN model m USING (token) CROSS JOIN stats s
             GROUP BY doc_id
+        """,
+        # bigram_perplexity_docs (r13): the full interpolated-bigram
+        # pipeline replayed — <s>-prefixed pair explode, bigram +
+        # context + unigram counts, lam * ML + (1 - lam) * add-alpha
+        # interpolation, per-doc mean — with the entry's rounding
+        "bigram_perplexity_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_prepend('<s>', list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '')) AS ts
+                FROM documents
+                WHERE len(list_filter(
+                          string_split_regex(trim(lower(text)), '\\s+'),
+                          x -> x <> '')) > 0
+            ),
+            pairs AS (
+                SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+            ),
+            bi AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+                FROM pairs GROUP BY 1, 2
+            ),
+            ctx AS (
+                SELECT w1, CAST(SUM(n) AS DOUBLE) AS ctx_n
+                FROM bi GROUP BY 1
+            ),
+            unic AS (
+                SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS un FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS t
+                    FROM documents
+                ) WHERE t <> '' GROUP BY 1
+            ),
+            stats AS (
+                SELECT CAST(SUM(un) AS DOUBLE) AS total,
+                       CAST(COUNT(*) + 1 AS DOUBLE) AS vocab
+                FROM unic
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       ln(0.7 * COALESCE(b.n / c.ctx_n, 0.0)
+                          + 0.3 * ((COALESCE(u.un, 0) + 1.0)
+                                   / (s.total + 1.0 * s.vocab))) AS logp
+                FROM pairs p
+                LEFT JOIN bi b USING (w1, w2)
+                LEFT JOIN ctx c ON p.w1 = c.w1
+                LEFT JOIN unic u ON p.w2 = u.token
+                CROSS JOIN stats s
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(logp), 6) + 0.0 AS avg_logprob,
+                   ROUND(exp(-AVG(logp)), 2) + 0.0 AS ppl
+            FROM scored GROUP BY doc_id
         """,
         "pii_scrub_docs": f"""
             -- sequential scrub mirrored exactly: each count is taken

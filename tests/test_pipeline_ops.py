@@ -3718,3 +3718,55 @@ def test_registrable_domain_sql_fast_path(spark):
         _psl_cascade_columns(F.col("u"), plain, wild, exc).alias("d")
     ).collect()
     assert [r["d"] for r in fast] == [r["d"] for r in slow]
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Interpolated bigram perplexity (r13): <s>-prefixed pairs,
+    lambda * ML-bigram + (1 - lambda) * add-alpha unigram, verified
+    against hand arithmetic; empty docs emit no row."""
+    import math
+
+    from pidb_rdf_spark.operators import bigram_model, bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "c"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    bi = {
+        (r["w1"], r["w2"]): r["n"] for r in bigram_model(docs).collect()
+    }
+    assert bi == {("<s>", "a"): 2, ("a", "b"): 2, ("b", "a"): 1,
+                  ("<s>", "c"): 1}
+
+    out = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 is whitespace-only: no row
+    # unigram (no <s>): a:3 b:2 c:1 -> total 6, vocab 3+1 OOV = 4
+    pu = {"a": 0.4, "b": 0.3, "c": 0.2}
+    lam = 0.7
+
+    def p(w1, w2, ctx):
+        return lam * bi.get((w1, w2), 0) / ctx + (1 - lam) * pu[w2]
+
+    d1 = [p("<s>", "a", 3), p("a", "b", 2), p("b", "a", 1)]
+    want = sum(math.log(x) for x in d1) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - want) < 1e-12
+    assert abs(out[1]["ppl"] - math.exp(-want)) < 1e-9
+    assert out[3]["n_bigrams"] == 1
+    want3 = math.log(p("<s>", "c", 3))
+    assert abs(out[3]["avg_logprob"] - want3) < 1e-12
+
+    # min_count pruning: dropped pairs fall back to the unigram term,
+    # and a pruned-away CONTEXT zeroes the bigram term entirely
+    pruned = bigram_model(docs, min_count=2)
+    assert {(r["w1"], r["w2"]) for r in pruned.collect()} == {
+        ("<s>", "a"), ("a", "b")
+    }
+    out_p = {
+        r["doc_id"]: r
+        for r in bigram_perplexity(docs, bigram=pruned).collect()
+    }
+    # d3's (<s>, c) survives as (1-lam) * p_uni(c) only — but the
+    # <s> context itself is still in the pruned model (ctx_n = 2)
+    want3p = math.log(lam * 0.0 / 2 + (1 - lam) * pu["c"])
+    assert abs(out_p[3]["avg_logprob"] - want3p) < 1e-12
