@@ -3247,19 +3247,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sparql_nps_inverse"] = sparql_nps_inverse
 
     def cypher_temporal_orders(spark, sf_dir):
-        """duration() temporal arithmetic (late r12): per open order,
-        a due date +30 days and an early-bird date -7 days off
-        o_orderdate — calendar-aware interval math in both engines,
-        serialized to strings so the value hash is engine-neutral."""
+        """duration() temporal arithmetic (late r12) + the r13
+        temporal component accessors and namespaced functions: per
+        open order, a due date +30 days and an early-bird date -7
+        days off o_orderdate, the .year / .dayOfWeek (ISO, Mon=1)
+        components, date.truncate('month') and
+        duration.between(...).days — calendar-aware temporal math in
+        both engines, dates serialized to strings so the value hash
+        is engine-neutral."""
         from pidb_rdf_spark.cypher import cypher
 
         g = _graph(spark, sf_dir)
         return cypher(
             g,
             "MATCH (o:Orders) WHERE o.o_orderstatus = 'O' "
-            "WITH o.o_orderkey AS okey, date(o.o_orderdate) AS d "
+            "WITH o.o_orderkey AS okey, date(o.o_orderdate) AS d, "
+            "datetime(o.o_orderdate) AS ts "
             "RETURN okey, toString(d + duration('P30D')) AS due, "
-            "toString(d - duration({days: 7})) AS early "
+            "toString(d - duration({days: 7})) AS early, "
+            "d.year AS yr, d.dayOfWeek AS dow, "
+            "toString(date.truncate('month', d)) AS mon, "
+            "duration.between(datetime('1995-01-01T00:00:00'), ts).days "
+            "AS age_days "
             "ORDER BY okey LIMIT 200",
         )
 
@@ -6546,7 +6555,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
                     AS DATE) AS VARCHAR) AS due,
                CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY
-                    AS DATE) AS VARCHAR) AS early
+                    AS DATE) AS VARCHAR) AS early,
+               CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+               CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+               CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS DATE) AS VARCHAR) AS mon,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                    CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS age_days
         FROM orders
         WHERE o_orderstatus = 'O'
         ORDER BY okey LIMIT 200

@@ -1019,21 +1019,39 @@ class _Parser:
         return self._postfix(self._primary())
 
     def _postfix(self, e: tuple) -> tuple:
-        """Subscript operators after any primary: ``xs[i]`` (0-based,
-        negative from the end; string keys read maps / dynamic
-        properties) and ``xs[lo..hi]`` slices (half-open, either
+        """Postfix operators after any primary: ``xs[i]`` subscripts
+        (0-based, negative from the end; string keys read maps /
+        dynamic properties), ``xs[lo..hi]`` slices (half-open, either
         bound omissible, negatives from the end — Neo4j list
-        operators)."""
-        while self._at("op", "["):
-            self._next()
-            lo = None if self._at("op", "..") else self._expr()
-            if self._accept("op", ".."):
-                hi = None if self._at("op", "]") else self._expr()
-                self._expect("op", "]")
-                e = ("slice", e, lo, hi)
-            else:
-                self._expect("op", "]")
-                e = ("index", e, lo)
+        operators), and ``.key`` value-property access on arbitrary
+        expressions (r13): struct/map element reads and the Neo4j
+        temporal component accessors — ``date('2024-01-05').year``,
+        ``n.created.dayOfWeek`` (``n.created`` itself still parses as
+        a plain property at the primary level; the postfix form only
+        fires on the result of another expression)."""
+        while True:
+            if self._at("op", "["):
+                self._next()
+                lo = None if self._at("op", "..") else self._expr()
+                if self._accept("op", ".."):
+                    hi = None if self._at("op", "]") else self._expr()
+                    self._expect("op", "]")
+                    e = ("slice", e, lo, hi)
+                else:
+                    self._expect("op", "]")
+                    e = ("index", e, lo)
+                continue
+            nxt = self._peek(1)
+            if (
+                self._at("op", ".")
+                and nxt is not None
+                and nxt.kind in ("name", "kw")
+            ):
+                self._next()
+                key = self._expect_name_like().text
+                e = ("vprop", e, key)
+                continue
+            break
         return e
 
     def _primary(self) -> tuple:
@@ -1201,6 +1219,19 @@ class _Parser:
                 return ("call", fn, args, distinct)
             if self._accept("op", "."):
                 prop = self._expect_name_like().text
+                if self._at("op", "("):
+                    # namespaced function call: duration.between(a, b),
+                    # date.truncate('month', d), datetime.truncate(...)
+                    self._next()
+                    args = []
+                    if not self._at("op", ")"):
+                        args.append(self._expr())
+                        while self._accept("op", ","):
+                            args.append(self._expr())
+                    self._expect("op", ")")
+                    return (
+                        "call", f"{name.lower()}.{prop.lower()}", args, False
+                    )
                 return ("prop", name, prop)
             if self._at("op", "{"):
                 # map projection n {.name, .*, key: expr}
@@ -1807,15 +1838,22 @@ def _materialize_props(c: _Compile, needed: set) -> None:
                 elif isinstance(dt, T.StructType) and p in dt.names:
                     c.cur = c.cur.withColumn(cname, F.col(var).getField(p))
                 elif isinstance(dt, T.StructType):
-                    raise CypherSyntaxError(
-                        f"{var}.{p}: no such field (has: "
-                        + ", ".join(dt.names) + ")"
-                    )
+                    # map literals compile to structs; unknown keys
+                    # read NULL as on maps (Neo4j semantics — the
+                    # r12 map-literal subscript contract)
+                    c.cur = c.cur.withColumn(cname, F.lit(None))
                 else:
-                    raise CypherSyntaxError(
-                        f"{var!r} is a scalar value — property access "
-                        "needs a map/struct (or a node/relationship)"
-                    )
+                    # temporal component accessors on projected
+                    # date/timestamp/interval values (r13):
+                    # WITH date(...) AS d ... RETURN d.year
+                    tcol = _temporal_component(F.col(var), p, dt)
+                    if tcol is None:
+                        raise CypherSyntaxError(
+                            f"{var!r} is a scalar value — property "
+                            "access needs a map/struct, a temporal "
+                            "value, or a node/relationship"
+                        )
+                    c.cur = c.cur.withColumn(cname, tcol)
             continue
         cols = []
         for p in props:
@@ -1909,6 +1947,75 @@ def _expr_uses_lambda_var(c: _Compile, e) -> bool:
         _expr_uses_lambda_var(c, x)
         for x in e[1:]
         if isinstance(x, (tuple, list))
+    )
+
+
+_TEMPORAL_KEYS = (
+    "year quarter month week weekYear day ordinalDay dayOfWeek "
+    "hour minute second millisecond microsecond epochSeconds "
+    "epochMillis  (intervals: years months days hours minutes seconds)"
+)
+
+
+def _temporal_component(col: Column, key: str, dt) -> Column:
+    """Neo4j temporal component accessors over Spark date / timestamp
+    / interval columns (r13): ``d.year``, ``ts.dayOfWeek``,
+    ``duration.between(a, b).hours`` … ``dayOfWeek`` follows Neo4j's
+    ISO numbering (Monday = 1). Returns long columns (Cypher
+    integers). Raises on a non-component key or a component the
+    value's type cannot carry (``date.hour`` — as Neo4j does);
+    returns None only for non-temporal dtypes so callers fall through
+    to their own error."""
+    k = key.lower()
+    if isinstance(dt, T.DayTimeIntervalType):
+        m = {"days": "DAY", "hours": "HOUR",
+             "minutes": "MINUTE", "seconds": "SECOND"}
+        if k in m:
+            return F.extract(F.lit(m[k]), col).cast("long")
+        raise CypherSyntaxError(
+            f".{key}: day-time duration components are "
+            "days/hours/minutes/seconds"
+        )
+    if isinstance(dt, T.YearMonthIntervalType):
+        m = {"years": "YEAR", "months": "MONTH"}
+        if k in m:
+            return F.extract(F.lit(m[k]), col).cast("long")
+        raise CypherSyntaxError(
+            f".{key}: year-month duration components are years/months"
+        )
+    is_ts = isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+    is_date = isinstance(dt, T.DateType)
+    if not (is_ts or is_date):
+        return None
+    date_map = {
+        "year": F.year, "quarter": F.quarter, "month": F.month,
+        "week": F.weekofyear, "day": F.dayofmonth,
+        "ordinalday": F.dayofyear,
+    }
+    if k in date_map:
+        return date_map[k](col).cast("long")
+    if k in ("dayofweek", "weekday"):
+        return (F.weekday(col) + 1).cast("long")
+    if k == "weekyear":
+        return F.extract(F.lit("YEAROFWEEK"), col).cast("long")
+    if is_ts:
+        ts_map = {"hour": F.hour, "minute": F.minute, "second": F.second}
+        if k in ts_map:
+            return ts_map[k](col).cast("long")
+        if k == "millisecond":
+            return F.floor(
+                (F.unix_micros(col) % 1_000_000) / 1000
+            ).cast("long")
+        if k == "microsecond":
+            return (F.unix_micros(col) % 1_000_000).cast("long")
+        if k == "epochseconds":
+            return F.unix_seconds(col).cast("long")
+        if k == "epochmillis":
+            return F.unix_millis(col).cast("long")
+    raise CypherSyntaxError(
+        f".{key}: not a component of a "
+        f"{'timestamp' if is_ts else 'date'} value "
+        f"(supported: {_TEMPORAL_KEYS})"
     )
 
 
@@ -2027,6 +2134,40 @@ def _to_col(c: _Compile, expr: tuple) -> Column:
         return F.lit(_pat_value(expr, c.params))
     if op == "prop":
         return F.col(c.prop_cols[(expr[1], expr[2])])
+    if op == "vprop":
+        # value-property access on an arbitrary expression (r13):
+        # struct field / map key reads, and the temporal component
+        # accessors (date('2024-01-05').year, n.created.dayOfWeek);
+        # dispatched on the RESOLVED dtype like isEmpty()/size()
+        base, key = expr[1], expr[2]
+        col = _to_col(c, base)
+        if c.lambda_vars and _expr_uses_lambda_var(c, base):
+            raise CypherSyntaxError(
+                f".{key}: property access on lambda-variable "
+                "expressions is not supported in this subset"
+            )
+        dt = None
+        if c.cur is not None:
+            try:
+                dt = c.cur.select(col).schema[0].dataType
+            except Exception:
+                dt = None
+        if isinstance(dt, T.StructType):
+            # unknown keys read NULL, matching map access (the
+            # map-literal subscript contract)
+            return col.getField(key) if key in dt.names else F.lit(None)
+        if isinstance(dt, T.MapType):
+            return col.getItem(key)
+        if dt is not None:
+            t = _temporal_component(col, key, dt)
+            if t is not None:
+                return t
+        raise CypherSyntaxError(
+            f".{key}: expression property access needs a map, struct "
+            "or temporal value (got "
+            + (dt.simpleString() if dt is not None else "an unresolvable type")
+            + ")"
+        )
     if op == "var":
         if expr[1] in c.lambda_vars:
             return c.lambda_vars[expr[1]]
@@ -2540,6 +2681,51 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
     if fn in ("datetime", "localdatetime"):
         need(1)
         return rec(args[0]).try_cast("timestamp")
+    if fn == "duration.between":
+        # elapsed time a -> b as a day-time interval (observed via
+        # the .days/.hours/.minutes/.seconds component accessors).
+        # DOCUMENTED DIVERGENCE: Neo4j's duration.between normalizes
+        # whole calendar months into the months component; a day-time
+        # interval has no months, so this is Neo4j's
+        # duration.inSeconds normalization carried up to days — use
+        # duration.inMonths for the calendar-month view.
+        need(2)
+        return rec(args[1]).cast("timestamp") - rec(args[0]).cast("timestamp")
+    if fn in ("duration.inseconds", "duration.indays"):
+        need(2)
+        return rec(args[1]).cast("timestamp") - rec(args[0]).cast("timestamp")
+    if fn == "duration.inmonths":
+        # whole calendar months a -> b as a year-month interval
+        # (months_between handles month-end clamping; truncation
+        # toward zero matches Neo4j)
+        need(2)
+        months = F.floor(
+            F.months_between(
+                rec(args[1]).cast("timestamp"), rec(args[0]).cast("timestamp")
+            )
+        ).cast("int")
+        return F.make_ym_interval(F.lit(0), months)
+    if fn in ("date.truncate", "datetime.truncate"):
+        need(2)
+        if args[0][0] != "lit" or not isinstance(args[0][1], str):
+            raise CypherSyntaxError(f"{fn}() needs a literal unit string")
+        unit = args[0][1].lower()
+        if fn == "date.truncate":
+            if unit not in ("year", "quarter", "month", "week"):
+                raise CypherSyntaxError(
+                    "date.truncate() units: year/quarter/month/week "
+                    "(a date cannot truncate below days)"
+                )
+            return F.trunc(rec(args[1]).cast("date"), unit)
+        if unit not in (
+            "year", "quarter", "month", "week", "day",
+            "hour", "minute", "second",
+        ):
+            raise CypherSyntaxError(
+                "datetime.truncate() units: year/quarter/month/week/"
+                "day/hour/minute/second"
+            )
+        return F.date_trunc(unit, rec(args[1]).cast("timestamp"))
     if fn == "range":
         if len(args) not in (2, 3):
             raise CypherSyntaxError("range() takes 2 or 3 arguments")

@@ -3333,3 +3333,131 @@ def test_xor_non_boolean_raises(graph):
     # nationkey 10..24 (15) xor regionkey 0 (5 of 25, keys 0,5,10,15,20)
     # -> >9 and not rk0: 10..24 minus {10,15,20} = 12; rk0 and <=9: {0,5} = 2
     assert got == 14
+
+
+def test_temporal_component_accessors(graph):
+    """r13: Neo4j temporal component accessors as postfix property
+    access on date/timestamp expressions — date('..').year,
+    ts.dayOfWeek (ISO, Monday=1), millisecond/epochMillis on
+    timestamps; raises on components the type cannot carry."""
+    import datetime as dt
+
+    from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+
+    r = cypher(
+        graph,
+        "WITH date('2024-01-05') AS d "
+        "RETURN d.year AS y, d.quarter AS q, d.month AS m, d.week AS w, "
+        "d.day AS dd, d.ordinalDay AS od, d.dayOfWeek AS dow, "
+        "d.weekYear AS wy",
+    ).first()
+    # 2024-01-05 is a Friday in ISO week 1 of week-year 2024
+    assert (r["y"], r["q"], r["m"], r["w"], r["dd"], r["od"], r["dow"],
+            r["wy"]) == (2024, 1, 1, 1, 5, 5, 5, 2024)
+
+    # direct postfix on a call (no WITH projection in between)
+    r = cypher(
+        graph,
+        "RETURN date('2023-01-01').dayOfWeek AS dow, "
+        "date('2023-01-01').week AS w, date('2023-01-01').weekYear AS wy",
+    ).first()
+    # 2023-01-01 is a Sunday, ISO week 52 of week-year 2022
+    assert (r["dow"], r["w"], r["wy"]) == (7, 52, 2022)
+
+    r = cypher(
+        graph,
+        "WITH datetime('2024-03-10T15:30:45.123456') AS ts "
+        "RETURN ts.hour AS h, ts.minute AS mi, ts.second AS s, "
+        "ts.millisecond AS ms, ts.microsecond AS us, "
+        "ts.epochSeconds AS es, ts.epochMillis AS em",
+    ).first()
+    want_es = int(
+        dt.datetime(2024, 3, 10, 15, 30, 45,
+                    tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert (r["h"], r["mi"], r["s"], r["ms"], r["us"]) == (
+        15, 30, 45, 123, 123456)
+    assert r["es"] == want_es and r["em"] == want_es * 1000 + 123
+
+    # node-prop expression path (order dates stored as strings)
+    rows = cypher(
+        graph,
+        "MATCH (o:Order) WITH date(o.o_orderdate) AS d "
+        "RETURN d.year AS y, count(*) AS c ORDER BY y LIMIT 3",
+    ).collect()
+    assert all(row["y"] is not None and row["c"] > 0 for row in rows)
+
+    with pytest.raises(CypherSyntaxError, match="not a component"):
+        cypher(graph, "RETURN date('2024-01-05').hour AS h")
+    with pytest.raises(CypherSyntaxError, match="not a component"):
+        cypher(graph, "RETURN date('2024-01-05').nope AS x")
+    with pytest.raises(CypherSyntaxError, match="property access"):
+        cypher(graph, "RETURN (1).year AS x")
+
+
+def test_namespaced_temporal_functions(graph):
+    """r13: duration.between / duration.inMonths / duration.inSeconds
+    and date.truncate / datetime.truncate; interval component
+    accessors over the results."""
+    import datetime as dt
+
+    from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+
+    r = cypher(
+        graph,
+        "WITH duration.between(datetime('2024-01-01T00:00:00'), "
+        "datetime('2024-01-03T06:30:15')) AS dur "
+        "RETURN dur.days AS d, dur.hours AS h, dur.minutes AS m, "
+        "dur.seconds AS s",
+    ).first()
+    assert (r["d"], r["h"], r["m"], r["s"]) == (2, 6, 30, 15)
+
+    r = cypher(
+        graph,
+        "WITH duration.inMonths(date('2022-01-15'), date('2024-04-10')) "
+        "AS dur RETURN dur.years AS y, dur.months AS m",
+    ).first()
+    # 26 whole months = 2 years 2 months
+    assert (r["y"], r["m"]) == (2, 2)
+
+    with pytest.raises(CypherSyntaxError, match="components"):
+        cypher(
+            graph,
+            "RETURN duration.between(datetime('2024-01-01T00:00:00'), "
+            "datetime('2024-01-02T00:00:00')).months AS x",
+        )
+
+    r = cypher(
+        graph,
+        "RETURN date.truncate('month', date('2024-03-15')) AS dm, "
+        "date.truncate('year', date('2024-03-15')) AS dy, "
+        "datetime.truncate('hour', datetime('2024-03-10T15:30:45')) AS th, "
+        "datetime.truncate('day', datetime('2024-03-10T15:30:45')) AS td",
+    ).first()
+    assert r["dm"] == dt.date(2024, 3, 1)
+    assert r["dy"] == dt.date(2024, 1, 1)
+    assert r["th"] == dt.datetime(2024, 3, 10, 15, 0)
+    assert r["td"] == dt.datetime(2024, 3, 10, 0, 0)
+
+    with pytest.raises(CypherSyntaxError, match="cannot truncate"):
+        cypher(graph, "RETURN date.truncate('hour', date('2024-03-15')) AS x")
+    with pytest.raises(CypherSyntaxError, match="literal unit"):
+        cypher(
+            graph,
+            "WITH 'month' AS u "
+            "RETURN date.truncate(u, date('2024-03-15')) AS x",
+        )
+
+
+def test_vprop_struct_and_map_access(graph):
+    """r13: postfix .key on arbitrary expressions reads struct fields
+    and map values — {a: 1}.a, nested chains, unknown struct keys
+    read NULL (the map-literal subscript contract)."""
+    from pidb_rdf_spark.cypher import cypher
+
+    r = cypher(
+        graph,
+        "WITH {a: 1, b: {c: 'x'}} AS m "
+        "RETURN m.a AS a, m.b.c AS c, m.nope AS n",
+    ).first()
+    assert (r["a"], r["c"], r["n"]) == (1, "x", None)
