@@ -137,6 +137,7 @@ _DEFER_TO_TAIL = [
     # window under rule 2 — fits: 45 r11-green returners + these
     # leave spare slots) ------------------------------------------
     "bigram_perplexity_docs",
+    "pack_sequences_docs",
     # -- r11-green (2 rounds old at r13; ALL return in the r14
     # window, 45 after the r13 consolidation + bgp_three_hop
     # pulled forward) ---------------------------------------------
@@ -1372,6 +1373,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bigram_perplexity_docs"] = bigram_perplexity_docs
+
+    def pack_sequences_docs(spark, sf_dir):
+        """Sequence packing manifest (r13, operators/packing.
+        pack_manifest): documents in the md5-shuffle order, each + 1
+        EOS position, concatenated and cut into 512-token training
+        sequences; one row per (sequence, doc) slice. ONE data-sized
+        exchange (the shard hash partition, window-reused); the
+        cross-shard carry is an 8-row broadcast. The oracle replays
+        the shard/seq permutation (the shuffle_shard_docs SQL), the
+        global running offset and the cut arithmetic with
+        generate_series."""
+        from pidb_rdf_spark.operators import pack_manifest
+
+        return pack_manifest(
+            _docs(spark, sf_dir), seq_len=512, n_shards=8, sep_tokens=1
+        )
+
+    q["pack_sequences_docs"] = pack_sequences_docs
 
     def chunk_documents_q(spark, sf_dir):
         from pidb_rdf_spark.operators import chunk_documents
@@ -4556,6 +4575,47 @@ def _scale_extension_oracles() -> dict[str, str]:
                        AS ppl_proxy
             FROM toks t JOIN model m USING (token) CROSS JOIN stats s
             GROUP BY doc_id
+        """,
+        # pack_sequences_docs (r13): replay the md5 shard/seq
+        # permutation, one global running offset over (shard, seq)
+        # with +1 EOS per doc, then cut every 512 tokens --
+        # generate_series is inclusive like F.sequence
+        "pack_sequences_docs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('shuffle:'
+                            || CAST(doc_id AS VARCHAR)), 1, 13))
+                            AS BIGINT) AS hv,
+                       CAST(len(list_filter(
+                           string_split_regex(text, '\s+'),
+                           x -> len(x) > 0)) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            placed AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                           ORDER BY hv % 8, hv, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM tok WHERE n_tokens > 0
+            ),
+            spans AS (
+                SELECT doc_id, n_tokens, start,
+                       start + n_tokens AS e,
+                       unnest(generate_series(start // 512,
+                              (start + n_tokens - 1) // 512)) AS seq_id
+                FROM placed
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(start, seq_id * 512) - start
+                        AS BIGINT) AS doc_offset,
+                   CAST(greatest(start, seq_id * 512) - seq_id * 512
+                        AS BIGINT) AS seq_offset,
+                   CAST(least(e, (seq_id + 1) * 512)
+                        - greatest(start, seq_id * 512)
+                        AS BIGINT) AS length,
+                   n_tokens
+            FROM spans
         """,
         # bigram_perplexity_docs (r13): the full interpolated-bigram
         # pipeline replayed — <s>-prefixed pair explode, bigram +

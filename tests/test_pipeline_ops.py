@@ -3770,3 +3770,137 @@ def test_bigram_perplexity_hand_computed(spark):
     # <s> context itself is still in the pruned model (ctx_n = 2)
     want3p = math.log(lam * 0.0 / 2 + (1 - lam) * pu["c"])
     assert abs(out_p[3]["avg_logprob"] - want3p) < 1e-12
+
+
+def test_pack_manifest_synthetic(spark):
+    """Hand-computed packing: md5-shuffled global order replayed in
+    Python, slices verified against a literal token-stream layout."""
+    import hashlib
+
+    from pidb_rdf_spark.operators import pack_manifest
+
+    rows = [(1, 5), (2, 3), (3, 9), (4, 1), (5, 4)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    L, SEP = 8, 1
+    got = pack_manifest(
+        df, seq_len=L, n_shards=2, tokens_col="n_tokens", sep_tokens=SEP
+    ).collect()
+
+    # replay the deterministic_shuffle order: 52-bit md5 prefix of
+    # 'shuffle:<id>', shard = hv % 2, order (shard, hv, id)
+    def hv(i):
+        return int(hashlib.md5(f"shuffle:{i}".encode()).hexdigest()[:13], 16)
+
+    order = sorted(rows, key=lambda r: (hv(r[0]) % 2, hv(r[0]), r[0]))
+    # python reference packing
+    want = []
+    off = 0
+    for doc, n in order:
+        start, end = off, off + n
+        c = start // L
+        while c * L < end:
+            s = max(start, c * L)
+            e = min(end, (c + 1) * L)
+            want.append((c, doc, s - start, s - c * L, e - s, n))
+            c += 1
+        off = end + SEP
+    assert sorted(
+        (r["seq_id"], r["doc_id"], r["doc_offset"], r["seq_offset"],
+         r["length"], r["n_tokens"])
+        for r in got
+    ) == sorted(want)
+
+
+def test_pack_manifest_invariants(docs):
+    """Structural invariants on the real documents table: per-doc
+    slices are contiguous and sum to n_tokens; per-sequence slices
+    never overlap and stay in [0, seq_len); only the LAST sequence
+    may be under-filled (separators excepted); zero-token docs are
+    dropped; a rerun is byte-identical."""
+    from collections import defaultdict
+
+    from pidb_rdf_spark.operators import pack_manifest, pack_stats
+
+    L = 256
+    m = pack_manifest(docs, seq_len=L, n_shards=4, sep_tokens=1)
+    rows = m.collect()
+    assert rows
+
+    per_doc = defaultdict(list)
+    per_seq = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["seq_offset"] < L and 0 < r["length"] <= L
+        assert r["seq_offset"] + r["length"] <= L
+        per_doc[r["doc_id"]].append(r)
+        per_seq[r["seq_id"]].append(r)
+
+    for _doc, sl in per_doc.items():
+        sl.sort(key=lambda r: r["doc_offset"])
+        assert sl[0]["doc_offset"] == 0
+        assert sum(r["length"] for r in sl) == sl[0]["n_tokens"]
+        for a, b in zip(sl, sl[1:]):
+            assert a["doc_offset"] + a["length"] == b["doc_offset"]
+            assert b["seq_id"] == a["seq_id"] + 1  # consecutive seqs
+            # a mid-doc cut always fills the earlier sequence
+            assert a["seq_offset"] + a["length"] == L
+
+    n_seq = max(per_seq) + 1
+    assert sorted(per_seq) == list(range(n_seq))  # dense ids
+    for sid, sl in per_seq.items():
+        sl.sort(key=lambda r: r["seq_offset"])
+        for a, b in zip(sl, sl[1:]):
+            assert a["seq_offset"] + a["length"] <= b["seq_offset"]
+        # fill accounting: doc tokens + one separator per doc ending
+        # in this sequence must reach seq_len for every non-last seq
+        fill = sum(r["length"] for r in sl)
+        seps = sum(
+            1 for r in sl if r["doc_offset"] + r["length"] == r["n_tokens"]
+        )
+        if sid < n_seq - 1:
+            assert fill + seps >= L - 1  # trailing sep may spill over
+
+    st = pack_stats(m, seq_len=L)
+    assert st["n_sequences"] == n_seq
+    assert st["doc_tokens"] == sum(r["length"] for r in rows)
+    assert 0 < st["utilization"] <= 1.0
+
+    again = pack_manifest(docs, seq_len=L, n_shards=4, sep_tokens=1).collect()
+    key = lambda r: (r["seq_id"], r["doc_id"], r["doc_offset"])  # noqa: E731
+    assert sorted(map(tuple, again), key=lambda t: t[:3]) == sorted(
+        map(tuple, rows), key=lambda t: t[:3]
+    )
+
+
+def test_pack_manifest_edges(spark):
+    """Boundary alignment (doc ends exactly at a cut), a doc spanning
+    3+ sequences, sep_tokens=0, and input validation."""
+    import pytest as _pytest
+
+    from pidb_rdf_spark.operators import pack_manifest
+
+    df = spark.createDataFrame(
+        [(1, 8), (2, 20), (3, 0)], ["doc_id", "n_tokens"]
+    )
+    # sep_tokens=0, single shard: stream is md5 order; with one shard
+    # the order is (hv, id) — compute slices purely from counts
+    rows = pack_manifest(
+        df, seq_len=8, n_shards=1, tokens_col="n_tokens", sep_tokens=0
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}  # zero-token doc dropped
+    total = sum(r["length"] for r in rows)
+    assert total == 28
+    d1 = sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["doc_offset"]
+    )
+    # the 8-token doc occupies whole-sequence-aligned slices only if
+    # its start is aligned; either way it has <= 2 slices
+    assert 1 <= len(d1) <= 2
+    d2 = sorted(
+        (r for r in rows if r["doc_id"] == 2), key=lambda r: r["doc_offset"]
+    )
+    assert len(d2) >= 3  # 20 tokens across 8-token seqs spans >= 3
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_manifest(df, seq_len=0, tokens_col="n_tokens")
+    with _pytest.raises(ValueError, match="sep_tokens"):
+        pack_manifest(df, seq_len=8, tokens_col="n_tokens", sep_tokens=-1)

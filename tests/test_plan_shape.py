@@ -525,3 +525,32 @@ def test_weighted_betweenness_no_single_partition(spark):
     out = betweenness_centrality(df, weight="wt")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_pack_manifest_one_data_exchange(spark):
+    """pack_manifest's scale contract (r13): exactly ONE data-sized
+    exchange — the shard hash partition, which the intra-shard offset
+    window shares. The cross-shard carry must stay tiny: the shard-
+    totals aggregate is pushed to the scan (a map-side partial sum,
+    no second Window stack in that branch), its running offset runs
+    on one n_shards-row partition, and the join back is a broadcast."""
+    from pidb_rdf_spark.operators import pack_manifest
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 300) for i in range(500)],
+        "doc_id long, n_tokens long",
+    )
+    m = pack_manifest(df, seq_len=128, n_shards=8, tokens_col="n_tokens")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    # one data-sized hash exchange on shard for the offset window,
+    # one tiny agg exchange (partial-sum rows), one single-partition
+    # exchange over n_shards rows, one broadcast
+    assert plan.count("Exchange hashpartitioning(shard") == 2
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+    # the totals branch is agg-pushdown (partial_sum under the
+    # exchange), not a second data-sized window stack: exactly 3
+    # Window nodes total (row_number + the intra-shard cumsum on the
+    # data side; the n_shards-row offset cumsum on the tiny side)
+    assert plan.count("Window [") == 3
+    assert "partial_sum" in plan
