@@ -138,6 +138,7 @@ _DEFER_TO_TAIL = [
     # leave spare slots) ------------------------------------------
     "bigram_perplexity_docs",
     "pack_sequences_docs",
+    "quality_classifier_docs",
     # -- r11-green (2 rounds old at r13; ALL return in the r14
     # window, 45 after the r13 consolidation + bgp_three_hop
     # pulled forward) ---------------------------------------------
@@ -1391,6 +1392,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pack_sequences_docs"] = pack_sequences_docs
+
+    def quality_classifier_docs(spark, sf_dir):
+        """Hashed-feature quality classifier scoring (r13, operators/
+        classifier.quality_classifier_score — the fasttext-style
+        learned filter tier): sigmoid(sum tf_f * w_f + bias) over
+        512 md5-hashed token features, weights PINNED by an exact
+        integer formula (w_f = ((f * 2654435761) % 4096)/4096 - 0.5)
+        so the oracle rebuilds them arithmetically — the fit itself
+        is driver-side on labeled samples (pytest, kmeans doctrine).
+        Scores round to 6 digits (+0.0 normalizes -0.0) since the
+        margin's float64 summation order is engine-specific."""
+        from pidb_rdf_spark.operators import quality_classifier_score
+
+        D = 512
+        model = {
+            "weights": [
+                ((f * 2654435761) % 4096) / 4096.0 - 0.5 for f in range(D)
+            ],
+            "bias": 0.1,
+            "n_features": D,
+        }
+        out = quality_classifier_score(_docs(spark, sf_dir), model)
+        return out.select(
+            "doc_id",
+            (F.round(F.col("score"), 6) + F.lit(0.0)).alias("score"),
+        )
+
+    q["quality_classifier_docs"] = quality_classifier_docs
 
     def chunk_documents_q(spark, sf_dir):
         from pidb_rdf_spark.operators import chunk_documents
@@ -4575,6 +4604,40 @@ def _scale_extension_oracles() -> dict[str, str]:
                        AS ppl_proxy
             FROM toks t JOIN model m USING (token) CROSS JOIN stats s
             GROUP BY doc_id
+        """,
+        # quality_classifier_docs (r13): rebuild the pinned weight
+        # formula arithmetically, replay md5 feature hashing + tf +
+        # sigmoid; LEFT JOIN keeps token-less docs at sigmoid(bias)
+        "quality_classifier_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0)) AS tok
+                FROM documents
+            ),
+            cnt AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ),
+            feat AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)
+                           % 512 AS f,
+                       count(*) AS c
+                FROM toks GROUP BY doc_id, f
+            ),
+            marg AS (
+                SELECT feat.doc_id,
+                       SUM((c / CAST(n AS DOUBLE))
+                           * (((f * 2654435761) % 4096) / 4096.0 - 0.5))
+                           AS m
+                FROM feat JOIN cnt USING (doc_id)
+                GROUP BY feat.doc_id
+            )
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-(COALESCE(marg.m, 0.0) + 0.1))),
+                         6) + 0.0 AS score
+            FROM documents d LEFT JOIN marg ON d.doc_id = marg.doc_id
         """,
         # pack_sequences_docs (r13): replay the md5 shard/seq
         # permutation, one global running offset over (shard, seq)

@@ -3904,3 +3904,103 @@ def test_pack_manifest_edges(spark):
         pack_manifest(df, seq_len=0, tokens_col="n_tokens")
     with _pytest.raises(ValueError, match="sep_tokens"):
         pack_manifest(df, seq_len=8, tokens_col="n_tokens", sep_tokens=-1)
+
+
+def test_hashed_features_replay(spark):
+    """Feature indexing replays the md5 contract in Python; tf values
+    are exact count/n fractions; zero-token docs emit nothing."""
+    import hashlib
+
+    from pidb_rdf_spark.operators import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "Red red BLUE"), (2, "  "), (3, "green")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["f"], r["v"])
+        for r in hashed_features(df, n_features=64).collect()
+    )
+
+    def fh(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % 64
+
+    want = sorted(
+        [
+            (1, fh("red"), 2 / 3),
+            (1, fh("blue"), 1 / 3),
+            (3, fh("green"), 1.0),
+        ]
+    )
+    assert got == want
+
+
+def test_quality_classifier_fit_separates(spark):
+    """Driver fit on linearly separable pseudo-labels: loss is small,
+    the model ranks every positive above every negative, and a refit
+    is byte-identical (seedless contract)."""
+    from pidb_rdf_spark.operators import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        words = ("insight study detail " if good else "spam click buy ") * 3
+        rows.append((i, words + f"doc{i}", 1 if good else 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    m = quality_classifier_fit(df, "label", n_features=256, epochs=120)
+    assert m["n_train"] == 40 and m["loss"] < 0.15
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier_score(df, m).collect()
+    }
+    assert min(scores[i] for i in range(0, 40, 2)) > max(
+        scores[i] for i in range(1, 40, 2)
+    )
+    m2 = quality_classifier_fit(df, "label", n_features=256, epochs=120)
+    assert m2["weights"] == m["weights"] and m2["bias"] == m["bias"]
+
+
+def test_quality_classifier_score_contract(spark):
+    """Scoring with pinned weights matches a Python replay (md5
+    feature hash + tf x w + sigmoid); token-less docs keep a row at
+    sigmoid(bias); external models just need the dict shape."""
+    import hashlib
+    import math
+
+    from pidb_rdf_spark.operators import quality_classifier_score
+
+    D = 32
+    model = {
+        "weights": [((i * 7) % 11) / 11.0 - 0.5 for i in range(D)],
+        "bias": 0.25,
+        "n_features": D,
+    }
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, ""), (3, "Gamma")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier_score(df, model).collect()
+    }
+
+    def fh(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % D
+
+    def sig(x):
+        return 1.0 / (1.0 + math.exp(-x))
+
+    m1 = (2 / 3) * model["weights"][fh("beta")] + (1 / 3) * model[
+        "weights"
+    ][fh("alpha")]
+    assert got[1] == pytest.approx(sig(m1 + 0.25), rel=1e-12)
+    assert got[2] == pytest.approx(sig(0.25), rel=1e-12)
+    assert got[3] == pytest.approx(
+        sig(model["weights"][fh("gamma")] + 0.25), rel=1e-12
+    )
+    with pytest.raises(ValueError, match="weights length"):
+        quality_classifier_score(df, {**model, "weights": [0.0]})
