@@ -6694,7 +6694,7 @@ def oracle_sql() -> dict[str, str]:
     # nfc_normalize folds Cafe+U+0301 to the composed form exactly as
     # Python unicodedata does; lower() maps fullwidth A/B via utf8proc
     # the same way Java toLowerCase does
-    base["normalize_text_docs"] = """
+    base["normalize_text_docs"] = r"""
         SELECT doc_id,
                trim(regexp_replace(
                    lower(nfc_normalize(

@@ -4004,3 +4004,65 @@ def test_quality_classifier_score_contract(spark):
     )
     with pytest.raises(ValueError, match="weights length"):
         quality_classifier_score(df, {**model, "weights": [0.0]})
+
+
+def test_unigram_fit_and_encode(spark):
+    """Unigram-LM tokenizer: driver and distributed tiers produce the
+    IDENTICAL model (the bpe_train parity contract); encoding replays
+    the Python Viterbi twin; segmentations losslessly reconstruct
+    in-vocabulary text; refits are byte-identical."""
+    from pidb_rdf_spark.operators import unigram_encode, unigram_fit
+    from pidb_rdf_spark.operators.tokenizer import _viterbi
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat on mats"),
+        (3, "a catalog of cats and mats"),
+        (4, "the the the cat cat mat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = unigram_fit(df, vocab_size=40, em_rounds=2)
+    m_dist = unigram_fit(df, vocab_size=40, em_rounds=2, driver_cap=0)
+    assert m["pieces"] == m_dist["pieces"]
+    m_again = unigram_fit(df, vocab_size=40, em_rounds=2)
+    assert m_again["pieces"] == m["pieces"]
+    # every single character of the corpus is in the inventory
+    chars = {c for _, t in rows for w in t.split() for c in w}
+    assert chars <= set(m["pieces"])
+
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_encode(df, m).collect()
+    }
+    for i, text in rows:
+        want = []
+        for w in text.split():
+            want.extend(_viterbi(w, m["pieces"], m["max_piece_len"]))
+        assert got[i] == want
+        assert "".join(got[i]) == text.replace(" ", "")  # lossless
+
+
+def test_unigram_encode_unknowns_and_edges(spark):
+    """Characters unseen at fit time surface as the explicit <unk>
+    piece; NULL/empty/whitespace-only texts encode to []; vocab_size
+    below the charset keeps every single char (coverage floor)."""
+    from pidb_rdf_spark.operators import unigram_encode, unigram_fit
+    from pidb_rdf_spark.operators.tokenizer import UNK
+
+    df = spark.createDataFrame(
+        [(1, "abc abc ab"), (2, "cab")], ["doc_id", "text"]
+    )
+    m = unigram_fit(df, vocab_size=2, em_rounds=1)
+    assert {"a", "b", "c"} <= set(m["pieces"])  # floor beats vocab_size
+
+    test = spark.createDataFrame(
+        [(1, "abc xyz"), (2, None), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_encode(test, m).collect()
+    }
+    assert got[2] == [] and got[3] == []
+    assert UNK in got[1] and got[1].count(UNK) == 3  # x, y, z
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_fit(df, vocab_size=0)

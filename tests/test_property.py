@@ -468,3 +468,56 @@ def test_normalize_text_idempotent_matches_python(spark, texts):
         want = ctrl.sub("", want)
         want = _re.sub(r"\s+", " ", want).strip()
         assert a[i] == want, (i, repr(t), repr(a[i]), repr(want))
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(0, 40)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    seq_len=st.integers(1, 17),
+    n_shards=st.integers(1, 5),
+    sep=st.integers(0, 3),
+)
+def test_pack_manifest_matches_python(spark, docs, seq_len, n_shards, sep):
+    """pack_manifest vs a pure-Python replay of the full layout:
+    md5-shuffle order, sep-token gaps, cuts — over random counts
+    (including zero-token docs), seq_lens, shard counts and
+    separator widths."""
+    import hashlib
+
+    from pidb_rdf_spark.operators import pack_manifest
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    got = sorted(
+        tuple(r)
+        for r in pack_manifest(
+            df,
+            seq_len=seq_len,
+            n_shards=n_shards,
+            tokens_col="n_tokens",
+            sep_tokens=sep,
+        ).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"shuffle:{i}".encode()).hexdigest()[:13], 16)
+
+    order = sorted(
+        (d for d in docs if d[1] > 0),
+        key=lambda d: (h(d[0]) % n_shards, h(d[0]), d[0]),
+    )
+    want, off = [], 0
+    for doc, n in order:
+        start, end = off, off + n
+        c = start // seq_len
+        while c * seq_len < end:
+            s = max(start, c * seq_len)
+            e = min(end, (c + 1) * seq_len)
+            want.append((c, doc, s - start, s - c * seq_len, e - s, n))
+            c += 1
+        off = end + sep
+    assert got == sorted(want)
