@@ -139,6 +139,7 @@ _DEFER_TO_TAIL = [
     "bigram_perplexity_docs",
     "pack_sequences_docs",
     "quality_classifier_docs",
+    "cypher_spatial_orders",
     # -- r11-green (2 rounds old at r13; ALL return in the r14
     # window, 45 after the r13 consolidation + bgp_three_hop
     # pulled forward) ---------------------------------------------
@@ -1420,6 +1421,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["quality_classifier_docs"] = quality_classifier_docs
+
+    def cypher_spatial_orders(spark, sf_dir):
+        """Cypher spatial family (r13): point() constructors over
+        order-key-derived coordinates, point.distance in BOTH CRS
+        families (haversine at Neo4j's 6378140 m sphere; euclidean
+        cartesian) and point.withinBBox — the oracle replays the
+        exact formulas. Distances round (geo to whole meters via
+        km/3, cartesian to 6 digits) since libm trig last-ulps
+        differ between engines."""
+        from pidb_rdf_spark.cypher import cypher
+
+        g = _graph(spark, sf_dir)
+        return cypher(
+            g,
+            "MATCH (o:Orders) WHERE o.o_orderkey < 2000 "
+            "WITH o.o_orderkey AS okey, "
+            "point({longitude: toFloat(o.o_orderkey % 360 - 180), "
+            "latitude: toFloat(o.o_custkey % 170 - 85)}) AS p, "
+            "point({x: toFloat(o.o_orderkey % 100), "
+            "y: toFloat(o.o_custkey % 100)}) AS q "
+            "RETURN okey, "
+            "round(point.distance(p, point({longitude: 0.0, "
+            "latitude: 0.0})) / 1000, 3) AS geo_km, "
+            "round(point.distance(q, point({x: 50.0, y: 50.0})), 6) "
+            "AS cart_d, "
+            "point.withinBBox(q, point({x: 10.0, y: 10.0}), "
+            "point({x: 60.0, y: 60.0})) AS inbox "
+            "ORDER BY okey",
+        )
+
+    q["cypher_spatial_orders"] = cypher_spatial_orders
 
     def chunk_documents_q(spark, sf_dir):
         from pidb_rdf_spark.operators import chunk_documents
@@ -4604,6 +4636,29 @@ def _scale_extension_oracles() -> dict[str, str]:
                        AS ppl_proxy
             FROM toks t JOIN model m USING (token) CROSS JOIN stats s
             GROUP BY doc_id
+        """,
+        # cypher_spatial_orders (r13): haversine at 6378140.0 m +
+        # euclidean + bbox replayed arithmetically on the same
+        # key-derived coordinates
+        "cypher_spatial_orders": """
+            SELECT o_orderkey AS okey,
+                   round(2 * 6378140.0 * asin(sqrt(
+                       pow(sin(radians(0 - (o_custkey % 170 - 85))
+                               / 2), 2)
+                       + cos(radians(o_custkey % 170 - 85))
+                         * cos(radians(0))
+                         * pow(sin(radians(0 - (o_orderkey % 360
+                                - 180)) / 2), 2)
+                   )) / 1000, 3) AS geo_km,
+                   round(sqrt(pow(o_orderkey % 100 - 50.0, 2)
+                              + pow(o_custkey % 100 - 50.0, 2)),
+                         6) AS cart_d,
+                   (o_orderkey % 100 BETWEEN 10 AND 60)
+                       AND (o_custkey % 100 BETWEEN 10 AND 60)
+                       AS inbox
+            FROM orders
+            WHERE o_orderkey < 2000
+            ORDER BY okey
         """,
         # quality_classifier_docs (r13): rebuild the pinned weight
         # formula arithmetically, replay md5 feature hashing + tf +

@@ -2726,6 +2726,122 @@ def _scalar_call(c: _Compile, fn: str, args: list, rec) -> Column:
                 "day/hour/minute/second"
             )
         return F.date_trunc(unit, rec(args[1]).cast("timestamp"))
+    if fn == "point":
+        # spatial point constructor (r13): {x, y [, z]} cartesian /
+        # {latitude, longitude [, height]} geographic -> a uniform
+        # 8-field struct (absent dimensions NULL) so the component
+        # accessors (p.x, p.latitude, p.srid, p.crs) are plain
+        # getField reads under the vprop contract. Neo4j srids:
+        # cartesian 7203 / -3d 9157, wgs-84 4326 / -3d 4979.
+        need(1)
+        if args[0][0] != "maplit":
+            raise CypherSyntaxError(
+                "point() takes a map literal: {x, y [, z]} or "
+                "{latitude, longitude [, height]}"
+            )
+        kv = {k.lower(): rec(e) for k, e in args[0][1]}
+        extra = set(kv) - {
+            "x", "y", "z", "latitude", "longitude", "height", "crs",
+            "srid",
+        }
+        if extra:
+            raise CypherSyntaxError(
+                f"point(): unknown keys {sorted(extra)}"
+            )
+        geo = "latitude" in kv or "longitude" in kv
+        if geo:
+            if not ("latitude" in kv and "longitude" in kv):
+                raise CypherSyntaxError(
+                    "point(): geographic points need both latitude "
+                    "and longitude"
+                )
+            if "x" in kv or "y" in kv or "z" in kv:
+                raise CypherSyntaxError(
+                    "point(): mix of cartesian and geographic keys"
+                )
+            three = "height" in kv
+            srid = 4979 if three else 4326
+            crs = "wgs-84-3d" if three else "wgs-84"
+            x, y = kv["longitude"], kv["latitude"]
+            z = kv["height"] if three else F.lit(None)
+            lat, lon, hgt = kv["latitude"], kv["longitude"], z
+        else:
+            if not ("x" in kv and "y" in kv):
+                raise CypherSyntaxError(
+                    "point(): cartesian points need both x and y"
+                )
+            three = "z" in kv
+            srid = 9157 if three else 7203
+            crs = "cartesian-3d" if three else "cartesian"
+            x, y = kv["x"], kv["y"]
+            z = kv["z"] if three else F.lit(None)
+            lat = lon = hgt = F.lit(None)
+        return F.struct(
+            x.cast("double").alias("x"),
+            y.cast("double").alias("y"),
+            z.cast("double").alias("z"),
+            lat.cast("double").alias("latitude"),
+            lon.cast("double").alias("longitude"),
+            hgt.cast("double").alias("height"),
+            F.lit(srid).cast("long").alias("srid"),
+            F.lit(crs).alias("crs"),
+        )
+    if fn in ("point.distance", "distance"):
+        # cartesian: euclidean; geographic: haversine on a sphere of
+        # radius 6378140.0 m (Neo4j's GeographicCalculator constant),
+        # 3d geographic adds the height delta pythagorean-style —
+        # Neo4j semantics incl. NULL for mixed-CRS pairs.
+        need(2)
+        pa, pb = rec(args[0]), rec(args[1])
+        dx = pa.getField("x") - pb.getField("x")
+        dy = pa.getField("y") - pb.getField("y")
+        dz = F.coalesce(
+            pa.getField("z") - pb.getField("z"), F.lit(0.0)
+        )
+        cart = F.sqrt(dx * dx + dy * dy + dz * dz)
+        la1 = F.radians(pa.getField("latitude"))
+        la2 = F.radians(pb.getField("latitude"))
+        dla = (la2 - la1) / 2
+        dlo = (
+            F.radians(pb.getField("longitude"))
+            - F.radians(pa.getField("longitude"))
+        ) / 2
+        hav = (
+            F.sin(dla) * F.sin(dla)
+            + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
+        )
+        arc = 2 * F.lit(6378140.0) * F.asin(F.sqrt(hav))
+        dh = F.coalesce(
+            pa.getField("height") - pb.getField("height"), F.lit(0.0)
+        )
+        geo = F.sqrt(arc * arc + dh * dh)
+        srid = pa.getField("srid")
+        return (
+            F.when(srid != pb.getField("srid"), F.lit(None))
+            .when(srid.isin(7203, 9157), cart)
+            .otherwise(geo)
+        )
+    if fn == "point.withinbbox":
+        # 2d x/y containment (z/height ignored, as Neo4j); geographic
+        # boxes with lowerLeft.x > upperRight.x wrap the antimeridian
+        need(3)
+        p, ll, ur = rec(args[0]), rec(args[1]), rec(args[2])
+        x, y = p.getField("x"), p.getField("y")
+        lx, ux = ll.getField("x"), ur.getField("x")
+        in_y = (y >= ll.getField("y")) & (y <= ur.getField("y"))
+        plain_x = (x >= lx) & (x <= ux)
+        wrap_x = (x >= lx) | (x <= ux)
+        srid = p.getField("srid")
+        geo_srid = srid.isin(4326, 4979)
+        in_x = F.when(geo_srid & (lx > ux), wrap_x).otherwise(plain_x)
+        return (
+            F.when(
+                (srid != ll.getField("srid"))
+                | (srid != ur.getField("srid")),
+                F.lit(None),
+            )
+            .otherwise(in_x & in_y)
+        )
     if fn == "range":
         if len(args) not in (2, 3):
             raise CypherSyntaxError("range() takes 2 or 3 arguments")

@@ -3461,3 +3461,78 @@ def test_vprop_struct_and_map_access(graph):
         "RETURN m.a AS a, m.b.c AS c, m.nope AS n",
     ).first()
     assert (r["a"], r["c"], r["n"]) == (1, "x", None)
+
+
+def test_spatial_points(graph):
+    """r13 spatial family: point() cartesian/geographic constructors
+    (Neo4j srids), component accessors through the vprop struct path,
+    point.distance (euclidean / haversine at Neo4j's 6378140 m
+    radius, NULL across CRS), and point.withinBBox incl. the
+    antimeridian wrap."""
+    import math
+
+    from pidb_rdf_spark.cypher import CypherSyntaxError, cypher
+
+    r = cypher(
+        graph,
+        "WITH point({x: 0, y: 0}) AS a, point({x: 3, y: 4}) AS b, "
+        "point({latitude: 48.8566, longitude: 2.3522}) AS paris, "
+        "point({latitude: 51.5074, longitude: -0.1278}) AS london "
+        "RETURN point.distance(a, b) AS d2, "
+        "distance(a, b) AS legacy, "
+        "point.distance(point({x:0,y:0,z:0}), point({x:2,y:3,z:6})) AS d3, "
+        "point.distance(paris, london) AS geo, "
+        "point.distance(a, paris) AS mixed, "
+        "a.x AS ax, b.srid AS srid, b.crs AS crs, "
+        "paris.latitude AS plat, paris.crs AS pcrs, paris.x AS px",
+    ).first()
+    assert r["d2"] == 5.0 and r["legacy"] == 5.0 and r["d3"] == 7.0
+    assert r["mixed"] is None
+    assert (r["ax"], r["srid"], r["crs"]) == (0.0, 7203, "cartesian")
+    assert (r["plat"], r["pcrs"], r["px"]) == (48.8566, "wgs-84", 2.3522)
+
+    # python haversine twin at the documented constant
+    la1, lo1, la2, lo2 = map(
+        math.radians, (48.8566, 2.3522, 51.5074, -0.1278)
+    )
+    hav = (
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+    )
+    want = 2 * 6378140.0 * math.asin(math.sqrt(hav))
+    assert r["geo"] == pytest.approx(want, rel=1e-12)
+
+    r = cypher(
+        graph,
+        "RETURN point.withinBBox(point({x: 2, y: 2}), "
+        "point({x: 0, y: 0}), point({x: 3, y: 4})) AS inbox, "
+        "point.withinBBox(point({x: 9, y: 2}), "
+        "point({x: 0, y: 0}), point({x: 3, y: 4})) AS outbox, "
+        "point.withinBBox(point({longitude: 179.5, latitude: 0}), "
+        "point({longitude: 179, latitude: -1}), "
+        "point({longitude: -179, latitude: 1})) AS wrap, "
+        "point.withinBBox(point({longitude: 170, latitude: 0}), "
+        "point({longitude: 179, latitude: -1}), "
+        "point({longitude: -179, latitude: 1})) AS wrapout",
+    ).first()
+    assert (r["inbox"], r["outbox"], r["wrap"], r["wrapout"]) == (
+        True, False, True, False)
+
+    # 3d geographic: height delta folds in pythagorean-style
+    r = cypher(
+        graph,
+        "RETURN point.distance("
+        "point({latitude: 10, longitude: 20, height: 0}), "
+        "point({latitude: 10, longitude: 20, height: 300})) AS dh, "
+        "point({latitude: 1, longitude: 2, height: 3}).srid AS s3",
+    ).first()
+    assert r["dh"] == pytest.approx(300.0) and r["s3"] == 4979
+
+    with pytest.raises(CypherSyntaxError, match="map literal"):
+        cypher(graph, "RETURN point(1) AS p")
+    with pytest.raises(CypherSyntaxError, match="both latitude"):
+        cypher(graph, "RETURN point({latitude: 1}) AS p")
+    with pytest.raises(CypherSyntaxError, match="mix"):
+        cypher(graph, "RETURN point({latitude: 1, longitude: 2, x: 3}) AS p")
+    with pytest.raises(CypherSyntaxError, match="unknown keys"):
+        cypher(graph, "RETURN point({x: 1, y: 2, w: 9}) AS p")
