@@ -7,14 +7,16 @@ segmentation — the second half of the tokenizer family next to
 
 No reference analog (the reference is a graph store).
 
-Faithful-but-simplified, both divergences deliberate and pinned:
-- HARD EM (Viterbi counts), not the soft forward-backward
-  expectation — deterministic, exactly twinned in pure Python, and
-  within a point of soft EM on held-out likelihood at these vocab
-  sizes;
-- pruning keeps the top ``vocab_size`` pieces by fitted count
-  (single characters always retained for coverage), not
-  SentencePiece's leave-one-out likelihood-loss ranking.
+Two E-steps, selected by ``em=``: the default "hard" counts the
+pieces of each word's Viterbi path (fast, exact integer counts); 
+"soft" is the true SentencePiece E-step — forward-backward expected
+counts over the full segmentation lattice — with expectations
+QUANTIZED to 1e-6 units so the cross-partition aggregation sums
+exact longs, keeping even the soft path bit-deterministic at any
+partitioning. One deliberate divergence remains, pinned: pruning
+keeps the top ``vocab_size`` pieces by fitted count (single
+characters always retained for coverage), not SentencePiece's
+leave-one-out likelihood-loss ranking.
 
 Scale doctrine (the ``text.bpe_train`` two-tier contract): the
 corpus ALWAYS collapses to the WORD-TYPE table first — one tokenize
@@ -86,8 +88,71 @@ def _viterbi(word: str, logp: dict, max_len: int) -> list:
     return out
 
 
+_Q = 1_000_000  # soft-EM count quantum (see _expected_counts)
+
+
+def _expected_counts(word: str, logp: dict, max_len: int) -> dict:
+    """Soft-EM E-step for one word: forward-backward over the
+    segmentation lattice -> expected piece counts, QUANTIZED to
+    1/_Q units (integers). The quantization is what keeps soft EM
+    deterministic at any partitioning: per-word lattice sums run in a
+    fixed scan order (pure), and the cross-word/cross-partition
+    aggregation then sums exact longs instead of order-sensitive
+    doubles. UNK arcs participate in the lattice mass but emit no
+    counts (mirror of the hard E-step)."""
+    n = len(word)
+    neg = -math.inf
+
+    def lse(xs):
+        m = max(xs)
+        if m == neg:
+            return neg
+        return m + math.log(sum(math.exp(x - m) for x in xs))
+
+    def arcs_into(i):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    yield j, None, _UNK_LOGP
+                continue
+            else:
+                yield j, piece, lp
+
+    alpha = [0.0] + [neg] * n
+    for i in range(1, n + 1):
+        alpha[i] = lse([alpha[j] + lp for j, _, lp in arcs_into(i)])
+    beta = [neg] * n + [0.0]
+    for j in range(n - 1, -1, -1):
+        acc = []
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = _UNK_LOGP
+                else:
+                    continue
+            acc.append(lp + beta[i])
+        beta[j] = lse(acc)
+    z = alpha[n]
+    out: dict = {}
+    if z == neg:
+        return out
+    for i in range(1, n + 1):
+        for j, piece, lp in arcs_into(i):
+            if piece is None:
+                continue
+            q = round(math.exp(alpha[j] + lp + beta[i] - z) * _Q)
+            if q:
+                out[piece] = out.get(piece, 0) + q
+    return out
+
+
 def _fit_local(word_freqs: list, vocab_size: int, seed_size: int,
-               max_piece_len: int, em_rounds: int) -> dict:
+               max_piece_len: int, em_rounds: int,
+               em: str = "hard") -> dict:
     """The driver-tier fit — also the exact twin the distributed tier
     must reproduce (parity-pinned in tests)."""
     # seed: substring frequencies (occurrence-weighted), all chars in
@@ -109,12 +174,19 @@ def _fit_local(word_freqs: list, vocab_size: int, seed_size: int,
     total = sum(sub[p] for p in pieces)
     logp = {p: math.log(sub[p] / total) for p in pieces}
 
+    floor = _Q if em == "soft" else 1
     for r in range(em_rounds):
         counts = Counter()
         for w, f in word_freqs:
-            for piece in _viterbi(w, logp, max_piece_len):
-                if piece != UNK:
-                    counts[piece] += f
+            if em == "soft":
+                for piece, q in _expected_counts(
+                    w, logp, max_piece_len
+                ).items():
+                    counts[piece] += f * q
+            else:
+                for piece in _viterbi(w, logp, max_piece_len):
+                    if piece != UNK:
+                        counts[piece] += f
         # prune on the LAST round only: EM first converges the probs
         # over the full seed inventory
         if r == em_rounds - 1:
@@ -123,12 +195,13 @@ def _fit_local(word_freqs: list, vocab_size: int, seed_size: int,
                 key=lambda p: (-counts[p], p),
             )[: max(0, vocab_size - len(singles))]
             pieces = sorted(singles | set(keep))
-        # pieces never used by any Viterbi path get a floor count of
-        # 1 so they stay finite (single chars must remain encodable)
+        # pieces with no E-step mass get a floor of one (quantized)
+        # count so they stay finite (single chars must remain
+        # encodable)
         tot = 0
         cs = {}
         for p in pieces:
-            cs[p] = counts.get(p, 0) + (1 if counts.get(p, 0) == 0 else 0)
+            cs[p] = counts.get(p, 0) or floor
             tot += cs[p]
         logp = {p: math.log(cs[p] / tot) for p in sorted(pieces)}
     return logp
@@ -142,6 +215,7 @@ def unigram_fit(
     max_piece_len: int = 8,
     seed_factor: int = 4,
     em_rounds: int = 3,
+    em: str = "hard",
     driver_cap: int = 1_000_000,
 ) -> dict:
     """LEARN a unigram-LM piece inventory -> ``{"pieces": {piece:
@@ -150,14 +224,22 @@ def unigram_fit(
 
     ``seed_factor * vocab_size`` frequent substrings (plus every
     single character, always retained) enter EM; after ``em_rounds``
-    Viterbi-EM rounds the inventory prunes to ``vocab_size``. See the
-    module docstring for the tiering and determinism contracts."""
+    EM rounds the inventory prunes to ``vocab_size``. ``em="hard"``
+    counts Viterbi-path pieces (fast, exact integer counts);
+    ``em="soft"`` uses the true SentencePiece E-step — forward-
+    backward expected counts over the full segmentation lattice —
+    quantized to 1e-6 so the distributed aggregation sums exact longs
+    (deterministic at any partitioning) instead of order-sensitive
+    doubles. See the module docstring for the tiering and determinism
+    contracts."""
     if vocab_size < 1:
         raise ValueError("vocab_size must be >= 1")
     if max_piece_len < 1:
         raise ValueError("max_piece_len must be >= 1")
     if em_rounds < 1:
         raise ValueError("em_rounds must be >= 1")
+    if em not in ("hard", "soft"):
+        raise ValueError("em must be 'hard' or 'soft'")
     toks = df.select(
         F.explode(
             F.split(
@@ -178,7 +260,7 @@ def unigram_fit(
         if probe <= driver_cap:
             logp = _fit_local(
                 [(r["w"], r["freq"]) for r in word_freq.collect()],
-                vocab_size, seed_size, max_piece_len, em_rounds,
+                vocab_size, seed_size, max_piece_len, em_rounds, em,
             )
             return {
                 "pieces": logp,
@@ -226,18 +308,25 @@ def unigram_fit(
     total = sum(sub_cnt[p] for p in pieces)
     logp = {p: math.log(sub_cnt[p] / total) for p in pieces}
 
+    floor = _Q if em == "soft" else 1
     for r in range(em_rounds):
-        cur_logp, mpl = logp, max_piece_len
+        cur_logp, mpl, cur_em = logp, max_piece_len, em
 
-        def e_step(batches, cur_logp=cur_logp, mpl=mpl):
+        def e_step(batches, cur_logp=cur_logp, mpl=mpl, cur_em=cur_em):
             from collections import Counter
 
             for pdf in batches:
                 c = Counter()
                 for w, f in zip(pdf["w"], pdf["freq"]):
-                    for piece in _viterbi(w, cur_logp, mpl):
-                        if piece != UNK:
-                            c[piece] += int(f)
+                    if cur_em == "soft":
+                        for piece, q in _expected_counts(
+                            w, cur_logp, mpl
+                        ).items():
+                            c[piece] += int(f) * q
+                    else:
+                        for piece in _viterbi(w, cur_logp, mpl):
+                            if piece != UNK:
+                                c[piece] += int(f)
                 yield pd.DataFrame(
                     {"p": list(c.keys()), "c": list(c.values())}
                 )
@@ -258,7 +347,7 @@ def unigram_fit(
             pieces = sorted(sing | set(keep))
         tot, cs = 0, {}
         for p in pieces:
-            cs[p] = counts.get(p, 0) or 1
+            cs[p] = counts.get(p, 0) or floor
             tot += cs[p]
         logp = {p: math.log(cs[p] / tot) for p in sorted(pieces)}
     return {

@@ -4066,3 +4066,46 @@ def test_unigram_encode_unknowns_and_edges(spark):
     assert UNK in got[1] and got[1].count(UNK) == 3  # x, y, z
     with pytest.raises(ValueError, match="vocab_size"):
         unigram_fit(df, vocab_size=0)
+
+
+def test_unigram_soft_em(spark):
+    """Soft (forward-backward) EM: expected counts over the full
+    lattice sum to each word's length (per-word mass check against
+    the quantum), driver/distributed tier parity holds bit-exactly
+    (the 1e-6 quantization contract), and the fitted model still
+    segments the corpus losslessly."""
+    from pidb_rdf_spark.operators import unigram_encode, unigram_fit
+    from pidb_rdf_spark.operators.tokenizer import (
+        _Q,
+        _expected_counts,
+    )
+
+    # lattice mass: for an inventory covering all substrings the
+    # expected TOKEN counts weighted by piece length must cover every
+    # character exactly once in expectation
+    import math
+
+    logp = {p: math.log(1 / 6) for p in ("a", "b", "ab", "ba", "aba", "bab")}
+    ec = _expected_counts("abab", logp, 3)
+    char_mass = sum(q * len(p) for p, q in ec.items())
+    assert abs(char_mass - 4 * _Q) <= 8  # 4 chars, quantization slack
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat on mats"),
+        (3, "a catalog of cats and mats"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = unigram_fit(df, vocab_size=40, em_rounds=2, em="soft")
+    m_dist = unigram_fit(
+        df, vocab_size=40, em_rounds=2, em="soft", driver_cap=0
+    )
+    assert m["pieces"] == m_dist["pieces"]
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_encode(df, m).collect()
+    }
+    for i, text in rows:
+        assert "".join(got[i]) == text.replace(" ", "")
+    with pytest.raises(ValueError, match="em must be"):
+        unigram_fit(df, vocab_size=10, em="viterbi")
