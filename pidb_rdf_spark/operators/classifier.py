@@ -130,6 +130,10 @@ def quality_classifier_fit(
         raise ValueError(
             "quality_classifier_fit: no labeled rows with tokens"
         )
+    # fixed (id, f) order: np.add.at's float accumulation follows row
+    # order, and collect() order follows partitioning — sorting is
+    # what makes refits byte-identical on ANY partitioning
+    rows.sort(key=lambda r: (r[0], r["f"]))
     ids = sorted({r[0] for r in rows})
     pos = {d: i for i, d in enumerate(ids)}
     n = len(ids)

@@ -158,6 +158,10 @@ def _fit_local(word_freqs: list, vocab_size: int, seed_size: int,
     # seed: substring frequencies (occurrence-weighted), all chars in
     from collections import Counter
 
+    if not word_freqs:
+        raise ValueError(
+            "unigram_fit: empty corpus (no non-whitespace tokens)"
+        )
     sub = Counter()
     chars = set()
     for w, f in word_freqs:
@@ -304,6 +308,10 @@ def unigram_fit(
     )
     sub_cnt = dict(singles)
     sub_cnt.update({r["p"]: r["cnt"] for r in multi_rows})
+    if not sub_cnt:
+        raise ValueError(
+            "unigram_fit: empty corpus (no non-whitespace tokens)"
+        )
     pieces = sorted(sub_cnt)
     total = sum(sub_cnt[p] for p in pieces)
     logp = {p: math.log(sub_cnt[p] / total) for p in pieces}

@@ -4109,3 +4109,15 @@ def test_unigram_soft_em(spark):
         assert "".join(got[i]) == text.replace(" ", "")
     with pytest.raises(ValueError, match="em must be"):
         unigram_fit(df, vocab_size=10, em="viterbi")
+
+
+def test_unigram_fit_empty_corpus_raises(spark):
+    """A corpus with no non-whitespace tokens raises instead of
+    dividing by zero inside seeding (both tiers)."""
+    from pidb_rdf_spark.operators import unigram_fit
+
+    df = spark.createDataFrame([(1, "   "), (2, None)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="empty corpus"):
+        unigram_fit(df, vocab_size=5)
+    with pytest.raises(ValueError, match="empty corpus"):
+        unigram_fit(df, vocab_size=5, driver_cap=0)
