@@ -46,7 +46,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_fit", "unigram_encode", "UNK"]
+__all__ = ["unigram_fit", "unigram_encode", "unigram_vocab", "UNK"]
 
 UNK = "<unk>"
 _UNK_LOGP = -1e3  # effectively -inf, finite so sums stay ordered
@@ -365,12 +365,24 @@ def unigram_fit(
     }
 
 
+def unigram_vocab(model: dict) -> list:
+    """Stable piece-id ordering for a fitted model: id 0 is ``<unk>``,
+    then pieces by descending log-prob with lexicographic tie-break —
+    deterministic for a fixed model, the contract loaders pin their
+    embedding rows to. ``unigram_encode(..., ids=True)`` emits these
+    ids."""
+    return [UNK] + sorted(
+        model["pieces"], key=lambda p: (-model["pieces"][p], p)
+    )
+
+
 def unigram_encode(
     df: DataFrame,
     model: dict,
     text_col: str = "text",
     lowercase: bool = True,
     out_col: str = "pieces",
+    ids: bool = False,
 ) -> DataFrame:
     """Viterbi-segment every document under a fitted (or external)
     unigram model -> input columns + ``out_col: array<string>``.
@@ -378,7 +390,8 @@ def unigram_encode(
     closure (vocab-sized); per-batch word-TYPE memoization — encoding
     cost scales with distinct words per batch, not tokens. Unknown
     characters surface as the explicit ``<unk>`` piece, never a
-    silent drop."""
+    silent drop. ``ids=True`` emits ``array<int>`` token ids under
+    the :func:`unigram_vocab` ordering instead of strings."""
     from pyspark.sql.types import (
         ArrayType,
         StringType,
@@ -386,14 +399,24 @@ def unigram_encode(
         StructType,
     )
 
+    from pyspark.sql.types import IntegerType
+
     logp = model["pieces"]
     mpl = int(model["max_piece_len"])
+    piece_id = (
+        {p: i for i, p in enumerate(unigram_vocab(model))} if ids else None
+    )
     cols = df.columns
     # a fresh StructType — StructType.add MUTATES the df's cached
     # schema object and desyncs df.columns from the JVM plan
     schema = StructType(
         list(df.schema.fields)
-        + [StructField(out_col, ArrayType(StringType()))]
+        + [
+            StructField(
+                out_col,
+                ArrayType(IntegerType() if ids else StringType()),
+            )
+        ]
     )
 
     def run(batches):
@@ -410,7 +433,10 @@ def unigram_encode(
                             hit = _viterbi(w, logp, mpl)
                             cache[w] = hit
                         ps.extend(hit)
-                out.append(ps)
+                out.append(
+                    [piece_id[p] for p in ps] if piece_id is not None
+                    else ps
+                )
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf

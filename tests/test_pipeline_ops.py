@@ -4121,3 +4121,25 @@ def test_unigram_fit_empty_corpus_raises(spark):
         unigram_fit(df, vocab_size=5)
     with pytest.raises(ValueError, match="empty corpus"):
         unigram_fit(df, vocab_size=5, driver_cap=0)
+
+
+def test_unigram_vocab_ids(spark):
+    """unigram_vocab is a stable id ordering (<unk> = 0, then by
+    descending log-prob, lexicographic ties) and ids=True encoding
+    maps exactly onto the string encoding through it."""
+    from pidb_rdf_spark.operators import unigram_encode, unigram_fit
+    from pidb_rdf_spark.operators.tokenizer import UNK, unigram_vocab
+
+    df = spark.createDataFrame(
+        [(1, "aa ab aa b"), (2, "ab aa")], ["doc_id", "text"]
+    )
+    m = unigram_fit(df, vocab_size=10, em_rounds=1)
+    vocab = unigram_vocab(m)
+    assert vocab[0] == UNK and len(vocab) == len(m["pieces"]) + 1
+    assert len(set(vocab)) == len(vocab)
+
+    test = spark.createDataFrame([(1, "aa zb")], ["doc_id", "text"])
+    strs = unigram_encode(test, m).first()["pieces"]
+    nums = unigram_encode(test, m, ids=True).first()["pieces"]
+    assert [vocab[i] for i in nums] == strs
+    assert UNK in strs and 0 in nums  # 'z' is unseen
