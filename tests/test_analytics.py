@@ -1827,3 +1827,54 @@ def test_local_clustering(spark):
         r.node: (r.triangles, r.degree, r.lcc)
         for r in local_clustering(noisy).collect()
     } == got
+
+
+def test_neighborhood_function_exact_path(spark):
+    """Exact ANF on a directed 10-path matches the closed form
+    N(r) = sum_v min(r+1, 10-v); undirected doubles the reach;
+    effective_diameter interpolates the 90% point."""
+    from pidb_rdf_spark.analytics import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    nf = neighborhood_function(edges, tier="exact", max_radius=20)
+    want = [
+        (r, float(sum(min(r + 1, 10 - v) for v in range(10))))
+        for r in range(10)
+    ]
+    assert nf == want
+    # undirected: every ball reaches the whole path by radius 9
+    nfu = neighborhood_function(
+        edges, tier="exact", directed=False, max_radius=20
+    )
+    assert nfu[-1] == (9, 100.0)
+    # hand-check the interpolation: target 0.9*55 = 49.5 between
+    # N(6)=49 and N(7)=52 -> 6 + 0.5/3
+    assert effective_diameter(nf) == pytest.approx(6 + 0.5 / 3)
+    assert effective_diameter([(0, 5.0)]) == 0.0
+
+
+def test_neighborhood_function_sketch_accuracy(spark):
+    """HyperANF sketch tier: bit-deterministic reruns, converges in
+    the same number of rounds as exact, and the final estimate lands
+    within the m=64 HLL error band (rse 1.04/8 ~ 13%; assert 20%)."""
+    from pidb_rdf_spark.analytics import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 200) for i in range(200)]
+        + [(i, (i * 13 + 11) % 200) for i in range(200)],
+        "src long, dst long",
+    )
+    exact = neighborhood_function(edges, tier="exact", max_radius=30)
+    sk = neighborhood_function(edges, tier="sketch", max_radius=30)
+    assert abs(sk[-1][1] - exact[-1][1]) / exact[-1][1] < 0.20
+    sk2 = neighborhood_function(edges, tier="sketch", max_radius=30)
+    assert sk == sk2  # register propagation is exact integer math
+    with pytest.raises(ValueError, match="tier"):
+        neighborhood_function(edges, tier="anf")
+    with pytest.raises(ValueError, match="registers_log2"):
+        neighborhood_function(edges, registers_log2=2)
