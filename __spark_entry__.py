@@ -1458,15 +1458,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """ANF neighborhood function (r13, analytics.
         neighborhood_function exact tier — HyperANF is the 100 TB
         sketch path): N(r) reachable pairs over the containment
-        chain lineitem->order->customer/supplier->nation->region, a
-        functional graph whose ball sizes the oracle computes in
-        closed form (chain length per node class)."""
+        chain order->customer/supplier->nation->region, a functional
+        graph whose ball sizes the oracle computes in closed form
+        (chain length per node class). PART_OF is deliberately out:
+        the exact tier is the quadratic-state VERIFIER (QUERY_TIERS
+        baseline class) — lineitems would 4x the pair state for no
+        extra structure; HyperANF is the corpus-scale path."""
         from pidb_rdf_spark.analytics import neighborhood_function
 
         g = _graph(spark, sf_dir)
         e = g.edges.filter(
             F.col("predicate").isin(
-                "PART_OF", "PLACED_BY", "IN_NATION", "IN_REGION"
+                "PLACED_BY", "IN_NATION", "IN_REGION"
             )
         ).select("src", "dst")
         nf = neighborhood_function(e, tier="exact", max_radius=8)
@@ -4663,29 +4666,25 @@ def _scale_extension_oracles() -> dict[str, str]:
         # neighborhood_anf_containment (r13): the containment DAG is
         # functional (out-degree 1 below region), so pairs at
         # distance d = nodes with chain length >= d; chain lengths:
-        # lineitem 4, order 3, customer/supplier 2, nation 1
+        # order 3, customer/supplier 2, nation 1
         "neighborhood_anf_containment": """
             WITH c AS (
-                SELECT (SELECT count(*) FROM lineitem) AS l,
-                       (SELECT count(*) FROM orders)   AS o,
+                SELECT (SELECT count(*) FROM orders)   AS o,
                        (SELECT count(*) FROM customer) AS cu,
                        (SELECT count(*) FROM supplier) AS s,
                        (SELECT count(*) FROM nation)   AS n,
                        (SELECT count(*) FROM region)   AS r
             )
             SELECT CAST(0 AS BIGINT) AS radius,
-                   CAST(l+o+cu+s+n+r AS DOUBLE) AS n_pairs FROM c
+                   CAST(o+cu+s+n+r AS DOUBLE) AS n_pairs FROM c
             UNION ALL SELECT 1,
-                   CAST(l+o+cu+s+n+r + (l+o+cu+s+n) AS DOUBLE) FROM c
+                   CAST(o+cu+s+n+r + (o+cu+s+n) AS DOUBLE) FROM c
             UNION ALL SELECT 2,
-                   CAST(l+o+cu+s+n+r + (l+o+cu+s+n)
-                        + (l+o+cu+s) AS DOUBLE) FROM c
+                   CAST(o+cu+s+n+r + (o+cu+s+n)
+                        + (o+cu+s) AS DOUBLE) FROM c
             UNION ALL SELECT 3,
-                   CAST(l+o+cu+s+n+r + (l+o+cu+s+n) + (l+o+cu+s)
-                        + (l+o) AS DOUBLE) FROM c
-            UNION ALL SELECT 4,
-                   CAST(l+o+cu+s+n+r + (l+o+cu+s+n) + (l+o+cu+s)
-                        + (l+o) + l AS DOUBLE) FROM c
+                   CAST(o+cu+s+n+r + (o+cu+s+n) + (o+cu+s)
+                        + o AS DOUBLE) FROM c
         """,
         # cypher_spatial_orders (r13): haversine at 6378140.0 m +
         # euclidean + bbox replayed arithmetically on the same

@@ -51,6 +51,8 @@ QUERY_TIERS = {
     "embedding_near_dup": "baseline",    # brute-force cosine pairs
     "link_prediction_containment": "baseline",  # uncapped common-nbr
     # (quadratic OUTPUT in hub degree; max_degree is the scale path)
+    "neighborhood_anf_containment": "baseline",  # exact ANF verifier
+    # (ball materialization; HyperANF registers are the scale path)
     "minhash_lsh_dedup": "scale-path",
     "simhash_dedup": "scale-path",
     "embedding_near_dup_lsh": "scale-path",
