@@ -3536,3 +3536,36 @@ def test_spatial_points(graph):
         cypher(graph, "RETURN point({latitude: 1, longitude: 2, x: 3}) AS p")
     with pytest.raises(CypherSyntaxError, match="unknown keys"):
         cypher(graph, "RETURN point({x: 1, y: 2, w: 9}) AS p")
+
+
+def test_temporal_components_iso_boundaries(graph):
+    """Temporal component accessors across the tricky calendar edges
+    — ISO week/weekYear at year boundaries, leap years, century
+    rules — pinned against Python's datetime.isocalendar."""
+    import datetime as dt
+
+    from pidb_rdf_spark.cypher import cypher
+
+    dates = [
+        "2020-12-31", "2021-01-01", "2021-01-03", "2021-01-04",
+        "2015-12-28", "2016-01-01", "2016-02-29", "2016-03-01",
+        "1999-12-31", "2000-01-01", "2000-02-29", "2100-03-01",
+        "2024-12-30", "2025-01-05", "2026-12-31", "2027-01-01",
+    ]
+    lits = ", ".join(f"'{d}'" for d in dates)
+    rows = cypher(
+        graph,
+        f"UNWIND [{lits}] AS s WITH date(s) AS d, s "
+        "RETURN s, d.year AS y, d.month AS m, d.day AS dd, "
+        "d.week AS w, d.weekYear AS wy, d.dayOfWeek AS dow, "
+        "d.ordinalDay AS od, d.quarter AS q",
+    ).collect()
+    assert len(rows) == len(dates)
+    for r in rows:
+        py = dt.date.fromisoformat(r["s"])
+        iso = py.isocalendar()
+        assert (r["y"], r["m"], r["dd"]) == (py.year, py.month, py.day)
+        assert (r["wy"], r["w"], r["dow"]) == (
+            iso.year, iso.week, iso.weekday), r["s"]
+        assert r["od"] == py.timetuple().tm_yday
+        assert r["q"] == (py.month - 1) // 3 + 1
