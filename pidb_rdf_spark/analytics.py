@@ -23,8 +23,106 @@ Scale shape shared by every loop below:
 
 from __future__ import annotations
 
+import itertools
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Below this state size, whole-stage codegen is disabled inside
+# fixpoint loops: Janino compilation of each round's stages costs more
+# than interpreting a few-MB state ever could (measured ~1.3 s of the
+# 4.7 s pagerank wall at sf0.1). Above it, codegen pays for itself and
+# stays on. Env-overridable for cluster tuning.
+_LOOP_CODEGEN_OFF_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_LOOP_CODEGEN_OFF_MAX_ROWS", "5000000")
+)
+
+# Target rows per partition for the pinned loop layout; N =
+# clamp(state_rows // this + 1, 1, session shuffle partitions), so the
+# local bench gets 1 partition (no scheduling waste on KB-sized state)
+# and a cluster session (whose shuffle.partitions is sized for the
+# cluster) keeps its full configured parallelism once the state is
+# big enough to use it.
+_LOOP_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_PARTITION", "100000")
+)
+
+_VIEW_SEQ = itertools.count()
+
+
+@contextmanager
+def _fixpoint_conf(spark, n_state_rows: int):
+    """Pin a STATIC layout for a fixpoint loop and yield the partition
+    count N to lay the loop frames out with (guide §2.4: remove
+    shuffles outright; §1.2: fix the distributed algorithm first).
+
+    Inside the block:
+
+    - ``spark.sql.adaptive.enabled=false``: two reasons. (a) AQE
+      materializes every Exchange as its OWN job — a 10-round loop
+      with ~5 exchanges/round schedules ~50+ jobs whose fixed overhead
+      dominates at small state (measured 123 jobs / 10 rounds for
+      pagerank at sf0.1; 28 after this change). (b) PySpark's
+      ``localCheckpoint`` under AQE erases the output partitioning
+      (``UnknownPartitioning``), so round r+1 cannot reuse round r's
+      layout and every round re-shuffles BOTH join sides. With AQE
+      off, checkpoints preserve ``HashPartitioning`` and the loop
+      below runs each round with exactly ONE data shuffle (the
+      aggregation) — which is also the right plan at 100 TB: the edge
+      frame is shuffled once before the loop, never per round. The
+      loop body's shapes are fully known after round one; there is
+      nothing left for AQE to adapt.
+    - ``spark.sql.shuffle.partitions=N``: aggregations inside the loop
+      land on the same N the loop frames were repartitioned to, so
+      state⋈contrib joins need no exchange. N is size-derived (never a
+      constant): small state → 1 partition locally, large state → the
+      session's configured parallelism.
+    - ``spark.sql.autoBroadcastJoinThreshold=-1``: keeps the planner
+      from broadcasting the state side each round (a per-round
+      broadcast-build job); the co-partitioned sort-merge join is
+      exchange-free and cheaper every round after the first.
+    - whole-stage codegen off for small states only (see
+      ``_LOOP_CODEGEN_OFF_MAX_ROWS``).
+
+    Everything is restored on exit, including on error."""
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.codegen.wholeStage",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    n_parts = max(
+        1,
+        min(
+            int(saved["spark.sql.shuffle.partitions"]),
+            int(n_state_rows) // _LOOP_ROWS_PER_PARTITION + 1,
+        ),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    if n_state_rows <= _LOOP_CODEGEN_OFF_MAX_ROWS:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield n_parts
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _loop_view(df: DataFrame, prefix: str) -> str:
+    """Register ``df`` under a fresh unique temp-view name and return
+    it. Fixpoint loops re-register the per-round state under the SAME
+    name (``createOrReplaceTempView``), so the round's SQL text is
+    built once and re-parsed per round — ~3 py4j calls per round
+    instead of ~25 DataFrame-API calls (measured 180-240 ms/round of
+    pure Python driver time at sf0.1, the largest single line item)."""
+    name = f"__{prefix}_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(name)
+    return name
 
 
 def _components_driver_side(spark, edge_rows, id_dtype) -> DataFrame:
@@ -389,6 +487,7 @@ def pagerank(
     workhorse). Seeds absent from the graph are ignored; an empty
     effective seed set raises. The uniform path is bit-for-bit
     unchanged (its oracle entry replays the exact float op order)."""
+    spark = pairs.sparkSession
     if weight is None:
         edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     else:
@@ -405,11 +504,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    if weight is None:
-        out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    else:
-        out_deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
-    pref = None
+    m = None
     if personalize is not None:
         seeds = (
             personalize.select(
@@ -422,61 +517,88 @@ def pagerank(
         m = seeds.count()
         if m == 0:
             raise ValueError("no personalization seed exists in the graph")
-        pref = (
-            nodes.join(
-                seeds.select("node", F.lit(1).alias("__s")),
-                on="node",
-                how="left",
-            )
-            .select(
-                "node",
-                F.when(F.col("__s").isNotNull(), F.lit(1.0 / m))
-                .otherwise(F.lit(0.0))
-                .alias("pref"),
-            )
+    # Pinned-layout loop (see _fixpoint_conf): the per-round join key
+    # is src on the edge side and node on the state side, so both loop
+    # invariants are hash-laid-out ONCE before the loop — per round,
+    # the only data shuffle left is the contribution aggregation
+    # (map-side partial, ≤|V| rows after it), and the dangling mass
+    # rides along as a 1-row scalar subquery, never a driver
+    # round-trip. The per-node out-degree is FOLDED INTO the edge
+    # frame (one setup join) instead of being re-joined every round,
+    # and the dangling test is a static per-node flag (sdeg NULL =
+    # no out-edges) carried in the state frame instead of a per-round
+    # LEFT ANTI join. Float semantics are expression-for-expression
+    # those of the r12 implementation (the oracle replays them); only
+    # partition layout and plan shape changed.
+    with _fixpoint_conf(spark, n) as n_parts:
+        if weight is None:
+            out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        else:
+            out_deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+        ew_cols = ["src", "dst", "deg"] + (["w"] if weight is not None else [])
+        ew = (
+            edges.join(out_deg, on="src")
+            .select(*ew_cols)
+            .repartition(n_parts, "src")
             .localCheckpoint(eager=True)
         )
-        ranks = pref.select("node", F.col("pref").alias("rank"))
-    else:
-        ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    for _ in range(n_iter):
-        share = (
-            F.col("rank") / F.col("deg")
-            if weight is None
-            else F.col("rank") * F.col("w") / F.col("deg")
-        )
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), on="src")
-            .join(out_deg, on="src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(share).alias("in_rank"))
-        )
-        # dangling mass as a broadcast 1-row aggregate folded into the
-        # same job (a per-round .first() here doubled the job count and
-        # round-tripped the driver 10x per pagerank call)
-        dangling = ranks.join(
-            out_deg.withColumnRenamed("src", "node"), on="node", how="leftanti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        base = nodes.join(contrib, on="node", how="left").crossJoin(
-            F.broadcast(dangling)
-        )
-        if pref is None:
-            new_rank = (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
-                + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+        state = nodes.join(
+            out_deg.withColumnRenamed("src", "node"), on="node", how="left"
+        ).withColumnRenamed("deg", "sdeg")
+        if personalize is None:
+            state = state.select(
+                "node", (F.lit(1.0) / n).alias("rank"), "sdeg"
             )
         else:
-            base = base.join(pref, on="node")
-            new_rank = (
-                F.lit(1.0 - damping) * F.col("pref")
-                + F.lit(damping) * F.col("_dangling") * F.col("pref")
-                + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+            state = (
+                state.join(
+                    seeds.select("node", F.lit(1).alias("__s")),
+                    on="node",
+                    how="left",
+                )
+                .withColumn(
+                    "pref",
+                    F.when(F.col("__s").isNotNull(), F.lit(1.0 / m))
+                    .otherwise(F.lit(0.0)),
+                )
+                .select(
+                    "node", F.col("pref").alias("rank"), "sdeg", "pref"
+                )
             )
-        ranks = base.select("node", new_rank.alias("rank")).localCheckpoint(
-            eager=True
-        )
-    return ranks
+        state = state.repartition(n_parts, "node").localCheckpoint(eager=True)
+        vs = _loop_view(state, "pr_state")
+        ve = _loop_view(ew, "pr_ew")
+        share = "st.rank / e.deg" if weight is None else "st.rank * e.w / e.deg"
+        dang = f"(SELECT coalesce(sum(rank), 0.0d) FROM {vs} WHERE sdeg IS NULL)"
+        if personalize is None:
+            rank_expr = (
+                f"{(1.0 - damping) / n!r}d + {damping!r}d * {dang} / {float(n)!r}d"
+                f" + {damping!r}d * coalesce(c.in_rank, 0.0d)"
+            )
+            keep = "s.sdeg"
+        else:
+            rank_expr = (
+                f"{1.0 - damping!r}d * s.pref + {damping!r}d * {dang} * s.pref"
+                f" + {damping!r}d * coalesce(c.in_rank, 0.0d)"
+            )
+            keep = "s.sdeg, s.pref"
+        round_sql = f"""
+            SELECT s.node, {rank_expr} AS rank, {keep}
+            FROM {vs} s
+            LEFT JOIN (
+              SELECT e.dst AS node, sum({share}) AS in_rank
+              FROM {ve} e JOIN {vs} st ON e.src = st.node
+              GROUP BY e.dst
+            ) c ON s.node = c.node
+        """
+        try:
+            for _ in range(n_iter):
+                state.createOrReplaceTempView(vs)
+                state = spark.sql(round_sql).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(vs)
+            spark.catalog.dropTempView(ve)
+    return state.select("node", "rank")
 
 
 def near_dup_clusters(
