@@ -2407,24 +2407,42 @@ def eigenvector_centrality(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    score = nodes.select("node", F.lit(1.0).alias("score"))
-    for _ in range(n_iter):
-        raw = (
-            edges.join(
-                score.select(F.col("node").alias("src"), "score"), on="src"
+    # Pinned-layout loop (_fixpoint_conf): edges laid out by src (the
+    # per-round join key) once; each round is the one contribution
+    # shuffle plus a 1-row L2-norm scalar subquery. Float semantics
+    # unchanged (same join/aggregate/normalize expressions).
+    spark = pairs.sparkSession
+    n = nodes.count()
+    with _fixpoint_conf(spark, n) as n_parts:
+        ew = (
+            edges.repartition(n_parts, "src").localCheckpoint(eager=True)
+        )
+        score = (
+            nodes.select("node", F.lit(1.0).alias("score"))
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        vs = _loop_view(score, "eig_state")
+        ve = _loop_view(ew, "eig_edges")
+        nrm = "(SELECT sqrt(sum(score * score)) FROM raw)"
+        round_sql = f"""
+            WITH raw AS (
+              SELECT e.dst AS node, sum(e.__w * st.score) AS score
+              FROM {ve} e JOIN {vs} st ON e.src = st.node
+              GROUP BY e.dst
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("__w") * F.col("score")).alias("score"))
-        )
-        norm = raw.agg(
-            F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("__norm")
-        )
-        score = raw.crossJoin(norm).select(
-            "node",
-            F.when(F.col("__norm") > 0, F.col("score") / F.col("__norm"))
-            .otherwise(F.lit(0.0))
-            .alias("score"),
-        ).localCheckpoint(eager=True)
+            SELECT node,
+                   CASE WHEN {nrm} > 0 THEN score / {nrm}
+                        ELSE 0.0d END AS score
+            FROM raw
+        """
+        try:
+            for _ in range(n_iter):
+                score.createOrReplaceTempView(vs)
+                score = spark.sql(round_sql).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(vs)
+            spark.catalog.dropTempView(ve)
     return nodes.join(score, on="node", how="left").select(
         "node", F.coalesce("score", F.lit(0.0)).alias("score")
     )
@@ -2478,43 +2496,68 @@ def hits(
         .localCheckpoint(eager=True)
     )
 
-    def _normalized(raw: DataFrame, col: str) -> DataFrame:
-        # rows absent from ``raw`` are implicit zeros: they change
-        # neither the L2 norm nor the next half-step's propagation,
-        # so the full-node 0-fill happens ONCE at the end, not per
-        # round (halves the per-iteration join count)
-        norm = raw.agg(
-            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm")
+    # Pinned-layout loop (_fixpoint_conf): the two half-steps join the
+    # edge list on DIFFERENT keys (src for the authority step, dst for
+    # the hub step), so the edge frame is laid out TWICE before the
+    # loop — two one-time shuffles instead of two per round. Rows
+    # absent from a half-step's aggregate are implicit zeros (they
+    # change neither the L2 norm nor the next propagation); the
+    # 0-fill happens once at the end, as before. Each round: TWO
+    # eager checkpoints (auth, then hub). Checkpointing auth is what
+    # keeps the per-round plan flat — left lazy, the hub step's plan
+    # nests the auth step's scalar subquery inside its own, and
+    # subquery reuse does NOT cross that nesting (measured 2.5-9 s
+    # PER ROUND at sf0.1 from the recomputation). Float semantics are
+    # expression-for-expression unchanged from the crossJoin-norm
+    # form this replaces.
+    spark = pairs.sparkSession
+    n = nodes.count()
+    with _fixpoint_conf(spark, n) as n_parts:
+        e_src = edges.repartition(n_parts, "src").localCheckpoint(eager=True)
+        e_dst = edges.repartition(n_parts, "dst").localCheckpoint(eager=True)
+        hub = (
+            nodes.select("node", F.lit(1.0).alias("hub"))
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
         )
-        return raw.crossJoin(norm).select(
-            "node",
-            F.when(F.col("__norm") > 0, F.col(col) / F.col("__norm"))
-            .otherwise(F.lit(0.0))
-            .alias(col),
-        )
-
-    hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth = nodes.select("node", F.lit(1.0).alias("authority"))
-    for _ in range(n_iter):
-        a_raw = (
-            edges.join(
-                hub.select(F.col("node").alias("src"), "hub"), on="src"
+        auth = nodes.select("node", F.lit(1.0).alias("authority"))
+        vh = _loop_view(hub, "hits_hub")
+        ves = _loop_view(e_src, "hits_esrc")
+        ved = _loop_view(e_dst, "hits_edst")
+        va = f"__hits_auth_{next(_VIEW_SEQ)}"
+        a_nrm = "(SELECT sqrt(sum(authority * authority)) FROM a_raw)"
+        auth_sql = f"""
+            WITH a_raw AS (
+              SELECT e.dst AS node, sum(e.__w * st.hub) AS authority
+              FROM {ves} e JOIN {vh} st ON e.src = st.node
+              GROUP BY e.dst
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("__w") * F.col("hub")).alias("authority"))
-        )
-        auth = _normalized(a_raw, "authority")
-        h_raw = (
-            edges.join(
-                auth.select(F.col("node").alias("dst"), "authority"),
-                on="dst",
+            SELECT node,
+                   CASE WHEN {a_nrm} > 0 THEN authority / {a_nrm}
+                        ELSE 0.0d END AS authority
+            FROM a_raw
+        """
+        h_nrm = "(SELECT sqrt(sum(hub * hub)) FROM h_raw)"
+        hub_sql = f"""
+            WITH h_raw AS (
+              SELECT e.src AS node, sum(e.__w * a.authority) AS hub
+              FROM {ved} e JOIN {va} a ON e.dst = a.node
+              GROUP BY e.src
             )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum(F.col("__w") * F.col("authority")).alias("hub"))
-        )
-        # one checkpoint per full iteration: auth's lineage hangs off
-        # the previous round's checkpointed hub, so it stays shallow
-        hub = _normalized(h_raw, "hub").localCheckpoint(eager=True)
+            SELECT node,
+                   CASE WHEN {h_nrm} > 0 THEN hub / {h_nrm}
+                        ELSE 0.0d END AS hub
+            FROM h_raw
+        """
+        try:
+            for _ in range(n_iter):
+                hub.createOrReplaceTempView(vh)
+                auth = spark.sql(auth_sql).localCheckpoint(eager=True)
+                auth.createOrReplaceTempView(va)
+                hub = spark.sql(hub_sql).localCheckpoint(eager=True)
+        finally:
+            for v in (vh, va, ves, ved):
+                spark.catalog.dropTempView(v)
     return (
         nodes.join(hub, on="node", how="left")
         .join(auth, on="node", how="left")

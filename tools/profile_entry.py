@@ -39,9 +39,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     args = ap.parse_args()
 
+    import shutil
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
 
     import __spark_entry__ as E
     from pidb_rdf_spark.session import get_spark
@@ -51,6 +51,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
