@@ -201,35 +201,54 @@ def connected_components(
                 pairs.sparkSession, probe, edges.schema["src"].dataType
             )
     edges = edges.localCheckpoint(eager=True)
-    labels = (
+    # Pinned-layout loop (_fixpoint_conf): edges laid out by dst (the
+    # per-round join key) once, labels by node. Per round: the
+    # neighbor-min aggregate is the ONE exchange (GROUP BY src over
+    # the co-partitioned join ∪ own label), and the convergence test
+    # rides the same statement as a layout-preserving self-join flag
+    # (__chg) instead of a separate join job. min() over ids is
+    # order-independent, so values are identical to the
+    # union+groupBy-min form this replaces.
+    spark = pairs.sparkSession
+    nodes = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
-        .select(F.col("node"), F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # each node's new label: min(own, min over neighbors' labels)
-        nbr = (
-            edges.join(
-                labels.withColumnRenamed("node", "dst"), on="dst", how="inner"
-            )
-            .select(F.col("src").alias("node"), F.col("component"))
-        )
-        new = (
-            labels.unionAll(nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+    n = nodes.count()
+    with _fixpoint_conf(spark, n) as n_parts:
+        ew = edges.repartition(n_parts, "dst").localCheckpoint(eager=True)
+        labels = (
+            nodes.select("node", F.col("node").alias("component"))
+            .repartition(n_parts, "node")
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new.join(labels.withColumnRenamed("component", "old"), on="node")
-            .filter(F.col("component") != F.col("old"))
-            .isEmpty()
-        )
-        labels = new
-        if converged:
-            break
-    return labels
+        vl = _loop_view(labels, "cc_labels")
+        ve = _loop_view(ew, "cc_edges")
+        round_sql = f"""
+            SELECT m.node, m.component,
+                   (m.component != l.component) AS __chg
+            FROM (
+              SELECT node, min(component) AS component
+              FROM (
+                SELECT e.src AS node, nl.component
+                FROM {ve} e JOIN {vl} nl ON e.dst = nl.node
+                UNION ALL
+                SELECT node, component FROM {vl}
+              )
+              GROUP BY node
+            ) m JOIN {vl} l ON m.node = l.node
+        """
+        try:
+            for _ in range(max_iter):
+                labels.createOrReplaceTempView(vl)
+                labels = spark.sql(round_sql).localCheckpoint(eager=True)
+                if labels.filter("__chg").isEmpty():
+                    break
+        finally:
+            spark.catalog.dropTempView(vl)
+            spark.catalog.dropTempView(ve)
+    return labels.select("node", "component")
 
 
 def connected_components_star(
@@ -417,45 +436,66 @@ def sssp(
             )
         )
     edges = e.localCheckpoint(eager=True)
-    dist = (
-        sources.select(
-            F.col(sources.columns[0]).alias("node"),
-            F.lit(0).cast("long").alias("dist"),
-        )
-        .dropDuplicates(["node"])
+    # Pinned-layout loop (_fixpoint_conf): state = EVERY node (edge
+    # endpoints ∪ sources), dist NULL = unreached, laid out by node
+    # once; edges laid out by src once. The semi-naive frontier is a
+    # FILTER of the state (is_new carries "reached or strictly
+    # improved last round"), so the frontier⋈edges join is
+    # co-partitioned with no exchange, and the per-round plan is: one
+    # contribution shuffle (GROUP BY dst) + a layout-preserving merge
+    # left-join back onto the state. Long-integer min/+ semantics are
+    # exactly those of the union+min(struct) form this replaces: a
+    # candidate wins only when strictly smaller (ties keep old =
+    # is_new false), so the i-round invariant the oracle replays is
+    # unchanged.
+    spark = pairs.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .unionAll(sources.select(F.col(sources.columns[0]).alias("node")))
+        .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    frontier = dist
-    for _ in range(max_iter):
-        # ONE shuffle per round: merge the old distances with the
-        # relaxed candidates and take min(struct(dist, is_new)) per
-        # node — struct ordering breaks dist ties toward is_new=False
-        # (false < true), so is_new survives in the winner exactly
-        # when the node is newly reached or strictly improved. That
-        # folds candidate reduction, improvement detection, and the
-        # distance merge into a single aggregation.
-        cand = edges.join(
-            frontier.withColumnRenamed("node", "src"), on="src"
-        ).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).alias("dist"),
-            F.lit(True).alias("is_new"),
-        )
-        merged = (
-            dist.withColumn("is_new", F.lit(False))
-            .unionByName(cand)
-            .groupBy("node")
-            .agg(F.min(F.struct("dist", "is_new")).alias("s"))
-            .select(
-                "node", F.col("s.dist").alias("dist"), F.col("s.is_new").alias("is_new")
+    n = nodes.count()
+    with _fixpoint_conf(spark, n) as n_parts:
+        ew = edges.repartition(n_parts, "src").localCheckpoint(eager=True)
+        state = (
+            nodes.join(
+                sources.select(
+                    F.col(sources.columns[0]).alias("node"),
+                    F.lit(0).cast("long").alias("dist"),
+                ).dropDuplicates(["node"]),
+                on="node",
+                how="left",
             )
+            .select("node", "dist", F.col("dist").isNotNull().alias("is_new"))
+            .repartition(n_parts, "node")
             .localCheckpoint(eager=True)
         )
-        frontier = merged.filter("is_new").select("node", "dist")
-        if frontier.isEmpty():
-            return merged.select("node", "dist")
-        dist = merged.select("node", "dist")
-    return dist
+        vs = _loop_view(state, "sssp_state")
+        ve = _loop_view(ew, "sssp_edges")
+        improved = "c.nd IS NOT NULL AND (s.dist IS NULL OR c.nd < s.dist)"
+        round_sql = f"""
+            SELECT s.node,
+                   CASE WHEN {improved} THEN c.nd ELSE s.dist END AS dist,
+                   ({improved}) AS is_new
+            FROM {vs} s
+            LEFT JOIN (
+              SELECT e.dst AS node, min(f.dist + e.w) AS nd
+              FROM {ve} e JOIN {vs} f ON e.src = f.node AND f.is_new
+              GROUP BY e.dst
+            ) c ON s.node = c.node
+        """
+        try:
+            for _ in range(max_iter):
+                state.createOrReplaceTempView(vs)
+                state = spark.sql(round_sql).localCheckpoint(eager=True)
+                if state.filter("is_new").isEmpty():
+                    break
+        finally:
+            spark.catalog.dropTempView(vs)
+            spark.catalog.dropTempView(ve)
+    return state.filter(F.col("dist").isNotNull()).select("node", "dist")
 
 
 def pagerank(
@@ -907,30 +947,49 @@ def label_propagation(
             .agg(F.sum("__w").alias("__w"))
         )
     edges = edges.localCheckpoint(eager=True)
-    labels = (
+    # Pinned-layout loop (_fixpoint_conf): edges laid out by dst (the
+    # per-round join key) once, labels by node. Per round the whole
+    # most-frequent-label step is ONE statement: the (node, label)
+    # weight aggregate, a max-over-node window in place of the
+    # separate best-aggregate + re-join, and the tie-break min — two
+    # exchanges (to (src,community), then to src) instead of the
+    # join/agg/join/agg chain. Values are identical: the window max
+    # ranges over exactly the same per-(node,label) sums the old
+    # best-frame held, and the min tie-break is unchanged.
+    spark = pairs.sparkSession
+    nodes = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
-        .select("node", F.col("node").alias("community"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(n_iter):
-        freq = (
-            edges.join(
-                labels.withColumnRenamed("node", "dst"), on="dst"
-            )
-            .groupBy(F.col("src").alias("node"), F.col("community"))
-            .agg(F.sum("__w").alias("__n"))
-        )
-        # most frequent neighbor label; ties -> smallest label
-        # (two aggregations keyed on node — works for any id type)
-        best = freq.groupBy("node").agg(F.max("__n").alias("__m"))
+    n = nodes.count()
+    with _fixpoint_conf(spark, n) as n_parts:
+        ew = edges.repartition(n_parts, "dst").localCheckpoint(eager=True)
         labels = (
-            freq.join(best, on="node")
-            .filter(F.col("__n") == F.col("__m"))
-            .groupBy("node")
-            .agg(F.min("community").alias("community"))
+            nodes.select("node", F.col("node").alias("community"))
+            .repartition(n_parts, "node")
             .localCheckpoint(eager=True)
         )
+        vl = _loop_view(labels, "lpa_labels")
+        ve = _loop_view(ew, "lpa_edges")
+        round_sql = f"""
+            SELECT node, min(community) AS community
+            FROM (
+              SELECT src AS node, community, sum(__w) AS __n,
+                     max(sum(__w)) OVER (PARTITION BY src) AS __m
+              FROM {ve} e JOIN {vl} l ON e.dst = l.node
+              GROUP BY src, community
+            )
+            WHERE __n = __m
+            GROUP BY node
+        """
+        try:
+            for _ in range(n_iter):
+                labels.createOrReplaceTempView(vl)
+                labels = spark.sql(round_sql).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(vl)
+            spark.catalog.dropTempView(ve)
     return labels
 
 
