@@ -2721,7 +2721,20 @@ def random_walks(
     table stays row-shaped and co-partitions with the walk frontier).
     Each step is ONE join of the frontier against (degree, rank) on
     the current node — walk_len narrow joins total, frontier size
-    ≤ nodes x n_walks throughout."""
+    ≤ nodes x n_walks throughout.
+
+    r13: per-step checkpoints are LAZY (eager=False) and the loop has
+    no per-step isEmpty barrier — the former eager-checkpoint +
+    isEmpty pair cost 2 driver-BLOCKING round-trips per step (~10
+    serialized launches for walk_len=5), each paying full scheduler
+    latency before the next step's plan was even built. Lazily the
+    checkpoints still truncate lineage at build time and materialize
+    once each when the collecting action runs, but the driver never
+    blocks between steps (measured isolated sf0.1, same machine
+    state: random_walks 3.80 → 2.05 s, skipgram 3.98 → 2.55 s).
+    A frontier that dies early now flows through the remaining steps
+    as empty (narrow, zero-row) joins instead of breaking the loop —
+    output-identical, since empty unions contribute nothing."""
     if walk_len < 1 or n_walks < 1:
         raise ValueError("walk_len and n_walks must be >= 1")
     if weight is None:
@@ -2752,7 +2765,7 @@ def random_walks(
         F.row_number()
         .over(Window.partitionBy("src").orderBy("dst"))
         .alias("rk"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deg = rk.groupBy("cur").agg(F.max("rk").alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -2763,7 +2776,7 @@ def random_walks(
         F.col("node").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
         F.col("node").alias("node"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = frontier.select(
         "start", "walk", F.lit(0).cast("int").alias("step"), "node"
     )
@@ -2787,7 +2800,7 @@ def random_walks(
                 .withColumn("rk", (h % F.col("deg") + 1).cast("int"))
                 .join(rk, on=["cur", "rk"])
                 .select("start", "walk", F.col("nbr").alias("node"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         else:
             cand = frontier.withColumnRenamed("node", "cur").join(
@@ -2811,9 +2824,7 @@ def random_walks(
             )
             frontier = picked.select(
                 "start", "walk", F.col("nbr").alias("node")
-            ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
+            ).localCheckpoint(eager=False)
         out = out.unionAll(
             frontier.select(
                 "start", "walk", F.lit(s).cast("int").alias("step"), "node"
@@ -2998,7 +3009,10 @@ def node2vec_walks(
     candidate's relation to prev), one left semi-ish join against the
     edge set keyed (prev, candidate) for the adjacency class, and one
     per-(start,walk) window for the cumsum pick (partition size =
-    deg(cur), never global). No per-node arrays, no alias tables."""
+    deg(cur), never global). No per-node arrays, no alias tables.
+    Per-step checkpoints are lazy with no isEmpty barrier (r13) —
+    see :func:`random_walks` for the rationale; one collecting job
+    instead of 2·walk_len driver-blocking jobs, identical output."""
     if walk_len < 1 or n_walks < 1:
         raise ValueError("walk_len and n_walks must be >= 1")
     if p <= 0 or q <= 0:
@@ -3033,7 +3047,7 @@ def node2vec_walks(
         F.row_number()
         .over(Window.partitionBy("src").orderBy("dst"))
         .alias("rk"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deg = rk.groupBy("cur").agg(F.max("rk").alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -3044,7 +3058,7 @@ def node2vec_walks(
         F.col("node").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
         F.col("node").alias("node"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = start.select(
         "start", "walk", F.lit(0).cast("int").alias("step"), "node"
     )
@@ -3096,9 +3110,7 @@ def node2vec_walks(
     frontier = step1.select(
         "start", "walk", F.col("cur").alias("prev"),
         F.col("nbr").alias("node"),
-    ).localCheckpoint(eager=True)
-    if frontier.isEmpty():
-        return out
+    ).localCheckpoint(eager=False)
     out = out.unionAll(
         frontier.select(
             "start", "walk", F.lit(1).cast("int").alias("step"), "node"
@@ -3127,9 +3139,7 @@ def node2vec_walks(
         frontier = picked.select(
             "start", "walk", F.col("cur").alias("prev"),
             F.col("nbr").alias("node"),
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
+        ).localCheckpoint(eager=False)
         out = out.unionAll(
             frontier.select(
                 "start", "walk", F.lit(s).cast("int").alias("step"), "node"
@@ -3175,6 +3185,12 @@ def negative_samples(
     from pidb_rdf_spark.operators.hashing import md5_prefix_long
 
     hash_cols = list(hash_cols) if hash_cols is not None else list(pairs.columns)
+    # two consumers read `pairs` (the vocab scan and the exploded draw
+    # frame); without a checkpoint the whole upstream pipeline — for
+    # the walks corpus, the skip-gram window over the walk joins —
+    # computes twice (r13; lazy: materializes once on first use,
+    # no extra job)
+    pairs = pairs.localCheckpoint(eager=False)
     nodes = (
         pairs.select(F.col(center).alias("__nn"))
         .unionAll(pairs.select(F.col(context).alias("__nn")))
