@@ -1892,7 +1892,13 @@ def node_similarity(
         )
     ).localCheckpoint(eager=True)
     deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # r13: same single-task wedge-expansion hazard as
+    # link_prediction — spread the (materialized, so the partition
+    # probe is free) neighbor table up to the core count before the
+    # self-join; no-op at corpus scale.
     gen = nbrs
+    if nbrs.rdd.getNumPartitions() < (cores := pairs.sparkSession.sparkContext.defaultParallelism):
+        gen = gen.repartition(cores)
     if max_degree is not None:
         nbr_deg = nbrs.groupBy("nbr").agg(F.count(F.lit(1)).alias("nd"))
         gen = nbrs.join(
@@ -2304,7 +2310,20 @@ def link_prediction(
         F.col("src").alias("node"), F.col("dst").alias("nbr")
     ).localCheckpoint(eager=True)
     deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # r13: the wedge self-join below BROADCASTS one side, so its
+    # explosive output (Σ deg(z)² rows) is produced on the stream
+    # side's partitioning — on a small/AQE-coalesced input that was
+    # ONE task doing the entire wedge expansion + partial aggregate
+    # (measured sf0.1: a 5.5 s single-task stage in a 5.8 s query).
+    # The checkpoint above is materialized, so its partition count is
+    # a free metadata read (probing BEFORE the checkpoint would
+    # execute the whole upstream plan a second time — measured
+    # regression); when the count is sub-core the stream side gets an
+    # explicit round-robin spread, which also evens out hot-hub rows
+    # (guide §2.5/§2.6). No-op at corpus scale.
     gen = nbrs
+    if nbrs.rdd.getNumPartitions() < (cores := pairs.sparkSession.sparkContext.defaultParallelism):
+        gen = gen.repartition(cores)
     if max_degree is not None:
         nbr_deg = nbrs.groupBy("nbr").agg(F.count(F.lit(1)).alias("nd"))
         gen = nbrs.join(
