@@ -42,13 +42,19 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF
     (idf = ln(N / df), ties broken by term for determinism)."""
-    n_docs = df.count()
+    # corpus size folded in as a broadcast 1-row aggregate (r13): a
+    # driver-side df.count() was a second full corpus scan + an extra
+    # blocking job just to learn a scalar the plan can carry itself
+    # (guide §5: the driver should do almost no data work); the cast
+    # to double matches the old float literal bit-for-bit
+    ndocs = df.agg(F.count("*").cast("double").alias("_ndocs"))
     tc = _term_counts(df, id_col, text_col)
     docfreq = tc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
         tc.join(docfreq, on="term")
-        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("_ndocs") / F.col("df")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rank")
@@ -85,7 +91,11 @@ def bm25_search(
         raise ValueError("empty query")
     qdf = spark.createDataFrame([(t,) for t in sorted(set(q_terms))], ["term"])
 
-    n_docs = df.count()
+    # corpus size folded in as a broadcast 1-row aggregate (r13) —
+    # same rationale and bit-identical arithmetic as tfidf_top_terms;
+    # counted over df itself (not doclen) so empty/NULL-text docs
+    # still count, exactly like the old df.count()
+    ndocs = df.agg(F.count("*").cast("double").alias("_ndocs"))
     tc = _term_counts(df, id_col, text_col)
     doclen = tc.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     # avgdl folded in as a broadcast 1-row aggregate: no separate
@@ -100,7 +110,7 @@ def bm25_search(
 
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("_ndocs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
@@ -110,6 +120,7 @@ def bm25_search(
         .join(F.broadcast(docfreq), on="term")
         .join(doclen, on="id")
         .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(ndocs))
         .withColumn("contrib", idf * tf_part)
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
