@@ -742,6 +742,16 @@ def embedding_near_dup_pairs(
                 F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
             )
             .dropDuplicates()
+            # r13: the verify stage downstream pays ~17 µs/pair at the
+            # Arrow boundary (two vector columns per row) but AQE
+            # coalesces the 16-byte id-pair shuffle to a handful of
+            # partitions (bytes-sized, guide §2.2) — starving the
+            # CPU-bound dot stage. An explicit-count round-robin is
+            # respected by AQE and costs one exchange of bare id pairs
+            # (the cheapest rows in the pipeline, by design).
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism
+            )
         )
         # vectors rejoin once per surviving pair; cosine is one
         # Arrow-batched einsum, not a per-element codegen fold
