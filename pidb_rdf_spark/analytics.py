@@ -2010,7 +2010,18 @@ def _louvain_moves(
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("deg")
     ).localCheckpoint(eager=True)
-    ext = edges.filter(F.col("src") != F.col("dst"))
+    # r13 pinned layout: the only per-round consumer of ext joins it
+    # on dst, so lay it out by dst ONCE before the rounds (inside
+    # _fixpoint_conf the shuffle.partitions match, so the per-round
+    # k_uc join reuses this layout with no new exchange)
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    ext = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .repartition(n_parts, "dst")
+        .localCheckpoint(eager=True)
+    )
     quiet = 0
     for r in range(n_rounds):
         tot = (
@@ -2122,21 +2133,20 @@ def _louvain_moves(
                 ).alias("moved"),
             )
         )
-        new = _pin(
-            labels.join(best, on="node", how="left")
-            .select(
-                "node",
-                F.coalesce(F.col("moved"), F.col("community")).alias(
-                    "community"
-                ),
-            )
+        # pin the JOINED frame (still carrying the moved flag): the
+        # settled probe then reads the materialized checkpoint with a
+        # cheap filter instead of re-joining new vs old labels per
+        # round (r13: one fewer per-round job; `moved` is non-null
+        # exactly when the node changed community, since the argmax
+        # requires a STRICT improvement over the current community)
+        joined = _pin(labels.join(best, on="node", how="left"))
+        settled = joined.filter(F.col("moved").isNotNull()).isEmpty()
+        labels = joined.select(
+            "node",
+            F.coalesce(F.col("moved"), F.col("community")).alias(
+                "community"
+            ),
         )
-        settled = (
-            new.join(labels.withColumnRenamed("community", "__old"), on="node")
-            .filter(F.col("community") != F.col("__old"))
-            .isEmpty()
-        )
-        labels = new
         if settled:
             quiet += 1
             if quiet >= 2:  # both alternation classes settled
@@ -2215,7 +2225,14 @@ def louvain(
 
 
 def _louvain_levels(e: DataFrame, levels: int, n_rounds: int) -> DataFrame:
-    """The level loop of :func:`louvain`."""
+    """The level loop of :func:`louvain`. Runs under the pinned
+    static layout of :func:`_fixpoint_conf` (r13): AQE off so the
+    ~8-exchange round body stops materializing one job per exchange
+    and round r+1 reuses round r's checkpointed hash layout, fixed
+    size-derived shuffle partitions, no per-round broadcast builds.
+    Float semantics and move decisions are expression-identical; only
+    plan shape and partition layout change."""
+    spark = e.sparkSession
     two_m = float(
         e.agg(F.sum("w").alias("s")).first()["s"]
     )  # symmetric list already counts each edge twice
@@ -2223,6 +2240,15 @@ def _louvain_levels(e: DataFrame, levels: int, n_rounds: int) -> DataFrame:
     assign = nodes.select(
         "node", F.col("node").alias("community")
     ).localCheckpoint(eager=True)
+    n = assign.count()
+    with _fixpoint_conf(spark, n):
+        return _louvain_levels_inner(e, assign, levels, n_rounds, two_m)
+
+
+def _louvain_levels_inner(
+    e: DataFrame, assign: DataFrame, levels: int, n_rounds: int,
+    two_m: float,
+) -> DataFrame:
     for _ in range(levels):
         moved = _louvain_moves(
             e, assign.select(F.col("community").alias("node")).dropDuplicates()
