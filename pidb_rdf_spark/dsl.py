@@ -141,7 +141,7 @@ class Traversal:
         traverser-id semi/anti join — never a per-row loop."""
         src = self.df.withColumn(
             "__tid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         b = body(Traversal(self.g, src, self.on_edges))
         hits = b.df.select("__tid").dropDuplicates()
         how = "leftsemi" if keep else "leftanti"
@@ -362,7 +362,11 @@ class Traversal:
         for i in range(max_iter):
             cur = body(cur)
             on_edges = cur.on_edges
-            stepped = cur.df.localCheckpoint(eager=True)
+            # LAZY checkpoints (r13, same discipline as the walk
+            # loops): lineage still truncates per round, but the
+            # materialization rides the round's ONE driver action
+            # (the isEmpty below) instead of two blocking jobs first.
+            stepped = cur.df.localCheckpoint(eager=False)
             cur = Traversal(self.g, stepped, on_edges)
             if times is not None and i + 1 >= times:
                 done.append(stepped)
@@ -371,7 +375,7 @@ class Traversal:
             done.append(stepped if emit else stopped)
             rest = cur.df.join(
                 stopped.select(CUR).dropDuplicates(), on=CUR, how="leftanti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             if rest.isEmpty():
                 break
             cur = Traversal(self.g, rest, on_edges)
@@ -392,7 +396,7 @@ class Traversal:
             raise ValueError("coalesce_() needs at least one branch")
         src = self.df.withColumn(
             "__tid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         outs = []
         on_edges = self.on_edges
         for rank, branch in enumerate(branches):
@@ -598,7 +602,7 @@ class Traversal:
         break on element id (deterministic across partitionings)."""
         src = self.df.withColumn(
             "__tid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         b = body(Traversal(self.g, src, self.on_edges))
         df = b.df
         if dedup:
@@ -890,7 +894,7 @@ class Traversal:
             raise ValueError("project() needs at least one named modulator")
         src = self.df.withColumn(
             "__tid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         out = src.select("__tid")
         for name, spec in specs.items():
             part = self._by_modulator(src, name, spec)
@@ -924,7 +928,7 @@ class Traversal:
             )
         src = self.df.withColumn(
             "__tid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         keyed = self._by_modulator(src, "key", key)
         nodes = self.g.nodes.withColumnRenamed("id", CUR)
         vals = src.join(nodes, on=CUR, how="inner").select(
