@@ -1772,6 +1772,32 @@ def betweenness_centrality(
         if sources is None
         else sources.select(F.col(sources.columns[0]).alias("origin")).dropDuplicates()
     ).localCheckpoint(eager=True)
+    # r13: both passes run under the pinned static layout (AQE off so
+    # per-level checkpoints keep their hash layout and exchanges stop
+    # materializing one job each; size-derived partitions) — the
+    # settled state is at most |origins| x |nodes| rows, the honest
+    # upper bound for the layout sizer. The edge frame is laid out by
+    # src ONCE (both passes join on src), never per level.
+    n_state = origins.count() * all_nodes.count()
+    with _fixpoint_conf(edges.sparkSession, n_state) as n_parts:
+        return _betweenness_unweighted_inner(
+            edges.repartition(n_parts, "src").localCheckpoint(eager=True),
+            all_nodes, origins, directed, max_iter,
+        )
+
+
+def _betweenness_unweighted_inner(
+    edges: DataFrame,
+    all_nodes: DataFrame,
+    origins: DataFrame,
+    directed: bool,
+    max_iter: int,
+) -> DataFrame:
+    """Both Brandes passes of :func:`betweenness_centrality`, run
+    under the caller's pinned layout. Per-level checkpoints are LAZY
+    (walk-loop discipline): the forward pass's one ``isEmpty`` probe
+    per level materializes that level, the backward pass rides the
+    final action; math is expression-identical either way."""
     # -- forward: settle (origin, node) -> (lvl, sigma), level by level
     state = origins.select(
         "origin",
@@ -1790,7 +1816,7 @@ def betweenness_centrality(
             .agg(F.sum("sigma").alias("sigma"))
             .join(state.select("origin", "node"), on=["origin", "node"], how="leftanti")
             .select("origin", "node", F.lit(lvl).alias("lvl"), "sigma")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
@@ -1841,7 +1867,7 @@ def betweenness_centrality(
             cur.join(contrib, on=["origin", "node"], how="left")
             .withColumn("delta", F.coalesce("acc", F.lit(0.0)))
             .drop("acc")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         parts.append(upper)
     delta = parts[0]
