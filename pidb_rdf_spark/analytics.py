@@ -3357,26 +3357,40 @@ def neighborhood_function(
     )
 
     if tier == "exact":
-        state = nodes.select("node", F.col("node").alias("member"))
-        state = state.localCheckpoint(eager=True)
-        out = [(0, float(state.count()))]
-        frontier = state
-        for r in range(1, max_radius + 1):
-            grown = (
-                frontier.join(
-                    edges.withColumnRenamed("src", "member"), on="member"
-                )
-                .select("node", F.col("dst").alias("member"))
-                .dropDuplicates()
-                .join(state, on=["node", "member"], how="leftanti")
+        # r13 pinned layout: the loop runs under _fixpoint_conf (AQE
+        # off, size-derived partitions from the ball-state bound) with
+        # the edge frame laid out by the join key ONCE; the per-round
+        # checkpoint is LAZY and ONE count() both materializes it and
+        # doubles as the termination probe (was: eager checkpoint +
+        # isEmpty + count = 3 driver actions per round).
+        n_nodes = nodes.count()
+        with _fixpoint_conf(
+            edges.sparkSession, n_nodes * (max_radius + 1)
+        ) as n_parts:
+            e_by_member = (
+                edges.withColumnRenamed("src", "member")
+                .repartition(n_parts, "member")
                 .localCheckpoint(eager=True)
             )
-            if grown.isEmpty():
-                break
-            state = state.unionAll(grown)
-            frontier = grown
-            out.append((r, out[-1][1] + float(grown.count())))
-        return out
+            state = nodes.select("node", F.col("node").alias("member"))
+            state = state.localCheckpoint(eager=True)
+            out = [(0, float(n_nodes))]
+            frontier = state
+            for r in range(1, max_radius + 1):
+                grown = (
+                    frontier.join(e_by_member, on="member")
+                    .select("node", F.col("dst").alias("member"))
+                    .dropDuplicates()
+                    .join(state, on=["node", "member"], how="leftanti")
+                    .localCheckpoint(eager=False)
+                )
+                n_grown = grown.count()
+                if n_grown == 0:
+                    break
+                state = state.unionAll(grown)
+                frontier = grown
+                out.append((r, out[-1][1] + float(n_grown)))
+            return out
 
     b = int(registers_log2)
     if not 4 <= b <= 12:
@@ -3420,45 +3434,54 @@ def neighborhood_function(
             rf.agg(F.sum(node_est).alias("t")).first()["t"] or 0.0
         )
 
-    out = [(0, total(regs))]
-    for r in range(1, max_radius + 1):
-        contrib = (
-            edges.join(
-                regs.select(F.col("node").alias("dst"), "regs"), on="dst"
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(
-                *[
-                    F.max(F.col("regs")[i]).alias(f"__r{i}")
-                    for i in range(m)
-                ]
-            )
+    # r13 pinned layout (same discipline as the exact tier): AQE off
+    # for the loop, edge frame laid out by dst once, per-round
+    # checkpoints lazy (the changed-probe materializes them). The
+    # register math is expression-identical.
+    with _fixpoint_conf(edges.sparkSession, nodes.count()) as n_parts:
+        edges = edges.repartition(n_parts, "dst").localCheckpoint(
+            eager=True
         )
-        new = (
-            regs.join(contrib, on="node", how="left")
-            .select(
-                "node",
-                F.array(
+        out = [(0, total(regs))]
+        for r in range(1, max_radius + 1):
+            contrib = (
+                edges.join(
+                    regs.select(F.col("node").alias("dst"), "regs"),
+                    on="dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(
                     *[
-                        F.greatest(
-                            F.col("regs")[i],
-                            F.coalesce(F.col(f"__r{i}"), F.lit(0)),
-                        )
+                        F.max(F.col("regs")[i]).alias(f"__r{i}")
                         for i in range(m)
                     ]
-                ).alias("regs"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.join(regs.withColumnRenamed("regs", "__old"), on="node")
-            .filter(F.col("regs") != F.col("__old"))
-            .isEmpty()
-        )
-        regs = new
-        if changed:
-            break
-        out.append((r, total(regs)))
+            new = (
+                regs.join(contrib, on="node", how="left")
+                .select(
+                    "node",
+                    F.array(
+                        *[
+                            F.greatest(
+                                F.col("regs")[i],
+                                F.coalesce(F.col(f"__r{i}"), F.lit(0)),
+                            )
+                            for i in range(m)
+                        ]
+                    ).alias("regs"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                new.join(regs.withColumnRenamed("regs", "__old"), on="node")
+                .filter(F.col("regs") != F.col("__old"))
+                .isEmpty()
+            )
+            regs = new
+            if changed:
+                break
+            out.append((r, total(regs)))
     return out
 
 
