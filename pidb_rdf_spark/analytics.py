@@ -2992,8 +2992,8 @@ def _ranked_local(
 
 def ranked_vocabulary(
     nodes: DataFrame, col: str = "__nn", out: str = "__rk",
-    n_partitions: int | None = None,
-) -> DataFrame:
+    n_partitions: int | None = None, return_total: bool = False,
+):
     """Dense global rank 1..n of a DISTINCT-valued column WITHOUT a
     single-partition sort — the scale-safe replacement for
     ``row_number().over(Window.orderBy(col))``, which Spark executes
@@ -3025,17 +3025,24 @@ def ranked_vocabulary(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    # ``acc`` is the exact total row count — already on the driver
+    # from the bounded per-partition count pass, so callers that need
+    # |vocab| (return_total=True) get it WITHOUT another aggregation
+    # job over the data (r13: negative_samples used to re-derive it
+    # as a max-rank broadcast aggregate).
     if not offsets:
-        return local.select(F.col(col), F.col("__lrk").alias(out))
+        empty = local.select(F.col(col), F.col("__lrk").alias(out))
+        return (empty, 0) if return_total else empty
     omap = F.create_map(
         *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
     )
-    return local.select(
+    ranked = local.select(
         F.col(col),
         (F.element_at(omap, F.col("__pid")) + F.col("__lrk"))
         .cast("int")
         .alias(out),
     )
+    return (ranked, acc) if return_total else ranked
 
 
 def node2vec_walks(
@@ -3267,27 +3274,39 @@ def negative_samples(
         .unionAll(pairs.select(F.col(context).alias("__nn")))
         .dropDuplicates()
     )
-    ranked = ranked_vocabulary(nodes, col="__nn", out="__rk")
-    n_frame = ranked.agg(F.max("__rk").alias("__n"))
+    ranked, n_vocab = ranked_vocabulary(
+        nodes, col="__nn", out="__rk", return_total=True
+    )
+    # |vocab| comes free with the ranking's bounded count pass — as a
+    # plan literal it replaces the old max-rank broadcast aggregate
+    # (same integer by construction: ranks are dense 1..n), deleting a
+    # crossJoin subtree and its broadcast-build job (r13, guide §2.4).
     key = F.concat_ws(
         ":", F.lit(salt), *[F.col(c).cast("string") for c in hash_cols]
     )
-    ex = (
-        pairs.select("*", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_i"))
-        .crossJoin(F.broadcast(n_frame))
-        .withColumn(
-            "__rk",
-            (
-                md5_prefix_long(
-                    F.concat(key, F.lit(":"), F.col("neg_i").cast("string")),
-                    52,
-                )
-                % F.col("__n")
-                + F.lit(1)
-            ).cast("int"),
-        )
-        .drop("__n")
+    ex = pairs.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_i")
+    ).withColumn(
+        "__rk",
+        (
+            md5_prefix_long(
+                F.concat(key, F.lit(":"), F.col("neg_i").cast("string")),
+                52,
+            )
+            % F.lit(n_vocab)
+            + F.lit(1)
+        ).cast("int"),
     )
+    # The draw join: without a hint the planner size-estimates the
+    # ranked vocab from its checkpoint and picks a sort-merge join —
+    # shuffling the WHOLE exploded corpus by the draw rank (guide §8's
+    # anti-pattern: heavy rows moved by a key unrelated to any
+    # downstream layout). The vocab's exact row count is in hand, so
+    # broadcast it whenever it provably fits (~40 B/row, cap well
+    # under the default 10 MB autoBroadcast threshold); a corpus-scale
+    # vocabulary falls back to the sort-merge plan unchanged.
+    if 0 < n_vocab <= 250_000:
+        ranked = F.broadcast(ranked)
     out = (
         ex.join(ranked, on="__rk")
         .withColumnRenamed("__nn", "negative")
