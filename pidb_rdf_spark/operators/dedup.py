@@ -1094,13 +1094,25 @@ def save_minhash_index(
     sets = shingle_hash_sets(df, id_col, text_col, k).localCheckpoint(
         eager=False
     )
+    # r13 (guide §6: output file sizing): the frames inherit the
+    # shingle stage's partitioning (core count at minimum), so a small
+    # corpus wrote ~32 near-empty files per table and EVERY later
+    # query paid ~64 file opens/footers. Size the files from the doc
+    # count instead: set rows carry the ~KB shingle array (~100k rows
+    # ≈ a few hundred MB/file), bucket rows are ~50 B (bands per doc,
+    # ~2M rows ≈ ~100 MB/file). The repartition is a one-time exchange
+    # of id+hash index rows at build time — the count also
+    # materializes the checkpoint the two writes reuse.
+    n_docs = sets.count()
+    n_set_files = max(1, -(-n_docs // 100_000))
+    n_bucket_files = max(1, -(-(n_docs * bands) // 2_000_000))
     sigs = _signatures_from_sets(sets, num_perm)
-    band_keys(sigs, bands, rows_per_band).write.mode("overwrite").parquet(
-        os.path.join(path, "buckets")
-    )
-    sets.select("id", F.col("harr").alias("arr"), "n_sh").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "sets"))
+    band_keys(sigs, bands, rows_per_band).repartition(
+        n_bucket_files
+    ).write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    sets.select("id", F.col("harr").alias("arr"), "n_sh").repartition(
+        n_set_files
+    ).write.mode("overwrite").parquet(os.path.join(path, "sets"))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -1179,10 +1191,22 @@ def save_simhash_index(
     import os
 
     sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    # r13: size the index files from the doc count (guide §6) — same
+    # rationale as save_minhash_index; both tables are ~16-50 B rows,
+    # so ~2M rows ≈ ~100 MB/file. One-time build-side exchange; the
+    # count materializes the checkpoint the two writes reuse.
+    n_docs = sig.count()
+    chunks_per_doc = max_hamming + 1
+    n_bucket_files = max(1, -(-(n_docs * chunks_per_doc) // 2_000_000))
+    n_sig_files = max(1, -(-n_docs // 2_000_000))
     _simhash_chunks(sig, bits, max_hamming).select(
         "id", "chunk", "cval"
-    ).write.mode("overwrite").parquet(os.path.join(path, "buckets"))
-    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    ).repartition(n_bucket_files).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    sig.repartition(n_sig_files).write.mode("overwrite").parquet(
+        os.path.join(path, "sigs")
+    )
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"bits": bits, "max_hamming": max_hamming}, f)
 
