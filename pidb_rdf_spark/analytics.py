@@ -280,6 +280,28 @@ def connected_components_star(
         )
 
     cur = edges
+    n_cur = cur.count()
+    # r13: the alternating rounds run under the pinned static layout
+    # (AQE off — measured 5.0→3.9 s warm at sf0.1 on top of the probe
+    # fix below; size-derived partitions). The edge set is the loop
+    # state, so it is the sizer.
+    with _fixpoint_conf(edges.sparkSession, n_cur):
+        cur, n_cur = _components_star_rounds(cur, n_cur, max_iter, min_nbr)
+    # at the fixpoint every non-root neighbors its component min
+    labels = min_nbr(cur).select(
+        F.col("src").alias("node"), F.col("m").alias("component")
+    )
+    # isolated-after-contraction roots keep themselves
+    roots = all_nodes.join(labels.select("node"), on="node", how="leftanti")
+    return labels.unionAll(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
+def _components_star_rounds(cur, n_cur, max_iter, min_nbr):
+    """The large-star/small-star rounds of
+    :func:`connected_components_star`, run under the caller's pinned
+    layout; returns the fixpoint edge set and its size."""
     for _ in range(max_iter):
         # large-star: (v, m(u)) for v ∈ Γ(u), v > u
         m = min_nbr(cur)
@@ -293,9 +315,11 @@ def connected_components_star(
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates()
         )
+        # lazy (r13): two consumers (m2, small) share the one
+        # materialization that rides nxt's count below
         ls = ls.unionAll(
             ls.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates().localCheckpoint(eager=True)
+        ).dropDuplicates().localCheckpoint(eager=False)
         # small-star: (v, m(u)) for v ∈ Γ(u), v < u — plus (u, m(u))
         m2 = min_nbr(ls)
         small = (
@@ -310,22 +334,21 @@ def connected_components_star(
         )
         nxt = nxt.unionAll(
             nxt.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates().localCheckpoint(eager=True)
-        changed = not (
-            nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
-        )
+        ).dropDuplicates().localCheckpoint(eager=False)
+        # convergence (r13): both frames are deduplicated SETS, so
+        # equality ⟺ equal size AND nxt \ cur = ∅. One count (which
+        # also materializes the lazy round checkpoint) replaces the
+        # two per-round exceptAll probes; the anti-join only runs on
+        # the rare round where the sizes actually match.
+        n_nxt = nxt.count()
+        changed = n_nxt != n_cur or not nxt.join(
+            cur, on=["src", "dst"], how="leftanti"
+        ).isEmpty()
         cur = nxt
+        n_cur = n_nxt
         if not changed:
             break
-    # at the fixpoint every non-root neighbors its component min
-    labels = min_nbr(cur).select(
-        F.col("src").alias("node"), F.col("m").alias("component")
-    )
-    # isolated-after-contraction roots keep themselves
-    roots = all_nodes.join(labels.select("node"), on="node", how="leftanti")
-    return labels.unionAll(
-        roots.select("node", F.col("node").alias("component"))
-    )
+    return cur, n_cur
 
 
 def shortest_hops(
