@@ -393,9 +393,14 @@ def shortest_hops(
             .dropDuplicates()
             .join(dist.select("node"), on="node", how="leftanti")
             .select("node", F.lit(hop).cast("long").alias("hops"))
-            .localCheckpoint(eager=True)
+            # lazy + count (r13): ONE count() both fully materializes
+            # the round checkpoint and decides termination. (An
+            # isEmpty probe here measured SLOWER than the eager form:
+            # it limit-probes, then doCheckpoint materializes the rest
+            # as a second implicit job — see OPTIMIZATION_r13.md.)
+            .localCheckpoint(eager=False)
         )
-        if reached.isEmpty():
+        if reached.count() == 0:
             break
         dist = dist.unionAll(reached)
         frontier = reached
