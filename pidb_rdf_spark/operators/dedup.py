@@ -723,12 +723,27 @@ def embedding_near_dup_pairs(
         # norm + bucket kernels are shuffle-free and inherit the
         # scan's partitioning; a one-file corpus would run them on a
         # single thread. No-op at real corpus scale.
-        normed = with_norm(ensure_min_parallelism(df), id_col, vec_col)
+        # Lazy checkpoint (guide §4.4 + §2.4): `normed` feeds THREE
+        # consumers (the signature self-join's two sides and the two
+        # vector re-attach sides), and the norm JVM fold is expensive
+        # enough that Catalyst's inferred isnotnull(norm) filters —
+        # pushed below the round-robin exchange onto the undivided
+        # scan — plus the per-consumer recompute added up to ~6 fold
+        # evaluations per corpus row (two of them single-threaded at
+        # sf0.1). Materialized once, norm is DATA: every consumer
+        # reads the 32-way blocks and the inferred filters cost a
+        # column null-check instead of a fold.
+        normed = with_norm(
+            ensure_min_parallelism(df), id_col, vec_col
+        ).localCheckpoint(eager=False)
         v = with_hyperplane_buckets(normed, vec_col, n_planes, n_tables)
         # candidate generation carries ONLY ids through the join +
         # dedup shuffles (a pair that collides in several tables would
-        # otherwise drag its vectors through the exchange L times)
-        sig = v.select(id_col, "table", "bucket")
+        # otherwise drag its vectors through the exchange L times);
+        # checkpointing the tiny (id, table, bucket) frame makes the
+        # self-join read ONE materialization instead of running the
+        # bucket kernel once per side
+        sig = v.select(id_col, "table", "bucket").localCheckpoint(eager=False)
         l = sig.alias("l")
         r = sig.alias("r")
         pair_ids = (

@@ -203,7 +203,15 @@ def with_hyperplane_buckets(
         return pd.Series(list(per_table))
 
     buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    buckets_udf = pandas_udf(buckets, "array<long>")
+    # asNondeterministic (guide §4.4): the downstream posexplode makes
+    # Catalyst infer a `size(__bkts)>0 AND isnotnull(__bkts)` filter on
+    # the UDF column, which it then pushes below any repartition and
+    # satisfies by RE-EVALUATING the UDF there — one full extra pass
+    # over the corpus, single-threaded when the pre-repartition scan is
+    # one file (measured: a 4.7 s 1-task stage inside a 7.3 s query at
+    # sf0.1). The function itself is pure (md5-seeded planes), so
+    # blocking the optimizer from duplicating it cannot change results.
+    buckets_udf = pandas_udf(buckets, "array<long>").asNondeterministic()
     return (
         df.withColumn("__bkts", buckets_udf(F.col(vec_col)))
         .select("*", F.posexplode("__bkts").alias("table", "bucket"))
