@@ -1840,10 +1840,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet").join(
             cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey")
         )
+        # joins BEFORE the pair dedup (r14, guide §2.3 — shuffle fewer
+        # bytes): the region-1 joins keep ~1/5 of lineitem, so the
+        # dropDuplicates shuffle moves the filtered pairs, not the
+        # whole table. Dedup keys ⊇ join keys, so join-then-dedup
+        # yields the identical pair set (oracle-verified).
         li = (
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             .select("l_orderkey", "l_suppkey")
-            .dropDuplicates()
             .join(
                 orders.select("o_orderkey"),
                 F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1852,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 supp.select("s_suppkey"),
                 F.col("l_suppkey") == F.col("s_suppkey"),
             )
+            .dropDuplicates(["l_orderkey", "l_suppkey"])
         )
 
         def uri(pfx, c):

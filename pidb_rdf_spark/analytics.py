@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
@@ -48,6 +49,36 @@ _LOOP_CODEGEN_OFF_MAX_ROWS = int(
 _LOOP_ROWS_PER_PARTITION = int(
     os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_PARTITION", "100000")
 )
+
+# State-size gate for the pinned-layout conversion (r14, VERDICT r13
+# #1). Below this many state rows the `_fixpoint_conf` form runs the
+# whole loop on ONE partition with AQE and broadcasts off, plus fixed
+# setup jobs (node count + two repartition+checkpoints) that never
+# amortize — the driver measured sssp 4.13→7.72 s and
+# connected_components_regions 1.55→2.11 s at sf0.1 from exactly this.
+# Loops with a semi-naive (shrinking-frontier) small-state form keep
+# their r12 AQE shape below the gate: the planner's broadcast-friendly
+# default wins at small state (the r13 transitive_closure rejection
+# proved the same point). Defaults to _LOOP_ROWS_PER_PARTITION — the
+# first state size at which the sizer allocates a second partition,
+# i.e. the point where the pinned layout starts to mean something.
+_FIXPOINT_MIN_STATE_ROWS = int(
+    os.environ.get(
+        "SPARK_GRAFT_FIXPOINT_MIN_STATE_ROWS", str(_LOOP_ROWS_PER_PARTITION)
+    )
+)
+
+# _fixpoint_conf mutates SESSION-GLOBAL SQL conf for the duration of a
+# loop. Concurrent loops on one session (threads submitting queries in
+# parallel, guide §2.6) would otherwise clobber each other's settings
+# and restore the wrong saved values; this lock serializes the loops
+# themselves (reentrant, so a loop that calls another loop nests
+# correctly: the inner restores the outer's values, the outer restores
+# the originals). Non-loop queries submitted concurrently from other
+# threads still observe the loop's conf while it runs — inherent to
+# session-global conf; isolate with a separate SparkSession
+# (`spark.newSession()`) when that matters.
+_FIXPOINT_LOCK = threading.RLock()
 
 _VIEW_SEQ = itertools.count()
 
@@ -86,31 +117,35 @@ def _fixpoint_conf(spark, n_state_rows: int):
     - whole-stage codegen off for small states only (see
       ``_LOOP_CODEGEN_OFF_MAX_ROWS``).
 
-    Everything is restored on exit, including on error."""
+    Everything is restored on exit, including on error. The whole
+    block runs under ``_FIXPOINT_LOCK`` (see its comment): interleaved
+    loops on one session serialize instead of corrupting each other's
+    saved conf."""
     keys = (
         "spark.sql.adaptive.enabled",
         "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.codegen.wholeStage",
     )
-    saved = {k: spark.conf.get(k) for k in keys}
-    n_parts = max(
-        1,
-        min(
-            int(saved["spark.sql.shuffle.partitions"]),
-            int(n_state_rows) // _LOOP_ROWS_PER_PARTITION + 1,
-        ),
-    )
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    if n_state_rows <= _LOOP_CODEGEN_OFF_MAX_ROWS:
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        yield n_parts
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+    with _FIXPOINT_LOCK:
+        saved = {k: spark.conf.get(k) for k in keys}
+        n_parts = max(
+            1,
+            min(
+                int(saved["spark.sql.shuffle.partitions"]),
+                int(n_state_rows) // _LOOP_ROWS_PER_PARTITION + 1,
+            ),
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        if n_state_rows <= _LOOP_CODEGEN_OFF_MAX_ROWS:
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            yield n_parts
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
 
 
 def _loop_view(df: DataFrame, prefix: str) -> str:
@@ -201,6 +236,23 @@ def connected_components(
                 pairs.sparkSession, probe, edges.schema["src"].dataType
             )
     edges = edges.localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    # State-size gate (r14, VERDICT r13 #1): below
+    # _FIXPOINT_MIN_STATE_ROWS the pinned-layout conversion runs its
+    # AQE-off rounds on ONE partition with fixed setup jobs (two
+    # repartition+checkpoints) that never amortize — the driver
+    # measured connected_components_regions 1.55→2.11 s at sf0.1 from
+    # the ungated form. Small graphs keep the r12 AQE loop — same
+    # min-label math, identical output. The nodes frame is shared:
+    # the small path seeds its labels from the same checkpoint.
+    if n < _FIXPOINT_MIN_STATE_ROWS:
+        return _connected_components_small(edges, nodes, max_iter)
     # Pinned-layout loop (_fixpoint_conf): edges laid out by dst (the
     # per-round join key) once, labels by node. Per round: the
     # neighbor-min aggregate is the ONE exchange (GROUP BY src over
@@ -209,13 +261,6 @@ def connected_components(
     # (__chg) instead of a separate join job. min() over ids is
     # order-independent, so values are identical to the
     # union+groupBy-min form this replaces.
-    spark = pairs.sparkSession
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
     with _fixpoint_conf(spark, n) as n_parts:
         ew = edges.repartition(n_parts, "dst").localCheckpoint(eager=True)
         labels = (
@@ -249,6 +294,39 @@ def connected_components(
             spark.catalog.dropTempView(vl)
             spark.catalog.dropTempView(ve)
     return labels.select("node", "component")
+
+
+def _connected_components_small(
+    edges: DataFrame, nodes: DataFrame, max_iter: int
+) -> DataFrame:
+    """Min-label propagation below the pinned-layout gate: the r12
+    AQE form — per round one union+groupBy-min plus a convergence
+    join, planner defaults (broadcast, AQE) left on. ``edges`` is the
+    symmetrized, checkpointed edge set; ``nodes`` its checkpointed
+    distinct endpoints (shared with the caller's gate probe). Output
+    contract identical to the pinned path: (node, component),
+    component = min reachable id."""
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    for _ in range(max_iter):
+        # each node's new label: min(own, min over neighbors' labels)
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), on="dst", how="inner"
+        ).select(F.col("src").alias("node"), F.col("component"))
+        new = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.join(labels.withColumnRenamed("component", "old"), on="node")
+            .filter(F.col("component") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new
+        if converged:
+            break
+    return labels
 
 
 def connected_components_star(
@@ -485,6 +563,17 @@ def sssp(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    # State-size gate (r14, VERDICT r13 #1): the pinned form carries
+    # the FULL node set as loop state — per round it rewrites O(V)
+    # rows even when the frontier is nearly empty, which only pays
+    # once the state is big enough to occupy a real layout (the
+    # driver measured 4.13→7.72 s at sf0.1 from the ungated
+    # conversion: 34k nodes → a SinglePartition AQE-off loop). Below
+    # the gate the r12 semi-naive form (frontier-sized rounds,
+    # planner defaults) wins; n — the true state size, the same number
+    # _fixpoint_conf sizes by — is the gate probe.
+    if n < _FIXPOINT_MIN_STATE_ROWS:
+        return _sssp_small(edges, sources, max_iter)
     with _fixpoint_conf(spark, n) as n_parts:
         ew = edges.repartition(n_parts, "src").localCheckpoint(eager=True)
         state = (
@@ -524,6 +613,57 @@ def sssp(
             spark.catalog.dropTempView(vs)
             spark.catalog.dropTempView(ve)
     return state.filter(F.col("dist").isNotNull()).select("node", "dist")
+
+
+def _sssp_small(
+    edges: DataFrame, sources: DataFrame, max_iter: int
+) -> DataFrame:
+    """Bellman-Ford below the pinned-layout gate: the r12 semi-naive
+    form whose per-round state is the reached set only, planner
+    defaults left on. ``edges`` is the direction-expanded (src, dst,
+    w) frame, already checkpointed. Long-integer min/+ semantics and
+    the i-round invariant match the pinned path exactly."""
+    dist = (
+        sources.select(
+            F.col(sources.columns[0]).alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        # ONE shuffle per round: merge the old distances with the
+        # relaxed candidates and take min(struct(dist, is_new)) per
+        # node — struct ordering breaks dist ties toward is_new=False
+        # (false < true), so is_new survives in the winner exactly
+        # when the node is newly reached or strictly improved. That
+        # folds candidate reduction, improvement detection, and the
+        # distance merge into a single aggregation.
+        cand = edges.join(
+            frontier.withColumnRenamed("node", "src"), on="src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(True).alias("is_new"),
+        )
+        merged = (
+            dist.withColumn("is_new", F.lit(False))
+            .unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "is_new")).alias("s"))
+            .select(
+                "node",
+                F.col("s.dist").alias("dist"),
+                F.col("s.is_new").alias("is_new"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter("is_new").select("node", "dist")
+        if frontier.isEmpty():
+            return merged.select("node", "dist")
+        dist = merged.select("node", "dist")
+    return dist
 
 
 def pagerank(
