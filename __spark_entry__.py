@@ -48,14 +48,21 @@ def _reasoner_hierarchy(spark: SparkSession, sf_dir: str):
     returns the cached closure for entries 2 and 3."""
     key = (id(spark), sf_dir)
     if key not in _HIER_CACHE:
+        # one explicit slice: createDataFrame alone slices even a
+        # 4-row list into default.parallelism partitions, and the
+        # union below inherits every slice — the closure's probe stage
+        # was 65 near-empty tasks for a 31-row hierarchy (r14, §2.2)
         labels = spark.createDataFrame(
-            [
-                ("Customer", "Actor"),
-                ("Supplier", "Actor"),
-                ("Nation", "Place"),
-                ("Region", "Place"),
-            ],
-            ["child", "parent"],
+            spark.sparkContext.parallelize(
+                [
+                    ("Customer", "Actor"),
+                    ("Supplier", "Actor"),
+                    ("Nation", "Place"),
+                    ("Region", "Place"),
+                ],
+                1,
+            ),
+            schema="child string, parent string",
         )
         nations = spark.read.parquet(f"{sf_dir}/nation.parquet")
         containment = nations.select(
@@ -63,8 +70,10 @@ def _reasoner_hierarchy(spark: SparkSession, sf_dir: str):
             F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string")).alias("parent"),
         )
         rels = spark.createDataFrame(
-            [("IN_NATION", "LOCATED"), ("IN_REGION", "LOCATED")],
-            ["child", "parent"],
+            spark.sparkContext.parallelize(
+                [("IN_NATION", "LOCATED"), ("IN_REGION", "LOCATED")], 1
+            ),
+            schema="child string, parent string",
         )
         _HIER_CACHE[key] = labels.unionAll(containment).unionAll(rels)
     return _HIER_CACHE[key]

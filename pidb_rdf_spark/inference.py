@@ -21,6 +21,7 @@ data tables broadcasts.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -33,6 +34,24 @@ SCO = "SCO"  # subclass-of
 SPO = "SPO"  # subproperty-of
 SRO = "SRO"  # subrelationship-of
 SLO = "SLO"  # sublabel-of
+
+# Driver-side closure growth bound (r14): small_cap bounds the EDGE
+# set a driver-side closure may collect, but a deep chain's closure is
+# quadratic in it; past this many pairs _closure_driver_side abandons
+# the attempt and the distributed fixpoint runs instead. ~1M tuples is
+# ~100-200 MB of transient driver sets — bounded, brief, safe.
+_DRIVER_CLOSURE_MAX_PAIRS = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_CLOSURE_MAX_PAIRS", "1000000")
+)
+
+# NOTE (r14, measured rejection): extending small_cap to the
+# DATA-sized closure call sites (SPARQL `+`/`*`, Cypher `[*]`,
+# closure_reachability) was tried at caps of 100k and 4096 edges and
+# measured SLOWER both ways at sf0.1 — at 16-32k collected pairs the
+# probe re-executes the pair subtree and pays a Python closure plus a
+# re-parallelize (~3.6 s vs the 2.2 s distributed loop), while a small
+# cap just wastes probe jobs before the loop runs anyway. small_cap
+# stays a vocabulary-hierarchy tier (hierarchy_closure).
 
 
 def transitive_closure(
@@ -59,11 +78,32 @@ def transitive_closure(
     """
     base = edges.select(F.col(child).alias("child"), F.col(parent).alias("parent")).dropDuplicates()
     if small_cap is not None:
-        probe = base.limit(small_cap + 1).collect()
-        if len(probe) <= small_cap:
-            return _closure_driver_side(
-                edges.sparkSession, base.schema, probe, include_self
+        # probe the RAW pair set first (r14): a bare limit+collect
+        # needs no shuffle (the limit pushes into the scan), where
+        # probing the deduplicated frame pays the dropDuplicates
+        # exchange — one near-empty task per input partition — before
+        # a single row comes back. raw ≤ cap ⟹ dedup ≤ cap, and
+        # _closure_driver_side dedups via its pair set anyway; only
+        # when raw overflows is the dedup probe worth its shuffle.
+        raw = edges.select(
+            F.col(child).alias("child"), F.col(parent).alias("parent")
+        ).limit(small_cap + 1).collect()
+        if len(raw) <= small_cap:
+            out = _closure_driver_side(
+                edges.sparkSession, base.schema, raw, include_self,
+                max_pairs=_DRIVER_CLOSURE_MAX_PAIRS,
             )
+            if out is not None:
+                return out
+        else:
+            probe = base.limit(small_cap + 1).collect()
+            if len(probe) <= small_cap:
+                out = _closure_driver_side(
+                    edges.sparkSession, base.schema, probe, include_self,
+                    max_pairs=_DRIVER_CLOSURE_MAX_PAIRS,
+                )
+                if out is not None:
+                    return out
     base = base.localCheckpoint(eager=True)
     closure = base
     frontier = base
@@ -106,10 +146,31 @@ def transitive_closure(
     return closure
 
 
-def _closure_driver_side(spark, schema, rows, include_self: bool) -> DataFrame:
+def _local_df(spark, rows, schema, rows_per_slice: int = 8192) -> DataFrame:
+    """DataFrame over driver-resident rows with a SIZE-DERIVED slice
+    count. ``spark.createDataFrame`` alone slices any local list into
+    ``default.parallelism`` partitions (32 near-empty tasks for a
+    vocabulary-sized list), while funneling the slices through a
+    ``coalesce(1)`` single task measured 6-9 s for a 32k-row closure —
+    explicit ``parallelize(rows, n)`` with n ≈ rows/8k avoids both
+    (r14, guide §2.2: partition counts follow data size)."""
+    n = max(1, min(int(spark.sparkContext.defaultParallelism),
+                   len(rows) // rows_per_slice + 1))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema=schema
+    )
+
+
+def _closure_driver_side(
+    spark, schema, rows, include_self: bool, max_pairs: int | None = None
+) -> DataFrame | None:
     """Full transitive closure of a driver-resident pair set (bounded
     by the caller's cap). One collect in, one ``createDataFrame`` out —
-    no per-round Spark jobs."""
+    no per-round Spark jobs. With ``max_pairs``, returns None as soon
+    as the closure grows past it (a deep chain can be quadratic in the
+    edge count even when the edge set fits under the collect cap) so
+    the caller can fall back to the distributed fixpoint; the wasted
+    driver work is bounded by ``max_pairs`` set inserts."""
     pairs = {(r["child"], r["parent"]) for r in rows}
     parents_of: dict = {}
     for c, p in pairs:
@@ -117,6 +178,8 @@ def _closure_driver_side(spark, schema, rows, include_self: bool) -> DataFrame:
     closure = set(pairs)
     frontier = pairs
     while frontier:
+        if max_pairs is not None and len(closure) > max_pairs:
+            return None
         new = set()
         for c, p in frontier:
             for anc in parents_of.get(p, ()):
@@ -131,7 +194,13 @@ def _closure_driver_side(spark, schema, rows, include_self: bool) -> DataFrame:
     # deterministic row order (None/mixed-type safe key); row order is
     # semantically irrelevant but keeps downstream plans reproducible
     ordered = sorted(closure, key=lambda t: tuple((v is None, str(v)) for v in t))
-    return spark.createDataFrame(ordered, schema=schema)
+    df = _local_df(spark, ordered, schema)
+    # the rows are already driver-resident — carry them on the frame
+    # so sub_closure/_bounded_names answer vocabulary-sized seeks with
+    # ZERO Spark jobs instead of a collect each (r14, guide §5: the
+    # driver does no data work — and launches no jobs it can skip)
+    df._pidb_local_rows = ordered
+    return df
 
 
 # Materialize-once closure per (hierarchy plan, kind): the three
@@ -224,12 +293,54 @@ def sub_closure(hierarchy: DataFrame, name: str, kind: str | None = None,
     """Names in the closure *below* ``name`` (itself included by
     default): the ``<-[:X*]-`` expansions of MicroReasoners."""
     clo = hierarchy_closure(hierarchy, kind)
+    local = getattr(clo, "_pidb_local_rows", None)
+    if local is not None:
+        # driver-resident closure: the seek is a list comprehension,
+        # not a Spark plan — zero jobs, same name set
+        from pyspark.sql import types as T
+
+        names = sorted(
+            {c for c, p in local if p == name}
+            | ({name} if include_self else set())
+        )
+        subs = _local_df(
+            clo.sparkSession,
+            [(n,) for n in names],
+            T.StructType(
+                [T.StructField("name", clo.schema["child"].dataType, True)]
+            ),
+        )
+        subs._pidb_local_rows = names
+        return subs
     subs = clo.filter(F.col("parent") == name).select(F.col("child").alias("name"))
     if include_self:
-        subs = subs.unionAll(
-            subs.sparkSession.createDataFrame([(name,)], ["name"])
-        ).dropDuplicates()
+        from pyspark.sql import types as T
+
+        self_row = _local_df(
+            subs.sparkSession,
+            [(name,)],
+            T.StructType(
+                [T.StructField("name", clo.schema["child"].dataType, True)]
+            ),
+        )
+        subs = subs.unionAll(self_row).dropDuplicates()
     return subs
+
+
+def _bounded_names(subs: DataFrame, cap: int) -> list | None:
+    """The sub-name set as a driver list when it fits under ``cap``
+    rows, else None. Sub-closures are vocabulary-sized by construction
+    (same bound as ``graph.MAX_SCHEMA_KEYS``), so the reasoners below
+    turn their closure joins into IN-set scan filters — zero shuffle,
+    pushdown-eligible — and keep the broadcast-join form only for an
+    over-cap hierarchy (r14, guide §2.4: remove shuffles outright).
+    A driver-resident sub-closure (``sub_closure`` over a cached
+    driver-side hierarchy closure) answers without any Spark job."""
+    local = getattr(subs, "_pidb_local_rows", None)
+    if local is not None:
+        return list(local) if len(local) <= cap else None
+    rows = subs.limit(cap + 1).collect()
+    return [r["name"] for r in rows] if len(rows) <= cap else None
 
 
 def get_nodes_with_label(
@@ -238,8 +349,24 @@ def get_nodes_with_label(
     """All nodes whose label is ``label`` or any transitive sub-label
     (reference ``getNodesWithLabel``, ``MicroReasoners.java:29-50`` —
     which runs one generated MATCH per subclass and UNIONs them; here
-    it is one explode + one broadcast join)."""
+    one in-scan ``arrays_overlap`` filter when the sub-label set is
+    vocabulary-sized, an explode + broadcast join past the cap)."""
+    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
+
     subs = sub_closure(hierarchy, label, kind)
+    names = _bounded_names(subs, MAX_SCHEMA_KEYS)
+    if names is not None:
+        # same rows as the explode+join+dedup below: a node survives
+        # iff labels ∩ names ≠ ∅ (NULL/empty labels drop either way,
+        # and the filter keeps each node exactly once — no dedup
+        # shuffle of full node rows, no row multiplication)
+        if not names:
+            return graph.nodes.filter(F.lit(False))
+        return graph.nodes.filter(
+            F.arrays_overlap(
+                F.col("labels"), F.array(*[F.lit(s) for s in names])
+            )
+        )
     exploded = graph.nodes.select(
         "*", F.explode(F.col("labels")).alias("__lab")
     )
@@ -260,10 +387,20 @@ def get_nodes_linked_to(
     SCO* descendants (reference ``getNodesLinkedTo``,
     ``MicroReasoners.java:52-74``). Category nodes are identified by
     uri; the descendant set is a broadcast join."""
+    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
+
     cats = sub_closure(hierarchy, category_uri, kind)
-    cat_nodes = graph.nodes.join(
-        F.broadcast(cats.withColumnRenamed("name", "uri")), on="uri"
-    ).select(F.col("id").alias("dst"))
+    names = _bounded_names(cats, MAX_SCHEMA_KEYS)
+    if names is not None:
+        # category uris are an IN-set scan filter instead of a
+        # broadcast join (r14) — same node set, uri matches are exact
+        cat_nodes = graph.nodes.filter(F.col("uri").isin(names)).select(
+            F.col("id").alias("dst")
+        )
+    else:
+        cat_nodes = graph.nodes.join(
+            F.broadcast(cats.withColumnRenamed("name", "uri")), on="uri"
+        ).select(F.col("id").alias("dst"))
     linked = (
         graph.edges.filter(F.col("predicate") == rel)
         .join(F.broadcast(cat_nodes), on="dst")
@@ -280,10 +417,22 @@ def get_rels(
     """Edges whose type is ``rel_type`` or any SRO* sub-type
     (reference ``getRels``, ``MicroReasoners.java:76-96``), optionally
     restricted to edges touching ``node_ids`` in ``direction``."""
+    from pidb_rdf_spark.graph import MAX_SCHEMA_KEYS
+
     subs = sub_closure(hierarchy, rel_type, kind)
-    edges = graph.edges.join(
-        F.broadcast(subs.withColumnRenamed("name", "predicate")), on="predicate"
-    )
+    names = _bounded_names(subs, MAX_SCHEMA_KEYS)
+    if names is not None:
+        # IN-set scan filter instead of the broadcast join (r14);
+        # the explicit select preserves the join form's column order
+        # (join key first) so either path emits the same schema
+        edges = graph.edges.filter(F.col("predicate").isin(names)).select(
+            "predicate",
+            *[c for c in graph.edges.columns if c != "predicate"],
+        )
+    else:
+        edges = graph.edges.join(
+            F.broadcast(subs.withColumnRenamed("name", "predicate")), on="predicate"
+        )
     if node_ids is not None:
         key = {"out": "src", "in": "dst"}.get(direction)
         if key is None:  # both
@@ -309,7 +458,13 @@ def has_label_inferred(
     sub-label (reference scalar UDF ``hasLabel``,
     ``MicroReasoners.java:99-119``) — returned as a column for all
     nodes (set-oriented; a scalar point-check is a filter on top)."""
-    subs = [r["name"] for r in sub_closure(hierarchy, label, kind).collect()]
+    subs_df = sub_closure(hierarchy, label, kind)
+    local = getattr(subs_df, "_pidb_local_rows", None)
+    subs = (
+        list(local)
+        if local is not None
+        else [r["name"] for r in subs_df.collect()]
+    )
     return graph.nodes.select(
         "id",
         "uri",

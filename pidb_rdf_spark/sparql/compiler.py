@@ -1109,7 +1109,15 @@ class SparqlCompiler:
             ident = self.g.nodes.select(
                 F.col("id").alias("__src"), F.col("id").alias("__dst")
             )
-            pairs = pairs.unionAll(ident).dropDuplicates()
+            # pairs is DISTINCT here (closure output or deduplicated
+            # above) and ident is one row per node id, so the union's
+            # only overlap is self-pairs: dropping them from pairs
+            # replaces a node-set-sized union dedup SHUFFLE with a
+            # narrow filter — identical distinct pair set (r14, guide
+            # §2.4; endpoints are node ids, never NULL).
+            pairs = pairs.filter(F.col("__src") != F.col("__dst")).unionAll(
+                ident
+            )
         return pairs
 
     def _path_endpoints_frame(self, state: _BGPState, pat, pairs: DataFrame) -> DataFrame:
