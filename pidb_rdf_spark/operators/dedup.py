@@ -710,6 +710,16 @@ def embedding_near_dup_pairs(
     a DataFrame self-join to same-(table, bucket) pairs; exact cosine
     verification keeps precision at 1, so only recall is approximate
     — the 100 TB path; see similarity.py for the construction.
+
+    Storage/resilience note (bucketed=True): the lazy
+    ``localCheckpoint`` of ``normed`` pins the full normalized corpus
+    (id + vectors + norm) in executor block storage for the query's
+    duration — roughly doubling the corpus footprint — and local
+    checkpoints are non-reliable: losing an executor fails the job
+    (fail-safe; never wrong results) instead of recomputing. On a
+    deployment where executor loss is routine, trade the single
+    evaluation back by persisting ``normed`` to reliable storage
+    before calling, or accept the recompute by removing the pin.
     """
     from pidb_rdf_spark.operators.similarity import (
         with_hyperplane_buckets,

@@ -181,7 +181,18 @@ def with_hyperplane_buckets(
 
     The plane matrix is derived from the batch's own vector length
     inside the UDF (deterministic seed → identical planes on every
-    executor), so no driver-side probe job is needed."""
+    executor), so no driver-side probe job is needed.
+
+    PLAN-SHAPE CONTRACT: the bucket UDF is marked
+    ``asNondeterministic()`` purely to stop the optimizer duplicating
+    it below pushed filters (guide §4.4) — the function itself is
+    pure. Because nondeterministic expressions constrain where
+    Catalyst may place them, callers that reuse this output on
+    multiple plan branches (self-joins, repeated aggregates) MUST
+    materialize it first (``localCheckpoint``), as
+    ``embedding_near_dup_pairs`` does; joining or aggregating the raw
+    frame on bucket columns across branches may change plan shape or
+    be rejected where nondeterministic expressions are disallowed."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
