@@ -1081,9 +1081,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         cents = kmeans_centroids(emb, n_clusters=8, iters=2)
         books = pq_train(emb, m=4, k=16, iters=2)
-        codes = pq_encode(emb, books)
+        # ONE cluster assignment + ONE PQ coding pass, shared by every
+        # stage (r14, guide §1.2/§8): without the lazy checkpoints the
+        # union plan re-ran the `nearest` kernel 4× and `codes` 3×
+        # over the full corpus (once per search stage). Lazy:
+        # materializes inside the first action, every other stage
+        # reads the blocks — the same pattern as the LSH normed/sig
+        # checkpoints (r13).
+        from pidb_rdf_spark.operators.similarity import assign_clusters
+
+        assigned = assign_clusters(emb, cents).localCheckpoint(eager=False)
+        codes = pq_encode(emb, books).localCheckpoint(eager=False)
         path = "/root/repo/spark-warehouse/ivf_index_entry"
-        save_ivf_index(emb, path, cents)
+        save_ivf_index(emb, path, cents, assigned=assigned)
 
         def tag(df, stage, cols=("query_id", "rank", "neighbor_id")):
             return df.select(
@@ -1094,10 +1104,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         return (
-            tag(ivf_search(emb, queries_df, cents, k=5, nprobe=8), "ivf_exact")
+            tag(
+                ivf_search(
+                    emb, queries_df, cents, k=5, nprobe=8, assigned=assigned
+                ),
+                "ivf_exact",
+            )
             .unionByName(
                 tag(
-                    ivf_search(emb, queries_df, cents, k=5, nprobe=2),
+                    ivf_search(
+                        emb, queries_df, cents, k=5, nprobe=2, assigned=assigned
+                    ),
                     "ivf_probe2",
                 )
             )
@@ -1111,7 +1128,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(tag(pq_topk(codes, queries_df, books, k=5), "pq_adc"))
             .unionByName(
                 tag(
-                    ivfpq_topk(emb, queries_df, cents, books, k=5, nprobe=2),
+                    ivfpq_topk(
+                        emb,
+                        queries_df,
+                        cents,
+                        books,
+                        k=5,
+                        nprobe=2,
+                        assigned=assigned,
+                        codes=codes,
+                    ),
                     "ivfpq",
                 )
             )

@@ -3912,7 +3912,8 @@ def _call_procedure(g: PropertyGraph, name: str, yields: list) -> DataFrame:
         if hot:
             parts.append(
                 g.spark.createDataFrame(
-                    [(h,) for h in hot], "propertyKey string"
+                    g.spark.sparkContext.parallelize([(h,) for h in hot], 1),
+                    "propertyKey string",
                 )
             )
         df = parts[0]

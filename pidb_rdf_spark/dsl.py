@@ -202,7 +202,10 @@ class Traversal:
         if not ids:
             return self
         extra = self.df.sparkSession.createDataFrame(
-            [(int(i),) for i in ids], f"{CUR} long"
+            self.df.sparkSession.sparkContext.parallelize(
+                [(int(i),) for i in ids], 1
+            ),
+            f"{CUR} long",
         )
         return self._with(
             self.df.unionByName(extra, allowMissingColumns=True)

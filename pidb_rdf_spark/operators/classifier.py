@@ -184,8 +184,12 @@ def quality_classifier_score(
     if len(weights) != D:
         raise ValueError("model weights length != n_features")
     spark = df.sparkSession
+    # one explicit slice (r14): D weight rows are driver-built
     wt = spark.createDataFrame(
-        [(i, float(weights[i])) for i in range(D)], "f long, w double"
+        spark.sparkContext.parallelize(
+            [(i, float(weights[i])) for i in range(D)], 1
+        ),
+        "f long, w double",
     )
     feats = hashed_features(
         df, n_features=D, id_col=id_col, text_col=text_col

@@ -122,7 +122,9 @@ def mix_sources(
     # crash createDataFrame and mistype the equi-join)
     stype = docs.schema[source_col].dataType.simpleString()
     rate_df = spark.createDataFrame(
-        [(s, int(r // 1), r - int(r // 1)) for s, _a, _t, r in rates],
+        spark.sparkContext.parallelize(
+            [(s, int(r // 1), r - int(r // 1)) for s, _a, _t, r in rates], 1
+        ),
         f"{source_col} {stype}, __nfull int, __frac double",
     )
     return (

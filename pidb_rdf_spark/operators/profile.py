@@ -65,7 +65,9 @@ def profile_table(
             T.StructField("n_distinct", T.LongType(), False),
         ]
     )
-    return df.sparkSession.createDataFrame(out, schema=schema)
+    return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(out, 1), schema=schema
+    )
 
 
 def profile_diff(
@@ -232,7 +234,9 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
             n = df.filter(F.col(r["col"]).isNotNull()).count()
             outs.append(("fk", r["col"], orphan, orphan / n if n else 0.0))
-    return spark.createDataFrame(outs, out_schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(outs, 1), out_schema
+    )
 
 
 def skew_report(

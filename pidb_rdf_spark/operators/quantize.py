@@ -151,7 +151,8 @@ def pq_encode(
         return pd.Series(list(out))
 
     codes.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    codes_udf = pandas_udf(codes, "array<int>")
+    # pure; see assign_clusters — blocks §4.4 kernel duplication
+    codes_udf = pandas_udf(codes, "array<int>").asNondeterministic()
     return df.select(
         F.col(id_col), F.posexplode(codes_udf(F.col(vec_col)))
     ).select(
@@ -230,8 +231,10 @@ def pq_topk(
                 (qid, s, int(c), float(p)) for c, p in enumerate(parts)
             )
     spark = codes.sparkSession
+    # one explicit slice: the LUT is |q|·m·k rows (driver-built)
     lut_df = spark.createDataFrame(
-        lut, f"{query_id_col} long, subspace long, code long, __part double"
+        spark.sparkContext.parallelize(lut, 1),
+        f"{query_id_col} long, subspace long, code long, __part double",
     )
     scored = (
         codes.join(F.broadcast(lut_df), on=["subspace", "code"])
@@ -259,6 +262,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ combined search (the faiss IVFPQ shape, flat-coded):
     coarse clusters prune the candidate set (only vectors in each
@@ -269,7 +274,13 @@ def ivfpq_topk(
     code) — a few bytes per vector; search shuffles only id-sized
     candidate rows. Probe lists are computed driver-side from the
     collected queries (bounded by queries, never corpus), same as
-    ``similarity.ivf_search_indexed``."""
+    ``similarity.ivf_search_indexed``.
+
+    ``assigned`` / ``codes``: optionally the precomputed
+    ``assign_clusters`` / ``pq_encode`` frames over this corpus with
+    these centroids/codebooks — callers that already materialized
+    them (the ANN composite) share one kernel pass instead of
+    re-running both over the full corpus (r14, guide §1.2/§8)."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -277,10 +288,11 @@ def ivfpq_topk(
     from pidb_rdf_spark.operators.similarity import assign_clusters
 
     spark = corpus.sparkSession
-    assigned = assign_clusters(corpus, coarse_centroids, id_col, vec_col).select(
-        F.col(id_col), F.col("cluster")
-    )
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_clusters(corpus, coarse_centroids, id_col, vec_col)
+    assigned = assigned.select(F.col(id_col), F.col("cluster"))
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
 
     C = np.array(coarse_centroids, dtype=np.float64)
     nprobe = min(nprobe, len(coarse_centroids))
@@ -297,11 +309,16 @@ def ivfpq_topk(
         for s, Csub in enumerate(Cs):
             for c, p in enumerate(Csub @ q[s * sub:(s + 1) * sub]):
                 lut.append((qid, s, int(c), float(p)))
+    # one explicit slice: these driver-built lists are query-sized
+    # (|q|·nprobe and |q|·m·k rows); default createDataFrame slicing
+    # would spread them over default.parallelism near-empty partitions
     probes_df = spark.createDataFrame(
-        probes, f"{query_id_col} long, cluster int"
+        spark.sparkContext.parallelize(probes, 1),
+        f"{query_id_col} long, cluster int",
     )
     lut_df = spark.createDataFrame(
-        lut, f"{query_id_col} long, subspace long, code long, __part double"
+        spark.sparkContext.parallelize(lut, 1),
+        f"{query_id_col} long, subspace long, code long, __part double",
     )
     cand = assigned.join(F.broadcast(probes_df), on="cluster").select(
         query_id_col, id_col

@@ -89,7 +89,15 @@ def bm25_search(
     q_terms = [t for t in query.lower().split(" ") if t]
     if not q_terms:
         raise ValueError("empty query")
-    qdf = spark.createDataFrame([(t,) for t in sorted(set(q_terms))], ["term"])
+    # one explicit slice: a query-terms list is a handful of rows;
+    # default createDataFrame slicing spreads it over
+    # default.parallelism near-empty partitions (r14, guide §2.2)
+    qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(t,) for t in sorted(set(q_terms))], 1
+        ),
+        "term string",
+    )
 
     # corpus size folded in as a broadcast 1-row aggregate (r13) —
     # same rationale and bit-identical arithmetic as tfidf_top_terms;

@@ -283,7 +283,10 @@ def make_probe_udf(centroids: list[list[float]], nprobe: int):
         return pd.Series(list(order))
 
     probe_list.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(probe_list, "array<int>")
+    # pure function; the marking only stops the optimizer duplicating
+    # the kernel below pushed filters (guide §4.4 — same plan-shape
+    # contract as with_hyperplane_buckets, r14)
+    return pandas_udf(probe_list, "array<int>").asNondeterministic()
 
 
 def kmeans_centroids(
@@ -376,7 +379,11 @@ def assign_clusters(
     # real (non-stringified) annotations — `from __future__ import
     # annotations` would otherwise break pandas_udf type inference
     nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    nearest_udf = pandas_udf(nearest, "int")
+    # pure; asNondeterministic blocks §4.4 duplicate evaluation below
+    # pushed filters (Catalyst infers isnotnull(cluster) from the IVF
+    # probe join and re-ran the kernel under it — 8 ArrowEvalPython
+    # for the ann composite, 4 after)
+    nearest_udf = pandas_udf(nearest, "int").asNondeterministic()
     return df.withColumn("cluster", nearest_udf(F.col(vec_col)))
 
 
@@ -389,6 +396,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: corpus rows carry their cluster id; each query
     probes its ``nprobe`` nearest centroids and ranks only vectors
@@ -397,8 +405,16 @@ def ivf_search(
     (query × probed-cluster) join is a broadcast.
 
     ``nprobe >= len(centroids)`` ⇒ exact (== cosine_topk).
+
+    ``assigned``: optionally the precomputed
+    ``assign_clusters(corpus, centroids)`` frame — callers running
+    several searches over one corpus (the ANN composite) materialize
+    the assignment once and share it, instead of paying one
+    full-corpus Arrow kernel pass per search (r14, guide §1.2/§8:
+    don't compute things twice).
     """
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
 
     # query → nprobe nearest centroids, as an exploded (query, cluster) map
     probe_udf = make_probe_udf(centroids, nprobe)
@@ -457,16 +473,18 @@ def save_ivf_index(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> None:
     """Write the corpus partitioned by its IVF cluster + a centroid
     sidecar. A probe then reads ONLY the probed clusters' partitions
     (static partition pruning, pinned by plan test) — at 100 TB this
     is the difference between scanning nprobe/n_clusters of the data
-    and all of it."""
+    and all of it. ``assigned``: see :func:`ivf_search`."""
     import json
     import os
 
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(path, "vectors")
     )

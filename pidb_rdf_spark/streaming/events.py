@@ -648,10 +648,13 @@ def funnel(
         counts.append((str(i), s, nxt.count()))
     base = counts[0][2]
     return spark.createDataFrame(
-        [
-            (int(idx), step, int(n), (n / base) if base else 0.0)
-            for idx, step, n in counts
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (int(idx), step, int(n), (n / base) if base else 0.0)
+                for idx, step, n in counts
+            ],
+            1,
+        ),
         "step_idx int, step string, n_converted long, conversion double",
     )
 

@@ -131,13 +131,13 @@ def test_star_components_long_path(spark):
         connected_components_star,
     )
 
-    path = [(i, i + 1) for i in range(40)]
+    path = [(i, i + 1) for i in range(16)]
     df = spark.createDataFrame(path, "src long, dst long")
     got = {
         (r["node"], r["component"])
         for r in connected_components_star(df).collect()
     }
-    assert got == {(i, 0) for i in range(41)}
+    assert got == {(i, 0) for i in range(17)}
     ref = {
         (r["node"], r["component"]) for r in connected_components(df).collect()
     }
@@ -1611,14 +1611,15 @@ def test_hits_weighted_numpy_twin(spark):
     for s_, d_, w_ in edges:
         A[idx[s_], idx[d_]] += w_
     h = np.ones(len(nodes))
-    for _ in range(10):
+    # 5 rounds (r14): twin equality holds at any matched count
+    for _ in range(5):
         a = A.T @ h
         a = a / np.linalg.norm(a)
         h = A @ a
         h = h / np.linalg.norm(h)
     got = {
         r.node: (r.hub, r.authority)
-        for r in hits(df, weight="wt").collect()
+        for r in hits(df, weight="wt", n_iter=5).collect()
     }
     for n in nodes:
         assert got[n][0] == pytest.approx(h[idx[n]], abs=1e-9)
@@ -1626,10 +1627,12 @@ def test_hits_weighted_numpy_twin(spark):
     # weight 1.0 == unweighted; parallel (2,3) weights 1+1 == one 2.0
     ones = {
         r.node: (r.hub, r.authority)
-        for r in hits(df.withColumn("wt", F.lit(1.0)), weight="wt").collect()
+        for r in hits(
+            df.withColumn("wt", F.lit(1.0)), weight="wt", n_iter=5
+        ).collect()
     }
     unw = {
-        r.node: (r.hub, r.authority) for r in hits(df).collect()
+        r.node: (r.hub, r.authority) for r in hits(df, n_iter=5).collect()
     }
     assert ones == unw
     dup = spark.createDataFrame(
@@ -1637,8 +1640,14 @@ def test_hits_weighted_numpy_twin(spark):
          (4, 2, 0.5), (3, 1, 1.0)],
         "src long, dst long, wt double",
     )
-    a2 = {r.node: (r.hub, r.authority) for r in hits(dup, weight="wt").collect()}
-    b2 = {r.node: (r.hub, r.authority) for r in hits(df, weight="wt").collect()}
+    a2 = {
+        r.node: (r.hub, r.authority)
+        for r in hits(dup, weight="wt", n_iter=5).collect()
+    }
+    b2 = {
+        r.node: (r.hub, r.authority)
+        for r in hits(df, weight="wt", n_iter=5).collect()
+    }
     for n in nodes:
         assert a2[n] == pytest.approx(b2[n])
 
@@ -1720,7 +1729,10 @@ def test_eigenvector_centrality_numpy_twin(spark):
     nodes = sorted({n for s_, d_, _ in edges for n in (s_, d_)})
     idx = {n: i for i, n in enumerate(nodes)}
 
-    def twin(weighted, directed, n_iter=20):
+    # n_iter=8 (r14): the twin matches the engine at ANY matched
+    # round count; 8 rounds x 4 combos keeps the math pin at 40%% of
+    # the suite cost of the default 20
+    def twin(weighted, directed, n_iter=8):
         A = np.zeros((len(nodes), len(nodes)))
         for s_, d_, w_ in edges:
             w_ = w_ if weighted else 1.0
@@ -1740,7 +1752,7 @@ def test_eigenvector_centrality_numpy_twin(spark):
             got = {
                 r.node: r.score
                 for r in eigenvector_centrality(
-                    df, directed=directed, **kw
+                    df, directed=directed, n_iter=8, **kw
                 ).collect()
             }
             want = twin(weighted, directed)
@@ -1751,14 +1763,17 @@ def test_eigenvector_centrality_numpy_twin(spark):
     # directed: node 1 has no in-edges -> exactly 0
     d1 = {
         r.node: r.score
-        for r in eigenvector_centrality(df, directed=True).collect()
+        for r in eigenvector_centrality(df, directed=True, n_iter=8).collect()
     }
     assert d1[1] == 0.0
     # undirected path center outranks the ends
     path = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
     )
-    u = {r.node: r.score for r in eigenvector_centrality(path).collect()}
+    u = {
+        r.node: r.score
+        for r in eigenvector_centrality(path, n_iter=8).collect()
+    }
     assert u[3] > u[1] and u[3] > u[5]
 
 
@@ -1865,8 +1880,8 @@ def test_neighborhood_function_sketch_accuracy(spark):
     from pidb_rdf_spark.analytics import neighborhood_function
 
     edges = spark.createDataFrame(
-        [(i, (i * 7 + 3) % 200) for i in range(200)]
-        + [(i, (i * 13 + 11) % 200) for i in range(200)],
+        [(i, (i * 7 + 3) % 120) for i in range(120)]
+        + [(i, (i * 13 + 11) % 120) for i in range(120)],
         "src long, dst long",
     )
     exact = neighborhood_function(edges, tier="exact", max_radius=30)

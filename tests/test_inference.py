@@ -160,12 +160,15 @@ def test_closure_cache_plan_keying_shares_rebuilt_frames(spark, tmp_path):
     assert inf.CLOSURE_COMPUTES == start + 1
 
 
-def test_closure_cache_bounded_lru(spark):
+def test_closure_cache_bounded_lru(spark, monkeypatch):
     """The cache evicts least-recently-used entries past
-    _CLOSURE_CACHE_MAX and clear_closure_cache() empties it."""
+    _CLOSURE_CACHE_MAX and clear_closure_cache() empties it. The cap
+    is monkeypatched small (r14): eviction semantics are identical at
+    any bound, and 7 closures cost a fraction of the default 35."""
     import pidb_rdf_spark.inference as inf
     from pidb_rdf_spark.inference import hierarchy_closure
 
+    monkeypatch.setattr(inf, "_CLOSURE_CACHE_MAX", 4)
     inf.clear_closure_cache()
     frames = [
         spark.createDataFrame([(f"c{i}", "root")], ["child", "parent"])
